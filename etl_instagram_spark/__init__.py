@@ -1,0 +1,27 @@
+"""etl_instagram_spark — a PySpark-native batch + streaming analytics engine.
+
+A brand-new engine with the query and data-processing capabilities of the
+reference ETL service `garciadiazjaime/etl-instagram` (see SURVEY.md),
+re-expressed Spark-first:
+
+- ``sources``   : raw nested-JSON ingestion (from_json with explicit schemas)
+                  and parquet table loaders.
+- ``operators`` : the relational/merge core — key-based upsert (latest-wins),
+                  tombstone delete, anti-join dedup, top-k, dedup family
+                  (exact / MinHash-LSH / SimHash / n-gram Jaccard), and
+                  embedding similarity search.
+- ``functions`` : scalar/text kernels — tokenizer, stemmer, stopwords,
+                  language-ID, quality scoring, fingerprinting, geo distance.
+- ``enrich``    : LDA topics and the pluggable image-label classifier surface.
+- ``pipelines`` : the reference's four pipelines (hashtag posts, followers,
+                  news, rates) as declarative DataFrame lineages.
+- ``streaming`` : Structured Streaming incremental mode (foreachBatch upsert,
+                  watermarked windowed aggregates, circuit breaker).
+- ``plans``     : the analytics query inventory + DuckDB oracle SQL.
+
+Everything is DataFrame-declarative so Catalyst handles pushdown, pruning,
+join selection and AQE; Python UDFs appear only at genuine boundaries
+(stemming, DOM extraction, external classifiers) and are Arrow-vectorized.
+"""
+
+__version__ = "0.1.0"

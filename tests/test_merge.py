@@ -1,0 +1,124 @@
+"""Merge/upsert semantics (SURVEY §2.4 W1-W7, §5.4/5.6 fixtures)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from etl_instagram_spark.operators import (
+    MergeTable,
+    anti_join_new,
+    dedup_latest,
+    delete_by_key,
+    upsert,
+    upsert_coalesce,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+T1 = dt.datetime(2024, 1, 2)
+T2 = dt.datetime(2024, 1, 3)
+
+COLS = ["id", "like_count", "updated_at"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id string, like_count long, updated_at timestamp")
+
+
+@pytest.fixture()
+def batch_a(spark):
+    return _df(spark, [("p1", 10, T0), ("p2", 20, T0), ("p3", 30, T0)])
+
+
+@pytest.fixture()
+def batch_b(spark):
+    # 1 new + 2 overlapping ids with changed like_count (FIXTURES.md §4)
+    return _df(spark, [("p2", 21, T1), ("p3", 31, T1), ("p4", 40, T1)])
+
+
+def test_upsert_latest_wins(spark, batch_a, batch_b):
+    merged = upsert(batch_a, batch_b, "id")
+    got = {r["id"]: r["like_count"] for r in merged.collect()}
+    assert got == {"p1": 10, "p2": 21, "p3": 31, "p4": 40}
+
+
+def test_upsert_idempotent(spark, batch_a, batch_b):
+    once = upsert(batch_a, batch_b, "id")
+    twice = upsert(once, batch_b, "id")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_upsert_within_batch_latest_wins(spark, batch_a):
+    dup = _df(spark, [("p9", 1, T0), ("p9", 2, T2), ("p9", 3, T1)])
+    merged = upsert(batch_a, dup, "id")
+    got = {r["id"]: r["like_count"] for r in merged.collect()}
+    assert got["p9"] == 2  # T2 row wins
+    assert merged.count() == 4
+
+
+def test_dedup_latest(spark):
+    dup = _df(spark, [("x", 1, T0), ("x", 2, T1), ("y", 5, T0)])
+    out = dedup_latest(dup, "id")
+    assert {r["id"]: r["like_count"] for r in out.collect()} == {"x": 2, "y": 5}
+
+
+def test_anti_join_new(spark, batch_a, batch_b):
+    fresh = anti_join_new(batch_b, batch_a, "id")
+    assert [r["id"] for r in fresh.collect()] == ["p4"]
+
+
+def test_delete_by_key(spark, batch_a):
+    tomb = _df(spark, [("p2", None, None)])
+    left = delete_by_key(batch_a, tomb, "id")
+    assert sorted(r["id"] for r in left.collect()) == ["p1", "p3"]
+
+
+def test_upsert_coalesce_partial_update(spark):
+    # follower partial update: only profile fields present → old fields
+    # preserved (extend-followers.js:126, FIXTURES.md §4)
+    existing = spark.createDataFrame(
+        [("f1", "alice", None, T0), ("f2", "bob", None, T0)],
+        "id string, username string, biography string, updated_at timestamp",
+    )
+    batch = spark.createDataFrame(
+        [("f1", None, "bio!", T1), ("f3", "carol", "hi", T1)],
+        "id string, username string, biography string, updated_at timestamp",
+    )
+    out = upsert_coalesce(existing, batch, "id")
+    got = {r["id"]: (r["username"], r["biography"]) for r in out.collect()}
+    assert got == {
+        "f1": ("alice", "bio!"),  # username preserved, biography filled
+        "f2": ("bob", None),  # untouched
+        "f3": ("carol", "hi"),  # inserted
+    }
+
+
+def test_upsert_schema_evolution(spark, batch_a):
+    wider = spark.createDataFrame(
+        [("p5", 50, T1, "new-col")],
+        "id string, like_count long, updated_at timestamp, extra string",
+    )
+    merged = upsert(batch_a, wider, "id")
+    assert merged.count() == 4
+    assert "extra" in merged.columns
+    assert merged.filter("id = 'p1'").first()["extra"] is None
+
+
+def test_merge_table_atomic_roundtrip(spark, tmp_path, batch_a, batch_b):
+    t = MergeTable(spark, str(tmp_path / "posts"), key="id")
+    assert not t.exists()
+    t.upsert(batch_a)
+    t.upsert(batch_b)
+    got = {r["id"]: r["like_count"] for r in t.read().collect()}
+    assert got == {"p1": 10, "p2": 21, "p3": 31, "p4": 40}
+    # idempotence across commits
+    t.upsert(batch_b)
+    assert t.read().count() == 4
+    # tombstone delete
+    t.delete(_df(spark, [("p1", None, None)]))
+    assert sorted(r["id"] for r in t.read().collect()) == ["p2", "p3", "p4"]
+    # snapshots accumulated; vacuum keeps current readable
+    assert len(t.list_snapshots()) == 4
+    t.vacuum(keep=1)
+    assert t.read().count() == 3
