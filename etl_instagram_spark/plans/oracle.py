@@ -1,0 +1,349 @@
+"""DuckDB oracle SQL — one ANSI-SQL statement per query in plans.queries.
+
+The driver runs these against the same parquet tables (pre-registered
+views) and compares row-count + schema + order-insensitive value hash
+against the Spark result. Aliases and rounding MUST match plans.queries
+exactly; columns are compared sorted-by-name so order is free but names
+are not.
+"""
+
+from __future__ import annotations
+
+_ORACLE: dict[str, str] = {}
+
+
+def oracle(name: str, sql: str) -> None:
+    _ORACLE[name] = sql
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+oracle(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+oracle(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+oracle(
+    "events_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type,
+           count(*)              AS n_events,
+           round(sum(value), 2)  AS sum_value,
+           round(avg(value), 4)  AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+
+oracle(
+    "events_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*)             AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+
+oracle(
+    "segment_rollup",
+    """
+    SELECT c_mktsegment, o_orderstatus,
+           count(*)                   AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+    ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+
+oracle(
+    "pivot_returnflag_status",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+oracle(
+    "q3_unshipped_revenue",
+    """
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+
+oracle(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+
+oracle(
+    "q4_order_priority_semijoin",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount >= 0.05)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+oracle(
+    "customers_without_urgent_orders",
+    """
+    SELECT c_mktsegment,
+           count(*)               AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+
+oracle(
+    "top10_customers_by_revenue",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*)                    AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+
+oracle(
+    "supplier_nation_outer",
+    """
+    SELECT n_name,
+           count(s_suppkey)                          AS n_suppliers,
+           round(coalesce(sum(s_acctbal), 0.0), 2)   AS total_acctbal
+    FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+
+oracle(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           rank_in_customer
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_customer
+      FROM orders WHERE o_custkey < 100
+    )
+    WHERE rank_in_customer <= 3
+    ORDER BY o_custkey, rank_in_customer
+    """,
+)
+
+oracle(
+    "customer_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS running_revenue
+    FROM orders WHERE o_custkey < 50
+    ORDER BY o_custkey, order_date, o_orderkey
+    """,
+)
+
+oracle(
+    "order_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           datediff('day',
+                    lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                                                         ORDER BY o_orderdate, o_orderkey),
+                    CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders WHERE o_custkey < 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+
+oracle(
+    "events_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, value, ts, event_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_seq,
+             count(*)             AS n_events,
+             round(sum(value), 2) AS session_value
+      FROM sessions GROUP BY user_id, session_seq
+    )
+    SELECT user_id,
+           count(*)                    AS n_sessions,
+           max(n_events)               AS max_session_events,
+           round(sum(session_value), 2) AS total_value
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+
+oracle(
+    "daily_top_user_by_value",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+             round(sum(value), 2) AS day_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, user_id, day_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY day
+                                       ORDER BY day_value DESC, user_id) AS rn
+          FROM daily)
+    WHERE rn = 1
+    ORDER BY day
+    """,
+)
+
+oracle(
+    "active_1996_not_2001",
+    """
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 2001
+    ORDER BY custkey
+    """,
+)
+
+oracle(
+    "order_status_union",
+    """
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+         urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT
+      (SELECT count(*) FROM (SELECT o_custkey FROM hi UNION SELECT o_custkey FROM urgent)) AS n_union,
+      (SELECT count(*) FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM urgent)) AS n_intersect
+    """,
+)
+
+oracle(
+    "part_scalar_functions",
+    """
+    SELECT p_partkey,
+           'part:' || p_name                         AS tagged_name,
+           upper(p_brand)                            AS brand_upper,
+           substr(p_type, 1, 5)                      AS type_prefix,
+           length(p_name)                            AS name_len,
+           len(string_split(p_type, ' '))            AS type_words,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+           round(p_retailprice * 1.08, 2)            AS price_with_tax,
+           CAST(p_size AS DOUBLE)                    AS size_d,
+           p_partkey % 7                             AS key_mod7
+    FROM part WHERE p_partkey <= 200
+    ORDER BY p_partkey
+    """,
+)
+
+oracle(
+    "orders_date_functions",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)                       AS order_year,
+           month(o_orderdate)                      AS order_month,
+           dayofmonth(o_orderdate)                 AS order_day,
+           quarter(o_orderdate)                    AS order_quarter,
+           strftime(o_orderdate, '%Y-%m')          AS order_ym,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoh
+    FROM orders WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+
+oracle(
+    "conditional_agg_promo_share",
+    """
+    SELECT round(
+             sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)) * 100,
+             4) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)

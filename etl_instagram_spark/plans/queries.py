@@ -1,0 +1,470 @@
+"""The engine's declared analytics query inventory (Spark side).
+
+Each query is a callable ``(spark, sf_dir) -> DataFrame`` over the driver's
+TPC-H-ish tables. They exercise the full relational operator surface the
+engine supports (SURVEY §2.3/2.5/2.6/2.7): joins of every flavor,
+hash/partial aggregation, windows, sorts/top-k, set ops, rollup/pivot,
+scalar string/date/math functions, and JSON extraction — all expressed
+declaratively so Catalyst handles pushdown/pruning/join-selection, with
+explicit ``broadcast`` hints where a dimension side is known-small.
+
+Naming contract: every computed column is aliased identically here and in
+``plans.oracle`` so the driver's column-sorted value-hash comparison holds.
+Doubles that accumulate float error are rounded (2dp money, 4-6dp ratios)
+on BOTH sides.
+
+Scale notes are inline per query; the common themes at 100 TB:
+- filters/projections sit directly on the parquet scan (pushdown),
+- dimension joins (region/nation/supplier/part ≤ O(MB)) are broadcast,
+- fact-fact joins (orders⋈lineitem) shuffle on the join key — at cluster
+  scale both sides would be bucketed by orderkey to make this shuffle-free,
+- windows partition by high-cardinality keys (custkey, user_id) so state
+  per partition stays bounded; no global orderBy except final top-k
+  (TakeOrderedAndProject, no full sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+
+
+def query(name: str) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query("q1_pricing_summary")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 partial-aggregatable
+    measures. Scale: map-side combine collapses 100 TB to |groups|≈6 rows
+    before the shuffle; the date filter pushes into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query("q6_forecast_revenue")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg — entirely pushdown-able;
+    at scale this is a single scan with zero shuffle (partial sums only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@query("events_hourly_rollup")
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series tumbling aggregation (the reference's rates time-series
+    analytics, SURVEY §2.9). Hour truncation stays JVM-side; output hour as
+    string for engine-neutral comparison."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@query("events_json_extract")
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props payload (reference F16:
+    posts-from-hashtags.js:166, 210 — JSON.parse of embedded blobs)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("k_bucket")
+    )
+
+
+@query("segment_rollup")
+def segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (mktsegment, orderstatus): subtotal + grand-total rows
+    (free with Catalyst's Expand; one shuffle)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+@query("pivot_returnflag_status")
+def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns per returnflag (SURVEY §2.6 —
+    conditional aggregation; Catalyst rewrites pivot to CASE WHEN aggs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins of every flavor (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query("q3_unshipped_revenue")
+def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dimension-filtered 3-way join + agg + top-10.
+    Scale: customer filter broadcast into orders; orders⋈lineitem is the
+    only big shuffle (bucket both by orderkey on a real cluster); final
+    top-10 is TakeOrderedAndProject — no global sort."""
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-15"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query("q5_region_revenue")
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way snowflake join. All dimension sides broadcast;
+    the co-located supplier/customer nation equality prunes rows early."""
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cu), (od.o_custkey == cu.c_custkey) & (cu.c_nationkey == su.s_nationkey))
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query("q4_order_priority_semijoin")
+def q4_order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (the reference's existence
+    checks J3-J5 inverted). Semi join shuffles only the key column."""
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    # orders with at least one high-discount lineitem
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.05)
+    return (
+        od.join(li.select("l_orderkey"), od.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("customers_without_urgent_orders")
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (the engine's incremental-ingest gate,
+    J3/J5, operators.merge.anti_join_new) aggregated by segment."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cu.join(od.select("o_custkey").distinct(), cu.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("top10_customers_by_revenue")
+def top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + global top-k (reference O2 orderBy+limit generalized;
+    engages TakeOrderedAndProject instead of a full sort)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@query("supplier_nation_outer")
+def supplier_nation_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right/full-outer surface: every nation with its supplier stats,
+    including nations with no suppliers (left join from dimension side)."""
+    na = _t(spark, sf_dir, "nation")
+    su = _t(spark, sf_dir, "supplier")
+    return (
+        na.join(su, na.n_nationkey == su.s_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY A4/O1/O2 generalized)
+# ---------------------------------------------------------------------------
+
+
+@query("top3_orders_per_customer")
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window (reference A4 top-terms
+    pattern). Partition by custkey → state bounded per key at any scale."""
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        od.withColumn("rank_in_customer", F.row_number().over(w))
+        .filter(F.col("rank_in_customer") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rank_in_customer",
+        )
+        .orderBy("o_custkey", "rank_in_customer")
+    )
+
+
+@query("customer_running_revenue")
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum per customer ordered by order date (frame
+    unbounded-preceding → current)."""
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    ).orderBy("o_custkey", "order_date", "o_orderkey")
+
+
+@query("order_gap_days")
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: days since the customer's previous order."""
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query("events_sessionization")
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative sum of
+    session-start flags — the batch analogue of session_window (§2.9).
+    Scale: both windows partition by user_id; no global ordering."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("session_value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("daily_top_user_by_value")
+def daily_top_user_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level: daily per-user sums, then argmax per day via window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"), "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("day_value"))
+    )
+    w = W.partitionBy("day").orderBy(F.col("day_value").desc(), F.col("user_id"))
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("day", "user_id", "day_value")
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / distinct (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query("active_1996_not_2001")
+def active_1996_not_2001(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who ordered in 1996 but not in 2001."""
+    od = _t(spark, sf_dir, "orders")
+    c94 = od.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey")).distinct()
+    c95 = od.filter(F.year("o_orderdate") == 2001).select(F.col("o_custkey").alias("custkey")).distinct()
+    return c94.exceptAll(c95).orderBy("custkey")
+
+
+@query("order_status_union")
+def order_status_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two filtered projections + intersect count —
+    the reference's two-shape union O5 re-expressed relationally."""
+    od = _t(spark, sf_dir, "orders")
+    hi = od.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        hi.union(urgent)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_union"))
+        .crossJoin(hi.intersect(urgent).agg(F.count(F.lit(1)).alias("n_intersect")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query("part_scalar_functions")
+def part_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar kernel over part (F1/F2/F5/F9/F11 analogues):
+    concat, upper, substring, length, split-count, regexp_replace, round,
+    casts — all JVM-side whole-stage-codegen expressions."""
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return pa.select(
+        "p_partkey",
+        F.concat(F.lit("part:"), F.col("p_name")).alias("tagged_name"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.size(F.split(F.col("p_type"), " ")).alias("type_words"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("name_novowels"),
+        F.round(F.col("p_retailprice") * 1.08, 2).alias("price_with_tax"),
+        F.col("p_size").cast("double").alias("size_d"),
+        (F.col("p_partkey") % 7).alias("key_mod7"),
+    ).orderBy("p_partkey")
+
+
+@query("orders_date_functions")
+def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time kernel (F13 analogue): extract parts, truncation, diff."""
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return od.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_eoh"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@query("conditional_agg_promo_share")
+def conditional_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: CASE WHEN inside an aggregate (conditional agg),
+    fact⋈dimension broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)))
+            / F.sum(rev)
+            * 100,
+            4,
+        ).alias("promo_share_pct")
+    )
