@@ -6,9 +6,14 @@ whitespace tokenization) are chosen so a SQL oracle (DuckDB) can compute
 bit-identical results for the correctness gate.
 
 Reference lineage (SURVEY §2.7): tokenize F3 (lda/index.js:34), normalize
-F5 (:38), stopword/short/url drop F7 (:40), plus the LLM-data-pipeline
-text operators (language-ID, quality scoring, token counting, rolling-hash
-fingerprinting) the engine adds for large-scale training-data prep.
+F5 (lda/index.js:38), stopword/short/url drop F7 (lda/index.js:40), plus
+the LLM-data-pipeline text operators (language-ID, quality scoring, token
+counting, rolling-hash fingerprinting) the engine adds for large-scale
+training-data prep.
+
+Scale note: every kernel is a per-row expression — no shuffle, no UDF, no
+state. At 100 TB these run inside the scan stage at parquet-read speed;
+the only downstream shuffles are whatever aggregation the caller adds.
 """
 
 from __future__ import annotations
@@ -19,9 +24,9 @@ from pyspark.sql import functions as F
 # 31-bit Mersenne prime: keeps (a * x + b) % P inside int64 for a,b < 2^31.
 HASH_PRIME = 2_147_483_647
 
-# Minimal in-expression stopword lists (the full EN/ES lists from the
-# reference live in functions/stopwords.py for the ML pipeline; these
-# compact marker sets drive the deterministic language-ID heuristic).
+# Compact marker-stopword sets driving the deterministic language-ID
+# heuristic (the full EN/ES stopword lists for the ML/topics pipeline live
+# in functions/stopwords.py).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
     "es": ("el", "la", "de", "los", "que", "y", "en", "un"),
@@ -40,13 +45,26 @@ def token_count(col: Column) -> Column:
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
 
 
+def hash32(col: Column) -> Column:
+    """Deterministic, engine-neutral 32-bit hash of a string: the first 8
+    hex chars of md5, as a bigint. md5 is identical in Spark and DuckDB
+    (oracle: ``CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)``),
+    unlike xxhash64/murmur which are engine-specific."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def affine_hash(x: Column, a: int, b: int, p: int = HASH_PRIME) -> Column:
+    """Universal-hash family h(x) = (a * (x % p) + b) % p, overflow-safe
+    for a,b < 2^31 (product < 2^62 < int64 max). Used to derive the k
+    MinHash permutations from one base hash."""
+    return (F.lit(a) * (x % F.lit(p)) + F.lit(b)) % F.lit(p)
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string>; whole text when shorter
-    than n tokens. 1-based element access mirrors the SQL oracle."""
+    """Word n-gram shingles as array<string>; a single whole-text shingle
+    when the text has fewer than n tokens (so every doc has ≥1 shingle)."""
     t = tokens(col)
-    parts = [F.element_at(t, F.col("__i") + j) for j in range(n)]
-    # build via transform over 1..len-n+1
-    return F.when(F.size(t) < n, F.array(F.concat_ws(" ", *[F.element_at(t, j + 1) for j in range(0)] ) if False else F.trim(F.lower(col)))).otherwise(
+    return F.when(F.size(t) < n, F.array(F.trim(F.lower(col)))).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (n - 1)),
             lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
@@ -54,29 +72,95 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def hash32(col: Column) -> Column:
-    """Deterministic, engine-neutral 32-bit hash of a string: the first 8
-    hex chars of md5, as a bigint. md5 is identical in Spark and DuckDB,
-    so the oracle reproduces this exactly (unlike xxhash64/murmur)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-
-
-def affine_hash(x: Column, a: int, b: int, p: int = HASH_PRIME) -> Column:
-    """Universal-hash family h(x) = (a * (x % p) + b) % p, overflow-safe
-    for a,b < 2^31 (product < 2^62 < int64 max)."""
-    return (F.lit(a) * (x % F.lit(p)) + F.lit(b)) % F.lit(p)
+def char_shingles(col: Column, width: int = 8) -> Column:
+    """Character shingles (sliding window of ``width`` chars); one whole-
+    text shingle when shorter. Basis of the rolling fingerprint."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - (width - 1), F.lit(1))),
+        lambda i: col.substr(i, F.lit(width)),
+    )
 
 
 def rolling_fingerprint(col: Column, shingle_chars: int = 8) -> Column:
     """Document fingerprint: minimum 32-bit hash over all character
     shingles (winnowing-style rolling-hash min). Near-identical docs
-    collide; any single-char edit changes it with prob ~1/len."""
-    n = F.greatest(F.length(col) - (shingle_chars - 1), F.lit(1))
-    return F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: hash32(F.substring(col, 1, 0x7FFFFFFF).substr(i, F.lit(shingle_chars))),
+    usually collide; any single-char edit changes it with prob ~1/len."""
+    return F.array_min(F.transform(char_shingles(col, shingle_chars), hash32))
+
+
+def minhash_signature(col: Column, k: int = 16, shingle_words: int = 3) -> Column:
+    """MinHash signature: array of k minima of affine-permuted shingle
+    hashes. P(sig_i matches) ≈ Jaccard similarity of the shingle sets.
+    Deterministic coefficients derived from the slot index i (seeded
+    golden-ratio multipliers) — mirrorable in the SQL oracle."""
+    sh = word_shingles(col, shingle_words)
+    base = F.transform(sh, hash32)
+
+    def perm(a: int, b: int):
+        # single-arg closure: pyspark counts lambda params to pick the HOF
+        # arity, so default-arg capture (lambda h, a=a, b=b) would not bind
+        return lambda h: affine_hash(h, a, b)
+
+    sig = [F.array_min(F.transform(base, perm(a, b))) for a, b in minhash_coefficients(k)]
+    return F.array(*sig)
+
+
+def minhash_coefficients(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k MinHash permutations.
+    Knuth multiplicative-hash constants mod P; a forced odd/nonzero."""
+    coeffs = []
+    for i in range(k):
+        a = (2_654_435_761 * (i + 1) + 1) % HASH_PRIME
+        b = (40_503 * (i + 7) + 104_729) % HASH_PRIME
+        coeffs.append((a | 1, b))
+    return coeffs
+
+
+def _simhash32_from(hashes: Column) -> Column:
+    """32-bit SimHash from an array<long> of 32-bit token hashes: bit j of
+    the result is set iff more tokens have bit j set than unset. One
+    aggregate pass with an array<long> vote accumulator (no per-bit
+    re-scan of the token array)."""
+    # vote for token hash h at bit j: +1 if bit set else -1.
+    # bit j of h = floor(h / 2^j) % 2 (h < 2^32, exact in double).
+    def votes(h: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda j: (F.floor(h / F.pow(F.lit(2.0), j)).cast("long") % 2) * 2 - 1,
         )
+
+    totals = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.element_at(totals, (j + 1).cast("int")) > 0,
+            F.pow(F.lit(2.0), j).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash(col: Column) -> Column:
+    """SimHash as array [lo32, hi32] (two independent 32-bit SimHashes from
+    two md5-derived hash families). Near-identical docs differ in few bits.
+    Two 32-bit halves keep everything inside signed int64 and make the
+    hamming distance a simple sum of two bit_counts."""
+    t = tokens(col)
+    lo = F.transform(t, hash32)
+    hi = F.transform(t, lambda x: hash32(F.concat(F.lit("s1:"), x)))
+    return F.array(_simhash32_from(lo), _simhash32_from(hi))
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash() values (sum of bit_counts of
+    the xor of each 32-bit half)."""
+    return F.bit_count(F.element_at(a, 1).bitwiseXOR(F.element_at(b, 1))) + F.bit_count(
+        F.element_at(a, 2).bitwiseXOR(F.element_at(b, 2))
     )
 
 
@@ -89,10 +173,11 @@ def punct_ratio(col: Column) -> Column:
 
 
 def mean_token_len(col: Column) -> Column:
+    """Average token length in characters; 0.0 for blank text."""
     t = tokens(col)
-    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
-        F.aggregate(t, F.lit(0L) if False else F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast("double")
-        / F.size(t)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(t)
     )
 
 
@@ -101,7 +186,9 @@ def stopword_ratio(col: Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"])
     prose, low for boilerplate/code — a standard quality heuristic."""
     t = tokens(col)
     hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
-    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(hits.cast("double") / F.size(t))
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(t)
+    )
 
 
 def quality_score(col: Column) -> Column:
@@ -120,18 +207,19 @@ def quality_score(col: Column) -> Column:
 
 
 def lang_marker_hits(col: Column, lang: str) -> Column:
-    """Count of tokens that are stopword markers of ``lang``."""
+    """Count of tokens that are marker stopwords of ``lang``."""
     t = tokens(col)
     return F.size(F.filter(t, lambda x: x.isin(*LANG_MARKERS[lang])))
 
 
 def detect_language(col: Column) -> Column:
     """Argmax language by marker-stopword hits; 'und' when all zero.
-    Tie-break = fixed language order (en, es, fr, de) — mirrored in SQL."""
+    Tie-break = fixed language order (en, es, fr, de) — mirrored in SQL
+    as a CASE chain in the same order."""
     hits = {lang: lang_marker_hits(col, lang) for lang in LANG_MARKERS}
     best = F.greatest(*hits.values())
     expr = F.lit("und")
-    # build reversed so earlier languages win ties
+    # built reversed so earlier languages win ties
     for lang in reversed(list(LANG_MARKERS)):
         expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr

@@ -1,0 +1,136 @@
+"""Unit tests for the text-analysis column kernels (functions/text.py).
+
+Every kernel is exercised on small literal frames; hash parity is checked
+against an independent Python md5 computation (the same definition the
+DuckDB oracle uses)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.functions import stopwords
+from etl_instagram_spark.functions import text as T
+
+
+def py_hash32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def texts_df(spark, rows):
+    return spark.createDataFrame([(t,) for t in rows], "text string")
+
+
+def test_tokens_and_count(spark):
+    df = texts_df(spark, ["  Hello   World FOO ", "", "   ", "one"])
+    out = df.select(
+        T.tokens(F.col("text")).alias("t"), T.token_count(F.col("text")).alias("n")
+    ).collect()
+    assert out[0]["t"] == ["hello", "world", "foo"] and out[0]["n"] == 3
+    assert out[1]["n"] == 0 and out[2]["n"] == 0
+    assert out[3]["t"] == ["one"] and out[3]["n"] == 1
+
+
+def test_hash32_matches_md5(spark):
+    for s in ["hello world", "", "ünïcode ✓", "a b c"]:
+        got = one(spark, T.hash32(F.lit(s)))
+        assert got == py_hash32(s), s
+
+
+def test_affine_hash_range_and_determinism(spark):
+    h = py_hash32("token")
+    for a, b in T.minhash_coefficients(4):
+        got = one(spark, T.affine_hash(F.lit(h).cast("long"), a, b))
+        assert got == (a * (h % T.HASH_PRIME) + b) % T.HASH_PRIME
+        assert 0 <= got < T.HASH_PRIME
+
+
+def test_word_shingles(spark):
+    df = texts_df(spark, ["one two three four", "just two"])
+    out = df.select(T.word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert out[0]["s"] == ["one two three", "two three four"]
+    assert out[1]["s"] == ["just two"]  # shorter than n → whole text
+
+
+def test_char_shingles_and_fingerprint(spark):
+    out = one(spark, T.char_shingles(F.lit("abcdefgh"), 4))
+    assert out == ["abcd", "bcde", "cdef", "defg", "efgh"]
+    fp1 = one(spark, T.rolling_fingerprint(F.lit("the quick brown fox")))
+    fp2 = one(spark, T.rolling_fingerprint(F.lit("the quick brown fox")))
+    fp3 = one(spark, T.rolling_fingerprint(F.lit("the quick brown cat")))
+    assert fp1 == fp2 != fp3
+    assert fp1 == min(py_hash32("the quick brown fox"[i : i + 8]) for i in range(12))
+
+
+def test_minhash_signature_properties(spark):
+    sig_a = one(spark, T.minhash_signature(F.lit("spark rewrites the plan with catalyst rules"), k=8))
+    sig_b = one(spark, T.minhash_signature(F.lit("spark rewrites the plan with catalyst rules"), k=8))
+    sig_c = one(spark, T.minhash_signature(F.lit("completely different words entirely here now"), k=8))
+    assert sig_a == sig_b and len(sig_a) == 8
+    assert sig_a != sig_c
+    # near-duplicate texts share most signature slots
+    sig_d = one(spark, T.minhash_signature(F.lit("spark rewrites the plan with catalyst rule"), k=8))
+    assert sum(x == y for x, y in zip(sig_a, sig_d)) >= 4
+
+
+def test_simhash_and_hamming(spark):
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = a.replace("dog", "cat")
+    c = "totally unrelated content about databases and distributed query engines"
+    df = spark.createDataFrame([(a, b), (a, c), (a, a)], "x string, y string")
+    out = df.select(
+        T.simhash_hamming(T.simhash(F.col("x")), T.simhash(F.col("y"))).alias("d")
+    ).collect()
+    d_near, d_far, d_same = out[0]["d"], out[1]["d"], out[2]["d"]
+    assert d_same == 0
+    assert d_near < d_far
+
+
+def test_quality_and_ratios(spark):
+    good = (
+        "This is a well formed paragraph of natural prose that continues for a "
+        "while and contains the usual mixture of the stopwords that real text has."
+    )
+    bad = "!!! ??? ;;; ::: ,,, ..."
+    df = texts_df(spark, [good, bad, ""])
+    out = df.select(
+        T.quality_score(F.col("text")).alias("q"),
+        T.punct_ratio(F.col("text")).alias("p"),
+        T.stopword_ratio(F.col("text")).alias("s"),
+        T.mean_token_len(F.col("text")).alias("m"),
+    ).collect()
+    assert out[0]["q"] > 0.8 > out[1]["q"]
+    assert out[1]["p"] > 0.5 and out[0]["p"] < 0.1
+    assert out[0]["s"] > 0.2 and out[1]["s"] == 0.0
+    assert out[2]["q"] <= 0.2 and out[2]["m"] == 0.0
+    assert abs(out[0]["m"] - (len(good.split()) and sum(map(len, good.split())) / len(good.split()))) < 1e-9
+
+
+def test_detect_language(spark):
+    df = texts_df(
+        spark,
+        [
+            "the cat sat on the mat and looked at the dog",
+            "el perro corre en la calle y los gatos duermen",
+            "le chat dort dans les maisons et une souris passe",
+            "der hund und die katze sind nicht ein problem mit",
+            "zzz qqq xxx",  # no markers → und
+        ],
+    )
+    out = [r["l"] for r in df.select(T.detect_language(F.col("text")).alias("l")).collect()]
+    assert out == ["en", "es", "fr", "de", "und"]
+
+
+def test_stopword_lists():
+    assert "the" in stopwords.EN and "que" in stopwords.ES
+    both = stopwords.combined(("es",))
+    assert "the" in both and "que" in both  # es includes en (stopwords_es.js:1)
+    assert stopwords.combined(("en",)) == sorted(stopwords.EN)
+    with pytest.raises(KeyError):
+        stopwords.combined(("xx",))
