@@ -10,14 +10,16 @@ re-expressed Spark-first:
                   tombstone delete, anti-join dedup, top-k, dedup family
                   (exact / MinHash-LSH / SimHash / n-gram Jaccard), and
                   embedding similarity search.
-- ``functions`` : scalar/text kernels — tokenizer, stemmer, stopwords,
-                  language-ID, quality scoring, fingerprinting, geo distance.
-- ``enrich``    : LDA topics and the pluggable image-label classifier surface.
-- ``pipelines`` : the reference's four pipelines (hashtag posts, followers,
-                  news, rates) as declarative DataFrame lineages.
-- ``streaming`` : Structured Streaming incremental mode (foreachBatch upsert,
-                  watermarked windowed aggregates, circuit breaker).
-- ``plans``     : the analytics query inventory + DuckDB oracle SQL.
+- ``functions`` : scalar/text kernels — tokenizer, stopwords, language-ID,
+                  quality scoring, minhash/simhash, fingerprinting.
+- ``enrich``    : (in progress) LDA topics and the pluggable image-label
+                  classifier surface.
+- ``pipelines`` : (in progress) the reference's pipelines (hashtag posts,
+                  followers, news, rates) as declarative DataFrame lineages.
+- ``streaming`` : (in progress) Structured Streaming incremental mode.
+- ``plans``     : the analytics query inventory + DuckDB oracle SQL,
+                  including the LLM-data-pipeline queries over the
+                  documents/embeddings tables.
 
 Everything is DataFrame-declarative so Catalyst handles pushdown, pruning,
 join selection and AQE; Python UDFs appear only at genuine boundaries

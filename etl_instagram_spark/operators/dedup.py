@@ -1,0 +1,159 @@
+"""Document deduplication operators: exact, MinHash-LSH, SimHash, and
+n-gram-Jaccard verification.
+
+The reference dedups only by natural key (posts-from-hashtags.js:295-300);
+these operators generalize to content-level dedup for training-data
+pipelines (SURVEY §7 step 11). All are compositions of built-in DataFrame
+ops — no UDFs — so they stay inside whole-stage codegen.
+
+Scale design (100 TB):
+- ``exact_dedup``: one shuffle on a 32-byte md5 key; skewed dup clusters
+  are handled by AQE skew-join/partition coalescing.
+- ``minhash_lsh_candidates``: per-row signature (scan-stage projection),
+  then a self-equi-join on (band, band_hash) — candidate volume is
+  O(Σ bucket²), never O(n²). Tune k/bands to the target Jaccard threshold
+  via the standard (1/b)^(1/r) S-curve.
+- ``near_dedup_minhash``: candidates → exact shingle-Jaccard verify →
+  keep-smallest-id survivor choice. The verify join only touches candidate
+  pairs. Survivor semantics are single-pass (a doc is dropped iff some
+  verified duplicate has a smaller id) — the standard large-scale choice;
+  full transitive closure would need iterative connected components.
+- ``simhash_candidates``: bucket by each 32-bit half (two passes), verify
+  by Hamming distance ≤ max_hamming — near-dup recall with two equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.functions import text as T
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct content (md5 of text), keeping the smallest id
+    — deterministic regardless of partitioning."""
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .withColumn("__keep", F.min(id_col).over(Window.partitionBy("__h")))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__h", "__keep")
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str, k: int = 16, shingle_words: int = 3) -> DataFrame:
+    """Attach a ``minhash_sig`` array<long> column (per-row projection)."""
+    return df.withColumn("minhash_sig", T.minhash_signature(F.col(text_col), k, shingle_words))
+
+
+def _band_hashes(sig: Column, k: int, bands: int) -> Column:
+    rows = k // bands
+    mult = 2**31
+    out = []
+    for j in range(bands):
+        h = sig[j * rows]
+        for r in range(1, rows):
+            h = h * mult + sig[j * rows + r]
+        out.append(h)
+    return F.array(*out)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band.
+
+    P(candidate) = 1 − (1 − J^(k/bands))^bands for Jaccard J.
+    """
+    sig = T.minhash_signature(F.col(text_col), k, shingle_words)
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_band_hashes(sig, k, bands)).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def shingle_jaccard(a: Column, b: Column, n: int = 3) -> Column:
+    """Exact word n-gram Jaccard similarity of two text columns."""
+    sa = F.array_distinct(T.word_shingles(a, n))
+    sb = F.array_distinct(T.word_shingles(b, n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Drop docs that have a verified near-duplicate with a smaller id.
+
+    candidates (LSH) → exact Jaccard ≥ threshold verify → left-anti drop.
+    Only candidate pairs pay the verify cost; the final anti-join is on the
+    id key.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_words)
+    texts = df.select(F.col(id_col).alias("__tid"), F.col(text_col).alias("__text"))
+    verified = (
+        cands.join(texts.withColumnRenamed("__tid", "id_a").withColumnRenamed("__text", "__ta"), "id_a")
+        .join(texts.withColumnRenamed("__tid", "id_b").withColumnRenamed("__text", "__tb"), "id_b")
+        .filter(shingle_jaccard(F.col("__ta"), F.col("__tb"), shingle_words) >= threshold)
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on either 32-bit half (exact-half
+    collision), then verify Hamming distance over the full 64 bits.
+
+    A pair within max_hamming ≤ 32 bit flips that all land in one half is
+    still caught by the other half's exact match; recall is the standard
+    two-table SimHash trade-off.
+    """
+    sim = df.select(
+        F.col(id_col).alias("__id"), T.simhash(F.col(text_col)).alias("__sim")
+    )
+    halves = sim.select(
+        "__id", "__sim", F.posexplode(F.col("__sim")).alias("half_idx", "half_val")
+    )
+    a = halves.alias("a")
+    b = halves.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.half_idx") == F.col("b.half_idx"))
+            & (F.col("a.half_val") == F.col("b.half_val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            T.simhash_hamming(F.col("a.__sim"), F.col("b.__sim")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,526 @@
+"""LLM-data-pipeline queries over the ``documents`` and ``embeddings``
+tables: text analysis, dedup (exact / MinHash-LSH), and embedding
+similarity search (brute-force kNN + hyperplane-LSH ANN).
+
+Each query registers BOTH the Spark plan and its DuckDB oracle SQL; the
+SQL is generated from the same Python constants (minhash coefficients,
+language markers, hyperplane signs) so the two sides cannot drift.
+
+Reference lineage: the reference's only dedup is key-based existence
+checks (posts-from-hashtags.js:295-300); the text kernels generalize its
+LDA preprocessing (lda/index.js:34-48). The near-dup/similarity operators
+are the engine's scale extensions (SURVEY §7 step 11).
+
+Scale notes (100 TB):
+- every text kernel is a per-row projection inside the scan stage — no
+  shuffle until the final aggregation;
+- MinHash-LSH is the scale-correct near-dup shape: signatures are
+  per-row, candidate generation groups by (band, band_hash) — never an
+  all-pairs join; bucket sizes are bounded by collision probability, and
+  skewed buckets (boilerplate dups) are exactly the rows you want to
+  inspect;
+- brute-force kNN broadcasts ONE query vector (O(1) bytes) and does a
+  single scan + TakeOrderedAndProject — no shuffle of the embedding
+  column; the LSH variant prunes the scan to one bucket, which is the
+  100× path (bucket ≈ 1/2^bits of the table).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.functions import text as T
+from etl_instagram_spark.plans.oracle import oracle
+from etl_instagram_spark.plans.queries import query, _t
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB) mirroring functions/text.py kernels
+# ---------------------------------------------------------------------------
+
+SQL_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+SQL_HASH32 = "('0x' || substr(md5({v}), 1, 8))::BIGINT"
+
+
+def _sql_marker_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({words})))"
+
+
+def _sql_detect_language() -> str:
+    """CASE chain in (en, es, fr, de) order — same tie-break as
+    text.detect_language."""
+    hits = {lang: _sql_marker_hits(lang) for lang in T.LANG_MARKERS}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    arms = "\n".join(
+        f"WHEN {h} = {best} AND {best} > 0 THEN '{lang}'" for lang, h in hits.items()
+    )
+    return f"CASE {arms} ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# documents: token stats
+# ---------------------------------------------------------------------------
+
+
+@query("docs_token_stats")
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token/char statistics (training-data profiling).
+    Single scan → partial agg; 20 groups."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+            F.max(n_tok).alias("max_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+oracle(
+    "docs_token_stats",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len({SQL_TOKS}) END), 4) AS avg_tokens,
+           max(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({SQL_TOKS}) END)           AS max_tokens,
+           round(avg(n_chars), 2)                       AS avg_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# documents: language identification
+# ---------------------------------------------------------------------------
+
+
+@query("docs_language_mix")
+def docs_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labelled-vs-detected language confusion counts (n-gram-heuristic
+    language ID over marker stopwords)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("detected", T.detect_language(F.col("text")))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "detected")
+    )
+
+
+oracle(
+    "docs_language_mix",
+    f"""
+    WITH t AS (SELECT lang, {SQL_TOKS} AS toks FROM documents)
+    SELECT lang, {_sql_detect_language()} AS detected, count(*) AS n_docs
+    FROM t GROUP BY lang, detected ORDER BY lang, detected
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# documents: quality score bands
+# ---------------------------------------------------------------------------
+
+
+@query("docs_quality_bands")
+def docs_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter profile: docs per score band (the distribution a
+    training-data filter thresholds against)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    band = (
+        F.when(q < 0.25, "q0_low")
+        .when(q < 0.5, "q1_midlow")
+        .when(q < 0.75, "q2_midhigh")
+        .otherwise("q3_high")
+    )
+    return (
+        docs.select(band.alias("band"), q.alias("q"))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_score"))
+        .orderBy("band")
+    )
+
+
+_SQL_EN_MARKERS = ", ".join(f"'{w}'" for w in T.LANG_MARKERS["en"])
+_SQL_QUALITY = f"""
+round(
+  (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4
+  + least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+           ELSE len(list_filter(toks, t -> t IN ({_SQL_EN_MARKERS})))::DOUBLE
+                / len(toks) END) * 4.0, 1.0) * 0.4
+  + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+                       / length(text) END) * 10.0, 1.0)) * 0.2,
+  4)
+"""
+
+oracle(
+    "docs_quality_bands",
+    f"""
+    WITH t AS (SELECT text, {SQL_TOKS} AS toks FROM documents),
+         s AS (SELECT {_SQL_QUALITY} AS q FROM t)
+    SELECT CASE WHEN q < 0.25 THEN 'q0_low'
+                WHEN q < 0.5  THEN 'q1_midlow'
+                WHEN q < 0.75 THEN 'q2_midhigh'
+                ELSE 'q3_high' END AS band,
+           count(*) AS n_docs,
+           round(avg(q), 4) AS avg_score
+    FROM s GROUP BY band ORDER BY band
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# documents: rolling-hash fingerprint profile
+# ---------------------------------------------------------------------------
+
+
+@query("docs_fingerprint_profile")
+def docs_fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint distribution: docs per fp%16 bucket +
+    distinct fingerprints (dup fingerprints ⇒ near-identical docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = T.rolling_fingerprint(F.col("text"))
+    return (
+        docs.select((fp % 16).alias("fp_bucket"), fp.alias("fp"))
+        .groupBy("fp_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct(F.col("fp")).alias("n_distinct_fp"),
+        )
+        .orderBy("fp_bucket")
+    )
+
+
+oracle(
+    "docs_fingerprint_profile",
+    f"""
+    WITH s AS (
+      SELECT list_min(list_transform(
+               [substr(text, i, 8)
+                for i in range(1, greatest(length(text) - 7, 1) + 1)],
+               s -> {SQL_HASH32.format(v='s')})) AS fp
+      FROM documents)
+    SELECT fp % 16 AS fp_bucket,
+           count(*) AS n_docs,
+           count(DISTINCT fp) AS n_distinct_fp
+    FROM s GROUP BY fp_bucket ORDER BY fp_bucket
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# documents: exact dedup by content hash
+# ---------------------------------------------------------------------------
+
+
+@query("docs_exact_dedup")
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate audit per source: docs vs distinct content hashes.
+    The hash-groupBy IS the dedup plan at 100 TB — one shuffle on a
+    32-byte key, AQE handles skewed dup clusters."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5(F.col("text")).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct(F.col("h")).alias("n_unique"),
+            (F.count("*") - F.count_distinct(F.col("h"))).alias("n_dup_rows"),
+        )
+        .orderBy("source")
+    )
+
+
+oracle(
+    "docs_exact_dedup",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# documents: MinHash-LSH banding profile
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 8
+MINHASH_BANDS = 4  # rows-per-band = 2
+_BAND_MULT = 2**31  # sig values < HASH_PRIME < 2^31 → band hash fits int64
+
+
+def _minhash_sig_col() -> Column:
+    return T.minhash_signature(F.col("text"), k=MINHASH_K)
+
+
+@query("docs_minhash_bands")
+def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding audit: per band, distinct buckets and candidate
+    pairs (Σ n·(n−1)/2 over buckets). The banded groupBy is the
+    scale-correct candidate generator — candidate count is the cost model
+    for the downstream verify join, so this query IS the tuning surface."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = _minhash_sig_col()
+    bands = F.array(
+        *[
+            sig[2 * j] * F.lit(_BAND_MULT) + sig[2 * j + 1]
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    exploded = docs.select(F.posexplode(bands).alias("band_idx", "band_hash"))
+    buckets = exploded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("n"))
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_candidate_pairs"),
+        )
+        .orderBy("band_idx")
+    )
+
+
+def _sql_minhash_sig() -> str:
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * (h % {T.HASH_PRIME}) + {b}) % {T.HASH_PRIME}))"
+        for a, b in T.minhash_coefficients(MINHASH_K)
+    )
+    return f"[{perms}]"
+
+
+oracle(
+    "docs_minhash_bands",
+    f"""
+    WITH t AS (SELECT trim(lower(text)) AS norm, {SQL_TOKS} AS toks FROM documents),
+         s AS (SELECT CASE WHEN len(toks) < 3 THEN [norm]
+                    ELSE [array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, len(toks) - 1)] END AS sh
+               FROM t),
+         h AS (SELECT list_transform(sh, s -> {SQL_HASH32.format(v='s')}) AS hs FROM s),
+         sig AS (SELECT {_sql_minhash_sig()} AS sig FROM h),
+         bands AS (SELECT u.j AS band_idx,
+                          sig[2*u.j + 1] * {_BAND_MULT} + sig[2*u.j + 2] AS band_hash
+                   FROM sig CROSS JOIN (SELECT unnest(range({MINHASH_BANDS})) AS j) u),
+         buckets AS (SELECT band_idx, band_hash, count(*) AS n
+                     FROM bands GROUP BY band_idx, band_hash)
+    SELECT band_idx,
+           count(*) AS n_buckets,
+           max(n) AS max_bucket,
+           CAST(sum(n * (n - 1) / 2) AS BIGINT) AS n_candidate_pairs
+    FROM buckets GROUP BY band_idx ORDER BY band_idx
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — same IEEE summation order as the
+    oracle's list_dot_product, so doubles agree bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+@query("emb_knn_cosine")
+def emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 cosine neighbors of vec_id=0. One scan, the
+    query vector broadcast as a 1-row dimension, TakeOrderedAndProject —
+    no shuffle of the embedding column; the at-scale baseline ANN."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("qv")
+    )
+    v = _as_double(F.col("embedding"))
+    cos = _dot(v, F.col("qv")) / (
+        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+oracle(
+    "emb_knn_cosine",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_dot_product(embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+    FROM embeddings CROSS JOIN q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: per-label stats
+# ---------------------------------------------------------------------------
+
+
+@query("emb_label_stats")
+def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats (norm + first-dim mean): array math profile
+    of the embedding table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    return (
+        emb.select("label", F.sqrt(_dot(v, v)).alias("nrm"), v[0].alias("d1"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.avg("d1"), 6).alias("avg_dim1"),
+        )
+        .orderBy("label")
+    )
+
+
+oracle(
+    "emb_label_stats",
+    """
+    SELECT label, count(*) AS n_vecs,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
+           round(avg(embedding[1]::DOUBLE), 6) AS avg_dim1
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: hyperplane-LSH buckets + bucketed ANN
+# ---------------------------------------------------------------------------
+
+HYPERPLANE_BITS = 8
+EMBEDDING_DIM = 64
+
+
+def hyperplane_signs(bits: int = HYPERPLANE_BITS, dim: int = EMBEDDING_DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 parity — reproducible on any
+    engine, no PRNG state to ship."""
+    return [
+        [
+            1 if int(hashlib.md5(f"hp:{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+_PLANES = hyperplane_signs()
+
+
+def _bucket_col() -> Column:
+    v = _as_double(F.col("embedding"))
+    bits = []
+    for j, plane in enumerate(_PLANES):
+        w = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(F.when(_dot(v, w) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket
+
+
+def _sql_bucket() -> str:
+    terms = []
+    for j, plane in enumerate(_PLANES):
+        lit = "[" + ", ".join(f"{x}.0" for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query("emb_lsh_buckets")
+def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram — the partition-pruning
+    profile for bucketed ANN (each query probes ~1/2^bits of the table)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(_bucket_col().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("bucket")
+    )
+
+
+oracle(
+    "emb_lsh_buckets",
+    f"""
+    SELECT {_sql_bucket()} AS bucket, count(*) AS n_vecs
+    FROM embeddings GROUP BY bucket ORDER BY bucket
+    """,
+)
+
+
+@query("emb_ann_lsh_topk")
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: top-5 cosine neighbors of vec_id=0 among vectors in
+    its LSH bucket. The bucket filter is the scan-pruning scale path
+    (at 100 TB the table is partitioned/bucketed by this value)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_col())
+    q = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    v = _as_double(F.col("embedding"))
+    cos = _dot(v, F.col("qv")) / (
+        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+oracle(
+    "emb_ann_lsh_topk",
+    f"""
+    WITH b AS (SELECT vec_id, label, embedding, {_sql_bucket()} AS bucket
+               FROM embeddings),
+         q AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qbucket
+               FROM b WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_dot_product(embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+    FROM b CROSS JOIN q
+    WHERE bucket = qbucket AND vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 5
+    """,
+)

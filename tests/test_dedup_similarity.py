@@ -1,0 +1,114 @@
+"""Tests for the dedup and similarity operators on planted corpora."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.operators import dedup as D
+from etl_instagram_spark.operators import similarity as S
+
+BASE = (
+    "spark compiles the declarative plan with catalyst and runs it on "
+    "tungsten whole stage codegen for vectorized parquet scans at scale"
+)
+NEAR = BASE.replace("vectorized", "columnar")  # one-token edit → near-dup
+OTHER = (
+    "completely unrelated prose about cooking rice noodles with ginger "
+    "garlic scallions and a generous splash of toasted sesame oil tonight"
+)
+
+
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, NEAR),  # near dup of 1
+        (4, OTHER),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_smallest_id(spark):
+    out = D.exact_dedup(corpus(spark), "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5]
+
+
+def test_minhash_candidates_find_planted_pair(spark):
+    cands = D.minhash_lsh_candidates(corpus(spark), "doc_id", "text", k=16, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs  # near dup collides in ≥1 of 8 bands
+    assert (1, 4) not in pairs and (3, 4) not in pairs  # unrelated does not
+
+
+def test_shingle_jaccard_values(spark):
+    df = spark.createDataFrame([(BASE, BASE), (BASE, NEAR), (BASE, OTHER)], "x string, y string")
+    vals = [
+        r["j"] for r in df.select(D.shingle_jaccard(F.col("x"), F.col("y")).alias("j")).collect()
+    ]
+    assert vals[0] == 1.0
+    assert 0.5 < vals[1] < 1.0
+    assert vals[2] == 0.0
+
+
+def test_near_dedup_minhash_end_to_end(spark):
+    out = D.near_dedup_minhash(
+        corpus(spark), "doc_id", "text", threshold=0.5, k=16, bands=8
+    )
+    # 2 (exact dup) and 3 (near dup) dropped; 1 survives as smallest id
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4, 5]
+
+
+def test_simhash_candidates(spark):
+    pairs = D.simhash_candidates(corpus(spark), "doc_id", "text", max_hamming=16).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0  # identical text → identical simhash
+    # unrelated docs must not appear as exact-half collisions
+    assert (1, 4) not in got
+
+
+def planted_vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # nearest to query
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [0.7, 0.7, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_matches_manual(spark):
+    out = S.cosine_topk(planted_vectors(spark), [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids == [0, 1, 3]
+    assert out[0]["cos_sim"] == 1.0
+    assert abs(out[1]["cos_sim"] - 0.9 / math.hypot(0.9, 0.1)) < 1e-6
+
+
+def test_ann_lsh_bucket_contains_near_neighbor(spark):
+    df = planted_vectors(spark)
+    # exact and near vector land in the same hyperplane bucket; the
+    # opposite vector lands elsewhere for any plane with nonzero dim-0 sign
+    out = S.ann_lsh_topk(df, [1.0, 0.0, 0.0, 0.0], k=5, bits=4).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 0 in ids and 1 in ids
+    # brute force is the recall oracle: ann results ⊆ brute-force order
+    brute = [r["vec_id"] for r in S.cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=5).collect()]
+    assert all(i in brute for i in ids)
+
+
+def test_ann_multi_probe_raises_recall(spark):
+    df = planted_vectors(spark)
+    single = {r["vec_id"] for r in S.ann_lsh_topk(df, [1.0, 0.0, 0.0, 0.0], k=5, bits=4).collect()}
+    multi = {
+        r["vec_id"]
+        for r in S.ann_lsh_topk(
+            df, [1.0, 0.0, 0.0, 0.0], k=5, bits=4, multi_probe_hamming=4
+        ).collect()
+    }
+    assert single <= multi
+    assert multi == {0, 1, 2, 3, 4}  # hamming=bits probes every bucket
