@@ -42,6 +42,7 @@ import shutil
 import tempfile
 import uuid
 from collections.abc import Sequence
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -52,14 +53,17 @@ def _key_list(key: str | Sequence[str]) -> list[str]:
 
 
 def dedup_latest(df: DataFrame, key: str | Sequence[str], order_by: str = "updated_at") -> DataFrame:
-    """Keep one row per key: the latest by ``order_by`` (ties broken
-    arbitrarily-but-deterministically via monotonically increasing id).
+    """Keep one row per key: the latest by ``order_by``; rows tied on the
+    order column are broken deterministically by a content hash of the
+    full row, so repeated runs (and the idempotence property) pick the
+    same winner regardless of partitioning.
 
     Mirrors Mongo's replace-by-key semantics when a batch carries the same
     key twice (last write wins, posts-from-hashtags.js:346-348).
     """
     keys = _key_list(key)
-    w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc_nulls_last())
+    tie_break = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc_nulls_last(), tie_break)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -136,6 +140,29 @@ def delete_by_key(existing: DataFrame, tombstones: DataFrame, key: str | Sequenc
     return existing.join(tombstones.select(*keys).distinct(), on=keys, how="left_anti")
 
 
+def stamp_timestamps(
+    incoming: DataFrame,
+    existing: DataFrame | None,
+    key: str | Sequence[str],
+    batch_ts: datetime,
+) -> DataFrame:
+    """Maintain mongoose-style ``created_at``/``updated_at`` (F13,
+    models.js:13/31/58/77): every incoming row gets updated_at=batch_ts;
+    created_at is preserved from the existing row when the key already
+    exists, else set to batch_ts. One broadcast-sized key join."""
+    keys = _key_list(key)
+    ts = F.lit(batch_ts).cast("timestamp")
+    inc = incoming.withColumn("updated_at", ts).withColumn("created_at", ts)
+    if existing is not None and "created_at" in existing.columns:
+        old = existing.select(*keys, F.col("created_at").alias("__created0"))
+        inc = (
+            inc.join(old, on=keys, how="left")
+            .withColumn("created_at", F.coalesce("__created0", "created_at"))
+            .drop("__created0")
+        )
+    return inc
+
+
 class MergeTable:
     """A parquet-backed table with atomic upsert/delete/append.
 
@@ -180,8 +207,10 @@ class MergeTable:
 
     def _commit(self, df: DataFrame) -> None:
         # monotonic sequence prefix so list_snapshots() sorts oldest→newest
-        # lexically (uuid suffix keeps names collision-free under retry)
-        seq = len(self.list_snapshots())
+        # lexically (uuid suffix keeps names collision-free under retry);
+        # max(existing)+1, not len(), so vacuum can't make sequences regress
+        existing = self.list_snapshots()
+        seq = 1 + max((int(s.split("-")[1]) for s in existing), default=-1)
         snap_name = f"snap-{seq:08d}-{uuid.uuid4().hex[:8]}"
         snap_path = os.path.join(self.path, snap_name)
         df.write.mode("overwrite").parquet(snap_path)
@@ -209,11 +238,17 @@ class MergeTable:
         else:
             self._commit(df)
 
-    def upsert(self, incoming: DataFrame) -> None:
-        """Idempotent: applying the same batch twice == once."""
+    def upsert(self, incoming: DataFrame, batch_ts: datetime | None = None) -> None:
+        """Idempotent: applying the same batch twice == once. Pass
+        ``batch_ts`` to maintain created_at/updated_at (F13)."""
         if self.exists():
-            self._commit(upsert(self.read(), incoming, self.keys, self.order_by))
+            existing = self.read()
+            if batch_ts is not None:
+                incoming = stamp_timestamps(incoming, existing, self.keys, batch_ts)
+            self._commit(upsert(existing, incoming, self.keys, self.order_by))
         else:
+            if batch_ts is not None:
+                incoming = stamp_timestamps(incoming, None, self.keys, batch_ts)
             self._commit(dedup_latest(incoming, self.keys, self.order_by))
 
     def upsert_coalesce(self, incoming: DataFrame) -> None:

@@ -132,11 +132,14 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("segment_rollup")
 def segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (mktsegment, orderstatus): subtotal + grand-total rows
-    (free with Catalyst's Expand; one shuffle)."""
+    (free with Catalyst's Expand; one shuffle).
+
+    No broadcast hint on customer: it scales with the fact's key space
+    (not a bounded dimension), so the AQE threshold decides at runtime."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
     return (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .rollup("c_mktsegment", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -246,11 +249,14 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 @query("top10_customers_by_revenue")
 def top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + agg + global top-k (reference O2 orderBy+limit generalized;
-    engages TakeOrderedAndProject instead of a full sort)."""
+    engages TakeOrderedAndProject instead of a full sort).
+
+    No broadcast hint on customer (unbounded key-space side) — AQE picks
+    the strategy from runtime stats."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
     return (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))

@@ -42,8 +42,18 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     file carries NANOS or MICROS (dtype-sniffed)."""
     from pyspark.sql import functions as F  # local import keeps module light
 
+    # scope the legacy conf to this read: flipping it session-wide would
+    # silently turn every later NANOS-timestamp parquet read into bigint
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force plan resolution while the conf is active
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         # integer division — float division of int64 nanos loses precision

@@ -33,7 +33,9 @@ def canon(v) -> str:
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # 12 significant digits: coarse enough to absorb last-ulp engine
+        # noise, fine enough that 2dp-rounded money >= 10,000 keeps cents
+        return f"{v:.12g}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
