@@ -1,0 +1,196 @@
+"""Caption → topics: the reference's analytics kernel re-expressed
+Spark-first (topics.js:5-48, lda/index.js:8-101).
+
+The reference runs a per-post K=1 Gibbs LDA over sentence-documents —
+observably a stemmed-keyword extractor returning
+``array<struct<confidence: double, name: string>>`` (topics.js:37-47).
+Two engine surfaces (SURVEY §3.3 decision):
+
+- ``top_terms_col`` / ``attach_topics``: deterministic per-post top-k
+  terms with normalized-frequency confidence — the observable-output
+  parity path. Everything except stemming is a per-row Catalyst
+  expression (tokenize → normalize → stop/short/url drop → count → top-k
+  all inside the projection; NO shuffle, NO explode/groupBy round-trip).
+- ``corpus_topics``: idiomatic corpus-level topic modelling via
+  ``pyspark.ml.clustering.LDA`` (online variational, seeded) — the same
+  estimand as the vendored Gibbs sampler (lda/index.js:141-227), at
+  corpus scale.
+
+Pipeline parity, step by step (lda/index.js:34-40):
+tokenize on [\\s,"]+ (F3) → lowercase + strip [^a-z'A-Z0-9À-ÿ ] (F5) →
+Porter stem (F6, pandas UDF) → drop len==1 / http-prefixed / stopword
+(F7, EN+ES lists per O6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.functions import stopwords
+from etl_instagram_spark.functions.stemmer import stem_tokens
+
+TOKEN_PATTERN = r'[\s,"]+'
+STRIP_PATTERN = r"[^a-z'A-Z0-9À-ÿ ]+"
+
+
+def assemble_document(
+    caption: Column, accessibility: Column, user_full_name: Column, location_name: Column
+) -> Column:
+    """The reference's document assembly (topics.js:15-27): caption +
+    optional accessibility/author/location name, '.'-joined (concat_ws
+    skips nulls exactly like the reference's conditional pushes)."""
+    return F.concat_ws(
+        ".",
+        caption,
+        accessibility,
+        user_full_name,
+        F.when(location_name.isNotNull(), F.concat(location_name, F.lit("."))),
+    )
+
+
+def normalized_tokens(text: Column) -> Column:
+    """F3+F5: split on whitespace/comma/quote, lowercase, strip chars the
+    reference strips; empty tokens removed."""
+    toks = F.split(text, TOKEN_PATTERN)
+    cleaned = F.transform(toks, lambda t: F.regexp_replace(F.lower(t), STRIP_PATTERN, ""))
+    return F.filter(cleaned, lambda t: F.length(t) > 0)
+
+
+def drop_stop_tokens(tokens: Column, langs: tuple[str, ...] = ("es",)) -> Column:
+    """F7: drop stopwords (EN+ES union per O6), single-char tokens, and
+    URL tokens (lda/index.js:40)."""
+    stops = F.array(*[F.lit(w) for w in stopwords.combined(langs)])
+    return F.filter(
+        tokens,
+        lambda t: (F.length(t) > 1)
+        & ~t.startswith("http")
+        & ~F.array_contains(stops, t),
+    )
+
+
+def top_terms_col(terms: Column, k: int = 7, min_pct: float = 2.0) -> Column:
+    """Per-row top-k terms by frequency as
+    ``array<struct<confidence: double, name: string>>`` — confidence is
+    the term's share of the doc ×100 (mirrors φ×100, topics.js:42), drop
+    <min_pct (lda/index.js:85-86), ties broken by term text.
+
+    Implemented entirely with array higher-order functions: distinct →
+    per-term count → sort (neg-count, name) → slice k → normalize.
+    Per-row expression: zero shuffle at any scale."""
+    counted = F.transform(
+        F.array_distinct(terms),
+        lambda t: F.struct(
+            (-F.size(F.filter(terms, lambda x: x == t))).alias("neg"),
+            t.alias("name"),
+        ),
+    )
+    top = F.slice(F.sort_array(counted), 1, k)
+    total = F.size(terms)
+    scored = F.transform(
+        top,
+        lambda s: F.struct(
+            F.round(-s["neg"] / total * 100, 2).alias("confidence"),
+            s["name"].alias("name"),
+        ),
+    )
+    out = F.filter(scored, lambda s: s["confidence"] >= min_pct)
+    return F.when(total > 0, out).otherwise(F.array().cast(
+        "array<struct<confidence: double, name: string>>"
+    ))
+
+
+def attach_topics(
+    df: DataFrame,
+    text_col: Column | None = None,
+    out_col: str = "topics",
+    k: int = 7,
+    min_pct: float = 2.0,
+    langs: tuple[str, ...] = ("es",),
+    stem: bool = True,
+) -> DataFrame:
+    """Full getTopics parity over a posts frame: assemble → normalize →
+    (stem) → stop-drop → top-k. ``stem=False`` keeps everything JVM-side
+    (no UDF) for oracle-checkable flows."""
+    if text_col is None:
+        text_col = assemble_document(
+            F.col("caption"),
+            F.col("accessibility"),
+            F.col("user.full_name"),
+            F.col("location.name"),
+        )
+    toks = normalized_tokens(text_col)
+    if stem:
+        df = df.withColumn("__toks", stem_tokens(toks))
+    else:
+        df = df.withColumn("__toks", toks)
+    terms = drop_stop_tokens(F.col("__toks"), langs)
+    return df.withColumn(out_col, top_terms_col(terms, k, min_pct)).drop("__toks")
+
+
+def corpus_topics(
+    df: DataFrame,
+    text_col: str,
+    k: int = 5,
+    max_terms_per_topic: int = 7,
+    vocab_size: int = 1 << 16,
+    seed: int = 42,
+    langs: tuple[str, ...] = ("es",),
+    optimizer: str = "online",
+):
+    """Corpus-level LDA (A2/A3/A4): CountVectorizer → ml.LDA(seed) →
+    topics as (topic, terms array<struct<confidence,name>>).
+
+    Returns (topics_df, doc_topics_df): per-topic top terms and per-doc
+    topic distribution. Online variational LDA — one pass per iteration,
+    shuffle only on the CountVectorizer vocab aggregation; scales where
+    per-doc Gibbs (lda/index.js:163-202) cannot."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    prepared = df.withColumn(
+        "__terms",
+        drop_stop_tokens(normalized_tokens(F.col(text_col)), langs),
+    )
+    cv = CountVectorizer(inputCol="__terms", outputCol="__features", vocabSize=vocab_size)
+    cv_model = cv.fit(prepared)
+    vectorized = cv_model.transform(prepared)
+    # 'online' scales (one subsampled pass/iter); 'em' is deterministic
+    # for a fixed input partitioning — use it when reproducibility matters
+    # more than wall-clock (seeded-determinism test, golden runs)
+    lda = LDA(k=k, seed=seed, featuresCol="__features", optimizer=optimizer)
+    model = lda.fit(vectorized)
+
+    vocab = cv_model.vocabulary
+    spark = df.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocab)], "term_idx int, term string"
+    )
+    topics = (
+        model.describeTopics(max_terms_per_topic)
+        .select(
+            "topic",
+            F.explode(F.arrays_zip("termIndices", "termWeights")).alias("tw"),
+        )
+        .select(
+            "topic",
+            F.col("tw.termIndices").alias("term_idx"),
+            F.col("tw.termWeights").alias("weight"),
+        )
+        .join(F.broadcast(vocab_df), "term_idx")
+        .groupBy("topic")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.round(F.col("weight") * 100, 2).alias("confidence"),
+                        F.col("term").alias("name"),
+                    )
+                ),
+                asc=False,
+            ).alias("terms")
+        )
+        .orderBy("topic")
+    )
+    doc_topics = model.transform(vectorized).drop("__terms", "__features")
+    return topics, doc_topics

@@ -524,3 +524,113 @@ oracle(
     LIMIT 5
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# documents: top terms per language (the unstemmed topics path, F3/F5/F7)
+# ---------------------------------------------------------------------------
+
+
+@query("docs_top_terms_by_lang")
+def docs_top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: normalize → stopword/short/url drop →
+    explode → count per (lang, term) → top-5 per lang (window rank, ties
+    by term). The oracle-checkable core of the topics kernel (stemming
+    excluded — Porter has no SQL mirror; it is golden-tested instead)."""
+    from pyspark.sql import Window
+
+    from etl_instagram_spark.enrich.topics import drop_stop_tokens, normalized_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang",
+        F.explode(drop_stop_tokens(normalized_tokens(F.col("text")), langs=("en",))).alias("term"),
+    )
+    counts = terms.groupBy("lang", "term").agg(F.count("*").alias("n_occurrences"))
+    w = Window.partitionBy("lang").orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("lang", "rank")
+    )
+
+
+def _sql_en_stopword_list() -> str:
+    from etl_instagram_spark.functions import stopwords
+
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in stopwords.combined(("en",)))
+
+
+oracle(
+    "docs_top_terms_by_lang",
+    f"""
+    WITH toks AS (
+      SELECT lang,
+             list_filter(
+               list_transform(regexp_split_to_array(text, '[\\s,"]+'),
+                              x -> regexp_replace(lower(x), '[^a-z''A-Z0-9À-ÿ ]+', '', 'g')),
+               t -> length(t) > 1 AND t NOT LIKE 'http%'
+                    AND t NOT IN ({_sql_en_stopword_list()})) AS terms
+      FROM documents),
+    flat AS (SELECT lang, unnest(terms) AS term FROM toks),
+    counts AS (SELECT lang, term, count(*) AS n_occurrences
+               FROM flat GROUP BY lang, term),
+    ranked AS (SELECT lang, term, n_occurrences,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY n_occurrences DESC, term) AS rank
+               FROM counts)
+    SELECT lang, term, n_occurrences, rank
+    FROM ranked WHERE rank <= 5 ORDER BY lang, rank
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# lineitem: nested array-of-struct build + higher-order functions (F14/F15)
+# ---------------------------------------------------------------------------
+
+
+@query("orders_nested_lineitems")
+def orders_nested_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document round trip: collect lineitems into a sorted
+    array<struct>, then read it back with element_at / aggregate /
+    transform — the engine's nested data model (SURVEY §1.1) exercised
+    against the oracle. One shuffle (the groupBy); every array op is a
+    per-row expression."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("l_linenumber").alias("ln"), F.col("l_quantity").alias("qty"))
+            )
+        ).alias("items")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.element_at("items", 1)["qty"].alias("first_qty"),
+        F.round(
+            F.aggregate("items", F.lit(0.0), lambda acc, x: acc + x["qty"]), 2
+        ).alias("total_qty"),
+        F.concat_ws(",", F.transform("items", lambda x: x["ln"].cast("string"))).alias(
+            "line_numbers"
+        ),
+    ).orderBy("l_orderkey")
+
+
+oracle(
+    "orders_nested_lineitems",
+    """
+    WITH nested AS (
+      SELECT l_orderkey,
+             list(struct_pack(ln := l_linenumber, qty := l_quantity)
+                  ORDER BY l_linenumber, l_quantity) AS items
+      FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           len(items) AS n_items,
+           items[1].qty AS first_qty,
+           round(list_sum(list_transform(items, x -> x.qty)), 2) AS total_qty,
+           array_to_string(list_transform(items, x -> x.ln::VARCHAR), ',') AS line_numbers
+    FROM nested ORDER BY l_orderkey
+    """,
+)
