@@ -37,6 +37,7 @@ MERGE INTO without touching callers.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -164,13 +165,33 @@ def stamp_timestamps(
 
 
 class MergeTable:
-    """A parquet-backed table with atomic upsert/delete/append.
+    """A manifest-based parquet table with atomic, incremental
+    upsert/delete/append — a lakehouse-lite MERGE target.
 
-    Plain-parquet emulation of a lakehouse MERGE target: every mutation
-    writes a fresh snapshot directory then atomically retargets a pointer
-    file, so readers never see partial writes and a failed job leaves the
-    previous snapshot intact (SURVEY §7 'upsert without a lakehouse format').
-    Snapshots also give time-travel-lite (list_snapshots).
+    Layout::
+
+        path/_CURRENT                    # name of the current manifest
+        path/manifests/snap-<seq>-<id>.json
+        path/data/<commit-id>/part-*.parquet
+
+    A snapshot is a JSON manifest listing immutable data files plus
+    per-file min/max statistics of the first key column (read from the
+    parquet footers). Commits write ONLY new data files and a new
+    manifest, then atomically retarget the pointer — readers never see
+    partial writes; a failed job leaves the previous snapshot intact
+    (SURVEY §7 'upsert without a lakehouse format').
+
+    Scale behavior (the round-1 full-rewrite fix):
+    - ``append`` writes O(batch) files and re-lists the old ones — never
+      reads the table (W6 rates time-series stays O(batch) per tick).
+    - ``upsert``/``delete`` rewrite ONLY files whose key range overlaps
+      the incoming batch's key range; non-overlapping files are carried
+      forward by reference. Data files are written
+      ``repartitionByRange(key)`` so file key-ranges are disjoint and the
+      overlap test prunes aggressively (the file-skipping analogue of
+      partitioned MERGE INTO).
+    - With Delta/Iceberg available, swap this class for MERGE INTO
+      without touching callers.
     """
 
     def __init__(self, spark: SparkSession, path: str, key: str | Sequence[str], order_by: str = "updated_at"):
@@ -178,9 +199,10 @@ class MergeTable:
         self.path = path
         self.keys = _key_list(key)
         self.order_by = order_by
-        os.makedirs(path, exist_ok=True)
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
-    # -- snapshot plumbing -------------------------------------------------
+    # -- pointer / manifest plumbing ---------------------------------------
     @property
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
@@ -191,72 +213,187 @@ class MergeTable:
                 name = f.read().strip()
         except FileNotFoundError:
             return None
-        return os.path.join(self.path, name) if name else None
+        return os.path.join(self.path, "manifests", name) if name else None
 
     def list_snapshots(self) -> list[str]:
-        return sorted(d for d in os.listdir(self.path) if d.startswith("snap-"))
+        mdir = os.path.join(self.path, "manifests")
+        return sorted(f[:-5] for f in os.listdir(mdir) if f.startswith("snap-") and f.endswith(".json"))
 
     def exists(self) -> bool:
         return self.current_snapshot() is not None
 
-    def read(self) -> DataFrame:
+    def _manifest_files(self) -> list[dict]:
         snap = self.current_snapshot()
         if snap is None:
-            raise FileNotFoundError(f"MergeTable at {self.path} has no snapshot yet")
-        return self.spark.read.parquet(snap)
+            return []
+        with open(snap, encoding="utf-8") as f:
+            return json.load(f)["files"]
 
-    def _commit(self, df: DataFrame) -> None:
-        # monotonic sequence prefix so list_snapshots() sorts oldest→newest
-        # lexically (uuid suffix keeps names collision-free under retry);
-        # max(existing)+1, not len(), so vacuum can't make sequences regress
+    def read(self) -> DataFrame:
+        files = self._manifest_files()
+        if not files:
+            raise FileNotFoundError(f"MergeTable at {self.path} has no snapshot yet")
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        # mergeSchema: carried-forward files may predate schema evolution
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    # -- data-file writing with key statistics -----------------------------
+    @staticmethod
+    def _ser(v):
+        if isinstance(v, datetime):
+            return {"t": "dt", "v": v.isoformat()}
+        if isinstance(v, (int, float, str)) or v is None:
+            return {"t": "raw", "v": v}
+        return {"t": "str", "v": str(v)}
+
+    @staticmethod
+    def _deser(d):
+        if d is None:
+            return None
+        if d["t"] == "dt":
+            return datetime.fromisoformat(d["v"])
+        return d["v"]
+
+    def _write_data(self, df: DataFrame) -> list[dict]:
+        """Write df as parquet files range-partitioned by the first key
+        (disjoint per-file key ranges → pruning), return file entries
+        with footer min/max stats."""
+        import pyarrow.parquet as pq
+
+        commit_id = uuid.uuid4().hex[:12]
+        rel_dir = os.path.join("data", commit_id)
+        out_dir = os.path.join(self.path, rel_dir)
+        key = self.keys[0]
+        if key in df.columns:
+            df = df.repartitionByRange(F.col(key))
+        df.write.mode("overwrite").parquet(out_dir)
+
+        entries: list[dict] = []
+        for name in sorted(os.listdir(out_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(out_dir, name)
+            lo = hi = None
+            try:
+                md = pq.ParquetFile(fpath).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get(key)
+                if idx is not None:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            except Exception:  # noqa: BLE001 — stats are an optimization only
+                lo = hi = None
+            entries.append(
+                {
+                    "path": os.path.join(rel_dir, name),
+                    "min_key": self._ser(lo),
+                    "max_key": self._ser(hi),
+                }
+            )
+        return entries
+
+    def _commit_manifest(self, files: list[dict]) -> None:
         existing = self.list_snapshots()
         seq = 1 + max((int(s.split("-")[1]) for s in existing), default=-1)
         snap_name = f"snap-{seq:08d}-{uuid.uuid4().hex[:8]}"
-        snap_path = os.path.join(self.path, snap_name)
-        df.write.mode("overwrite").parquet(snap_path)
+        mpath = os.path.join(self.path, "manifests", snap_name + ".json")
+        with open(mpath, "w", encoding="utf-8") as f:
+            json.dump({"files": files}, f)
         # atomic pointer swap: write tmp file then os.replace (POSIX-atomic)
         fd, tmp = tempfile.mkstemp(dir=self.path)
         with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(snap_name)
+            f.write(snap_name + ".json")
         os.replace(tmp, self._pointer)
 
-    def vacuum(self, keep: int = 2) -> None:
-        """Drop all but the newest ``keep`` snapshots (never the current)."""
-        current = os.path.basename(self.current_snapshot() or "")
-        snaps = self.list_snapshots()
-        for snap in snaps[:-keep] if keep else snaps:
-            if snap != current:
-                shutil.rmtree(os.path.join(self.path, snap), ignore_errors=True)
+    def _split_overlap(self, incoming: DataFrame) -> tuple[list[dict], list[dict]]:
+        """Partition current files into (overlapping, carried) by key
+        range vs the incoming batch's [min, max]. Files without stats are
+        conservatively treated as overlapping (correct, just unpruned)."""
+        key = self.keys[0]
+        bounds = incoming.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        overlapping: list[dict] = []
+        carried: list[dict] = []
+        for f in self._manifest_files():
+            fmin, fmax = self._deser(f["min_key"]), self._deser(f["max_key"])
+            if lo is None or fmin is None or fmax is None:
+                overlapping.append(f)
+            elif fmax >= lo and fmin <= hi:
+                overlapping.append(f)
+            else:
+                carried.append(f)
+        return overlapping, carried
+
+    def _read_files(self, files: list[dict]) -> DataFrame:
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # -- mutations ----------------------------------------------------------
     def overwrite(self, df: DataFrame) -> None:
-        self._commit(df)
+        self._commit_manifest(self._write_data(df))
 
     def append(self, df: DataFrame) -> None:
-        if self.exists():
-            self._commit(self.read().unionByName(df, allowMissingColumns=True))
+        """O(batch): writes only the new files; never reads the table."""
+        self._commit_manifest(self._manifest_files() + self._write_data(df))
+
+    def _merge_commit(self, incoming: DataFrame, merge_fn) -> None:
+        overlapping, carried = self._split_overlap(incoming)
+        if overlapping:
+            merged = merge_fn(self._read_files(overlapping), incoming)
         else:
-            self._commit(df)
+            merged = dedup_latest(incoming, self.keys, self.order_by)
+        self._commit_manifest(carried + self._write_data(merged))
 
     def upsert(self, incoming: DataFrame, batch_ts: datetime | None = None) -> None:
         """Idempotent: applying the same batch twice == once. Pass
         ``batch_ts`` to maintain created_at/updated_at (F13)."""
-        if self.exists():
-            existing = self.read()
-            if batch_ts is not None:
-                incoming = stamp_timestamps(incoming, existing, self.keys, batch_ts)
-            self._commit(upsert(existing, incoming, self.keys, self.order_by))
-        else:
+        if not self.exists():
             if batch_ts is not None:
                 incoming = stamp_timestamps(incoming, None, self.keys, batch_ts)
-            self._commit(dedup_latest(incoming, self.keys, self.order_by))
+            self._commit_manifest(self._write_data(dedup_latest(incoming, self.keys, self.order_by)))
+            return
+        if batch_ts is not None:
+            incoming = stamp_timestamps(incoming, self.read(), self.keys, batch_ts)
+        self._merge_commit(incoming, lambda old, inc: upsert(old, inc, self.keys, self.order_by))
 
     def upsert_coalesce(self, incoming: DataFrame) -> None:
-        if self.exists():
-            self._commit(upsert_coalesce(self.read(), incoming, self.keys, self.order_by))
-        else:
-            self._commit(dedup_latest(incoming, self.keys, self.order_by))
+        if not self.exists():
+            self._commit_manifest(self._write_data(dedup_latest(incoming, self.keys, self.order_by)))
+            return
+        self._merge_commit(
+            incoming, lambda old, inc: upsert_coalesce(old, inc, self.keys, self.order_by)
+        )
 
     def delete(self, tombstones: DataFrame) -> None:
-        if self.exists():
-            self._commit(delete_by_key(self.read(), tombstones, self.keys))
+        if not self.exists():
+            return
+        overlapping, carried = self._split_overlap(tombstones)
+        if overlapping:
+            remaining = delete_by_key(self._read_files(overlapping), tombstones, self.keys)
+            self._commit_manifest(carried + self._write_data(remaining))
+
+    def vacuum(self, keep: int = 2) -> None:
+        """Drop all but the newest ``keep`` manifests (never the current),
+        then garbage-collect data files no remaining manifest references."""
+        current = os.path.basename(self.current_snapshot() or "")
+        snaps = self.list_snapshots()
+        doomed = [s for s in (snaps[:-keep] if keep else snaps) if s + ".json" != current]
+        for snap in doomed:
+            os.remove(os.path.join(self.path, "manifests", snap + ".json"))
+        referenced: set[str] = set()
+        for snap in self.list_snapshots():
+            with open(os.path.join(self.path, "manifests", snap + ".json"), encoding="utf-8") as f:
+                referenced |= {e["path"] for e in json.load(f)["files"]}
+        data_dir = os.path.join(self.path, "data")
+        for commit in os.listdir(data_dir):
+            cdir = os.path.join(data_dir, commit)
+            for name in os.listdir(cdir):
+                rel = os.path.join("data", commit, name)
+                if name.endswith(".parquet") and rel not in referenced:
+                    os.remove(os.path.join(cdir, name))
+            if not any(n.endswith(".parquet") for n in os.listdir(cdir)):
+                shutil.rmtree(cdir, ignore_errors=True)

@@ -1,0 +1,163 @@
+"""Structured Streaming incremental mode (SURVEY §2.9).
+
+The reference is a cron-driven micro-batch pipeline (main.js:35-53):
+every run ingests whatever new pages landed, dedups by key, upserts, and
+a module-global circuit breaker skips all further runs after a login wall
+(posts-from-hashtags.js:14, 361-371). Spark-first mapping:
+
+- landing directory + ``readStream`` (file source tracks processed files
+  in the checkpoint — the cron "what's new" bookkeeping for free),
+- ``foreachBatch(MergeTable.upsert)`` — the batch upsert operator reused
+  verbatim inside the stream; checkpoint + idempotent upsert ⇒
+  exactly-once table state across restarts,
+- ``Trigger.AvailableNow`` — one cron tick: drain everything available,
+  then stop (the engine analogue of main.js:73's run-at-startup),
+- watermark + windowed aggregation over event time — NEW engine surface
+  (the reference has no event-time semantics) for the events/rates
+  tables,
+- ``CircuitBreaker`` — E1 as a file-backed flag so separate runs (and a
+  restarted driver) observe a trip, same as the reference's
+  module-global-until-restart, but durable.
+
+Scale notes: file-source listing is the only driver-side cost; at cluster
+scale use ``maxFilesPerTrigger`` to bound micro-batch size and partition
+the landing dir by arrival date. State for windowed aggs is bounded by
+the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.operators.merge import MergeTable
+
+
+class CircuitBreaker:
+    """E1: after one trip, every later run is skipped until reset
+    (posts-from-hashtags.js:14, 100, 361-363). File-backed so the flag
+    survives driver restarts."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def tripped(self) -> bool:
+        return os.path.exists(self.path)
+
+    def trip(self, reason: str) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "w", encoding="utf-8") as f:
+            f.write(reason)
+
+    def reason(self) -> str | None:
+        if not self.tripped():
+            return None
+        with open(self.path, encoding="utf-8") as f:
+            return f.read()
+
+    def reset(self) -> None:
+        if self.tripped():
+            os.remove(self.path)
+
+
+def stream_upsert(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    table: MergeTable,
+    checkpoint_dir: str,
+    breaker: CircuitBreaker | None = None,
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+) -> bool:
+    """One incremental tick: drain new JSON files from ``landing_dir``
+    into ``table`` via foreachBatch upsert. Returns False when the
+    breaker is tripped (run skipped), True after a completed drain.
+
+    Exactly-once: the checkpoint records which files each epoch consumed;
+    a re-run after a failure replays the same files, and ``upsert`` is
+    idempotent, so replayed batches cannot double-apply.
+    """
+    if breaker is not None and breaker.tripped():
+        return False
+
+    stream = spark.readStream.schema(schema_ddl).json(landing_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        table.upsert(batch_df)
+        if on_batch is not None:
+            on_batch(batch_df, epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return True
+
+
+def stream_pages_with_sentinel_gate(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    table: MergeTable,
+    dead_letter: MergeTable,
+    checkpoint_dir: str,
+    breaker: CircuitBreaker,
+    html_col: str = "html",
+) -> bool:
+    """Incremental page ingestion with P11/E1/E3 semantics: clean rows
+    upsert into ``table``; sentinel rows land in ``dead_letter`` and trip
+    the breaker, so the NEXT tick is skipped (the reference alerts then
+    stops scheduling, is-login-required.js:10-12)."""
+    from etl_instagram_spark.operators.projections import split_sentinel_pages
+
+    if breaker.tripped():
+        return False
+
+    stream = spark.readStream.schema(schema_ddl).json(landing_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        clean, dead = split_sentinel_pages(batch_df, html_col=html_col)
+        table.upsert(clean)
+        dead_rows = dead.count()
+        if dead_rows:
+            dead_letter.append(dead)
+            # at-most-one alert per incident type (E2): trip records the
+            # first sentinel only
+            breaker.trip(dead.select("sentinel").first()["sentinel"])
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return True
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the engine's
+    late-data-tolerant rollup for the events stream. State per key is
+    dropped once the watermark passes the window end."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Streaming incremental-mode tests: exactly-once upsert across
+micro-batches and restarts, sentinel circuit breaker, watermarked
+windowed aggregation (SURVEY §2.9)."""
+
+from __future__ import annotations
+
+import json
+
+from etl_instagram_spark.operators.merge import MergeTable
+from etl_instagram_spark.streaming.incremental import (
+    CircuitBreaker,
+    stream_pages_with_sentinel_gate,
+    stream_upsert,
+    windowed_event_counts,
+)
+
+POST_DDL = "id STRING, like_count LONG, source STRING, updated_at TIMESTAMP"
+PAGE_DDL = "url STRING, html STRING, updated_at TIMESTAMP"
+
+
+def write_json(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_upsert_exactly_once_across_batches(spark, tmp_path):
+    landing = tmp_path / "landing"
+    table = MergeTable(spark, str(tmp_path / "posts"), "id")
+    ckpt = str(tmp_path / "ckpt")
+
+    write_json(landing / "batch1.json", [
+        {"id": "1", "like_count": 10, "source": "food", "updated_at": "2021-01-01T00:00:00Z"},
+        {"id": "2", "like_count": 20, "source": "food", "updated_at": "2021-01-01T00:00:00Z"},
+    ])
+    assert stream_upsert(spark, str(landing), POST_DDL, table, ckpt)
+    assert {r["id"]: r["like_count"] for r in table.read().collect()} == {"1": 10, "2": 20}
+
+    # second tick: overlapping key 2 (newer) + new key 3 — restart: new
+    # query, same checkpoint; batch1.json must NOT be reprocessed
+    write_json(landing / "batch2.json", [
+        {"id": "2", "like_count": 99, "source": "food", "updated_at": "2021-01-02T00:00:00Z"},
+        {"id": "3", "like_count": 30, "source": "food", "updated_at": "2021-01-02T00:00:00Z"},
+    ])
+    assert stream_upsert(spark, str(landing), POST_DDL, table, ckpt)
+    got = {r["id"]: r["like_count"] for r in table.read().collect()}
+    assert got == {"1": 10, "2": 99, "3": 30}
+
+    # third tick with nothing new: table unchanged (no duplicate rows)
+    assert stream_upsert(spark, str(landing), POST_DDL, table, ckpt)
+    assert table.read().count() == 3
+
+
+def test_sentinel_gate_trips_breaker_and_skips_next_run(spark, tmp_path):
+    landing = tmp_path / "pages"
+    table = MergeTable(spark, str(tmp_path / "clean"), "url")
+    dead = MergeTable(spark, str(tmp_path / "dead"), "url")
+    breaker = CircuitBreaker(str(tmp_path / "breaker.flag"))
+    ckpt = str(tmp_path / "ckpt")
+
+    write_json(landing / "b1.json", [
+        {"url": "u1", "html": "<html>fine</html>", "updated_at": "2021-01-01T00:00:00Z"},
+        {"url": "u2", "html": "<html>Login • Instagram</html>", "updated_at": "2021-01-01T00:00:00Z"},
+    ])
+    assert stream_pages_with_sentinel_gate(
+        spark, str(landing), PAGE_DDL, table, dead, ckpt, breaker
+    )
+    assert [r["url"] for r in table.read().collect()] == ["u1"]
+    assert dead.read().collect()[0]["sentinel"] == "Login • Instagram"
+    assert breaker.tripped() and breaker.reason() == "Login • Instagram"
+
+    # E1: next run is skipped entirely
+    write_json(landing / "b2.json", [
+        {"url": "u3", "html": "<html>more</html>", "updated_at": "2021-01-02T00:00:00Z"},
+    ])
+    assert not stream_pages_with_sentinel_gate(
+        spark, str(landing), PAGE_DDL, table, dead, ckpt, breaker
+    )
+    assert table.read().count() == 1
+
+    # reset re-arms and drains the backlog
+    breaker.reset()
+    assert stream_pages_with_sentinel_gate(
+        spark, str(landing), PAGE_DDL, table, dead, ckpt, breaker
+    )
+    assert sorted(r["url"] for r in table.read().collect()) == ["u1", "u3"]
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    landing = tmp_path / "events"
+    write_json(landing / "e1.json", [
+        {"event_id": 1, "ts": "2021-01-01T00:10:00Z", "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2021-01-01T00:40:00Z", "event_type": "click", "value": 2.0},
+        {"event_id": 3, "ts": "2021-01-01T01:10:00Z", "event_type": "view", "value": 5.0},
+    ])
+    stream = spark.readStream.schema(
+        "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    ).json(str(landing))
+    agg = windowed_event_counts(stream, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["window_start"].isoformat(), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert rows[("2021-01-01T00:00:00", "click")] == (2, 3.0)
+    assert rows[("2021-01-01T01:00:00", "view")] == (1, 5.0)
