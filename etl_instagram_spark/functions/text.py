@@ -223,3 +223,14 @@ def detect_language(col: Column) -> Column:
     for lang in reversed(list(LANG_MARKERS)):
         expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def sentences(col: Column) -> Column:
+    """Sentence segmentation (F4, topics.js:29): the reference's
+    ``content.match(/[^.!?]+[.!?]+/g)`` as a per-row regexp extraction.
+    Trailing text without a terminator is dropped, matching the regex."""
+    return F.regexp_extract_all(col, F.lit(r"[^.!?]+[.!?]+"), F.lit(0))
+
+
+def sentence_count(col: Column) -> Column:
+    return F.size(sentences(col))

@@ -1,0 +1,134 @@
+"""Multimodal columns: images (and other blobs) as opaque ``binary``
+columns with typed metadata, plus decode / feature-extract / resize
+plumbing over ``mapInPandas``.
+
+The reference's only multimodal op is fetch-image-bytes → S3 put →
+Rekognition (labels.js:12-48, W8); the engine generalizes to the
+training-data-pipeline shape: a blobs table
+
+    id STRING, content BINARY, media_type STRING,
+    meta STRUCT<width: INT, height: INT, format: STRING>
+
+Decode/resize need an imaging library that is NOT in this environment,
+so the pixel work is stubbed: ``decoder='pil'`` raises
+NotImplementedError unless Pillow is importable; ``decoder='fake'``
+produces deterministic metadata from the bytes. The Spark-side contract —
+schema, Arrow batch shape, partitioning advice — is real and tested, so
+swapping in a real decoder touches one function.
+
+Scale notes: binary columns ride normal parquet (PLAIN-encoded byte
+arrays); keep blobs in their own table keyed by content hash so the fact
+table stays narrow, partition by ingest date, and size
+``spark.sql.files.maxPartitionBytes`` so a partition of blobs fits
+executor memory. ``mapInPandas`` streams Arrow record batches, so peak
+memory is one batch of blobs, not one partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOB_SCHEMA = (
+    "id STRING, content BINARY, media_type STRING, "
+    "meta STRUCT<width: INT, height: INT, format: STRING>"
+)
+
+META_DDL = "width int, height int, format string"
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_meta(content: bytes | None) -> dict | None:
+    """Deterministic stand-in for a real decode: dimensions derived from
+    the content hash (stable across runs, no image library needed)."""
+    if content is None:
+        return None
+    d = hashlib.md5(content).digest()
+    return {
+        "width": 64 + d[0] % 192,
+        "height": 64 + d[1] % 192,
+        "format": ["jpeg", "png", "webp"][d[2] % 3],
+    }
+
+
+def blobs_from_posts(posts: DataFrame, url_col: str = "media_url", content_col: str = "content") -> DataFrame:
+    """Blob-table rows keyed by content hash (the engine's analogue of
+    the S3 put keyed `{id}.jpg`, labels.js:33): content-addressing dedups
+    identical images for free via the downstream exact-dedup groupBy."""
+    return posts.filter(F.col(content_col).isNotNull()).select(
+        F.md5(F.col(content_col)).alias("id"),
+        F.col(content_col).alias("content"),
+        F.lit("image").alias("media_type"),
+        F.lit(None).cast(f"STRUCT<{META_DDL}>").alias("meta"),
+    )
+
+
+def decode_images(blobs: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Fill ``meta`` by decoding ``content``. Arrow-batched; the only
+    Python boundary in the multimodal path."""
+    if decoder == "pil" and not _pil_available():
+        raise NotImplementedError(
+            "decoder='pil' requires Pillow, which is not installed in this "
+            "environment; use decoder='fake' (deterministic stub) or install PIL"
+        )
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in blobs.schema.fields if f.name != "meta"]
+        + [f"meta struct<{META_DDL}>"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.drop(columns=["meta"], errors="ignore")
+            if decoder == "fake":
+                pdf["meta"] = pdf["content"].map(_fake_meta)
+            else:  # decoder == 'pil'
+                from io import BytesIO
+
+                from PIL import Image
+
+                def pil_meta(b):
+                    if b is None:
+                        return None
+                    img = Image.open(BytesIO(bytes(b)))
+                    return {
+                        "width": img.width,
+                        "height": img.height,
+                        "format": (img.format or "unknown").lower(),
+                    }
+
+                pdf["meta"] = pdf["content"].map(pil_meta)
+            yield pdf
+
+    return blobs.mapInPandas(run, schema=out_schema)
+
+
+def image_features(blobs: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic feature vector per blob (stub for an embedding
+    model forward pass): ``array<float>`` from the content digest. Output
+    plugs straight into operators/similarity.py."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def feats(b):
+                if b is None:
+                    return None
+                d = hashlib.sha256(bytes(b)).digest()
+                return [(d[i % 32] - 128) / 128.0 for i in range(dim)]
+
+            yield pd.DataFrame({"id": pdf["id"], "embedding": pdf["content"].map(feats)})
+
+    return blobs.mapInPandas(run, schema="id string, embedding array<float>")

@@ -64,7 +64,14 @@ def dedup_latest(df: DataFrame, key: str | Sequence[str], order_by: str = "updat
     """
     keys = _key_list(key)
     tie_break = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-    w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc_nulls_last(), tie_break)
+    order_exprs = (
+        [F.col(order_by).desc_nulls_last(), tie_break]
+        if order_by in df.columns
+        # batch doesn't carry the order column (partial-field updates):
+        # the content hash alone still picks a deterministic winner
+        else [tie_break]
+    )
+    w = Window.partitionBy(*keys).orderBy(*order_exprs)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

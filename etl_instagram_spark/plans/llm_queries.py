@@ -634,3 +634,127 @@ oracle(
     FROM nested ORDER BY l_orderkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events: latest row per entity (the rates latest-per-entity pattern)
+# ---------------------------------------------------------------------------
+
+
+@query("events_latest_per_user")
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most recent event per user (pipelines/rates.latest_rate_per_entity
+    applied to the driver's events table). Window partitioned by the
+    high-cardinality user key — bounded state per partition at any scale."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+oracle(
+    "events_latest_per_user",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                -- ::TIMESTAMP truncates ns→us to match the
+                                -- engine's microsecond timestamps
+                                ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id,
+           event_type AS last_event_type,
+           round(value, 2) AS last_value,
+           strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# part: URL build + parse (F1/F10)
+# ---------------------------------------------------------------------------
+
+
+@query("part_url_parse")
+def part_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL origin/path/query parsing (F10, elimparcial.js:16 getImageURL
+    origin logic) via parse_url — mirrored in the oracle with regexes."""
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    url = F.concat(
+        F.lit("https://cdn.example/"),
+        F.lower(F.regexp_replace("p_brand", r"[^A-Za-z0-9]", "")),
+        F.lit("/"),
+        F.regexp_replace("p_name", " ", "-"),
+        F.lit("?size="),
+        F.col("p_size").cast("string"),
+    )
+    return pa.select(
+        "p_partkey",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("size")).alias("size_param"),
+    ).orderBy("p_partkey")
+
+
+oracle(
+    "part_url_parse",
+    """
+    WITH u AS (
+      SELECT p_partkey,
+             'https://cdn.example/' || lower(regexp_replace(p_brand, '[^A-Za-z0-9]', '', 'g'))
+               || '/' || regexp_replace(p_name, ' ', '-', 'g')
+               || '?size=' || p_size::VARCHAR AS url
+      FROM part WHERE p_partkey <= 100)
+    SELECT p_partkey, url,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]size=([^&]*)', 1) AS size_param
+    FROM u ORDER BY p_partkey
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# lineitem: deterministic hash-based sampling (F17's reproducibility)
+# ---------------------------------------------------------------------------
+
+
+@query("lineitem_hash_sample")
+def lineitem_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 5% sample via content hash (the engine-portable form
+    of the reference's seeded PRNG, lda/index.js:279-288): hash-mod
+    sampling gives the same rows on ANY engine and any partitioning,
+    which rand(seed) does not. Filter sits on the scan; aggregation is a
+    single partial-agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = T.hash32(F.concat_ws(":", "l_orderkey", "l_linenumber")) % 100
+    return li.filter(bucket < 5).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+oracle(
+    "lineitem_hash_sample",
+    """
+    SELECT count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 8))::BIGINT % 100 < 5
+    """,
+)

@@ -134,3 +134,11 @@ def test_stopword_lists():
     assert stopwords.combined(("en",)) == sorted(stopwords.EN)
     with pytest.raises(KeyError):
         stopwords.combined(("xx",))
+
+
+def test_sentences_reference_regex(spark):
+    df = texts_df(spark, ["One. Two! Three? trailing no end", "no terminator at all", ""])
+    out = df.select(T.sentences(F.col("text")).alias("s"), T.sentence_count(F.col("text")).alias("n")).collect()
+    assert out[0]["s"] == ["One.", " Two!", " Three?"] and out[0]["n"] == 3
+    assert out[1]["s"] == [] and out[1]["n"] == 0
+    assert out[2]["n"] == 0
