@@ -10,13 +10,18 @@ re-expressed Spark-first:
                   tombstone delete, anti-join dedup, top-k, dedup family
                   (exact / MinHash-LSH / SimHash / n-gram Jaccard), and
                   embedding similarity search.
-- ``functions`` : scalar/text kernels — tokenizer, stopwords, language-ID,
-                  quality scoring, minhash/simhash, fingerprinting.
-- ``enrich``    : (in progress) LDA topics and the pluggable image-label
-                  classifier surface.
-- ``pipelines`` : (in progress) the reference's pipelines (hashtag posts,
-                  followers, news, rates) as declarative DataFrame lineages.
-- ``streaming`` : (in progress) Structured Streaming incremental mode.
+- ``functions`` : scalar/text kernels — tokenizer, Porter stemmer (pandas
+                  UDF), stopwords, language-ID, quality scoring,
+                  minhash/simhash, fingerprinting, sentence split.
+- ``enrich``    : topics (per-post top-terms + corpus ml.LDA) and the
+                  pluggable image-label classifier (mapInPandas + stub).
+- ``pipelines`` : the reference's pipelines (hashtag posts, followers,
+                  news, rates) as declarative DataFrame lineages.
+- ``streaming`` : Structured Streaming incremental mode — foreachBatch
+                  upsert with checkpointing, sentinel dead-letter gate +
+                  circuit breaker, watermarked windowed aggregates.
+- ``multimodal``: binary blob tables with typed metadata; decode /
+                  feature-extract plumbing (stubbed pixel work).
 - ``plans``     : the analytics query inventory + DuckDB oracle SQL,
                   including the LLM-data-pipeline queries over the
                   documents/embeddings tables.

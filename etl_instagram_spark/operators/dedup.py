@@ -42,8 +42,9 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signature(df: DataFrame, text_col: str, k: int = 16, shingle_words: int = 3) -> DataFrame:
-    """Attach a ``minhash_sig`` array<long> column (per-row projection)."""
-    return df.withColumn("minhash_sig", T.minhash_signature(F.col(text_col), k, shingle_words))
+    """Attach a ``minhash_sig`` array<long> column (per-row projection,
+    staged so tokenize/shingle/md5 each run once per row)."""
+    return T.with_minhash_signature(df, text_col, "minhash_sig", k, shingle_words)
 
 
 def _band_hashes(sig: Column, k: int, bands: int) -> Column:
@@ -70,10 +71,10 @@ def minhash_lsh_candidates(
 
     P(candidate) = 1 − (1 − J^(k/bands))^bands for Jaccard J.
     """
-    sig = T.minhash_signature(F.col(text_col), k, shingle_words)
-    banded = df.select(
+    staged = T.with_minhash_signature(df, text_col, "__sig", k, shingle_words)
+    banded = staged.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(_band_hashes(sig, k, bands)).alias("band_idx", "band_hash"),
+        F.posexplode(_band_hashes(F.col("__sig"), k, bands)).alias("band_idx", "band_hash"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
