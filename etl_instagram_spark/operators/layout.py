@@ -1,0 +1,95 @@
+"""Physical-layout operators for scale: bucketing (co-located joins) and
+salting (skew mitigation).
+
+These are the 100-TB levers the query inventory's docstrings keep
+pointing at (e.g. q3: "at cluster scale bucket both facts by orderkey"):
+
+- ``write_bucketed`` / ``bucketed_join``: pre-shuffle both fact tables
+  into the same bucket layout once at write time; every later equi-join
+  on the bucket key runs with NO Exchange on either side (verified by
+  ``assert_no_exchange`` in tests). This is the amortize-the-shuffle
+  trade: one shuffle at ingest, zero per query.
+- ``salted_join``: for a hot key that AQE's skew splitting can't save
+  (e.g. one user with 10% of all events joined against a per-key dim),
+  explode the dimension side K ways and spray the fact side uniformly —
+  turns one straggler partition into K even ones.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str | Sequence[str],
+    n_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed (+sorted) managed table. Joins/aggs on the
+    bucket key read co-located buckets — no Exchange, and with sorted
+    buckets no Sort either (SortMergeJoin reads pre-sorted runs)."""
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    spark = df.sparkSession
+    # idempotent re-create: a dead session can leave the managed location
+    # behind with no catalog entry, which saveAsTable refuses to reuse
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    leftover = os.path.join(warehouse, table_name.lower())
+    if os.path.isdir(leftover):
+        shutil.rmtree(leftover, ignore_errors=True)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str | Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return spark.table(left_table).join(spark.table(right_table), on=keys, how=how)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchanges in the final physical plan (0 for a
+    properly co-located bucketed join)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue().count("Exchange")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: replicate the (small) ``dim`` side
+    ``salt_buckets`` ways and spray ``fact`` rows uniformly across the
+    replicas, so a hot key occupies ``salt_buckets`` partitions instead
+    of one straggler.
+
+    Correctness: every fact row meets exactly the one dim replica whose
+    salt matches its spray value — same result set as the unsalted join.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_fact.join(salted_dim, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -758,3 +758,51 @@ oracle(
     WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 8))::BIGINT % 100 < 5
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# supplier: haversine geo distances (SURVEY §1.4 geo surface)
+# ---------------------------------------------------------------------------
+
+
+@query("supplier_geo_bands")
+def supplier_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine distance bands from synthetic supplier coordinates
+    (derived deterministically from the key) to a fixed origin — the geo
+    predicate surface the reference's 2dsphere index implies. All trig is
+    codegen'd column math; the oracle mirrors the identical formula."""
+    from etl_instagram_spark.functions.geo import haversine_km
+
+    su = _t(spark, sf_dir, "supplier")
+    lat = (F.col("s_suppkey") % 120) - 60 + F.lit(0.25)
+    lng = (F.col("s_suppkey") * 7 % 360) - 180 + F.lit(0.5)
+    dist = haversine_km(lat, lng, F.lit(19.43), F.lit(-99.13))  # CDMX origin
+    return (
+        su.select((F.floor(dist / 2000)).cast("int").alias("band_2000km"))
+        .groupBy("band_2000km")
+        .agg(F.count("*").alias("n_suppliers"))
+        .orderBy("band_2000km")
+    )
+
+
+oracle(
+    "supplier_geo_bands",
+    """
+    WITH pts AS (
+      SELECT (s_suppkey % 120) - 60 + 0.25 AS lat,
+             (s_suppkey * 7 % 360) - 180 + 0.5 AS lng
+      FROM supplier),
+    d AS (
+      SELECT 2 * 6371.0088 * atan2(
+               sqrt(   sin(radians(19.43 - lat) / 2) ^ 2
+                     + cos(radians(lat)) * cos(radians(19.43))
+                       * sin(radians(-99.13 - lng) / 2) ^ 2),
+               sqrt(1 - (sin(radians(19.43 - lat) / 2) ^ 2
+                     + cos(radians(lat)) * cos(radians(19.43))
+                       * sin(radians(-99.13 - lng) / 2) ^ 2))) AS dist
+      FROM pts)
+    SELECT CAST(floor(dist / 2000) AS INT) AS band_2000km,
+           count(*) AS n_suppliers
+    FROM d GROUP BY band_2000km ORDER BY band_2000km
+    """,
+)

@@ -142,3 +142,27 @@ def test_sentences_reference_regex(spark):
     assert out[0]["s"] == ["One.", " Two!", " Three?"] and out[0]["n"] == 3
     assert out[1]["s"] == [] and out[1]["n"] == 0
     assert out[2]["n"] == 0
+
+
+def test_haversine_known_distances(spark):
+    from etl_instagram_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278),   # Paris -> London ~343.5 km
+         (40.7128, -74.0060, 34.0522, -118.2437),  # NYC -> LA ~3936 km
+         (0.0, 0.0, 0.0, 0.0)],
+        "lat1 double, lng1 double, lat2 double, lng2 double",
+    )
+    out = [
+        r["d"]
+        for r in df.select(
+            geo.haversine_km(F.col("lat1"), F.col("lng1"), F.col("lat2"), F.col("lng2")).alias("d")
+        ).collect()
+    ]
+    assert abs(out[0] - 343.5) < 1.0
+    assert abs(out[1] - 3936) < 10
+    assert out[2] == 0.0
+    hit = df.select(
+        geo.within_radius_km(F.col("lat1"), F.col("lng1"), F.col("lat2"), F.col("lng2"), 500.0).alias("w")
+    ).collect()
+    assert [r["w"] for r in hit] == [True, False, True]
