@@ -806,3 +806,119 @@ oracle(
     FROM d GROUP BY band_2000km ORDER BY band_2000km
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# documents: per-doc top_terms kernel, flattened for the oracle
+# ---------------------------------------------------------------------------
+
+
+@query("docs_top_terms_per_doc")
+def docs_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row top_terms kernel (enrich/topics.top_terms_col — the
+    reference's getTopics output shape) validated against the oracle:
+    attach topics to the first 50 docs, then posexplode to
+    (doc_id, rank, confidence, name) rows that plain SQL can reproduce
+    with a window over per-term counts. The Spark side never shuffles for
+    the ranking — it's all array HOFs inside the projection."""
+    from etl_instagram_spark.enrich.topics import attach_topics
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    topical = attach_topics(docs, text_col=F.col("text"), stem=False, langs=("en",))
+    return (
+        topical.select("doc_id", F.posexplode("topics").alias("pos", "t"))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("rank"),
+            F.col("t.confidence").alias("confidence"),
+            F.col("t.name").alias("name"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+oracle(
+    "docs_top_terms_per_doc",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(regexp_split_to_array(text, '[\\s,"]+'),
+                              x -> regexp_replace(lower(x), '[^a-z''A-Z0-9À-ÿ ]+', '', 'g')),
+               t -> length(t) > 1 AND t NOT LIKE 'http%'
+                    AND t NOT IN ({_sql_en_stopword_list()})) AS terms
+      FROM documents WHERE doc_id < 50),
+    flat AS (SELECT doc_id, len(terms) AS total, unnest(terms) AS term FROM toks),
+    counts AS (SELECT doc_id, total, term, count(*) AS cnt
+               FROM flat GROUP BY doc_id, total, term),
+    ranked AS (SELECT doc_id, term, cnt, total,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY cnt DESC, term) AS rank
+               FROM counts)
+    SELECT doc_id, rank,
+           round(cnt * 100.0 / total, 2) AS confidence,
+           term AS name
+    FROM ranked
+    WHERE rank <= 7 AND round(cnt * 100.0 / total, 2) >= 2.0
+    ORDER BY doc_id, rank
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# orders: intersect / cube set-op + grouping surface
+# ---------------------------------------------------------------------------
+
+
+@query("customers_active_both_years")
+def customers_active_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT surface (completes the O7 anti-join family): customers
+    with orders in both 1996 and 2001. Catalyst plans intersect as a
+    left-semi self-join after distinct — two scans, one shuffle each."""
+    od = _t(spark, sf_dir, "orders")
+    y96 = od.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y01 = od.filter(F.year("o_orderdate") == 2001).select("o_custkey").distinct()
+    return y96.intersect(y01).orderBy("o_custkey")
+
+
+oracle(
+    "customers_active_both_years",
+    """
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+    ORDER BY o_custkey
+    """,
+)
+
+
+@query("cube_returnflag_status")
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations
+    in one pass (Catalyst Expand — one shuffle regardless of the number
+    of grouping sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+oracle(
+    "cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """,
+)

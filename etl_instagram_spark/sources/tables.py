@@ -66,3 +66,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql queries."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def parse_json_pages(df: DataFrame, json_col: str, schema_ddl: str) -> DataFrame:
+    """S3/S4/F16: raw JSON strings → typed columns via ``from_json`` with
+    an explicit schema (never schema inference in pipelines — inference
+    is a full extra pass and drifts with the data). Unparseable rows
+    yield null fields rather than failing (permissive mode), so the E3
+    dead-letter filter downstream can route them."""
+    from pyspark.sql import functions as F
+
+    return df.select(F.from_json(F.col(json_col), schema_ddl).alias("__j")).select("__j.*")

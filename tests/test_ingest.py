@@ -12,8 +12,10 @@ from etl_instagram_spark.sources import schemas as S
 
 
 def parse(spark, rows: list[dict], ddl: str):
+    from etl_instagram_spark.sources.tables import parse_json_pages
+
     df = spark.createDataFrame([(json.dumps(r),) for r in rows], "raw string")
-    return df.select(F.from_json(F.col("raw"), ddl).alias("j")).select("j.*")
+    return parse_json_pages(df, "raw", ddl)
 
 
 def graphql_page(hashtag: str, nodes: list[dict]) -> dict:
