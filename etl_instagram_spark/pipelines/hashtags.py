@@ -57,6 +57,7 @@ def run_hashtag_batch(
     blocklist: Sequence[str] = (),
     batch_ts: datetime | None = None,
     dev_limit: int | None = None,
+    enrich: bool = False,
 ) -> dict[str, int]:
     """Run one hashtag micro-batch; returns per-stage row counts (the
     reference's progress counters A5, as driver-side metrics)."""
@@ -125,10 +126,20 @@ def run_hashtag_batch(
     ).drop("__ord")
     users_table.upsert(users, batch_ts=batch_ts)
 
-    # W1: upsert posts; labels/topics enrichment fills these columns later
-    out = posts.drop("location_id").withColumn("labels", _empty_labels()).withColumn(
-        "topics", _empty_labels()
-    )
+    # W1: upsert posts. With enrich=True the reference's per-post
+    # enrichment runs on the (already pruned) batch: image labels via the
+    # pluggable classifier (posts-from-hashtags.js:327-333) and caption
+    # topics (posts-from-hashtags.js:335-338) — both AFTER the anti-join/
+    # blocklist so only new, kept posts pay the Python-boundary cost.
+    out = posts.drop("location_id")
+    if enrich:
+        from etl_instagram_spark.enrich.labels import attach_labels
+        from etl_instagram_spark.enrich.topics import attach_topics
+
+        out = attach_labels(out)
+        out = attach_topics(out, out_col="topics")
+    else:
+        out = out.withColumn("labels", _empty_labels()).withColumn("topics", _empty_labels())
     posts_table.upsert(out, batch_ts=batch_ts)
 
     return {"new_posts": n_new, "kept_posts": n_kept}

@@ -922,3 +922,63 @@ oracle(
     ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# documents: the FULL near-dedup operator, end-to-end against the oracle
+# ---------------------------------------------------------------------------
+
+
+@query("docs_near_dedup_summary")
+def docs_near_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.near_dedup_minhash run whole: LSH candidates →
+    exact shingle-Jaccard verify (≥0.5) → drop-larger-id survivors. The
+    oracle replays every stage in SQL, so this is an end-to-end gate on
+    the dedup operator, not just its kernels."""
+    from etl_instagram_spark.operators.dedup import near_dedup_minhash
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    survivors = near_dedup_minhash(
+        docs, "doc_id", "text", threshold=0.5, k=MINHASH_K, bands=MINHASH_BANDS
+    ).count()
+    return spark.createDataFrame(
+        [(n_docs, survivors, n_docs - survivors)],
+        "n_docs long, n_survivors long, n_dropped long",
+    )
+
+
+oracle(
+    "docs_near_dedup_summary",
+    f"""
+    WITH t AS (SELECT doc_id, trim(lower(text)) AS norm, {SQL_TOKS} AS toks
+               FROM documents),
+         s AS (SELECT doc_id,
+                      CASE WHEN len(toks) < 3 THEN [norm]
+                           ELSE [array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks) - 1)] END AS sh
+               FROM t),
+         h AS (SELECT doc_id,
+                      list_transform(sh, s -> {SQL_HASH32.format(v='s')}) AS hs,
+                      list_distinct(sh) AS dsh
+               FROM s),
+         sig AS (SELECT doc_id, dsh, {_sql_minhash_sig()} AS sig FROM h),
+         bands AS (SELECT doc_id, u.j AS band_idx,
+                          sig[2*u.j + 1] * {_BAND_MULT} + sig[2*u.j + 2] AS bh
+                   FROM sig CROSS JOIN (SELECT unnest(range({MINHASH_BANDS})) AS j) u),
+         pairs AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                   FROM bands a JOIN bands b
+                     ON a.band_idx = b.band_idx AND a.bh = b.bh
+                        AND a.doc_id < b.doc_id),
+         verified AS (SELECT ia, ib
+                      FROM pairs
+                      JOIN sig sa ON sa.doc_id = ia
+                      JOIN sig sb ON sb.doc_id = ib
+                      WHERE len(list_intersect(sa.dsh, sb.dsh))::DOUBLE
+                            / len(list_distinct(sa.dsh || sb.dsh)) >= 0.5),
+         losers AS (SELECT DISTINCT ib FROM verified)
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM documents) - (SELECT count(*) FROM losers) AS n_survivors,
+           (SELECT count(*) FROM losers) AS n_dropped
+    """,
+)

@@ -93,3 +93,20 @@ def test_hashtag_pipeline_incremental_second_batch(spark, tmp_path):
     users = {r["id"]: r for r in users_t.read().collect()}
     assert users["u-alice"]["updated_at"].date().isoformat() == "2021-01-01"
     assert users["u-zed"]["created_at"].date().isoformat() == "2021-01-02"
+
+
+def test_hashtag_pipeline_with_enrichment(spark, tmp_path):
+    posts_t, users_t, locations_t = tables(spark, tmp_path)
+    raw = parse(
+        spark,
+        [graphql_page("food", [gql_node("1", "AAA", 10, "kimchi fried rice kimchi dinner tonight")])],
+        S.RAW_TAG_PAGE_GRAPHQL,
+    )
+    d = parse(spark, [detail("AAA", "alice", None)], S.RAW_POST_DETAIL)
+    run_hashtag_batch(
+        spark, raw, None, d, None, posts_t, users_t, locations_t, batch_ts=T1, enrich=True
+    )
+    post = posts_t.read().collect()[0]
+    assert post["labels"] and all(50 <= l["confidence"] <= 100 for l in post["labels"])
+    assert post["topics"] and post["topics"][0]["name"] == "kimchi"
+    assert post["topics"][0]["confidence"] > post["topics"][-1]["confidence"] or len(post["topics"]) == 1
