@@ -124,8 +124,14 @@ def attach_topics(
         df = df.withColumn("__toks", stem_tokens(toks))
     else:
         df = df.withColumn("__toks", toks)
-    terms = drop_stop_tokens(F.col("__toks"), langs)
-    return df.withColumn(out_col, top_terms_col(terms, k, min_pct)).drop("__toks")
+    # stage the filtered terms as a real column: top_terms_col scans the
+    # term array once per distinct term, so the input must be a cheap
+    # attribute reference, not a filter expression re-run each scan
+    df = df.withColumn("__terms", drop_stop_tokens(F.col("__toks"), langs))
+    return (
+        df.withColumn(out_col, top_terms_col(F.col("__terms"), k, min_pct))
+        .drop("__toks", "__terms")
+    )
 
 
 def corpus_topics(

@@ -276,3 +276,27 @@ def with_minhash_signature(
         *[F.array_min(F.transform(base, perm(a, b))) for a, b in minhash_coefficients(k)]
     )
     return df.withColumn(out_col, sig).drop("__mh_norm", "__mh_toks", "__mh_base")
+
+
+def with_word_shingles(
+    df,
+    text_col: str,
+    out_col: str = "shingles",
+    n: int = 3,
+    distinct: bool = False,
+):
+    """DataFrame-level word shingles, staged like with_minhash_signature
+    so tokenization happens once per row (the expression form re-splits
+    per shingle element — O(tokens²) per row)."""
+    df = df.withColumn("__ws_norm", F.trim(F.lower(F.col(text_col))))
+    df = df.withColumn("__ws_toks", F.split(F.col("__ws_norm"), r"\s+"))
+    t = F.col("__ws_toks")
+    sh = F.when(F.size(t) < n, F.array(F.col("__ws_norm"))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+        )
+    )
+    if distinct:
+        sh = F.array_distinct(sh)
+    return df.withColumn(out_col, sh).drop("__ws_norm", "__ws_toks")

@@ -115,11 +115,20 @@ def near_dedup_minhash(
     id key.
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_words)
-    texts = df.select(F.col(id_col).alias("__tid"), F.col(text_col).alias("__text"))
+    # stage each doc's distinct shingle set ONCE, then verify on the
+    # materialized arrays — the expression form would re-tokenize both
+    # texts per candidate pair (O(tokens²) per pair)
+    shingled = T.with_word_shingles(
+        df.select(F.col(id_col), F.col(text_col)), text_col, "__sh", shingle_words, distinct=True
+    ).select(F.col(id_col), F.col("__sh"))
+    sh_a = shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sha")
+    sh_b = shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__shb")
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
     verified = (
-        cands.join(texts.withColumnRenamed("__tid", "id_a").withColumnRenamed("__text", "__ta"), "id_a")
-        .join(texts.withColumnRenamed("__tid", "id_b").withColumnRenamed("__text", "__tb"), "id_b")
-        .filter(shingle_jaccard(F.col("__ta"), F.col("__tb"), shingle_words) >= threshold)
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union) >= threshold)
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")

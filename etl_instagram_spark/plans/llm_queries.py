@@ -190,9 +190,12 @@ def docs_fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint distribution: docs per fp%16 bucket +
     distinct fingerprints (dup fingerprints ⇒ near-identical docs)."""
     docs = _t(spark, sf_dir, "documents")
-    fp = T.rolling_fingerprint(F.col("text"))
+    # stage fp once — referencing the expression twice (bucket + value)
+    # would run the md5-per-shingle pipeline twice per row
+    staged = docs.withColumn("fp", T.rolling_fingerprint(F.col("text")))
+    fp = F.col("fp")
     return (
-        docs.select((fp % 16).alias("fp_bucket"), fp.alias("fp"))
+        staged.select((fp % 16).alias("fp_bucket"), fp.alias("fp"))
         .groupBy("fp_bucket")
         .agg(
             F.count("*").alias("n_docs"),
@@ -980,5 +983,43 @@ oracle(
     SELECT (SELECT count(*) FROM documents) AS n_docs,
            (SELECT count(*) FROM documents) - (SELECT count(*) FROM losers) AS n_survivors,
            (SELECT count(*) FROM losers) AS n_dropped
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# events: exact percentiles per event type
+# ---------------------------------------------------------------------------
+
+
+@query("events_value_percentiles")
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles of value per event_type
+    (F.percentile — matches DuckDB quantile_cont). At scale swap for
+    percentile_approx (t-digest, mergeable, one pass) — the exact form
+    is the correctness oracle for that approximation."""
+    ev = _t(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(pcts[0], 4).alias("p50"),
+            F.round(pcts[1], 4).alias("p90"),
+            F.round(pcts[2], 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+oracle(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.9), 4)  AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
