@@ -1023,3 +1023,132 @@ oracle(
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# documents: simhash values (oracle mirrors the bit-vote construction)
+# ---------------------------------------------------------------------------
+
+
+def _sql_simhash32(hs_expr: str) -> str:
+    """32-bit SimHash in SQL: bit j set iff Σ_tokens ((h>>j)&1)*2-1 > 0.
+    Generated per-bit from the same definition as text._simhash32_from."""
+    bits = [
+        f"(CASE WHEN list_sum(list_transform({hs_expr}, "
+        f"h -> ((h >> {j}) & 1) * 2 - 1)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(32)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+@query("docs_simhash")
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash values for the first 100 docs — near-identical docs differ
+    in few bits (docs_minhash_bands' sibling signal; pairing strategy
+    lives in operators/dedup.simhash_candidates). Per-row expression,
+    zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    staged = docs.withColumn("sim", T.simhash(F.col("text")))
+    return staged.select(
+        "doc_id",
+        F.element_at("sim", 1).alias("sim_lo"),
+        F.element_at("sim", 2).alias("sim_hi"),
+    ).orderBy("doc_id")
+
+
+oracle(
+    "docs_simhash",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks
+               FROM documents WHERE doc_id < 100),
+         h AS (SELECT doc_id,
+                      list_transform(toks, x -> {SQL_HASH32.format(v='x')}) AS lo_h,
+                      list_transform(toks, x -> {SQL_HASH32.format(v="('s1:' || x)")}) AS hi_h
+               FROM t)
+    SELECT doc_id,
+           {_sql_simhash32('lo_h')} AS sim_lo,
+           {_sql_simhash32('hi_h')} AS sim_hi
+    FROM h ORDER BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# shared-SQL query: the engine's spark.sql surface, one SQL text both sides
+# ---------------------------------------------------------------------------
+
+_SHARED_SQL_BRAND_REVENUE = """
+    SELECT p.p_brand AS brand,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    ORDER BY brand
+"""
+
+
+@query("sql_brand_revenue")
+def sql_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: register the test tables as temp
+    views and run the EXACT same ANSI text the oracle runs — one string,
+    two engines. Catalyst's planning (broadcast part-side, partial agg)
+    is identical to the DataFrame version of this query."""
+    from etl_instagram_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL_BRAND_REVENUE)
+
+
+oracle("sql_brand_revenue", _SHARED_SQL_BRAND_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# events: native session_window (batch) vs gaps-and-islands oracle
+# ---------------------------------------------------------------------------
+
+
+@query("events_session_window_native")
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) in BATCH mode — the same
+    operator Structured Streaming uses for session state, so batch and
+    stream agree by construction. One shuffle on user_id; session merge
+    happens inside the aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+oracle(
+    "events_session_window_native",
+    """
+    WITH o AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, value,
+             lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP) AS prev
+      FROM events),
+    m AS (SELECT *,
+                 -- Spark's session window end is exclusive: a gap of
+                 -- exactly 30min starts a new session
+                 CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM o),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
