@@ -40,9 +40,16 @@ def main() -> int:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session startup
+    # warm the JVM, parquet footers, and OS page cache once so per-query
+    # numbers measure the queries, not session startup / cold IO
     spark.range(1).count()
+    from etl_instagram_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, SF_DIR, t).count()
+        except Exception:  # noqa: BLE001 — missing table is a query-time error
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():

@@ -59,13 +59,15 @@ def normalized_tokens(text: Column) -> Column:
 
 def drop_stop_tokens(tokens: Column, langs: tuple[str, ...] = ("es",)) -> Column:
     """F7: drop stopwords (EN+ES union per O6), single-char tokens, and
-    URL tokens (lda/index.js:40)."""
-    stops = F.array(*[F.lit(w) for w in stopwords.combined(langs)])
+    URL tokens (lda/index.js:40).
+
+    ``isin`` compiles to a hashed InSet — O(1) per token. An
+    ``array_contains(lit_array, t)`` formulation rebuilds the ~800-element
+    literal array per element evaluation (~10× slower per doc)."""
+    stops = stopwords.combined(langs)
     return F.filter(
         tokens,
-        lambda t: (F.length(t) > 1)
-        & ~t.startswith("http")
-        & ~F.array_contains(stops, t),
+        lambda t: (F.length(t) > 1) & ~t.startswith("http") & ~t.isin(*stops),
     )
 
 

@@ -134,14 +134,13 @@ def _simhash32_from(hashes: Column) -> Column:
         F.array_repeat(F.lit(0).cast("long"), 32),
         lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
     )
+    # fold bits via zip_with so `totals` is referenced ONCE — indexing it
+    # per bit would re-run the whole vote aggregation 32 times per row
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
     return F.aggregate(
-        F.sequence(F.lit(0), F.lit(31)),
+        F.zip_with(totals, powers, lambda t, p: F.when(t > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.when(
-            F.element_at(totals, (j + 1).cast("int")) > 0,
-            F.pow(F.lit(2.0), j).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+        lambda acc, x: acc + x,
     )
 
 

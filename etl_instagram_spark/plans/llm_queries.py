@@ -60,6 +60,18 @@ def _sql_detect_language() -> str:
     return f"CASE {arms} ELSE 'und' END"
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row kernels can use every core: small local
+    test files are a single parquet row group → one partition → one core.
+    Repartition ONLY when the scan's parallelism is far below the
+    cluster's (at 100 TB the file count provides natural parallelism and
+    this is a no-op; locally it turns a 1-core text scan into 32)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # documents: token stats
 # ---------------------------------------------------------------------------
@@ -69,7 +81,7 @@ def _sql_detect_language() -> str:
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token/char statistics (training-data profiling).
     Single scan → partial agg; 20 groups."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     n_tok = T.token_count(F.col("text"))
     return (
         docs.groupBy("source")
@@ -107,7 +119,7 @@ oracle(
 def docs_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labelled-vs-detected language confusion counts (n-gram-heuristic
     language ID over marker stopwords)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return (
         docs.withColumn("detected", T.detect_language(F.col("text")))
         .groupBy("lang", "detected")
@@ -135,7 +147,7 @@ oracle(
 def docs_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter profile: docs per score band (the distribution a
     training-data filter thresholds against)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     q = T.quality_score(F.col("text"))
     band = (
         F.when(q < 0.25, "q0_low")
@@ -189,7 +201,7 @@ oracle(
 def docs_fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint distribution: docs per fp%16 bucket +
     distinct fingerprints (dup fingerprints ⇒ near-identical docs)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     # stage fp once — referencing the expression twice (bucket + value)
     # would run the md5-per-shingle pipeline twice per row
     staged = docs.withColumn("fp", T.rolling_fingerprint(F.col("text")))
@@ -232,7 +244,7 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate audit per source: docs vs distinct content hashes.
     The hash-groupBy IS the dedup plan at 100 TB — one shuffle on a
     32-byte key, AQE handles skewed dup clusters."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return (
         docs.select("source", F.md5(F.col("text")).alias("h"))
         .groupBy("source")
@@ -275,7 +287,7 @@ def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Signature built via the staged kernel (one md5 pass per row, not one
     per permutation — 35× faster at sf0.1)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     staged = T.with_minhash_signature(docs, "text", "sig", k=MINHASH_K)
     sig = F.col("sig")
     bands = F.array(
@@ -353,7 +365,7 @@ def emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-10 cosine neighbors of vec_id=0. One scan, the
     query vector broadcast as a 1-row dimension, TakeOrderedAndProject —
     no shuffle of the embedding column; the at-scale baseline ANN."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     qv = emb.filter(F.col("vec_id") == 0).select(
         _as_double(F.col("embedding")).alias("qv")
     )
@@ -395,7 +407,7 @@ oracle(
 def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats (norm + first-dim mean): array math profile
     of the embedding table."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     v = _as_double(F.col("embedding"))
     return (
         emb.select("label", F.sqrt(_dot(v, v)).alias("nrm"), v[0].alias("d1"))
@@ -470,7 +482,7 @@ def _sql_bucket() -> str:
 def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram — the partition-pruning
     profile for bucketed ANN (each query probes ~1/2^bits of the table)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return (
         emb.select(_bucket_col().alias("bucket"))
         .groupBy("bucket")
@@ -493,7 +505,7 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: top-5 cosine neighbors of vec_id=0 among vectors in
     its LSH bucket. The bucket filter is the scan-pruning scale path
     (at 100 TB the table is partitioned/bucketed by this value)."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_col())
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).withColumn("bucket", _bucket_col())
     q = emb.filter(F.col("vec_id") == 0).select(
         _as_double(F.col("embedding")).alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -544,7 +556,7 @@ def docs_top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_instagram_spark.enrich.topics import drop_stop_tokens, normalized_tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     terms = docs.select(
         "lang",
         F.explode(drop_stop_tokens(normalized_tokens(F.col("text")), langs=("en",))).alias("term"),
@@ -826,7 +838,7 @@ def docs_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranking — it's all array HOFs inside the projection."""
     from etl_instagram_spark.enrich.topics import attach_topics
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).filter(F.col("doc_id") < 50)
     topical = attach_topics(docs, text_col=F.col("text"), stem=False, langs=("en",))
     return (
         topical.select("doc_id", F.posexplode("topics").alias("pos", "t"))
@@ -940,7 +952,7 @@ def docs_near_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup operator, not just its kernels."""
     from etl_instagram_spark.operators.dedup import near_dedup_minhash
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     n_docs = docs.count()
     survivors = near_dedup_minhash(
         docs, "doc_id", "text", threshold=0.5, k=MINHASH_K, bands=MINHASH_BANDS
@@ -1047,7 +1059,7 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     in few bits (docs_minhash_bands' sibling signal; pairing strategy
     lives in operators/dedup.simhash_candidates). Per-row expression,
     zero shuffle."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).filter(F.col("doc_id") < 100)
     staged = docs.withColumn("sim", T.simhash(F.col("text")))
     return staged.select(
         "doc_id",

@@ -120,3 +120,24 @@ def test_put_blobs_local_client(spark, tmp_path):
     assert sorted(os.listdir(root)) == ["aa.jpg", "bb.jpg"]
     with open(os.path.join(root, "aa.jpg"), "rb") as f:
         assert f.read() == b"bytes-a"
+
+
+def test_engine_config_from_env():
+    import pytest
+
+    from etl_instagram_spark.config import ConfigError, EngineConfig
+
+    cfg = EngineConfig.from_env({"ETL_ENV": "production", "ETL_HASHTAGS": "food, travel"})
+    assert cfg.hashtags == ("food", "travel")
+    assert cfg.dev_limit is None and cfg.fetch_interval_s == 10.0
+    assert cfg.followers_per_run == 10
+
+    dev = EngineConfig.from_env({})
+    assert dev.dev_limit == 1 and dev.fetch_interval_s == 1.0  # P14/E4 dev mode
+
+    with pytest.raises(ConfigError):
+        EngineConfig.from_env({"ETL_ENV": "staging"})
+    with pytest.raises(ConfigError):
+        EngineConfig.from_env({"ETL_FOLLOWERS_PER_RUN": "zero"})
+    with pytest.raises(ConfigError):
+        EngineConfig.from_env({"ETL_MAX_LABELS": "1000"})
