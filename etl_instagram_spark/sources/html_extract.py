@@ -16,6 +16,7 @@ fits executor memory.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from html.parser import HTMLParser
 
@@ -207,3 +208,23 @@ def extract_rate_rows(pages: DataFrame, html_col: str = "html") -> DataFrame:
 
     nested = _extract_udtf(pages, html_col, parse_one, RATE_ROW_DDL, "rows")
     return _flatten(nested, "rows", ["entity", "url", "buy", "sell"])
+
+
+def extract_embedded_json(
+    pages: DataFrame,
+    html_col: str = "html",
+    marker: str = "window._sharedData",
+    out_col: str = "raw_json",
+) -> DataFrame:
+    """S3/S4: pull the page-embedded JSON blob (the reference reads
+    ``window._sharedData.entry_data...`` after running page scripts in
+    JSDOM, posts-from-hashtags.js:111-128; extend-followers.js:43-48).
+    The blob sits in a ``<script>`` as ``window._sharedData = {...};`` —
+    a JVM-side regexp_extract, no Python, no DOM:
+
+        marker = {json};</script>   →   {json}
+
+    Feed the result to ``sources.tables.parse_json_pages`` with the
+    matching raw-shape schema."""
+    pattern = re.escape(marker) + r"\s*=\s*(\{.*?\});?\s*</script>"
+    return pages.withColumn(out_col, F.regexp_extract(F.col(html_col), pattern, 1))
