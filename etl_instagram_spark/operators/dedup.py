@@ -167,3 +167,64 @@ def simhash_candidates(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def near_dedup_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.97,
+    bits: int = 8,
+    multi_probe_hamming: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-dup dedup: drop rows whose vector is within
+    ``threshold`` cosine of a smaller-id row.
+
+    Candidates come from hyperplane-LSH buckets (plus Hamming-adjacent
+    buckets for recall) — never an all-pairs join; the exact cosine
+    verify runs only inside buckets. Same survivor semantics as
+    near_dedup_minhash (single-pass, keep-smallest-id).
+    """
+    from etl_instagram_spark.operators.similarity import (
+        as_double,
+        cosine,
+        hyperplane_signs,
+        lsh_bucket,
+    )
+
+    first_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first_row is None:
+        return df
+    planes = hyperplane_signs(bits, first_row["d"])
+    bucketed = df.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+        lsh_bucket(vec_col, planes).alias("__b"),
+    )
+    if multi_probe_hamming > 0:
+        # probe adjacent buckets by replicating each row into every
+        # bucket within the Hamming radius (dim side of the self-join)
+        offsets = [
+            b for b in range(1 << bits) if bin(b).count("1") <= multi_probe_hamming
+        ]
+        probed = bucketed.withColumn(
+            "__pb",
+            F.explode(F.array(*[F.col("__b").bitwiseXOR(F.lit(o)) for o in offsets])),
+        )
+    else:
+        probed = bucketed.withColumn("__pb", F.col("__b"))
+
+    a = bucketed.alias("a")
+    b = probed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__b") == F.col("b.__pb")) & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        cosine(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+    ).distinct()
+    losers = pairs.filter(F.col("cos") >= threshold).select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

@@ -236,8 +236,16 @@ class MergeTable:
         with open(snap, encoding="utf-8") as f:
             return json.load(f)["files"]
 
-    def read(self) -> DataFrame:
-        files = self._manifest_files()
+    def read(self, snapshot: str | None = None) -> DataFrame:
+        """Read the current snapshot, or a named one from
+        ``list_snapshots()`` — manifest-based time travel: old manifests
+        keep referencing their (immutable) data files until vacuum."""
+        if snapshot is None:
+            files = self._manifest_files()
+        else:
+            mpath = os.path.join(self.path, "manifests", snapshot + ".json")
+            with open(mpath, encoding="utf-8") as f:
+                files = json.load(f)["files"]
         if not files:
             raise FileNotFoundError(f"MergeTable at {self.path} has no snapshot yet")
         paths = [os.path.join(self.path, f["path"]) for f in files]

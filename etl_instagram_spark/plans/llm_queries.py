@@ -1164,3 +1164,54 @@ oracle(
     ORDER BY user_id, session_start
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# documents ⋈ embeddings: cross-modal quality/label profile
+# ---------------------------------------------------------------------------
+
+
+@query("docs_emb_crossmodal")
+def docs_emb_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join the text and vector modalities (doc_id = vec_id): per
+    embedding label, doc count, mean text-quality score, mean vector
+    norm. The canonical training-data audit — 'are low-quality docs
+    clustered in embedding space?'. Equi-join on the id; at scale both
+    tables are bucketed by id so the join is co-located."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    joined = docs.withColumn("q", T.quality_score(F.col("text"))).join(
+        emb.withColumn("nrm", F.sqrt(dot)), docs["doc_id"] == emb["vec_id"]
+    )
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+oracle(
+    "docs_emb_crossmodal",
+    f"""
+    WITH dq AS (
+      SELECT doc_id, q FROM (
+        SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents
+      ) t CROSS JOIN LATERAL (SELECT {_SQL_QUALITY} AS q) s),
+    en AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings)
+    SELECT label,
+           count(*) AS n_docs,
+           round(avg(q), 4) AS avg_quality,
+           round(avg(nrm), 4) AS avg_norm
+    FROM dq JOIN en ON dq.doc_id = en.vec_id
+    GROUP BY label ORDER BY label
+    """,
+)

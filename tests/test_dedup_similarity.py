@@ -112,3 +112,18 @@ def test_ann_multi_probe_raises_recall(spark):
     }
     assert single <= multi
     assert multi == {0, 1, 2, 3, 4}  # hamming=bits probes every bucket
+
+
+def test_near_dedup_embeddings_drops_planted_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),  # near-identical to 0 → dropped
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = D.near_dedup_embeddings(df, "vec_id", "embedding", threshold=0.99, bits=4)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 2, 3]
+    # idempotent: running again on the survivors changes nothing
+    again = D.near_dedup_embeddings(out, "vec_id", "embedding", threshold=0.99, bits=4)
+    assert sorted(r["vec_id"] for r in again.collect()) == [0, 2, 3]

@@ -181,3 +181,12 @@ def test_vacuum_garbage_collects_unreferenced_files(spark, tmp_path):
             if name.endswith(".parquet"):
                 on_disk.add(_os.path.join("data", commit, name))
     assert on_disk == referenced
+
+
+def test_time_travel_read(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"), "id", order_by="v")
+    t.upsert(spark.createDataFrame([(1, "a")], "id long, v string"))
+    snap1 = t.list_snapshots()[-1]
+    t.upsert(spark.createDataFrame([(1, "b"), (2, "c")], "id long, v string"))
+    assert sorted(r["v"] for r in t.read().collect()) == ["b", "c"]
+    assert [r["v"] for r in t.read(snapshot=snap1).collect()] == ["a"]  # time travel
