@@ -111,3 +111,73 @@ def ann_lsh_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def fit_ivf_centroids(
+    df: DataFrame, vec_col: str = "embedding", n_clusters: int = 16, seed: int = 42
+) -> list[list[float]]:
+    """Fit IVF coarse centroids with seeded KMeans (pyspark.ml). At scale
+    fit on a sample once and reuse the centroids across queries — the
+    centroid list is O(n_clusters · dim), driver-sized by design."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(as_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed).fit(feats)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def _nearest_centroids(query_vec: list[float], centroids: list[list[float]], n_probe: int) -> list[int]:
+    def sqdist(c):
+        return sum((x - y) ** 2 for x, y in zip(query_vec, c))
+
+    order = sorted(range(len(centroids)), key=lambda i: sqdist(centroids[i]))
+    return order[:n_probe]
+
+
+def _assign_cell(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Cell id = argmin squared distance to the centroids — a pure column
+    expression over the literal centroid arrays (no model object shipped
+    to executors, no UDF)."""
+    v = as_double(F.col(vec_col))
+    best_cell = F.lit(0)
+    best_dist = None
+    for i, c in enumerate(centroids):
+        w = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, w, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
+        )
+        if best_dist is None:
+            best_dist = d
+        else:
+            cond = d < best_dist
+            best_cell = F.when(cond, F.lit(i)).otherwise(best_cell)
+            best_dist = F.when(cond, d).otherwise(best_dist)
+    return best_cell
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` cells whose centroids
+    are nearest the query, exact cosine rank within the probed cells.
+
+    Scale path: the table is written partitioned by cell id, so the probe
+    filter becomes partition pruning (reads n_probe/n_clusters of the
+    data); raising n_probe trades scan for recall, same plan shape."""
+    probes = _nearest_centroids(query_vec, centroids, n_probe)
+    v = as_double(F.col(vec_col))
+    q = _query_lit(query_vec)
+    return (
+        df.withColumn("__cell", _assign_cell(vec_col, centroids))
+        .filter(F.col("__cell").isin(probes))
+        .select(id_col, F.round(cosine(v, q), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_instagram_spark.operators.merge import MergeTable, anti_join_new, dedup_latest
+from etl_instagram_spark.operators.metrics import observed
 from etl_instagram_spark.operators.projections import (
     drop_blocklisted,
     posts_from_graphql,
@@ -80,7 +81,9 @@ def run_hashtag_batch(
     # J3: only NEW posts pay for enrichment (posts-from-hashtags.js:295-300)
     if posts_table.exists():
         posts = anti_join_new(posts, posts_table.read(), "id")
-    n_new = posts.count()
+    # A5 counters as observations: they ride the upsert's action instead
+    # of costing extra count() passes over the batch lineage
+    posts, obs_new = observed(posts, "new_posts")
 
     # J1 + P13: attach author; drop detail-less posts (posts-from-hashtags.js:304-307)
     details = user_from_detail(post_details)
@@ -90,7 +93,10 @@ def run_hashtag_batch(
     )
     # P12 blocklist (posts-from-hashtags.js:287-289)
     posts = drop_blocklisted(posts, blocklist)
-    n_kept = posts.count()
+    posts, obs_kept = observed(posts, "kept_posts")
+    # cache the pruned batch: users + posts upserts both consume it, and
+    # the cache makes the observations fire exactly once (on materialize)
+    posts = posts.cache()
 
     # J2: location dimension — insert unseen ids (W5 append-after-anti),
     # then attach the struct
@@ -142,4 +148,9 @@ def run_hashtag_batch(
         out = out.withColumn("labels", _empty_labels()).withColumn("topics", _empty_labels())
     posts_table.upsert(out, batch_ts=batch_ts)
 
-    return {"new_posts": n_new, "kept_posts": n_kept}
+    stats = {
+        "new_posts": int(obs_new.get["n_rows"]),
+        "kept_posts": int(obs_kept.get["n_rows"]),
+    }
+    posts.unpersist()
+    return stats

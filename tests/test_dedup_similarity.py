@@ -127,3 +127,27 @@ def test_near_dedup_embeddings_drops_planted_dup(spark):
     # idempotent: running again on the survivors changes nothing
     again = D.near_dedup_embeddings(out, "vec_id", "embedding", threshold=0.99, bits=4)
     assert sorted(r["vec_id"] for r in again.collect()) == [0, 2, 3]
+
+
+def test_ann_ivf_topk_recall(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):  # two well-separated clusters
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    centroids = S.fit_ivf_centroids(df, n_clusters=2, seed=11)
+    assert len(centroids) == 2 and len(centroids[0]) == 4
+
+    query = [1.0, 0.01, 0.0, 0.0]
+    ivf = [r["vec_id"] for r in S.ann_ivf_topk(df, query, centroids, k=5, n_probe=1).collect()]
+    brute = [r["vec_id"] for r in S.cosine_topk(df, query, k=5).collect()]
+    # probing the single nearest cell recovers the exact top-5 (clusters
+    # are well separated)
+    assert ivf == brute
+    # probing both cells is always exhaustive
+    full = [r["vec_id"] for r in S.ann_ivf_topk(df, query, centroids, k=5, n_probe=2).collect()]
+    assert full == brute
