@@ -29,10 +29,10 @@ directory swapped atomically):
 Scale notes (100 TB): all operators are single-shuffle on the merge key.
 For a large fact table the anti-join side should be key-pruned first
 (partition the physical table by ingest date / source so the scan prunes);
-the incoming batch is typically small → broadcast left-anti. ``upsert``
-rewrites only the union's partitions when the physical layout is
-partitioned; with Delta/Iceberg available, swap `MergeTable.write` for
-MERGE INTO without touching callers.
+the incoming batch is typically small → broadcast left-anti.
+``MergeTable`` (below) persists these semantics as a manifest-based file
+store with key-range file pruning; with Delta/Iceberg available, swap it
+for MERGE INTO without touching callers.
 """
 
 from __future__ import annotations
