@@ -93,3 +93,27 @@ def salted_join(
     )
     out = salted_fact.join(salted_dim, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: str | Sequence[str]) -> None:
+    """Hive-style partitioned parquet layout (the engine's standing
+    advice for posts-by-source/date and rates-by-day): filters on the
+    partition columns become directory pruning — the scan never lists,
+    let alone reads, the other partitions."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def partition_filter_count(df: DataFrame) -> int:
+    """Number of partition filters the scan applies (>=1 proves pruning)."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    if not m or not m.group(1).strip():
+        return 0
+    return m.group(1).count(",") + 1

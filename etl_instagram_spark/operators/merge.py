@@ -391,6 +391,18 @@ class MergeTable:
             remaining = delete_by_key(self._read_files(overlapping), tombstones, self.keys)
             self._commit_manifest(carried + self._write_data(remaining))
 
+    def compact(self, target_files: int | None = None) -> None:
+        """Rewrite the current snapshot into ``target_files`` files (the
+        small-files fix for append-heavy tables: many O(batch) appends →
+        many tiny files → scan/task overhead). One job, one new manifest;
+        old files are GC'd by the next vacuum."""
+        if not self.exists():
+            return
+        df = self.read()
+        if target_files is not None:
+            df = df.coalesce(target_files)
+        self._commit_manifest(self._write_data(df))
+
     def vacuum(self, keep: int = 2) -> None:
         """Drop all but the newest ``keep`` manifests (never the current),
         then garbage-collect data files no remaining manifest references."""

@@ -1,0 +1,74 @@
+"""Tests: multi-format landing reads with corrupt-record dead-letter,
+MergeTable compaction, and partition-pruning proof."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.operators.layout import partition_filter_count, write_partitioned
+from etl_instagram_spark.operators.merge import MergeTable
+from etl_instagram_spark.sources.formats import read_landing, split_corrupt
+
+EVENT_DDL = "event_id LONG, event_type STRING, value DOUBLE"
+
+
+def test_read_landing_json_with_corrupt_rows(spark, tmp_path):
+    path = tmp_path / "landing"
+    path.mkdir()
+    with open(path / "a.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"event_id": 1, "event_type": "click", "value": 1.5}) + "\n")
+        f.write("{this is not json at all\n")
+        f.write(json.dumps({"event_id": 2, "event_type": "view", "value": 2.0}) + "\n")
+    df = read_landing(spark, str(path), "json", EVENT_DDL)
+    clean, dead = split_corrupt(df)
+    assert sorted(r["event_id"] for r in clean.collect()) == [1, 2]
+    assert "_corrupt_record" not in clean.columns
+    dead_rows = dead.collect()
+    assert len(dead_rows) == 1 and "not json" in dead_rows[0]["_corrupt_record"]
+
+
+def test_read_landing_csv_with_bad_cast(spark, tmp_path):
+    path = tmp_path / "csv"
+    path.mkdir()
+    with open(path / "r.csv", "w", encoding="utf-8") as f:
+        f.write("event_id,event_type,value\n")
+        f.write("1,click,1.5\n")
+        f.write("oops,view,not-a-number\n")
+    clean, dead = split_corrupt(read_landing(spark, str(path), "csv", EVENT_DDL))
+    assert [r["event_id"] for r in clean.collect()] == [1]
+    assert dead.count() == 1
+
+
+def test_merge_table_compact_reduces_files(spark, tmp_path):
+    import json as _json
+
+    t = MergeTable(spark, str(tmp_path / "t"), "id", order_by="v")
+    for i in range(5):  # five appends → ≥5 small files
+        t.append(spark.createDataFrame([(i, "x")], "id long, v string"))
+    before = len(_json.load(open(t.current_snapshot()))["files"])
+    assert before >= 5
+    t.compact(target_files=1)
+    after = len(_json.load(open(t.current_snapshot()))["files"])
+    assert after == 1
+    assert t.read().count() == 5  # content unchanged
+    t.vacuum(keep=1)  # old small files GC'd
+    assert t.read().count() == 5
+
+
+def test_write_partitioned_prunes(spark, tmp_path, sf_smoke):
+    from etl_instagram_spark.sources.tables import load_table
+
+    path = str(tmp_path / "events_by_type")
+    events = load_table(spark, sf_smoke, "events")
+    write_partitioned(events, path, "event_type")
+
+    pruned = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    assert partition_filter_count(pruned) >= 1  # filter hits the directory layout
+
+    # pruning is also observable in the data read: partition dirs exist
+    dirs = [d for d in os.listdir(path) if d.startswith("event_type=")]
+    assert len(dirs) > 1
+    assert pruned.count() == events.filter(F.col("event_type") == "click").count()
