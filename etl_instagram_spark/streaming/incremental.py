@@ -161,3 +161,17 @@ def windowed_event_counts(
             F.col("sum_value"),
         )
     )
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: duplicates of a key are
+    dropped as long as they arrive within the watermark horizon; state
+    for older keys is evicted. The streaming face of the dedup family —
+    at-least-once sources (Kafka, retried file drops) become effectively
+    exactly-once rows without unbounded key state."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

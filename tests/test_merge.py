@@ -190,3 +190,30 @@ def test_time_travel_read(spark, tmp_path):
     t.upsert(spark.createDataFrame([(1, "b"), (2, "c")], "id long, v string"))
     assert sorted(r["v"] for r in t.read().collect()) == ["b", "c"]
     assert [r["v"] for r in t.read(snapshot=snap1).collect()] == ["a"]  # time travel
+
+
+def test_commit_failure_leaves_previous_snapshot_intact(spark, tmp_path, monkeypatch):
+    """Atomicity: a crash after data-file write but before the pointer
+    swap must leave readers on the previous snapshot."""
+    t = MergeTable(spark, str(tmp_path / "t"), "id", order_by="v")
+    t.upsert(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    import etl_instagram_spark.operators.merge as merge_mod
+
+    real_replace = merge_mod.os.replace
+
+    def exploding_replace(src, dst):
+        if dst.endswith("_CURRENT"):
+            raise OSError("simulated crash before pointer swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(merge_mod.os, "replace", exploding_replace)
+    with pytest.raises(OSError):
+        t.upsert(spark.createDataFrame([(1, "b")], "id long, v string"))
+    monkeypatch.undo()
+
+    # reader still sees the old committed state
+    assert [r["v"] for r in t.read().collect()] == ["a"]
+    # and a retry succeeds cleanly
+    t.upsert(spark.createDataFrame([(1, "b")], "id long, v string"))
+    assert [r["v"] for r in t.read().collect()] == ["b"]

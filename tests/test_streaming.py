@@ -112,3 +112,27 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     }
     assert rows[("2021-01-01T00:00:00", "click")] == (2, 3.0)
     assert rows[("2021-01-01T01:00:00", "view")] == (1, 5.0)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from etl_instagram_spark.streaming.incremental import stream_dedup_within_watermark
+
+    landing = tmp_path / "dups"
+    write_json(landing / "b1.json", [
+        {"event_id": 1, "ts": "2021-01-01T00:00:00Z", "value": 1.0},
+        {"event_id": 1, "ts": "2021-01-01T00:05:00Z", "value": 1.0},  # dup within watermark
+        {"event_id": 2, "ts": "2021-01-01T00:10:00Z", "value": 2.0},
+    ])
+    stream = spark.readStream.schema("event_id LONG, ts TIMESTAMP, value DOUBLE").json(str(landing))
+    deduped = stream_dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]  # dup dropped
