@@ -1215,3 +1215,131 @@ oracle(
     GROUP BY label ORDER BY label
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# relational round-out: listagg, EXCEPT ALL, unpivot, full outer
+# ---------------------------------------------------------------------------
+
+
+@query("nation_customer_listagg")
+def nation_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation: first five customer names per nation,
+    deterministically sorted then joined — the listagg surface."""
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        cu.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_list("c_name")), 1, 5)
+            ).alias("first_names"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+oracle(
+    "nation_customer_listagg",
+    """
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           array_to_string((list(c_name ORDER BY c_name))[1:5], ',') AS first_names
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+
+
+@query("priorities_except_all")
+def priorities_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference): 1996 order-priority occurrences
+    minus 1997's — each surplus occurrence survives, unlike EXCEPT."""
+    od = _t(spark, sf_dir, "orders")
+    y96 = od.filter(F.year("o_orderdate") == 1996).select("o_orderpriority")
+    y97 = od.filter(F.year("o_orderdate") == 1997).select("o_orderpriority")
+    return (
+        y96.exceptAll(y97)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("surplus"))
+        .orderBy("o_orderpriority")
+    )
+
+
+oracle(
+    "priorities_except_all",
+    """
+    WITH diff AS (
+      SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997)
+    SELECT o_orderpriority, count(*) AS surplus
+    FROM diff GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+
+@query("part_metrics_unpivot")
+def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): per-part numeric metrics as (metric, value)
+    rows — Catalyst Expand, one pass, no shuffle."""
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return (
+        pa.select(
+            "p_partkey",
+            F.col("p_retailprice").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+oracle(
+    "part_metrics_unpivot",
+    """
+    SELECT p_partkey, metric, value
+    FROM (SELECT p_partkey,
+                 p_retailprice AS retailprice,
+                 p_size::DOUBLE AS size
+          FROM part WHERE p_partkey <= 100)
+    UNPIVOT (value FOR metric IN (retailprice, size))
+    ORDER BY p_partkey, metric
+    """,
+)
+
+
+@query("nation_customers_suppliers_full")
+def nation_customers_suppliers_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER between two aggregates: nations ranked by customer and
+    supplier counts, keeping nations present on either side only."""
+    cu = _t(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_customers")
+    )
+    su = _t(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return (
+        cu.join(su, on="nk", how="full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+oracle(
+    "nation_customers_suppliers_full",
+    """
+    WITH cu AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+                FROM customer GROUP BY c_nationkey),
+         su AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+                FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(cu.nk, su.nk) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM cu FULL OUTER JOIN su ON cu.nk = su.nk
+    ORDER BY nationkey
+    """,
+)
