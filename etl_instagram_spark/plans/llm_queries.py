@@ -1343,3 +1343,106 @@ oracle(
     ORDER BY nationkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# window-frame variants: RANGE rolling window, ntile quartiles
+# ---------------------------------------------------------------------------
+
+
+@query("customer_rolling_30d_revenue")
+def customer_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: per customer, revenue in the 30 days
+    up to each order (value-based frame, not row-based — late/sparse
+    orders widen correctly). Partitioned by the high-cardinality customer
+    key; frame state is bounded by the 30-day horizon."""
+    from pyspark.sql import Window
+
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    day_num = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_num)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        day_num.alias("day_num"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_30d_revenue"),
+    ).orderBy("o_custkey", "day_num", "o_orderkey")
+
+
+oracle(
+    "customer_rolling_30d_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           datediff('day', DATE '1992-01-01', o_orderdate::DATE) AS day_num,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1992-01-01', o_orderdate::DATE)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rolling_30d_revenue
+    FROM orders WHERE o_custkey <= 100
+    ORDER BY o_custkey, day_num, o_orderkey
+    """,
+)
+
+
+@query("customer_revenue_quartiles")
+def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue quartiles the scale-correct way: percentile BOUNDARIES
+    (one tiny aggregate) broadcast into a CASE bucket assignment — no
+    global ntile window, which would funnel every row through a single
+    partition (WindowExec warns exactly that). Same two-pass shape at
+    any scale; swap percentile→percentile_approx for one-pass sketches."""
+    od = _t(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    pcts = F.percentile("revenue", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    bounds = per_cust.agg(
+        pcts[0].alias("b1"), pcts[1].alias("b2"), pcts[2].alias("b3")
+    )
+    quartile = (
+        F.when(F.col("revenue") <= F.col("b1"), 1)
+        .when(F.col("revenue") <= F.col("b2"), 2)
+        .when(F.col("revenue") <= F.col("b3"), 3)
+        .otherwise(4)
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(bounds))
+        .select(quartile.alias("quartile"), "revenue")
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("revenue"), 2).alias("min_revenue"),
+            F.round(F.max("revenue"), 2).alias("max_revenue"),
+        )
+        .orderBy("quartile")
+    )
+
+
+oracle(
+    "customer_revenue_quartiles",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey),
+    bounds AS (
+      SELECT quantile_cont(revenue, 0.25) AS b1,
+             quantile_cont(revenue, 0.5)  AS b2,
+             quantile_cont(revenue, 0.75) AS b3
+      FROM per_cust),
+    bucketed AS (
+      SELECT CASE WHEN revenue <= b1 THEN 1
+                  WHEN revenue <= b2 THEN 2
+                  WHEN revenue <= b3 THEN 3
+                  ELSE 4 END AS quartile,
+             revenue
+      FROM per_cust CROSS JOIN bounds)
+    SELECT quartile, count(*) AS n_customers,
+           round(min(revenue), 2) AS min_revenue,
+           round(max(revenue), 2) AS max_revenue
+    FROM bucketed GROUP BY quartile ORDER BY quartile
+    """,
+)
