@@ -1,0 +1,49 @@
+"""Guards on the driver contract (__spark_entry__): every query has an
+oracle with IDENTICAL column aliases (the driver hash-compares sorted-by-
+name columns, so alias drift silently fails the gate), entry() smokes,
+and bench's output helper parses scale factors."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def test_queries_and_oracles_pair_up():
+    qs, oq = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oq) <= set(qs)
+    # every current query is oracle-gated (none fall back to rows-only)
+    assert set(oq) == set(qs)
+    assert len(qs) >= 50
+
+
+def test_column_aliases_match_oracle(spark, sf_smoke):
+    """Spark schema (no execution) vs DuckDB result columns, per query."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_smoke}/{t}.parquet'")
+    mismatches = []
+    for name, fn in entry_mod.queries().items():
+        spark_cols = sorted(fn(spark, sf_smoke).columns)
+        duck_cols = sorted(con.sql(entry_mod.oracle_sql()[name]).columns)
+        if spark_cols != duck_cols:
+            mismatches.append((name, spark_cols, duck_cols))
+    assert not mismatches, mismatches
+
+
+def test_entry_smokes(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_bench_sf_parser():
+    import bench
+
+    assert bench.sf_from_dir("/root/testdata/sf0.1") == pytest.approx(0.1)
+    assert bench.sf_from_dir("/x/sf0.001/") == pytest.approx(0.001)
+    assert bench.sf_from_dir("/weird/dir") == -1.0
