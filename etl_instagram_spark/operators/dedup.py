@@ -47,16 +47,44 @@ def minhash_signature(df: DataFrame, text_col: str, k: int = 16, shingle_words: 
     return T.with_minhash_signature(df, text_col, "minhash_sig", k, shingle_words)
 
 
+# For rows-per-band ≤ 2 the band hash is the exact (injective) base-2^31
+# digit pack: sig values are < HASH_PRIME < 2^31, so hi*2^31 + lo < 2^62
+# fits int64 with zero collisions. For rows > 2 that pack overflows int64
+# (pyspark 4 ANSI mode throws ARITHMETIC_OVERFLOW), so we fold modularly:
+# h = (h*MULT + sig) % HASH_PRIME, mirroring functions.text.affine_hash.
+# Intermediate magnitude is < HASH_PRIME * MULT ≈ 2^51 — always safe.
+_BAND_FOLD_MULT = 1_000_003
+
+
 def _band_hashes(sig: Column, k: int, bands: int) -> Column:
     rows = k // bands
-    mult = 2**31
     out = []
     for j in range(bands):
         h = sig[j * rows]
-        for r in range(1, rows):
-            h = h * mult + sig[j * rows + r]
+        if rows == 2:
+            h = h * F.lit(2**31) + sig[j * rows + 1]
+        elif rows > 2:
+            for r in range(1, rows):
+                h = (h * F.lit(_BAND_FOLD_MULT) + sig[j * rows + r]) % F.lit(T.HASH_PRIME)
         out.append(h)
     return F.array(*out)
+
+
+def band_hash_sql(sig_expr: str, k: int, bands: int) -> str:
+    """DuckDB expression list mirroring :func:`_band_hashes` exactly —
+    oracle SQL for any (k, bands) is generated from the same formula so
+    Spark and the oracle can never drift."""
+    rows = k // bands
+    exprs = []
+    for j in range(bands):
+        h = f"CAST({sig_expr}[{j * rows + 1}] AS BIGINT)"
+        if rows == 2:
+            h = f"({h} * {2**31} + {sig_expr}[{j * rows + 2}])"
+        elif rows > 2:
+            for r in range(1, rows):
+                h = f"(({h} * {_BAND_FOLD_MULT} + {sig_expr}[{j * rows + r + 1}]) % {T.HASH_PRIME})"
+        exprs.append(h)
+    return "[" + ", ".join(exprs) + "]"
 
 
 def minhash_lsh_candidates(

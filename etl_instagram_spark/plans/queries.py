@@ -175,15 +175,17 @@ def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q3_unshipped_revenue")
 def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: dimension-filtered 3-way join + agg + top-10.
-    Scale: customer filter broadcast into orders; orders⋈lineitem is the
-    only big shuffle (bucket both by orderkey on a real cluster); final
-    top-10 is TakeOrderedAndProject — no global sort."""
+    Scale: no broadcast hint on customer — the BUILDING filter keeps a
+    constant *fraction* of a table that grows with SF, so a static hint
+    OOMs at 100×; AQE broadcasts it at runtime only while it fits.
+    orders⋈lineitem is the only big shuffle (bucket both by orderkey on a
+    real cluster); final top-10 is TakeOrderedAndProject — no global sort."""
     cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     od = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-15"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-15"))
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -193,8 +195,10 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q5_region_revenue")
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way snowflake join. All dimension sides broadcast;
-    the co-located supplier/customer nation equality prunes rows early."""
+    """TPC-H Q5 shape: 6-way snowflake join. Bounded dimensions
+    (region/nation/supplier-per-nation) broadcast; customer scales with the
+    fact's key space, so it carries NO hint — AQE decides at runtime.
+    The co-located supplier/customer nation equality prunes rows early."""
     re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     na = _t(spark, sf_dir, "nation")
     cu = _t(spark, sf_dir, "customer")
@@ -206,7 +210,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(cu), (od.o_custkey == cu.c_custkey) & (cu.c_nationkey == su.s_nationkey))
+        .join(cu, (od.o_custkey == cu.c_custkey) & (cu.c_nationkey == su.s_nationkey))
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("n_name")
@@ -460,11 +464,12 @@ def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("conditional_agg_promo_share")
 def conditional_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: CASE WHEN inside an aggregate (conditional agg),
-    fact⋈dimension broadcast join."""
+    """TPC-H Q14 shape: CASE WHEN inside an aggregate (conditional agg).
+    `part` is SF×200k rows — it scales linearly with the fact, so no static
+    broadcast hint; AQE broadcasts at runtime only while it fits."""
     li = _t(spark, sf_dir, "lineitem")
     pa = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    joined = li.join(pa, li.l_partkey == pa.p_partkey)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.agg(
         F.round(

@@ -44,6 +44,31 @@ def test_minhash_candidates_find_planted_pair(spark):
     assert (1, 4) not in pairs and (3, 4) not in pairs  # unrelated does not
 
 
+def test_minhash_candidates_default_args_no_overflow(spark):
+    # declared defaults are k=16, bands=4 → 4 rows/band; the band fold must
+    # stay within int64 under ANSI mode (regression: the base-2^31 pack
+    # overflowed for rows > 2)
+    cands = D.minhash_lsh_candidates(corpus(spark), "doc_id", "text")
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs  # exact dup collides in every band
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_band_hash_sql_mirrors_column_formula(spark):
+    # the DuckDB generator and the Column builder must express the same
+    # function for BOTH the injective rows=2 pack and the modular fold
+    import duckdb
+
+    sig = list(range(101, 117))  # 16 fake minhash values
+    for k, bands in [(8, 4), (16, 4)]:
+        df = spark.createDataFrame([(sig[:k],)], "sig array<long>")
+        got = df.select(D._band_hashes(F.col("sig"), k, bands).alias("b")).first()["b"]
+        want = duckdb.sql(
+            f"SELECT {D.band_hash_sql('sig', k, bands)} AS b FROM (SELECT {sig[:k]} AS sig)"
+        ).fetchone()[0]
+        assert list(got) == list(want), (k, bands)
+
+
 def test_shingle_jaccard_values(spark):
     df = spark.createDataFrame([(BASE, BASE), (BASE, NEAR), (BASE, OTHER)], "x string, y string")
     vals = [
