@@ -19,7 +19,10 @@ Two engine surfaces (SURVEY §3.3 decision):
 Pipeline parity, step by step (lda/index.js:34-40):
 tokenize on [\\s,"]+ (F3) → lowercase + strip [^a-z'A-Z0-9À-ÿ ] (F5) →
 Porter stem (F6, pandas UDF) → drop len==1 / http-prefixed / stopword
-(F7, EN+ES lists per O6).
+(F7, EN+ES lists per O6). The stopword test is DUAL (lda/index.js:40):
+a token is dropped when EITHER its apostrophe-stripped raw form OR its
+Porter stem is in the list — and the length / http checks apply to the
+RAW token, not the stem.
 """
 
 from __future__ import annotations
@@ -57,17 +60,66 @@ def normalized_tokens(text: Column) -> Column:
     return F.filter(cleaned, lambda t: F.length(t) > 0)
 
 
-def drop_stop_tokens(tokens: Column, langs: tuple[str, ...] = ("es",)) -> Column:
-    """F7: drop stopwords (EN+ES union per O6), single-char tokens, and
-    URL tokens (lda/index.js:40).
+def _strip_first_apostrophe(t: Column) -> Column:
+    """JS ``w.replace("'", '')`` removes only the FIRST apostrophe
+    (lda/index.js:40). The ^-anchored pattern can match at most once, so
+    regexp_replace (replace-all semantics) still strips exactly one."""
+    return F.regexp_replace(t, r"^([^']*)'", r"$1")
+
+
+def drop_stop_tokens(
+    tokens: Column,
+    langs: tuple[str, ...] = ("es",),
+    stems: Column | None = None,
+) -> Column:
+    """F7: the reference's token drop rule (lda/index.js:40), verbatim —
+    drop a token when its RAW form is single-char or http-prefixed, or
+    when EITHER its apostrophe-stripped raw form OR its Porter stem is a
+    stopword (EN+ES union per O6). Returns the surviving STEMS when
+    ``stems`` is given (the vocab is stemmed, lda/index.js:46), else the
+    surviving raw tokens.
+
+    ``stems`` must be positionally aligned with ``tokens`` (the shape
+    ``stem_tokens`` preserves); zip_with pairs them per element.
 
     ``isin`` compiles to a hashed InSet — O(1) per token. An
-    ``array_contains(lit_array, t)`` formulation rebuilds the ~800-element
+    ``array_contains(lit_array, t)`` formulation rebuilds the ~1400-element
     literal array per element evaluation (~10× slower per doc)."""
     stops = stopwords.combined(langs)
-    return F.filter(
-        tokens,
-        lambda t: (F.length(t) > 1) & ~t.startswith("http") & ~t.isin(*stops),
+
+    def keep(w: Column, s: Column) -> Column:
+        return (
+            (F.length(w) > 1)
+            & ~w.startswith("http")
+            & ~_strip_first_apostrophe(w).isin(*stops)
+            & ~s.isin(*stops)
+        )
+
+    if stems is None:
+        # unstemmed path: the stem check degenerates to the raw token
+        return F.filter(tokens, lambda t: keep(t, t))
+    pairs = F.zip_with(
+        tokens, stems, lambda w, s: F.struct(w.alias("w"), s.alias("s"))
+    )
+    return F.transform(
+        F.filter(pairs, lambda p: keep(p["w"], p["s"])), lambda p: p["s"]
+    )
+
+
+def stop_drop_sql_predicate(var: str = "t", langs: tuple[str, ...] = ("en",)) -> str:
+    """DuckDB mirror of ``drop_stop_tokens``'s unstemmed keep-predicate,
+    generated from the same stopword constant so Spark and the oracle can
+    never drift. ``var`` is the lambda variable of the enclosing
+    list_filter. DuckDB regexp_replace is first-match without the 'g'
+    flag, but the ^-anchored pattern is used anyway to mirror the Spark
+    expression textually."""
+    stops = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in stopwords.combined(langs)
+    )
+    return (
+        f"length({var}) > 1 AND {var} NOT LIKE 'http%' "
+        f"AND regexp_replace({var}, '^([^'']*)''', '\\1') NOT IN ({stops}) "
+        f"AND {var} NOT IN ({stops})"
     )
 
 
@@ -121,18 +173,21 @@ def attach_topics(
             F.col("user.full_name"),
             F.col("location.name"),
         )
-    toks = normalized_tokens(text_col)
+    df = df.withColumn("__raw", normalized_tokens(text_col))
     if stem:
-        df = df.withColumn("__toks", stem_tokens(toks))
+        # dual raw+stem stopword test (lda/index.js:40): both arrays are
+        # staged as real columns so neither subtree is re-evaluated
+        df = df.withColumn("__stems", stem_tokens(F.col("__raw")))
+        terms = drop_stop_tokens(F.col("__raw"), langs, stems=F.col("__stems"))
     else:
-        df = df.withColumn("__toks", toks)
+        terms = drop_stop_tokens(F.col("__raw"), langs)
     # stage the filtered terms as a real column: top_terms_col scans the
     # term array once per distinct term, so the input must be a cheap
     # attribute reference, not a filter expression re-run each scan
-    df = df.withColumn("__terms", drop_stop_tokens(F.col("__toks"), langs))
+    df = df.withColumn("__terms", terms)
     return (
         df.withColumn(out_col, top_terms_col(F.col("__terms"), k, min_pct))
-        .drop("__toks", "__terms")
+        .drop("__raw", "__stems", "__terms")
     )
 
 

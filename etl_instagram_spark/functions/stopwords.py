@@ -1,12 +1,17 @@
 """EN + ES stopword lists for the tokenize→stem→stopword text kernel.
 
-The reference ships vendored stopword lists (module/instagram/lda/
-stopwords_en.js, stopwords_es.js) and unions them per requested language
-(lda/index.js:25-28; note stopwords_es.js:1 concatenates the EN list, so
-requesting 'es' filters BOTH languages — replicated by ``combined()``).
+Verbatim ports of the reference's vendored stopword data (module/
+instagram/lda/stopwords_en.js:1-662 → 660 entries; stopwords_es.js:3-714
+→ 767 own entries, which the reference unions with the EN list via the
+spread at stopwords_es.js:716). Lists are *data*, not behavior —
+reference parity requires the exact inventories, because every word
+present/absent changes which tokens survive ``drop_stop_tokens`` and
+therefore which topics ``attach_topics`` emits (lda/index.js:25-28, 40).
+Order is irrelevant (membership sets); entries are kept in reference
+order for auditability. A few entries ("co.", "no-one", "por que") can
+never match a post-normalization token — the reference carries the same
+dead entries; we keep them verbatim rather than "fix" the data.
 
-These are the standard public stopword inventories (the same well-known
-lists those vendored files derive from), stored as data, not behavior.
 Exposed as plain frozensets so they can be used three ways without
 serialization cost:
 
@@ -18,63 +23,206 @@ serialization cost:
 
 from __future__ import annotations
 
-EN: frozenset[str] = frozenset("""
-a about above after again against all am an and any are aren't as at be
-because been before being below between both but by can can't cannot could
-couldn't did didn't do does doesn't doing don't down during each few for from
-further had hadn't has hasn't have haven't having he he'd he'll he's her here
-here's hers herself him himself his how how's i i'd i'll i'm i've if in into
-is isn't it it's its itself let's me more most mustn't my myself no nor not of
-off on once only or other ought our ours ourselves out over own same shan't
-she she'd she'll she's should shouldn't so some such than that that's the
-their theirs them themselves then there there's these they they'd they'll
-they're they've this those through to too under until up very was wasn't we
-we'd we'll we're we've were weren't what what's when when's where where's
-which while who who's whom why why's with won't would wouldn't you you'd
-you'll you're you've your yours yourself yourselves
-""".split())
+# stopwords_en.js:1-662 — 660 entries, verbatim
+EN: frozenset[str] = frozenset((
+    "a", "able", "about", "above", "abroad", "according", "accordingly", "across",
+    "actually", "adj", "after", "afterwards", "again", "against", "ago", "ahead",
+    "aint", "all", "allow", "allows", "almost", "alone", "along", "alongside",
+    "already", "also", "although", "always", "am", "amid", "amidst", "among",
+    "amongst", "an", "and", "another", "any", "anybody", "anyhow", "anyone",
+    "anything", "anyway", "anyways", "anywhere", "apart", "appear", "appreciate", "appropriate",
+    "are", "arent", "around", "as", "as", "aside", "ask", "asking",
+    "associated", "at", "available", "away", "awfully", "b", "back", "backward",
+    "backwards", "be", "became", "because", "become", "becomes", "becoming", "been",
+    "before", "beforehand", "begin", "behind", "being", "believe", "below", "beside",
+    "besides", "best", "better", "between", "beyond", "both", "brief", "but",
+    "by", "c", "came", "can", "cannot", "cant", "cant", "caption",
+    "cause", "causes", "certain", "certainly", "changes", "clearly", "cmon", "co",
+    "co.", "com", "come", "comes", "concerning", "consequently", "consider", "considering",
+    "constructor", "contain", "containing", "contains", "corresponding", "could", "couldnt", "course",
+    "cs", "currently", "d", "dare", "darent", "definitely", "described", "despite",
+    "did", "didnt", "different", "directly", "do", "does", "doesnt", "doing",
+    "done", "dont", "down", "downwards", "during", "e", "each", "edu",
+    "eg", "eight", "eighty", "either", "else", "elsewhere", "end", "ending",
+    "enough", "entirely", "especially", "et", "etc", "even", "ever", "evermore",
+    "every", "everybody", "everyone", "everything", "everywhere", "ex", "exactly", "example",
+    "except", "f", "fairly", "far", "farther", "few", "fewer", "fifth",
+    "first", "five", "followed", "following", "follows", "for", "forever", "former",
+    "formerly", "forth", "forward", "found", "four", "from", "further", "furthermore",
+    "g", "get", "gets", "getting", "given", "gives", "go", "goes",
+    "going", "gone", "got", "gotten", "greetings", "h", "had", "hadnt",
+    "half", "happens", "hardly", "has", "hasnt", "have", "havent", "having",
+    "he", "hed", "hell", "hello", "help", "hence", "her", "here",
+    "hereafter", "hereby", "herein", "heres", "hereupon", "hers", "herself", "hes",
+    "hi", "him", "himself", "his", "hither", "hopefully", "how", "howbeit",
+    "however", "hundred", "i", "id", "ie", "if", "ignored", "ill",
+    "im", "immediate", "in", "inasmuch", "inc", "inc.", "indeed", "indicate",
+    "indicated", "indicates", "inner", "inside", "insofar", "instead", "into", "inward",
+    "is", "isnt", "it", "itd", "itll", "its", "its", "itself",
+    "ive", "j", "just", "k", "keep", "keeps", "kept", "know",
+    "known", "knows", "l", "last", "lately", "later", "latter", "latterly",
+    "least", "less", "lest", "let", "lets", "like", "liked", "likely",
+    "likewise", "little", "look", "looking", "looks", "low", "lower", "ltd",
+    "m", "made", "mainly", "make", "makes", "many", "may", "maybe",
+    "maynt", "me", "mean", "meantime", "meanwhile", "merely", "might", "mightnt",
+    "mine", "minus", "miss", "more", "moreover", "most", "mostly", "mr",
+    "mrs", "much", "must", "mustnt", "my", "myself", "n", "name",
+    "namely", "nd", "near", "nearly", "necessary", "need", "neednt", "needs",
+    "neither", "never", "neverf", "neverless", "nevertheless", "new", "next", "nine",
+    "ninety", "no", "nobody", "non", "none", "nonetheless", "noone", "no-one",
+    "nor", "normally", "not", "nothing", "notwithstanding", "novel", "now", "nowhere",
+    "o", "obviously", "of", "off", "often", "oh", "ok", "okay",
+    "old", "on", "once", "one", "ones", "ones", "only", "onto",
+    "opposite", "or", "other", "others", "otherwise", "ought", "oughtnt", "our",
+    "ours", "ourselves", "out", "outside", "over", "overall", "own", "p",
+    "particular", "particularly", "past", "per", "perhaps", "placed", "please", "plus",
+    "possible", "presumably", "probably", "provided", "provides", "q", "que", "quite",
+    "qv", "r", "rather", "rd", "re", "really", "reasonably", "recent",
+    "recently", "regarding", "regardless", "regards", "relatively", "respectively", "right", "round",
+    "s", "said", "same", "saw", "say", "saying", "says", "second",
+    "secondly", "see", "seeing", "seem", "seemed", "seeming", "seems", "seen",
+    "self", "selves", "sensible", "sent", "serious", "seriously", "seven", "several",
+    "shall", "shant", "she", "shed", "shell", "shes", "should", "shouldnt",
+    "since", "six", "so", "some", "somebody", "someday", "somehow", "someone",
+    "something", "sometime", "sometimes", "somewhat", "somewhere", "soon", "sorry", "specified",
+    "specify", "specifying", "still", "sub", "such", "sup", "sure", "t",
+    "take", "taken", "taking", "tell", "tends", "th", "than", "thank",
+    "thanks", "thanx", "that", "thatll", "thats", "thats", "thatve", "the",
+    "their", "theirs", "them", "themselves", "then", "thence", "there", "thereafter",
+    "thereby", "thered", "therefore", "therein", "therell", "therere", "theres", "theres",
+    "thereupon", "thereve", "these", "they", "theyd", "theyll", "theyre", "theyve",
+    "thing", "things", "think", "third", "thirty", "this", "thorough", "thoroughly",
+    "those", "though", "three", "through", "throughout", "thru", "thus", "till",
+    "to", "together", "too", "took", "toward", "towards", "tried", "tries",
+    "truly", "try", "trying", "ts", "twice", "two", "u", "un",
+    "under", "underneath", "undoing", "unfortunately", "unless", "unlike", "unlikely", "until",
+    "unto", "up", "upon", "upwards", "us", "use", "used", "useful",
+    "uses", "using", "usually", "v", "value", "various", "versus", "very",
+    "via", "viz", "vs", "w", "want", "wants", "was", "wasnt",
+    "way", "we", "wed", "welcome", "well", "well", "went", "were",
+    "were", "werent", "weve", "what", "whatever", "whatll", "whats", "whatve",
+    "when", "whence", "whenever", "where", "whereafter", "whereas", "whereby", "wherein",
+    "wheres", "whereupon", "wherever", "whether", "which", "whichever", "while", "whilst",
+    "whither", "who", "whod", "whoever", "whole", "wholl", "whom", "whomever",
+    "whos", "whose", "why", "will", "willing", "wish", "with", "within",
+    "without", "wonder", "wont", "would", "wouldnt", "x", "y", "yes",
+    "yet", "you", "youd", "youll", "your", "youre", "yours", "yourself",
+    "yourselves", "youve", "z", "zero",))
 
-ES: frozenset[str] = frozenset("""
-a al algo algunas algunos ante antes como con contra cual cuando de del desde
-donde durante e el ella ellas ellos en entre era erais eran eras eres es esa
-esas ese eso esos esta estaba estabais estaban estabas estad estada estadas
-estado estados estamos estando estar estaremos estará estarán estarás estaré
-estaréis estaría estaríais estaríamos estarían estarías estas este estemos
-esto estos estoy estuve estuviera estuvierais estuvieran estuvieras
-estuvieron estuviese estuvieseis estuviesen estuvieses estuvimos estuviste
-estuvisteis estuviéramos estuviésemos estuvo está estábamos estáis están
-estás esté estéis estén estés fue fuera fuerais fueran fueras fueron fuese
-fueseis fuesen fueses fui fuimos fuiste fuisteis fuéramos fuésemos ha habida
-habidas habido habidos habiendo habremos habrá habrán habrás habré habréis
-habría habríais habríamos habrían habrías habéis había habíais habíamos
-habían habías han has hasta hay haya hayamos hayan hayas hayáis he hemos
-hube hubiera hubierais hubieran hubieras hubieron hubiese hubieseis hubiesen
-hubieses hubimos hubiste hubisteis hubiéramos hubiésemos hubo la las le les
-lo los me mi mis mucho muchos muy más mí mía mías mío míos nada ni no nos
-nosotras nosotros nuestra nuestras nuestro nuestros o os otra otras otro
-otros para pero poco por porque que quien quienes qué se sea seamos sean
-seas sentid sentida sentidas sentido sentidos seremos será serán serás seré
-seréis sería seríais seríamos serían serías seáis siente sin sintiendo sobre
-sois somos son soy su sus suya suyas suyo suyos sé sí también tanto te
-tendremos tendrá tendrán tendrás tendré tendréis tendría tendríais
-tendríamos tendrían tendrías tened tenemos tenga tengamos tengan tengas
-tengo tengáis tenida tenidas tenido tenidos teniendo tenéis tenía teníais
-teníamos tenían tenías ti tiene tienen tienes todo todos tu tus tuve tuviera
-tuvierais tuvieran tuvieras tuvieron tuviese tuvieseis tuviesen tuvieses
-tuvimos tuviste tuvisteis tuviéramos tuviésemos tuvo tuya tuyas tuyo tuyos
-tú un una uno unos vosotras vosotros vuestra vuestras vuestro vuestros y ya
-yo él éramos
-""".split())
+# stopwords_es.js:3-714 — the ES file's own 767 entries, verbatim
+# (the trailing ``...en_stop_words`` spread at stopwords_es.js:716 is
+# applied in ``combined()``, mirroring the file's export exactly)
+ES_OWN: frozenset[str] = frozenset((
+    "0", "1", "2", "3", "4", "5", "6", "7",
+    "8", "9", "a", "aca", "actualmente", "acuerdo", "adelante", "ademas",
+    "adrede", "afirmo", "agrego", "ahi", "ahora", "ajena", "ajenas", "ajeno",
+    "ajenos", "al", "algo", "algun", "alguna", "algunas", "alguno", "algunos",
+    "alla", "alli", "alrededor", "ambos", "ampleamos", "anadio", "antano", "ante",
+    "anterior", "antes", "apenas", "aproximadamente", "aquel", "aquella", "aquellas", "aquello",
+    "aquellos", "aqui", "arriba", "arribaabajo", "aseguro", "asi", "atras", "aun",
+    "aunque", "ayer", "b", "bajo", "bastante", "bien", "breve", "buen",
+    "buena", "buenas", "bueno", "buenos", "c", "cabe", "cada", "casi",
+    "cerca", "cierta", "ciertas", "cierto", "ciertos", "cinco", "claro", "comento",
+    "como", "con", "conmigo", "conocer", "conseguimos", "conseguir", "considera", "considero",
+    "consigo", "consigue", "consiguen", "consigues", "contigo", "contra", "cosas", "creo",
+    "cual", "cuales", "cualquier", "cualquiera", "cualquieras", "cuan", "cuando", "cuanta",
+    "cuantas", "cuanto", "cuantos", "cuatro", "cuenta", "d", "da", "dado",
+    "dan", "dar", "de", "debajo", "debe", "deben", "debido", "decir",
+    "dejar", "dejo", "del", "delante", "demas", "demasiada", "demasiadas", "demasiado",
+    "demasiados", "dentro", "deprisa", "desde", "despacio", "despues", "detras", "dia",
+    "dias", "dice", "dicen", "dicho", "dieron", "diferente", "diferentes", "dijeron",
+    "dijo", "dio", "disponer", "disponga", "dispongais", "dispongamos", "dispongas", "dispongo",
+    "donde", "dos", "durante", "e", "ejemplo", "el", "ella", "ellas",
+    "ello", "ellos", "embargo", "empleais", "emplean", "emplear", "empleas", "empleo",
+    "en", "encima", "encuentra", "enfrente", "enseguida", "entonces", "entre", "era",
+    "erais", "eramos", "eran", "eras", "eres", "es", "esa", "esas",
+    "ese", "eses", "eso", "esos", "esta", "estaba", "estabais", "estabamos",
+    "estaban", "estabas", "estad", "estada", "estadas", "estado", "estados", "estais",
+    "estamos", "estan", "estando", "estar", "estara", "estaran", "estaras", "estare",
+    "estareis", "estaremos", "estaria", "estariais", "estariamos", "estarian", "estarias", "estas",
+    "este", "esteis", "estemos", "esten", "estes", "esto", "estos", "estoy",
+    "estuve", "estuviera", "estuvierais", "estuvieramos", "estuvieran", "estuvieras", "estuvieron", "estuviese",
+    "estuvieseis", "estuviesemos", "estuviesen", "estuvieses", "estuvimos", "estuviste", "estuvisteis", "estuvo",
+    "etc", "ex", "excepto", "existe", "existen", "explico", "expreso", "f",
+    "fin", "final", "fue", "fuera", "fuerais", "fueramos", "fueran", "fueras",
+    "fueron", "fuese", "fueseis", "fuesemos", "fuesen", "fueses", "fui", "fuimos",
+    "fuiste", "fuisteis", "g", "general", "gran", "grandes", "gueno", "h",
+    "ha", "habeis", "haber", "habia", "habiais", "habiamos", "habian", "habias",
+    "habida", "habidas", "habido", "habidos", "habiendo", "habla", "hablan", "habra",
+    "habran", "habras", "habre", "habreis", "habremos", "habria", "habriais", "habriamos",
+    "habrian", "habrias", "hace", "haceis", "hacemos", "hacen", "hacer", "hacerlo",
+    "haces", "hacia", "haciendo", "hago", "han", "has", "hasta", "hay",
+    "haya", "hayais", "hayamos", "hayan", "hayas", "he", "hecho", "hemos",
+    "hicieron", "hizo", "horas", "hoy", "hube", "hubiera", "hubierais", "hubieramos",
+    "hubieran", "hubieras", "hubieron", "hubiese", "hubieseis", "hubiesemos", "hubiesen", "hubieses",
+    "hubimos", "hubiste", "hubisteis", "hubo", "i", "igual", "incluso", "indico",
+    "informo", "intenta", "intentais", "intentamos", "intentan", "intentar", "intentas", "intento",
+    "ir", "j", "jamas", "junto", "juntos", "k", "l", "la",
+    "lado", "largo", "las", "le", "lejos", "les", "llego", "lleva",
+    "llevar", "lo", "los", "luego", "lugar", "m", "mal", "manera",
+    "manifesto", "mas", "mayor", "me", "mediante", "medio", "mejor", "menciono",
+    "menos", "menudo", "mi", "mia", "mias", "mientras", "mio", "mios",
+    "mis", "misma", "mismas", "mismo", "mismos", "modo", "momento", "mucha",
+    "muchas", "muchisima", "muchisimas", "muchisimo", "muchisimos", "mucho", "muchos", "muy",
+    "n", "nada", "nadie", "ni", "ningun", "ninguna", "ningunas", "ninguno",
+    "ningunos", "no", "nos", "nosotras", "nosotros", "nuestra", "nuestras", "nuestro",
+    "nuestros", "nueva", "nuevas", "nuevo", "nuevos", "nunca", "o", "ocho",
+    "os", "otra", "otras", "otro", "otros", "p", "pais", "para",
+    "parece", "parecer", "parte", "partir", "pasada", "pasado", "peor", "pero",
+    "pesar", "poca", "pocas", "poco", "pocos", "podeis", "podemos", "poder",
+    "podra", "podran", "podria", "podriais", "podriamos", "podrian", "podrias", "poner",
+    "por", "por que", "porque", "posible", "primer", "primera", "primeras", "primero",
+    "primero desde", "primeros", "principalmente", "pronto", "propia", "propias", "propio", "propios",
+    "proximo", "proximos", "pudo", "pueda", "puede", "pueden", "puedo", "pues",
+    "q", "qeu", "que", "quedo", "queremos", "querer", "quien", "quienes",
+    "quienesquiera", "quienquiera", "quiere", "quiza", "quizas", "r", "raras", "realizado",
+    "realizar", "realizo", "repente", "respecto", "s", "sabe", "sabeis", "sabemos",
+    "saben", "saber", "sabes", "sal", "salvo", "se", "sea", "seais",
+    "seamos", "sean", "seas", "segun", "segunda", "segundo", "seis", "senalo",
+    "ser", "sera", "seran", "seras", "sere", "sereis", "seremos", "seria",
+    "seriais", "seriamos", "serian", "serias", "si", "sido", "siempre", "siendo",
+    "siete", "sigue", "siguiente", "sin", "sino", "so", "sobre", "sois",
+    "sola", "solamente", "solas", "solo", "solos", "somos", "son", "soy",
+    "soyos", "sr", "sra", "sres", "sta", "su", "supuesto", "sus",
+    "suya", "suyas", "suyo", "suyos", "t", "tal", "tales", "tambien",
+    "tampoco", "tan", "tanta", "tantas", "tanto", "tantos", "tarde", "te",
+    "temprano", "tendra", "tendran", "tendras", "tendre", "tendreis", "tendremos", "tendria",
+    "tendriais", "tendriamos", "tendrian", "tendrias", "tened", "teneis", "tenemos", "tener",
+    "tenga", "tengais", "tengamos", "tengan", "tengas", "tengo", "tenia", "teniais",
+    "teniamos", "tenian", "tenias", "tenida", "tenidas", "tenido", "tenidos", "teniendo",
+    "tercera", "ti", "tiempo", "tiene", "tienen", "tienes", "toda", "todas",
+    "todavia", "todo", "todos", "tomar", "total", "trabaja", "trabajais", "trabajamos",
+    "trabajan", "trabajar", "trabajas", "trabajo", "tras", "trata", "traves", "tres",
+    "tu", "tus", "tuve", "tuviera", "tuvierais", "tuvieramos", "tuvieran", "tuvieras",
+    "tuvieron", "tuviese", "tuvieseis", "tuviesemos", "tuviesen", "tuvieses", "tuvimos", "tuviste",
+    "tuvisteis", "tuvo", "tuya", "tuyas", "tuyo", "tuyos", "u", "ultima",
+    "ultimas", "ultimo", "ultimos", "un", "una", "unas", "uno", "unos",
+    "uns", "usa", "usais", "usamos", "usan", "usar", "usas", "uso",
+    "usted", "ustedes", "v", "va", "vais", "valor", "vamos", "van",
+    "varias", "varios", "vaya", "veces", "ver", "verdad", "verdadera", "verdadero",
+    "vez", "vosotras", "vosotros", "voy", "vuestra", "vuestras", "vuestro", "vuestros",
+    "w", "x", "y", "ya", "yo", "z", "tj", "tjbaja",
+    "tijuas", "tjlife", "tjfood", "tijuana", "tjfoodie", "tijuanabc", "tijuanalife", "tijuanarulz",
+    "tijuanaeats", "tijuanafood", "tijuanalove", "visittijuana", "yoamotijuana", "tijuanalocal", "tijuanastyle", "tijuanafoodie",
+    "tijuanamexico", "whatiworeigers", "tijuanafoodlovers", "viajerasmexicanas", "tijuanamesorprende", "tijuanatesorprende", "dondecomerentijuana", "tijuanamakesmehappy",
+    "tijuanamakesmehungry", "tijuanabajacalifornia", "pm", "58", "tel", "664", "más", "ven",
+    "qué", "cuál", "baja", "está", "text", "image", "photo", "march",
+    "abril", "april", "norte", "hecha", "súper", "shared", "puedes", "puedes",
+    "quedes", "people", "méxico", "también", "favorita", "esperamos", "jeing0812",))
+
+# the ES module's actual export: own entries ∪ EN (stopwords_es.js:716)
+ES: frozenset[str] = ES_OWN | EN
 
 
 def combined(langs: tuple[str, ...] = ("es",)) -> list[str]:
-    """Union of stopword lists per the reference's semantics: requesting
-    'es' yields ES ∪ EN (stopwords_es.js:1 includes the EN list); 'en'
-    yields EN alone. Sorted for determinism."""
+    """Union of stopword lists per the reference's semantics
+    (lda/index.js:25-28 concatenates ``stopwords_{lang}.js`` exports):
+    requesting 'es' yields ES ∪ EN (the spread at stopwords_es.js:716);
+    'en' yields EN alone. Sorted for determinism."""
     out: set[str] = set()
     for lang in langs:
         if lang == "es":
-            out |= ES | EN
+            out |= ES
         elif lang == "en":
             out |= EN
         else:

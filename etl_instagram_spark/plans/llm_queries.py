@@ -570,10 +570,12 @@ def docs_top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_en_stopword_list() -> str:
-    from etl_instagram_spark.functions import stopwords
+def _sql_stop_drop_predicate() -> str:
+    """The keep-predicate for token filtering, generated from the same
+    stopword constants + drop rule as the Spark side (enrich/topics.py)."""
+    from etl_instagram_spark.enrich.topics import stop_drop_sql_predicate
 
-    return ", ".join("'" + w.replace("'", "''") + "'" for w in stopwords.combined(("en",)))
+    return stop_drop_sql_predicate("t", langs=("en",))
 
 
 oracle(
@@ -584,8 +586,7 @@ oracle(
              list_filter(
                list_transform(regexp_split_to_array(text, '[\\s,"]+'),
                               x -> regexp_replace(lower(x), '[^a-z''A-Z0-9À-ÿ ]+', '', 'g')),
-               t -> length(t) > 1 AND t NOT LIKE 'http%'
-                    AND t NOT IN ({_sql_en_stopword_list()})) AS terms
+               t -> {_sql_stop_drop_predicate()}) AS terms
       FROM documents),
     flat AS (SELECT lang, unnest(terms) AS term FROM toks),
     counts AS (SELECT lang, term, count(*) AS n_occurrences
@@ -860,8 +861,7 @@ oracle(
              list_filter(
                list_transform(regexp_split_to_array(text, '[\\s,"]+'),
                               x -> regexp_replace(lower(x), '[^a-z''A-Z0-9À-ÿ ]+', '', 'g')),
-               t -> length(t) > 1 AND t NOT LIKE 'http%'
-                    AND t NOT IN ({_sql_en_stopword_list()})) AS terms
+               t -> {_sql_stop_drop_predicate()}) AS terms
       FROM documents WHERE doc_id < 50),
     flat AS (SELECT doc_id, len(terms) AS total, unnest(terms) AS term FROM toks),
     counts AS (SELECT doc_id, total, term, count(*) AS cnt

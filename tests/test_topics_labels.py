@@ -53,6 +53,41 @@ def test_normalized_tokens_and_stop_drop(spark):
     assert not any(t.startswith("http") for t in kept)
 
 
+def test_dual_raw_and_stem_stopword_check(spark):
+    # lda/index.js:40 drops a token when EITHER the apostrophe-stripped
+    # raw form OR the Porter stem is a stopword:
+    #  - "doings" stems to "do" (a stopword) though the raw form is not
+    #  - "ain't" raw-strips to "aint" (in the reference EN list verbatim)
+    #  - "kimchi" survives both checks
+    df = spark.createDataFrame([("doings ain't kimchi taken",)], "text string")
+    raw = TP.normalized_tokens(F.col("text"))
+    df = df.withColumn("__raw", raw).withColumn("__stems", stem_tokens(F.col("__raw")))
+    kept = df.select(
+        TP.drop_stop_tokens(
+            F.col("__raw"), langs=("en",), stems=F.col("__stems")
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert "do" not in kept and "doing" not in kept  # stem hit drops it
+    assert not any(t.startswith("ain") for t in kept)  # raw-noapos hit
+    assert "kimchi" in kept  # survivors come back STEMMED
+    assert "taken" not in kept and "kimchi" in kept
+
+
+def test_verbatim_reference_stopword_lists():
+    from etl_instagram_spark.functions import stopwords as SW
+
+    # stopwords_en.js ships 660 entries (652 unique); stopwords_es.js
+    # ships 767 own entries (766 unique) + the EN spread
+    assert len(SW.EN) == 652
+    assert len(SW.ES_OWN) == 766
+    assert SW.ES == SW.ES_OWN | SW.EN
+    # reference-only words absent from generic public lists
+    for w in ("aint", "abroad", "adj", "zero", "co.", "no-one"):
+        assert w in SW.EN, w
+    for w in ("aca", "jeing0812", "esperamos", "favorita"):
+        assert w in SW.ES_OWN, w
+
+
 def test_top_terms_shape_and_ordering(spark):
     df = spark.createDataFrame([(["b", "a", "a", "a", "c", "b"],), ([],)], "terms array<string>")
     out = df.select(TP.top_terms_col(F.col("terms"), k=2).alias("topics")).collect()
