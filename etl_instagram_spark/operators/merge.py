@@ -47,6 +47,7 @@ from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _key_list(key: str | Sequence[str]) -> list[str]:
@@ -191,12 +192,16 @@ class MergeTable:
     Scale behavior (the round-1 full-rewrite fix):
     - ``append`` writes O(batch) files and re-lists the old ones — never
       reads the table (W6 rates time-series stays O(batch) per tick).
-    - ``upsert``/``delete`` rewrite ONLY files whose key range overlaps
-      the incoming batch's key range; non-overlapping files are carried
-      forward by reference. Data files are written
-      ``repartitionByRange(key)`` so file key-ranges are disjoint and the
-      overlap test prunes aggressively (the file-skipping analogue of
-      partitioned MERGE INTO).
+    - ``upsert``/``delete`` rewrite ONLY files whose key range actually
+      CONTAINS a batch key (per-file probe via a broadcast range-join of
+      file stats against the deduped batch keys — not a single batch
+      [min,max] envelope, which a scattered-key batch would stretch over
+      the whole table); non-hit files are carried forward by reference.
+      Data files are written ``repartitionByRange(key)`` so file
+      key-ranges are disjoint and the probe prunes aggressively (the
+      file-skipping analogue of partitioned MERGE INTO). The batch is
+      localCheckpoint-ed first so the probe and the write see the same
+      rows even for non-deterministic sources.
     - With Delta/Iceberg available, swap this class for MERGE INTO
       without touching callers.
     """
@@ -325,22 +330,59 @@ class MergeTable:
         os.replace(tmp, self._pointer)
 
     def _split_overlap(self, incoming: DataFrame) -> tuple[list[dict], list[dict]]:
-        """Partition current files into (overlapping, carried) by key
-        range vs the incoming batch's [min, max]. Files without stats are
+        """Partition current files into (overlapping, carried) by testing
+        each file's [min, max] key range against the batch's ACTUAL key
+        set — not a single [batch-min, batch-max] envelope. A scattered-key
+        batch (hash-like ids, the posts table's real key shape) spans the
+        whole table's envelope while touching only a few files; the
+        envelope test would degrade every upsert to a full-table rewrite.
+
+        Mechanics: broadcast the manifest's file ranges (small — O(#files))
+        to the deduped batch keys, range-join, and collect only the HIT
+        file indices. One job over the batch keys, O(#files) driver memory;
+        the batch keys themselves never reach the driver. Files without
+        stats — or with stats the key type can't round-trip — are
         conservatively treated as overlapping (correct, just unpruned)."""
         key = self.keys[0]
-        bounds = incoming.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-        lo, hi = bounds["lo"], bounds["hi"]
-        overlapping: list[dict] = []
-        carried: list[dict] = []
-        for f in self._manifest_files():
+        files = self._manifest_files()
+        overlapping_idx: set[int] = set()
+        ranged: list[tuple[int, object, object]] = []
+        for i, f in enumerate(files):
             fmin, fmax = self._deser(f["min_key"]), self._deser(f["max_key"])
-            if lo is None or fmin is None or fmax is None:
-                overlapping.append(f)
-            elif fmax >= lo and fmin <= hi:
-                overlapping.append(f)
+            if fmin is None or fmax is None:
+                overlapping_idx.add(i)
             else:
-                carried.append(f)
+                ranged.append((i, fmin, fmax))
+        if ranged:
+            try:
+                kt = incoming.schema[key].dataType
+                ranges_df = self.spark.createDataFrame(
+                    ranged,
+                    T.StructType(
+                        [
+                            T.StructField("__fidx", T.IntegerType()),
+                            T.StructField("__lo", kt),
+                            T.StructField("__hi", kt),
+                        ]
+                    ),
+                )
+                hits = (
+                    incoming.select(F.col(key).alias("__k"))
+                    .where(F.col("__k").isNotNull())
+                    .distinct()
+                    .join(
+                        F.broadcast(ranges_df),
+                        (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+                    )
+                    .select("__fidx")
+                    .distinct()
+                    .collect()
+                )
+                overlapping_idx |= {r["__fidx"] for r in hits}
+            except Exception:  # noqa: BLE001 — pruning is an optimization only
+                overlapping_idx |= {i for i, _, _ in ranged}
+        overlapping = [f for i, f in enumerate(files) if i in overlapping_idx]
+        carried = [f for i, f in enumerate(files) if i not in overlapping_idx]
         return overlapping, carried
 
     def _read_files(self, files: list[dict]) -> DataFrame:
@@ -355,11 +397,28 @@ class MergeTable:
         """O(batch): writes only the new files; never reads the table."""
         self._commit_manifest(self._manifest_files() + self._write_data(df))
 
-    def _merge_commit(self, incoming: DataFrame, merge_fn) -> None:
+    def _merge_commit(
+        self, incoming: DataFrame, merge_fn, batch_ts: datetime | None = None
+    ) -> None:
+        # Pin the batch before probing: the overlap probe and the merge
+        # write must see IDENTICAL rows — a non-deterministic source
+        # re-evaluated per action could emit keys outside the probed set
+        # and duplicate a key carried forward. localCheckpoint(eager)
+        # materializes once and truncates the lineage, so re-evaluation
+        # is impossible (not merely unlikely, as with persist()).
+        incoming = incoming.localCheckpoint(eager=True)
         overlapping, carried = self._split_overlap(incoming)
         if overlapping:
-            merged = merge_fn(self._read_files(overlapping), incoming)
+            old = self._read_files(overlapping)
+            if batch_ts is not None:
+                # created_at preservation only needs rows whose key is in
+                # the batch — and those live in overlapping files only, so
+                # the stamp join never scans carried files
+                incoming = stamp_timestamps(incoming, old, self.keys, batch_ts)
+            merged = merge_fn(old, incoming)
         else:
+            if batch_ts is not None:
+                incoming = stamp_timestamps(incoming, None, self.keys, batch_ts)
             merged = dedup_latest(incoming, self.keys, self.order_by)
         self._commit_manifest(carried + self._write_data(merged))
 
@@ -371,9 +430,11 @@ class MergeTable:
                 incoming = stamp_timestamps(incoming, None, self.keys, batch_ts)
             self._commit_manifest(self._write_data(dedup_latest(incoming, self.keys, self.order_by)))
             return
-        if batch_ts is not None:
-            incoming = stamp_timestamps(incoming, self.read(), self.keys, batch_ts)
-        self._merge_commit(incoming, lambda old, inc: upsert(old, inc, self.keys, self.order_by))
+        self._merge_commit(
+            incoming,
+            lambda old, inc: upsert(old, inc, self.keys, self.order_by),
+            batch_ts=batch_ts,
+        )
 
     def upsert_coalesce(self, incoming: DataFrame) -> None:
         if not self.exists():
@@ -386,6 +447,7 @@ class MergeTable:
     def delete(self, tombstones: DataFrame) -> None:
         if not self.exists():
             return
+        tombstones = tombstones.localCheckpoint(eager=True)  # same pinning as _merge_commit
         overlapping, carried = self._split_overlap(tombstones)
         if overlapping:
             remaining = delete_by_key(self._read_files(overlapping), tombstones, self.keys)

@@ -158,6 +158,41 @@ def test_upsert_prunes_nonoverlapping_files(spark, tmp_path):
     assert got[1005] == "new" and got[5] == "old" and len(got) == 20
 
 
+def test_upsert_scattered_keys_rewrites_only_hit_files(spark, tmp_path):
+    """The envelope-pruning regression: a batch whose keys sit at opposite
+    ends of the table spans the whole [min,max] envelope but touches only
+    a few files — the per-file containment probe must carry every file
+    that contains none of the batch's keys."""
+    import json as _json
+
+    t = MergeTable(spark, str(tmp_path / "t"), "id", order_by="ts")
+    for k in range(10):  # 10 disjoint-range commits => >= 10 data files
+        t.append(
+            spark.createDataFrame(
+                [(k * 100 + i, "old", 1) for i in range(10)], "id long, v string, ts long"
+            )
+        )
+    manifest = _json.load(open(t.current_snapshot()))["files"]
+    assert len(manifest) >= 10
+    before = {e["path"] for e in manifest}
+    # files whose stats range contains either scattered key
+    hit = {
+        e["path"]
+        for e in manifest
+        if any(e["min_key"]["v"] <= k <= e["max_key"]["v"] for k in (5, 905))
+    }
+    assert 1 <= len(hit) <= 2
+
+    t.upsert(spark.createDataFrame([(5, "new", 2), (905, "new", 2)], "id long, v string, ts long"))
+    after = {e["path"] for e in _json.load(open(t.current_snapshot()))["files"]}
+
+    rewritten = before - after
+    assert rewritten == hit  # ONLY the containing files rewrote
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[5] == "new" and got[905] == "new" and got[6] == "old"
+    assert len(got) == 100
+
+
 def test_vacuum_garbage_collects_unreferenced_files(spark, tmp_path):
     import os as _os
 
