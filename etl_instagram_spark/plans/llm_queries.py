@@ -478,26 +478,9 @@ def _sql_bucket() -> str:
     return " + ".join(terms)
 
 
-@query("emb_lsh_buckets")
-def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket histogram — the partition-pruning
-    profile for bucketed ANN (each query probes ~1/2^bits of the table)."""
-    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
-    return (
-        emb.select(_bucket_col().alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n_vecs"))
-        .orderBy("bucket")
-    )
-
-
-oracle(
-    "emb_lsh_buckets",
-    f"""
-    SELECT {_sql_bucket()} AS bucket, count(*) AS n_vecs
-    FROM embeddings GROUP BY bucket ORDER BY bucket
-    """,
-)
+# (the per-vector bucket computation itself is oracle-replayed inside
+# emb_ann_lsh_topk and emb_ann_recall — a separate histogram query added
+# no new checked surface)
 
 
 @query("emb_ann_lsh_topk")
@@ -539,6 +522,173 @@ oracle(
     LIMIT 5
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: ANN recall gates — similarity search as a MEASURED component
+# ---------------------------------------------------------------------------
+
+
+@query("emb_ann_recall")
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of multi-probe hyperplane-LSH ANN (probe the query's
+    bucket plus all Hamming-1 neighbors) against the exact cosine top-10,
+    for 5 query vectors at once. One distributed pass builds all
+    query×candidate pairs (queries broadcast — O(1) rows), two window
+    ranks produce ground truth and ANN lists, and a left join scores the
+    overlap. The oracle replays the ENTIRE path — buckets, Hamming probe,
+    exact ranking — in SQL from the same hyperplane constants, so the
+    recall number itself is the checked value."""
+    from pyspark.sql import Window
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", _bucket_col()
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    v = _as_double(F.col("embedding"))
+    cos = _dot(v, F.col("qv")) / (
+        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cos, 6).alias("cos_sim"),
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))).alias("ham"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    gt = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .select("qid", "vec_id")
+    )
+    ann = (
+        pairs.filter(F.col("ham") <= 1)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        gt.join(ann, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / 10.0, 2).alias(
+                "recall_at_10"
+            )
+        )
+        .orderBy("qid")
+    )
+
+
+oracle(
+    "emb_ann_recall",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_sql_bucket()} AS bucket FROM embeddings),
+         q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, bucket AS qbucket
+               FROM b WHERE vec_id < 5),
+         pairs AS (
+           SELECT qid, vec_id,
+                  round(list_dot_product(embedding::DOUBLE[], qv)
+                        / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim,
+                  bit_count(xor(bucket, qbucket)) AS ham
+           FROM b CROSS JOIN q WHERE vec_id <> qid),
+         gt AS (SELECT qid, vec_id FROM
+                  (SELECT qid, vec_id,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY cos_sim DESC, vec_id) AS r
+                   FROM pairs) WHERE r <= 10),
+         ann AS (SELECT qid, vec_id, 1 AS hit FROM
+                  (SELECT qid, vec_id,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY cos_sim DESC, vec_id) AS r
+                   FROM pairs WHERE ham <= 1) WHERE r <= 10)
+    SELECT qid, round(sum(coalesce(hit, 0)) / 10.0, 2) AS recall_at_10
+    FROM gt LEFT JOIN ann USING (qid, vec_id)
+    GROUP BY qid ORDER BY qid
+    """,
+)
+
+
+@query("emb_ann_ivf_recall")
+def emb_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of IVF ANN (seeded-KMeans coarse quantizer, probe the 2
+    nearest of 8 cells) against the exact cosine top-10, same join-based
+    scoring as emb_ann_recall — one distributed pass for all 5 queries;
+    only the 5 query vectors and the 8 centroids touch the driver.
+
+    No SQL mirror: ml.KMeans has no DuckDB analogue, so the driver
+    records a rows-only check here; tests/test_dedup_similarity.py pins
+    the recall floor."""
+    from pyspark.sql import Window
+
+    from etl_instagram_spark.operators.similarity import (
+        _assign_cell,
+        _nearest_centroids,
+        fit_ivf_centroids,
+    )
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    centroids = fit_ivf_centroids(emb, n_clusters=8, seed=42)
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )  # 5 rows — the broadcast-one-query-vector pattern, O(1) driver bytes
+    q = spark.createDataFrame(
+        [
+            (
+                int(r["vec_id"]),
+                [float(x) for x in r["embedding"]],
+                _nearest_centroids([float(x) for x in r["embedding"]], centroids, 2),
+            )
+            for r in qrows
+        ],
+        "qid long, qv array<double>, qcells array<int>",
+    )
+    cells = emb.withColumn("cell", _assign_cell("embedding", centroids))
+    v = _as_double(F.col("embedding"))
+    cos = _dot(v, F.col("qv")) / (
+        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    pairs = (
+        cells.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cos, 6).alias("cos_sim"),
+            F.array_contains(F.col("qcells"), F.col("cell")).alias("probed"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    gt = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .select("qid", "vec_id")
+    )
+    ann = (
+        pairs.filter(F.col("probed"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        gt.join(ann, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / 10.0, 2).alias(
+                "recall_at_10"
+            )
+        )
+        .orderBy("qid")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -885,26 +1035,8 @@ oracle(
 # ---------------------------------------------------------------------------
 
 
-@query("customers_active_both_years")
-def customers_active_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT surface (completes the O7 anti-join family): customers
-    with orders in both 1996 and 2001. Catalyst plans intersect as a
-    left-semi self-join after distinct — two scans, one shuffle each."""
-    od = _t(spark, sf_dir, "orders")
-    y96 = od.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
-    y01 = od.filter(F.year("o_orderdate") == 2001).select("o_custkey").distinct()
-    return y96.intersect(y01).orderBy("o_custkey")
-
-
-oracle(
-    "customers_active_both_years",
-    """
-    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
-    INTERSECT
-    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2001
-    ORDER BY o_custkey
-    """,
-)
+# (INTERSECT / EXCEPT / EXCEPT ALL are exercised — value-checked via
+# per-operator checksums — by orders_set_ops in plans/queries.py)
 
 
 @query("cube_returnflag_status")
@@ -1246,34 +1378,6 @@ oracle(
            count(*) AS n_customers,
            array_to_string((list(c_name ORDER BY c_name))[1:5], ',') AS first_names
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
-    """,
-)
-
-
-@query("priorities_except_all")
-def priorities_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT ALL (multiset difference): 1996 order-priority occurrences
-    minus 1997's — each surplus occurrence survives, unlike EXCEPT."""
-    od = _t(spark, sf_dir, "orders")
-    y96 = od.filter(F.year("o_orderdate") == 1996).select("o_orderpriority")
-    y97 = od.filter(F.year("o_orderdate") == 1997).select("o_orderpriority")
-    return (
-        y96.exceptAll(y97)
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("surplus"))
-        .orderBy("o_orderpriority")
-    )
-
-
-oracle(
-    "priorities_except_all",
-    """
-    WITH diff AS (
-      SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
-      EXCEPT ALL
-      SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997)
-    SELECT o_orderpriority, count(*) AS surplus
-    FROM diff GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
 

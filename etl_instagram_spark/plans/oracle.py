@@ -181,18 +181,6 @@ oracle(
 )
 
 oracle(
-    "supplier_nation_outer",
-    """
-    SELECT n_name,
-           count(s_suppkey)                          AS n_suppliers,
-           round(coalesce(sum(s_acctbal), 0.0), 2)   AS total_acctbal
-    FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
-    GROUP BY n_name
-    ORDER BY n_name
-    """,
-)
-
-oracle(
     "top3_orders_per_customer",
     """
     SELECT o_custkey, o_orderkey,
@@ -283,23 +271,28 @@ oracle(
 )
 
 oracle(
-    "active_1996_not_2001",
-    """
-    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
-    EXCEPT
-    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 2001
-    ORDER BY custkey
-    """,
-)
-
-oracle(
-    "order_status_union",
+    "orders_set_ops",
     """
     WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
-         urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-    SELECT
-      (SELECT count(*) FROM (SELECT o_custkey FROM hi UNION SELECT o_custkey FROM urgent)) AS n_union,
-      (SELECT count(*) FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM urgent)) AS n_intersect
+         urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+         y01 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2001),
+         p96 AS (SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996),
+         p97 AS (SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997),
+         u AS (SELECT o_custkey FROM hi UNION SELECT o_custkey FROM urgent),
+         i AS (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y01),
+         e AS (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y01),
+         ea AS (SELECT o_orderpriority FROM p96 EXCEPT ALL SELECT o_orderpriority FROM p97)
+    SELECT 'union_hi_urgent' AS set_op, count(*) AS n_rows,
+           coalesce(sum(o_custkey), 0)::BIGINT AS checksum FROM u
+    UNION ALL
+    SELECT 'intersect_1996_2001', count(*), coalesce(sum(o_custkey), 0)::BIGINT FROM i
+    UNION ALL
+    SELECT 'except_1996_2001', count(*), coalesce(sum(o_custkey), 0)::BIGINT FROM e
+    UNION ALL
+    SELECT 'except_all_priorities', count(*),
+           coalesce(sum(('0x' || substr(md5(o_orderpriority), 1, 8))::BIGINT), 0)::BIGINT FROM ea
+    ORDER BY set_op
     """,
 )
 

@@ -268,21 +268,8 @@ def top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("supplier_nation_outer")
-def supplier_nation_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right/full-outer surface: every nation with its supplier stats,
-    including nations with no suppliers (left join from dimension side)."""
-    na = _t(spark, sf_dir, "nation")
-    su = _t(spark, sf_dir, "supplier")
-    return (
-        na.join(su, na.n_nationkey == su.s_nationkey, "left")
-        .groupBy("n_name")
-        .agg(
-            F.count("s_suppkey").alias("n_suppliers"),
-            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias("total_acctbal"),
-        )
-        .orderBy("n_name")
-    )
+# (the left/right-outer join surface is exercised — and oracle-gated —
+# by nation_customers_suppliers_full's FULL OUTER in llm_queries.py)
 
 
 # ---------------------------------------------------------------------------
@@ -396,27 +383,45 @@ def daily_top_user_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("active_1996_not_2001")
-def active_1996_not_2001(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customers who ordered in 1996 but not in 2001."""
-    od = _t(spark, sf_dir, "orders")
-    c94 = od.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey")).distinct()
-    c95 = od.filter(F.year("o_orderdate") == 2001).select(F.col("o_custkey").alias("custkey")).distinct()
-    return c94.exceptAll(c95).orderBy("custkey")
+@query("orders_set_ops")
+def orders_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full set-operator surface (O5/O7 generalized) in one gated
+    result: UNION-distinct, INTERSECT, EXCEPT (distinct), and EXCEPT ALL
+    (multiset — surplus occurrences survive), each summarized as a
+    labeled (n_rows, checksum) row so every operator's OUTPUT VALUES are
+    hash-checked, not just its row count. Checksums are sum(key) for the
+    custkey ops and sum(hash32(value)) for the string multiset. Each leg
+    is one or two shuffles on the compared column; the four legs share
+    the orders scan."""
+    from etl_instagram_spark.functions.text import hash32
 
-
-@query("order_status_union")
-def order_status_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) of two filtered projections + intersect count —
-    the reference's two-shape union O5 re-expressed relationally."""
     od = _t(spark, sf_dir, "orders")
     hi = od.filter(F.col("o_totalprice") > 200000).select("o_custkey")
     urgent = od.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    y96 = od.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y01 = od.filter(F.year("o_orderdate") == 2001).select("o_custkey").distinct()
+    p96 = od.filter(F.year("o_orderdate") == 1996).select("o_orderpriority")
+    p97 = od.filter(F.year("o_orderdate") == 1997).select("o_orderpriority")
+
+    def leg(df: DataFrame, name: str, checksum) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(checksum, F.lit(0)).cast("long").alias("checksum"),
+        ).select(F.lit(name).alias("set_op"), "n_rows", "checksum")
+
+    key_sum = F.sum("o_custkey")
     return (
-        hi.union(urgent)
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_union"))
-        .crossJoin(hi.intersect(urgent).agg(F.count(F.lit(1)).alias("n_intersect")))
+        leg(hi.union(urgent).distinct(), "union_hi_urgent", key_sum)
+        .unionByName(leg(y96.intersect(y01), "intersect_1996_2001", key_sum))
+        .unionByName(leg(y96.subtract(y01), "except_1996_2001", key_sum))
+        .unionByName(
+            leg(
+                p96.exceptAll(p97),
+                "except_all_priorities",
+                F.sum(hash32(F.col("o_orderpriority"))),
+            )
+        )
+        .orderBy("set_op")
     )
 
 

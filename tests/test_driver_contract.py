@@ -13,12 +13,20 @@ import __spark_entry__ as entry_mod
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+# ml.KMeans has no SQL analogue, so the IVF recall gate is deliberately
+# rows-only at the driver; its recall floor is pinned in
+# tests/test_dedup_similarity.py instead
+ROWS_ONLY = {"emb_ann_ivf_recall"}
+
+
 def test_queries_and_oracles_pair_up():
     qs, oq = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oq) <= set(qs)
-    # every current query is oracle-gated (none fall back to rows-only)
-    assert set(oq) == set(qs)
-    assert len(qs) >= 50
+    # every query is oracle-gated except the documented rows-only set
+    assert set(qs) - set(oq) == ROWS_ONLY
+    # the driver's CORRECTNESS file caps at 50 rows — stay at exactly 50
+    # so every registered query gets a driver-side row
+    assert len(qs) == 50
 
 
 def test_column_aliases_match_oracle(spark, sf_smoke):
@@ -28,6 +36,8 @@ def test_column_aliases_match_oracle(spark, sf_smoke):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_smoke}/{t}.parquet'")
     mismatches = []
     for name, fn in entry_mod.queries().items():
+        if name in ROWS_ONLY:
+            continue
         spark_cols = sorted(fn(spark, sf_smoke).columns)
         duck_cols = sorted(con.sql(entry_mod.oracle_sql()[name]).columns)
         if spark_cols != duck_cols:
