@@ -14,6 +14,7 @@ streaming AvailableNow trigger in streaming/):
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,9 +74,13 @@ def hashtag_tick(
     fetcher: Fetcher = stub_fetcher,
     batch_ts: datetime | None = None,
     enrich: bool = True,
+    on_alert: Callable[[str], None] | None = None,
 ) -> dict[str, int] | None:
     """One scheduled run over cfg.hashtags. Returns stage counters, or
-    None when the breaker is tripped (E1, main.js gate)."""
+    None when the breaker is tripped (E1, main.js gate). ``on_alert`` is
+    the pluggable alert sink (support/email.js:15-21): fired at most once
+    per incident type across ticks (deduped via ``breaker.alert_once``;
+    with no breaker every incident alerts — nothing to dedup against)."""
     if breaker is not None and breaker.tripped():
         return None
     batch_ts = batch_ts or datetime.now(timezone.utc)
@@ -84,17 +89,28 @@ def hashtag_tick(
         [(h, f"https://www.instagram.com/explore/tags/{h}/") for h in cfg.hashtags],
         "hashtag string, url string",
     )
+    # materialize the fetch ONCE: downstream runs several actions over
+    # this lineage (dead count / dead-letter write / sentinel probe /
+    # batch ingest), and with a real rate-limited fetcher every
+    # re-evaluation would be a full re-fetch of every page
     pages = fetch_pages(
         seeds, fetcher=fetcher, min_interval_s=cfg.fetch_interval_s, n_parallel=1
-    )
+    ).localCheckpoint(eager=True)
     clean, dead = split_sentinel_pages(pages)
     n_dead = dead.count()
     if n_dead:
-        dead_letter.append(
+        # upsert (keyed on the dead table's key): re-running a tick over
+        # the same pages cannot double-write dead letters
+        dead_letter.upsert(
             dead.withColumn("seen_at", F.lit(batch_ts).cast("timestamp"))
         )
+        incident = dead.select("sentinel").first()["sentinel"]
         if breaker is not None:  # W9/E2: one alert, then gate future runs
-            breaker.trip(dead.select("sentinel").first()["sentinel"])
+            if on_alert is not None and breaker.alert_once(incident):
+                on_alert(incident)
+            breaker.trip(incident)
+        elif on_alert is not None:
+            on_alert(incident)
 
     raw_graphql = tag_pages_from_html(clean)
     stats = run_hashtag_batch(

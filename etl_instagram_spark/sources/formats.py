@@ -58,8 +58,12 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     if CORRUPT_COL not in df.columns:
         return df, df.limit(0)
     # permissive json/csv needs the corrupt column materialized before
-    # filtering on it (Spark requires a cache/persist boundary here)
-    df = df.cache()
+    # filtering on it (Spark requires a persistence boundary here).
+    # localCheckpoint instead of cache(): cached plans pin executor
+    # memory in the CacheManager until an explicit unpersist — which no
+    # caller can be trusted to pair per ingestion tick — while local
+    # checkpoint blocks are garbage-collected with the DataFrame.
+    df = df.localCheckpoint(eager=True)
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     dead = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, dead

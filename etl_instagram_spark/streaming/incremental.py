@@ -39,10 +39,19 @@ from etl_instagram_spark.operators.merge import MergeTable
 class CircuitBreaker:
     """E1: after one trip, every later run is skipped until reset
     (posts-from-hashtags.js:14, 100, 361-363). File-backed so the flag
-    survives driver restarts."""
+    survives driver restarts.
+
+    Also tracks which incident types have already been alerted (W9/E2,
+    support/email.js:15-21 + is-login-required.js:8-15 parity): the
+    reference sends at most one alert email per incident type, then only
+    gates. ``alert_once`` is the durable form of that dedup."""
 
     def __init__(self, path: str):
         self.path = path
+
+    @property
+    def _alerts_path(self) -> str:
+        return self.path + ".alerts"
 
     def tripped(self) -> bool:
         return os.path.exists(self.path)
@@ -58,9 +67,25 @@ class CircuitBreaker:
         with open(self.path, encoding="utf-8") as f:
             return f.read()
 
+    def alert_once(self, incident_type: str) -> bool:
+        """True exactly once per incident type across runs and restarts;
+        the caller fires its alert sink only on True (W9/E2)."""
+        seen: set[str] = set()
+        if os.path.exists(self._alerts_path):
+            with open(self._alerts_path, encoding="utf-8") as f:
+                seen = set(f.read().splitlines())
+        if incident_type in seen:
+            return False
+        os.makedirs(os.path.dirname(self._alerts_path) or ".", exist_ok=True)
+        with open(self._alerts_path, "a", encoding="utf-8") as f:
+            f.write(incident_type + "\n")
+        return True
+
     def reset(self) -> None:
         if self.tripped():
             os.remove(self.path)
+        if os.path.exists(self._alerts_path):
+            os.remove(self._alerts_path)
 
 
 def stream_upsert(
@@ -109,11 +134,19 @@ def stream_pages_with_sentinel_gate(
     checkpoint_dir: str,
     breaker: CircuitBreaker,
     html_col: str = "html",
+    on_alert: Callable[[str], None] | None = None,
 ) -> bool:
     """Incremental page ingestion with P11/E1/E3 semantics: clean rows
     upsert into ``table``; sentinel rows land in ``dead_letter`` and trip
     the breaker, so the NEXT tick is skipped (the reference alerts then
-    stops scheduling, is-login-required.js:10-12)."""
+    stops scheduling, is-login-required.js:10-12). ``on_alert`` is the
+    pluggable alert sink (the support/email.js analogue): invoked at most
+    once per incident type across runs via ``breaker.alert_once``.
+
+    Exactly-once dead letters: the write is an UPSERT on the dead-letter
+    table's key, so an epoch that retries after the write (foreachBatch
+    is at-least-once within an epoch) re-applies the same keys instead of
+    appending duplicates; ``epoch_id`` is carried as provenance."""
     from etl_instagram_spark.operators.projections import split_sentinel_pages
 
     if breaker.tripped():
@@ -124,12 +157,15 @@ def stream_pages_with_sentinel_gate(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         clean, dead = split_sentinel_pages(batch_df, html_col=html_col)
         table.upsert(clean)
-        dead_rows = dead.count()
-        if dead_rows:
-            dead_letter.append(dead)
-            # at-most-one alert per incident type (E2): trip records the
-            # first sentinel only
-            breaker.trip(dead.select("sentinel").first()["sentinel"])
+        # one materialization feeds count + upsert + first (the batch is
+        # re-derivable, but three actions = three source re-reads)
+        dead = dead.localCheckpoint(eager=True)
+        if dead.count():
+            dead_letter.upsert(dead.withColumn("epoch_id", F.lit(epoch_id)))
+            incident = dead.select("sentinel").first()["sentinel"]
+            if on_alert is not None and breaker.alert_once(incident):
+                on_alert(incident)
+            breaker.trip(incident)
 
     q = (
         stream.writeStream.foreachBatch(handle)

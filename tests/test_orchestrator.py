@@ -78,3 +78,80 @@ def test_hashtag_tick_end_to_end_from_html(spark, tmp_path):
         spark, cfg, details, posts_t, users_t, locations_t, dead_t,
         breaker=breaker, fetcher=fetcher, batch_ts=T1,
     ) is None
+
+
+def test_fetch_runs_exactly_once_per_url_per_tick(spark, tmp_path):
+    """The fetch lineage is materialized once (localCheckpoint): the
+    tick's several downstream actions (dead count, dead-letter write,
+    sentinel probe, ingest) must NOT re-run the fetch UDF — with a real
+    throttled fetcher each re-evaluation is a full re-fetch."""
+    import os
+
+    marker_dir = str(tmp_path / "fetches")
+    os.makedirs(marker_dir)
+    html_by_tag = {
+        "food": page_html([gql_node("1", "AAA", 10, "kimchi rice")]),
+        "wall": "<html>Login • Instagram</html>",  # sentinel → dead path runs too
+    }
+
+    def counting_fetcher(url: str) -> str:
+        # runs inside the Python worker: count via the filesystem
+        import os as _os
+        import uuid as _uuid
+
+        tag = url.rstrip("/").rsplit("/", 1)[-1]
+        open(_os.path.join(marker_dir, f"{tag}.{_uuid.uuid4().hex}"), "w").close()
+        return html_by_tag[tag]
+
+    posts_t = MergeTable(spark, str(tmp_path / "posts"), "id")
+    users_t = MergeTable(spark, str(tmp_path / "users"), "id")
+    locations_t = MergeTable(spark, str(tmp_path / "locations"), "id")
+    dead_t = MergeTable(spark, str(tmp_path / "dead"), "url")
+    cfg = EngineConfig.from_env({"ETL_ENV": "test", "ETL_HASHTAGS": "food,wall"})
+    details = parse(spark, [detail("AAA", "alice", None)], S.RAW_POST_DETAIL)
+
+    stats = hashtag_tick(
+        spark, cfg, details, posts_t, users_t, locations_t, dead_t,
+        fetcher=counting_fetcher, batch_ts=T1, enrich=False,
+    )
+    assert stats["dead_letter"] == 1
+    fetched = sorted(m.split(".")[0] for m in os.listdir(marker_dir))
+    assert fetched == ["food", "wall"]  # each URL exactly once
+
+
+def test_alert_fires_once_per_incident_type(spark, tmp_path):
+    """W9/E2 parity (support/email.js:15-21): the pluggable alert sink is
+    invoked at most once per incident type, even when the gate is lifted
+    and the same sentinel comes back on a later tick."""
+    import os
+
+    posts_t = MergeTable(spark, str(tmp_path / "posts"), "id")
+    users_t = MergeTable(spark, str(tmp_path / "users"), "id")
+    locations_t = MergeTable(spark, str(tmp_path / "locations"), "id")
+    dead_t = MergeTable(spark, str(tmp_path / "dead"), "url")
+    breaker = CircuitBreaker(str(tmp_path / "breaker.flag"))
+    cfg = EngineConfig.from_env({"ETL_ENV": "test", "ETL_HASHTAGS": "wall"})
+    details = parse(spark, [detail("AAA", "alice", None)], S.RAW_POST_DETAIL)
+    fetcher = lambda url: "<html>Login • Instagram</html>"  # noqa: E731
+    alerts: list[str] = []
+
+    hashtag_tick(
+        spark, cfg, details, posts_t, users_t, locations_t, dead_t,
+        breaker=breaker, fetcher=fetcher, batch_ts=T1, enrich=False,
+        on_alert=alerts.append,
+    )
+    assert alerts == ["Login • Instagram"]
+    assert breaker.tripped()
+
+    # operator lifts the gate but the incident type was already alerted:
+    # the second sentinel tick dead-letters again without a second email
+    os.remove(breaker.path)
+    hashtag_tick(
+        spark, cfg, details, posts_t, users_t, locations_t, dead_t,
+        breaker=breaker, fetcher=fetcher, batch_ts=T1, enrich=False,
+        on_alert=alerts.append,
+    )
+    assert alerts == ["Login • Instagram"]  # still exactly one
+    # full reset clears the alert dedup too → a fresh incident re-alerts
+    breaker.reset()
+    assert breaker.alert_once("Login • Instagram")

@@ -136,3 +136,51 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("SELECT event_id FROM dedup_stream").collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2]  # dup dropped
+
+
+def test_dead_letter_idempotent_under_replay(spark, tmp_path):
+    """An epoch that replays (checkpoint wiped, same files re-ingested)
+    must not duplicate dead-letter rows: the write is an upsert on the
+    dead table's key, not an append."""
+    import os
+
+    landing = tmp_path / "pages"
+    table = MergeTable(spark, str(tmp_path / "clean"), "url")
+    dead = MergeTable(spark, str(tmp_path / "dead"), "url")
+    breaker = CircuitBreaker(str(tmp_path / "breaker.flag"))
+
+    write_json(landing / "b1.json", [
+        {"url": "u1", "html": "<html>fine</html>", "updated_at": "2021-01-01T00:00:00Z"},
+        {"url": "u2", "html": "<html>Login • Instagram</html>", "updated_at": "2021-01-01T00:00:00Z"},
+    ])
+    assert stream_pages_with_sentinel_gate(
+        spark, str(landing), PAGE_DDL, table, dead, str(tmp_path / "ckpt1"), breaker
+    )
+    assert dead.read().count() == 1
+
+    # replay: fresh checkpoint re-consumes b1.json; lift the gate first
+    os.remove(breaker.path)
+    assert stream_pages_with_sentinel_gate(
+        spark, str(landing), PAGE_DDL, table, dead, str(tmp_path / "ckpt2"), breaker
+    )
+    rows = dead.read().collect()
+    assert len(rows) == 1  # same key upserted, not appended
+    assert rows[0]["sentinel"] == "Login • Instagram"
+    assert "epoch_id" in dead.read().columns  # provenance carried
+
+
+def test_on_alert_hook_in_stream_gate(spark, tmp_path):
+    landing = tmp_path / "pages"
+    table = MergeTable(spark, str(tmp_path / "clean"), "url")
+    dead = MergeTable(spark, str(tmp_path / "dead"), "url")
+    breaker = CircuitBreaker(str(tmp_path / "breaker.flag"))
+    alerts: list[str] = []
+
+    write_json(landing / "b1.json", [
+        {"url": "u2", "html": "<html>Login • Instagram</html>", "updated_at": "2021-01-01T00:00:00Z"},
+    ])
+    assert stream_pages_with_sentinel_gate(
+        spark, str(landing), PAGE_DDL, table, dead, str(tmp_path / "c1"), breaker,
+        on_alert=alerts.append,
+    )
+    assert alerts == ["Login • Instagram"]
