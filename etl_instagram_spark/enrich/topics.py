@@ -63,8 +63,12 @@ def normalized_tokens(text: Column) -> Column:
 def _strip_first_apostrophe(t: Column) -> Column:
     """JS ``w.replace("'", '')`` removes only the FIRST apostrophe
     (lda/index.js:40). The ^-anchored pattern can match at most once, so
-    regexp_replace (replace-all semantics) still strips exactly one."""
-    return F.regexp_replace(t, r"^([^']*)'", r"$1")
+    regexp_replace (replace-all semantics) still strips exactly one; the
+    ``contains`` guard keeps the regex engine off the hot path — almost
+    no token carries an apostrophe."""
+    return F.when(
+        t.contains("'"), F.regexp_replace(t, r"^([^']*)'", r"$1")
+    ).otherwise(t)
 
 
 def drop_stop_tokens(
@@ -116,9 +120,13 @@ def stop_drop_sql_predicate(var: str = "t", langs: tuple[str, ...] = ("en",)) ->
     stops = ", ".join(
         "'" + w.replace("'", "''") + "'" for w in stopwords.combined(langs)
     )
+    strip = (
+        f"CASE WHEN contains({var}, '''') "
+        f"THEN regexp_replace({var}, '^([^'']*)''', '\\1') ELSE {var} END"
+    )
     return (
         f"length({var}) > 1 AND {var} NOT LIKE 'http%' "
-        f"AND regexp_replace({var}, '^([^'']*)''', '\\1') NOT IN ({stops}) "
+        f"AND {strip} NOT IN ({stops}) "
         f"AND {var} NOT IN ({stops})"
     )
 

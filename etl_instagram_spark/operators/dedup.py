@@ -127,7 +127,7 @@ def shingle_jaccard(a: Column, b: Column, n: int = 3) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
 
 
-def near_dedup_minhash(
+def near_dedup_losers(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -136,12 +136,10 @@ def near_dedup_minhash(
     bands: int = 4,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """Drop docs that have a verified near-duplicate with a smaller id.
-
-    candidates (LSH) → exact Jaccard ≥ threshold verify → left-anti drop.
-    Only candidate pairs pay the verify cost; the final anti-join is on the
-    id key.
-    """
+    """The ids ``near_dedup_minhash`` drops (docs with a verified
+    near-duplicate of smaller id) — exposed separately so callers that
+    only need drop STATS can aggregate in a single action instead of
+    re-running the whole pipeline per count."""
     cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_words)
     # stage each doc's distinct shingle set ONCE, then verify on the
     # materialized arrays — the expression form would re-tokenize both
@@ -158,7 +156,25 @@ def near_dedup_minhash(
         .join(sh_b, "id_b")
         .filter(F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union) >= threshold)
     )
-    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return verified.select(F.col("id_b").alias(id_col)).distinct()
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Drop docs that have a verified near-duplicate with a smaller id.
+
+    candidates (LSH) → exact Jaccard ≥ threshold verify → left-anti drop.
+    Only candidate pairs pay the verify cost; the final anti-join is on the
+    id key.
+    """
+    losers = near_dedup_losers(df, id_col, text_col, threshold, k, bands, shingle_words)
     return df.join(losers, on=id_col, how="left_anti")
 
 

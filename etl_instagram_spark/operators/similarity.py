@@ -114,17 +114,65 @@ def ann_lsh_topk(
 
 
 def fit_ivf_centroids(
-    df: DataFrame, vec_col: str = "embedding", n_clusters: int = 16, seed: int = 42
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_fit_points: int | None = 4096,
+    max_iter: int = 8,
 ) -> list[list[float]]:
-    """Fit IVF coarse centroids with seeded KMeans (pyspark.ml). At scale
-    fit on a sample once and reuse the centroids across queries — the
-    centroid list is O(n_clusters · dim), driver-sized by design."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Fit IVF coarse centroids with seeded KMeans (pyspark.ml).
 
-    feats = df.select(array_to_vector(as_double(F.col(vec_col))).alias("features"))
-    model = KMeans(k=n_clusters, seed=seed).fit(feats)
-    return [c.tolist() for c in model.clusterCenters()]
+    The quantizer is fit on a BOUNDED sample (``max_fit_points``,
+    default 4096 × dim doubles ≈ 2 MB) collected to the driver and
+    clustered with seeded NumPy Lloyd's (k-means++ init): a coarse
+    quantizer only needs rough cluster geometry, and the standard IVF
+    recipe (FAISS trains on ~max(10k, 40·k) points) fits on a sample
+    once and reuses the centroids across queries. A distributed iterative
+    fit (pyspark.ml.KMeans) here is the wrong shape at BOTH ends of the
+    scale: at 100 TB it is a multi-pass job over every vector for no
+    recall gain, and on a hot path it pays per-iteration job-scheduling
+    overhead to cluster kilobytes. Only the centroid list — O(n_clusters
+    · dim), driver-sized by design — leaves this function; cell
+    assignment and probing stay fully distributed column expressions."""
+    import numpy as np
+
+    rows = (
+        df.select(as_double(F.col(vec_col)).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .limit(max_fit_points or (1 << 20))
+        .collect()
+    )
+    x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    k = min(n_clusters, len(x))
+    rng = np.random.RandomState(seed)
+
+    # k-means++ seeding
+    centers = x[rng.randint(len(x))][None, :]
+    for _ in range(1, k):
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1).min(1)
+        total = d2.sum()
+        if total <= 0:
+            centers = np.vstack([centers, x[rng.randint(len(x))]])
+            continue
+        centers = np.vstack([centers, x[rng.choice(len(x), p=d2 / total)]])
+
+    for _ in range(max_iter):
+        # ||x - c||² = ||x||² - 2x·c + ||c||² ; the x² term is constant
+        # per row, so argmin needs only the cross and center terms
+        d2 = (centers**2).sum(1)[None, :] - 2.0 * (x @ centers.T)
+        assign = d2.argmin(1)
+        moved = False
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                nc = members.mean(0)
+                if not np.array_equal(nc, centers[j]):
+                    centers[j] = nc
+                    moved = True
+        if not moved:
+            break
+    return [c.tolist() for c in centers]
 
 
 def _nearest_centroids(query_vec: list[float], centroids: list[list[float]], n_probe: int) -> list[int]:

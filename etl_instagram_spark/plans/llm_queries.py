@@ -275,7 +275,10 @@ oracle(
 
 MINHASH_K = 8
 MINHASH_BANDS = 4  # rows-per-band = 2
-_BAND_MULT = 2**31  # sig values < HASH_PRIME < 2^31 → band hash fits int64
+# band hashes on BOTH sides come from the same generators in
+# operators/dedup.py (_band_hashes / band_hash_sql), so the pack formula
+# (exact 2^31 digit pack at rows≤2, modular fold above) cannot drift
+# between Spark, the oracle, and the dedup operators themselves
 
 
 @query("docs_minhash_bands")
@@ -287,15 +290,11 @@ def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Signature built via the staged kernel (one md5 pass per row, not one
     per permutation — 35× faster at sf0.1)."""
+    from etl_instagram_spark.operators.dedup import _band_hashes
+
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     staged = T.with_minhash_signature(docs, "text", "sig", k=MINHASH_K)
-    sig = F.col("sig")
-    bands = F.array(
-        *[
-            sig[2 * j] * F.lit(_BAND_MULT) + sig[2 * j + 1]
-            for j in range(MINHASH_BANDS)
-        ]
-    )
+    bands = _band_hashes(F.col("sig"), MINHASH_K, MINHASH_BANDS)
     exploded = staged.select(F.posexplode(bands).alias("band_idx", "band_hash"))
     buckets = exploded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("n"))
     return (
@@ -317,6 +316,12 @@ def _sql_minhash_sig() -> str:
     return f"[{perms}]"
 
 
+def _sql_band_hashes() -> str:
+    from etl_instagram_spark.operators.dedup import band_hash_sql
+
+    return band_hash_sql("sig", MINHASH_K, MINHASH_BANDS)
+
+
 oracle(
     "docs_minhash_bands",
     f"""
@@ -327,9 +332,9 @@ oracle(
                FROM t),
          h AS (SELECT list_transform(sh, s -> {SQL_HASH32.format(v='s')}) AS hs FROM s),
          sig AS (SELECT {_sql_minhash_sig()} AS sig FROM h),
-         bands AS (SELECT u.j AS band_idx,
-                          sig[2*u.j + 1] * {_BAND_MULT} + sig[2*u.j + 2] AS band_hash
-                   FROM sig CROSS JOIN (SELECT unnest(range({MINHASH_BANDS})) AS j) u),
+         bh AS (SELECT {_sql_band_hashes()} AS bh FROM sig),
+         bands AS (SELECT u.j AS band_idx, bh[u.j + 1] AS band_hash
+                   FROM bh CROSS JOIN (SELECT unnest(range({MINHASH_BANDS})) AS j) u),
          buckets AS (SELECT band_idx, band_hash, count(*) AS n
                      FROM bands GROUP BY band_idx, band_hash)
     SELECT band_idx,
@@ -562,7 +567,7 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
             F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))).alias("ham"),
         )
-    )
+    ).localCheckpoint(eager=True)  # scored pairs feed BOTH window branches
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     gt = (
         pairs.withColumn("r", F.row_number().over(w))
@@ -666,7 +671,7 @@ def emb_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
             F.array_contains(F.col("qcells"), F.col("cell")).alias("probed"),
         )
-    )
+    ).localCheckpoint(eager=True)  # one evaluation of the cell-assignment chain
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     gt = (
         pairs.withColumn("r", F.row_number().over(w))
@@ -1081,17 +1086,28 @@ def docs_near_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/dedup.near_dedup_minhash run whole: LSH candidates →
     exact shingle-Jaccard verify (≥0.5) → drop-larger-id survivors. The
     oracle replays every stage in SQL, so this is an end-to-end gate on
-    the dedup operator, not just its kernels."""
-    from etl_instagram_spark.operators.dedup import near_dedup_minhash
+    the dedup operator, not just its kernels.
+
+    Single action: the drop set joins back to the docs scan and one
+    aggregate produces all three counters (previously two .count()
+    actions re-ran the whole pipeline)."""
+    from etl_instagram_spark.operators.dedup import near_dedup_losers
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    n_docs = docs.count()
-    survivors = near_dedup_minhash(
+    losers = near_dedup_losers(
         docs, "doc_id", "text", threshold=0.5, k=MINHASH_K, bands=MINHASH_BANDS
-    ).count()
-    return spark.createDataFrame(
-        [(n_docs, survivors, n_docs - survivors)],
-        "n_docs long, n_survivors long, n_dropped long",
+    ).withColumn("__dropped", F.lit(1))
+    return (
+        docs.join(losers, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__dropped").alias("n_dropped"),
+        )
+        .select(
+            "n_docs",
+            (F.col("n_docs") - F.col("n_dropped")).alias("n_survivors"),
+            "n_dropped",
+        )
     )
 
 
@@ -1110,9 +1126,9 @@ oracle(
                       list_distinct(sh) AS dsh
                FROM s),
          sig AS (SELECT doc_id, dsh, {_sql_minhash_sig()} AS sig FROM h),
-         bands AS (SELECT doc_id, u.j AS band_idx,
-                          sig[2*u.j + 1] * {_BAND_MULT} + sig[2*u.j + 2] AS bh
-                   FROM sig CROSS JOIN (SELECT unnest(range({MINHASH_BANDS})) AS j) u),
+         bharr AS (SELECT doc_id, {_sql_band_hashes()} AS bh FROM sig),
+         bands AS (SELECT doc_id, u.j AS band_idx, bh[u.j + 1] AS bh
+                   FROM bharr CROSS JOIN (SELECT unnest(range({MINHASH_BANDS})) AS j) u),
          pairs AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
                    FROM bands a JOIN bands b
                      ON a.band_idx = b.band_idx AND a.bh = b.bh

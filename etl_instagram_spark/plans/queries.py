@@ -15,7 +15,11 @@ on BOTH sides.
 
 Scale notes are inline per query; the common themes at 100 TB:
 - filters/projections sit directly on the parquet scan (pushdown),
-- dimension joins (region/nation/supplier/part ≤ O(MB)) are broadcast,
+- BOUNDED dimensions (region: 5 rows, nation: 25 rows at every SF) carry
+  static broadcast hints; SF-scaling tables (customer, supplier, part)
+  carry NO hint — AQE broadcasts them from runtime stats while they fit
+  and falls back to shuffle join when they don't, so the plan survives a
+  100× scale-up without a driver OOM,
 - fact-fact joins (orders⋈lineitem) shuffle on the join key — at cluster
   scale both sides would be bucketed by orderkey to make this shuffle-free,
 - windows partition by high-cardinality keys (custkey, user_id) so state
@@ -195,9 +199,12 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q5_region_revenue")
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way snowflake join. Bounded dimensions
-    (region/nation/supplier-per-nation) broadcast; customer scales with the
-    fact's key space, so it carries NO hint — AQE decides at runtime.
+    """TPC-H Q5 shape: 6-way snowflake join. Only the truly bounded
+    dimensions (region: 5 rows, nation: 25 rows at every SF) carry static
+    broadcast hints; customer AND supplier both scale linearly with SF
+    (supplier is SF×10k — smaller than customer but just as unbounded),
+    so neither carries a hint — AQE broadcasts from runtime stats while
+    they fit and degrades gracefully when they don't.
     The co-located supplier/customer nation equality prunes rows early."""
     re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     na = _t(spark, sf_dir, "nation")
@@ -209,7 +216,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .join(cu, (od.o_custkey == cu.c_custkey) & (cu.c_nationkey == su.s_nationkey))
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)

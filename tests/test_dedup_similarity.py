@@ -60,7 +60,8 @@ def test_band_hash_sql_mirrors_column_formula(spark):
     import duckdb
 
     sig = list(range(101, 117))  # 16 fake minhash values
-    for k, bands in [(8, 4), (16, 4)]:
+    # (4, 4) covers the rows=1 branch (band hash = the sig value itself)
+    for k, bands in [(4, 4), (8, 4), (16, 4)]:
         df = spark.createDataFrame([(sig[:k],)], "sig array<long>")
         got = df.select(D._band_hashes(F.col("sig"), k, bands).alias("b")).first()["b"]
         want = duckdb.sql(

@@ -184,3 +184,46 @@ def test_on_alert_hook_in_stream_gate(spark, tmp_path):
         on_alert=alerts.append,
     )
     assert alerts == ["Login • Instagram"]
+
+
+def test_stream_batch_parity_windowed_counts(spark, tmp_path):
+    """The same windowed_event_counts transform over the events table as
+    a replayed file STREAM and as a BATCH read must produce identical
+    rollups — the streaming face of events_hourly_rollup is not a second
+    implementation, it is the same declarative plan under a different
+    runner (complete mode so withheld-by-watermark windows also emit).
+    Events are re-landed as micros-timestamp parquet first: the NANOS ts
+    in the source file is batch-readable via load_table's legacy-conf
+    dance but the streaming parquet source rejects it outright."""
+    import uuid
+
+    from etl_instagram_spark.sources.tables import load_table
+
+    landing = str(tmp_path / "events_landing")
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(landing)
+    batch_events = spark.read.parquet(landing)
+    expected = sorted(
+        (
+            (str(r["window_start"]), r["event_type"], r["n_events"], r["sum_value"])
+            for r in windowed_event_counts(batch_events).collect()
+        )
+    )
+
+    name = f"wec_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(batch_events.schema).parquet(landing)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (
+            (str(r["window_start"]), r["event_type"], r["n_events"], r["sum_value"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+    )
+    assert got == expected and len(got) > 0
