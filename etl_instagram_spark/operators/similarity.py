@@ -186,22 +186,30 @@ def _nearest_centroids(query_vec: list[float], centroids: list[list[float]], n_p
 def _assign_cell(vec_col: str, centroids: list[list[float]]) -> Column:
     """Cell id = argmin squared distance to the centroids — a pure column
     expression over the literal centroid arrays (no model object shipped
-    to executors, no UDF)."""
+    to executors, no UDF).
+
+    Shape matters: the obvious running-argmin when-chain references its
+    own accumulated subtree at every step, and Catalyst re-evaluates per
+    reference — O(2^n_clusters) distance evaluations per row. Building
+    the distance ARRAY evaluates each distance once; array_min +
+    array_position then pick the first minimum (same tie-break as the
+    chain) at O(n_clusters)."""
     v = as_double(F.col(vec_col))
-    best_cell = F.lit(0)
-    best_dist = None
-    for i, c in enumerate(centroids):
-        w = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(v, w, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
-        )
-        if best_dist is None:
-            best_dist = d
-        else:
-            cond = d < best_dist
-            best_cell = F.when(cond, F.lit(i)).otherwise(best_cell)
-            best_dist = F.when(cond, d).otherwise(best_dist)
-    return best_cell
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def ann_ivf_topk(
