@@ -536,14 +536,18 @@ oracle(
 
 @query("emb_ann_recall")
 def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@10 of multi-probe hyperplane-LSH ANN (probe the query's
-    bucket plus all Hamming-1 neighbors) against the exact cosine top-10,
-    for 5 query vectors at once. One distributed pass builds all
-    query×candidate pairs (queries broadcast — O(1) rows), two window
-    ranks produce ground truth and ANN lists, and a left join scores the
-    overlap. The oracle replays the ENTIRE path — buckets, Hamming probe,
-    exact ranking — in SQL from the same hyperplane constants, so the
-    recall number itself is the checked value."""
+    """recall@10 of multi-probe hyperplane-LSH ANN against the exact
+    cosine top-10, for 5 query vectors × probe radii Hamming ≤ {1, 2} at
+    once — the multi-probe knob's recall/scan trade-off is itself the
+    measured, oracle-checked value (radius 2 probes ~14% of buckets vs
+    ~3.5% at radius 1 and must never score lower). One distributed pass
+    builds all query×candidate pairs (queries broadcast — O(1) rows);
+    window ranks produce ground truth and per-radius ANN lists; a left
+    join scores overlap. The oracle replays the ENTIRE path — buckets,
+    Hamming probe, exact ranking — in SQL from the same hyperplane
+    constants. Low absolute recall here is a property of the isotropic
+    synthetic vectors (hyperplane LSH's worst case), which is exactly why
+    the number is pinned rather than assumed."""
     from pyspark.sql import Window
 
     emb = _spread(spark, _t(spark, sf_dir, "embeddings")).withColumn(
@@ -567,28 +571,35 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
             F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))).alias("ham"),
         )
-    ).localCheckpoint(eager=True)  # scored pairs feed BOTH window branches
+    ).localCheckpoint(eager=True)  # scored pairs feed every window branch
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     gt = (
         pairs.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= 10)
         .select("qid", "vec_id")
+        .crossJoin(spark.range(1, 3).select(F.col("id").cast("int").alias("probe_hamming")))
+    )
+    wp = Window.partitionBy("qid", "probe_hamming").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
     )
     ann = (
-        pairs.filter(F.col("ham") <= 1)
-        .withColumn("r", F.row_number().over(w))
+        pairs.crossJoin(
+            spark.range(1, 3).select(F.col("id").cast("int").alias("probe_hamming"))
+        )
+        .filter(F.col("ham") <= F.col("probe_hamming"))
+        .withColumn("r", F.row_number().over(wp))
         .filter(F.col("r") <= 10)
-        .select("qid", "vec_id", F.lit(1).alias("hit"))
+        .select("qid", "probe_hamming", "vec_id", F.lit(1).alias("hit"))
     )
     return (
-        gt.join(ann, ["qid", "vec_id"], "left")
-        .groupBy("qid")
+        gt.join(ann, ["qid", "probe_hamming", "vec_id"], "left")
+        .groupBy("qid", "probe_hamming")
         .agg(
             F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / 10.0, 2).alias(
                 "recall_at_10"
             )
         )
-        .orderBy("qid")
+        .orderBy("qid", "probe_hamming")
     )
 
 
@@ -598,6 +609,7 @@ oracle(
     WITH b AS (SELECT vec_id, embedding, {_sql_bucket()} AS bucket FROM embeddings),
          q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, bucket AS qbucket
                FROM b WHERE vec_id < 5),
+         radii AS (SELECT unnest([1, 2]) AS probe_hamming),
          pairs AS (
            SELECT qid, vec_id,
                   round(list_dot_product(embedding::DOUBLE[], qv)
@@ -605,19 +617,20 @@ oracle(
                            * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim,
                   bit_count(xor(bucket, qbucket)) AS ham
            FROM b CROSS JOIN q WHERE vec_id <> qid),
-         gt AS (SELECT qid, vec_id FROM
+         gt AS (SELECT qid, probe_hamming, vec_id FROM
                   (SELECT qid, vec_id,
                           row_number() OVER (PARTITION BY qid
                                              ORDER BY cos_sim DESC, vec_id) AS r
-                   FROM pairs) WHERE r <= 10),
-         ann AS (SELECT qid, vec_id, 1 AS hit FROM
-                  (SELECT qid, vec_id,
-                          row_number() OVER (PARTITION BY qid
+                   FROM pairs) CROSS JOIN radii WHERE r <= 10),
+         ann AS (SELECT qid, probe_hamming, vec_id, 1 AS hit FROM
+                  (SELECT qid, probe_hamming, vec_id,
+                          row_number() OVER (PARTITION BY qid, probe_hamming
                                              ORDER BY cos_sim DESC, vec_id) AS r
-                   FROM pairs WHERE ham <= 1) WHERE r <= 10)
-    SELECT qid, round(sum(coalesce(hit, 0)) / 10.0, 2) AS recall_at_10
-    FROM gt LEFT JOIN ann USING (qid, vec_id)
-    GROUP BY qid ORDER BY qid
+                   FROM pairs CROSS JOIN radii WHERE ham <= probe_hamming)
+                 WHERE r <= 10)
+    SELECT qid, probe_hamming, round(sum(coalesce(hit, 0)) / 10.0, 2) AS recall_at_10
+    FROM gt LEFT JOIN ann USING (qid, probe_hamming, vec_id)
+    GROUP BY qid, probe_hamming ORDER BY qid, probe_hamming
     """,
 )
 

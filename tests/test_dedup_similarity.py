@@ -192,8 +192,13 @@ def test_ann_recall_gates_on_real_embeddings(spark):
     sf = "/root/testdata/sf0.001"
     lsh = qs["emb_ann_recall"](spark, sf).collect()
     ivf = qs["emb_ann_ivf_recall"](spark, sf).collect()
-    assert [r["qid"] for r in lsh] == [0, 1, 2, 3, 4]
+    assert [(r["qid"], r["probe_hamming"]) for r in lsh] == [
+        (q, h) for q in range(5) for h in (1, 2)
+    ]
     assert [r["qid"] for r in ivf] == [0, 1, 2, 3, 4]
     assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in lsh + ivf)
+    # widening the probe radius may never LOWER recall (the measured knob)
+    rec = {(r["qid"], r["probe_hamming"]): r["recall_at_10"] for r in lsh}
+    assert all(rec[(q, 2)] >= rec[(q, 1)] for q in range(5))
     ivf_avg = sum(r["recall_at_10"] for r in ivf) / len(ivf)
     assert ivf_avg >= 0.3, f"IVF recall@10 collapsed: {ivf_avg}"

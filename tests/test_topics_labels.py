@@ -73,6 +73,21 @@ def test_dual_raw_and_stem_stopword_check(spark):
     assert "taken" not in kept and "kimchi" in kept
 
 
+def test_reference_only_stopwords_no_longer_surface_as_topics(spark):
+    # the user-visible parity gap the verbatim port closes: "really",
+    # "just", "like", "getting" are in the reference's vendored EN list
+    # but NOT in generic public stopword inventories — with the old lists
+    # they surfaced as topics on real captions
+    df = spark.createDataFrame(
+        [("x", "really just like getting kimchi kimchi really just",)],
+        "id string, caption string",
+    )
+    out = TP.attach_topics(df, text_col=F.col("caption"), langs=("en",)).collect()[0][
+        "topics"
+    ]
+    assert [t["name"] for t in out] == ["kimchi"]
+
+
 def test_verbatim_reference_stopword_lists():
     from etl_instagram_spark.functions import stopwords as SW
 
