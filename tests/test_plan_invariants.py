@@ -1,0 +1,111 @@
+"""Physical-plan invariants for the query inventory — the automated form
+of the explain-and-iterate discipline (SURVEY §7): correctness gates say
+the ANSWER is right; these say the PLAN is the one we'd want at 100 TB.
+
+Planning only (queryExecution().executedPlan before any action), so the
+whole sweep costs seconds. AQE wraps plans in AdaptiveSparkPlan; the
+initial physical plan is inspected, which is where scan pruning, pushed
+filters, and join strategy choices are visible.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_instagram_spark.plans.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    fn = all_queries()[name]
+    return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def _scans(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def _scan_cols(scan_line: str) -> list[str]:
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", scan_line)
+    cols = m.group(1) if m else ""
+    return [c for c in cols.split(",") if c.strip()]
+
+
+def test_no_unbroadcast_cartesian_products(spark):
+    """Every query plans without a CartesianProduct: deliberate
+    crossJoins (one-row / few-row query sides) must all have become
+    BroadcastNestedLoopJoin via the broadcast hint. A plain cartesian at
+    100 TB is a job that never finishes."""
+    offenders = []
+    for name in all_queries():
+        if "CartesianProduct" in _plan(spark, name):
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_filters_reach_the_scan(spark):
+    """Selective predicates must be pushed into the parquet scan
+    (DataFilters/PushedFilters on the FileScan node), not applied after a
+    full read — at 100 TB this is the difference between reading a slice
+    and reading the table."""
+    cases = {
+        # query -> substring expected inside a FileScan line
+        "q6_forecast_revenue": "l_shipdate",
+        "q1_pricing_summary": "l_shipdate",
+        "q3_unshipped_revenue": "o_orderdate",
+        "orders_set_ops": "o_totalprice",
+    }
+    for name, needle in cases.items():
+        scan_lines = [ln for ln in _scans(_plan(spark, name)) if needle in ln]
+        assert scan_lines, f"{name}: no FileScan carries a filter on {needle}"
+
+
+def test_scans_are_column_pruned(spark):
+    """Projections must reach the reader: a scan that reads every column
+    for a few-column aggregate defeats columnar IO."""
+    cases = {
+        # query -> (table column marker, max columns the scan may read)
+        "q6_forecast_revenue": ("l_shipdate", 4),
+        "top10_customers_by_revenue": ("o_custkey", 3),
+        "orders_set_ops": ("o_custkey", 2),
+        "docs_token_stats": ("text", 3),
+        "emb_knn_cosine": ("embedding", 3),
+    }
+    for name, (marker, max_cols) in cases.items():
+        plan = _plan(spark, name)
+        marked = [s for s in _scans(plan) if marker in s]
+        assert marked, f"{name}: no scan reading {marker}"
+        widths = [len(_scan_cols(s)) for s in marked]
+        assert min(widths) <= max_cols, (name, marker, widths)
+
+
+def test_bounded_dimensions_broadcast(spark):
+    """region/nation joins must plan as broadcast joins (static hints on
+    the truly bounded dims) — never a shuffle exchange of the fact side
+    keyed for a 25-row dimension."""
+    for name in ("q5_region_revenue", "sql_brand_revenue"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "events_hourly_rollup"])
+def test_aggregations_combine_map_side(spark, name):
+    """Wide aggregates must plan as partial (map-side) aggregation below
+    the exchange, so the shuffle moves one row per (partition, group)
+    instead of one row per input row — the single biggest shuffle-volume
+    lever at 100 TB. (WholeStageCodegen markers are not visible in the
+    AQE initial plan, so partial_* markers are the testable proxy for a
+    codegen-friendly hash-agg pipeline.)"""
+    plan = _plan(spark, name)
+    assert re.search(r"partial_(sum|count|avg)", plan), name
+    assert plan.index("partial_") > plan.index("Exchange")  # partial below
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "docs_token_stats"])
+def test_scans_use_columnar_batch_reader(spark, name):
+    """Parquet scans must be vectorized (Batched: true) — the interpreted
+    row-by-row reader forfeits columnar decode throughput."""
+    assert any("Batched: true" in s for s in _scans(_plan(spark, name))), name
