@@ -178,6 +178,102 @@ def near_dedup_minhash(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list: returns
+    (id, component) where ``component`` is the smallest id reachable
+    through any chain of pairs — the full transitive closure that the
+    single-pass keep-smallest-id survivor rule deliberately skips.
+    Use it when clusters themselves are the product (dup-cluster size
+    distributions, picking a canonical doc per cluster, provenance).
+
+    Iterative min-label propagation, O(graph diameter) rounds (dup
+    clusters are shallow — boilerplate families link through a hub, so
+    3-5 rounds typically converge):
+
+    - each round is one join (edges ⋈ labels) + one groupBy-min — the
+      standard DataFrame CC kernel; both shuffle on the id key,
+    - labels are ``localCheckpoint``-ed per round, which truncates the
+      otherwise exponentially deepening lineage (the classic iterative-
+      algorithm failure mode on Spark),
+    - convergence is detected with a count of changed labels per round
+      (one extra action over the just-materialized checkpoint — cheap).
+
+    At extreme skew (one component containing most of the graph) the
+    large-star/small-star variant halves round count; the plain kernel is
+    kept here because dup graphs are wide, not deep."""
+    a, b = F.col(id_a), F.col(id_b)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .union(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round — pin it
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        propagated = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.union(propagated)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS over documents: LSH candidates → exact
+    Jaccard verify → connected components. Returns every doc that belongs
+    to a duplicate cluster as (id, component); docs with no verified
+    duplicate are absent (they are their own singleton, not re-listed —
+    at scale the overwhelmingly common case, so the output stays
+    O(duplicates), not O(corpus))."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_words)
+    shingled = T.with_word_shingles(
+        df.select(F.col(id_col), F.col(text_col)), text_col, "__sh", shingle_words, distinct=True
+    ).select(F.col(id_col), F.col("__sh"))
+    sh_a = shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sha")
+    sh_b = shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__shb")
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    verified = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union) >= threshold)
+        .select("id_a", "id_b")
+    )
+    return dedup_components(verified).withColumnRenamed("id", id_col)
+
+
 def simhash_candidates(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
 ) -> DataFrame:

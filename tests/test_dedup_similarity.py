@@ -202,3 +202,29 @@ def test_ann_recall_gates_on_real_embeddings(spark):
     assert all(rec[(q, 2)] >= rec[(q, 1)] for q in range(5))
     ivf_avg = sum(r["recall_at_10"] for r in ivf) / len(ivf)
     assert ivf_avg >= 0.3, f"IVF recall@10 collapsed: {ivf_avg}"
+
+
+def test_dedup_components_transitive_closure(spark):
+    """A-B and B-C chains must land in ONE component labeled by the
+    smallest reachable id, even though (A, C) was never a pair; disjoint
+    pairs keep their own components."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in D.dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_duplicate_clusters_end_to_end(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),            # exact dup of 1
+        (3, NEAR),            # near dup of 1/2
+        (4, OTHER),           # unrelated — no cluster row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["component"] for r in
+           D.duplicate_clusters(df, "doc_id", "text", threshold=0.5).collect()}
+    assert out.get(1) == 1 and out.get(2) == 1 and out.get(3) == 1
+    assert 4 not in out  # singleton stays out of the O(duplicates) output
