@@ -1,0 +1,161 @@
+"""Video / audio columns: frame sampling and fixed-width audio chunking
+over opaque ``binary`` columns — the one-row-in / many-rows-out decode
+shape that ``explode`` cannot express (the expansion happens INSIDE the
+decode step), so both are ``mapInPandas`` UDTFs.
+
+Same contract as images.py: the codec work needs libraries absent from
+this environment (PyAV / soundfile), so ``decoder='av'`` / ``'soundfile'``
+raise NotImplementedError unless importable, and ``decoder='fake'``
+synthesizes deterministic output from the content hash. The Spark-side
+plumbing — schemas, Arrow batch shape, per-row fan-out, partitioning —
+is real and tested; swapping in a real codec touches one inner function.
+
+Scale notes (100 TB of video is the norm, not the exception):
+- sample frames EARLY and drop the source bytes: a 10 MB clip at 1 frame
+  per 2 s becomes ~15 thumbnail rows; the downstream pipeline (feature
+  extraction, similarity, dedup) never re-reads the clip,
+- one input row fans out to ``max_frames``/``max_chunks`` bounded rows,
+  so output partition size is bounded by input partition size × fan-out
+  — size ``spark.sql.files.maxPartitionBytes`` for the SOURCE blobs and
+  let AQE coalesce the decoded side,
+- frames/chunks carry (id, index, timestamp) so window/session analytics
+  and cross-modal joins (frame ⋈ transcript span) are plain equi/range
+  joins downstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+VIDEO_META_DDL = "duration_ms int, fps int, width int, height int"
+AUDIO_META_DDL = "duration_ms int, sample_rate int, channels int"
+
+FRAME_SCHEMA = (
+    "id string, frame_idx int, ts_ms int, frame binary, "
+    f"meta struct<{VIDEO_META_DDL}>"
+)
+CHUNK_SCHEMA = (
+    "id string, chunk_idx int, start_ms int, end_ms int, samples binary, "
+    f"meta struct<{AUDIO_META_DDL}>"
+)
+
+
+def _codec_available(module: str) -> bool:
+    try:
+        __import__(module)
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_video_meta(content: bytes) -> dict:
+    d = hashlib.md5(content).digest()
+    return {
+        "duration_ms": 2_000 + int.from_bytes(d[0:2], "big") % 28_000,
+        "fps": (24, 25, 30)[d[2] % 3],
+        "width": 320 + 16 * (d[3] % 60),
+        "height": 240 + 16 * (d[4] % 45),
+    }
+
+
+def _fake_audio_meta(content: bytes) -> dict:
+    d = hashlib.md5(content).digest()
+    return {
+        "duration_ms": 1_000 + int.from_bytes(d[0:2], "big") % 59_000,
+        "sample_rate": (16_000, 22_050, 44_100)[d[2] % 3],
+        "channels": 1 + d[3] % 2,
+    }
+
+
+def _fake_bytes(seed: bytes, n: int = 32) -> bytes:
+    out = b""
+    ctr = 0
+    while len(out) < n:
+        out += hashlib.sha256(seed + ctr.to_bytes(4, "big")).digest()
+        ctr += 1
+    return out[:n]
+
+
+def sample_frames(
+    blobs: DataFrame,
+    every_ms: int = 2_000,
+    max_frames: int = 16,
+    decoder: str = "fake",
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """One row per sampled frame of each video blob: every ``every_ms``
+    of media time, capped at ``max_frames`` (the fan-out bound that keeps
+    output partitions proportional to input partitions)."""
+    if decoder == "av" and not _codec_available("av"):
+        raise NotImplementedError(
+            "decoder='av' requires PyAV, which is not installed in this "
+            "environment; use decoder='fake' (deterministic stub)"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                                    ("id", "frame_idx", "ts_ms", "frame", "meta")}
+            for bid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                content = bytes(content)
+                meta = _fake_video_meta(content)
+                n = min(max_frames, 1 + meta["duration_ms"] // every_ms)
+                for i in range(n):
+                    out["id"].append(bid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame"].append(_fake_bytes(content + i.to_bytes(4, "big")))
+                    out["meta"].append(meta)
+            if out["id"]:  # an empty frame mis-infers dtypes for Arrow
+                yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def chunk_audio(
+    blobs: DataFrame,
+    chunk_ms: int = 5_000,
+    max_chunks: int = 32,
+    decoder: str = "fake",
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Fixed-width audio windows per blob — the shape ASR/embedding
+    models consume; (start_ms, end_ms) make transcript alignment a range
+    join downstream."""
+    if decoder == "soundfile" and not _codec_available("soundfile"):
+        raise NotImplementedError(
+            "decoder='soundfile' requires the soundfile library, which is "
+            "not installed in this environment; use decoder='fake'"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                                    ("id", "chunk_idx", "start_ms", "end_ms", "samples", "meta")}
+            for bid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                content = bytes(content)
+                meta = _fake_audio_meta(content)
+                n = min(max_chunks, -(-meta["duration_ms"] // chunk_ms))
+                for i in range(n):
+                    start = i * chunk_ms
+                    out["id"].append(bid)
+                    out["chunk_idx"].append(i)
+                    out["start_ms"].append(start)
+                    out["end_ms"].append(min(start + chunk_ms, meta["duration_ms"]))
+                    out["samples"].append(_fake_bytes(content + i.to_bytes(4, "big"), 64))
+                    out["meta"].append(meta)
+            if out["id"]:  # an empty frame mis-infers dtypes for Arrow
+                yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(run, schema=CHUNK_SCHEMA)

@@ -141,3 +141,55 @@ def test_engine_config_from_env():
         EngineConfig.from_env({"ETL_FOLLOWERS_PER_RUN": "zero"})
     with pytest.raises(ConfigError):
         EngineConfig.from_env({"ETL_MAX_LABELS": "1000"})
+
+
+def test_sample_frames_fan_out_and_determinism(spark):
+    from etl_instagram_spark.multimodal import media as M
+
+    blobs = spark.createDataFrame(
+        [("v1", b"video-bytes-aaaa"), ("v2", b"video-bytes-bbbb"), ("v3", None)],
+        "id string, content binary",
+    )
+    frames = M.sample_frames(blobs, every_ms=2_000, max_frames=4).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["id"], []).append(r)
+    assert "v3" not in by_id  # null content skipped (E3 row-level skip)
+    for vid, rows in by_id.items():
+        assert 1 <= len(rows) <= 4
+        assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
+        assert [r["ts_ms"] for r in rows] == [2_000 * i for i in range(len(rows))]
+        assert all(r["meta"]["fps"] in (24, 25, 30) for r in rows)
+        # frames are bytes derived deterministically per (content, idx)
+        assert len({bytes(r["frame"]) for r in rows}) == len(rows)
+    again = M.sample_frames(blobs, every_ms=2_000, max_frames=4).collect()
+    assert sorted((r["id"], r["frame_idx"], bytes(r["frame"])) for r in again) == sorted(
+        (r["id"], r["frame_idx"], bytes(r["frame"])) for r in frames
+    )
+
+
+def test_chunk_audio_windows_align(spark):
+    from etl_instagram_spark.multimodal import media as M
+
+    blobs = spark.createDataFrame([("a1", b"audio-bytes-xyz")], "id string, content binary")
+    chunks = M.chunk_audio(blobs, chunk_ms=5_000, max_chunks=8).collect()
+    assert chunks
+    dur = chunks[0]["meta"]["duration_ms"]
+    for i, r in enumerate(chunks):
+        assert r["chunk_idx"] == i
+        assert r["start_ms"] == 5_000 * i
+        assert r["end_ms"] == min(5_000 * (i + 1), dur)
+        assert len(bytes(r["samples"])) == 64
+    assert chunks[-1]["end_ms"] == min(dur, chunks[-1]["end_ms"])
+
+
+def test_real_codecs_gated_behind_import(spark):
+    import pytest as _pytest
+
+    from etl_instagram_spark.multimodal import media as M
+
+    blobs = spark.createDataFrame([("v", b"x")], "id string, content binary")
+    with _pytest.raises(NotImplementedError):
+        M.sample_frames(blobs, decoder="av")
+    with _pytest.raises(NotImplementedError):
+        M.chunk_audio(blobs, decoder="soundfile")
