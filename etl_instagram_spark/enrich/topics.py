@@ -208,9 +208,15 @@ def corpus_topics(
     seed: int = 42,
     langs: tuple[str, ...] = ("es",),
     optimizer: str = "online",
+    stem: bool = True,
 ):
     """Corpus-level LDA (A2/A3/A4): CountVectorizer → ml.LDA(seed) →
     topics as (topic, terms array<struct<confidence,name>>).
+
+    ``stem=True`` (default) matches the reference's vocabulary exactly —
+    the Gibbs sampler runs over Porter STEMS with the dual raw+stem
+    stopword drop (lda/index.js:39-46); ``stem=False`` keeps the whole
+    prep JVM-side (no UDF) for oracle-checkable flows.
 
     Returns (topics_df, doc_topics_df): per-topic top terms and per-doc
     topic distribution. Online variational LDA — one pass per iteration,
@@ -219,10 +225,21 @@ def corpus_topics(
     from pyspark.ml.clustering import LDA
     from pyspark.ml.feature import CountVectorizer
 
-    prepared = df.withColumn(
-        "__terms",
-        drop_stop_tokens(normalized_tokens(F.col(text_col)), langs),
-    )
+    if stem:
+        prepared = (
+            df.withColumn("__raw", normalized_tokens(F.col(text_col)))
+            .withColumn("__stems", stem_tokens(F.col("__raw")))
+            .withColumn(
+                "__terms",
+                drop_stop_tokens(F.col("__raw"), langs, stems=F.col("__stems")),
+            )
+            .drop("__raw", "__stems")
+        )
+    else:
+        prepared = df.withColumn(
+            "__terms",
+            drop_stop_tokens(normalized_tokens(F.col(text_col)), langs),
+        )
     cv = CountVectorizer(inputCol="__terms", outputCol="__features", vocabSize=vocab_size)
     cv_model = cv.fit(prepared)
     vectorized = cv_model.transform(prepared)

@@ -169,3 +169,17 @@ def test_attach_labels_stub(spark):
     assert again["1"] == out["1"]
     names = [lab["name"] for lab in out["1"]]
     assert len(names) == len(set(names))  # no duplicate label names
+
+
+def test_corpus_topics_stemmed_vocabulary(spark):
+    # stem=True (the reference path, lda/index.js:39-46): topic terms are
+    # Porter stems; stem=False keeps surface forms
+    rows = [(i, "running runners sprinting marathon kimchi cooking") for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    topics, _ = TP.corpus_topics(df, "text", k=2, seed=3, optimizer="em", stem=True)
+    names = {t["name"] for r in topics.collect() for t in r["terms"]}
+    assert "run" in names or "runner" in names  # stemmed forms
+    assert "running" not in names
+    topics_raw, _ = TP.corpus_topics(df, "text", k=2, seed=3, optimizer="em", stem=False)
+    raw_names = {t["name"] for r in topics_raw.collect() for t in r["terms"]}
+    assert "running" in raw_names
