@@ -48,9 +48,20 @@ def token_count(col: Column) -> Column:
 def hash32(col: Column) -> Column:
     """Deterministic, engine-neutral 32-bit hash of a string: the first 8
     hex chars of md5, as a bigint. md5 is identical in Spark and DuckDB
-    (oracle: ``CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)``),
-    unlike xxhash64/murmur which are engine-specific."""
+    (oracle mirror: :func:`hash32_sql`), unlike xxhash64/murmur which are
+    engine-specific."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+SQL_HASH32 = "('0x' || substr(md5({v}), 1, 8))::BIGINT"
+
+
+def hash32_sql(expr: str) -> str:
+    """The DuckDB expression mirroring :func:`hash32` exactly — every
+    oracle that checksums through hash32 must generate its SQL here, so
+    the two engines can never drift (same convention as
+    operators.dedup.band_hash_sql and enrich.topics.stop_drop_sql_predicate)."""
+    return SQL_HASH32.format(v=expr)
 
 
 def affine_hash(x: Column, a: int, b: int, p: int = HASH_PRIME) -> Column:

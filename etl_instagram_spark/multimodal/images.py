@@ -79,6 +79,8 @@ def blobs_from_posts(posts: DataFrame, url_col: str = "media_url", content_col: 
 def decode_images(blobs: DataFrame, decoder: str = "fake") -> DataFrame:
     """Fill ``meta`` by decoding ``content``. Arrow-batched; the only
     Python boundary in the multimodal path."""
+    if decoder not in ("fake", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}; expected 'fake' or 'pil'")
     if decoder == "pil" and not _pil_available():
         raise NotImplementedError(
             "decoder='pil' requires Pillow, which is not installed in this "

@@ -4,8 +4,10 @@ shape that ``explode`` cannot express (the expansion happens INSIDE the
 decode step), so both are ``mapInPandas`` UDTFs.
 
 Same contract as images.py: the codec work needs libraries absent from
-this environment (PyAV / soundfile), so ``decoder='av'`` / ``'soundfile'``
-raise NotImplementedError unless importable, and ``decoder='fake'``
+this environment (PyAV / soundfile), so EVERY decoder except ``'fake'``
+raises NotImplementedError (even when the library is importable — no
+real decode exists yet, and falling through to the stub would hand
+fabricated frames to downstream consumers). ``decoder='fake'``
 synthesizes deterministic output from the content hash. The Spark-side
 plumbing — schemas, Arrow batch shape, per-row fan-out, partitioning —
 is real and tested; swapping in a real codec touches one inner function.
@@ -53,6 +55,25 @@ def _codec_available(module: str) -> bool:
         return False
 
 
+def _require_decoder(decoder: str, real_module: str, real_label: str) -> None:
+    """'fake' is the ONLY implemented decode path today. Every other
+    decoder string raises — even when the codec library IS importable —
+    so synthesized hash-derived frames can never masquerade as real
+    decodes downstream."""
+    if decoder == "fake":
+        return
+    if decoder == real_module and not _codec_available(real_module):
+        raise NotImplementedError(
+            f"decoder={decoder!r} requires {real_label}, which is not "
+            "installed in this environment; use decoder='fake' "
+            "(deterministic stub)"
+        )
+    raise NotImplementedError(
+        f"decoder={decoder!r}: real decode is not implemented yet; "
+        "decoder='fake' (deterministic stub) is the only working path"
+    )
+
+
 def _fake_video_meta(content: bytes) -> dict:
     d = hashlib.md5(content).digest()
     return {
@@ -92,11 +113,7 @@ def sample_frames(
     """One row per sampled frame of each video blob: every ``every_ms``
     of media time, capped at ``max_frames`` (the fan-out bound that keeps
     output partitions proportional to input partitions)."""
-    if decoder == "av" and not _codec_available("av"):
-        raise NotImplementedError(
-            "decoder='av' requires PyAV, which is not installed in this "
-            "environment; use decoder='fake' (deterministic stub)"
-        )
+    _require_decoder(decoder, "av", "PyAV")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,11 +148,7 @@ def chunk_audio(
     """Fixed-width audio windows per blob — the shape ASR/embedding
     models consume; (start_ms, end_ms) make transcript alignment a range
     join downstream."""
-    if decoder == "soundfile" and not _codec_available("soundfile"):
-        raise NotImplementedError(
-            "decoder='soundfile' requires the soundfile library, which is "
-            "not installed in this environment; use decoder='fake'"
-        )
+    _require_decoder(decoder, "soundfile", "the soundfile library")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -127,6 +127,38 @@ def shingle_jaccard(a: Column, b: Column, n: int = 3) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
 
 
+def verified_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id_a, id_b) pairs (id_a < id_b) that are LSH candidates AND pass
+    the exact shingle-Jaccard ≥ threshold verify — the shared kernel under
+    both survivor-style dedup (``near_dedup_losers``) and cluster
+    extraction (``duplicate_clusters``)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_words)
+    # stage each doc's distinct shingle set ONCE, then verify on the
+    # materialized arrays — the expression form would re-tokenize both
+    # texts per candidate pair (O(tokens²) per pair)
+    shingled = T.with_word_shingles(
+        df.select(F.col(id_col), F.col(text_col)), text_col, "__sh", shingle_words, distinct=True
+    ).select(F.col(id_col), F.col("__sh"))
+    sh_a = shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sha")
+    sh_b = shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__shb")
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def near_dedup_losers(
     df: DataFrame,
     id_col: str,
@@ -140,21 +172,8 @@ def near_dedup_losers(
     near-duplicate of smaller id) — exposed separately so callers that
     only need drop STATS can aggregate in a single action instead of
     re-running the whole pipeline per count."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_words)
-    # stage each doc's distinct shingle set ONCE, then verify on the
-    # materialized arrays — the expression form would re-tokenize both
-    # texts per candidate pair (O(tokens²) per pair)
-    shingled = T.with_word_shingles(
-        df.select(F.col(id_col), F.col(text_col)), text_col, "__sh", shingle_words, distinct=True
-    ).select(F.col(id_col), F.col("__sh"))
-    sh_a = shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sha")
-    sh_b = shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__shb")
-    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
-    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
-    verified = (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .filter(F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union) >= threshold)
+    verified = verified_duplicate_pairs(
+        df, id_col, text_col, threshold, k, bands, shingle_words
     )
     return verified.select(F.col("id_b").alias(id_col)).distinct()
 
@@ -239,6 +258,14 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # returning intermediate labels would silently split one chain
+        # into several "components" — wrong answers, not slow answers
+        raise RuntimeError(
+            f"dedup_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); the duplicate "
+            "graph's diameter exceeds max_iter — raise max_iter"
+        )
     return labels
 
 
@@ -257,19 +284,8 @@ def duplicate_clusters(
     duplicate are absent (they are their own singleton, not re-listed —
     at scale the overwhelmingly common case, so the output stays
     O(duplicates), not O(corpus))."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_words)
-    shingled = T.with_word_shingles(
-        df.select(F.col(id_col), F.col(text_col)), text_col, "__sh", shingle_words, distinct=True
-    ).select(F.col(id_col), F.col("__sh"))
-    sh_a = shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sha")
-    sh_b = shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__shb")
-    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
-    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
-    verified = (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .filter(F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union) >= threshold)
-        .select("id_a", "id_b")
+    verified = verified_duplicate_pairs(
+        df, id_col, text_col, threshold, k, bands, shingle_words
     )
     return dedup_components(verified).withColumnRenamed("id", id_col)
 

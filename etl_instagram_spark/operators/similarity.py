@@ -121,7 +121,7 @@ def fit_ivf_centroids(
     max_fit_points: int | None = 4096,
     max_iter: int = 8,
 ) -> list[list[float]]:
-    """Fit IVF coarse centroids with seeded KMeans (pyspark.ml).
+    """Fit IVF coarse centroids with seeded NumPy Lloyd's on the driver.
 
     The quantizer is fit on a BOUNDED sample (``max_fit_points``,
     default 4096 × dim doubles ≈ 2 MB) collected to the driver and
@@ -147,15 +147,25 @@ def fit_ivf_centroids(
     k = min(n_clusters, len(x))
     rng = np.random.RandomState(seed)
 
-    # k-means++ seeding
+    # k-means++ seeding. Distances via ||x||² − 2x·c + ||c||² with a
+    # running min against only the NEWEST center per step: O(n·dim) per
+    # step and no n×k×dim broadcast temporary (which at the
+    # max_fit_points=None bound of 2^20 vectors would be driver-OOM)
+    x2 = (x**2).sum(1)
+
+    def _d2_to(c: "np.ndarray") -> "np.ndarray":
+        return np.maximum(x2 - 2.0 * (x @ c) + (c**2).sum(), 0.0)
+
     centers = x[rng.randint(len(x))][None, :]
+    best_d2 = _d2_to(centers[0])
     for _ in range(1, k):
-        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1).min(1)
-        total = d2.sum()
+        total = best_d2.sum()
         if total <= 0:
-            centers = np.vstack([centers, x[rng.randint(len(x))]])
-            continue
-        centers = np.vstack([centers, x[rng.choice(len(x), p=d2 / total)]])
+            nxt = x[rng.randint(len(x))]
+        else:
+            nxt = x[rng.choice(len(x), p=best_d2 / total)]
+        centers = np.vstack([centers, nxt])
+        best_d2 = np.minimum(best_d2, _d2_to(nxt))
 
     for _ in range(max_iter):
         # ||x - c||² = ||x||² - 2x·c + ||c||² ; the x² term is constant

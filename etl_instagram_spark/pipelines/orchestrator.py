@@ -106,8 +106,8 @@ def hashtag_tick(
         )
         incident = dead.select("sentinel").first()["sentinel"]
         if breaker is not None:  # W9/E2: one alert, then gate future runs
-            if on_alert is not None and breaker.alert_once(incident):
-                on_alert(incident)
+            if on_alert is not None:
+                breaker.alert_once(incident, on_alert)
             breaker.trip(incident)
         elif on_alert is not None:
             on_alert(incident)

@@ -41,7 +41,7 @@ from etl_instagram_spark.plans.queries import query, _t
 # ---------------------------------------------------------------------------
 
 SQL_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
-SQL_HASH32 = "('0x' || substr(md5({v}), 1, 8))::BIGINT"
+SQL_HASH32 = T.SQL_HASH32  # single source of truth: functions.text.hash32_sql
 
 
 def _sql_marker_hits(lang: str) -> str:
@@ -534,6 +534,29 @@ oracle(
 # ---------------------------------------------------------------------------
 
 
+def _recall_pairs(emb: DataFrame, q: DataFrame, extra: dict[str, Column]) -> DataFrame:
+    """Scored query×corpus pairs shared by both recall queries: cross-join
+    the broadcast O(1)-row query side, drop self-pairs, score cosine, and
+    attach each caller's candidate marker (Hamming radius / probed cell).
+    Returned UN-checkpointed so tests can assert the join strategy
+    (broadcast, never CartesianProduct); callers localCheckpoint the
+    result before fanning it into the window branches."""
+    v = _as_double(F.col("embedding"))
+    cos = _dot(v, F.col("qv")) / (
+        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cos, 6).alias("cos_sim"),
+            *[c.alias(name) for name, c in extra.items()],
+        )
+    )
+
+
 @query("emb_ann_recall")
 def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of multi-probe hyperplane-LSH ANN against the exact
@@ -558,19 +581,10 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _as_double(F.col("embedding")).alias("qv"),
         F.col("bucket").alias("qbucket"),
     )
-    v = _as_double(F.col("embedding"))
-    cos = _dot(v, F.col("qv")) / (
-        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-    )
-    pairs = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cos, 6).alias("cos_sim"),
-            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))).alias("ham"),
-        )
+    pairs = _recall_pairs(
+        emb,
+        q,
+        {"ham": F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))},
     ).localCheckpoint(eager=True)  # scored pairs feed every window branch
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     gt = (
@@ -671,19 +685,10 @@ def emb_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid long, qv array<double>, qcells array<int>",
     )
     cells = emb.withColumn("cell", _assign_cell("embedding", centroids))
-    v = _as_double(F.col("embedding"))
-    cos = _dot(v, F.col("qv")) / (
-        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-    )
-    pairs = (
-        cells.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cos, 6).alias("cos_sim"),
-            F.array_contains(F.col("qcells"), F.col("cell")).alias("probed"),
-        )
+    pairs = _recall_pairs(
+        cells,
+        q,
+        {"probed": F.array_contains(F.col("qcells"), F.col("cell"))},
     ).localCheckpoint(eager=True)  # one evaluation of the cell-assignment chain
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     gt = (
@@ -934,12 +939,12 @@ def lineitem_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 oracle(
     "lineitem_hash_sample",
-    """
+    f"""
     SELECT count(*) AS n_rows,
            round(sum(l_extendedprice), 2) AS sum_price,
            round(avg(l_quantity), 4) AS avg_qty
     FROM lineitem
-    WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 8))::BIGINT % 100 < 5
+    WHERE {T.hash32_sql("l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")} % 100 < 5
     """,
 )
 

@@ -9,6 +9,8 @@ are not.
 
 from __future__ import annotations
 
+from etl_instagram_spark.functions.text import hash32_sql
+
 _ORACLE: dict[str, str] = {}
 
 
@@ -272,7 +274,7 @@ oracle(
 
 oracle(
     "orders_set_ops",
-    """
+    f"""
     WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
          urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
          y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
@@ -291,7 +293,7 @@ oracle(
     SELECT 'except_1996_2001', count(*), coalesce(sum(o_custkey), 0)::BIGINT FROM e
     UNION ALL
     SELECT 'except_all_priorities', count(*),
-           coalesce(sum(('0x' || substr(md5(o_orderpriority), 1, 8))::BIGINT), 0)::BIGINT FROM ea
+           coalesce(sum({hash32_sql("o_orderpriority")}), 0)::BIGINT FROM ea
     ORDER BY set_op
     """,
 )

@@ -67,15 +67,28 @@ class CircuitBreaker:
         with open(self.path, encoding="utf-8") as f:
             return f.read()
 
-    def alert_once(self, incident_type: str) -> bool:
-        """True exactly once per incident type across runs and restarts;
-        the caller fires its alert sink only on True (W9/E2)."""
-        seen: set[str] = set()
-        if os.path.exists(self._alerts_path):
-            with open(self._alerts_path, encoding="utf-8") as f:
-                seen = set(f.read().splitlines())
-        if incident_type in seen:
+    def alerted(self, incident_type: str) -> bool:
+        if not os.path.exists(self._alerts_path):
             return False
+        with open(self._alerts_path, encoding="utf-8") as f:
+            return incident_type in set(f.read().splitlines())
+
+    def alert_once(
+        self, incident_type: str, sink: Callable[[str], None] | None = None
+    ) -> bool:
+        """Deliver at most one alert per incident type across runs and
+        restarts: if the type was never alerted, invoke ``sink`` and THEN
+        durably mark it. Marking only after delivery means a sink that
+        raises (transient email/webhook outage) leaves the incident
+        unmarked, so the next run retries instead of silently suppressing
+        the one alert W9/E2 promises. (The dual is that a crash between
+        delivery and marking re-alerts once — at-least-once on failure,
+        exactly-once on success, matching support/email.js which has no
+        durable dedup at all.) Returns True iff the alert fired."""
+        if self.alerted(incident_type):
+            return False
+        if sink is not None:
+            sink(incident_type)
         os.makedirs(os.path.dirname(self._alerts_path) or ".", exist_ok=True)
         with open(self._alerts_path, "a", encoding="utf-8") as f:
             f.write(incident_type + "\n")
@@ -163,8 +176,8 @@ def stream_pages_with_sentinel_gate(
         if dead.count():
             dead_letter.upsert(dead.withColumn("epoch_id", F.lit(epoch_id)))
             incident = dead.select("sentinel").first()["sentinel"]
-            if on_alert is not None and breaker.alert_once(incident):
-                on_alert(incident)
+            if on_alert is not None:
+                breaker.alert_once(incident, on_alert)
             breaker.trip(incident)
 
     q = (

@@ -193,3 +193,9 @@ def test_real_codecs_gated_behind_import(spark):
         M.sample_frames(blobs, decoder="av")
     with _pytest.raises(NotImplementedError):
         M.chunk_audio(blobs, decoder="soundfile")
+    # no real decode exists: ANY non-fake decoder must raise — an
+    # unrecognized string must never silently yield synthesized frames
+    with _pytest.raises(NotImplementedError):
+        M.sample_frames(blobs, decoder="ffmpeg")
+    with _pytest.raises(NotImplementedError):
+        M.chunk_audio(blobs, decoder="av")

@@ -216,6 +216,21 @@ def test_dedup_components_transitive_closure(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_dedup_components_raises_when_unconverged(spark):
+    """Exhausting max_iter with labels still changing must raise, never
+    return intermediate labels that split one chain into fake clusters."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_components(chain, max_iter=1)
+    # the same chain converges with enough rounds
+    comp = {r["id"]: r["component"] for r in D.dedup_components(chain).collect()}
+    assert set(comp.values()) == {1}
+
+
 def test_duplicate_clusters_end_to_end(spark):
     rows = [
         (1, BASE),

@@ -155,3 +155,27 @@ def test_alert_fires_once_per_incident_type(spark, tmp_path):
     # full reset clears the alert dedup too → a fresh incident re-alerts
     breaker.reset()
     assert breaker.alert_once("Login • Instagram")
+
+
+def test_failed_alert_sink_is_retried(tmp_path):
+    """Delivery-before-marking: a sink that raises (transient outage)
+    must NOT durably mark the incident — the next run retries and the
+    one promised alert is eventually delivered, not silently lost."""
+    import pytest as _pytest
+
+    breaker = CircuitBreaker(str(tmp_path / "b.flag"))
+    delivered: list[str] = []
+
+    def broken(incident: str) -> None:
+        raise ConnectionError("smtp down")
+
+    with _pytest.raises(ConnectionError):
+        breaker.alert_once("Login • Instagram", broken)
+    assert not breaker.alerted("Login • Instagram")  # unmarked → retryable
+
+    assert breaker.alert_once("Login • Instagram", delivered.append)
+    assert delivered == ["Login • Instagram"]
+    assert breaker.alerted("Login • Instagram")
+    # and now deduped as before
+    assert not breaker.alert_once("Login • Instagram", delivered.append)
+    assert delivered == ["Login • Instagram"]

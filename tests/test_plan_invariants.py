@@ -34,6 +34,15 @@ def _scan_cols(scan_line: str) -> list[str]:
     return [c for c in cols.split(",") if c.strip()]
 
 
+# These two eagerly localCheckpoint their pair stage while BUILDING the
+# DataFrame (emb_ann_ivf_recall even fits the IVF quantizer), so "planning"
+# them executes real jobs, and the inspected plan would start at the
+# checkpoint's LogicalRDD anyway — upstream join strategy is invisible.
+# Their cross-join shape (5 broadcast query vectors × corpus) is asserted
+# where it is visible: test_recall_pair_stage_broadcasts below.
+EXECUTES_AT_PLAN_TIME = {"emb_ann_recall", "emb_ann_ivf_recall"}
+
+
 def test_no_unbroadcast_cartesian_products(spark):
     """Every query plans without a CartesianProduct: deliberate
     crossJoins (one-row / few-row query sides) must all have become
@@ -41,9 +50,34 @@ def test_no_unbroadcast_cartesian_products(spark):
     100 TB is a job that never finishes."""
     offenders = []
     for name in all_queries():
+        if name in EXECUTES_AT_PLAN_TIME:
+            continue
         if "CartesianProduct" in _plan(spark, name):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_recall_pair_stage_broadcasts(spark):
+    """The recall queries' checkpointed query×corpus stage must itself
+    plan the cross join with the tiny query side broadcast — covers the
+    stage test_no_unbroadcast_cartesian_products cannot see."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.plans.llm_queries import _as_double, _recall_pairs
+    from etl_instagram_spark.plans.queries import _t
+
+    emb = _t(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv")
+    )
+    plan = (
+        _recall_pairs(emb, q, {})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
 def test_filters_reach_the_scan(spark):
