@@ -5,9 +5,10 @@ decode step), so both are ``mapInPandas`` UDTFs.
 
 Same contract as images.py: the codec work needs libraries absent from
 this environment (PyAV / soundfile), so EVERY decoder except ``'fake'``
-raises NotImplementedError (even when the library is importable — no
-real decode exists yet, and falling through to the stub would hand
-fabricated frames to downstream consumers). ``decoder='fake'``
+raises — NotImplementedError for the known real decoder (even when the
+library is importable: no real decode exists yet, and falling through to
+the stub would hand fabricated frames to downstream consumers),
+ValueError for unknown strings. ``decoder='fake'``
 synthesizes deterministic output from the content hash. The Spark-side
 plumbing — schemas, Arrow batch shape, per-row fan-out, partitioning —
 is real and tested; swapping in a real codec touches one inner function.
@@ -56,13 +57,18 @@ def _codec_available(module: str) -> bool:
 
 
 def _require_decoder(decoder: str, real_module: str, real_label: str) -> None:
-    """'fake' is the ONLY implemented decode path today. Every other
-    decoder string raises — even when the codec library IS importable —
-    so synthesized hash-derived frames can never masquerade as real
-    decodes downstream."""
+    """'fake' is the ONLY implemented decode path today. The known real
+    decoder raises NotImplementedError — even when the codec library IS
+    importable — so synthesized hash-derived frames can never masquerade
+    as real decodes downstream; unknown strings raise ValueError (same
+    contract as images.decode_images)."""
     if decoder == "fake":
         return
-    if decoder == real_module and not _codec_available(real_module):
+    if decoder != real_module:
+        raise ValueError(
+            f"unknown decoder {decoder!r}; expected 'fake' or {real_module!r}"
+        )
+    if not _codec_available(real_module):
         raise NotImplementedError(
             f"decoder={decoder!r} requires {real_label}, which is not "
             "installed in this environment; use decoder='fake' "

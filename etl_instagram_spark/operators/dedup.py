@@ -225,6 +225,8 @@ def dedup_components(
     At extreme skew (one component containing most of the graph) the
     large-star/small-star variant halves round count; the plain kernel is
     kept here because dup graphs are wide, not deep."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     a, b = F.col(id_a), F.col(id_b)
     edges = (
         pairs.select(a.alias("src"), b.alias("dst"))

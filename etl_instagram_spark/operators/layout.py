@@ -84,7 +84,20 @@ def salted_join(
 
     Correctness: every fact row meets exactly the one dim replica whose
     salt matches its spray value — same result set as the unsalted join.
+    That equivalence only holds for fact-preserving joins: under right/
+    full-outer, a dim key whose fact matches carry OTHER salt values
+    would emit its unmatched replicas as duplicate null-extended rows.
     """
+    # normalize the way Spark's own join-type parser does (case-insensitive,
+    # underscore-free) so every fact-preserving spelling is accepted
+    if how.lower().replace("_", "") not in (
+        "inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"
+    ):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicated dim "
+            "rows would surface as duplicate unmatched rows under "
+            "right/full outer joins"
+        )
     salted_fact = fact.withColumn(
         "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))).cast("int")
     )

@@ -82,6 +82,10 @@ def hashtag_tick(
     per incident type across ticks (deduped via ``breaker.alert_once``;
     with no breaker every incident alerts — nothing to dedup against)."""
     if breaker is not None and breaker.tripped():
+        # a prior tick may have tripped before its alert landed (sink
+        # outage): gated ticks keep retrying delivery until one succeeds
+        if on_alert is not None and (reason := breaker.reason()):
+            breaker.alert_once(reason, on_alert)
         return None
     batch_ts = batch_ts or datetime.now(timezone.utc)
 
@@ -106,9 +110,11 @@ def hashtag_tick(
         )
         incident = dead.select("sentinel").first()["sentinel"]
         if breaker is not None:  # W9/E2: one alert, then gate future runs
+            # trip BEFORE alerting so the gate engages even when the
+            # sink raises; gated ticks retry delivery (see above)
+            breaker.trip(incident)
             if on_alert is not None:
                 breaker.alert_once(incident, on_alert)
-            breaker.trip(incident)
         elif on_alert is not None:
             on_alert(incident)
 

@@ -41,7 +41,6 @@ from etl_instagram_spark.plans.queries import query, _t
 # ---------------------------------------------------------------------------
 
 SQL_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
-SQL_HASH32 = T.SQL_HASH32  # single source of truth: functions.text.hash32_sql
 
 
 def _sql_marker_hits(lang: str) -> str:
@@ -224,7 +223,7 @@ oracle(
       SELECT list_min(list_transform(
                [substr(text, i, 8)
                 for i in range(1, greatest(length(text) - 7, 1) + 1)],
-               s -> {SQL_HASH32.format(v='s')})) AS fp
+               s -> {T.hash32_sql('s')})) AS fp
       FROM documents)
     SELECT fp % 16 AS fp_bucket,
            count(*) AS n_docs,
@@ -330,7 +329,7 @@ oracle(
                     ELSE [array_to_string(toks[i:i+2], ' ')
                           for i in range(1, len(toks) - 1)] END AS sh
                FROM t),
-         h AS (SELECT list_transform(sh, s -> {SQL_HASH32.format(v='s')}) AS hs FROM s),
+         h AS (SELECT list_transform(sh, s -> {T.hash32_sql('s')}) AS hs FROM s),
          sig AS (SELECT {_sql_minhash_sig()} AS sig FROM h),
          bh AS (SELECT {_sql_band_hashes()} AS bh FROM sig),
          bands AS (SELECT u.j AS band_idx, bh[u.j + 1] AS band_hash
@@ -1140,7 +1139,7 @@ oracle(
                                  for i in range(1, len(toks) - 1)] END AS sh
                FROM t),
          h AS (SELECT doc_id,
-                      list_transform(sh, s -> {SQL_HASH32.format(v='s')}) AS hs,
+                      list_transform(sh, s -> {T.hash32_sql('s')}) AS hs,
                       list_distinct(sh) AS dsh
                FROM s),
          sig AS (SELECT doc_id, dsh, {_sql_minhash_sig()} AS sig FROM h),
@@ -1240,8 +1239,8 @@ oracle(
     WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks
                FROM documents WHERE doc_id < 100),
          h AS (SELECT doc_id,
-                      list_transform(toks, x -> {SQL_HASH32.format(v='x')}) AS lo_h,
-                      list_transform(toks, x -> {SQL_HASH32.format(v="('s1:' || x)")}) AS hi_h
+                      list_transform(toks, x -> {T.hash32_sql('x')}) AS lo_h,
+                      list_transform(toks, x -> {T.hash32_sql("('s1:' || x)")}) AS hi_h
                FROM t)
     SELECT doc_id,
            {_sql_simhash32('lo_h')} AS sim_lo,

@@ -163,6 +163,10 @@ def stream_pages_with_sentinel_gate(
     from etl_instagram_spark.operators.projections import split_sentinel_pages
 
     if breaker.tripped():
+        # a prior run may have tripped before its alert landed (sink
+        # outage): gated runs keep retrying delivery until one succeeds
+        if on_alert is not None and (reason := breaker.reason()):
+            breaker.alert_once(reason, on_alert)
         return False
 
     stream = spark.readStream.schema(schema_ddl).json(landing_dir)
@@ -176,9 +180,11 @@ def stream_pages_with_sentinel_gate(
         if dead.count():
             dead_letter.upsert(dead.withColumn("epoch_id", F.lit(epoch_id)))
             incident = dead.select("sentinel").first()["sentinel"]
+            # trip BEFORE alerting: the gate (E1) must engage even when
+            # the sink raises; the gated path above retries delivery
+            breaker.trip(incident)
             if on_alert is not None:
                 breaker.alert_once(incident, on_alert)
-            breaker.trip(incident)
 
     q = (
         stream.writeStream.foreachBatch(handle)

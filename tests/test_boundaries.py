@@ -195,7 +195,7 @@ def test_real_codecs_gated_behind_import(spark):
         M.chunk_audio(blobs, decoder="soundfile")
     # no real decode exists: ANY non-fake decoder must raise — an
     # unrecognized string must never silently yield synthesized frames
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError, match="unknown decoder"):
         M.sample_frames(blobs, decoder="ffmpeg")
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError, match="unknown decoder"):
         M.chunk_audio(blobs, decoder="av")

@@ -58,6 +58,18 @@ def test_salted_join_matches_plain_join(spark):
     plain = fact.join(dim, "k").select("k", "payload", "v")
     salted = salted_join(fact, dim, "k", salt_buckets=4).select("k", "payload", "v")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left joins are fact-preserving and stay equivalent too
+    plain_l = fact.join(dim, "k", "left").select("k", "payload", "v")
+    salted_l = salted_join(fact, dim, "k", salt_buckets=4, how="left").select(
+        "k", "payload", "v"
+    )
+    assert sorted(map(tuple, salted_l.collect())) == sorted(map(tuple, plain_l.collect()))
+    # dim-preserving joins would duplicate unmatched replicas → refused
+    import pytest as _pytest
+
+    for bad in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(fact, dim, "k", how=bad)
     # the hot key is spread across multiple salt partitions pre-join
     spread = (
         fact.withColumn("__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(4))).cast("int"))

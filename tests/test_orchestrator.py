@@ -157,6 +157,49 @@ def test_alert_fires_once_per_incident_type(spark, tmp_path):
     assert breaker.alert_once("Login • Instagram")
 
 
+def test_breaker_trips_even_when_alert_sink_fails(spark, tmp_path):
+    """E1 over W9: the login-wall gate must engage even when alert
+    delivery raises — and the gated tick retries delivery until one
+    succeeds, so the alert is late, never lost."""
+    import pytest as _pytest
+
+    posts_t = MergeTable(spark, str(tmp_path / "posts"), "id")
+    users_t = MergeTable(spark, str(tmp_path / "users"), "id")
+    locations_t = MergeTable(spark, str(tmp_path / "locations"), "id")
+    dead_t = MergeTable(spark, str(tmp_path / "dead"), "url")
+    breaker = CircuitBreaker(str(tmp_path / "breaker.flag"))
+    cfg = EngineConfig.from_env({"ETL_ENV": "test", "ETL_HASHTAGS": "wall"})
+    details = parse(spark, [detail("AAA", "alice", None)], S.RAW_POST_DETAIL)
+    fetcher = lambda url: "<html>Login • Instagram</html>"  # noqa: E731
+    delivered: list[str] = []
+
+    def broken(incident: str) -> None:
+        raise ConnectionError("smtp down")
+
+    with _pytest.raises(ConnectionError):
+        hashtag_tick(
+            spark, cfg, details, posts_t, users_t, locations_t, dead_t,
+            breaker=breaker, fetcher=fetcher, batch_ts=T1, enrich=False,
+            on_alert=broken,
+        )
+    assert breaker.tripped()  # the gate engaged despite the sink failure
+
+    # gated tick: skipped (returns None) but retries the pending alert
+    assert hashtag_tick(
+        spark, cfg, details, posts_t, users_t, locations_t, dead_t,
+        breaker=breaker, fetcher=fetcher, batch_ts=T1, enrich=False,
+        on_alert=delivered.append,
+    ) is None
+    assert delivered == ["Login • Instagram"]
+    # later gated ticks don't re-alert
+    hashtag_tick(
+        spark, cfg, details, posts_t, users_t, locations_t, dead_t,
+        breaker=breaker, fetcher=fetcher, batch_ts=T1, enrich=False,
+        on_alert=delivered.append,
+    )
+    assert delivered == ["Login • Instagram"]
+
+
 def test_failed_alert_sink_is_retried(tmp_path):
     """Delivery-before-marking: a sink that raises (transient outage)
     must NOT durably mark the incident — the next run retries and the

@@ -34,24 +34,20 @@ def _scan_cols(scan_line: str) -> list[str]:
     return [c for c in cols.split(",") if c.strip()]
 
 
-# These two eagerly localCheckpoint their pair stage while BUILDING the
-# DataFrame (emb_ann_ivf_recall even fits the IVF quantizer), so "planning"
-# them executes real jobs, and the inspected plan would start at the
-# checkpoint's LogicalRDD anyway — upstream join strategy is invisible.
-# Their cross-join shape (5 broadcast query vectors × corpus) is asserted
-# where it is visible: test_recall_pair_stage_broadcasts below.
-EXECUTES_AT_PLAN_TIME = {"emb_ann_recall", "emb_ann_ivf_recall"}
-
-
 def test_no_unbroadcast_cartesian_products(spark):
     """Every query plans without a CartesianProduct: deliberate
     crossJoins (one-row / few-row query sides) must all have become
     BroadcastNestedLoopJoin via the broadcast hint. A plain cartesian at
-    100 TB is a job that never finishes."""
+    100 TB is a job that never finishes.
+
+    Caveat: the two recall queries eagerly localCheckpoint their pair
+    stage while BUILDING the DataFrame, so "planning" them executes real
+    jobs (cheap at sf0.001 — accepted) and their inspected plan starts at
+    the checkpoint's LogicalRDD: this sweep sees only the post-checkpoint
+    window/join branches. The pre-checkpoint cross-join shape is asserted
+    by test_recall_pair_stage_broadcasts below."""
     offenders = []
     for name in all_queries():
-        if name in EXECUTES_AT_PLAN_TIME:
-            continue
         if "CartesianProduct" in _plan(spark, name):
             offenders.append(name)
     assert not offenders, offenders
