@@ -60,14 +60,17 @@ def bucketed_join(
 
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle Exchanges in the final physical plan (0 for a
-    properly co-located bucketed join)."""
+    properly co-located bucketed join). Counts the ``(N) Exchange``
+    detail headers — each node prints twice in ``explain("formatted")``
+    (tree line + detail section), so a raw substring count double-counts."""
     import contextlib
     import io
+    import re
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
-    return buf.getvalue().count("Exchange")
+    return len(re.findall(r"^\(\d+\) Exchange", buf.getvalue(), flags=re.M))
 
 
 def salted_join(

@@ -256,19 +256,16 @@ oracle(
 )
 
 oracle(
-    "daily_top_user_by_value",
+    "events_asof_join",
     """
-    WITH daily AS (
-      SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
-             round(sum(value), 2) AS day_value
-      FROM events GROUP BY 1, 2
-    )
-    SELECT day, user_id, day_value
-    FROM (SELECT *, row_number() OVER (PARTITION BY day
-                                       ORDER BY day_value DESC, user_id) AS rn
-          FROM daily)
-    WHERE rn = 1
-    ORDER BY day
+    WITH p AS (SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, round(max(value), 2) AS view_value
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id, p.purchase_value, v.view_value,
+           CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_s
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
     """,
 )
 

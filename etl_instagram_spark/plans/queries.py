@@ -368,21 +368,40 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("daily_top_user_by_value")
-def daily_top_user_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level: daily per-user sums, then argmax per day via window."""
+@query("events_asof_join")
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of alignment over the events timeline: every purchase joined
+    to the same user's latest at-or-before view (the point-in-time
+    lookup shape behind feature stores and cross-modal alignment).
+    Runs operators/temporal.as_of_join — union + ONE key shuffle +
+    running-last window, never the non-equi pair join Catalyst would
+    nested-loop. The oracle replays it with DuckDB's NATIVE ``ASOF LEFT
+    JOIN``, value-checking the window formulation against a second
+    engine's dedicated implementation. (Replaced daily_top_user_by_value,
+    whose row_number-argmax operator stays covered by
+    top3_orders_per_customer and events_latest_per_user.)
+
+    Views are pre-aggregated to one row per (user_id, ts) so as-of tie
+    semantics are deterministic in both engines."""
+    from etl_instagram_spark.operators.temporal import as_of_join
+
     ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"), "user_id")
-        .agg(F.round(F.sum("value"), 2).alias("day_value"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
     )
-    w = W.partitionBy("day").orderBy(F.col("day_value").desc(), F.col("user_id"))
-    return (
-        daily.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("day", "user_id", "day_value")
-        .orderBy("day")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
     )
+    joined = as_of_join(purchases, views, "user_id", left_ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        F.col("view_value_r").alias("view_value"),
+        (F.col("ts").cast("long") - F.col("ts_r").cast("long")).alias("gap_s"),
+    ).orderBy("event_id")
 
 
 # ---------------------------------------------------------------------------
