@@ -1,10 +1,13 @@
 """Temporal alignment operators: as-of join (nearest-earlier/-later match
-per key) — the primitive behind "frame ⋈ transcript span", "purchase ⋈
-last campaign touch", and point-in-time feature lookup. The reference has
-no event-time surface at all (SURVEY §2.9 notes its cron batches are
-wall-clock only); this is engine-native capability for the training-data
-pipeline brief, where every modality join is ultimately an as-of join
-against a timeline.
+per key), bucketized range join (point-in-interval without an equi-key),
+and hypertable rollup (multi-resolution time aggregation from shared
+finest-grain partials) — the primitives behind "frame ⋈ transcript
+span", "purchase ⋈ last campaign touch", point-in-time feature lookup,
+and continuous-aggregate dashboards. The reference has no event-time
+surface at all (SURVEY §2.9 notes its cron batches are wall-clock only);
+these are engine-native capability for the training-data pipeline brief,
+where every modality join is ultimately a temporal join against a
+timeline.
 
 Spark-first design — the naive formulation is a non-equi range join
 (``l.key = r.key AND r.ts <= l.ts`` + a per-row argmax), which Catalyst
@@ -121,3 +124,247 @@ def as_of_join(
         F.col(f"__m.{c}").alias(c + suffix) for c in attach
     ]
     return matched.select(*out_left, *out_right)
+
+
+# ---------------------------------------------------------------------------
+# bucketized range join
+# ---------------------------------------------------------------------------
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    """Parse '<n> <unit>' (e.g. '30 days') into whole seconds."""
+    parts = spec.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1].lower() not in _UNIT_SECONDS:
+        raise ValueError(
+            f"bucket must look like '<n> <seconds|minutes|hours|days|weeks>', got {spec!r}"
+        )
+    n = int(parts[0]) * _UNIT_SECONDS[parts[1].lower()]
+    if n < 1:
+        raise ValueError(f"bucket width must be >= 1 second, got {spec!r}")
+    return n
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    start: str,
+    end: str,
+    on: str | Sequence[str] | None = None,
+    bucket: str = "30 days",
+    how: str = "inner",
+    end_inclusive: bool = False,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Join each ``left`` row (a point in time at ``point``) to every
+    ``right`` row whose interval ``[start, end)`` contains it
+    (``end_inclusive=True`` closes the interval), optionally also
+    matching equi-keys ``on``. ``how='left'`` preserves unmatched points.
+
+    Spark-first design — written naively (``r.start <= l.point AND
+    l.point < r.end``) this is a pure non-equi join that Catalyst can
+    only run as BroadcastNestedLoop or Cartesian: O(n·m) comparisons and
+    a single-task collapse at scale. Instead the standard bucketization:
+    both sides are mapped to fixed-width time buckets — a point lands in
+    exactly ONE bucket, an interval is exploded to every bucket it
+    overlaps — and the join becomes an EQUI-join on (bucket, *keys) with
+    the range predicate as a residual filter. Because the point side has
+    exactly one bucket row, a (point, interval) pair can meet in at most
+    one bucket: no post-join dedup is needed, and left-outer semantics
+    survive bucketization unchanged.
+
+    At 100 TB: the equi-join hashes/sorts on the bucket key, so AQE
+    picks broadcast/shuffled-hash/sort-merge from runtime stats and skew
+    handling applies — the plan tests pin "no CartesianProduct, no
+    BroadcastNestedLoopJoin". Pick ``bucket`` near the TYPICAL interval
+    length: the explode factor is ceil(len/bucket)+1 rows per interval
+    (shuffle amplification), while an over-wide bucket inflates the
+    residual-filter false-positive rate — both are linear, so the knob
+    is forgiving within an order of magnitude.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    width = _interval_seconds(bucket)
+
+    lb = F.floor(F.unix_timestamp(F.col(point)) / width)
+    rb_start = F.floor(F.unix_timestamp(F.col(start)) / width)
+    rb_end = F.floor(F.unix_timestamp(F.col(end)) / width)
+
+    clash = {c for c in right.columns if c in set(left.columns)}
+    r_renamed = right
+    for c in clash:
+        r_renamed = r_renamed.withColumnRenamed(c, c + suffix)
+
+    def _r(c: str) -> str:
+        return c + suffix if c in clash else c
+
+    l_side = left.withColumn("__rj_bucket", lb)
+    r_side = r_renamed.withColumn(
+        "__rj_bucket", F.explode(F.sequence(rb_start, rb_end))
+    )
+
+    upper = (
+        F.col(point) <= F.col(_r(end))
+        if end_inclusive
+        else F.col(point) < F.col(_r(end))
+    )
+    cond = (
+        (l_side["__rj_bucket"] == r_side["__rj_bucket"])
+        & (F.col(_r(start)) <= F.col(point))
+        & upper
+    )
+    for k in keys:
+        cond = cond & (l_side[k] == r_side[_r(k)])
+
+    joined = l_side.join(r_side, cond, how).drop("__rj_bucket")
+    # the right copy of each equi-key is redundant after the match
+    return joined.drop(*[_r(k) for k in keys]) if keys else joined
+
+
+# ---------------------------------------------------------------------------
+# hypertable rollup (multi-resolution time aggregation)
+# ---------------------------------------------------------------------------
+
+# date_trunc grains ordered fine → coarse; week/month do not nest in each
+# other, so coarser grains are always derived from the FINEST partials
+# (never chained), and the finest grain must be day-or-finer so that
+# date_trunc(coarse, date_trunc(finest, ts)) == date_trunc(coarse, ts).
+_GRAIN_RANK = {
+    "second": 0, "minute": 1, "hour": 2, "day": 3,
+    "week": 4, "month": 4, "quarter": 5, "year": 6,
+}
+_DAY_OR_FINER = {"second", "minute", "hour", "day"}
+_AGGS = ("sum", "count", "min", "max", "avg")
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grains: Sequence[str],
+    dims: Sequence[str] = (),
+    measures: dict[str, Sequence[str]] | None = None,
+    row_count: str | None = "n_rows",
+) -> DataFrame:
+    """Multi-resolution time rollup: one output row per (grain, bucket,
+    *dims) for every grain in ``grains``, computed like a continuous
+    aggregate — the raw table is scanned and shuffled ONCE at the finest
+    grain, and every coarser grain re-aggregates those (tiny) partials.
+
+    ``measures`` maps a column to aggregates among sum/count/min/max/avg
+    (output columns ``{agg}_{col}``; avg is derived as sum/count of the
+    partials, null-aware). ``row_count`` names a count(*) column, or
+    None to omit it.
+
+    Spark-first design — the declarative alternative, GROUPING SETS /
+    ``cube`` over N date_trunc columns, expands every input row N× BEFORE
+    the shuffle (Expand node), so shuffle volume scales with N·rows. Here
+    the raw rows are partial-aggregated and shuffled once at the finest
+    grain; each finest-grain group row is then exploded to one row per
+    grain (expansion over GROUPS — at 100 TB, a few GB, not the 100 TB of
+    raw rows) and a second aggregation merges the partials per (grain,
+    bucket, dims). One DAG, no subplan duplication across grains, no
+    materialization barrier. This is the TimescaleDB continuous-aggregate
+    / OLAP-cube-from-base-cuboid pattern expressed as two DataFrame
+    stages.
+
+    Grain validity: the finest grain must be day-or-finer (week and month
+    truncate differently from each other, so a week base cannot roll to
+    months and vice versa); every coarser grain is derived from the
+    finest, never chained.
+    """
+    if not grains:
+        raise ValueError("grains must be non-empty")
+    grains = [g.lower() for g in grains]
+    for g in grains:
+        if g not in _GRAIN_RANK:
+            raise ValueError(f"unknown grain {g!r}; pick from {sorted(_GRAIN_RANK)}")
+    finest, coarser = grains[0], grains[1:]
+    if finest not in _DAY_OR_FINER:
+        raise ValueError(
+            f"finest grain must be day-or-finer so coarser grains nest exactly, got {finest!r}"
+        )
+    if any(_GRAIN_RANK[g] <= _GRAIN_RANK[finest] for g in coarser):
+        raise ValueError(f"grains must go finest → coarser, got {grains!r}")
+    measures = dict(measures or {})
+    for c, aggs in measures.items():
+        bad = [a for a in aggs if a not in _AGGS]
+        if bad:
+            raise ValueError(f"unsupported aggs {bad} for {c!r}; pick from {_AGGS}")
+
+    dims = list(dims)
+    # partials needed at the finest grain: every agg is decomposable
+    # (avg -> sum+count), so coarser grains never touch the raw rows
+    partials: list = []
+    if row_count is not None:
+        partials.append(F.count(F.lit(1)).alias("__rc"))
+    for c, aggs in measures.items():
+        need = set(aggs)
+        if "avg" in need:
+            need |= {"sum", "count"}
+        if "sum" in need:
+            partials.append(F.sum(c).alias(f"__sum_{c}"))
+        if "count" in need:
+            partials.append(F.count(c).alias(f"__cnt_{c}"))
+        if "min" in need:
+            partials.append(F.min(c).alias(f"__min_{c}"))
+        if "max" in need:
+            partials.append(F.max(c).alias(f"__max_{c}"))
+
+    base = df.groupBy(
+        F.date_trunc(finest, F.col(ts_col)).alias("__bucket"), *dims
+    ).agg(*partials)
+    partial_cols = [p for p in base.columns if p.startswith("__") and p != "__bucket"]
+
+    # fan each finest-grain group row out to every requested grain
+    # (date_trunc(finest, __bucket) is the identity, so the finest level
+    # rides the same explode) ...
+    fanned = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("grain"),
+                        F.date_trunc(g, F.col("__bucket")).alias("bucket"),
+                    )
+                    for g in grains
+                ]
+            )
+        ).alias("__g"),
+        *dims,
+        *partial_cols,
+    )
+
+    # ... then merge partials per (grain, bucket, dims): sums and counts
+    # add; min/max nest
+    def _merge(p: str):
+        if p.startswith("__min"):
+            return F.min
+        if p.startswith("__max"):
+            return F.max
+        return F.sum
+
+    merged = fanned.groupBy(
+        F.col("__g.grain").alias("grain"), F.col("__g.bucket").alias("bucket"), *dims
+    ).agg(*[_merge(p)(F.col(p)).alias(p) for p in partial_cols])
+
+    out = [F.col("grain"), F.col("bucket"), *dims]
+    if row_count is not None:
+        out.append(F.col("__rc").alias(row_count))
+    for c, aggs in measures.items():
+        for a in aggs:
+            if a == "avg":
+                out.append((F.col(f"__sum_{c}") / F.col(f"__cnt_{c}")).alias(f"avg_{c}"))
+            elif a == "count":
+                out.append(F.col(f"__cnt_{c}").alias(f"count_{c}"))
+            else:
+                out.append(F.col(f"__{a}_{c}").alias(f"{a}_{c}"))
+    return merged.select(*out)

@@ -403,40 +403,6 @@ oracle(
 
 
 # ---------------------------------------------------------------------------
-# embeddings: per-label stats
-# ---------------------------------------------------------------------------
-
-
-@query("emb_label_stats")
-def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label vector stats (norm + first-dim mean): array math profile
-    of the embedding table."""
-    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
-    v = _as_double(F.col("embedding"))
-    return (
-        emb.select("label", F.sqrt(_dot(v, v)).alias("nrm"), v[0].alias("d1"))
-        .groupBy("label")
-        .agg(
-            F.count("*").alias("n_vecs"),
-            F.round(F.avg("nrm"), 4).alias("avg_norm"),
-            F.round(F.avg("d1"), 6).alias("avg_dim1"),
-        )
-        .orderBy("label")
-    )
-
-
-oracle(
-    "emb_label_stats",
-    """
-    SELECT label, count(*) AS n_vecs,
-           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
-           round(avg(embedding[1]::DOUBLE), 6) AS avg_dim1
-    FROM embeddings GROUP BY label ORDER BY label
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
 # embeddings: hyperplane-LSH buckets + bucketed ANN
 # ---------------------------------------------------------------------------
 
@@ -524,6 +490,65 @@ oracle(
     WHERE bucket = qbucket AND vec_id <> 0
     ORDER BY cos_sim DESC, vec_id
     LIMIT 5
+    """,
+)
+
+
+@query("emb_near_dedup")
+def emb_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.near_dedup_embeddings run whole: hyperplane-LSH
+    buckets (8 bits) → multi-probe Hamming ≤ 1 candidates → exact cosine
+    ≥ 0.35 verify → drop-larger-id survivors, reduced to a one-row
+    summary. The oracle replays every stage in SQL from the SAME
+    hyperplane constants (Hamming-radius probing collapses to
+    ``bit_count(xor(bucket_a, bucket_b)) <= r`` on the pair), so this is
+    an end-to-end gate on the embedding near-dup operator — the one
+    dedup-family member that previously had no oracle row. The loose
+    0.35 threshold is deliberate: the synthetic vectors are isotropic
+    (no planted near-dups), and a threshold the data can actually cross
+    makes the verify+survivor path produce a non-trivial, value-checked
+    count instead of vacuously passing at 0.97.
+
+    Single action: survivors left-join back to the scan; one aggregate
+    emits all counters. (Replaces emb_label_stats, whose array-math
+    surface emb_knn_cosine already exercises.)"""
+    from etl_instagram_spark.operators.dedup import near_dedup_embeddings
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    kept = near_dedup_embeddings(
+        emb, "vec_id", "embedding", threshold=0.35, bits=HYPERPLANE_BITS,
+        multi_probe_hamming=1,
+    ).select("vec_id", F.lit(1).alias("__kept"))
+    return (
+        emb.join(kept, "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("__kept").alias("n_survivors"),
+        )
+        .select(
+            "n_vecs",
+            "n_survivors",
+            (F.col("n_vecs") - F.col("n_survivors")).alias("n_dropped"),
+        )
+    )
+
+
+oracle(
+    "emb_near_dedup",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_sql_bucket()} AS bucket FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS ia, bb.vec_id AS ib,
+                  list_dot_product(a.embedding::DOUBLE[], bb.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(bb.embedding::DOUBLE[], bb.embedding::DOUBLE[]))) AS cos
+           FROM b a JOIN b bb
+             ON bit_count(xor(a.bucket, bb.bucket)) <= 1
+                AND a.vec_id < bb.vec_id),
+         losers AS (SELECT DISTINCT ib FROM pairs WHERE cos >= 0.35)
+    SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+           (SELECT count(*) FROM embeddings) - (SELECT count(*) FROM losers) AS n_survivors,
+           (SELECT count(*) FROM losers) AS n_dropped
     """,
 )
 
@@ -829,43 +854,58 @@ oracle(
 # ---------------------------------------------------------------------------
 
 
-@query("events_latest_per_user")
-def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most recent event per user (pipelines/rates.latest_rate_per_entity
-    applied to the driver's events table). Window partitioned by the
-    high-cardinality user key — bounded state per partition at any scale."""
-    from pyspark.sql import Window
+@query("orders_shipments_in_window")
+def orders_shipments_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless point-in-interval range join: for a deterministic sample
+    of orders (o_orderkey % 97 == 1), count/weigh ALL lineitem shipments
+    (any order's) whose ship date falls in the 30 days from that order's
+    date — the "events inside a window" primitive behind campaign
+    attribution and frame⋈span alignment, with NO equi-key to save the
+    join. operators/temporal.range_join turns what Catalyst would run as
+    a BroadcastNestedLoopJoin into an equi-join on 30-day time buckets
+    (interval side exploded to its ≤2 covered buckets, residual range
+    filter after the match) — plan-shape pinned in tests. The retired
+    latest-per-entity query this replaces was window-rank coverage that
+    top3_orders_per_customer already exercises.
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+    (Replaces events_latest_per_user in the 50-query inventory.)"""
+    from etl_instagram_spark.operators.temporal import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 1)
         .select(
-            "user_id",
-            F.col("event_type").alias("last_event_type"),
-            F.round("value", 2).alias("last_value"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").alias("win_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("win_end"),
         )
-        .orderBy("user_id")
+    )
+    return (
+        range_join(li, orders, "l_shipdate", "win_start", "win_end", bucket="30 days")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("o_orderkey")
     )
 
 
 oracle(
-    "events_latest_per_user",
+    "orders_shipments_in_window",
     """
-    WITH ranked AS (
-      SELECT user_id, event_type, value, ts,
-             row_number() OVER (PARTITION BY user_id
-                                -- ::TIMESTAMP truncates ns→us to match the
-                                -- engine's microsecond timestamps
-                                ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
-      FROM events)
-    SELECT user_id,
-           event_type AS last_event_type,
-           round(value, 2) AS last_value,
-           strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS last_ts
-    FROM ranked WHERE rn = 1 ORDER BY user_id
+    SELECT o_orderkey, o_orderpriority,
+           count(*) AS n_shipments,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 30 DAY
+    WHERE o.o_orderkey % 97 = 1
+    GROUP BY o_orderkey, o_orderpriority
+    ORDER BY o_orderkey
     """,
 )
 

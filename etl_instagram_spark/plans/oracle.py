@@ -54,16 +54,18 @@ oracle(
 )
 
 oracle(
-    "events_hourly_rollup",
+    "events_hypertable_rollup",
     """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+    WITH g AS (SELECT unnest(['hour', 'day', 'week']) AS grain)
+    SELECT grain,
+           strftime(date_trunc(grain, ts), '%Y-%m-%d %H:%M:%S') AS bucket,
            event_type,
            count(*)              AS n_events,
            round(sum(value), 2)  AS sum_value,
-           round(avg(value), 4)  AS avg_value
-    FROM events
-    GROUP BY 1, 2
-    ORDER BY 1, 2
+           round(round(sum(value), 2) / count(*), 4) AS avg_value
+    FROM events CROSS JOIN g
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
     """,
 )
 

@@ -100,24 +100,39 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
 
 
-@query("events_hourly_rollup")
-def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series tumbling aggregation (the reference's rates time-series
-    analytics, SURVEY §2.9). Hour truncation stays JVM-side; output hour as
-    string for engine-neutral comparison."""
+@query("events_hypertable_rollup")
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time-series rollup (the reference's rates
+    time-series analytics, SURVEY §2.9, generalized to the
+    continuous-aggregate shape): hour, day, AND week buckets per
+    event_type from ONE scan — operators/temporal.hypertable_rollup
+    shuffles the raw rows once at hour grain and derives day/week from
+    those partials, so shuffle volume stays 1× raw + O(groups) instead
+    of the 3× an Expand-based GROUPING SETS pays. Supersedes the former
+    events_hourly_rollup (its rows are the hour level of this output).
+    Buckets are emitted as strings for engine-neutral comparison."""
+    from etl_instagram_spark.operators.temporal import hypertable_rollup
+
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-        )
-        .orderBy("hour", "event_type")
+    out = hypertable_rollup(
+        ev,
+        "ts",
+        ["hour", "day", "week"],
+        dims=["event_type"],
+        measures={"value": ["sum", "avg"]},
+        row_count="n_events",
     )
+    # avg is re-derived from the ROUNDED sum so both engines divide the
+    # same double — dividing engine-local unrounded sums can land exactly
+    # on a .00005 half-way and flip the 4th decimal
+    return out.select(
+        "grain",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round(F.round("sum_value", 2) / F.col("n_events"), 4).alias("avg_value"),
+    ).orderBy("grain", "bucket", "event_type")
 
 
 @query("events_json_extract")
@@ -379,7 +394,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN``, value-checking the window formulation against a second
     engine's dedicated implementation. (Replaced daily_top_user_by_value,
     whose row_number-argmax operator stays covered by
-    top3_orders_per_customer and events_latest_per_user.)
+    top3_orders_per_customer.)
 
     Views are pre-aggregated to one row per (user_id, ts) so as-of tie
     semantics are deterministic in both engines."""

@@ -121,7 +121,7 @@ def test_bounded_dimensions_broadcast(spark):
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
 
 
-@pytest.mark.parametrize("name", ["q1_pricing_summary", "events_hourly_rollup"])
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "events_hypertable_rollup"])
 def test_aggregations_combine_map_side(spark, name):
     """Wide aggregates must plan as partial (map-side) aggregation below
     the exchange, so the shuffle moves one row per (partition, group)

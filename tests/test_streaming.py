@@ -189,7 +189,7 @@ def test_on_alert_hook_in_stream_gate(spark, tmp_path):
 def test_stream_batch_parity_windowed_counts(spark, tmp_path):
     """The same windowed_event_counts transform over the events table as
     a replayed file STREAM and as a BATCH read must produce identical
-    rollups — the streaming face of events_hourly_rollup is not a second
+    rollups — the streaming face of the hourly rollup is not a second
     implementation, it is the same declarative plan under a different
     runner (complete mode so withheld-by-watermark windows also emit).
     Events are re-landed as micros-timestamp parquet first: the NANOS ts
