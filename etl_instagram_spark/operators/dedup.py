@@ -345,7 +345,7 @@ def near_dedup_embeddings(
     """
     from etl_instagram_spark.operators.similarity import (
         as_double,
-        cosine,
+        dot,
         hyperplane_signs,
         lsh_bucket,
     )
@@ -354,9 +354,14 @@ def near_dedup_embeddings(
     if first_row is None:
         return df
     planes = hyperplane_signs(bits, first_row["d"])
+    # norm is per-ROW (computed once in the scan stage), so the per-PAIR
+    # verify below is a single dot product instead of three — at O(Σ
+    # bucket²) pairs that is the dominant cost of the operator
+    v = as_double(F.col(vec_col))
     bucketed = df.select(
         F.col(id_col).alias("__id"),
-        as_double(F.col(vec_col)).alias("__v"),
+        v.alias("__v"),
+        F.sqrt(dot(v, v)).alias("__n"),
         lsh_bucket(vec_col, planes).alias("__b"),
     )
     if multi_probe_hamming > 0:
@@ -380,7 +385,7 @@ def near_dedup_embeddings(
     ).select(
         F.col("a.__id").alias("id_a"),
         F.col("b.__id").alias("id_b"),
-        cosine(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+        (dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))).alias("cos"),
     ).distinct()
     losers = pairs.filter(F.col("cos") >= threshold).select(
         F.col("id_b").alias(id_col)

@@ -1,0 +1,143 @@
+"""Deterministic dataset splitting and stratified sampling for
+training-data pipelines: every LLM corpus build ends with "assign each
+document to train/val/test, reproducibly, with no leakage across runs"
+and "downsample stratum X to fraction f" — engine-native extensions
+(the reference's only sampling is the LDA sampler's seeded PRNG,
+lda/index.js:279-288, which is engine- and partitioning-dependent).
+
+Spark-first design: both operators are pure per-row projections over the
+shared ``hash32`` content-hash kernel (functions/text.py) — no shuffle,
+no state, no PRNG. The assignment of a row depends ONLY on its id and
+the salt, so:
+
+- re-running on different cluster sizes / partitionings gives the SAME
+  split (``rand(seed)`` does not — it is seeded per-partition);
+- incremental ingestion is leak-free: a doc that arrives tomorrow lands
+  in the same split it would have today, and train/test membership never
+  flips when the table grows;
+- the oracle can replay every assignment in SQL via ``hash32_sql`` —
+  the split is a value-checkable function, not a sampling event.
+
+At 100 TB these are scan-stage column expressions: filters on the split
+column push down to parquet when the split is materialized as a
+partition column (the recommended layout for a frozen corpus release).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.functions.text import hash32, hash32_sql
+
+# hash32 yields 32 bits; buckets of 1e6 keep fraction resolution to 1e-6
+# while staying far from the 2^32 modulus-bias floor
+_BUCKETS = 1_000_000
+
+
+def _bucket(id_col: Column, salt: str) -> Column:
+    """Uniform bucket in [0, _BUCKETS) from (salt, id) — the salt both
+    namespaces independent splits and decorrelates them from any other
+    hash32 use of the same ids."""
+    return hash32(F.concat_ws("\x1f", F.lit(salt), id_col.cast("string"))) % _BUCKETS
+
+
+def bucket_sql(id_expr: str, salt: str) -> str:
+    """DuckDB mirror of :func:`_bucket` — oracles must build their SQL
+    here so the two engines cannot drift."""
+    salted = "'" + salt + "' || chr(31) || (" + id_expr + ")::VARCHAR"
+    return f"{hash32_sql(salted)} % {_BUCKETS}"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hashed id: ``weights`` maps
+    split name → fraction (must sum to ~1; default 98/1/1
+    train/val/test). Adds ``split_col``; order of ``weights`` fixes the
+    bucket layout, so pass the same dict to reproduce a split."""
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be >= 0, got {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    b = _bucket(F.col(id_col), salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        edge = int(round(cum * _BUCKETS))
+        clause = F.when(b < F.lit(edge), F.lit(name))
+        expr = clause if expr is None else expr.when(b < F.lit(edge), F.lit(name))
+    # the last split takes the remainder so rounding never drops a row
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def split_sql_case(id_expr: str, weights: dict[str, float], salt: str = "split") -> str:
+    """DuckDB CASE expression mirroring :func:`hash_split`'s assignment
+    for the same (id expression, weights, salt)."""
+    b = bucket_sql(id_expr, salt)
+    names = list(weights)
+    arms = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        arms.append(f"WHEN {b} < {int(round(cum * _BUCKETS))} THEN '{name}'")
+    body = "\n".join(arms)
+    return f"CASE {body} ELSE '{names[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | float,
+    strata_col: str | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic downsample: keep each row iff its hash bucket falls
+    under its stratum's fraction. ``fractions`` is either one float
+    (uniform) or a dict stratum-value → fraction with ``strata_col``
+    naming the stratum column (strata absent from the dict are DROPPED —
+    explicit is better than a silent 1.0). Reproducible on any engine
+    and partitioning; sampling twice with the same salt gives a nested
+    subset, with different salts an independent one."""
+    b = _bucket(F.col(id_col), salt)
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("strata_col is required when fractions is a dict")
+        for k, f in fractions.items():
+            if not 0.0 <= f <= 1.0:
+                raise ValueError(f"fraction for {k!r} must be in [0, 1], got {f}")
+        edge = None
+        for k, f in fractions.items():
+            arm = F.when(
+                F.col(strata_col) == F.lit(k), F.lit(int(round(f * _BUCKETS)))
+            )
+            edge = arm if edge is None else edge.when(
+                F.col(strata_col) == F.lit(k), F.lit(int(round(f * _BUCKETS)))
+            )
+        edge = edge.otherwise(F.lit(0))
+    else:
+        if not 0.0 <= fractions <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {fractions}")
+        edge = F.lit(int(round(fractions * _BUCKETS)))
+    return df.filter(b < edge)
+
+
+def sample_sql_predicate(
+    id_expr: str, fraction: float, salt: str = "sample"
+) -> str:
+    """DuckDB predicate mirroring the uniform :func:`stratified_sample`."""
+    return f"{bucket_sql(id_expr, salt)} < {int(round(fraction * _BUCKETS))}"

@@ -1,0 +1,228 @@
+"""hash_split / stratified_sample / pack_* tests: determinism across
+partitionings, leak-freedom under table growth, DuckDB mirror parity,
+packing invariants (budget respected, every doc placed exactly once),
+and the FFD-vs-cumsum quality relationship."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.operators.packing import (
+    bin_fill_stats,
+    pack_cumsum,
+    pack_first_fit,
+)
+from etl_instagram_spark.operators.sampling import (
+    bucket_sql,
+    hash_split,
+    sample_sql_predicate,
+    split_sql_case,
+    stratified_sample,
+)
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.range(2000).select(F.col("id").alias("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# hash_split
+# ---------------------------------------------------------------------------
+
+
+def test_split_is_total_and_roughly_proportional(spark, ids):
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(ids, "doc_id", WEIGHTS).groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert sum(counts.values()) == 2000  # total: no row dropped
+    assert counts["train"] == pytest.approx(1600, rel=0.08)
+    assert counts["val"] == pytest.approx(200, rel=0.35)
+    assert counts["test"] == pytest.approx(200, rel=0.35)
+
+
+def test_split_deterministic_across_partitionings(spark, ids):
+    a = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(ids, "doc_id", WEIGHTS).collect()
+    }
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(ids.repartition(17), "doc_id", WEIGHTS).collect()
+    }
+    assert a == b
+
+
+def test_split_stable_under_growth(spark, ids):
+    """A doc's split must not change when the table grows — the no-leak
+    property hash assignment buys over rand(seed)."""
+    small = dict(
+        (r["doc_id"], r["split"])
+        for r in hash_split(ids.filter("doc_id < 500"), "doc_id", WEIGHTS).collect()
+    )
+    big = dict(
+        (r["doc_id"], r["split"])
+        for r in hash_split(ids, "doc_id", WEIGHTS).collect()
+    )
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_split_matches_duckdb_mirror(spark, ids):
+    got = sorted(
+        (r["doc_id"], r["split"])
+        for r in hash_split(ids, "doc_id", WEIGHTS).collect()
+    )
+    sql = split_sql_case("doc_id", WEIGHTS)
+    want = sorted(
+        duckdb.sql(
+            f"SELECT doc_id, {sql} AS split FROM range(2000) t(doc_id)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_split_rejects_bad_weights(spark, ids):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(ids, "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match=">= 0"):
+        hash_split(ids, "doc_id", {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(ids, "doc_id", {})
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def labeled(spark):
+    return spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("es").alias("lang"),
+    )
+
+
+def test_uniform_sample_fraction_and_mirror(spark, labeled):
+    kept = stratified_sample(labeled, "doc_id", 0.2)
+    ids_kept = sorted(r["doc_id"] for r in kept.collect())
+    assert len(ids_kept) == pytest.approx(600, rel=0.1)
+    pred = sample_sql_predicate("doc_id", 0.2)
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM range(3000) t(doc_id) WHERE {pred}"
+        ).fetchall()
+    )
+    assert ids_kept == want
+
+
+def test_nested_subsets_same_salt(spark, labeled):
+    small = {r["doc_id"] for r in stratified_sample(labeled, "doc_id", 0.1).collect()}
+    big = {r["doc_id"] for r in stratified_sample(labeled, "doc_id", 0.3).collect()}
+    assert small <= big  # same salt: smaller fraction nests in larger
+
+
+def test_per_stratum_fractions(spark, labeled):
+    kept = stratified_sample(
+        labeled, "doc_id", {"en": 0.5, "es": 0.1}, strata_col="lang"
+    )
+    counts = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["en"] == pytest.approx(500, rel=0.15)
+    assert counts["es"] == pytest.approx(200, rel=0.2)
+
+
+def test_unlisted_stratum_dropped_and_validation(spark, labeled):
+    kept = stratified_sample(labeled, "doc_id", {"en": 0.5}, strata_col="lang")
+    assert kept.filter(F.col("lang") == "es").count() == 0
+    with pytest.raises(ValueError, match="strata_col"):
+        stratified_sample(labeled, "doc_id", {"en": 0.5})
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        stratified_sample(labeled, "doc_id", 1.2)
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def docs_tokens(spark):
+    # sizes from tiny to near-budget so first-fit has real work to do
+    rows = [(i, 50 + (i * 137) % 900) for i in range(400)] + [(1000, 5000)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+BUDGET = 1024
+
+
+def test_first_fit_respects_budget(spark, docs_tokens):
+    packed = pack_first_fit(docs_tokens, "doc_id", "n_tokens", BUDGET, shards=4)
+    fills = bin_fill_stats(packed, "n_tokens", BUDGET).collect()
+    over = [r for r in fills if r["bin_tokens"] > BUDGET]
+    # only the oversize singleton may exceed the budget
+    assert len(over) == 1 and over[0]["n_docs"] == 1
+    assert packed.filter("oversize").count() == 1
+    assert packed.count() == 401  # every doc placed exactly once
+    assert packed.select("doc_id").distinct().count() == 401
+
+
+def test_cumsum_overrun_bounded_by_one_doc(spark, docs_tokens):
+    packed = pack_cumsum(
+        docs_tokens.filter("doc_id != 1000"), "doc_id", "n_tokens", BUDGET, shards=4
+    )
+    max_doc = 949  # largest doc in the fixture
+    for r in bin_fill_stats(packed, "n_tokens", BUDGET).collect():
+        assert r["bin_tokens"] < BUDGET + max_doc
+    assert packed.count() == 400
+
+
+def test_packers_deterministic_across_partitionings(spark, docs_tokens):
+    for packer in (pack_cumsum, pack_first_fit):
+        a = sorted(
+            (r["doc_id"], r["shard"], r["bin_idx"])
+            for r in packer(docs_tokens, "doc_id", "n_tokens", BUDGET, shards=4).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["shard"], r["bin_idx"])
+            for r in packer(
+                docs_tokens.repartition(13), "doc_id", "n_tokens", BUDGET, shards=4
+            ).collect()
+        )
+        assert a == b, packer.__name__
+
+
+def test_cumsum_bins_lower_bound_first_fit(spark, docs_tokens):
+    """With every doc under the budget, cumsum's bin count per shard is
+    ceil(total/budget) — the theoretical optimum (it cheats by letting
+    the boundary doc overflow). Budget-respecting FFD must use at least
+    that many bins, and not pathologically more (FFD <= 11/9*OPT + 1
+    per shard, public bin-packing bound)."""
+    df = docs_tokens.filter("doc_id != 1000")
+    n_ff = (
+        pack_first_fit(df, "doc_id", "n_tokens", BUDGET, shards=4)
+        .select("shard", "bin_idx").distinct().count()
+    )
+    n_cs = (
+        pack_cumsum(df, "doc_id", "n_tokens", BUDGET, shards=4)
+        .select("shard", "bin_idx").distinct().count()
+    )
+    assert n_cs <= n_ff <= (11 * n_cs) // 9 + 4  # +1 per shard slack
+
+
+def test_packing_validation(spark, docs_tokens):
+    for packer in (pack_cumsum, pack_first_fit):
+        with pytest.raises(ValueError, match="budget"):
+            packer(docs_tokens, "doc_id", "n_tokens", 0)
+        with pytest.raises(ValueError, match="shards"):
+            packer(docs_tokens, "doc_id", "n_tokens", BUDGET, shards=0)
