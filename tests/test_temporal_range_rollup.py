@@ -245,3 +245,56 @@ def test_rollup_week_and_month_both_derive_from_day(spark, metered):
     n_jan = metered.filter(F.month("ts") == 1).count()
     assert jan[0]["n_rows"] == n_jan
     assert feb[0]["n_rows"] == 200 - n_jan
+
+
+def test_rollup_distinct_counts_via_mergeable_sketches(spark, metered):
+    """Distinct counts don't sum across buckets, so they ride as HLL
+    sketches. Two invariants: (1) the week/month estimate equals the
+    estimate of a sketch built DIRECTLY at that grain (union of
+    same-lg_k sketches is lossless — merge introduces no extra error);
+    (2) at this tiny cardinality the estimate equals the exact distinct
+    count."""
+    out = hypertable_rollup(
+        metered, "ts", ["hour", "day", "month"], distinct_counts=["kind"]
+    ).collect()
+    got = {
+        (r["grain"], r["bucket"]): r["approx_distinct_kind"] for r in out
+    }
+    for grain in ("hour", "day", "month"):
+        direct = {
+            r["bucket"]: (r["est"], r["exact"])
+            for r in metered.groupBy(F.date_trunc(grain, "ts").alias("bucket"))
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("kind", F.lit(12))
+                ).alias("est"),
+                F.countDistinct("kind").alias("exact"),
+            )
+            .collect()
+        }
+        for bucket, (est, exact) in direct.items():
+            assert got[(grain, bucket)] == est, (grain, bucket)
+            assert got[(grain, bucket)] == exact, (grain, bucket)
+
+
+def test_rollup_distinct_user_cardinality(spark):
+    """Realistic shape: distinct high-cardinality ids per hour vs per
+    day — the day estimate must be within HLL error (~2% at lg_k=12) of
+    the exact count, and strictly larger than any single hour's."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (base + timedelta(hours=h, seconds=i), f"u{(h * 7919 + i * 104729) % 5000}")
+        for h in range(24)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user string")
+    out = hypertable_rollup(
+        df, "ts", ["hour", "day"], distinct_counts=["user"], row_count=None
+    ).collect()
+    day = [r for r in out if r["grain"] == "day"][0]
+    exact = df.select("user").distinct().count()
+    assert day["approx_distinct_user"] == pytest.approx(exact, rel=0.03)
+    hours = [r["approx_distinct_user"] for r in out if r["grain"] == "hour"]
+    assert len(hours) == 24 and max(hours) < day["approx_distinct_user"]
