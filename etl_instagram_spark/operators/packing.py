@@ -95,10 +95,10 @@ def pack_first_fit(
     # schema: id, tokens, shard (original types) + bin_idx, oversize
     from pyspark.sql.types import BooleanType, IntegerType, LongType
 
+    # full payload rides through the packer (parity with pack_cumsum)
     out_schema = StructType(
-        [
-            df.schema[id_col],
-            df.schema[token_col],
+        list(df.schema.fields)
+        + [
             StructField("shard", IntegerType(), True),
             StructField("bin_idx", LongType(), True),
             StructField("oversize", BooleanType(), True),
@@ -113,7 +113,9 @@ def pack_first_fit(
         bin_idx = []
         oversize = []
         for t in pdf[token_col]:
-            t = int(t)
+            # null/NaN token counts consume no capacity (matches
+            # pack_cumsum, where the window sum ignores nulls)
+            t = 0 if pd.isna(t) else int(t)
             if t > budget:
                 open_bins.append(0)  # full singleton bin
                 bin_idx.append(len(open_bins) - 1)
@@ -128,13 +130,13 @@ def pack_first_fit(
                 open_bins.append(budget - t)
                 bin_idx.append(len(open_bins) - 1)
             oversize.append(False)
-        out = pdf[[id_col, token_col]].copy()
+        out = pdf.copy()
         out["shard"] = pdf["shard"].astype("int32")
         out["bin_idx"] = pd.Series(bin_idx, dtype="int64")
         out["oversize"] = pd.Series(oversize, dtype="bool")
         return out
 
-    sharded = df.select(id_col, token_col).withColumn("shard", _shard(id_col, shards))
+    sharded = df.withColumn("shard", _shard(id_col, shards))
     return sharded.groupBy("shard").applyInPandas(_pack, out_schema)
 
 

@@ -40,8 +40,13 @@ _BUCKETS = 1_000_000
 def _bucket(id_col: Column, salt: str) -> Column:
     """Uniform bucket in [0, _BUCKETS) from (salt, id) — the salt both
     namespaces independent splits and decorrelates them from any other
-    hash32 use of the same ids."""
-    return hash32(F.concat_ws("\x1f", F.lit(salt), id_col.cast("string"))) % _BUCKETS
+    hash32 use of the same ids. ``concat`` (not ``concat_ws``) so a NULL
+    id propagates to a NULL bucket, exactly like the ``||`` in
+    :func:`bucket_sql` — null-id rows fall to the last split / out of
+    the sample on BOTH engines instead of silently hashing the salt."""
+    return (
+        hash32(F.concat(F.lit(salt), F.lit("\x1f"), id_col.cast("string"))) % _BUCKETS
+    )
 
 
 def bucket_sql(id_expr: str, salt: str) -> str:
@@ -117,17 +122,15 @@ def stratified_sample(
     if isinstance(fractions, dict):
         if strata_col is None:
             raise ValueError("strata_col is required when fractions is a dict")
+        if not fractions:
+            raise ValueError("fractions must be non-empty")
         for k, f in fractions.items():
             if not 0.0 <= f <= 1.0:
                 raise ValueError(f"fraction for {k!r} must be in [0, 1], got {f}")
         edge = None
         for k, f in fractions.items():
-            arm = F.when(
-                F.col(strata_col) == F.lit(k), F.lit(int(round(f * _BUCKETS)))
-            )
-            edge = arm if edge is None else edge.when(
-                F.col(strata_col) == F.lit(k), F.lit(int(round(f * _BUCKETS)))
-            )
+            clause = (F.col(strata_col) == F.lit(k), F.lit(int(round(f * _BUCKETS))))
+            edge = F.when(*clause) if edge is None else edge.when(*clause)
         edge = edge.otherwise(F.lit(0))
     else:
         if not 0.0 <= fractions <= 1.0:

@@ -195,10 +195,6 @@ def range_join(
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     width = _interval_seconds(bucket)
 
-    lb = F.floor(F.unix_timestamp(F.col(point)) / width)
-    rb_start = F.floor(F.unix_timestamp(F.col(start)) / width)
-    rb_end = F.floor(F.unix_timestamp(F.col(end)) / width)
-
     clash = {c for c in right.columns if c in set(left.columns)}
     r_renamed = right
     for c in clash:
@@ -207,8 +203,16 @@ def range_join(
     def _r(c: str) -> str:
         return c + suffix if c in clash else c
 
+    lb = F.floor(F.unix_timestamp(F.col(point)) / width)
+    rb_start = F.floor(F.unix_timestamp(F.col(_r(start))) / width)
+    rb_end = F.floor(F.unix_timestamp(F.col(_r(end))) / width)
+
     l_side = left.withColumn("__rj_bucket", lb)
-    r_side = r_renamed.withColumn(
+    # inverted intervals (end < start) can never satisfy the residual
+    # range predicate, but F.sequence would step them BACKWARDS into
+    # span/width bucket rows each — filter them before the explode so
+    # dirty rows cost zero instead of amplifying shuffle volume
+    r_side = r_renamed.filter(F.col(_r(start)) <= F.col(_r(end))).withColumn(
         "__rj_bucket", F.explode(F.sequence(rb_start, rb_end))
     )
 

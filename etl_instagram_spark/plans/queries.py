@@ -119,7 +119,10 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         ["hour", "day", "week"],
         dims=["event_type"],
-        measures={"value": ["sum", "avg"]},
+        # sum only: avg is re-derived below from the rounded sum, so the
+        # rollup's own avg (and its __cnt partial) would be dead weight
+        # in both shuffles
+        measures={"value": ["sum"]},
         row_count="n_events",
     )
     # avg is re-derived from the ROUNDED sum so both engines divide the

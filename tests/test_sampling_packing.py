@@ -226,3 +226,29 @@ def test_packing_validation(spark, docs_tokens):
             packer(docs_tokens, "doc_id", "n_tokens", 0)
         with pytest.raises(ValueError, match="shards"):
             packer(docs_tokens, "doc_id", "n_tokens", BUDGET, shards=0)
+
+
+def test_null_ids_agree_with_sql_mirror(spark):
+    """NULL ids must behave identically on both engines: last split in
+    hash_split (both CASE chains fall through), excluded by
+    stratified_sample (NULL predicate)."""
+    df = spark.createDataFrame([(None,), (7,)], "doc_id int")
+    splits = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", WEIGHTS).collect()}
+    assert splits[None] == "test"  # last split in WEIGHTS order
+    assert stratified_sample(df, "doc_id", 1.0).count() == 1  # null dropped
+
+
+def test_first_fit_keeps_payload_and_null_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, 100, "a"), (2, None, "b"), (3, 900, "c")],
+        "doc_id long, n_tokens long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_first_fit(df, "doc_id", "n_tokens", 512, shards=1).collect()}
+    assert rows[2]["text"] == "b"  # payload column survives
+    assert rows[2]["bin_idx"] is not None and not rows[2]["oversize"]
+    assert len(rows) == 3
+
+
+def test_stratified_sample_rejects_empty_dict(spark, labeled):
+    with pytest.raises(ValueError, match="non-empty"):
+        stratified_sample(labeled, "doc_id", {}, strata_col="lang")

@@ -298,3 +298,33 @@ def test_rollup_distinct_user_cardinality(spark):
     assert day["approx_distinct_user"] == pytest.approx(exact, rel=0.03)
     hours = [r["approx_distinct_user"] for r in out if r["grain"] == "hour"]
     assert len(hours) == 24 and max(hours) < day["approx_distinct_user"]
+
+
+def test_range_join_clashing_interval_columns(spark):
+    """start/end names existing on BOTH sides (e.g. joining two interval
+    tables on their bounds) must resolve through the suffix rename."""
+    left = spark.createDataFrame(
+        [(1, _ts(1, 12), _ts(1))], "pid int, ts timestamp, lo timestamp"
+    )
+    right = spark.createDataFrame(
+        [(9, _ts(1), _ts(2))], "iid int, lo timestamp, hi timestamp"
+    )
+    rows = range_join(left, right, "ts", "lo", "hi", bucket="1 days").collect()
+    assert [(r["pid"], r["iid"]) for r in rows] == [(1, 9)]
+
+
+def test_range_join_inverted_intervals_cost_nothing(spark, points_intervals):
+    """A corrupt interval with end < start matches nothing AND must not
+    explode into a years-long descending bucket sequence."""
+    points, intervals = points_intervals
+    corrupt = intervals.union(
+        intervals.limit(1).select(
+            F.lit(99).alias("iid"), F.lit("u1").alias("user"),
+            F.lit(_ts(9)).alias("lo"), F.lit(_ts(1)).alias("hi"),
+        )
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(points, corrupt, "ts", "lo", "hi", bucket="1 days").collect()
+    }
+    assert got == _brute_pairs(points, intervals)  # corrupt row invisible
