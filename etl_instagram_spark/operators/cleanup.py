@@ -1,0 +1,148 @@
+"""Corpus-level text cleanup: cross-document boilerplate line removal
+and within-document repetition signals — the CCNet/C4-style cleaning
+stage of a training-data pipeline (strip nav bars, cookie banners, and
+license footers that repeat across a crawl; flag docs that are mostly
+self-repetition). Engine-native extension; the reference's only text
+cleanup is per-token stopword dropping (lda/index.js:34-48).
+
+Spark-first design (100 TB):
+
+- ``remove_boilerplate_lines`` is two line-level shuffles and nothing
+  else: (1) explode docs to (doc, pos, line), count DISTINCT docs per
+  normalized line, (2) anti-join the boilerplate line set back onto the
+  exploded lines and re-assemble each doc with an order-preserving
+  array_sort — no UDFs, no driver-side state. The boilerplate set is
+  tiny by construction (only lines repeated across >= min_docs
+  documents), so AQE broadcasts the anti-join side at runtime; the
+  line-count aggregation is the same partial-agg shape as any word
+  count. Line identity is full-md5-hashed before the join so the
+  shuffle moves fixed-width keys that are collision-safe at crawl scale
+  (a 32-bit hash would delete innocent lines), not unbounded line text.
+- ``dup_line_fraction`` / ``dup_line_char_fraction`` are pure per-row
+  expressions (scan-stage, codegen) implementing the Gopher repetition
+  rules: the fraction of lines (or of characters in lines) that are
+  duplicates of an earlier line in the SAME document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+def _lines(col: Column) -> Column:
+    return F.split(col, "\n")
+
+
+def _norm_line(col: Column) -> Column:
+    return F.trim(F.lower(col))
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of a document's non-empty lines that duplicate another
+    line in the same document (normalized lower/trim). 0.0 for docs
+    with <= 1 non-empty line."""
+    lines = F.filter(
+        F.transform(_lines(col), _norm_line), lambda s: s != F.lit("")
+    )
+    n = F.size(lines)
+    return F.when(
+        n > 1, (n - F.size(F.array_distinct(lines))) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_char_fraction(col: Column) -> Column:
+    """Character-weighted variant: the fraction of non-empty-line
+    CHARACTERS belonging to duplicate occurrences — long repeated
+    paragraphs weigh more than repeated one-liners (the Gopher rule is
+    thresholded on both variants)."""
+    lines = F.filter(
+        F.transform(_lines(col), _norm_line), lambda s: s != F.lit("")
+    )
+    total = F.aggregate(
+        lines, F.lit(0), lambda acc, s: acc + F.length(s)
+    )
+    distinct_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda acc, s: acc + F.length(s)
+    )
+    return F.when(
+        total > 0, (total - distinct_chars) / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The normalized lines occurring in >= ``min_docs`` DISTINCT
+    documents, with their document frequency: (line_norm, line_hash,
+    n_docs). Distinct-doc counting (not occurrence counting) so a doc
+    that repeats its own heading doesn't promote it to boilerplate."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.transform(_lines(F.col(text_col)), _norm_line)).alias("line_norm"),
+    ).filter(F.col("line_norm") != "")
+    return (
+        lines.groupBy("line_norm")
+        .agg(F.countDistinct("__doc").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .withColumn("line_hash", F.md5(F.col("line_norm")))
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Strip every line occurring in >= ``min_docs`` distinct documents
+    from every document (C4/CCNet boilerplate removal). Line order is
+    preserved; empty lines are never treated as boilerplate. Adds
+    ``out_col`` (default: replaces ``text_col``) plus
+    ``n_boilerplate_removed``. Docs whose lines are ALL boilerplate
+    come back with empty text, not dropped — row count is preserved."""
+    out_col = out_col or text_col
+    bp = boilerplate_lines(df, id_col, text_col, min_docs).select(
+        "line_hash", F.lit(True).alias("__bp")
+    )
+    exploded = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(_lines(F.col(text_col))).alias("__pos", "__line"),
+    ).withColumn("__h", F.md5(_norm_line(F.col("__line"))))
+    kept = (
+        exploded.join(
+            bp,
+            (exploded["__h"] == bp["line_hash"]) & (F.trim(F.col("__line")) != ""),
+            "left",
+        )
+        .withColumn("__keep", F.col("__bp").isNull())
+    )
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("__pos", "__line"))
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("n_boilerplate_removed"),
+    )
+    keep_cols = [c for c in df.columns if c != out_col]
+    return (
+        df.select(*keep_cols)
+        .join(rebuilt, F.col(id_col) == F.col("__doc"), "left")
+        .drop("__doc")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn(
+            "n_boilerplate_removed", F.coalesce("n_boilerplate_removed", F.lit(0))
+        )
+    )

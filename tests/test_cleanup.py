@@ -1,0 +1,125 @@
+"""Boilerplate-line removal and repetition-fraction tests: semantics on
+planted boilerplate, order preservation, distinct-doc counting, row
+preservation, a DuckDB replay of the whole removal pipeline, and the
+Gopher repetition expressions against hand-computed values."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.operators.cleanup import (
+    boilerplate_lines,
+    dup_line_char_fraction,
+    dup_line_fraction,
+    remove_boilerplate_lines,
+)
+
+COOKIE = "Accept cookies"
+FOOTER = "© example corp"
+
+
+@pytest.fixture()
+def crawl(spark):
+    return spark.createDataFrame(
+        [
+            (1, f"{COOKIE}\nreal article one\nmore text\n{FOOTER}"),
+            (2, f"{COOKIE}\nreal article two\n{FOOTER}"),
+            (3, f"unique page\nOwn heading\nOwn heading\n{FOOTER}"),
+            (4, COOKIE),                       # all-boilerplate doc
+            (5, "untouched\n\nwith empty line"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_boilerplate_detected_by_distinct_docs(spark, crawl):
+    bp = {r["line_norm"]: r["n_docs"] for r in boilerplate_lines(crawl, "doc_id", "text", 2).collect()}
+    assert bp == {COOKIE.lower(): 3, FOOTER.lower(): 3}
+    # doc 3 repeats "Own heading" twice but in ONE doc — not boilerplate
+
+
+def test_removal_preserves_order_rows_and_empties(spark, crawl):
+    out = {
+        r["doc_id"]: (r["text"], r["n_boilerplate_removed"])
+        for r in remove_boilerplate_lines(crawl, "doc_id", "text", 2).collect()
+    }
+    assert len(out) == 5  # row count preserved
+    assert out[1] == ("real article one\nmore text", 2)
+    assert out[2] == ("real article two", 2)
+    assert out[3] == ("unique page\nOwn heading\nOwn heading", 1)
+    assert out[4] == ("", 1)  # all-boilerplate doc empties, not dropped
+    assert out[5] == ("untouched\n\nwith empty line", 0)  # empty line kept
+
+
+def test_removal_matches_duckdb_replay(spark, crawl):
+    """The whole pipeline — explode, distinct-doc count, threshold,
+    anti-join, ordered reassembly — replayed in SQL on another engine."""
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in remove_boilerplate_lines(crawl, "doc_id", "text", 2).collect()
+    )
+    rows = [(r["doc_id"], r["text"]) for r in crawl.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = sorted(
+        con.sql(
+            """
+            WITH split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs),
+            posed AS (
+              SELECT doc_id, parts,
+                     unnest(generate_series(1, len(parts))) AS pos
+              FROM split),
+            lines AS (
+              SELECT doc_id, pos, parts[pos] AS line,
+                     trim(lower(parts[pos])) AS norm
+              FROM posed),
+            bp AS (
+              SELECT norm FROM lines WHERE norm <> ''
+              GROUP BY norm HAVING count(DISTINCT doc_id) >= 2)
+            SELECT d.doc_id,
+                   coalesce((SELECT string_agg(l.line, chr(10) ORDER BY l.pos)
+                             FROM lines l
+                             WHERE l.doc_id = d.doc_id
+                               AND (l.norm = '' OR l.norm NOT IN (SELECT norm FROM bp))), '')
+            FROM docs d
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_min_docs_threshold_and_validation(spark, crawl):
+    assert boilerplate_lines(crawl, "doc_id", "text", 4).count() == 0
+    with pytest.raises(ValueError, match="min_docs"):
+        boilerplate_lines(crawl, "doc_id", "text", 1)
+
+
+def test_dup_line_fractions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\nc"),            # no dups
+            (2, "a\na\nb"),            # 1 of 3 lines duplicate
+            (3, "LongLine\nlongline\nx"),  # case-normalized dup
+            (4, ""),                   # degenerate
+            (5, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (round(r["dlf"], 4), round(r["dlcf"], 4))
+        for r in df.select(
+            "doc_id",
+            dup_line_fraction(F.col("text")).alias("dlf"),
+            dup_line_char_fraction(F.col("text")).alias("dlcf"),
+        ).collect()
+    }
+    assert got[1] == (0.0, 0.0)
+    assert got[2] == (round(1 / 3, 4), round(1 / 3, 4))
+    # 3: one dup line of 8 chars among 17 total chars
+    assert got[3] == (round(1 / 3, 4), round(8 / 17, 4))
+    assert got[4] == (0.0, 0.0)
+    assert got[5] == (0.0, 0.0)
