@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import json
 
+import pytest
+from pyspark.sql import functions as F
+
 from etl_instagram_spark.operators.merge import MergeTable
 from etl_instagram_spark.streaming.incremental import (
     CircuitBreaker,
@@ -227,3 +230,70 @@ def test_stream_batch_parity_windowed_counts(spark, tmp_path):
         )
     )
     assert got == expected and len(got) > 0
+
+
+def test_continuous_rollup_parity_and_replay_idempotence(spark, tmp_path):
+    """The incrementally maintained continuous aggregate must equal the
+    direct batch hypertable_rollup over the same events at EVERY grain,
+    and re-applying an epoch's delta (foreachBatch replay after a crash)
+    must not change the table — the epoch-keyed upsert is what makes
+    additive aggregation exactly-once."""
+    from etl_instagram_spark.operators.temporal import hypertable_rollup
+    from etl_instagram_spark.streaming.incremental import (
+        apply_rollup_delta,
+        continuous_rollup_read,
+        stream_continuous_rollup,
+    )
+
+    EVENT_DDL = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    landing = tmp_path / "events"
+    partials = MergeTable(
+        spark, str(tmp_path / "partials"), ["epoch_id", "bucket", "event_type"]
+    )
+    ckpt = str(tmp_path / "ckpt_cr")
+
+    wave1 = [
+        {"ts": f"2024-05-01T{h:02d}:{m:02d}:00Z", "event_type": t, "value": float(h * 10 + m)}
+        for h in range(4) for m in (0, 30) for t in ("click", "view")
+    ]
+    wave2 = [
+        {"ts": f"2024-05-{d:02d}T06:15:00Z", "event_type": "click", "value": 5.0}
+        for d in (1, 2, 8)  # same day, next day, next week
+    ]
+    write_json(landing / "w1.json", wave1)
+    assert stream_continuous_rollup(spark, str(landing), EVENT_DDL, partials, ckpt)
+    write_json(landing / "w2.json", wave2)
+    assert stream_continuous_rollup(spark, str(landing), EVENT_DDL, partials, ckpt)
+
+    all_events = spark.createDataFrame(
+        [(r["ts"].replace("T", " ").replace("Z", ""), r["event_type"], r["value"]) for r in wave1 + wave2],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    expect = {
+        (r["grain"], r["bucket"], r["event_type"]): (r["n_rows"], r["sum_value"])
+        for r in hypertable_rollup(
+            all_events, "ts", ["hour", "day", "week"], dims=["event_type"],
+            measures={"value": ["sum"]},
+        ).collect()
+    }
+    got = {
+        (r["grain"], r["bucket"], r["event_type"]): (r["n_rows"], r["sum_value"])
+        for r in continuous_rollup_read(partials, ["hour", "day", "week"]).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n, s) in expect.items():
+        assert got[k][0] == n, k
+        assert got[k][1] == pytest.approx(s), k
+
+    # replay epoch 0's delta verbatim — table must not change (rows
+    # compared name-keyed: the merge path may reorder columns)
+    def _rows(df):
+        return sorted(tuple(sorted(r.asDict().items())) for r in df.collect())
+
+    before = _rows(partials.read())
+    replay = spark.createDataFrame(
+        [(r["ts"].replace("T", " ").replace("Z", ""), r["event_type"], r["value"]) for r in wave1],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    apply_rollup_delta(partials, replay, epoch_id=0)
+    assert _rows(partials.read()) == before
