@@ -8,8 +8,12 @@ re-expressed Spark-first:
                   and parquet table loaders.
 - ``operators`` : the relational/merge core — key-based upsert (latest-wins),
                   tombstone delete, anti-join dedup, top-k, dedup family
-                  (exact / MinHash-LSH / SimHash / n-gram Jaccard), and
-                  embedding similarity search.
+                  (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+                  cosine), embedding similarity search, temporal joins
+                  (as-of, bucketized range), hypertable rollup (+ HLL
+                  distinct counts), deterministic split/sampling, sequence
+                  packing, and corpus cleanup (boilerplate lines,
+                  repetition signals).
 - ``functions`` : scalar/text kernels — tokenizer, Porter stemmer (pandas
                   UDF), stopwords, language-ID, quality scoring,
                   minhash/simhash, fingerprinting, sentence split.

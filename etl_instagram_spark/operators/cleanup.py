@@ -22,9 +22,15 @@ Spark-first design (100 TB):
   expressions (scan-stage, codegen) implementing the Gopher repetition
   rules: the fraction of lines (or of characters in lines) that are
   duplicates of an earlier line in the SAME document.
+- ``redact_pii`` / ``pii_counts`` are per-row regexp chains (no
+  shuffle); ``flag_contaminated`` is the 13-gram benchmark
+  decontamination rule — corpus shingles inner-joined to the (small,
+  AQE-broadcast) benchmark shingle set.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -145,4 +151,107 @@ def remove_boilerplate_lines(
         .withColumn(
             "n_boilerplate_removed", F.coalesce("n_boilerplate_removed", F.lit(0))
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# deliberately conservative, widely-used public patterns: emails, bare
+# IPv4s, and international-ish phone sequences. Redaction is a per-row
+# regexp_replace chain — scan-stage, codegen, no shuffle.
+_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # 7+ digit runs with optional +country and -/space/dot/paren
+    # separators; anchored to non-digit boundaries so ids/timestamps
+    # inside longer digit runs are left alone
+    ("phone", r"(?<![\d.])\+?\d[\d ()./-]{5,}\d(?![\d.])", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column, kinds: Sequence[str] = ("email", "ipv4", "phone")) -> Column:
+    """Replace PII spans with typed placeholders (``<EMAIL>``, ``<IP>``,
+    ``<PHONE>``). Order is fixed email → ipv4 → phone so phone's digit
+    pattern never eats the host part of an already-redacted email/IP.
+    Pattern-based redaction is a BASELINE (public-corpus practice is
+    regex passes exactly like these); swap in an NER model through the
+    same column-in/column-out seam when one is available."""
+    known = {k for k, _, _ in _PII_PATTERNS}
+    bad = [k for k in kinds if k not in known]
+    if bad:
+        raise ValueError(f"unknown PII kinds {bad}; pick from {sorted(known)}")
+    out = col
+    for kind, pat, token in _PII_PATTERNS:
+        if kind in kinds:
+            out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-kind PII match counts — the audit metric to report
+    before/after a redaction pass. Counts run over the SAME progressive
+    redaction chain as :func:`redact_pii`, so each span is attributed to
+    exactly one kind (a bare IPv4 is ipv4, not also a phone-like digit
+    run) and the struct sums to the number of replacements the redactor
+    would make."""
+    out = []
+    cur = col
+    for kind, pat, token in _PII_PATTERNS:
+        out.append(F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(kind))
+        cur = F.regexp_replace(cur, pat, token)
+    return F.struct(*out)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Flag corpus docs sharing any word ``n``-gram with a benchmark/eval
+    set (the standard 13-gram decontamination rule from public LLM
+    training reports). Adds ``contaminated`` and ``n_hit_shingles``.
+
+    Spark shape: both sides explode to distinct n-gram md5 keys; the
+    benchmark side is tiny relative to the corpus (eval sets are
+    O(10^4-10^6) shingles), so the inner join broadcasts under AQE and
+    the corpus is never shuffled — one scan + per-doc aggregation of hit
+    counts, joined back to the full rows by id. Normalization (trim,
+    lower, whitespace fold) must match on both sides, which it does by
+    construction: the same ``word_shingles`` kernel builds both."""
+    from etl_instagram_spark.functions.text import word_shingles
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    bench_text_col = bench_text_col or text_col
+    bench_keys = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(bench_text_col), n)).alias("__s")
+        )
+        .select(F.md5("__s").alias("__k"))
+        .distinct()
+    )
+    doc_keys = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__s"),
+    ).select("__doc", F.md5("__s").alias("__k"))
+    hits = (
+        doc_keys.join(bench_keys, "__k")
+        .groupBy("__doc")
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+    return (
+        docs.join(hits, docs[id_col] == hits["__doc"], "left")
+        .drop("__doc")
+        .withColumn("n_hit_shingles", F.coalesce("n_hit_shingles", F.lit(0)))
+        .withColumn("contaminated", F.col("n_hit_shingles") > 0)
     )

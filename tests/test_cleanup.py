@@ -123,3 +123,81 @@ def test_dup_line_fractions(spark):
     assert got[3] == (round(1 / 3, 4), round(8 / 17, 4))
     assert got[4] == (0.0, 0.0)
     assert got[5] == (0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_kinds_and_order(spark):
+    from etl_instagram_spark.operators.cleanup import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "server 10.0.255.1 answered"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "order #1234567890123 shipped v1.2.3"),  # id + version: untouched
+            (5, "reach a@b.io or 192.168.0.1"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["t"] for r in df.select("id", redact_pii(F.col("text")).alias("t")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server <IP> answered"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "order #<PHONE> shipped v1.2.3"  # long digit run IS phone-like
+    assert got[5] == "reach <EMAIL> or <IP>"
+
+    counts = {r["id"]: r["c"].asDict() for r in df.select("id", pii_counts(F.col("text")).alias("c")).collect()}
+    assert counts[5] == {"email": 1, "ipv4": 1, "phone": 0}
+
+    only_email = df.select("id", redact_pii(F.col("text"), kinds=("email",)).alias("t"))
+    assert {r["id"]: r["t"] for r in only_email.collect()}[2] == "server 10.0.255.1 answered"
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        df.select(redact_pii(F.col("text"), kinds=("ssn",)))
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_flag_contaminated_ngram_overlap(spark):
+    from etl_instagram_spark.operators.cleanup import flag_contaminated
+
+    bench = spark.createDataFrame(
+        [("q1", "what is the capital of france and why does it matter")],
+        "qid string, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "irrelevant text about cooking pasta with plenty of words here"),
+            # contains a verbatim 8-gram from the benchmark
+            (2, "quiz: what is the capital of france and why ask"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["contaminated"], r["n_hit_shingles"])
+           for r in flag_contaminated(docs, bench, "doc_id", "text", n=8).collect()}
+    assert out[1] == (False, 0)
+    assert out[2][0] is True and out[2][1] >= 1
+    assert out[3] == (False, 0)
+    assert len(out) == 3  # every doc kept, flagged not filtered
+
+    with pytest.raises(ValueError, match="n must be"):
+        flag_contaminated(docs, bench, "doc_id", "text", n=1)
+
+
+def test_flag_contaminated_no_cartesian_plan(spark):
+    from etl_instagram_spark.operators.cleanup import flag_contaminated
+
+    bench = spark.createDataFrame([("b", "a b c d e f g h i j k l m n")], "qid string, text string")
+    docs = spark.createDataFrame([(1, "a b c d e f g h i j k l m n o")], "doc_id long, text string")
+    plan = (
+        flag_contaminated(docs, bench, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
