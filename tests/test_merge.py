@@ -252,3 +252,22 @@ def test_commit_failure_leaves_previous_snapshot_intact(spark, tmp_path, monkeyp
     # and a retry succeeds cleanly
     t.upsert(spark.createDataFrame([(1, "b")], "id long, v string"))
     assert [r["v"] for r in t.read().collect()] == ["b"]
+
+
+def test_upsert_schema_evolution_both_directions(spark, tmp_path):
+    """Mongoose documents are schemaless (models.js adds fields over
+    releases), so the table must absorb batches that ADD a column (old
+    rows read back null there) and batches that OMIT one (existing
+    values survive; new rows get null) — upsert-time unionByName with
+    allowMissingColumns, pinned here so a merge-path rewrite can't
+    regress it."""
+    t = MergeTable(spark, str(tmp_path / "evolve"), "id")
+    t.upsert(spark.createDataFrame(
+        [("a", 1, "2021-01-01")], "id string, v long, updated_at string"))
+    t.upsert(spark.createDataFrame(
+        [("b", 2, "x", "2021-01-02")],
+        "id string, v long, extra string, updated_at string"))
+    t.upsert(spark.createDataFrame(
+        [("c", 3, "2021-01-03")], "id string, v long, updated_at string"))
+    got = {r["id"]: (r["v"], r["extra"]) for r in t.read().collect()}
+    assert got == {"a": (1, None), "b": (2, "x"), "c": (3, None)}
