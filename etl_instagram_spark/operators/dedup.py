@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_instagram_spark.functions import text as T
+from etl_instagram_spark.operators.merge import MergeTable
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -391,3 +392,104 @@ def near_dedup_embeddings(
         F.col("id_b").alias(id_col)
     ).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dedup against a persistent signature store
+# ---------------------------------------------------------------------------
+
+
+def signature_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """One row per doc for the signature store: (id, sig, band_hashes).
+    O(k + bands) bigints per doc — the corpus's dedup history WITHOUT
+    retaining any text."""
+    staged = T.with_minhash_signature(df, text_col, "__sig", k, shingle_words)
+    return staged.select(
+        F.col(id_col),
+        F.col("__sig").alias("sig"),
+        _band_hashes(F.col("__sig"), k, bands).alias("band_hashes"),
+    )
+
+
+def incremental_near_dedup(
+    incoming: DataFrame,
+    store: MergeTable,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Near-dedup a NEW batch against the corpus's whole dedup history,
+    then fold the survivors' signatures into the store — the production
+    shape at 100 TB: the daily delta is deduped against a compact
+    signature table (O(k) bigints per historical doc, no text), never by
+    re-scanning the full corpus.
+
+    Three stages:
+
+    1. WITHIN-batch near-dedup — the full ``near_dedup_minhash`` path
+       (banded LSH candidates → EXACT shingle-Jaccard verify), since the
+       batch's text is in hand.
+    2. CROSS-history: batch survivors' band hashes join the store's
+       (posexploded) bands; colliding pairs are verified by MinHash
+       signature agreement — the unbiased Jaccard estimator
+       E[matching components / k] = J, std ≈ sqrt(J(1-J)/k) (~0.12 at
+       the default k=16; raise k when the threshold needs to cut finer).
+       Exact and near-exact dups estimate at/near 1.0 regardless.
+    3. The survivors' signature rows UPSERT into the store keyed by id.
+
+    Replay-safe: a re-ingested batch's own store entries are excluded by
+    id (a doc is never its own duplicate), within-batch losers lose
+    again, and the id-keyed upsert overwrites rather than duplicates —
+    re-running a crashed tick converges to the same survivors and the
+    same store. Ids must be unique across the corpus (the upsert key).
+    """
+    survivors = near_dedup_minhash(
+        incoming, id_col, text_col, threshold, k, bands, shingle_words
+    )
+    sigs = signature_rows(survivors, id_col, text_col, k, bands, shingle_words)
+
+    if store.exists():
+        hist = store.read()
+        hist_bands = hist.select(
+            F.col(id_col).alias("__old_id"),
+            F.col("sig").alias("__old_sig"),
+            F.posexplode("band_hashes").alias("__bidx", "__bhash"),
+        )
+        new_bands = sigs.select(
+            F.col(id_col).alias("__new_id"),
+            F.col("sig").alias("__new_sig"),
+            F.posexplode("band_hashes").alias("__bidx", "__bhash"),
+        )
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("__new_sig", "__old_sig", lambda a, b: a == b),
+                    lambda x: x,
+                )
+            )
+            / F.lit(k)
+        )
+        dup_new_ids = (
+            new_bands.join(hist_bands, ["__bidx", "__bhash"])
+            .filter(F.col("__new_id") != F.col("__old_id"))
+            .select("__new_id", "__new_sig", "__old_sig")
+            .distinct()
+            .filter(est >= F.lit(threshold))
+            .select(F.col("__new_id").alias(id_col))
+            .distinct()
+        )
+        survivors = survivors.join(dup_new_ids, id_col, "left_anti")
+        sigs = sigs.join(dup_new_ids, id_col, "left_anti")
+
+    store.upsert(sigs.withColumn("updated_at", F.current_timestamp()))
+    return survivors

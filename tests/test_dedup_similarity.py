@@ -243,3 +243,55 @@ def test_duplicate_clusters_end_to_end(spark):
            D.duplicate_clusters(df, "doc_id", "text", threshold=0.5).collect()}
     assert out.get(1) == 1 and out.get(2) == 1 and out.get(3) == 1
     assert 4 not in out  # singleton stays out of the O(duplicates) output
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dedup against the signature store
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_near_dedup_across_batches(spark, tmp_path):
+    """The daily-delta shape: batch 2 is deduped against batch 1's
+    SIGNATURES (no batch-1 text anywhere), within-batch dups still drop,
+    and a verbatim replay of batch 2 converges to the same survivors and
+    the same store."""
+    from etl_instagram_spark.operators.dedup import incremental_near_dedup
+    from etl_instagram_spark.operators.merge import MergeTable
+
+    LONG_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+    LONG_B = "completely different content about spark query engines and shuffles"
+    store = MergeTable(spark, str(tmp_path / "sigstore"), "doc_id")
+
+    b1 = spark.createDataFrame(
+        [(1, LONG_A), (2, LONG_B)], "doc_id long, text string"
+    )
+    s1 = incremental_near_dedup(b1, store, "doc_id", "text", threshold=0.5)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+    assert store.read().count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (10, LONG_A),                                 # dup of stored doc 1
+            (11, "fresh unseen story about mountains and weather patterns"),
+            (12, "fresh unseen story about mountains and weather patterns"),  # within-batch dup
+        ],
+        "doc_id long, text string",
+    )
+    s2 = incremental_near_dedup(b2, store, "doc_id", "text", threshold=0.5)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11]
+    stored = sorted(r["doc_id"] for r in store.read().collect())
+    assert stored == [1, 2, 11]
+
+    # replay batch 2 (crash-recovery): same survivors, store unchanged
+    s2r = incremental_near_dedup(b2, store, "doc_id", "text", threshold=0.5)
+    assert sorted(r["doc_id"] for r in s2r.collect()) == [11]
+    assert sorted(r["doc_id"] for r in store.read().collect()) == [1, 2, 11]
+
+
+def test_signature_rows_compact_schema(spark):
+    from etl_instagram_spark.operators.dedup import signature_rows
+
+    df = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    row = signature_rows(df, "doc_id", "text", k=16, bands=4).collect()[0]
+    assert len(row["sig"]) == 16 and len(row["band_hashes"]) == 4
+    assert set(row.asDict()) == {"doc_id", "sig", "band_hashes"}
