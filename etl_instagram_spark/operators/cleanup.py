@@ -36,7 +36,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 def _lines(col: Column) -> Column:
-    return F.split(col, "\n")
+    # tolerate CRLF: a cookie banner in Windows-lineage pages must
+    # normalize to the same line as its LF twin or boilerplate counting
+    # splits across line-ending families
+    return F.split(col, "\r?\n")
 
 
 def _norm_line(col: Column) -> Column:
@@ -111,7 +114,10 @@ def remove_boilerplate_lines(
     preserved; empty lines are never treated as boilerplate. Adds
     ``out_col`` (default: replaces ``text_col``) plus
     ``n_boilerplate_removed``. Docs whose lines are ALL boilerplate
-    come back with empty text, not dropped — row count is preserved."""
+    come back with empty text, not dropped — row count is preserved.
+    Rows with a null id or null text pass through UNCHANGED (the
+    rebuild join can't address them; silently blanking their text
+    would be data loss)."""
     out_col = out_col or text_col
     bp = boilerplate_lines(df, id_col, text_col, min_docs).select(
         "line_hash", F.lit(True).alias("__bp")
@@ -139,18 +145,24 @@ def remove_boilerplate_lines(
                 lambda s: s["__line"],
             ),
             "\n",
-        ).alias(out_col),
+        ).alias("__rebuilt"),
         F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("n_boilerplate_removed"),
     )
-    keep_cols = [c for c in df.columns if c != out_col]
+    # null id never joins (__doc is keyed by id) and null text never
+    # explodes — both coalesce back to the ORIGINAL text, not ""
     return (
-        df.select(*keep_cols)
+        df.withColumn("__orig", F.col(text_col))
         .join(rebuilt, F.col(id_col) == F.col("__doc"), "left")
-        .drop("__doc")
-        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn(
+            out_col,
+            F.when(F.col("__doc").isNull(), F.col("__orig")).otherwise(
+                F.col("__rebuilt")
+            ),
+        )
         .withColumn(
             "n_boilerplate_removed", F.coalesce("n_boilerplate_removed", F.lit(0))
         )
+        .drop("__doc", "__orig", "__rebuilt")
     )
 
 
@@ -164,10 +176,19 @@ def remove_boilerplate_lines(
 _PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    # 7+ digit runs with optional +country and -/space/dot/paren
-    # separators; anchored to non-digit boundaries so ids/timestamps
-    # inside longer digit runs are left alone
-    ("phone", r"(?<![\d.])\+?\d[\d ()./-]{5,}\d(?![\d.])", "<PHONE>"),
+    # only UNAMBIGUOUS phone shapes: +international, a parenthesized
+    # area code, or 3-3/4-3/4 separator groups. A generic "long digit
+    # run with separators" also matches ISO dates (2024-05-01), decimals
+    # (3.1415926), page/year ranges (123-130, 2020-2024) and ids —
+    # redacting those destroys legitimate training text, which is worse
+    # than missing an oddly-formatted phone
+    (
+        "phone",
+        r"(?<![\d.])(?:\+\d[\d ()./-]{5,}\d"
+        r"|\(\d{2,4}\)[ ./-]?\d{3,4}[ ./-]?\d{2,4}"
+        r"|\d{3}[ ./-]\d{3,4}[ ./-]\d{3,4})(?![\d.])",
+        "<PHONE>",
+    ),
 )
 
 

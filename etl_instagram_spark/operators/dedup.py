@@ -452,14 +452,33 @@ def incremental_near_dedup(
     again, and the id-keyed upsert overwrites rather than duplicates —
     re-running a crashed tick converges to the same survivors and the
     same store. Ids must be unique across the corpus (the upsert key).
+
+    (k, bands) are validated against the store's actual signature shape
+    — a mismatch would silently break both the band join and the
+    estimator AND corrupt the store for future ticks. shingle_words
+    cannot be recovered from signatures; keep it constant per store.
     """
+    # pin the batch pipeline: survivors feed the sig computation, the
+    # anti-joins, the store write, AND the caller's materialization —
+    # without a checkpoint the LSH + exact-Jaccard verify lineage would
+    # re-execute for each of those actions
     survivors = near_dedup_minhash(
         incoming, id_col, text_col, threshold, k, bands, shingle_words
-    )
-    sigs = signature_rows(survivors, id_col, text_col, k, bands, shingle_words)
+    ).localCheckpoint(eager=True)
+    sigs = signature_rows(
+        survivors, id_col, text_col, k, bands, shingle_words
+    ).localCheckpoint(eager=True)
 
     if store.exists():
         hist = store.read()
+        shape = hist.select(
+            F.size("sig").alias("k"), F.size("band_hashes").alias("b")
+        ).first()
+        if shape is not None and (shape["k"] != k or shape["b"] != bands):
+            raise ValueError(
+                f"store was built with k={shape['k']}, bands={shape['b']}; "
+                f"called with k={k}, bands={bands} — signatures are not comparable"
+            )
         hist_bands = hist.select(
             F.col(id_col).alias("__old_id"),
             F.col("sig").alias("__old_sig"),
@@ -487,6 +506,7 @@ def incremental_near_dedup(
             .filter(est >= F.lit(threshold))
             .select(F.col("__new_id").alias(id_col))
             .distinct()
+            .localCheckpoint(eager=True)  # feeds two anti-joins
         )
         survivors = survivors.join(dup_new_ids, id_col, "left_anti")
         sigs = sigs.join(dup_new_ids, id_col, "left_anti")

@@ -101,6 +101,28 @@ class CircuitBreaker:
             os.remove(self._alerts_path)
 
 
+def _drain(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    checkpoint_dir: str,
+    handle: Callable[[DataFrame, int], None],
+) -> None:
+    """The shared one-tick scaffold: JSON file stream → foreachBatch →
+    AvailableNow → block until drained. Every incremental entry point
+    goes through here so stream-source tuning (e.g. maxFilesPerTrigger)
+    lands in one place."""
+    q = (
+        spark.readStream.schema(schema_ddl)
+        .json(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_upsert(
     spark: SparkSession,
     landing_dir: str,
@@ -121,20 +143,12 @@ def stream_upsert(
     if breaker is not None and breaker.tripped():
         return False
 
-    stream = spark.readStream.schema(schema_ddl).json(landing_dir)
-
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         table.upsert(batch_df)
         if on_batch is not None:
             on_batch(batch_df, epoch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
     return True
 
 
@@ -169,8 +183,6 @@ def stream_pages_with_sentinel_gate(
             breaker.alert_once(reason, on_alert)
         return False
 
-    stream = spark.readStream.schema(schema_ddl).json(landing_dir)
-
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         clean, dead = split_sentinel_pages(batch_df, html_col=html_col)
         table.upsert(clean)
@@ -186,13 +198,7 @@ def stream_pages_with_sentinel_gate(
             if on_alert is not None:
                 breaker.alert_once(incident, on_alert)
 
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
     return True
 
 
@@ -253,7 +259,16 @@ def apply_rollup_delta(
     same rows over themselves (latest-wins) instead of double-adding —
     additive merge would break the module's exactly-once contract, since
     foreachBatch epochs can re-fire. Collapsing epochs is the reader's
-    (or compaction's) job; partial rows are O(groups per epoch), tiny."""
+    (or compaction's) job; partial rows are O(groups per epoch), tiny.
+
+    Epoch keying is exactly-once only WITHIN one checkpoint lineage:
+    epoch ids restart at 0 under a fresh checkpoint, so the partials
+    table and its stream checkpoint are a unit — wipe or relocate them
+    TOGETHER, never one without the other.
+
+    The maintenance ``grain`` is stamped on every row;
+    ``continuous_rollup_read`` validates its requested finest grain
+    against it (a finer read would silently mislabel coarse buckets)."""
     delta = (
         batch_df.groupBy(
             F.date_trunc(grain, F.col(ts_col)).alias("bucket"), *dims
@@ -263,6 +278,7 @@ def apply_rollup_delta(
             F.sum(value_col).alias(f"__sum_{value_col}"),
         )
         .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .withColumn("grain", F.lit(grain))
     )
     partials.upsert(delta)
 
@@ -285,21 +301,18 @@ def stream_continuous_rollup(
     ingest; every later multi-grain read touches only the partials —
     operators/temporal.hypertable_rollup's scan stage amortized across
     the table's whole life, which is what makes hour/day/week dashboards
-    over an append-heavy 100 TB events table affordable."""
-    stream = spark.readStream.schema(schema_ddl).json(landing_dir)
+    over an append-heavy 100 TB events table affordable.
+
+    The partials table and ``checkpoint_dir`` are a UNIT (epoch ids
+    restart under a new checkpoint — see apply_rollup_delta); keep the
+    maintenance grain/dims constant per table."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         apply_rollup_delta(
             partials, batch_df, epoch_id, ts_col, grain, dims, value_col
         )
 
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
     return True
 
 
@@ -318,9 +331,17 @@ def continuous_rollup_read(
     from etl_instagram_spark.operators.temporal import hypertable_rollup
 
     sum_col = f"__sum_{value_col}"
+    stored = partials.read()
+    maintained = [r["grain"] for r in stored.select("grain").distinct().collect()]
+    if len(maintained) != 1:
+        raise ValueError(f"partials table maintained at mixed grains {sorted(maintained)}")
+    if grains and grains[0] != maintained[0]:
+        raise ValueError(
+            f"finest requested grain {grains[0]!r} != maintenance grain "
+            f"{maintained[0]!r} — a finer read would mislabel coarse buckets"
+        )
     collapsed = (
-        partials.read()
-        .groupBy("bucket", *dims)
+        stored.groupBy("bucket", *dims)
         .agg(F.sum("__rc").alias("__rc"), F.sum(sum_col).alias(sum_col))
     )
     return hypertable_rollup(

@@ -147,7 +147,7 @@ def test_redact_pii_kinds_and_order(spark):
     assert got[1] == "mail <EMAIL> now"
     assert got[2] == "server <IP> answered"
     assert got[3] == "call <PHONE> today"
-    assert got[4] == "order #<PHONE> shipped v1.2.3"  # long digit run IS phone-like
+    assert got[4] == "order #1234567890123 shipped v1.2.3"  # bare id run: untouched
     assert got[5] == "reach <EMAIL> or <IP>"
 
     counts = {r["id"]: r["c"].asDict() for r in df.select("id", pii_counts(F.col("text")).alias("c")).collect()}
@@ -201,3 +201,53 @@ def test_flag_contaminated_no_cartesian_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_pii_leaves_dates_decimals_ranges_alone(spark):
+    from etl_instagram_spark.operators.cleanup import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "released on 2024-05-01 at 12:30"),
+            (2, "pi is 3.1415926 exactly"),
+            (3, "pages 123-130 and years 2020-2024"),
+            (4, "order #1234567890123 shipped"),
+            (5, "call 555-123-4567 or (55) 1234 5678 or +44 20 7946 0958"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["t"] for r in df.select("id", redact_pii(F.col("text")).alias("t")).collect()}
+    assert got[1] == "released on 2024-05-01 at 12:30"
+    assert got[2] == "pi is 3.1415926 exactly"
+    assert got[3] == "pages 123-130 and years 2020-2024"
+    assert got[4] == "order #1234567890123 shipped"
+    assert got[5] == "call <PHONE> or <PHONE> or <PHONE>"
+
+
+def test_boilerplate_null_id_and_text_pass_through(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared line\nreal one"),
+            (2, "shared line\nreal two"),
+            (None, "valuable article text"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["text"], r["n_boilerplate_removed"])
+           for r in remove_boilerplate_lines(df, "doc_id", "text", 2).collect()}
+    assert out[1] == ("real one", 1)
+    assert out[None] == ("valuable article text", 0)  # untouched, not blanked
+    assert out[3] == (None, 0)  # null text stays null
+
+
+def test_boilerplate_matches_across_crlf_and_lf(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Accept cookies\r\nstory one"),
+            (2, "Accept cookies\nstory two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(df, "doc_id", "text", 2).collect()}
+    assert out == {1: "story one", 2: "story two"}

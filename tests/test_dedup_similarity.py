@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_instagram_spark.operators import dedup as D
@@ -295,3 +296,14 @@ def test_signature_rows_compact_schema(spark):
     row = signature_rows(df, "doc_id", "text", k=16, bands=4).collect()[0]
     assert len(row["sig"]) == 16 and len(row["band_hashes"]) == 4
     assert set(row.asDict()) == {"doc_id", "sig", "band_hashes"}
+
+
+def test_incremental_near_dedup_rejects_store_shape_mismatch(spark, tmp_path):
+    from etl_instagram_spark.operators.dedup import incremental_near_dedup
+    from etl_instagram_spark.operators.merge import MergeTable
+
+    store = MergeTable(spark, str(tmp_path / "sigstore2"), "doc_id")
+    b = spark.createDataFrame([(1, "some text about anything at all")], "doc_id long, text string")
+    incremental_near_dedup(b, store, "doc_id", "text", k=16, bands=4)
+    with pytest.raises(ValueError, match="not comparable"):
+        incremental_near_dedup(b, store, "doc_id", "text", k=32, bands=8)

@@ -297,3 +297,24 @@ def test_continuous_rollup_parity_and_replay_idempotence(spark, tmp_path):
     ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
     apply_rollup_delta(partials, replay, epoch_id=0)
     assert _rows(partials.read()) == before
+
+
+def test_continuous_rollup_read_validates_grain(spark, tmp_path):
+    """Reading finer than the maintenance grain would mislabel coarse
+    buckets as fine ones — it must refuse instead."""
+    from etl_instagram_spark.streaming.incremental import (
+        apply_rollup_delta,
+        continuous_rollup_read,
+    )
+
+    partials = MergeTable(
+        spark, str(tmp_path / "p2"), ["epoch_id", "bucket", "event_type"]
+    )
+    batch = spark.createDataFrame(
+        [("2024-05-01 10:30:00", "click", 1.0)], "ts_s string, event_type string, value double"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    apply_rollup_delta(partials, batch, epoch_id=0, grain="day")
+    with pytest.raises(ValueError, match="maintenance grain"):
+        continuous_rollup_read(partials, ["hour", "day"])
+    rows = continuous_rollup_read(partials, ["day", "week"]).collect()
+    assert {r["grain"] for r in rows} == {"day", "week"}
