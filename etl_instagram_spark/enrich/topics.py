@@ -71,6 +71,24 @@ def _strip_first_apostrophe(t: Column) -> Column:
     ).otherwise(t)
 
 
+# pre-converted literal Columns per (SparkContext, langs): ``isin`` with
+# N python strings pays N py4j lit() round-trips PER CALL (~0.35 s for
+# the 652-word EN list — it dominated the top-terms queries' driver-side
+# build time, 2× per call for the dual raw+stem check); with pre-built
+# Column literals the same isin is one bulk call (~0.07 s). Keyed by the
+# live SparkContext so a session restart can't serve stale JVM refs.
+_STOP_LITS: dict[tuple, list[Column]] = {}
+
+
+def _stop_literals(langs: tuple[str, ...]) -> list[Column]:
+    from pyspark import SparkContext
+
+    key = (id(SparkContext._active_spark_context), langs)
+    if key not in _STOP_LITS:
+        _STOP_LITS[key] = [F.lit(s) for s in stopwords.combined(langs)]
+    return _STOP_LITS[key]
+
+
 def drop_stop_tokens(
     tokens: Column,
     langs: tuple[str, ...] = ("es",),
@@ -89,7 +107,7 @@ def drop_stop_tokens(
     ``isin`` compiles to a hashed InSet — O(1) per token. An
     ``array_contains(lit_array, t)`` formulation rebuilds the ~1400-element
     literal array per element evaluation (~10× slower per doc)."""
-    stops = stopwords.combined(langs)
+    stops = _stop_literals(langs)
 
     def keep(w: Column, s: Column) -> Column:
         return (
