@@ -335,6 +335,7 @@ def near_dedup_embeddings(
     threshold: float = 0.97,
     bits: int = 8,
     multi_probe_hamming: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup dedup: drop rows whose vector is within
     ``threshold`` cosine of a smaller-id row.
@@ -343,6 +344,9 @@ def near_dedup_embeddings(
     buckets for recall) — never an all-pairs join; the exact cosine
     verify runs only inside buckets. Same survivor semantics as
     near_dedup_minhash (single-pass, keep-smallest-id).
+
+    Pass ``dim`` when the embedding dimensionality is known: otherwise
+    it is probed with a ``first()`` — an extra scan-stage action.
     """
     from etl_instagram_spark.operators.similarity import (
         as_double,
@@ -351,10 +355,12 @@ def near_dedup_embeddings(
         lsh_bucket,
     )
 
-    first_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first_row is None:
-        return df
-    planes = hyperplane_signs(bits, first_row["d"])
+    if dim is None:
+        first_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first_row is None:
+            return df
+        dim = first_row["d"]
+    planes = hyperplane_signs(bits, dim)
     # norm is per-ROW (computed once in the scan stage), so the per-PAIR
     # verify below is a single dot product instead of three — at O(Σ
     # bucket²) pairs that is the dominant cost of the operator

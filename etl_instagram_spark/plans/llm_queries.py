@@ -517,7 +517,7 @@ def emb_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     kept = near_dedup_embeddings(
         emb, "vec_id", "embedding", threshold=0.35, bits=HYPERPLANE_BITS,
-        multi_probe_hamming=1,
+        multi_probe_hamming=1, dim=EMBEDDING_DIM,
     ).select("vec_id", F.lit(1).alias("__kept"))
     return (
         emb.join(kept, "vec_id", "left")
