@@ -144,3 +144,87 @@ def sample_sql_predicate(
 ) -> str:
     """DuckDB predicate mirroring the uniform :func:`stratified_sample`."""
     return f"{bucket_sql(id_expr, salt)} < {int(round(fraction * _BUCKETS))}"
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture
+# ---------------------------------------------------------------------------
+
+
+def mixture_fractions(
+    available: dict[str, float],
+    weights: dict[str, float],
+) -> dict[str, float]:
+    """Per-source keep-fractions realizing a target mixture by DOWN-
+    sampling only (no source is upsampled/repeated). ``available`` maps
+    source → its token (or row) count; ``weights`` maps source → target
+    mixture share. The binding source is the one whose availability is
+    smallest relative to its target share — it is kept whole and every
+    other source is scaled to match, so the output follows ``weights``
+    exactly at the maximum total size down-sampling permits."""
+    if set(available) != set(weights):
+        raise ValueError(
+            f"available and weights must cover the same sources; "
+            f"got {sorted(available)} vs {sorted(weights)}"
+        )
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {s!r} must be > 0, got {w}")
+        if available[s] <= 0:
+            raise ValueError(f"available for {s!r} must be > 0, got {available[s]}")
+    total_w = sum(weights.values())
+    # total output size T satisfies: for every source, T * w_s/total_w
+    # <= available_s; the max feasible T is set by the binding source
+    t = min(available[s] / (weights[s] / total_w) for s in weights)
+    return {
+        s: min(1.0, (t * weights[s] / total_w) / available[s]) for s in weights
+    }
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    id_col: str,
+    weigh_by: str | None = None,
+    salt: str = "mixture",
+    source_col: str = "source",
+) -> DataFrame:
+    """Compose a training mixture from named sources: measure each
+    source's size (rows, or the sum of ``weigh_by`` — e.g. a token-count
+    column), derive down-sampling fractions realizing ``weights``
+    (:func:`mixture_fractions`), apply the deterministic hash sample per
+    source, and union with a ``source_col`` provenance column.
+
+    Deterministic end-to-end: the same sources/weights/salt give the
+    same mixture on any cluster, and because per-source sampling uses
+    the nested-subset hash rule, RAISING a source's weight later only
+    ADDS rows from it — existing membership never churns.
+
+    One aggregation action per source to measure sizes (tiny), then one
+    lazy union — the mixture is a plan, not a materialization."""
+    if set(sources) != set(weights):
+        raise ValueError(
+            f"sources and weights must cover the same names; "
+            f"got {sorted(sources)} vs {sorted(weights)}"
+        )
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    sizes = {}
+    for name, df in sources.items():
+        agg = (
+            df.agg(F.sum(weigh_by).alias("n"))
+            if weigh_by is not None
+            else df.agg(F.count(F.lit(1)).alias("n"))
+        )
+        row = agg.first()
+        sizes[name] = float(row["n"] or 0.0)
+    fracs = mixture_fractions(sizes, weights)
+    out = None
+    for name, df in sources.items():
+        part = stratified_sample(
+            df, id_col, fracs[name], salt=f"{salt}:{name}"
+        ).withColumn(source_col, F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    return out

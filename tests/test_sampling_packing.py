@@ -252,3 +252,86 @@ def test_first_fit_keeps_payload_and_null_tokens(spark):
 def test_stratified_sample_rejects_empty_dict(spark, labeled):
     with pytest.raises(ValueError, match="non-empty"):
         stratified_sample(labeled, "doc_id", {}, strata_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_fractions_binding_source():
+    from etl_instagram_spark.operators.sampling import mixture_fractions
+
+    # web is abundant, code is scarce relative to its 30% share → code
+    # binds (kept whole), web scales down to put code at exactly 30%
+    fr = mixture_fractions({"web": 10_000, "code": 900}, {"web": 0.7, "code": 0.3})
+    assert fr["code"] == 1.0
+    assert fr["web"] == pytest.approx(900 / 0.3 * 0.7 / 10_000)
+    with pytest.raises(ValueError, match="same sources"):
+        mixture_fractions({"a": 1}, {"b": 0.5})
+    with pytest.raises(ValueError, match="> 0"):
+        mixture_fractions({"a": 1, "b": 1}, {"a": 0.0, "b": 1.0})
+
+
+def test_mix_corpora_proportions_and_determinism(spark):
+    from etl_instagram_spark.operators.sampling import mix_corpora
+
+    web = spark.range(8000).select(F.col("id").alias("doc_id"))
+    code = spark.range(10_000, 11_000).select(F.col("id").alias("doc_id"))
+    mixed = mix_corpora(
+        {"web": web, "code": code}, {"web": 0.5, "code": 0.5}, "doc_id"
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # code (1000 rows) binds at 50% share → ~1000 of each
+    assert counts["code"] == 1000
+    assert counts["web"] == pytest.approx(1000, rel=0.1)
+
+    again = mix_corpora(
+        {"web": web, "code": code}, {"web": 0.5, "code": 0.5}, "doc_id"
+    )
+    assert sorted((r["source"], r["doc_id"]) for r in mixed.collect()) == sorted(
+        (r["source"], r["doc_id"]) for r in again.collect()
+    )
+
+
+def test_mix_corpora_weight_raise_only_adds(spark):
+    """Raising one source's share must only ADD rows from it (nested
+    hash subsets) — existing membership never churns, so a mixture
+    re-cut is an incremental diff, not a reshuffle."""
+    from etl_instagram_spark.operators.sampling import mix_corpora
+
+    web = spark.range(8000).select(F.col("id").alias("doc_id"))
+    code = spark.range(10_000, 11_000).select(F.col("id").alias("doc_id"))
+    low = {
+        r["doc_id"]
+        for r in mix_corpora(
+            {"web": web, "code": code}, {"web": 0.8, "code": 0.2}, "doc_id"
+        ).filter("source = 'web'").collect()
+    }
+    high = {
+        r["doc_id"]
+        for r in mix_corpora(
+            {"web": web, "code": code}, {"web": 0.9, "code": 0.1}, "doc_id"
+        ).filter("source = 'web'").collect()
+    }
+    assert low <= high
+
+
+def test_mix_corpora_weigh_by_tokens(spark):
+    from etl_instagram_spark.operators.sampling import mix_corpora
+
+    a = spark.createDataFrame([(i, 100) for i in range(100)], "doc_id long, n_tokens long")
+    b = spark.createDataFrame([(1000 + i, 10) for i in range(100)], "doc_id long, n_tokens long")
+    mixed = mix_corpora(
+        {"a": a, "b": b}, {"a": 0.5, "b": 0.5}, "doc_id", weigh_by="n_tokens"
+    )
+    tok = {
+        r["source"]: r["t"]
+        for r in mixed.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    # b has 1000 tokens total and binds at 50% → ~1000 tokens from each side
+    assert tok["b"] == 1000
+    assert tok["a"] == pytest.approx(1000, rel=0.4)  # 10 docs of 100 tokens
