@@ -92,10 +92,20 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     multi_probe_hamming: int = 0,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: restrict the scan to the query's LSH bucket
     (plus Hamming-adjacent buckets when multi_probe_hamming > 0), then
-    exact cosine rank within the candidates."""
+    exact cosine rank within the candidates.
+
+    ``bucket_col`` names a STORED bucket column (written by
+    ``lsh_bucket`` at ingest, ideally the table's partition column) —
+    then the probe filter lands on plain column equality, which the
+    parquet source turns into partition pruning / row-group skipping:
+    the scan physically never reads the other 2^bits − |probes| buckets.
+    Without it the bucket is recomputed per row from the vector, which
+    is correct but scans everything (the small-table / ad-hoc path).
+    """
     planes = hyperplane_signs(bits, len(query_vec))
     qb = _bucket_of(query_vec, planes)
     if multi_probe_hamming > 0:
@@ -104,9 +114,9 @@ def ann_lsh_topk(
         probes = [qb]
     v = as_double(F.col(vec_col))
     q = _query_lit(query_vec)
+    bucket = F.col(bucket_col) if bucket_col else lsh_bucket(vec_col, planes)
     return (
-        df.withColumn("__bucket", lsh_bucket(vec_col, planes))
-        .filter(F.col("__bucket").isin(probes))
+        df.filter(bucket.isin(probes))
         .select(id_col, F.round(cosine(v, q), 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

@@ -72,3 +72,37 @@ def test_write_partitioned_prunes(spark, tmp_path, sf_smoke):
     dirs = [d for d in os.listdir(path) if d.startswith("event_type=")]
     assert len(dirs) > 1
     assert pruned.count() == events.filter(F.col("event_type") == "click").count()
+
+
+def test_ann_over_bucket_partitioned_table_prunes(spark, tmp_path, sf_smoke):
+    """The 100 TB ANN layout made concrete: embeddings written
+    partitioned by their stored LSH bucket, queried via ann_lsh_topk's
+    bucket_col path — the probe filter must become a partition filter
+    (scan skips the other buckets physically), and results must equal
+    the recompute-the-bucket path over the raw table."""
+    from etl_instagram_spark.operators.similarity import (
+        ann_lsh_topk,
+        hyperplane_signs,
+        lsh_bucket,
+    )
+    from etl_instagram_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    dim = 64
+    planes = hyperplane_signs(8, dim)
+    path = str(tmp_path / "emb_by_bucket")
+    write_partitioned(
+        emb.withColumn("bucket", lsh_bucket("embedding", planes)), path, "bucket"
+    )
+    stored = spark.read.parquet(path)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    pruned = ann_lsh_topk(
+        stored.filter("vec_id != 0"), qv, k=5, bucket_col="bucket",
+        multi_probe_hamming=1,
+    )
+    assert partition_filter_count(pruned) >= 1  # probe hit the dir layout
+    base = ann_lsh_topk(
+        emb.filter("vec_id != 0"), qv, k=5, multi_probe_hamming=1
+    )
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in base.collect()]
