@@ -75,16 +75,23 @@ def _strip_first_apostrophe(t: Column) -> Column:
 # N python strings pays N py4j lit() round-trips PER CALL (~0.35 s for
 # the 652-word EN list — it dominated the top-terms queries' driver-side
 # build time, 2× per call for the dual raw+stem check); with pre-built
-# Column literals the same isin is one bulk call (~0.07 s). Keyed by the
-# live SparkContext so a session restart can't serve stale JVM refs.
+# Column literals the same isin is one bulk call (~0.07 s). Keyed by
+# (applicationId, startTime) — stable identifiers of the live context —
+# so a session restart can't serve stale JVM refs, and CPython id()
+# reuse after a context is garbage-collected can't alias two contexts.
 _STOP_LITS: dict[tuple, list[Column]] = {}
 
 
 def _stop_literals(langs: tuple[str, ...]) -> list[Column]:
     from pyspark import SparkContext
 
-    key = (id(SparkContext._active_spark_context), langs)
+    sc = SparkContext._active_spark_context
+    ctx_key = (sc.applicationId, sc.startTime) if sc is not None else None
+    key = (ctx_key, langs)
     if key not in _STOP_LITS:
+        # literals bound to any other (dead) context are useless; drop them
+        for stale in [k for k in _STOP_LITS if k[0] != ctx_key]:
+            del _STOP_LITS[stale]
         _STOP_LITS[key] = [F.lit(s) for s in stopwords.combined(langs)]
     return _STOP_LITS[key]
 

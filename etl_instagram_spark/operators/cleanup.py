@@ -230,6 +230,24 @@ def pii_counts(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _token_ngrams(col: Column, n: int) -> Column:
+    """Sliding word ``n``-grams over whitespace tokens; EMPTY array for
+    texts with fewer than ``n`` tokens (unlike ``word_shingles``, which
+    falls back to a whole-raw-text shingle — decontamination needs both
+    sides of the join built from the same token normalization, so the
+    raw-text fallback would silently never match)."""
+    from etl_instagram_spark.functions.text import tokens
+
+    t = tokens(col)
+    return F.when(
+        (F.length(F.trim(col)) > 0) & (F.size(t) >= n),
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def flag_contaminated(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -242,28 +260,69 @@ def flag_contaminated(
     set (the standard 13-gram decontamination rule from public LLM
     training reports). Adds ``contaminated`` and ``n_hit_shingles``.
 
+    Benchmark items SHORTER than ``n`` tokens (an eval question of, say,
+    5 words under the 13-gram rule) are matched at their own full length
+    ``m``: the item contributes its single ``m``-gram, and the corpus is
+    additionally shingled at each such ``m`` — so a short eval question
+    embedded verbatim inside a longer corpus doc is still flagged. The
+    distinct short lengths are read with a bounded driver collect (at
+    most ``n - 1`` values); each distinct length adds one more corpus
+    shingle projection in the same scan, so keep genuinely tiny-``n``
+    eval sets separate if that cost matters.
+
     Spark shape: both sides explode to distinct n-gram md5 keys; the
     benchmark side is tiny relative to the corpus (eval sets are
     O(10^4-10^6) shingles), so the inner join broadcasts under AQE and
     the corpus is never shuffled — one scan + per-doc aggregation of hit
     counts, joined back to the full rows by id. Normalization (trim,
-    lower, whitespace fold) must match on both sides, which it does by
-    construction: the same ``word_shingles`` kernel builds both."""
-    from etl_instagram_spark.functions.text import word_shingles
+    lower, whitespace fold) matches on both sides by construction: the
+    same ``_token_ngrams`` kernel builds both."""
+    from etl_instagram_spark.functions.text import tokens
 
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
     bench_text_col = bench_text_col or text_col
-    bench_keys = (
-        benchmark.select(
-            F.explode(word_shingles(F.col(bench_text_col), n)).alias("__s")
+    bt = F.col(bench_text_col)
+    # token count with a blank guard (split of "" yields [""], size 1)
+    bench_m = F.when(F.length(F.trim(bt)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(bt))
+    )
+    # lengths of benchmark items shorter than n: bounded driver collect,
+    # at most n-1 distinct values
+    short_ms = sorted(
+        r["m"]
+        for r in benchmark.select(bench_m.alias("m"))
+        .filter((F.col("m") > 0) & (F.col("m") < n))
+        .distinct()
+        .collect()
+    )
+    # a benchmark item contributes its n-grams when long enough, else its
+    # one full-length m-gram (= _token_ngrams at its exact token count)
+    bench_shingles = F.when(
+        bench_m >= n, _token_ngrams(bt, n)
+    ).otherwise(
+        F.coalesce(
+            *[
+                F.when(bench_m == m, _token_ngrams(bt, m))
+                for m in short_ms
+            ],
+            F.array().cast("array<string>"),
         )
+        if short_ms
+        else F.array().cast("array<string>")
+    )
+    bench_keys = (
+        benchmark.select(F.explode(bench_shingles).alias("__s"))
         .select(F.md5("__s").alias("__k"))
         .distinct()
     )
+    dt = F.col(text_col)
+    doc_shingles = F.concat(
+        _token_ngrams(dt, n), *[_token_ngrams(dt, m) for m in short_ms]
+    )
     doc_keys = docs.select(
         F.col(id_col).alias("__doc"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__s"),
+        F.explode(F.array_distinct(doc_shingles)).alias("__s"),
     ).select("__doc", F.md5("__s").alias("__k"))
     hits = (
         doc_keys.join(bench_keys, "__k")

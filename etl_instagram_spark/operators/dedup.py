@@ -386,13 +386,20 @@ def near_dedup_embeddings(
 
     a = bucketed.alias("a")
     b = probed.alias("b")
+    # zero-norm guard: 0/0 is NaN, and Spark orders NaN ABOVE every
+    # double, so an unguarded `NaN >= threshold` would silently drop an
+    # all-zero embedding as a duplicate of any bucket-mate. A zero
+    # vector has no direction — define its cosine to anything as 0.
+    norm_prod = F.col("a.__n") * F.col("b.__n")
     pairs = a.join(
         b,
         (F.col("a.__b") == F.col("b.__pb")) & (F.col("a.__id") < F.col("b.__id")),
     ).select(
         F.col("a.__id").alias("id_a"),
         F.col("b.__id").alias("id_b"),
-        (dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))).alias("cos"),
+        F.when(
+            norm_prod > 0, dot(F.col("a.__v"), F.col("b.__v")) / norm_prod
+        ).otherwise(F.lit(0.0)).alias("cos"),
     ).distinct()
     losers = pairs.filter(F.col("cos") >= threshold).select(
         F.col("id_b").alias(id_col)

@@ -117,7 +117,11 @@ def pack_first_fit(
             # pack_cumsum, where the window sum ignores nulls)
             t = 0 if pd.isna(t) else int(t)
             if t > budget:
-                open_bins.append(0)  # full singleton bin
+                # capacity -1 CLOSES the singleton: a zero-token doc
+                # satisfies `cap >= 0`, so a capacity of 0 would let it
+                # slip into an oversize bin and break the singleton
+                # invariant
+                open_bins.append(-1)
                 bin_idx.append(len(open_bins) - 1)
                 oversize.append(True)
                 continue

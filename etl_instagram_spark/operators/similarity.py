@@ -35,7 +35,11 @@ def as_double(col: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine similarity; 0.0 when either vector has zero norm (0/0 is
+    NaN, which Spark orders ABOVE every double — an unguarded NaN would
+    outrank every real score in a top-k and pass any >= threshold)."""
+    norm_prod = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    return F.when(norm_prod > 0, dot(a, b) / norm_prod).otherwise(F.lit(0.0))
 
 
 def _query_lit(query_vec: list[float]) -> Column:

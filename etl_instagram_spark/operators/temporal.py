@@ -317,29 +317,43 @@ def hypertable_rollup(
 
     dims = list(dims)
     # partials needed at the finest grain: every agg is decomposable
-    # (avg -> sum+count), so coarser grains never touch the raw rows
+    # (avg -> sum+count), so coarser grains never touch the raw rows.
+    # Track the generated alias names explicitly — identifying partials
+    # by a '__' prefix scan of base.columns would misclassify any dim
+    # column that happens to start with '__'.
     partials: list = []
+    partial_cols: list[str] = []
+
+    def _partial(expr, name: str) -> None:
+        partials.append(expr.alias(name))
+        partial_cols.append(name)
+
     if row_count is not None:
-        partials.append(F.count(F.lit(1)).alias("__rc"))
+        _partial(F.count(F.lit(1)), "__rc")
     for c, aggs in measures.items():
         need = set(aggs)
         if "avg" in need:
             need |= {"sum", "count"}
         if "sum" in need:
-            partials.append(F.sum(c).alias(f"__sum_{c}"))
+            _partial(F.sum(c), f"__sum_{c}")
         if "count" in need:
-            partials.append(F.count(c).alias(f"__cnt_{c}"))
+            _partial(F.count(c), f"__cnt_{c}")
         if "min" in need:
-            partials.append(F.min(c).alias(f"__min_{c}"))
+            _partial(F.min(c), f"__min_{c}")
         if "max" in need:
-            partials.append(F.max(c).alias(f"__max_{c}"))
+            _partial(F.max(c), f"__max_{c}")
     for c in distinct_counts:
-        partials.append(F.hll_sketch_agg(c, F.lit(hll_lg_k)).alias(f"__hll_{c}"))
+        _partial(F.hll_sketch_agg(c, F.lit(hll_lg_k)), f"__hll_{c}")
+    if not partials:
+        raise ValueError(
+            "nothing to aggregate: pass row_count, measures, or "
+            "distinct_counts (row_count=None with no measures/distinct_counts "
+            "requests an empty agg)"
+        )
 
     base = df.groupBy(
         F.date_trunc(finest, F.col(ts_col)).alias("__bucket"), *dims
     ).agg(*partials)
-    partial_cols = [p for p in base.columns if p.startswith("__") and p != "__bucket"]
 
     # fan each finest-grain group row out to every requested grain
     # (date_trunc(finest, __bucket) is the identity, so the finest level

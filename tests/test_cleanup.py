@@ -251,3 +251,37 @@ def test_boilerplate_matches_across_crlf_and_lf(spark):
     )
     out = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(df, "doc_id", "text", 2).collect()}
     assert out == {1: "story one", 2: "story two"}
+
+
+def test_flag_contaminated_short_benchmark_item(spark):
+    """An eval question shorter than n tokens must still flag a corpus
+    doc that embeds it verbatim (matched at the item's own length)."""
+    from etl_instagram_spark.operators.cleanup import flag_contaminated
+
+    bench = spark.createDataFrame(
+        [("q1", "what is love"), ("q2", "")],  # 3 tokens < n=13; blank skipped
+        "qid string, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the philosopher asked what is love and nobody answered "
+                "with any certainty at all that day"),
+            (2, "completely unrelated text about compilers and parsing"),
+            (3, "what is"),  # shorter than the bench item itself
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["contaminated"]
+           for r in flag_contaminated(docs, bench, "doc_id", "text", n=13).collect()}
+    assert out[1] is True
+    assert out[2] is False
+    assert out[3] is False
+
+
+def test_flag_contaminated_blank_benchmark_flags_nothing(spark):
+    from etl_instagram_spark.operators.cleanup import flag_contaminated
+
+    bench = spark.createDataFrame([("q1", "   ")], "qid string, text string")
+    docs = spark.createDataFrame([(1, "some doc")], "doc_id long, text string")
+    out = flag_contaminated(docs, bench, "doc_id", "text", n=13).collect()
+    assert [r["contaminated"] for r in out] == [False]

@@ -307,3 +307,45 @@ def test_incremental_near_dedup_rejects_store_shape_mismatch(spark, tmp_path):
     incremental_near_dedup(b, store, "doc_id", "text", k=16, bands=4)
     with pytest.raises(ValueError, match="not comparable"):
         incremental_near_dedup(b, store, "doc_id", "text", k=32, bands=8)
+
+
+def test_zero_norm_vector_never_dropped_as_duplicate(spark):
+    """cos(zero, anything) is 0/0 = NaN, and Spark orders NaN above every
+    double — unguarded, an all-zero embedding sharing a bucket would be
+    dropped as a duplicate of its bucket-mate."""
+    from etl_instagram_spark.operators.dedup import near_dedup_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+            (3, [0.0, 0.0, 0.0, 0.0]),  # second zero vector
+            (4, [1.0, 0.000001, 0.0, 0.0]),  # true near-dup of 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept = {r["vec_id"]
+            for r in near_dedup_embeddings(
+                df, "vec_id", "embedding", threshold=0.97, bits=2,
+                multi_probe_hamming=2, dim=4,
+            ).collect()}
+    # zero vectors survive (no direction => cosine defined as 0);
+    # the true near-dup of id 1 is dropped
+    assert 2 in kept and 3 in kept
+    assert 4 not in kept
+    assert 1 in kept
+
+
+def test_cosine_zero_norm_is_zero_not_nan(spark):
+    import math
+    from etl_instagram_spark.operators.similarity import as_double, cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r[0] for r in df.select(
+        cosine(as_double(F.col("a")), as_double(F.col("b")))
+    ).collect()]
+    assert got[0] == 0.0 and not math.isnan(got[0])
+    assert abs(got[1] - 1.0) < 1e-9

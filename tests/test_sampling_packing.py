@@ -335,3 +335,19 @@ def test_mix_corpora_weigh_by_tokens(spark):
     # b has 1000 tokens total and binds at 50% → ~1000 tokens from each side
     assert tok["b"] == 1000
     assert tok["a"] == pytest.approx(1000, rel=0.4)  # 10 docs of 100 tokens
+
+
+def test_first_fit_oversize_bins_stay_singletons(spark):
+    """Zero/null-token docs must never join an oversize bin (its
+    capacity is closed, not merely exhausted)."""
+    df = spark.createDataFrame(
+        [(1, 9000), (2, 0), (3, None), (4, 10)],
+        "doc_id long, n_tokens int",
+    )
+    rows = {r["doc_id"]: r
+            for r in pack_first_fit(df, "doc_id", "n_tokens", 512, shards=1).collect()}
+    oversize_bin = rows[1]["bin_idx"]
+    assert rows[1]["oversize"]
+    for d in (2, 3, 4):
+        assert rows[d]["bin_idx"] != oversize_bin
+        assert not rows[d]["oversize"]

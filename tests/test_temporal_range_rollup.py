@@ -328,3 +328,18 @@ def test_range_join_inverted_intervals_cost_nothing(spark, points_intervals):
         for r in range_join(points, corrupt, "ts", "lo", "hi", bucket="1 days").collect()
     }
     assert got == _brute_pairs(points, intervals)  # corrupt row invisible
+
+
+def test_rollup_empty_agg_raises_clear_error(spark, metered):
+    with pytest.raises(ValueError, match="nothing to aggregate"):
+        hypertable_rollup(metered, "ts", ["hour"], row_count=None)
+
+
+def test_rollup_dunder_dim_not_misclassified(spark, metered):
+    """A dim column named with a '__' prefix must come through as a dim,
+    not be swallowed into the partial-merge set."""
+    df = metered.withColumn("__site", F.lit("a"))
+    out = hypertable_rollup(df, "ts", ["hour"], dims=["__site"], row_count="n")
+    assert "__site" in out.columns
+    assert out.filter(F.col("__site") == "a").count() == out.count()
+    assert out.count() > 0
