@@ -134,6 +134,7 @@ def fit_ivf_centroids(
     seed: int = 42,
     max_fit_points: int | None = 4096,
     max_iter: int = 8,
+    order_col: str | None = None,
 ) -> list[list[float]]:
     """Fit IVF coarse centroids with seeded NumPy Lloyd's on the driver.
 
@@ -148,16 +149,37 @@ def fit_ivf_centroids(
     recall gain, and on a hot path it pays per-iteration job-scheduling
     overhead to cluster kilobytes. Only the centroid list — O(n_clusters
     · dim), driver-sized by design — leaves this function; cell
-    assignment and probing stay fully distributed column expressions."""
+    assignment and probing stay fully distributed column expressions.
+
+    ``order_col`` sorts the sample before the limit (TakeOrdered —
+    still one bounded job), making the fit a pure function of the DATA
+    rather than of partition order: any engine that reads the same rows
+    (e.g. the DuckDB oracle mirror) reproduces bit-identical centroids
+    via :func:`lloyd_kmeans`. Without it the limit takes whatever rows
+    arrive first — fine for quantizer quality, useless for replay."""
     import numpy as np
 
-    rows = (
-        df.select(as_double(F.col(vec_col)).alias("__v"))
-        .where(F.col("__v").isNotNull())
-        .limit(max_fit_points or (1 << 20))
-        .collect()
-    )
+    base = df.select(
+        as_double(F.col(vec_col)).alias("__v"),
+        *([F.col(order_col).alias("__o")] if order_col else []),
+    ).where(F.col("__v").isNotNull())
+    if order_col:
+        base = base.orderBy("__o")
+    rows = base.select("__v").limit(max_fit_points or (1 << 20)).collect()
     x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    return lloyd_kmeans(x, n_clusters, seed=seed, max_iter=max_iter)
+
+
+def lloyd_kmeans(
+    x, n_clusters: int, seed: int = 42, max_iter: int = 8
+) -> list[list[float]]:
+    """Seeded NumPy Lloyd's (k-means++ init) over an (n, dim) float64
+    array. Pure function of (x, n_clusters, seed, max_iter) — the DuckDB
+    oracle fits the same sample through this exact code so the centroid
+    literals it inlines are bit-identical to what the Spark path uses."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
     k = min(n_clusters, len(x))
     rng = np.random.RandomState(seed)
 
@@ -207,7 +229,7 @@ def _nearest_centroids(query_vec: list[float], centroids: list[list[float]], n_p
     return order[:n_probe]
 
 
-def _assign_cell(vec_col: str, centroids: list[list[float]]) -> Column:
+def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
     """Cell id = argmin squared distance to the centroids — a pure column
     expression over the literal centroid arrays (no model object shipped
     to executors, no UDF).
@@ -236,6 +258,11 @@ def _assign_cell(vec_col: str, centroids: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+# historical private name; ingest-time cell stamping is a public surface
+# (mirrors lsh_bucket for the LSH family)
+_assign_cell = ivf_cell
+
+
 def ann_ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -244,19 +271,27 @@ def ann_ivf_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` cells whose centroids
     are nearest the query, exact cosine rank within the probed cells.
 
-    Scale path: the table is written partitioned by cell id, so the probe
-    filter becomes partition pruning (reads n_probe/n_clusters of the
-    data); raising n_probe trades scan for recall, same plan shape."""
+    ``cell_col`` names a STORED cell column (written by
+    :func:`ivf_cell` at ingest, ideally the table's partition
+    column) — then the probe filter is plain column equality, which the
+    parquet source turns into partition pruning / row-group skipping:
+    the scan physically reads n_probe/n_clusters of the data and never
+    touches the other cells. Without it the cell is recomputed per row
+    from the vector (correct but scans everything — the small-table /
+    ad-hoc path). Same asymmetry-closing knob as ``bucket_col`` on
+    :func:`ann_lsh_topk`; raising n_probe trades scan for recall with
+    the same plan shape either way."""
     probes = _nearest_centroids(query_vec, centroids, n_probe)
     v = as_double(F.col(vec_col))
     q = _query_lit(query_vec)
+    cell = F.col(cell_col) if cell_col else ivf_cell(vec_col, centroids)
     return (
-        df.withColumn("__cell", _assign_cell(vec_col, centroids))
-        .filter(F.col("__cell").isin(probes))
+        df.filter(cell.isin(probes))
         .select(id_col, F.round(cosine(v, q), 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

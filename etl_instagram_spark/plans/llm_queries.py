@@ -675,24 +675,29 @@ oracle(
 
 @query("emb_ann_ivf_recall")
 def emb_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@10 of IVF ANN (seeded-KMeans coarse quantizer, probe the 2
-    nearest of 8 cells) against the exact cosine top-10, same join-based
-    scoring as emb_ann_recall — one distributed pass for all 5 queries;
-    only the 5 query vectors and the 8 centroids touch the driver.
+    """recall@10 of IVF ANN (seeded NumPy-Lloyd's coarse quantizer,
+    probe the 2 nearest of 8 cells) against the exact cosine top-10,
+    same join-based scoring as emb_ann_recall — one distributed pass for
+    all 5 queries; only the 5 query vectors and the 8 centroids touch
+    the driver.
 
-    No SQL mirror: ml.KMeans has no DuckDB analogue, so the driver
-    records a rows-only check here; tests/test_dedup_similarity.py pins
-    the recall floor."""
+    Oracle-gated: the quantizer sample is DETERMINISTIC (order by vec_id
+    before the 4096-row limit), so ``_ivf_oracle_sql`` below re-fits the
+    identical centroids from the same parquet through the same
+    ``lloyd_kmeans`` code and inlines them as DuckDB literals — the cell
+    assignment, probe set, and ranking all replay in SQL."""
     from pyspark.sql import Window
 
     from etl_instagram_spark.operators.similarity import (
-        _assign_cell,
         _nearest_centroids,
         fit_ivf_centroids,
+        ivf_cell,
     )
 
     emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
-    centroids = fit_ivf_centroids(emb, n_clusters=8, seed=42)
+    centroids = fit_ivf_centroids(
+        emb, n_clusters=8, seed=42, order_col="vec_id"
+    )
     qrows = sorted(
         emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
@@ -708,7 +713,7 @@ def emb_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "qid long, qv array<double>, qcells array<int>",
     )
-    cells = emb.withColumn("cell", _assign_cell("embedding", centroids))
+    cells = emb.withColumn("cell", ivf_cell("embedding", centroids))
     pairs = _recall_pairs(
         cells,
         q,
@@ -736,6 +741,105 @@ def emb_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB mirror of emb_ann_ivf_recall, built LAZILY (resolved at
+    ``all_oracle_sql()`` time, not import time) because its literals are
+    FIT from the gate data: read the same deterministic sample the Spark
+    side uses (ORDER BY vec_id LIMIT 4096, float→double is exact), run
+    the identical seeded ``lloyd_kmeans``, and inline the resulting
+    centroids — bit-identical floats via ``repr`` round-trip — the way
+    ``_sql_bucket()`` inlines the hyperplane constants. Cell assignment
+    replays as argmin over a distance array (``list_position`` +
+    ``list_min`` — same first-minimum tie-break as the Spark
+    ``array_position``/``array_min`` shape); the per-query probe sets
+    come from the same ``_nearest_centroids`` code and inline as a
+    VALUES list.
+
+    The correctness gate runs at sf=0.01 by the driver contract; when
+    exercising the oracle against another scale, point
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` at that directory."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from etl_instagram_spark.operators.similarity import (
+        _nearest_centroids,
+        lloyd_kmeans,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = duckdb.connect()
+    sample = con.sql(
+        f"SELECT embedding::DOUBLE[] AS v FROM '{path}' "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    centroids = lloyd_kmeans(
+        np.asarray([r[0] for r in sample], dtype=np.float64), 8, seed=42
+    )
+    qrows = con.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM '{path}' "
+        "WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    probes = {
+        int(qid): _nearest_centroids([float(x) for x in qv], centroids, 2)
+        for qid, qv in qrows
+    }
+    # repr() is the shortest round-tripping decimal — DuckDB parses it
+    # back to the exact same float64 the Spark literals carry
+    c_lits = [
+        "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        for c in centroids
+    ]
+    # list_distance = sqrt(Σ(a-b)²): monotone in the Spark side's Σ(a-b)²,
+    # so the argmin (and its first-minimum tie-break) is identical
+    dists = (
+        "["
+        + ", ".join(f"list_distance(embedding::DOUBLE[], {c})" for c in c_lits)
+        + "]"
+    )
+    qvals = ", ".join(
+        f"({qid}, [{', '.join(str(c) for c in cells)}]::INT[])"
+        for qid, cells in sorted(probes.items())
+    )
+    return f"""
+    WITH cells AS (
+      SELECT vec_id, embedding, (list_position(d, list_min(d)) - 1) AS cell
+      FROM (SELECT vec_id, embedding, {dists} AS d FROM embeddings)),
+    q AS (
+      SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qv, p.qcells
+      FROM (VALUES {qvals}) p(qid, qcells)
+      JOIN embeddings e ON e.vec_id = p.qid),
+    pairs AS (
+      SELECT qid, vec_id,
+             round(list_dot_product(embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim,
+             list_contains(qcells, cell) AS probed
+      FROM cells CROSS JOIN q WHERE vec_id <> qid),
+    gt AS (SELECT qid, vec_id FROM
+             (SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos_sim DESC, vec_id) AS r
+              FROM pairs)
+           WHERE r <= 10),
+    ann AS (SELECT qid, vec_id, 1 AS hit FROM
+             (SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos_sim DESC, vec_id) AS r
+              FROM pairs WHERE probed)
+            WHERE r <= 10)
+    SELECT qid, round(sum(coalesce(hit, 0)) / 10.0, 2) AS recall_at_10
+    FROM gt LEFT JOIN ann USING (qid, vec_id)
+    GROUP BY qid ORDER BY qid
+    """
+
+
+oracle("emb_ann_ivf_recall", _ivf_oracle_sql)
 
 
 # ---------------------------------------------------------------------------

@@ -9,17 +9,30 @@ are not.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from etl_instagram_spark.functions.text import hash32_sql
 
-_ORACLE: dict[str, str] = {}
+_ORACLE: dict[str, "str | Callable[[], str]"] = {}
 
 
-def oracle(name: str, sql: str) -> None:
+def oracle(name: str, sql: "str | Callable[[], str]") -> None:
+    """Register oracle SQL for a query — either the string itself or a
+    zero-arg callable resolved (once, then cached) at ``all_oracle_sql``
+    time. The lazy form exists for oracles whose literals must be FIT
+    from the gate data (e.g. IVF centroids): building them at import
+    time would read parquet on every ``import etl_instagram_spark``."""
     _ORACLE[name] = sql
 
 
 def all_oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE)
+    out: dict[str, str] = {}
+    for name, sql in _ORACLE.items():
+        if callable(sql):
+            sql = sql()
+            _ORACLE[name] = sql
+        out[name] = sql
+    return out
 
 
 oracle(

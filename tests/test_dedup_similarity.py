@@ -349,3 +349,40 @@ def test_cosine_zero_norm_is_zero_not_nan(spark):
     ).collect()]
     assert got[0] == 0.0 and not math.isnan(got[0])
     assert abs(got[1] - 1.0) < 1e-9
+
+
+def test_ivf_cell_assignment_matches_duckdb_mirror(spark, sf_oracle):
+    """Per-row pin of the IVF oracle's riskiest step: the DuckDB mirror
+    assigns cells via list_distance (sqrt form) while Spark uses the
+    sqrt-free Σ(a-b)² — monotone-equivalent, but a near-tie between two
+    centroids could in principle flip the argmin. Pinning every row's
+    cell at the gate scale makes that drift loud instead of a mystery
+    hash mismatch in CORRECTNESS."""
+    import duckdb
+
+    from etl_instagram_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_cell,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    centroids = fit_ivf_centroids(emb, n_clusters=8, seed=42, order_col="vec_id")
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select("vec_id", ivf_cell("embedding", centroids).alias("cell")).collect()
+    }
+    c_lits = [
+        "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]" for c in centroids
+    ]
+    dists = "[" + ", ".join(
+        f"list_distance(embedding::DOUBLE[], {c})" for c in c_lits
+    ) + "]"
+    want = {
+        int(vid): int(cell)
+        for vid, cell in duckdb.sql(
+            f"SELECT vec_id, (list_position(d, list_min(d)) - 1) AS cell "
+            f"FROM (SELECT vec_id, {dists} AS d "
+            f"      FROM '{sf_oracle}/embeddings.parquet') t"
+        ).fetchall()
+    }
+    assert got == want

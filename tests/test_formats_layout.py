@@ -106,3 +106,35 @@ def test_ann_over_bucket_partitioned_table_prunes(spark, tmp_path, sf_smoke):
         emb.filter("vec_id != 0"), qv, k=5, multi_probe_hamming=1
     )
     assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in base.collect()]
+
+
+def test_ivf_over_cell_partitioned_table_prunes(spark, tmp_path, sf_smoke):
+    """Same 100 TB layout proof for the IVF family: embeddings written
+    partitioned by their stored cell id, queried via ann_ivf_topk's
+    cell_col path — the probe filter must become a partition filter, and
+    results must equal the recompute-the-cell path over the raw table."""
+    from etl_instagram_spark.operators.similarity import (
+        ann_ivf_topk,
+        fit_ivf_centroids,
+        ivf_cell,
+    )
+    from etl_instagram_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    centroids = fit_ivf_centroids(emb, n_clusters=4, seed=7, order_col="vec_id")
+    path = str(tmp_path / "emb_by_cell")
+    write_partitioned(
+        emb.withColumn("cell", ivf_cell("embedding", centroids)), path, "cell"
+    )
+    stored = spark.read.parquet(path)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    pruned = ann_ivf_topk(
+        stored.filter("vec_id != 0"), qv, centroids, k=5, n_probe=2,
+        cell_col="cell",
+    )
+    assert partition_filter_count(pruned) >= 1  # probe hit the dir layout
+    base = ann_ivf_topk(
+        emb.filter("vec_id != 0"), qv, centroids, k=5, n_probe=2
+    )
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in base.collect()]
