@@ -11,18 +11,25 @@ materialization (``df.write.format("noop")`` is not in OSS pyspark's
 stable surface, so we use count-style ``collect`` on small results; every
 inventory query returns a bounded result set by design — aggregations /
 top-k — so collect is the action, not a data transfer).
+
+Each query is run ``SPARK_GRAFT_BENCH_REPS`` times (default 3) and the
+reported per-query number is the MEDIAN, so single-run noise (GC pauses,
+page-cache misses) stops masquerading as regressions. ``queries_min``
+carries the per-query minimum for readers who want the noise floor.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def sf_from_dir(d: str) -> float:
@@ -52,14 +59,20 @@ def main() -> int:
             pass
 
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
+        samples: list[float] = []
         try:
-            rows = fn(spark, SF_DIR).collect()
-            _ = len(rows)
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                rows = fn(spark, SF_DIR).collect()
+                _ = len(rows)
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 4)
+            minima[name] = round(min(samples), 4)
         except Exception as exc:  # noqa: BLE001 — record, don't abort the bench
             timings[name] = -1.0
+            minima[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
@@ -70,6 +83,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": minima,
+                "reps": REPS,
                 "sf": sf_from_dir(SF_DIR),
             }
         )

@@ -135,6 +135,32 @@ def drop_stop_tokens(
     )
 
 
+def raw_keep_tokens(tokens: Column, langs: tuple[str, ...] = ("es",)) -> Column:
+    """The RAW-form half of the dual drop rule (lda/index.js:40): keep a
+    token iff it is multi-char, not http-prefixed, and its
+    apostrophe-stripped form is not a stopword. A token failing any raw
+    check is dropped regardless of its stem, so applying this BEFORE the
+    stemmer UDF is semantics-preserving — and only survivors pay Arrow
+    serialization + Porter stemming (typically <50% of tokens in
+    stopword-heavy social text)."""
+    stops = _stop_literals(langs)
+    return F.filter(
+        tokens,
+        lambda w: (F.length(w) > 1)
+        & ~w.startswith("http")
+        & ~_strip_first_apostrophe(w).isin(*stops),
+    )
+
+
+def drop_stop_stems(stems: Column, langs: tuple[str, ...] = ("es",)) -> Column:
+    """The STEM half of the dual drop rule: drop stems that are
+    stopwords. Composed after ``raw_keep_tokens`` + ``stem_tokens`` this
+    equals ``drop_stop_tokens(raw, stems=...)`` exactly (both filters
+    preserve order; keep = raw-pass AND stem-pass factorizes)."""
+    stops = _stop_literals(langs)
+    return F.filter(stems, lambda s: ~s.isin(*stops))
+
+
 def stop_drop_sql_predicate(var: str = "t", langs: tuple[str, ...] = ("en",)) -> str:
     """DuckDB mirror of ``drop_stop_tokens``'s unstemmed keep-predicate,
     generated from the same stopword constant so Spark and the oracle can
@@ -206,13 +232,16 @@ def attach_topics(
             F.col("user.full_name"),
             F.col("location.name"),
         )
-    df = df.withColumn("__raw", normalized_tokens(text_col))
     if stem:
-        # dual raw+stem stopword test (lda/index.js:40): both arrays are
-        # staged as real columns so neither subtree is re-evaluated
+        # dual raw+stem stopword test (lda/index.js:40), factorized: raw
+        # failures are dropped BEFORE the stemmer pandas_udf so only
+        # survivors pay Arrow + Porter; the stem half runs on the output.
+        # Both arrays are staged as real columns so no subtree re-evaluates.
+        df = df.withColumn("__raw", raw_keep_tokens(normalized_tokens(text_col), langs))
         df = df.withColumn("__stems", stem_tokens(F.col("__raw")))
-        terms = drop_stop_tokens(F.col("__raw"), langs, stems=F.col("__stems"))
+        terms = drop_stop_stems(F.col("__stems"), langs)
     else:
+        df = df.withColumn("__raw", normalized_tokens(text_col))
         terms = drop_stop_tokens(F.col("__raw"), langs)
     # stage the filtered terms as a real column: top_terms_col scans the
     # term array once per distinct term, so the input must be a cheap
@@ -252,12 +281,11 @@ def corpus_topics(
 
     if stem:
         prepared = (
-            df.withColumn("__raw", normalized_tokens(F.col(text_col)))
-            .withColumn("__stems", stem_tokens(F.col("__raw")))
-            .withColumn(
-                "__terms",
-                drop_stop_tokens(F.col("__raw"), langs, stems=F.col("__stems")),
+            df.withColumn(
+                "__raw", raw_keep_tokens(normalized_tokens(F.col(text_col)), langs)
             )
+            .withColumn("__stems", stem_tokens(F.col("__raw")))
+            .withColumn("__terms", drop_stop_stems(F.col("__stems"), langs))
             .drop("__raw", "__stems")
         )
     else:

@@ -57,6 +57,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _epoch_s(c) -> "F.Column":
+    """Seconds-since-epoch that tolerates both timestamp flavors: parquet
+    written with isAdjustedToUTC=false reads as TIMESTAMP_NTZ under
+    Spark's NTZ inference, and NTZ → BIGINT is an illegal direct cast.
+    NTZ → TIMESTAMP is legal (interpreted in the session zone, pinned
+    UTC) and a no-op on an already-LTZ column, so the two-step cast
+    yields identical epochs for either input type."""
+    return c.cast("timestamp").cast("long")
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -364,7 +374,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+            _epoch_s(F.col("ts")) - F.lag(_epoch_s(F.col("ts"))).over(w) > 1800, 1
         ).otherwise(0),
     )
     sessions = flagged.withColumn(
@@ -418,7 +428,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "purchase_value",
         F.col("view_value_r").alias("view_value"),
-        (F.col("ts").cast("long") - F.col("ts_r").cast("long")).alias("gap_s"),
+        (_epoch_s(F.col("ts")) - _epoch_s(F.col("ts_r"))).alias("gap_s"),
     ).orderBy("event_id")
 
 

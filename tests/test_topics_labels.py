@@ -73,6 +73,38 @@ def test_dual_raw_and_stem_stopword_check(spark):
     assert "taken" not in kept and "kimchi" in kept
 
 
+def test_prefilter_factorization_equals_dual_check(spark):
+    # the attach_topics fast path (raw_keep_tokens → stem → drop_stop_stems)
+    # must keep exactly what the unfactorized dual check keeps, in order
+    df = spark.createDataFrame(
+        [
+            ("doings ain't kimchi taken the a http://x.com running cats",),
+            ("really just like getting fermented rice el perro y",),
+            ("",),
+        ],
+        "text string",
+    )
+    df = df.withColumn("__raw", TP.normalized_tokens(F.col("text")))
+    df = df.withColumn("__stems", stem_tokens(F.col("__raw")))
+    dual = [
+        r["t"]
+        for r in df.select(
+            TP.drop_stop_tokens(
+                F.col("__raw"), langs=("en",), stems=F.col("__stems")
+            ).alias("t")
+        ).collect()
+    ]
+    df2 = df.withColumn("__kept", TP.raw_keep_tokens(F.col("__raw"), langs=("en",)))
+    df2 = df2.withColumn("__kstems", stem_tokens(F.col("__kept")))
+    fact = [
+        r["t"]
+        for r in df2.select(
+            TP.drop_stop_stems(F.col("__kstems"), langs=("en",)).alias("t")
+        ).collect()
+    ]
+    assert fact == dual
+
+
 def test_reference_only_stopwords_no_longer_surface_as_topics(spark):
     # the user-visible parity gap the verbatim port closes: "really",
     # "just", "like", "getting" are in the reference's vendored EN list
