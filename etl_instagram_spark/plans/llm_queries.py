@@ -1080,34 +1080,6 @@ oracle(
 # ---------------------------------------------------------------------------
 
 
-@query("lineitem_hash_sample")
-def lineitem_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible 5% sample via content hash (the engine-portable form
-    of the reference's seeded PRNG, lda/index.js:279-288): hash-mod
-    sampling gives the same rows on ANY engine and any partitioning,
-    which rand(seed) does not. Filter sits on the scan; aggregation is a
-    single partial-agg."""
-    li = _t(spark, sf_dir, "lineitem")
-    bucket = T.hash32(F.concat_ws(":", "l_orderkey", "l_linenumber")) % 100
-    return li.filter(bucket < 5).agg(
-        F.count("*").alias("n_rows"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-    )
-
-
-oracle(
-    "lineitem_hash_sample",
-    f"""
-    SELECT count(*) AS n_rows,
-           round(sum(l_extendedprice), 2) AS sum_price,
-           round(avg(l_quantity), 4) AS avg_qty
-    FROM lineitem
-    WHERE {T.hash32_sql("l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")} % 100 < 5
-    """,
-)
-
-
 # ---------------------------------------------------------------------------
 # supplier: haversine geo distances (SURVEY §1.4 geo surface)
 # ---------------------------------------------------------------------------
@@ -1741,5 +1713,220 @@ oracle(
            round(min(revenue), 2) AS min_revenue,
            round(max(revenue), 2) AS max_revenue
     FROM bucketed GROUP BY quartile ORDER BY quartile
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# training-data composition gate: split/sample, mixture, boilerplate removal
+# (operators/sampling.py, operators/cleanup.py — the round-4 families,
+# promoted from pytest-only coverage into the driver's oracle gate)
+# ---------------------------------------------------------------------------
+
+# split weights / stratum fractions are module constants so the Spark plan
+# and the generated DuckDB SQL share ONE source of truth — the bucket edges
+# are computed with the identical int(round(f * _BUCKETS)) expression on
+# both sides, so engine rounding can never drift.
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_LANG_FRACS = {"en": 0.5, "es": 0.3, "de": 0.2, "fr": 1.0, "zh": 0.1}
+
+
+@query("docs_hash_split_sample")
+def docs_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (hash_split) composed with
+    a per-language stratified downsample (stratified_sample) — the corpus
+    release shape. Both are pure hash-predicate projections: no shuffle
+    until the final count, and the assignment of any row is independent
+    of partitioning and cluster size (sampling.py's leak-free guarantee).
+    Oracle replays both predicates from the same constants."""
+    from etl_instagram_spark.operators.sampling import hash_split, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    d = hash_split(docs, "doc_id", dict(_SPLIT_WEIGHTS))
+    s = stratified_sample(d, "doc_id", dict(_LANG_FRACS), strata_col="lang")
+    base = d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    samp = s.groupBy("split").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        base.join(samp, "split", "left")
+        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0)))
+        .orderBy("split")
+    )
+
+
+def _sql_hash_split_sample() -> str:
+    from etl_instagram_spark.operators.sampling import (
+        _BUCKETS,
+        bucket_sql,
+        split_sql_case,
+    )
+
+    case = split_sql_case("doc_id", _SPLIT_WEIGHTS, salt="split")
+    b = bucket_sql("doc_id", "sample")
+    arms = " ".join(
+        f"WHEN '{k}' THEN {int(round(f * _BUCKETS))}" for k, f in _LANG_FRACS.items()
+    )
+    return f"""
+    WITH d AS (SELECT *, {case} AS split FROM documents),
+    base AS (
+      SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      FROM d GROUP BY split),
+    s AS (
+      SELECT split, count(*) AS n_sampled
+      FROM d WHERE {b} < (CASE lang {arms} ELSE 0 END)
+      GROUP BY split)
+    SELECT base.split, n_docs, sum_chars, coalesce(n_sampled, 0) AS n_sampled
+    FROM base LEFT JOIN s USING (split)
+    ORDER BY base.split
+    """
+
+
+oracle("docs_hash_split_sample", _sql_hash_split_sample)
+
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+# weights are chosen binary-exact and summing to exactly 1.0 so the
+# Python-side mixture_fractions arithmetic (which divides by total_w)
+# and the simplified SQL below (which omits the exact /1.0) compute
+# bit-identical doubles — the fraction → bucket-edge rounding then
+# matches on both engines by construction.
+
+
+@query("docs_corpus_mixture")
+def docs_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture (mix_corpora): three sources down-sampled
+    to a 50/25/25 token-weighted blend, binding source kept whole. The
+    membership itself is value-checked (id_sum), not just the counts —
+    the oracle recomputes the per-source keep-fractions from the same
+    sizes with the same arithmetic and replays the hash predicate."""
+    from etl_instagram_spark.operators.sampling import mix_corpora
+
+    docs = _t(spark, sf_dir, "documents")
+    sources = {
+        name: docs.filter(F.col("source") == name) for name in _MIX_WEIGHTS
+    }
+    mixed = mix_corpora(
+        sources, dict(_MIX_WEIGHTS), "doc_id", weigh_by="n_chars", salt="mixture"
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_corpus_mixture() -> str:
+    from etl_instagram_spark.operators.sampling import bucket_sql
+
+    names = list(_MIX_WEIGHTS)
+    in_list = ", ".join(f"'{s}'" for s in names)
+    shares = " UNION ALL ".join(
+        f"SELECT '{s}' AS source, CAST({w!r} AS DOUBLE) AS w"
+        for s, w in _MIX_WEIGHTS.items()
+    )
+    bucket_case = (
+        "CASE d.source "
+        + " ".join(
+            f"WHEN '{s}' THEN {bucket_sql('d.doc_id', f'mixture:{s}')}"
+            for s in names
+        )
+        + " END"
+    )
+    return f"""
+    WITH sizes AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail
+      FROM documents WHERE source IN ({in_list}) GROUP BY source),
+    shares AS ({shares}),
+    caps AS (
+      SELECT s.source, avail, w, avail / w AS cap
+      FROM sizes s JOIN shares USING (source)),
+    fr AS (
+      SELECT source,
+             least(CAST(1.0 AS DOUBLE),
+                   ((SELECT min(cap) FROM caps) * w) / avail) AS frac
+      FROM caps),
+    edges AS (
+      SELECT source, CAST(round(frac * 1000000) AS BIGINT) AS edge FROM fr)
+    SELECT d.source, count(*) AS n_docs, sum(d.n_chars) AS sum_chars,
+           sum(d.doc_id) AS id_sum
+    FROM documents d JOIN edges e USING (source)
+    WHERE ({bucket_case}) < e.edge
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+oracle("docs_corpus_mixture", _sql_corpus_mixture)
+
+
+@query("docs_boilerplate_removal")
+def docs_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet cross-document boilerplate removal
+    (cleanup.remove_boilerplate_lines) at word granularity: the synthetic
+    documents are single-line, so spaces become line breaks and any word
+    appearing in >= 100 distinct documents is "boilerplate" — the same
+    explode → distinct-doc count → threshold → anti-join → ordered
+    reassembly pipeline a crawl corpus needs, value-checked per document
+    via distinct-md5 counting. Two line-level shuffles, no UDF."""
+    from etl_instagram_spark.operators.cleanup import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.translate("text", " ", "\n").alias("text")
+    )
+    cleaned = remove_boilerplate_lines(
+        docs, "doc_id", "text", min_docs=100, out_col="clean"
+    )
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_boilerplate_removed").alias("n_removed"),
+            F.sum(F.length("clean")).alias("sum_clean_chars"),
+            F.countDistinct(F.md5("clean")).alias("n_distinct_clean"),
+        )
+        .orderBy("lang")
+    )
+
+
+oracle(
+    "docs_boilerplate_removal",
+    """
+    WITH nl AS (
+      SELECT doc_id, lang, replace(text, ' ', chr(10)) AS t FROM documents),
+    split AS (
+      SELECT doc_id, lang, string_split(t, chr(10)) AS parts FROM nl),
+    posed AS (
+      SELECT doc_id, lang, parts,
+             unnest(generate_series(1, len(parts))) AS pos
+      FROM split),
+    lines AS (
+      SELECT doc_id, lang, pos, parts[pos] AS line,
+             trim(lower(parts[pos])) AS norm
+      FROM posed),
+    bp AS (
+      SELECT norm FROM lines WHERE norm <> ''
+      GROUP BY norm HAVING count(DISTINCT doc_id) >= 100),
+    flagged AS (
+      SELECT doc_id, lang, pos, line,
+             (norm <> '' AND norm IN (SELECT norm FROM bp)) AS is_bp
+      FROM lines),
+    rebuilt AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             coalesce(
+               string_agg(CASE WHEN NOT is_bp THEN line END,
+                          chr(10) ORDER BY pos),
+               '') AS clean,
+             sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS n_removed
+      FROM flagged GROUP BY doc_id)
+    SELECT lang, count(*) AS n_docs, sum(n_removed) AS n_removed,
+           sum(length(clean)) AS sum_clean_chars,
+           count(DISTINCT md5(clean)) AS n_distinct_clean
+    FROM rebuilt GROUP BY lang ORDER BY lang
     """,
 )

@@ -95,18 +95,6 @@ oracle(
 )
 
 oracle(
-    "segment_rollup",
-    """
-    SELECT c_mktsegment, o_orderstatus,
-           count(*)                   AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
-    ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
-    """,
-)
-
-oracle(
     "pivot_returnflag_status",
     """
     SELECT l_returnflag,
@@ -211,20 +199,6 @@ oracle(
     )
     WHERE rank_in_customer <= 3
     ORDER BY o_custkey, rank_in_customer
-    """,
-)
-
-oracle(
-    "customer_running_revenue",
-    """
-    SELECT o_custkey, o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 2) AS running_revenue
-    FROM orders WHERE o_custkey < 50
-    ORDER BY o_custkey, order_date, o_orderkey
     """,
 )
 

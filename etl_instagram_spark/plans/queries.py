@@ -161,29 +161,6 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("segment_rollup")
-def segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over (mktsegment, orderstatus): subtotal + grand-total rows
-    (free with Catalyst's Expand; one shuffle).
-
-    No broadcast hint on customer: it scales with the fact's key space
-    (not a bounded dimension), so the AQE threshold decides at runtime."""
-    cu = _t(spark, sf_dir, "customer")
-    od = _t(spark, sf_dir, "orders")
-    return (
-        od.join(cu, od.o_custkey == cu.c_custkey)
-        .rollup("c_mktsegment", "o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        )
-        .orderBy(
-            F.col("c_mktsegment").asc_nulls_first(),
-            F.col("o_orderstatus").asc_nulls_first(),
-        )
-    )
-
-
 @query("pivot_returnflag_status")
 def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot l_linestatus into columns per returnflag (SURVEY §2.6 —
@@ -329,24 +306,6 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "rank_in_customer")
     )
-
-
-@query("customer_running_revenue")
-def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running cumulative sum per customer ordered by order date (frame
-    unbounded-preceding → current)."""
-    od = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return od.select(
-        "o_custkey",
-        "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
-    ).orderBy("o_custkey", "order_date", "o_orderkey")
 
 
 @query("order_gap_days")

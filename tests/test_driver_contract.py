@@ -13,10 +13,10 @@ import __spark_entry__ as entry_mod
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-# ml.KMeans has no SQL analogue, so the IVF recall gate is deliberately
-# rows-only at the driver; its recall floor is pinned in
-# tests/test_dedup_similarity.py instead
-ROWS_ONLY = {"emb_ann_ivf_recall"}
+# every registered query is oracle-gated: the last rows-only entry
+# (emb_ann_ivf_recall) gained a generated centroid-literal oracle, so
+# this set should stay empty — add to it only with a documented reason
+ROWS_ONLY: set[str] = set()
 
 
 def test_queries_and_oracles_pair_up():
