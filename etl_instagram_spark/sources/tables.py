@@ -31,8 +31,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+        return _normalize_ntz(_load_events(spark, path))
+    return _normalize_ntz(spark.read.parquet(path))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Parquet written with isAdjustedToUTC=false reads as TIMESTAMP_NTZ
+    under Spark's NTZ inference, which breaks surfaces that require the
+    LTZ flavor (streaming event-time watermarks, direct epoch casts).
+    The session timezone is pinned UTC (session.get_spark), so casting
+    NTZ → TIMESTAMP relabels the same wall-clock instant and every
+    downstream consumer — batch, streaming, oracle comparison — sees
+    the one timestamp flavor the engine standardizes on."""
+    from pyspark.sql import functions as F
+
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

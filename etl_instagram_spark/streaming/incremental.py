@@ -316,6 +316,61 @@ def stream_continuous_rollup(
     return True
 
 
+def compact_rollup_partials(
+    partials: MergeTable,
+    through_epoch: int,
+    dims: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> int:
+    """Collapse every partial row with ``epoch_id <= through_epoch``
+    into ONE row per (bucket, *dims), re-keyed at ``through_epoch``.
+    Without compaction the epoch-keyed partials grow forever — O(groups
+    × epochs) — and every read re-collapses all of them; after
+    compaction history is O(groups) and reads only fold the recent tail.
+
+    Safety contract (why this cannot break exactly-once):
+
+    - ``through_epoch`` must be STRICTLY below the newest epoch in the
+      table (enforced). foreachBatch only ever re-fires the latest
+      not-yet-committed batch, and a later epoch's presence proves every
+      epoch <= through_epoch committed — so no compacted epoch can
+      replay, and the re-keyed row's (through_epoch, bucket, *dims) key
+      can never be hit by an incoming delta again. A replay of the
+      LATEST epoch touches keys above ``through_epoch`` and upserts
+      over itself exactly as before.
+    - The rewrite is ONE atomic overwrite commit (new files + pointer
+      swap): a crash mid-compaction leaves the previous snapshot intact.
+    - Compaction is re-runnable: a later compact at a higher watermark
+      folds the earlier compacted row in like any other partial.
+
+    Returns the number of rows eliminated."""
+    sum_col = f"__sum_{value_col}"
+    stored = partials.read()
+    mx = stored.agg(F.max("epoch_id").alias("m")).first()["m"]
+    if mx is None or through_epoch >= mx:
+        raise ValueError(
+            f"through_epoch must be < the newest epoch present ({mx}); "
+            f"got {through_epoch} — the latest epoch may still re-fire"
+        )
+    old = stored.filter(F.col("epoch_id") <= through_epoch)
+    n_old = old.count()
+    if n_old == 0:
+        return 0
+    merged = (
+        old.groupBy("bucket", *dims)
+        .agg(
+            F.sum("__rc").alias("__rc"),
+            F.sum(sum_col).alias(sum_col),
+            F.min("grain").alias("grain"),
+        )
+        .withColumn("epoch_id", F.lit(int(through_epoch)))
+    )
+    keep = stored.filter(F.col("epoch_id") > through_epoch)
+    n_merged = merged.count()
+    partials.overwrite(keep.unionByName(merged.select(*keep.columns)))
+    return n_old - n_merged
+
+
 def continuous_rollup_read(
     partials: MergeTable,
     grains: Sequence[str],

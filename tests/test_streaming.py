@@ -299,6 +299,68 @@ def test_continuous_rollup_parity_and_replay_idempotence(spark, tmp_path):
     assert _rows(partials.read()) == before
 
 
+def test_continuous_rollup_compaction(spark, tmp_path):
+    """compact_rollup_partials folds old epochs to one row per (bucket,
+    dims) without changing any read, refuses to touch the latest epoch
+    (the only one foreachBatch can re-fire), and stays exactly-once
+    under a replay of that latest epoch after compaction."""
+    from etl_instagram_spark.streaming.incremental import (
+        apply_rollup_delta,
+        compact_rollup_partials,
+        continuous_rollup_read,
+    )
+
+    partials = MergeTable(
+        spark, str(tmp_path / "pc"), ["epoch_id", "bucket", "event_type"]
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "ts_s string, event_type string, value double"
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+
+    # five epochs, overlapping hour buckets so compaction really merges
+    waves = [
+        [(f"2024-05-01 {10 + e % 2:02d}:15:00", t, float(e * 10 + i))
+         for i, t in enumerate(("click", "view"))]
+        for e in range(5)
+    ]
+    for e, rows in enumerate(waves):
+        apply_rollup_delta(partials, batch(rows), epoch_id=e)
+
+    def read_map():
+        return {
+            (r["grain"], r["bucket"], r["event_type"]): (r["n_rows"], r["sum_value"])
+            for r in continuous_rollup_read(partials, ["hour", "day"]).collect()
+        }
+
+    before = read_map()
+    n_rows_before = partials.read().count()
+
+    # the latest epoch is fenced off
+    with pytest.raises(ValueError, match="newest epoch"):
+        compact_rollup_partials(partials, through_epoch=4)
+
+    eliminated = compact_rollup_partials(partials, through_epoch=3)
+    assert eliminated > 0
+    assert partials.read().count() == n_rows_before - eliminated
+    # epochs <= 3 collapsed to one row per (bucket, dims); epoch 4 intact
+    assert {r["epoch_id"] for r in partials.read().select("epoch_id").distinct().collect()} == {3, 4}
+    assert read_map() == before
+
+    # replay of the LATEST epoch after compaction upserts over itself
+    apply_rollup_delta(partials, batch(waves[4]), epoch_id=4)
+    assert read_map() == before
+
+    # a later compaction folds the compacted row in like any partial
+    apply_rollup_delta(partials, batch([("2024-05-02 09:00:00", "click", 7.0)]), epoch_id=5)
+    after_new = read_map()
+    assert compact_rollup_partials(partials, through_epoch=4) > 0
+    assert read_map() == after_new
+    # nothing left to do below an already-compacted watermark
+    assert compact_rollup_partials(partials, through_epoch=2) == 0
+
+
 def test_continuous_rollup_read_validates_grain(spark, tmp_path):
     """Reading finer than the maintenance grain would mislabel coarse
     buckets as fine ones — it must refuse instead."""
