@@ -5,6 +5,8 @@ from __future__ import annotations
 import math
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from etl_instagram_spark.operators import dedup as D
@@ -287,6 +289,93 @@ def test_incremental_near_dedup_across_batches(spark, tmp_path):
     s2r = incremental_near_dedup(b2, store, "doc_id", "text", threshold=0.5)
     assert sorted(r["doc_id"] for r in s2r.collect()) == [11]
     assert sorted(r["doc_id"] for r in store.read().collect()) == [1, 2, 11]
+
+
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_incremental_near_dedup_converges_to_single_batch(spark, tmp_path, data):
+    """Core claim of the operator: feeding one corpus through ANY batch
+    split yields one survivor per duplicate cluster — the same cluster
+    coverage single-batch near_dedup_minhash produces — with the exact
+    survivor determined by first arrival (min id within the earliest
+    batch that contains the cluster), and a replay of the final batch
+    changing nothing. Clusters use disjoint per-cluster vocabularies so
+    cross-cluster Jaccard is exactly 0 and the MinHash estimator can
+    never flip a borderline pair."""
+    import uuid
+
+    from etl_instagram_spark.operators.dedup import (
+        incremental_near_dedup,
+        near_dedup_minhash,
+    )
+    from etl_instagram_spark.operators.merge import MergeTable
+
+    n_clusters = data.draw(st.integers(1, 4), label="n_clusters")
+    # (cluster, batch) per doc; ids are assignment order
+    docs = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, n_clusters - 1), st.integers(0, 2)),
+            min_size=1,
+            max_size=10,
+        ),
+        label="docs",
+    )
+
+    def text_of(cluster: int) -> str:
+        return " ".join(f"w{cluster}x{j}" for j in range(6))
+
+    rows = [(i, b, text_of(c)) for i, (c, b) in enumerate(docs)]
+    cluster_of = {i: c for i, (c, _b) in enumerate(docs)}
+
+    # expected survivors: per cluster, min id within its earliest batch
+    expect: dict[int, int] = {}
+    for c in {c for c, _b in docs}:
+        first_batch = min(b for i, (cc, b) in enumerate(docs) if cc == c)
+        expect[c] = min(
+            i for i, (cc, b) in enumerate(docs) if cc == c and b == first_batch
+        )
+
+    store = MergeTable(spark, str(tmp_path / f"ps_{uuid.uuid4().hex[:8]}"), "doc_id")
+    survivors: list[int] = []
+    last_batch_rows = None
+    for b in (0, 1, 2):
+        batch_rows = [(i, t) for i, bb, t in rows if bb == b]
+        if not batch_rows:
+            continue
+        bdf = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        got = incremental_near_dedup(bdf, store, "doc_id", "text", threshold=0.5)
+        survivors.extend(r["doc_id"] for r in got.collect())
+        last_batch_rows = batch_rows
+
+    assert sorted(survivors) == sorted(expect.values())
+
+    # same cluster coverage as the single-batch operator (ids may differ:
+    # single-batch keeps the global min id, incremental the first arrival)
+    single = near_dedup_minhash(
+        spark.createDataFrame([(i, t) for i, _b, t in rows], "doc_id long, text string"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+    single_clusters = sorted(cluster_of[r["doc_id"]] for r in single.collect())
+    assert sorted(cluster_of[i] for i in survivors) == single_clusters
+
+    # replay of the final batch: no new survivors beyond its own, store stable
+    n_store = store.read().count()
+    assert n_store == len(expect)
+    replay = incremental_near_dedup(
+        spark.createDataFrame(last_batch_rows, "doc_id long, text string"),
+        store,
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+    assert set(r["doc_id"] for r in replay.collect()) <= set(survivors)
+    assert store.read().count() == n_store
 
 
 def test_signature_rows_compact_schema(spark):
