@@ -100,6 +100,13 @@ def hashtag_tick(
     pages = fetch_pages(
         seeds, fetcher=fetcher, min_interval_s=cfg.fetch_interval_s, n_parallel=1
     ).localCheckpoint(eager=True)
+    # politeness (E5) constrains the FETCH, not the compute: the
+    # checkpointed pages sit in n_parallel=1 partition, and without a
+    # fan-out every downstream stage — sentinel split, shared-data
+    # extract, from_json, projection, topic enrichment — would run
+    # single-threaded. The shuffle moves O(pages) HTML once; the
+    # checkpoint guarantees it can never re-trigger the fetch.
+    pages = pages.repartition(spark.sparkContext.defaultParallelism)
     clean, dead = split_sentinel_pages(pages)
     n_dead = dead.count()
     if n_dead:
