@@ -125,8 +125,16 @@ def drop_stop_tokens(
         )
 
     if stems is None:
-        # unstemmed path: the stem check degenerates to the raw token
-        return F.filter(tokens, lambda t: keep(t, t))
+        # unstemmed path: the stem check degenerates to the raw token,
+        # i.e. strip(t) ∈ S ∨ t ∈ S. When no stopword carries an
+        # apostrophe (true for both vendored lists), t ∈ S is subsumed —
+        # strip(t) = t for apostrophe-free tokens and an apostrophe-
+        # bearing t can never be in S — so ONE InSet suffices. That
+        # halves the dominant cost of these plans: Catalyst analysis of
+        # a ~1400-literal In expression, paid per query build.
+        if any("'" in w for w in stopwords.combined(langs)):
+            return F.filter(tokens, lambda t: keep(t, t))
+        return raw_keep_tokens(tokens, langs)
     pairs = F.zip_with(
         tokens, stems, lambda w, s: F.struct(w.alias("w"), s.alias("s"))
     )
