@@ -156,17 +156,36 @@ def _step1b_fixup(w: str) -> str:
     return w
 
 
+# natural text is Zipfian — a handful of word forms dominate any batch,
+# so memoizing token → stem turns most porter_stem calls (a few dozen
+# pure-Python string ops each) into one dict hit. A plain module-level
+# dict (not lru_cache: cloudpickle refuses the wrapper, whose qualname
+# shadows porter_stem) lives per Python worker process and survives
+# across Arrow batches; the size guard bounds a pathological vocab.
+_STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_MAX = 1 << 17
+
+
+def _stem_cached(t: str) -> str:
+    s = _STEM_CACHE.get(t)
+    if s is None:
+        s = porter_stem(t)
+        if len(_STEM_CACHE) < _STEM_CACHE_MAX:
+            _STEM_CACHE[t] = s
+    return s
+
+
 # type objects, not DDL strings: string schemas are parsed against an
 # active SparkSession, which doesn't exist at import time
 @pandas_udf(ArrayType(StringType()))
 def stem_tokens(tokens: pd.Series) -> pd.Series:
     """Stem every token in an array<string> column (Arrow-batched)."""
     return tokens.map(
-        lambda ts: None if ts is None else [porter_stem(t) for t in ts]
+        lambda ts: None if ts is None else [_stem_cached(t) for t in ts]
     )
 
 
 @pandas_udf(StringType())
 def stem_word(words: pd.Series) -> pd.Series:
     """Stem a single-word string column (Arrow-batched)."""
-    return words.map(lambda w: None if w is None else porter_stem(w))
+    return words.map(lambda w: None if w is None else _stem_cached(w))
