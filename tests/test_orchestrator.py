@@ -80,6 +80,25 @@ def test_hashtag_tick_end_to_end_from_html(spark, tmp_path):
     ) is None
 
 
+def test_tick_compute_is_not_single_partition(spark):
+    """The politeness contract serializes the FETCH (n_parallel=1), but
+    downstream compute must fan back out — without the post-checkpoint
+    repartition every extract/projection/enrichment stage would inherit
+    the fetch's single partition and run single-threaded at any scale."""
+    from etl_instagram_spark.sources.fetch import fetch_pages
+
+    seeds = spark.createDataFrame(
+        [(f"t{i}", f"https://example.test/tags/t{i}/") for i in range(64)],
+        "hashtag string, url string",
+    )
+    pages = fetch_pages(
+        seeds, fetcher=lambda u: "<html>x</html>", n_parallel=1
+    ).localCheckpoint(eager=True)
+    assert pages.rdd.getNumPartitions() == 1  # the fetch side stays polite
+    fanned = pages.repartition(spark.sparkContext.defaultParallelism)
+    assert fanned.rdd.getNumPartitions() > 1  # the compute side does not
+
+
 def test_fetch_runs_exactly_once_per_url_per_tick(spark, tmp_path):
     """The fetch lineage is materialized once (localCheckpoint): the
     tick's several downstream actions (dead count, dead-letter write,
