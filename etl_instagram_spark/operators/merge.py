@@ -389,6 +389,22 @@ class MergeTable:
         paths = [os.path.join(self.path, f["path"]) for f in files]
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def read_overlapping(self, keys: DataFrame) -> DataFrame:
+        """Read ONLY the files whose key range contains at least one key
+        from ``keys`` — the read-side analogue of the upsert/delete
+        probe. Sufficient for any key-EQUALITY lookup of those keys
+        (existence anti-joins, point lookups): by the per-file min/max
+        invariant, a probed key cannot live in an unreturned file. An
+        ingest tick's "which of these ids already exist" check touches
+        O(overlapping files) instead of scanning the whole table — the
+        difference between O(batch) and O(table) ticks at scale. Files
+        without usable stats are conservatively included. Zero hits →
+        an empty frame with the table's schema."""
+        overlapping, _ = self._split_overlap(keys)
+        if not overlapping:
+            return self.read().limit(0)
+        return self._read_files(overlapping)
+
     # -- mutations ----------------------------------------------------------
     def overwrite(self, df: DataFrame) -> None:
         self._commit_manifest(self._write_data(df))

@@ -78,9 +78,14 @@ def run_hashtag_batch(
     if dev_limit is not None:  # P14 dev thinning
         posts = posts.limit(dev_limit)
 
-    # J3: only NEW posts pay for enrichment (posts-from-hashtags.js:295-300)
+    # J3: only NEW posts pay for enrichment (posts-from-hashtags.js:295-300).
+    # Existence is a key-equality probe, so the anti-join only needs the
+    # files whose key range can contain a batch id — O(overlapping
+    # files), not a full-table scan per tick (read_overlapping).
     if posts_table.exists():
-        posts = anti_join_new(posts, posts_table.read(), "id")
+        posts = anti_join_new(
+            posts, posts_table.read_overlapping(posts.select("id")), "id"
+        )
     # A5 counters as observations: they ride the upsert's action instead
     # of costing extra count() passes over the batch lineage
     posts, obs_new = observed(posts, "new_posts")
@@ -103,7 +108,11 @@ def run_hashtag_batch(
     if location_details is not None:
         locations = project_location(location_details)
         if locations_table.exists():
-            locations = anti_join_new(locations, locations_table.read(), "id")
+            locations = anti_join_new(
+                locations,
+                locations_table.read_overlapping(locations.select("id")),
+                "id",
+            )
         ts = F.lit(batch_ts).cast("timestamp")
         locations_table.append(
             locations.withColumn("created_at", ts).withColumn("updated_at", ts)

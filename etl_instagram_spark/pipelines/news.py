@@ -30,7 +30,7 @@ def run_news_batch(
     batch_ts = batch_ts or datetime.now(timezone.utc)
     items = project_news(raw_items, origin=origin, source=source)
     if news_table.exists():
-        items = anti_join_new(items, news_table.read(), "url")
+        items = anti_join_new(items, news_table.read_overlapping(items.select("url")), "url")
     n_new = items.count()
     if n_new:
         news_table.upsert(items, batch_ts=batch_ts)

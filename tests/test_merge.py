@@ -193,6 +193,30 @@ def test_upsert_scattered_keys_rewrites_only_hit_files(spark, tmp_path):
     assert len(got) == 100
 
 
+def test_read_overlapping_prunes_to_hit_files(spark, tmp_path):
+    """The read-side probe: a key-equality lookup reads only the files
+    whose stats range can contain a probed key, and the returned subset
+    is sufficient for the existence anti-join (every probed key that
+    exists anywhere is in it)."""
+    t = MergeTable(spark, str(tmp_path / "t"), "id", order_by="ts")
+    for k in range(10):  # 10 disjoint-range commits => >= 10 data files
+        t.append(
+            spark.createDataFrame(
+                [(k * 100 + i, "old", 1) for i in range(10)], "id long, v string, ts long"
+            )
+        )
+    keys = spark.createDataFrame([(5,), (905,), (99999,)], "id long")
+    subset = t.read_overlapping(keys)
+    # pruned: far fewer rows than the table, but both present keys found
+    assert subset.count() <= 20 < t.read().count()
+    found = {r["id"] for r in subset.filter("id IN (5, 905, 99999)").collect()}
+    assert found == {5, 905}
+    # zero-hit probe: empty frame, table schema intact
+    missed = t.read_overlapping(spark.createDataFrame([(55555,)], "id long"))
+    assert missed.count() == 0
+    assert missed.columns == t.read().columns
+
+
 def test_vacuum_garbage_collects_unreferenced_files(spark, tmp_path):
     import os as _os
 
