@@ -45,6 +45,29 @@ def token_count(col: Column) -> Column:
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
 
 
+# GPT-2-style pre-tokenizer alternation (contractions, letter runs,
+# digit runs, punctuation runs, residual whitespace) minus the original
+# lookahead clause — RE2 (DuckDB) has no lookahead, and the pattern must
+# count IDENTICALLY on both engines. Both Java regex and RE2 are
+# leftmost-first over this alternation, and both treat \p{L}/\p{N} as
+# Unicode classes, so match counts agree.
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: the number of GPT-2-pre-tokenizer pieces.
+    A per-row JVM regex count (no UDF) — the cheap proxy for "how many
+    tokens will this doc cost" in corpus budgeting, where whitespace
+    counts undercount code/punctuation-heavy text."""
+    return F.regexp_count(col, F.lit(BPE_SPLIT_PATTERN))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`bpe_token_count` (same pattern constant)."""
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
 def hash32(col: Column) -> Column:
     """Deterministic, engine-neutral 32-bit hash of a string: the first 8
     hex chars of md5, as a bigint. md5 is identical in Spark and DuckDB

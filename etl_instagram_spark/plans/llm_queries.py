@@ -82,12 +82,14 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single scan → partial agg; 20 groups."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     n_tok = T.token_count(F.col("text"))
+    n_bpe = T.bpe_token_count(F.col("text"))
     return (
         docs.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg(n_tok), 4).alias("avg_tokens"),
             F.max(n_tok).alias("max_tokens"),
+            F.round(F.avg(n_bpe), 4).alias("avg_bpe_tokens"),
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
         .orderBy("source")
@@ -103,6 +105,7 @@ oracle(
                           ELSE len({SQL_TOKS}) END), 4) AS avg_tokens,
            max(CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len({SQL_TOKS}) END)           AS max_tokens,
+           round(avg({T.bpe_token_count_sql("text")}), 4) AS avg_bpe_tokens,
            round(avg(n_chars), 2)                       AS avg_chars
     FROM documents GROUP BY source ORDER BY source
     """,
