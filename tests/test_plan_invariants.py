@@ -87,6 +87,8 @@ def test_filters_reach_the_scan(spark):
         "q1_pricing_summary": "l_shipdate",
         "q3_unshipped_revenue": "o_orderdate",
         "orders_set_ops": "o_totalprice",
+        # the mixture's source membership must prune the documents scan
+        "docs_corpus_mixture": "src0",
     }
     for name, needle in cases.items():
         scan_lines = [ln for ln in _scans(_plan(spark, name)) if needle in ln]
@@ -103,6 +105,11 @@ def test_scans_are_column_pruned(spark):
         "orders_set_ops": ("o_custkey", 2),
         "docs_token_stats": ("text", 3),
         "emb_knn_cosine": ("embedding", 3),
+        # round-5 gate queries: the hash predicates and line explodes are
+        # projections, so the scans must stay narrow
+        "docs_hash_split_sample": ("doc_id", 3),
+        "docs_corpus_mixture": ("doc_id", 3),
+        "docs_boilerplate_removal": ("text", 3),
     }
     for name, (marker, max_cols) in cases.items():
         plan = _plan(spark, name)
