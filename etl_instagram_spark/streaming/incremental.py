@@ -239,6 +239,49 @@ def stream_dedup_within_watermark(
 
 
 # ---------------------------------------------------------------------------
+# streaming near-dedup: landing dir → dedupe vs signature store → clean table
+# ---------------------------------------------------------------------------
+
+
+def stream_near_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    store: MergeTable,
+    clean_table: MergeTable,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+) -> bool:
+    """One AvailableNow tick of the production corpus-dedup loop: drain
+    newly landed documents, near-dedup each micro-batch against the
+    corpus's WHOLE history via the compact signature store (never the
+    historical text — operators/dedup.incremental_near_dedup), and
+    upsert the survivors into ``clean_table``.
+
+    Exactly-once composition: a replayed micro-batch's within-batch
+    losers lose again, its cross-history losers are already in the
+    store, and both the store write and the survivor write are id-keyed
+    upserts — so crash replays converge to the same clean table. The
+    store, the clean table, and ``checkpoint_dir`` form a UNIT (like
+    the continuous-rollup partials): relocate or wipe them together."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        from etl_instagram_spark.operators.dedup import incremental_near_dedup
+
+        survivors = incremental_near_dedup(
+            batch_df, store, id_col, text_col, threshold, k, bands
+        )
+        clean_table.upsert(survivors)
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
+# ---------------------------------------------------------------------------
 # continuous aggregate: incrementally maintained hypertable rollup
 # ---------------------------------------------------------------------------
 

@@ -299,6 +299,43 @@ def test_continuous_rollup_parity_and_replay_idempotence(spark, tmp_path):
     assert _rows(partials.read()) == before
 
 
+def test_stream_near_dedup_across_waves_and_replay(spark, tmp_path):
+    """The streaming corpus-dedup loop: wave 2's cross-wave duplicate is
+    dropped against wave 1's SIGNATURES (no historical text read), the
+    within-wave duplicate is dropped too, and re-draining with a fresh
+    checkpoint (the crash-replay worst case: every file re-fires) leaves
+    the clean table unchanged."""
+    from etl_instagram_spark.streaming.incremental import stream_near_dedup
+
+    DDL = "doc_id LONG, text STRING"
+    landing = tmp_path / "docs"
+    store = MergeTable(spark, str(tmp_path / "sigs"), "doc_id")
+    clean = MergeTable(spark, str(tmp_path / "clean"), "doc_id")
+
+    LONG_A = "the quick brown fox jumps over the lazy dog near the river bank"
+    LONG_B = "completely different content about spark query engines and shuffles"
+    FRESH = "fresh unseen story about mountains and weather patterns today"
+
+    write_json(landing / "w1.json", [{"doc_id": 1, "text": LONG_A}, {"doc_id": 2, "text": LONG_B}])
+    assert stream_near_dedup(spark, str(landing), DDL, store, clean, str(tmp_path / "ck1"))
+    assert sorted(r["doc_id"] for r in clean.read().collect()) == [1, 2]
+
+    write_json(
+        landing / "w2.json",
+        [{"doc_id": 10, "text": LONG_A},   # cross-wave dup of doc 1
+         {"doc_id": 11, "text": FRESH},
+         {"doc_id": 12, "text": FRESH}],   # within-wave dup
+    )
+    assert stream_near_dedup(spark, str(landing), DDL, store, clean, str(tmp_path / "ck1"))
+    assert sorted(r["doc_id"] for r in clean.read().collect()) == [1, 2, 11]
+    assert sorted(r["doc_id"] for r in store.read().collect()) == [1, 2, 11]
+
+    # fresh checkpoint → EVERY landed file replays; same clean table
+    assert stream_near_dedup(spark, str(landing), DDL, store, clean, str(tmp_path / "ck2"))
+    assert sorted(r["doc_id"] for r in clean.read().collect()) == [1, 2, 11]
+    assert sorted(r["doc_id"] for r in store.read().collect()) == [1, 2, 11]
+
+
 def test_continuous_rollup_compaction(spark, tmp_path):
     """compact_rollup_partials folds old epochs to one row per (bucket,
     dims) without changing any read, refuses to touch the latest epoch
