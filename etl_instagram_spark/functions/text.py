@@ -50,8 +50,16 @@ def token_count(col: Column) -> Column:
 # lookahead clause — RE2 (DuckDB) has no lookahead, and the pattern must
 # count IDENTICALLY on both engines. Both Java regex and RE2 are
 # leftmost-first over this alternation, and both treat \p{L}/\p{N} as
-# Unicode classes, so match counts agree.
-BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# Unicode classes, so match counts agree. The whitespace set is spelled
+# OUT rather than \s because the engines' \s differ by exactly one
+# character — Java's includes U+000B (vertical tab), RE2's does not —
+# so a run like "\t\x0B\t" would count 1 on Spark and 3 on DuckDB.
+_WS_CLASS = r" \t\n\x0B\f\r"
+BPE_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+    r"| ?[^" + _WS_CLASS + r"\p{L}\p{N}]+"
+    r"|[" + _WS_CLASS + r"]+"
+)
 
 
 def bpe_token_count(col: Column) -> Column:

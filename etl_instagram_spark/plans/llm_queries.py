@@ -1774,7 +1774,8 @@ def _sql_hash_split_sample() -> str:
     return f"""
     WITH d AS (SELECT *, {case} AS split FROM documents),
     base AS (
-      SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      SELECT split, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM d GROUP BY split),
     s AS (
       SELECT split, count(*) AS n_sampled
@@ -1825,7 +1826,7 @@ def docs_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_corpus_mixture() -> str:
-    from etl_instagram_spark.operators.sampling import bucket_sql
+    from etl_instagram_spark.operators.sampling import _BUCKETS, bucket_sql
 
     names = list(_MIX_WEIGHTS)
     in_list = ", ".join(f"'{s}'" for s in names)
@@ -1855,9 +1856,15 @@ def _sql_corpus_mixture() -> str:
                    ((SELECT min(cap) FROM caps) * w) / avail) AS frac
       FROM caps),
     edges AS (
-      SELECT source, CAST(round(frac * 1000000) AS BIGINT) AS edge FROM fr)
-    SELECT d.source, count(*) AS n_docs, sum(d.n_chars) AS sum_chars,
-           sum(d.doc_id) AS id_sum
+      -- round_even = banker's rounding, matching the Python side's
+      -- int(round(frac * _BUCKETS)) in stratified_sample exactly;
+      -- plain round() is half-away-from-zero and would drift on a
+      -- data-dependent fraction landing exactly on a .5 edge
+      SELECT source,
+             CAST(round_even(frac * {_BUCKETS}, 0) AS BIGINT) AS edge FROM fr)
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_sum
     FROM documents d JOIN edges e USING (source)
     WHERE ({bucket_case}) < e.edge
     GROUP BY d.source
@@ -1927,8 +1934,9 @@ oracle(
                '') AS clean,
              sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS n_removed
       FROM flagged GROUP BY doc_id)
-    SELECT lang, count(*) AS n_docs, sum(n_removed) AS n_removed,
-           sum(length(clean)) AS sum_clean_chars,
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_removed) AS BIGINT) AS n_removed,
+           CAST(sum(length(clean)) AS BIGINT) AS sum_clean_chars,
            count(DISTINCT md5(clean)) AS n_distinct_clean
     FROM rebuilt GROUP BY lang ORDER BY lang
     """,
