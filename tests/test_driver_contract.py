@@ -45,6 +45,44 @@ def test_column_aliases_match_oracle(spark, sf_smoke):
     assert not mismatches, mismatches
 
 
+def test_result_value_types_match_oracle(spark, sf_smoke):
+    """The driver's value-hash distinguishes Python 16905 from 16905.0:
+    DuckDB's sum(BIGINT) returns HUGEINT (read back as float), so an
+    oracle that sums an integer column bare fails hash_match even when
+    every value is numerically identical (the round-5 regression on the
+    split/mixture/boilerplate rows). Pin the contract locally: for every
+    oracle-gated query, the Python value types of each column must agree
+    between the Spark result and the DuckDB result at sf0.001."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_smoke}/{t}.parquet'")
+    mismatches = []
+    oq = entry_mod.oracle_sql()
+    for name, fn in entry_mod.queries().items():
+        if name in ROWS_ONLY:
+            continue
+        sdf = fn(spark, sf_smoke)
+        s_types = {c: set() for c in sdf.columns}
+        for row in sdf.collect():
+            for c in sdf.columns:
+                v = row[c]
+                if v is not None:
+                    s_types[c].add(type(v).__name__)
+        ddf = con.sql(oq[name])
+        d_types = {c: set() for c in ddf.columns}
+        for row in ddf.fetchall():
+            for c, v in zip(ddf.columns, row):
+                if v is not None:
+                    d_types[c].add(type(v).__name__)
+        for c in s_types:
+            # only flag columns where BOTH engines produced values and
+            # the observed type sets differ — an empty sf0.001 result
+            # can't certify, but also can't false-alarm
+            if s_types[c] and d_types.get(c) and s_types[c] != d_types[c]:
+                mismatches.append((name, c, s_types[c], d_types[c]))
+    assert not mismatches, mismatches
+
+
 def test_entry_smokes(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
