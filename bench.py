@@ -169,6 +169,83 @@ def etl_tick_seconds(spark, n_pages: int = 10_000, posts_per_page: int = 3) -> f
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_dedup_tick_seconds(
+    spark, n_history: int = 20_000, n_batch: int = 20_000, dup_pct: int = 30
+) -> float:
+    """Steady-state incremental near-dedup throughput: ONE
+    stream_near_dedup tick draining a ``n_batch``-doc landing set against
+    a ``n_history``-doc signature store (seeded by an untimed first
+    tick). ``dup_pct``% of the batch are near-duplicates of history docs
+    (one word appended), so the tick exercises the full path: within-
+    batch LSH + exact-Jaccard verify, cross-history band join against
+    the store, and the store/clean-table upserts. This is the 100-TB
+    differentiator — the daily delta is deduped against O(k)-bigints-
+    per-doc signatures, never by rescanning corpus text — and it
+    previously had correctness coverage but no perf series."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.streaming.incremental import stream_near_dedup
+
+    def synth_text(idc):
+        # 30 deterministic pseudo-tokens per doc; distinct ids share no
+        # word-3-shingles, so fresh docs never collide with each other
+        return F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit(f"tok{j}x"),
+                    F.pmod(idc * F.lit(31 + j) + F.lit(7 * j), F.lit(9973)),
+                )
+                for j in range(30)
+            ],
+        )
+
+    work = tempfile.mkdtemp(prefix="bench_sdedup_")
+    try:
+        landing1 = os.path.join(work, "landing1")
+        landing2 = os.path.join(work, "landing2")
+        hist = spark.range(n_history).select(
+            F.col("id").alias("doc_id"), synth_text(F.col("id")).alias("text")
+        )
+        hist.repartition(4).write.json(landing1)
+        base = spark.range(n_history, n_history + n_batch).select(
+            F.col("id").alias("doc_id")
+        )
+        is_dup = (F.col("doc_id") % 100) < dup_pct
+        src = F.col("doc_id") - n_history
+        batch = base.select(
+            "doc_id",
+            F.when(is_dup, F.concat(synth_text(src), F.lit(" extraword")))
+            .otherwise(synth_text(F.col("doc_id")))
+            .alias("text"),
+        )
+        batch.repartition(4).write.json(landing2)
+
+        store = MergeTable(spark, os.path.join(work, "store"), "doc_id")
+        clean = MergeTable(spark, os.path.join(work, "clean"), "doc_id")
+        ddl = "doc_id LONG, text STRING"
+        # seed tick (untimed): builds the signature-store history
+        stream_near_dedup(
+            spark, landing1, ddl, store, clean, os.path.join(work, "ckpt1")
+        )
+        t0 = time.perf_counter()
+        stream_near_dedup(
+            spark, landing2, ddl, store, clean, os.path.join(work, "ckpt2")
+        )
+        elapsed = time.perf_counter() - t0
+        n_clean = clean.read().count()
+        # ~dup_pct% of the batch should be dropped against history
+        if not (n_history < n_clean < n_history + n_batch):
+            raise RuntimeError(f"stream dedup tick implausible: clean={n_clean}")
+        return elapsed
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from etl_instagram_spark.session import get_spark
@@ -204,19 +281,30 @@ def main() -> int:
             minima[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
 
-    # ETL pipeline throughput: fresh MergeTable state per rep, median kept
-    etl_samples: list[float] = []
-    try:
-        for _ in range(REPS):
-            etl_samples.append(etl_tick_seconds(spark))
-        timings["etl_hashtag_tick"] = round(statistics.median(etl_samples), 4)
-        minima["etl_hashtag_tick"] = round(min(etl_samples), 4)
-    except Exception as exc:  # noqa: BLE001 — record, don't abort the bench
-        timings["etl_hashtag_tick"] = -1.0
-        minima["etl_hashtag_tick"] = -1.0
-        print(f"# bench error etl_hashtag_tick: {exc}", file=sys.stderr)
+    # pipeline ticks (fresh MergeTable state per rep, median kept): the
+    # batch-ETL ingest and the incremental streaming near-dedup
+    for tick_name, tick_fn in (
+        ("etl_hashtag_tick", etl_tick_seconds),
+        ("stream_dedup_tick", stream_dedup_tick_seconds),
+    ):
+        samples = []
+        try:
+            for _ in range(REPS):
+                samples.append(tick_fn(spark))
+            timings[tick_name] = round(statistics.median(samples), 4)
+            minima[tick_name] = round(min(samples), 4)
+        except Exception as exc:  # noqa: BLE001 — record, don't abort the bench
+            timings[tick_name] = -1.0
+            minima[tick_name] = -1.0
+            print(f"# bench error {tick_name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # per-query minima go on their OWN line: round 5's single line
+    # (medians + minima + 52 queries) outgrew the driver's tail-capture
+    # window and the whole round's headline was lost (`parsed: null`).
+    # Detail first, compact driver-contract summary LAST so the last
+    # line of stdout is always the parseable headline.
+    print(json.dumps({"detail": "queries_min", "queries_min": minima}))
     print(
         json.dumps(
             {
@@ -224,7 +312,6 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_min": minima,
                 "reps": REPS,
                 "sf": sf_from_dir(SF_DIR),
             }
