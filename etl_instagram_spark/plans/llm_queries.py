@@ -1136,55 +1136,9 @@ oracle(
 # ---------------------------------------------------------------------------
 
 
-@query("docs_top_terms_per_doc")
-def docs_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-row top_terms kernel (enrich/topics.top_terms_col — the
-    reference's getTopics output shape) validated against the oracle:
-    attach topics to the first 50 docs, then posexplode to
-    (doc_id, rank, confidence, name) rows that plain SQL can reproduce
-    with a window over per-term counts. The Spark side never shuffles for
-    the ranking — it's all array HOFs inside the projection."""
-    from etl_instagram_spark.enrich.topics import attach_topics
-
-    docs = _spread(spark, _t(spark, sf_dir, "documents")).filter(F.col("doc_id") < 50)
-    topical = attach_topics(docs, text_col=F.col("text"), stem=False, langs=("en",))
-    return (
-        topical.select("doc_id", F.posexplode("topics").alias("pos", "t"))
-        .select(
-            "doc_id",
-            (F.col("pos") + 1).alias("rank"),
-            F.col("t.confidence").alias("confidence"),
-            F.col("t.name").alias("name"),
-        )
-        .orderBy("doc_id", "rank")
-    )
-
-
-oracle(
-    "docs_top_terms_per_doc",
-    f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(
-               list_transform(regexp_split_to_array(text, '[\\s,"]+'),
-                              x -> regexp_replace(lower(x), '[^a-z''A-Z0-9À-ÿ ]+', '', 'g')),
-               t -> {_sql_stop_drop_predicate()}) AS terms
-      FROM documents WHERE doc_id < 50),
-    flat AS (SELECT doc_id, len(terms) AS total, unnest(terms) AS term FROM toks),
-    counts AS (SELECT doc_id, total, term, count(*) AS cnt
-               FROM flat GROUP BY doc_id, total, term),
-    ranked AS (SELECT doc_id, term, cnt, total,
-                      row_number() OVER (PARTITION BY doc_id
-                                         ORDER BY cnt DESC, term) AS rank
-               FROM counts)
-    SELECT doc_id, rank,
-           round(cnt * 100.0 / total, 2) AS confidence,
-           term AS name
-    FROM ranked
-    WHERE rank <= 7 AND round(cnt * 100.0 / total, 2) >= 2.0
-    ORDER BY doc_id, rank
-    """,
-)
+# (docs_top_terms_per_doc rotated out of the gate in r6 — the identical
+# stemmer/stopword/top-terms path stays gated via docs_top_terms_by_lang;
+# the per-doc shape keeps DuckDB parity in plans/parity_extras.py)
 
 
 # ---------------------------------------------------------------------------
@@ -1941,3 +1895,358 @@ oracle(
     FROM rebuilt GROUP BY lang ORDER BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing gate: cumsum + first-fit-decreasing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+_PACK_SHARDS = 8
+_PACK_BUDGET_CUMSUM = 1000
+_PACK_BUDGET_FFD = 500  # < max n_chars (553) so oversize singletons occur
+
+
+def _sql_pack_shard(id_expr: str) -> str:
+    """DuckDB mirror of packing._shard (hash32 of the stringified id)."""
+    from etl_instagram_spark.functions.text import hash32_sql
+
+    return f"CAST({hash32_sql(f'({id_expr})::VARCHAR')} % {_PACK_SHARDS} AS INT)"
+
+
+@query("docs_pack_cumsum")
+def docs_pack_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-free sequence packing (packing.pack_cumsum): hash-shard fan-
+    out, per-shard (tokens desc, id) running sum, bin = cumsum // budget.
+    Value-checked per shard: bin count, doc count, token conservation,
+    max bin load, and mean fill — the oracle replays the identical window
+    arithmetic, so the bin ASSIGNMENT (not just totals) is certified."""
+    from etl_instagram_spark.operators.packing import bin_fill_stats, pack_cumsum
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = pack_cumsum(
+        docs, "doc_id", "n_chars", budget=_PACK_BUDGET_CUMSUM, shards=_PACK_SHARDS
+    )
+    bins = bin_fill_stats(packed, "n_chars", _PACK_BUDGET_CUMSUM)
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("bin_tokens").alias("sum_tokens"),
+            F.max("bin_tokens").alias("max_bin_tokens"),
+            F.round(F.avg("fill"), 4).alias("avg_fill"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _sql_pack_cumsum() -> str:
+    b = _PACK_BUDGET_CUMSUM
+    return f"""
+    WITH base AS (
+      SELECT doc_id, n_chars AS t, {_sql_pack_shard("doc_id")} AS shard
+      FROM documents),
+    binned AS (
+      SELECT shard, t,
+             CAST(floor(coalesce(sum(t) OVER (
+               PARTITION BY shard ORDER BY t DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {b}.0)
+             AS BIGINT) AS bin_idx
+      FROM base),
+    bins AS (
+      SELECT shard, bin_idx, count(*) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS bin_tokens,
+             round(CAST(sum(t) AS BIGINT) / {b}.0, 4) AS fill
+      FROM binned GROUP BY shard, bin_idx)
+    SELECT shard, count(*) AS n_bins,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bin_tokens) AS BIGINT) AS sum_tokens,
+           max(bin_tokens) AS max_bin_tokens,
+           round(avg(fill), 4) AS avg_fill
+    FROM bins GROUP BY shard ORDER BY shard
+    """
+
+
+oracle("docs_pack_cumsum", _sql_pack_cumsum)
+
+
+@query("docs_pack_first_fit")
+def docs_pack_first_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict budget packing (packing.pack_first_fit, applyInPandas FFD
+    per shard). The oracle SIMULATES first-fit-decreasing exactly with a
+    recursive CTE carrying the open-bin capacity list per shard — so bin
+    count, oversize-singleton count, and total slack are value-certified
+    against an independent FFD implementation, not just conservation
+    invariants. Budget 500 < max(n_chars) so the oversize path runs."""
+    from etl_instagram_spark.operators.packing import pack_first_fit
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = pack_first_fit(
+        docs, "doc_id", "n_chars", budget=_PACK_BUDGET_FFD, shards=_PACK_SHARDS
+    )
+    per_bin = packed.groupBy("shard", "bin_idx").agg(
+        F.max("oversize").alias("oversize"),
+        F.count(F.lit(1)).alias("bin_docs"),
+        F.sum("n_chars").alias("bin_tokens"),
+    )
+    return (
+        per_bin.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("bin_docs").alias("n_docs"),
+            F.sum(F.when(F.col("oversize"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oversize"),
+            F.sum(
+                F.when(
+                    ~F.col("oversize"),
+                    F.lit(_PACK_BUDGET_FFD) - F.col("bin_tokens"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("slack"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _sql_pack_first_fit() -> str:
+    b = _PACK_BUDGET_FFD
+    # caps list semantics mirror packing._pack: remaining capacity per
+    # open bin, -1 for a CLOSED oversize singleton; first fitting bin
+    # found via list_position over a cap >= t bitmap (0 = no fit)
+    fit = "list_position(list_transform(f.caps, c -> c >= d.t), true)"
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, n_chars AS t, {_sql_pack_shard("doc_id")} AS shard
+      FROM documents),
+    ordered AS (
+      SELECT shard, doc_id, t,
+             row_number() OVER (PARTITION BY shard ORDER BY t DESC, doc_id) AS rn
+      FROM base),
+    ffd AS (
+      SELECT shard, 0::BIGINT AS rn, CAST([] AS BIGINT[]) AS caps
+      FROM (SELECT DISTINCT shard FROM ordered)
+      UNION ALL
+      SELECT f.shard, d.rn,
+        CASE
+          WHEN d.t > {b} THEN list_append(f.caps, (-1)::BIGINT)
+          WHEN {fit} = 0 THEN list_append(f.caps, ({b} - d.t)::BIGINT)
+          ELSE f.caps[1:{fit}-1] || [f.caps[{fit}] - d.t] || f.caps[{fit}+1:]
+        END
+      FROM ffd f JOIN ordered d ON d.shard = f.shard AND d.rn = f.rn + 1),
+    final AS (
+      SELECT shard, caps FROM ffd f
+      WHERE rn = (SELECT max(rn) FROM ffd f2 WHERE f2.shard = f.shard))
+    SELECT f.shard,
+           CAST(len(f.caps) AS BIGINT) AS n_bins,
+           (SELECT count(*) FROM ordered o WHERE o.shard = f.shard) AS n_docs,
+           CAST(len(list_filter(f.caps, c -> c = -1)) AS BIGINT) AS n_oversize,
+           CAST(coalesce(list_sum(list_filter(f.caps, c -> c >= 0)), 0)
+                AS BIGINT) AS slack
+    FROM final f ORDER BY f.shard
+    """
+
+
+oracle("docs_pack_first_fit", _sql_pack_first_fit)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction gate (operators/cleanup.redact_pii / pii_counts)
+# ---------------------------------------------------------------------------
+
+
+@query("docs_pii_audit")
+def docs_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit over a deterministic contact-blurb injection:
+    every doc_id % 3 == 0 gains a synthetic email, every doc_id % 4 == 0
+    a synthetic IPv4 (the corpus documents themselves contain no PII, so
+    the gate manufactures it identically on both engines). Runs the REAL
+    operators — cleanup.pii_counts for the per-kind audit and
+    cleanup.redact_pii for the rewrite — and value-checks match counts,
+    docs-touched, and total redacted-span length per source.
+
+    Gate covers the email+ipv4 patterns only: the phone pattern uses
+    lookarounds, which DuckDB's RE2 cannot run — phone redaction keeps
+    pytest-only coverage (tests/test_cleanup.py)."""
+    from etl_instagram_spark.operators.cleanup import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit(" from "),
+            ((F.col("doc_id") % 223) + 1).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 13) % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") % 254) + 1).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    txt = F.concat(F.col("text"), email, ip)
+    staged = docs.select(
+        "source",
+        pii_counts(txt).alias("pii"),
+        (F.length(txt) - F.length(redact_pii(txt, kinds=("email", "ipv4")))).alias(
+            "delta"
+        ),
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pii.email").cast("long").alias("n_emails"),
+            F.sum("pii.ipv4").cast("long").alias("n_ips"),
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_redacted"),
+            F.sum("delta").cast("long").alias("sum_char_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_pii_audit() -> str:
+    from etl_instagram_spark.operators.cleanup import _PII_PATTERNS
+
+    pats = {k: p for k, p, _ in _PII_PATTERNS}
+    em = pats["email"].replace("'", "''")
+    ip = pats["ipv4"].replace("'", "''")
+    return f"""
+    WITH staged AS (
+      SELECT source,
+             text
+             || (CASE WHEN doc_id % 3 = 0
+                 THEN ' reach user' || doc_id::VARCHAR || '@mail'
+                      || (doc_id % 7)::VARCHAR || '.example.com'
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0
+                 THEN ' from ' || ((doc_id % 223) + 1)::VARCHAR || '.'
+                      || ((doc_id * 7) % 256)::VARCHAR || '.'
+                      || ((doc_id * 13) % 256)::VARCHAR || '.'
+                      || ((doc_id % 254) + 1)::VARCHAR
+                 ELSE '' END) AS txt
+      FROM documents),
+    counted AS (
+      SELECT source, txt,
+             len(regexp_extract_all(txt, '{em}')) AS n_email,
+             len(regexp_extract_all(regexp_replace(txt, '{em}', '<EMAIL>', 'g'),
+                                    '{ip}')) AS n_ip,
+             length(txt) - length(
+               regexp_replace(regexp_replace(txt, '{em}', '<EMAIL>', 'g'),
+                              '{ip}', '<IP>', 'g')) AS delta
+      FROM staged)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS n_emails,
+           CAST(sum(n_ip) AS BIGINT) AS n_ips,
+           CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_redacted,
+           CAST(sum(delta) AS BIGINT) AS sum_char_delta
+    FROM counted GROUP BY source ORDER BY source
+    """
+
+
+oracle("docs_pii_audit", _sql_pii_audit)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination gate (operators/cleanup.flag_contaminated)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 13
+
+
+@query("docs_decontamination")
+def docs_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram benchmark decontamination (cleanup.flag_contaminated): the
+    eval set is every doc_id % 17 == 3 document — even ids truncated to
+    their first 5 tokens so the short-item path (corpus re-shingled at
+    the eval item's own length m < n) runs through the gate, odd ids kept
+    whole for the standard 13-gram path. Value-checked per source:
+    contaminated-doc count and total distinct hit shingles."""
+    from etl_instagram_spark.operators.cleanup import flag_contaminated
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 3).select(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.array_join(F.slice(T.tokens(F.col("text")), 1, 5), " "),
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    flagged = flag_contaminated(docs, bench, "doc_id", "text", n=_DECON_N)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum("n_hit_shingles").cast("long").alias("sum_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_decontamination() -> str:
+    n = _DECON_N
+    # short_ms is DYNAMIC (any bench item under n tokens adds its own
+    # length), mirroring flag_contaminated's bounded driver collect —
+    # in SQL it's just a distinct-lengths CTE cross-joined into the
+    # corpus shingling, no hardcoded m
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {SQL_TOKS} AS toks FROM documents),
+    bench AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN toks[1:5] ELSE toks END AS btoks
+      FROM toks WHERE doc_id % 17 = 3),
+    short_ms AS (
+      SELECT DISTINCT len(btoks) AS m FROM bench
+      WHERE len(btoks) > 0 AND len(btoks) < {n}),
+    bench_pos AS (
+      SELECT btoks, unnest(generate_series(1, len(btoks) - {n} + 1)) AS i
+      FROM bench WHERE len(btoks) >= {n}),
+    bench_keys AS (
+      SELECT DISTINCT md5(sh) AS k FROM (
+        SELECT array_to_string(btoks[i:i+{n}-1], ' ') AS sh FROM bench_pos
+        UNION ALL
+        SELECT array_to_string(btoks, ' ') AS sh
+        FROM bench WHERE len(btoks) > 0 AND len(btoks) < {n})),
+    doc_pos_n AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {n} + 1)) AS i
+      FROM toks),
+    doc_pos_m AS (
+      SELECT doc_id, toks, m,
+             unnest(generate_series(1, len(toks) - m + 1)) AS i
+      FROM toks CROSS JOIN short_ms),
+    doc_keys AS (
+      SELECT DISTINCT doc_id, md5(sh) AS k FROM (
+        SELECT doc_id, array_to_string(toks[i:i+{n}-1], ' ') AS sh FROM doc_pos_n
+        UNION ALL
+        SELECT doc_id, array_to_string(toks[i:i+m-1], ' ') AS sh FROM doc_pos_m)),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM doc_keys JOIN bench_keys USING (k) GROUP BY doc_id)
+    SELECT t.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(sum(coalesce(h.n_hits, 0)) AS BIGINT) AS sum_hits
+    FROM toks t LEFT JOIN hits h USING (doc_id)
+    GROUP BY t.source ORDER BY t.source
+    """
+
+
+oracle("docs_decontamination", _sql_decontamination)

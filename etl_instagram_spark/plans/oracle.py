@@ -95,18 +95,6 @@ oracle(
 )
 
 oracle(
-    "pivot_returnflag_status",
-    """
-    SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-)
-
-oracle(
     "q3_unshipped_revenue",
     """
     SELECT l_orderkey,
@@ -169,19 +157,6 @@ oracle(
                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
-    """,
-)
-
-oracle(
-    "top10_customers_by_revenue",
-    """
-    SELECT c_custkey, c_name,
-           round(sum(o_totalprice), 2) AS revenue,
-           count(*)                    AS n_orders
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_custkey, c_name
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 10
     """,
 )
 
@@ -299,21 +274,6 @@ oracle(
            p_partkey % 7                             AS key_mod7
     FROM part WHERE p_partkey <= 200
     ORDER BY p_partkey
-    """,
-)
-
-oracle(
-    "orders_date_functions",
-    """
-    SELECT o_orderkey,
-           year(o_orderdate)                       AS order_year,
-           month(o_orderdate)                      AS order_month,
-           dayofmonth(o_orderdate)                 AS order_day,
-           quarter(o_orderdate)                    AS order_quarter,
-           strftime(o_orderdate, '%Y-%m')          AS order_ym,
-           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoh
-    FROM orders WHERE o_orderkey <= 500
-    ORDER BY o_orderkey
     """,
 )
 

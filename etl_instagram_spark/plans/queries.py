@@ -161,19 +161,9 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pivot_returnflag_status")
-def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot l_linestatus into columns per returnflag (SURVEY §2.6 —
-    conditional aggregation; Catalyst rewrites pivot to CASE WHEN aggs)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
-        .withColumnRenamed("O", "qty_open")
-        .withColumnRenamed("F", "qty_filled")
-        .orderBy("l_returnflag")
-    )
+# (pivot_returnflag_status rotated out of the 50-row gate in r6 — the
+# conditional-agg surface stays gated via cube_returnflag_status, and the
+# pivot plan itself keeps DuckDB parity in plans/parity_extras.py)
 
 
 # ---------------------------------------------------------------------------
@@ -262,22 +252,9 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query("top10_customers_by_revenue")
-def top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + agg + global top-k (reference O2 orderBy+limit generalized;
-    engages TakeOrderedAndProject instead of a full sort).
-
-    No broadcast hint on customer (unbounded key-space side) — AQE picks
-    the strategy from runtime stats."""
-    cu = _t(spark, sf_dir, "customer")
-    od = _t(spark, sf_dir, "orders")
-    return (
-        od.join(cu, od.o_custkey == cu.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(10)
-    )
+# (top10_customers_by_revenue rotated out of the gate in r6 — the same
+# join+agg+TakeOrderedAndProject shape stays gated via
+# q3_unshipped_revenue; DuckDB parity retained in plans/parity_extras.py)
 
 
 # (the left/right-outer join surface is exercised — and oracle-gated —
@@ -463,21 +440,9 @@ def part_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
-@query("orders_date_functions")
-def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time kernel (F13 analogue): extract parts, truncation, diff."""
-    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
-    return od.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.dayofmonth("o_orderdate").alias("order_day"),
-        F.quarter("o_orderdate").alias("order_quarter"),
-        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
-        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias(
-            "days_to_eoh"
-        ),
-    ).orderBy("o_orderkey")
+# (orders_date_functions rotated out of the gate in r6 — date arithmetic
+# stays gated via order_gap_days / orders_shipments_in_window /
+# customer_rolling_30d_revenue; parity in plans/parity_extras.py)
 
 
 @query("conditional_agg_promo_share")

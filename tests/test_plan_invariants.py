@@ -101,7 +101,7 @@ def test_scans_are_column_pruned(spark):
     cases = {
         # query -> (table column marker, max columns the scan may read)
         "q6_forecast_revenue": ("l_shipdate", 4),
-        "top10_customers_by_revenue": ("o_custkey", 3),
+        "top3_orders_per_customer": ("o_custkey", 3),
         "orders_set_ops": ("o_custkey", 2),
         "docs_token_stats": ("text", 3),
         "emb_knn_cosine": ("embedding", 3),
@@ -110,6 +110,11 @@ def test_scans_are_column_pruned(spark):
         "docs_hash_split_sample": ("doc_id", 3),
         "docs_corpus_mixture": ("doc_id", 3),
         "docs_boilerplate_removal": ("text", 3),
+        # round-6 gate queries: packing reads only (doc_id, n_chars);
+        # the PII audit only (doc_id, source, text)
+        "docs_pack_cumsum": ("n_chars", 2),
+        "docs_pack_first_fit": ("n_chars", 2),
+        "docs_pii_audit": ("text", 3),
     }
     for name, (marker, max_cols) in cases.items():
         plan = _plan(spark, name)
