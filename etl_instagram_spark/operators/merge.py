@@ -296,7 +296,20 @@ class MergeTable:
             lo = hi = None
             try:
                 md = pq.ParquetFile(fpath).metadata
-                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get(key)
+                # match the full dotted PATH, not the leaf name: a nested
+                # leaf can share the key's name (user.id, location.id in
+                # the posts table) and would shadow the top-level key in
+                # a name-keyed map — None stats at best, and at worst a
+                # WRONG file range built from the nested column's values,
+                # which silently breaks pruning-based upsert/anti-join
+                idx = next(
+                    (
+                        i
+                        for i in range(md.num_columns)
+                        if md.schema.column(i).path == key
+                    ),
+                    None,
+                )
                 if idx is not None:
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(idx).statistics

@@ -83,6 +83,12 @@ def run_hashtag_batch(
     # files whose key range can contain a batch id — O(overlapping
     # files), not a full-table scan per tick (read_overlapping).
     if posts_table.exists():
+        # pin BEFORE the overlap probe: the probe and the later anti-join
+        # actions must see identical rows — a non-deterministic lineage
+        # (dev_limit above, caller-supplied raw frames) re-evaluated per
+        # action could emit ids never probed, letting an existing row
+        # escape the anti-join (same hazard _merge_commit pins against)
+        posts = posts.localCheckpoint(eager=True)
         posts = anti_join_new(
             posts, posts_table.read_overlapping(posts.select("id")), "id"
         )
@@ -108,6 +114,8 @@ def run_hashtag_batch(
     if location_details is not None:
         locations = project_location(location_details)
         if locations_table.exists():
+            # same probe/join re-evaluation pin as the posts anti-join
+            locations = locations.localCheckpoint(eager=True)
             locations = anti_join_new(
                 locations,
                 locations_table.read_overlapping(locations.select("id")),

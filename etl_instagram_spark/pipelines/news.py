@@ -30,6 +30,11 @@ def run_news_batch(
     batch_ts = batch_ts or datetime.now(timezone.utc)
     items = project_news(raw_items, origin=origin, source=source)
     if news_table.exists():
+        # pin before the overlap probe: a caller-supplied raw_items with
+        # non-deterministic lineage re-evaluated between the probe and
+        # the anti-join could emit urls never probed (same hazard
+        # _merge_commit pins against)
+        items = items.localCheckpoint(eager=True)
         items = anti_join_new(items, news_table.read_overlapping(items.select("url")), "url")
     n_new = items.count()
     if n_new:

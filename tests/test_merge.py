@@ -295,3 +295,34 @@ def test_upsert_schema_evolution_both_directions(spark, tmp_path):
         [("c", 3, "2021-01-03")], "id string, v long, updated_at string"))
     got = {r["id"]: (r["v"], r["extra"]) for r in t.read().collect()}
     assert got == {"a": (1, None), "b": (2, "x"), "c": (3, None)}
+
+
+def test_key_stats_ignore_same_named_nested_leaf(spark, tmp_path):
+    """Parquet footer stats must come from the TOP-LEVEL key column, not
+    a nested leaf sharing its name (user.id in the posts table): a
+    name-keyed leaf lookup let the nested column shadow the key, so file
+    ranges were built from the WRONG values — at best None (null leaf,
+    conservative full scan), at worst a range that misses the real keys,
+    so an overlap probe skips a file holding an existing key and the
+    upsert duplicates it."""
+    t = MergeTable(spark, str(tmp_path / "shadow"), "id")
+    t.upsert(
+        spark.createDataFrame(
+            [("1", ("u-a",)), ("2", ("u-b",))], "id string, user struct<id string>"
+        )
+    )
+    files = t._manifest_files()
+    # stats exist and reflect the top-level ids, not the u-* leaf values
+    assert all(f["min_key"]["v"] is not None for f in files)
+    assert all(f["max_key"]["v"] <= "2" for f in files)
+    # a disjoint probe prunes every file (the wrong-range symptom was
+    # either no pruning at all, or pruning against u-* ranges)
+    probe = spark.createDataFrame([("9",)], "id string")
+    overlapping, carried = t._split_overlap(probe)
+    assert not overlapping and len(carried) == len(files)
+    # re-upserting an existing key must rewrite its file, not duplicate
+    t.upsert(
+        spark.createDataFrame([("1", ("u-z",))], "id string, user struct<id string>")
+    )
+    rows = {r["id"]: r["user"]["id"] for r in t.read().collect()}
+    assert rows == {"1": "u-z", "2": "u-b"}

@@ -95,6 +95,62 @@ def test_hashtag_pipeline_incremental_second_batch(spark, tmp_path):
     assert users["u-zed"]["created_at"].date().isoformat() == "2021-01-02"
 
 
+def test_second_batch_reads_only_overlapping_files(spark, tmp_path, monkeypatch):
+    """The O(batch)-not-O(table) claim, pinned: a later tick's existence
+    anti-join must read ONLY the table files whose key range can contain
+    a batch id. Ingest two disjoint key ranges (a*, b*), then probe with
+    a fully disjoint batch (c*) — zero files may be read — and with a
+    batch overlapping only the b-range — at least one file must be
+    SKIPPED. If a tick ever rescans non-overlapping files, the skip
+    counts here go to zero and this test fails."""
+    posts_t, users_t, locations_t = tables(spark, tmp_path)
+
+    probes: list[tuple[int, int]] = []
+    orig_split = MergeTable._split_overlap
+
+    def spy_read_overlapping(self, keys):
+        overlapping, carried = orig_split(self, keys)
+        if self.path == posts_t.path:
+            probes.append((len(overlapping), len(carried)))
+        if not overlapping:
+            return self.read().limit(0)
+        return self._read_files(overlapping)
+
+    monkeypatch.setattr(MergeTable, "read_overlapping", spy_read_overlapping)
+
+    def batch(ids):
+        raw = parse(
+            spark,
+            [graphql_page("food", [gql_node(i, "AAA", 1, "hi") for i in ids])],
+            S.RAW_TAG_PAGE_GRAPHQL,
+        )
+        d = parse(spark, [detail("AAA", "alice", None)], S.RAW_POST_DETAIL)
+        return run_hashtag_batch(
+            spark, raw, None, d, None, posts_t, users_t, locations_t, batch_ts=T1
+        )
+
+    batch(["a0", "a1", "a2"])  # no probe: table doesn't exist yet
+    batch(["b0", "b1", "b2"])  # b* disjoint from a* -> probe reads 0 files
+    assert probes[-1][0] == 0 and probes[-1][1] > 0, probes
+
+    n_files_before = probes[-1][1] + probes[-1][0]
+    stats = batch(["c0", "c1"])  # c* disjoint from everything
+    assert stats["new_posts"] == 2
+    over, carried = probes[-1]
+    assert over == 0 and carried >= n_files_before, probes
+
+    # overlap ONLY the b-range: some files read, a-range files skipped
+    stats = batch(["b0", "c9"])
+    assert stats["new_posts"] == 1  # b0 exists; only c9 is new
+    over, carried = probes[-1]
+    assert over >= 1, probes
+    assert carried >= 1, f"anti-join rescanned every file: {probes}"
+
+    assert {r["id"] for r in posts_t.read().collect()} == {
+        "a0", "a1", "a2", "b0", "b1", "b2", "c0", "c1", "c9",
+    }
+
+
 def test_hashtag_pipeline_with_enrichment(spark, tmp_path):
     posts_t, users_t, locations_t = tables(spark, tmp_path)
     raw = parse(
