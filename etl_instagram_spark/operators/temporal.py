@@ -48,9 +48,10 @@ def as_of_join(
     the latest with ``right_ts <= left_ts`` (``direction='backward'``,
     default) or the earliest with ``right_ts >= left_ts``
     (``'forward'``). Equal timestamps match. Unmatched left rows keep
-    nulls (left-outer semantics); ``tolerance`` (an SQL interval string
-    like ``'30 minutes'``) nulls out matches farther than that from the
-    left timestamp.
+    nulls (left-outer semantics); ``tolerance`` (``'<n> <unit>'`` with a
+    unit from seconds/minutes/hours/days/weeks, e.g. ``'30 minutes'``)
+    nulls out matches farther than that from the left timestamp —
+    malformed tolerances raise ValueError.
 
     Attached columns: ``right_cols`` (default: every right column except
     the keys and ``right_ts``) plus the matched right timestamp, all
@@ -107,6 +108,11 @@ def as_of_join(
     )
 
     if tolerance is not None:
+        # parse/validate FIRST ('<n> <unit>' against the unit whitelist,
+        # ValueError otherwise) and build the interval from the parsed
+        # seconds — the caller's string never reaches F.expr, so a
+        # malformed or hostile tolerance cannot inject SQL
+        tol_seconds = _interval_seconds(tolerance)
         gap = (
             F.col("__ts") - F.col("__m.__rts")
             if direction == "backward"
@@ -114,7 +120,7 @@ def as_of_join(
         )
         matched = matched.withColumn(
             "__m",
-            F.when(gap <= F.expr(f"INTERVAL {tolerance}"), F.col("__m")),
+            F.when(gap <= F.expr(f"INTERVAL {tol_seconds} SECONDS"), F.col("__m")),
         )
 
     out_left = [F.col(k) for k in keys] + [
@@ -140,15 +146,17 @@ _UNIT_SECONDS = {
 
 
 def _interval_seconds(spec: str) -> int:
-    """Parse '<n> <unit>' (e.g. '30 days') into whole seconds."""
+    """Parse '<n> <unit>' (e.g. '30 days') into whole seconds; the
+    shared validator for every interval-string parameter (range_join
+    buckets, as_of_join tolerance) — ValueError on anything else."""
     parts = spec.strip().split()
     if len(parts) != 2 or not parts[0].isdigit() or parts[1].lower() not in _UNIT_SECONDS:
         raise ValueError(
-            f"bucket must look like '<n> <seconds|minutes|hours|days|weeks>', got {spec!r}"
+            f"interval must look like '<n> <seconds|minutes|hours|days|weeks>', got {spec!r}"
         )
     n = int(parts[0]) * _UNIT_SECONDS[parts[1].lower()]
     if n < 1:
-        raise ValueError(f"bucket width must be >= 1 second, got {spec!r}")
+        raise ValueError(f"interval must be >= 1 second, got {spec!r}")
     return n
 
 

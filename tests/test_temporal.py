@@ -78,6 +78,18 @@ def test_tolerance_nulls_stale_matches(spark, trades_quotes):
     assert out[("C", _ts(4))] is None
 
 
+def test_tolerance_rejects_malformed_input(spark, trades_quotes):
+    """tolerance is parsed against the '<n> <unit>' whitelist BEFORE any
+    SQL is built — a malformed (or hostile) string raises ValueError at
+    plan time instead of reaching F.expr."""
+    import pytest
+
+    trades, quotes = trades_quotes
+    for bad in ("2 fortnights", "'; drop table x", "2minutes", "-1 hours", ""):
+        with pytest.raises(ValueError, match="interval"):
+            as_of_join(trades, quotes, "sym", tolerance=bad)
+
+
 def test_forward_direction(spark, trades_quotes):
     trades, quotes = trades_quotes
     out = {

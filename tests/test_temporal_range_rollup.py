@@ -138,7 +138,7 @@ def test_rejects_bad_args(spark, points_intervals):
     points, intervals = points_intervals
     with pytest.raises(ValueError, match="how"):
         range_join(points, intervals, "ts", "lo", "hi", how="right")
-    with pytest.raises(ValueError, match="bucket"):
+    with pytest.raises(ValueError, match="interval"):
         range_join(points, intervals, "ts", "lo", "hi", bucket="monthly")
     assert _interval_seconds("2 hours") == 7200
 
