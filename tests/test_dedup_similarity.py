@@ -475,3 +475,70 @@ def test_ivf_cell_assignment_matches_duckdb_mirror(spark, sf_oracle):
         ).fetchall()
     }
     assert got == want
+
+
+def test_skewed_dup_clusters_stay_near_uniform_cost(spark):
+    """Skew resilience, pinned with wall-clock: the module header claims
+    hot duplicate clusters are absorbed (exact_dedup via AQE-coalesced
+    hash groups; the LSH path by bounded O(bucket^2) candidate volume).
+    Run each operator on a UNIFORM corpus and on a SKEWED one of equal
+    size — exact: half the corpus one identical text; near-dup: 1000
+    clusters of 20 identical docs — and require the skewed run to stay
+    within a generous noise-absorbing factor of uniform. A quadratic
+    blowup (hot bucket handled as all-pairs, or a single straggler task
+    owning the hot group's shuffle) fails this by an order of magnitude,
+    not by the margin."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    n = 20_000
+
+    def words(idc, salt):
+        return F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{salt}{j}_"), F.pmod(idc * (31 + j) + j, F.lit(9973)))
+                for j in range(12)
+            ],
+        )
+
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    uniform = base.select("doc_id", words(F.col("doc_id"), "u").alias("text"))
+    hot = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot boilerplate page " * 6))
+        .otherwise(words(F.col("doc_id"), "s"))
+        .alias("text"),
+    )
+    # 1000 clusters of 20 identical docs — the "boilerplate-heavy crawl"
+    # shape the header's O(bucket^2) candidate bound is about
+    clustered = base.select(
+        "doc_id", words(F.col("doc_id") % 1000, "c").alias("text")
+    )
+
+    def timed(fn, df):
+        t0 = time.perf_counter()
+        fn(df).count()
+        return time.perf_counter() - t0
+
+    def run_exact(df):
+        return D.exact_dedup(df, "text", "doc_id")
+
+    def run_near(df):
+        return D.near_dedup_minhash(df, "doc_id", "text", threshold=0.5)
+
+    # warm both paths once so JVM/codegen compilation doesn't land on a
+    # measured run
+    timed(run_exact, uniform.limit(2000))
+    timed(run_near, uniform.limit(2000))
+
+    exact_u = timed(run_exact, uniform)
+    exact_s = timed(run_exact, hot)
+    near_u = timed(run_near, uniform)
+    near_s = timed(run_near, clustered)
+
+    # generous bounds: factor 3 plus an absolute floor so sub-second
+    # uniform runs don't make the ratio meaningless
+    assert exact_s <= 3 * exact_u + 2.0, (exact_s, exact_u)
+    assert near_s <= 3 * near_u + 2.0, (near_s, near_u)
