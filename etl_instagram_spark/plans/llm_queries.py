@@ -40,7 +40,12 @@ from etl_instagram_spark.plans.queries import query, _t
 # shared SQL fragments (DuckDB) mirroring functions/text.py kernels
 # ---------------------------------------------------------------------------
 
-SQL_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+# the whitespace class is spelled out (not \s) for the same reason as
+# text.BPE_SPLIT_PATTERN: the Spark side tokenizes with Java \s, which
+# includes U+000B while RE2's (DuckDB's) \s does not — the explicit set
+# IS Java's \s, so both engines split identically on any input
+SQL_WS = r" \t\n\x0B\f\r"
+SQL_TOKS = rf"regexp_split_to_array(trim(lower(text)), '[{SQL_WS}]+')"
 
 
 def _sql_marker_hits(lang: str) -> str:
@@ -888,7 +893,7 @@ oracle(
     WITH toks AS (
       SELECT lang,
              list_filter(
-               list_transform(regexp_split_to_array(text, '[\\s,"]+'),
+               list_transform(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r,"]+'),
                               x -> regexp_replace(lower(x), '[^a-z''A-Z0-9À-ÿ ]+', '', 'g')),
                t -> {_sql_stop_drop_predicate()}) AS terms
       FROM documents),

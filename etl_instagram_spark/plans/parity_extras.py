@@ -135,7 +135,7 @@ def _sql_top_terms_per_doc() -> str:
     WITH toks AS (
       SELECT doc_id,
              list_filter(
-               list_transform(regexp_split_to_array(text, '[\\s,"]+'),
+               list_transform(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r,"]+'),
                               x -> regexp_replace(lower(x), '[^a-z''A-Z0-9À-ÿ ]+', '', 'g')),
                t -> {_sql_stop_drop_predicate()}) AS terms
       FROM documents WHERE doc_id < 50),
