@@ -191,15 +191,14 @@ def stream_dedup_tick_seconds(
     from etl_instagram_spark.streaming.incremental import stream_near_dedup
 
     def synth_text(idc):
-        # 30 deterministic pseudo-tokens per doc; distinct ids share no
-        # word-3-shingles, so fresh docs never collide with each other
+        # 30 deterministic pseudo-tokens per doc; token j embeds the raw
+        # id so DISTINCT ids never share a token (a modular fold here
+        # would alias ids n and n+modulus into identical docs — at 20k
+        # docs a mod-9973 variant silently deduped half the history)
         return F.concat_ws(
             " ",
             *[
-                F.concat(
-                    F.lit(f"tok{j}x"),
-                    F.pmod(idc * F.lit(31 + j) + F.lit(7 * j), F.lit(9973)),
-                )
+                F.concat(F.lit(f"tok{j}x"), idc * F.lit(31 + j) + F.lit(7 * j))
                 for j in range(30)
             ],
         )

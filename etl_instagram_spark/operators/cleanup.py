@@ -239,11 +239,16 @@ def _token_ngrams(col: Column, n: int) -> Column:
     from etl_instagram_spark.functions.text import tokens
 
     t = tokens(col)
+    # slice + array_join per position, NOT an n-term element_at chain:
+    # with n=13 (and one extra projection per distinct short eval-item
+    # length) the chained form multiplies the expression tree ~n-fold
+    # and blew a full-corpus decontamination pass from ~2 s to ~100 s
+    # at sf0.1
     return F.when(
         (F.length(F.trim(col)) > 0) & (F.size(t) >= n),
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
 

@@ -2178,19 +2178,31 @@ def docs_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """13-gram benchmark decontamination (cleanup.flag_contaminated): the
     eval set is every doc_id % 17 == 3 document — even ids truncated to
     their first 5 tokens so the short-item path (corpus re-shingled at
-    the eval item's own length m < n) runs through the gate, odd ids kept
-    whole for the standard 13-gram path. Value-checked per source:
-    contaminated-doc count and total distinct hit shingles."""
+    the eval item's own length m < n) runs through the gate; odd ids are
+    kept whole for the standard 13-gram path but only when they have
+    >= 13 tokens. The length gate bounds the operator's documented
+    per-distinct-short-length cost to ONE extra corpus projection
+    (short_ms == {5}) — an unbounded eval set of sub-13-token items is
+    exactly the shape flag_contaminated's docstring says to keep
+    separate. Value-checked per source: contaminated-doc count and total
+    distinct hit shingles."""
     from etl_instagram_spark.operators.cleanup import flag_contaminated
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    bench = docs.filter(F.col("doc_id") % 17 == 3).select(
-        F.when(
-            F.col("doc_id") % 2 == 0,
-            F.array_join(F.slice(T.tokens(F.col("text")), 1, 5), " "),
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    n_toks = F.size(T.tokens(F.col("text")))
+    bench = (
+        docs.filter(F.col("doc_id") % 17 == 3)
+        .filter((F.col("doc_id") % 2 == 0) | (n_toks >= _DECON_N))
+        .select(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.array_join(F.slice(T.tokens(F.col("text")), 1, 5), " "),
+            )
+            .otherwise(F.col("text"))
+            .alias("text")
         )
-        .otherwise(F.col("text"))
-        .alias("text")
     )
     flagged = flag_contaminated(docs, bench, "doc_id", "text", n=_DECON_N)
     return (
@@ -2217,7 +2229,9 @@ def _sql_decontamination() -> str:
       SELECT doc_id, source, {SQL_TOKS} AS toks FROM documents),
     bench AS (
       SELECT CASE WHEN doc_id % 2 = 0 THEN toks[1:5] ELSE toks END AS btoks
-      FROM toks WHERE doc_id % 17 = 3),
+      FROM toks
+      WHERE doc_id % 17 = 3
+        AND (doc_id % 2 = 0 OR len(toks) >= {n})),
     short_ms AS (
       SELECT DISTINCT len(btoks) AS m FROM bench
       WHERE len(btoks) > 0 AND len(btoks) < {n}),

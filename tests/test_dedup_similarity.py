@@ -495,10 +495,13 @@ def test_skewed_dup_clusters_stay_near_uniform_cost(spark):
     n = 20_000
 
     def words(idc, salt):
+        # raw id embedded per token — no modular fold, so distinct ids
+        # never alias into accidental duplicates (mod 9973 at 20k rows
+        # would make ~10k unintended twin docs)
         return F.concat_ws(
             " ",
             *[
-                F.concat(F.lit(f"w{salt}{j}_"), F.pmod(idc * (31 + j) + j, F.lit(9973)))
+                F.concat(F.lit(f"w{salt}{j}_"), idc * (31 + j) + j)
                 for j in range(12)
             ],
         )
