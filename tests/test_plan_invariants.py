@@ -115,6 +115,7 @@ def test_scans_are_column_pruned(spark):
         "docs_pack_cumsum": ("n_chars", 2),
         "docs_pack_first_fit": ("n_chars", 2),
         "docs_pii_audit": ("text", 3),
+        "docs_decontamination": ("text", 3),
     }
     for name, (marker, max_cols) in cases.items():
         plan = _plan(spark, name)
