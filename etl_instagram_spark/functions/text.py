@@ -109,7 +109,7 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.when(F.size(t) < n, F.array(F.trim(F.lower(col)))).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
         )
     )
 
@@ -302,9 +302,7 @@ def with_minhash_signature(
     shingles = F.when(F.size(t) < shingle_words, F.array(F.col("__mh_norm"))).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (shingle_words - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j) for j in range(shingle_words)]
-            ),
+            lambda i: F.array_join(F.slice(t, i, shingle_words), " "),
         )
     )
     df = df.withColumn("__mh_base", F.transform(shingles, hash32))
@@ -335,7 +333,7 @@ def with_word_shingles(
     sh = F.when(F.size(t) < n, F.array(F.col("__ws_norm"))).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
         )
     )
     if distinct:
