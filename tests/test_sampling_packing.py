@@ -351,3 +351,65 @@ def test_first_fit_oversize_bins_stay_singletons(spark):
     for d in (2, 3, 4):
         assert rows[d]["bin_idx"] != oversize_bin
         assert not rows[d]["oversize"]
+
+
+def test_first_fit_matches_python_reference_property(spark):
+    """Differential check: the applyInPandas FFD must equal a direct
+    Python first-fit-decreasing simulation on the same (tokens, budget),
+    bin-for-bin — not just hold its budget/ordering invariants. Random
+    token lists cover oversize singletons, exact fits, zero-token docs,
+    and budget == 1 edge cases the fixture corpus misses."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_instagram_spark.functions.text import hash32
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        tokens=st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=60),
+        budget=st.integers(min_value=1, max_value=100),
+    )
+    def run(tokens, budget):
+        shards = 4
+        rows = [(i, t) for i, t in enumerate(tokens)]
+        df = spark.createDataFrame(rows, "doc_id long, tokens long")
+        packed = pack_first_fit(df, "doc_id", "tokens", budget, shards=shards)
+        got = {
+            r["doc_id"]: (r["shard"], r["bin_idx"], r["oversize"])
+            for r in packed.collect()
+        }
+
+        # python reference: identical shard hash, (tokens desc, id) order
+        shard_of = {
+            r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", (hash32(F.col("doc_id").cast("string")) % shards).cast("int").alias("s")
+            ).collect()
+        }
+        want = {}
+        for s in set(shard_of.values()):
+            docs = sorted(
+                ((t, i) for i, t in rows if shard_of[i] == s),
+                key=lambda x: (-x[0], x[1]),
+            )
+            caps = []
+            for t, i in docs:
+                if t > budget:
+                    caps.append(-1)
+                    want[i] = (s, len(caps) - 1, True)
+                    continue
+                for b, c in enumerate(caps):
+                    if c >= t:
+                        caps[b] = c - t
+                        want[i] = (s, b, False)
+                        break
+                else:
+                    caps.append(budget - t)
+                    want[i] = (s, len(caps) - 1, False)
+        assert got == want
+
+    run()
