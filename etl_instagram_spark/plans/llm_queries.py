@@ -1367,7 +1367,7 @@ def sql_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical to the DataFrame version of this query."""
     from etl_instagram_spark.sources.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=("part", "lineitem"))
     return spark.sql(_SHARED_SQL_BRAND_REVENUE)
 
 

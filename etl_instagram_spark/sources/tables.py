@@ -78,9 +78,14 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every test table as a temp view for spark.sql queries."""
-    for name in TABLE_NAMES:
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> None:
+    """Register test tables as temp views for spark.sql queries. Pass
+    ``names`` to register only what a query reads — each registration
+    costs a parquet schema read, so registering all ten tables per
+    invocation is pure overhead for a two-table query."""
+    for name in names if names is not None else TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
