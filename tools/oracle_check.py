@@ -49,6 +49,21 @@ def frame_fingerprint(columns: list[str], rows: list[tuple]) -> tuple[int, list[
     return len(rows), cols_sorted, digest
 
 
+def type_profile(columns: list[str], rows: list[tuple]) -> dict[str, set[str]]:
+    """Observed Python value types per column (non-null). canon() folds
+    16905.0 and 16905 together, but the DRIVER's value-hash does not —
+    round 5 shipped three value-identical queries that failed the gate
+    purely on DuckDB's HUGEINT sum type, and this check (like
+    tests/test_driver_contract.py) makes that class of bug fail
+    locally."""
+    prof: dict[str, set[str]] = {c: set() for c in columns}
+    for r in rows:
+        for c, v in zip(columns, r):
+            if v is not None:
+                prof[c].add(type(v).__name__)
+    return prof
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if "/" not in a]
@@ -104,7 +119,17 @@ def main() -> int:
                 print(f"        duck-only : {r}")
             failures += 1
         else:
-            print(f"OK    {name}: {sn} rows, hash {sh}")
+            sp, dp = type_profile(scols, srows), type_profile(dcols, ddf)
+            bad = {
+                c: (sp[c], dp[c])
+                for c in sp
+                if sp[c] and dp.get(c) and sp[c] != dp[c]
+            }
+            if bad:
+                print(f"FAIL  {name}: value types differ {bad}")
+                failures += 1
+            else:
+                print(f"OK    {name}: {sn} rows, hash {sh}")
     spark.stop()
     print(f"{'FAILURES: ' + str(failures) if failures else 'ALL MATCH'}")
     return 1 if failures else 0
