@@ -1,0 +1,140 @@
+"""Exact heavy hitters (frequent terms) with bounded memory — the
+"what are the dominant tokens / URLs / shingles in this corpus" kernel
+every training-data audit runs, engine-native (the reference's only
+frequency surface is the full word-count feeding LDA, topics.js:6-30,
+which shuffles EVERY distinct term; see enrich/topics.py for that port).
+
+Why not just ``groupBy(term).count()``: at 100 TB the term domain is
+billions of distinct values (URLs, shingles, typo'd words), so the full
+group-by shuffles the entire domain to answer a question whose output is
+tiny ("terms above 0.5 %"). The classic fix is the two-pass
+Misra-Gries shape:
+
+- **pass 1 (candidates)**: each partition streams its terms through a
+  Misra-Gries summary with ``k = ceil(den/num)`` counters —
+  O(k) memory, no shuffle. By the averaging argument, any term with
+  global share ≥ num/den has local share ≥ num/den in at least one
+  partition, and MG with k ≥ den/num counters retains every term with
+  local share > 1/(k+1) — so the union of per-partition candidates is a
+  SUPERSET of the true heavy hitters (false positives possible, false
+  negatives impossible).
+- **pass 2 (exact verify)**: a broadcast semi-join restricts the second
+  scan to candidate terms only (map-side filter — the term domain is
+  never shuffled), then an exact count of that tiny subset with the
+  threshold filter makes the result EXACT: precisely the terms t with
+  ``count(t) * den >= n * num``.
+
+The support threshold is an exact rational ``num/den`` and the filter is
+integer arithmetic, so the result is bit-identical across engines and
+partitionings — a SQL ``GROUP BY ... HAVING count(*)*den >= n*num``
+oracle replays it verbatim (plans/llm_queries.py `docs_heavy_hitters`).
+
+Determinism: the candidate SET depends on partitioning (MG eviction
+order), but the RESULT does not — pass 2's exact filter removes every
+partition-dependent false positive.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_SUMMARY_SCHEMA = StructType(
+    [
+        # candidate term (NULL on the one per-partition total row)
+        StructField("term", StringType(), True),
+        # partition row count (NULL on candidate rows)
+        StructField("n_part", LongType(), True),
+    ]
+)
+
+
+def _mg_update(counters: dict[str, int], term: str, capacity: int) -> None:
+    """One Misra-Gries step: increment, insert, or decrement-all."""
+    if term in counters:
+        counters[term] += 1
+    elif len(counters) < capacity:
+        counters[term] = 1
+    else:
+        dead = [t for t in counters if counters[t] == 1]
+        for t in counters:
+            counters[t] -= 1
+        for t in dead:
+            del counters[t]
+
+
+def mg_summary(terms: DataFrame, term_col: str, capacity: int) -> DataFrame:
+    """Pass 1: per-partition Misra-Gries summaries.
+
+    Returns a SMALL frame (≤ capacity candidate rows + 1 total row per
+    partition): ``term`` rows are the partition's surviving counters,
+    ``n_part`` rows carry the partition's non-null term count (so the
+    caller gets n without a third scan of the input). NULL terms are
+    ignored (they are not countable values, matching the oracle's
+    ``WHERE term IS NOT NULL``).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            col = pdf[term_col]
+            for term in col[col.notna()]:
+                n += 1
+                _mg_update(counters, term, capacity)
+        out: list[dict[str, Any]] = [{"term": t, "n_part": None} for t in counters]
+        out.append({"term": None, "n_part": n})
+        yield pd.DataFrame(out, columns=["term", "n_part"])
+
+    return terms.select(F.col(term_col)).mapInPandas(run, _SUMMARY_SCHEMA)
+
+
+def heavy_hitters(
+    terms: DataFrame,
+    term_col: str,
+    support_num: int,
+    support_den: int,
+    out_count_col: str = "n_occ",
+) -> DataFrame:
+    """EXACT terms with frequency ≥ (num/den) of all non-null terms.
+
+    Two scans of ``terms`` (MG candidates, then exact verify of the
+    candidate subset), one bounded summary in between — never a full
+    ``groupBy`` over the term domain. The threshold compare is the
+    integer predicate ``count * den >= n * num`` (no float, no ceil), so
+    the output is a pure function of the multiset of terms.
+    """
+    if support_num <= 0 or support_den <= 0:
+        raise ValueError("support must be a positive rational num/den")
+    if support_num > support_den:
+        raise ValueError("support num/den must be <= 1")
+    capacity = math.ceil(support_den / support_num)
+
+    # pin pass 1: the summary feeds two consumers (the n aggregate and
+    # the pass-2 semi-join); without the checkpoint each would re-scan
+    # the full input
+    summary = mg_summary(terms, term_col, capacity).localCheckpoint(eager=True)
+    n = summary.agg(F.sum("n_part")).collect()[0][0] or 0
+    candidates = (
+        summary.filter(F.col("term").isNotNull())
+        .select(F.col("term").alias("__hh_term"))
+        .distinct()
+    )
+
+    return (
+        terms.filter(F.col(term_col).isNotNull())
+        .join(
+            F.broadcast(candidates),
+            F.col(term_col) == F.col("__hh_term"),
+            "left_semi",
+        )
+        .groupBy(term_col)
+        .agg(F.count(F.lit(1)).alias(out_count_col))
+        .filter(F.col(out_count_col) * support_den >= F.lit(n) * support_num)
+    )
