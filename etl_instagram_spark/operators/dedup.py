@@ -160,6 +160,89 @@ def verified_duplicate_pairs(
     )
 
 
+def jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs n-gram-Jaccard similarity join: every pair
+    (id_a < id_b) with word-shingle Jaccard ≥ threshold, with the exact
+    similarity — lossless, unlike the MinHash-LSH path (which trades a
+    tunable false-negative rate for fewer candidates).
+
+    Prefix filtering (SSJoin/All-Pairs): under one global shingle order,
+    a pair with overlap ≥ t must share one of each set's first
+    ``|X| − t + 1`` shingles — proof: the smallest common shingle has
+    ≥ t−1 common shingles after it in BOTH sets, so it sits within the
+    first |X| − (t−1) positions of each. With J ≥ τ forcing overlap
+    ≥ ⌈τ·|X|⌉, indexing only each doc's first ``|X| − ⌈τ|X|⌉ + 1``
+    shingles makes the inverted-index self-join a complete candidate
+    generator. Exact Jaccard on candidates then makes the RESULT exact.
+
+    Scale design (100 TB):
+    - the global order is (document frequency ASC, shingle): the hottest
+      shingles (boilerplate) sort LAST and fall outside every prefix, so
+      the inverted index self-join never sees the skewed keys — the
+      frequency ordering is both the candidate-minimizer and the
+      skew-killer;
+    - at τ=0.8 the prefix is ~20 % of each doc's shingles; candidates
+      are O(Σ prefix-bucket²) over COLD shingles only;
+    - a size filter (|min| ≥ τ·|max|) prunes length-incompatible pairs
+      before the distinct. Float guards are slack-only (1e-9), so
+      rounding can never drop a qualifying pair — losslessness is
+      pinned by a differential test against the naive all-pairs join.
+    """
+    shingled = T.with_word_shingles(
+        df.select(F.col(id_col), F.col(text_col)),
+        text_col,
+        "__sh",
+        shingle_words,
+        distinct=True,
+    ).select(
+        F.col(id_col).alias("__id"), F.col("__sh"), F.size("__sh").alias("__sz")
+    )
+    exploded = shingled.select("__id", "__sz", F.explode("__sh").alias("__s"))
+    dfreq = exploded.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__s")
+    # required overlap t = ceil(τ·sz); the −1e-9 slack keeps float fuzz
+    # from OVERestimating t (which would shorten the prefix and lose
+    # pairs) — underestimating only lengthens it (safe)
+    t_req = F.ceil(F.lit(threshold) * F.col("__sz") - 1e-9)
+    prefix = (
+        exploded.join(dfreq, "__s")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__sz") - t_req + 1)
+        .select("__s", "__id", "__sz")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            # J ≥ τ ⟹ min size ≥ τ·max size; +1e-9 slack: prune-only
+            & (F.col("a.__sz") + 1e-9 >= F.lit(threshold) * F.col("b.__sz"))
+            & (F.col("b.__sz") + 1e-9 >= F.lit(threshold) * F.col("a.__sz")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    sh_b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def near_dedup_losers(
     df: DataFrame,
     id_col: str,

@@ -288,31 +288,11 @@ MINHASH_BANDS = 4  # rows-per-band = 2
 # between Spark, the oracle, and the dedup operators themselves
 
 
-@query("docs_minhash_bands")
-def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banding audit: per band, distinct buckets and candidate
-    pairs (Σ n·(n−1)/2 over buckets). The banded groupBy is the
-    scale-correct candidate generator — candidate count is the cost model
-    for the downstream verify join, so this query IS the tuning surface.
-
-    Signature built via the staged kernel (one md5 pass per row, not one
-    per permutation — 35× faster at sf0.1)."""
-    from etl_instagram_spark.operators.dedup import _band_hashes
-
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    staged = T.with_minhash_signature(docs, "text", "sig", k=MINHASH_K)
-    bands = _band_hashes(F.col("sig"), MINHASH_K, MINHASH_BANDS)
-    exploded = staged.select(F.posexplode(bands).alias("band_idx", "band_hash"))
-    buckets = exploded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("n"))
-    return (
-        buckets.groupBy("band_idx")
-        .agg(
-            F.count("*").alias("n_buckets"),
-            F.max("n").alias("max_bucket"),
-            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_candidate_pairs"),
-        )
-        .orderBy("band_idx")
-    )
+# (docs_minhash_bands rotated out of the gate in r6 to make room for
+# docs_heavy_hitters / docs_ngram_jaccard — the banding machinery stays
+# gated end-to-end via docs_near_dedup_summary, which replays signature →
+# bands → candidates → verify; DuckDB parity retained in
+# plans/parity_extras.py)
 
 
 def _sql_minhash_sig() -> str:
@@ -329,9 +309,11 @@ def _sql_band_hashes() -> str:
     return band_hash_sql("sig", MINHASH_K, MINHASH_BANDS)
 
 
-oracle(
-    "docs_minhash_bands",
-    f"""
+def _sql_minhash_bands() -> str:
+    """The rotated docs_minhash_bands oracle, kept here (next to the
+    fragment generators it shares with docs_near_dedup_summary) for
+    plans/parity_extras.py."""
+    return f"""
     WITH t AS (SELECT trim(lower(text)) AS norm, {SQL_TOKS} AS toks FROM documents),
          s AS (SELECT CASE WHEN len(toks) < 3 THEN [norm]
                     ELSE [array_to_string(toks[i:i+2], ' ')
@@ -349,8 +331,7 @@ oracle(
            max(n) AS max_bucket,
            CAST(sum(n * (n - 1) / 2) AS BIGINT) AS n_candidate_pairs
     FROM buckets GROUP BY band_idx ORDER BY band_idx
-    """,
-)
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -2269,3 +2250,91 @@ def _sql_decontamination() -> str:
 
 
 oracle("docs_decontamination", _sql_decontamination)
+
+
+# ---------------------------------------------------------------------------
+# documents: exact heavy hitters (bounded-memory frequent terms)
+# ---------------------------------------------------------------------------
+
+# support = 1/100 as an exact rational; the threshold predicate is pure
+# integer arithmetic (count*den >= n*num) on BOTH engines, so there is no
+# float/ceil surface to drift
+_HH_NUM, _HH_DEN = 1, 100
+
+
+@query("docs_heavy_hitters")
+def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/frequency.heavy_hitters over the corpus token stream:
+    terms at ≥1 % of all tokens, with EXACT counts, computed without
+    ever group-by-shuffling the full term domain (two-pass Misra-Gries:
+    bounded per-partition candidate summaries, then an exact verify of
+    the broadcast candidate set only). The oracle is the plain
+    GROUP BY ... HAVING the operator provably equals."""
+    from etl_instagram_spark.operators.frequency import heavy_hitters
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    terms = docs.select(F.explode(T.tokens(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return heavy_hitters(terms, "term", _HH_NUM, _HH_DEN).orderBy(
+        F.desc("n_occ"), "term"
+    )
+
+
+oracle(
+    "docs_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({SQL_TOKS}) AS term FROM documents),
+         t AS (SELECT term FROM toks WHERE term IS NOT NULL AND term <> ''),
+         tot AS (SELECT count(*) AS n FROM t)
+    SELECT term, count(*) AS n_occ
+    FROM t CROSS JOIN tot
+    GROUP BY term, tot.n
+    HAVING count(*) * {_HH_DEN} >= tot.n * {_HH_NUM}
+    ORDER BY n_occ DESC, term
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# documents: exact all-pairs n-gram Jaccard join (prefix-filtered)
+# ---------------------------------------------------------------------------
+
+
+@query("docs_ngram_jaccard")
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.jaccard_join at τ=0.5: every document pair with
+    exact 3-gram Jaccard ≥ 0.5, with the similarity value. The Spark side
+    runs the prefix-filtered inverted-index join (frequency-ordered
+    prefixes, size filter, candidate-only verify); the oracle runs the
+    NAIVE all-pairs join — the gate therefore certifies that prefix
+    filtering is lossless on real data, not just in the unit tests."""
+    from etl_instagram_spark.operators.dedup import jaccard_join
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    pairs = jaccard_join(docs, "doc_id", "text", threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+oracle(
+    "docs_ngram_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, trim(lower(text)) AS norm, {SQL_TOKS} AS toks
+               FROM documents),
+         s AS (SELECT doc_id,
+                      CASE WHEN len(toks) < 3 THEN [norm]
+                           ELSE [array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks) - 1)] END AS sh
+               FROM t),
+         d AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          len(list_intersect(a.dsh, b.dsh))::DOUBLE
+                            / len(list_distinct(a.dsh || b.dsh)) AS j
+                   FROM d a JOIN d b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, round(j, 4) AS jaccard
+    FROM pairs WHERE j >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)

@@ -146,19 +146,8 @@ oracle(
     """,
 )
 
-oracle(
-    "customers_without_urgent_orders",
-    """
-    SELECT c_mktsegment,
-           count(*)               AS n_customers,
-           round(avg(c_acctbal), 4) AS avg_acctbal
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-    GROUP BY c_mktsegment
-    ORDER BY c_mktsegment
-    """,
-)
+# (customers_without_urgent_orders oracle moved to plans/parity_extras.py
+# with the query's r6 gate rotation)
 
 oracle(
     "top3_orders_per_customer",

@@ -21,6 +21,10 @@ Current entries:
   rotation dropped the gate's only ROLLUP/grouping-sets and cumulative
   window-frame coverage with no replacement — these restore both
   surfaces at pytest level)
+- ``customers_without_urgent_orders`` (r6; NOT-EXISTS anti-join — the
+  semi-join sibling stays gated via q4_order_priority_semijoin)
+- ``docs_minhash_bands`` (r6; banding audit — signature/band machinery
+  stays gated end-to-end via docs_near_dedup_summary)
 """
 
 from __future__ import annotations
@@ -235,3 +239,69 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@_extra(
+    "customers_without_urgent_orders",
+    """
+    SELECT c_mktsegment,
+           count(*)               AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (the engine's incremental-ingest gate,
+    J3/J5, operators.merge.anti_join_new) aggregated by segment (r6
+    rotation; the semi-join sibling stays gated via
+    q4_order_priority_semijoin)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cu.join(od.select("o_custkey").distinct(), cu.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def _sql_minhash_bands_extra() -> str:
+    from etl_instagram_spark.plans.llm_queries import _sql_minhash_bands
+
+    return _sql_minhash_bands()
+
+
+def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding audit: per band, distinct buckets and candidate
+    pairs (Σ n·(n−1)/2 over buckets) — the tuning surface for the verify
+    join's cost model (r6 rotation; the same signature/band machinery
+    stays gated end-to-end via docs_near_dedup_summary)."""
+    from etl_instagram_spark.operators.dedup import _band_hashes
+    from etl_instagram_spark.plans.llm_queries import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        _spread,
+    )
+    from etl_instagram_spark.functions import text as T
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    staged = T.with_minhash_signature(docs, "text", "sig", k=MINHASH_K)
+    bands = _band_hashes(F.col("sig"), MINHASH_K, MINHASH_BANDS)
+    exploded = staged.select(F.posexplode(bands).alias("band_idx", "band_hash"))
+    buckets = exploded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("n"))
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_candidate_pairs"),
+        )
+        .orderBy("band_idx")
+    )
+
+
+EXTRAS["docs_minhash_bands"] = (docs_minhash_bands, _sql_minhash_bands_extra())

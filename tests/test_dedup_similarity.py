@@ -545,3 +545,68 @@ def test_skewed_dup_clusters_stay_near_uniform_cost(spark):
     # uniform runs don't make the ratio meaningless
     assert exact_s <= 3 * exact_u + 2.0, (exact_s, exact_u)
     assert near_s <= 3 * near_u + 2.0, (near_s, near_u)
+
+
+# ---------------------------------------------------------------------------
+# exact prefix-filtered Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    """Reference mirror of text.with_word_shingles(distinct=True)."""
+    norm = text.strip().lower()
+    toks = __import__("re").split(r"\s+", norm)
+    if len(toks) < n:
+        return {norm}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_jaccard_pairs(rows, threshold, n=3):
+    out = set()
+    for i, (ia, ta) in enumerate(rows):
+        sa = _py_shingles(ta, n)
+        for ib, tb in rows[i + 1 :]:
+            sb = _py_shingles(tb, n)
+            lo, hi = (ia, ib) if ia < ib else (ib, ia)
+            u = sa | sb
+            j = len(sa & sb) / len(u) if u else 0.0
+            if j >= threshold:
+                out.add((lo, hi, round(j, 6)))
+    return out
+
+
+def test_jaccard_join_matches_naive_all_pairs(spark):
+    out = D.jaccard_join(corpus(spark), "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in out.collect()}
+    rows = [(r["doc_id"], r["text"]) for r in corpus(spark).collect()]
+    assert got == _py_jaccard_pairs(rows, 0.5)
+    # the planted structure: exact dup pair at J=1.0, near-dup pair high
+    assert (1, 2, 1.0) in got
+    assert any(p[:2] == (1, 3) for p in got)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "fish", "cat", "dog", "sun"]),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_jaccard_join_lossless_property(spark, texts, threshold):
+    """Prefix filtering must be LOSSLESS: the filtered join equals the
+    naive all-pairs join for any corpus and threshold."""
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    out = D.jaccard_join(df, "doc_id", "text", threshold=threshold)
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in out.collect()}
+    assert got == _py_jaccard_pairs(rows, threshold)
