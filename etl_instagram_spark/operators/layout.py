@@ -133,3 +133,83 @@ def partition_filter_count(df: DataFrame) -> int:
     if not m or not m.group(1).strip():
         return 0
     return m.group(1).count(",") + 1
+
+
+def zorder_key(
+    cols: Sequence["F.Column"],
+    ranges: Sequence[tuple[float, float]],
+    bits: int = 16,
+) -> "F.Column":
+    """Morton (Z-order) key: normalize each column to a ``bits``-wide
+    integer grid over its [min, max] range, then interleave the bits.
+
+    Files written in z-key order are clustered on EVERY participating
+    column at once: each file's [min, max] footer stats are tight for
+    all of them, so a predicate on ANY one column prunes files — the
+    multi-column answer to single-column sort (which prunes perfectly on
+    the sort key and not at all on the others). This is the same layout
+    lever as Delta's OPTIMIZE ZORDER BY, expressed as a pure column
+    function. NULL and constant columns land at grid 0.
+
+    Pure codegen: per column a scale + floor, then bits×ncols shift/and/
+    or terms — no UDF, no shuffle (the shuffle belongs to the writer's
+    repartitionByRange).
+    """
+    if len(cols) != len(ranges):
+        raise ValueError("cols and ranges must align")
+    if not 1 <= bits <= 20:
+        raise ValueError("bits must be in [1, 20]")
+    n = len(cols)
+    grid_max = (1 << bits) - 1
+    grids = []
+    for c, (mn, mx) in zip(cols, ranges):
+        if mx <= mn:  # constant column: no clustering signal
+            grids.append(F.lit(0).cast("long"))
+            continue
+        scaled = (c.cast("double") - mn) / (mx - mn) * grid_max
+        g = F.floor(
+            F.least(F.greatest(scaled, F.lit(0.0)), F.lit(float(grid_max)))
+        )
+        grids.append(F.coalesce(g, F.lit(0)).cast("long"))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, g in enumerate(grids):
+            bit = F.shiftright(g, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write parquet clustered by the Z-order of ``cols``: one bounded
+    agg for the per-column ranges, then range-repartition + sort on the
+    z-key so each output file covers a contiguous z-range (a small
+    hyper-rectangle of the column space). Point/range predicates on any
+    of ``cols`` then skip most files via footer min/max stats.
+
+    At 100 TB this runs once at compaction/release time (like bucketing,
+    it amortizes one shuffle across every later scan); n_files scales to
+    total-bytes / target-file-size.
+    """
+    ranges_row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    ranges = [(ranges_row[f"mn_{c}"], ranges_row[f"mx_{c}"]) for c in cols]
+    if any(mn is None for mn, _ in ranges):  # empty input: plain write
+        df.write.mode("overwrite").parquet(path)
+        return
+    z = zorder_key([F.col(c) for c in cols], ranges, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -79,3 +79,97 @@ def test_salted_join_matches_plain_join(spark):
         .count()
     )
     assert spread > 1
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering
+# ---------------------------------------------------------------------------
+
+
+def _py_interleave(coords: list[int], bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        for i, c in enumerate(coords):
+            z |= ((c >> b) & 1) << (b * len(coords) + i)
+    return z
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from etl_instagram_spark.operators.layout import zorder_key
+
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    # ranges [0,3] with bits=2: grid == the raw coordinate
+    z = zorder_key([F.col("x"), F.col("y")], [(0, 3), (0, 3)], bits=2)
+    got = {(r["x"], r["y"]): r["z"] for r in df.withColumn("z", z).collect()}
+    for x, y in rows:
+        assert got[(x, y)] == _py_interleave([x, y], 2), (x, y)
+
+
+def test_zorder_key_null_and_constant_columns(spark):
+    from etl_instagram_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(None, 5), (2, 5)], "x int, c int")
+    z = zorder_key([F.col("x"), F.col("c")], [(0, 3), (5, 5)], bits=2)
+    vals = [r["z"] for r in df.withColumn("z", z).collect()]
+    assert vals[0] == 0  # null x → grid 0; constant c → grid 0
+    assert vals[1] == _py_interleave([2, 0], 2)
+
+
+def _file_hit_fractions(path: str, probe_x: float, probe_y: float):
+    """Fraction of parquet files whose [min,max] footer range contains
+    the probe, per column — the file-skipping a stats-aware scan gets."""
+    import glob
+
+    import duckdb
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    hits_x = hits_y = 0
+    for f in files:
+        mnx, mxx, mny, mxy = duckdb.sql(
+            f"SELECT min(x), max(x), min(y), max(y) FROM '{f}'"
+        ).fetchone()
+        hits_x += mnx <= probe_x <= mxx
+        hits_y += mny <= probe_y <= mxy
+    return hits_x / len(files), hits_y / len(files), len(files)
+
+
+def test_write_zordered_prunes_on_both_columns(spark, tmp_path):
+    """The layout claim, measured: z-ordered files are clustered on BOTH
+    columns (a probe on either hits a minority of files), while the
+    single-column sort prunes one dimension and rescans the other."""
+    import random
+
+    from etl_instagram_spark.operators.layout import write_zordered
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(64), rng.randrange(64)) for _ in range(4096)]
+    df = spark.createDataFrame(rows, "x int, y int")
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, ["x", "y"], n_files=16, bits=6)
+    zx, zy, nz = _file_hit_fractions(zpath, 31.5, 31.5)
+    assert nz == 16
+    # each file ≈ a 16×16 block of the 64×64 grid → ~4/16 files per probe;
+    # unaligned range cuts can straddle blocks, hence the 0.6 ceiling
+    assert zx <= 0.6 and zy <= 0.6, (zx, zy)
+
+    lpath = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    lx, ly, _ = _file_hit_fractions(lpath, 31.5, 31.5)
+    assert lx <= 0.2  # sort column prunes perfectly
+    assert ly == 1.0  # the other column cannot prune at all
+
+
+def test_write_zordered_empty_input(spark, tmp_path):
+    from etl_instagram_spark.operators.layout import write_zordered
+
+    df = spark.createDataFrame([], "x int, y int")
+    p = str(tmp_path / "empty")
+    write_zordered(df, p, ["x", "y"], n_files=4)
+    assert spark.read.parquet(p).count() == 0
