@@ -203,6 +203,13 @@ def jaccard_join(
     ).select(
         F.col(id_col).alias("__id"), F.col("__sh"), F.size("__sh").alias("__sz")
     )
+    # pin the shingle table: it feeds the inverted index AND both verify
+    # sides (4 consumers), and the prefix feeds both halves of the
+    # self-join — without pinning, one action re-shingles the corpus per
+    # branch. localCheckpoint materializes once on the executors; at
+    # cluster scale the equivalent persist(DISK_ONLY) trades one
+    # materialization for O(branches) recomputes of a corpus-sized scan.
+    shingled = shingled.localCheckpoint(eager=False)
     exploded = shingled.select("__id", "__sz", F.explode("__sh").alias("__s"))
     dfreq = exploded.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("__id").orderBy("__df", "__s")
@@ -214,9 +221,29 @@ def jaccard_join(
         exploded.join(dfreq, "__s")
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= F.col("__sz") - t_req + 1)
-        .select("__s", "__id", "__sz")
-    )
+        .select("__s", "__id", "__sz", "__rk")
+    ).localCheckpoint(eager=False)
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter (Xiao et al.): a match at prefix ranks
+    # (rka, rkb) caps the pair's possible overlap at
+    # min(sza−rka, szb−rkb)+1 — the smallest common shingle's match has
+    # the loosest cap, so filtering per-match BEFORE the distinct keeps
+    # every qualifying pair (that match always passes) while dropping
+    # pairs that merely brush prefixes late. t_pair = τ/(1+τ)·(sza+szb)
+    # is the overlap J ≥ τ forces; −1e-9 keeps the float compare
+    # prune-only. This is the candidate-killer: without it the τ=0.5
+    # prefix is half of every doc and the verify join dominates.
+    overlap_cap = (
+        F.least(
+            F.col("a.__sz") - F.col("a.__rk"), F.col("b.__sz") - F.col("b.__rk")
+        )
+        + 1
+    )
+    t_pair = (
+        F.lit(threshold)
+        / (1.0 + threshold)
+        * (F.col("a.__sz") + F.col("b.__sz"))
+    )
     cands = (
         a.join(
             b,
@@ -224,18 +251,62 @@ def jaccard_join(
             & (F.col("a.__id") < F.col("b.__id"))
             # J ≥ τ ⟹ min size ≥ τ·max size; +1e-9 slack: prune-only
             & (F.col("a.__sz") + 1e-9 >= F.lit(threshold) * F.col("b.__sz"))
-            & (F.col("b.__sz") + 1e-9 >= F.lit(threshold) * F.col("a.__sz")),
+            & (F.col("b.__sz") + 1e-9 >= F.lit(threshold) * F.col("a.__sz"))
+            & (overlap_cap >= t_pair - 1e-9),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    sh_a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
-    sh_b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    # Verify in two tiers. Tier 1: intersect 64-bit shingle hashes —
+    # each shingle hashed ONCE per doc (not once per pair), and the
+    # per-pair intersect runs on primitive long arrays instead of
+    # strings (~5× cheaper measured). Equal strings always hash equal,
+    # so a collision can only INFLATE the hashed overlap — the filter
+    # below never drops a qualifying pair. Tier 2: exact string-shingle
+    # Jaccard on the few tier-1 survivors, so collisions cannot create
+    # false positives either: the RESULT is exact string similarity.
+    hashed = shingled.withColumn(
+        "__shh", F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
+    )
+    h_a = hashed.select(
+        F.col("__id").alias("id_a"),
+        F.col("__shh").alias("__ha"),
+        F.col("__sz").alias("__sza"),
+    )
+    h_b = hashed.select(
+        F.col("__id").alias("id_b"),
+        F.col("__shh").alias("__hb"),
+        F.col("__sz").alias("__szb"),
+    )
+    inter_h = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    pair_t = (
+        F.lit(threshold)
+        / (1.0 + threshold)
+        * (F.col("__sza") + F.col("__szb"))
+    )
+    survivors = (
+        cands.join(h_a, "id_a")
+        .join(h_b, "id_b")
+        .filter(inter_h >= pair_t - 1e-9)
+        .select("id_a", "id_b")
+    )
+    sh_a = shingled.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("__sha"),
+        F.col("__sz").alias("__sza"),
+    )
+    sh_b = shingled.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("__shb"),
+        F.col("__sz").alias("__szb"),
+    )
+    # both sides are distinct sets, so |A∪B| = |A|+|B|−|A∩B| — no
+    # array_union allocation just to take a size
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
-    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    union = F.col("__sza") + F.col("__szb") - inter
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
     return (
-        cands.join(sh_a, "id_a")
+        survivors.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)

@@ -49,6 +49,9 @@ _SUMMARY_SCHEMA = StructType(
     [
         # candidate term (NULL on the one per-partition total row)
         StructField("term", StringType(), True),
+        # the term's Misra-Gries residual weight (NULL on the total row);
+        # for any term, true_count - n/(capacity+1) <= weight <= true_count
+        StructField("weight", LongType(), True),
         # partition row count (NULL on candidate rows)
         StructField("n_part", LongType(), True),
     ]
@@ -88,9 +91,11 @@ def mg_summary(terms: DataFrame, term_col: str, capacity: int) -> DataFrame:
             for term in col[col.notna()]:
                 n += 1
                 _mg_update(counters, term, capacity)
-        out: list[dict[str, Any]] = [{"term": t, "n_part": None} for t in counters]
-        out.append({"term": None, "n_part": n})
-        yield pd.DataFrame(out, columns=["term", "n_part"])
+        out: list[dict[str, Any]] = [
+            {"term": t, "weight": w, "n_part": None} for t, w in counters.items()
+        ]
+        out.append({"term": None, "weight": None, "n_part": n})
+        yield pd.DataFrame(out, columns=["term", "weight", "n_part"])
 
     return terms.select(F.col(term_col)).mapInPandas(run, _SUMMARY_SCHEMA)
 
@@ -138,3 +143,49 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias(out_count_col))
         .filter(F.col(out_count_col) * support_den >= F.lit(n) * support_num)
     )
+
+
+def mg_merge(summaries: DataFrame, capacity: int) -> DataFrame:
+    """Merge any union of Misra-Gries summaries (partition summaries,
+    per-batch summaries, a store of epoch summaries) into ONE summary of
+    at most ``capacity`` counters, in the `_SUMMARY_SCHEMA` shape.
+
+    Mergeability (Agarwal et al., "Mergeable Summaries", PODS'12): sum
+    weights per term, then subtract the (capacity+1)-th largest combined
+    weight from every term and drop the non-positive remainder. The
+    merged summary keeps the MG error bound over the COMBINED stream —
+    for every term, ``true_count − n/(capacity+1) ≤ weight ≤
+    true_count`` — so merging is associative and order-free: summaries
+    can be folded across partitions, micro-batches, or days without ever
+    touching raw history again.
+
+    The trim quantile is a bounded collect (capacity+1 weights); the
+    groupBy runs over summary rows, never raw terms.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    n = (
+        summaries.filter(F.col("term").isNull())
+        .agg(F.sum("n_part"))
+        .collect()[0][0]
+        or 0
+    )
+    combined = (
+        summaries.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    top = [
+        r["weight"]
+        for r in combined.orderBy(F.desc("weight")).limit(capacity + 1).collect()
+    ]
+    theta = top[capacity] if len(top) > capacity else 0
+    spark = summaries.sparkSession
+    trimmed = (
+        combined.withColumn("weight", F.col("weight") - F.lit(theta))
+        .filter(F.col("weight") > 0)
+        .withColumn("n_part", F.lit(None).cast("long"))
+        .select("term", "weight", "n_part")
+    )
+    total = spark.createDataFrame([(None, None, n)], _SUMMARY_SCHEMA)
+    return trimmed.unionByName(total)

@@ -456,3 +456,170 @@ def continuous_rollup_read(
         F.col("sum___rc").alias("n_rows"),
         F.col(f"sum_{sum_col}").alias(f"sum_{value_col}"),
     )
+
+
+# ---------------------------------------------------------------------------
+# continuous heavy hitters: incrementally maintained frequent-terms summary
+# ---------------------------------------------------------------------------
+
+# reserved term_key for the per-epoch total row (real terms are raw token
+# strings; a NUL byte cannot survive the tokenizers, and NULL itself is
+# unusable as an upsert key — null keys never match a join)
+HH_TOTAL_KEY = "\x00total"
+
+
+def apply_hh_delta(
+    store: MergeTable,
+    batch_df: DataFrame,
+    epoch_id: int,
+    term_col: str = "term",
+) -> None:
+    """Fold one micro-batch into the heavy-hitters summary store.
+
+    The delta is the batch's EXACT per-term counts plus one total row,
+    KEYED BY (epoch_id, term_key) — exact-and-deterministic on purpose:
+    a Misra-Gries pass over the batch would be smaller but its counter
+    set depends on row order, so a foreachBatch replay could write a
+    DIFFERENT summary for the same epoch and latest-wins upsert would
+    strand the first attempt's leftover terms. Exact per-batch counts
+    replay to identical rows (the same exactly-once contract as
+    apply_rollup_delta); an exact count is also a valid zero-error MG
+    summary, so read-time merging stays inside the mergeability bound.
+
+    Per-epoch rows are O(distinct terms in the batch) — bounded by batch
+    size, not corpus size; compact_hh_summaries keeps total history
+    O(capacity)."""
+    delta = (
+        batch_df.filter(F.col(term_col).isNotNull())
+        .groupBy(F.col(term_col).alias("term_key"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .withColumn("n_part", F.lit(None).cast("long"))
+    )
+    total = (
+        batch_df.filter(F.col(term_col).isNotNull())
+        .agg(F.count(F.lit(1)).alias("n_part"))
+        .select(
+            F.lit(HH_TOTAL_KEY).alias("term_key"),
+            F.lit(None).cast("long").alias("weight"),
+            "n_part",
+        )
+    )
+    store.upsert(
+        delta.unionByName(total).withColumn("epoch_id", F.lit(int(epoch_id)))
+    )
+
+
+def _store_to_summary(rows: DataFrame) -> DataFrame:
+    """Store rows → operators.frequency summary shape (term NULL on
+    total rows)."""
+    return rows.select(
+        F.when(F.col("term_key") == HH_TOTAL_KEY, F.lit(None))
+        .otherwise(F.col("term_key"))
+        .alias("term"),
+        "weight",
+        "n_part",
+    )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    store: MergeTable,
+    checkpoint_dir: str,
+    term_col: str = "term",
+) -> bool:
+    """One AvailableNow tick of the continuous frequent-terms loop:
+    drain newly landed term rows (e.g. the exploded token stream of an
+    ingest tick) and fold each micro-batch's exact counts into the
+    epoch-keyed summary store. Crash replays upsert identical rows; the
+    store + checkpoint_dir are a unit, like the rollup partials."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_hh_delta(store, batch_df, epoch_id, term_col)
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
+def heavy_hitters_read(
+    store: MergeTable,
+    capacity: int,
+    support_num: int,
+    support_den: int,
+) -> DataFrame:
+    """Frequent terms over EVERYTHING the store has absorbed, without
+    rescanning any history: merge the epoch summaries (mergeable-MG
+    trim to ``capacity`` counters — operators.frequency.mg_merge) and
+    report every term whose count COULD reach support num/den.
+
+    Semantics (capacity must satisfy capacity+1 > den/num):
+    - complete: a term with true share ≥ num/den has merged weight
+      ≥ f − n/(capacity+1) > 0, so it is present and reported — no
+      false negatives;
+    - bounded: true count ∈ [weight_lo, weight_hi] with
+      weight_hi − weight_lo = floor(n/(capacity+1)); near-threshold
+      false positives are possible (they carry honest bounds). A caller
+      needing the exact answer runs operators.frequency.heavy_hitters
+      over raw history — this face is the O(1)-state approximation the
+      100-TB stream maintains continuously."""
+    if capacity + 1 <= support_den / support_num:
+        raise ValueError(
+            "capacity+1 must exceed den/num or true heavy hitters can "
+            "fall out of the merged summary"
+        )
+    from etl_instagram_spark.operators.frequency import mg_merge
+
+    merged = mg_merge(_store_to_summary(store.read()), capacity)
+    merged = merged.localCheckpoint(eager=True)
+    n = merged.filter(F.col("term").isNull()).agg(F.sum("n_part")).collect()[0][0] or 0
+    slack = n // (capacity + 1)
+    return (
+        merged.filter(F.col("term").isNotNull())
+        .select(
+            "term",
+            F.col("weight").alias("weight_lo"),
+            (F.col("weight") + slack).alias("weight_hi"),
+        )
+        .filter(F.col("weight_hi") * support_den >= F.lit(n) * support_num)
+    )
+
+
+def compact_hh_summaries(
+    store: MergeTable, through_epoch: int, capacity: int
+) -> int:
+    """Collapse every summary row with ``epoch_id <= through_epoch``
+    into ONE merged ≤``capacity``-counter summary re-keyed at
+    ``through_epoch`` (one atomic overwrite). Same safety contract as
+    compact_rollup_partials: the watermark must sit strictly below the
+    newest epoch (which proves everything at or below it committed and
+    can never re-fire), so the re-keyed rows are final. After
+    compaction, history is O(capacity) + the recent exact tail, and the
+    merged summary keeps the n/(capacity+1) error bound (trimming is
+    how mergeable summaries compose). Returns rows eliminated."""
+    from etl_instagram_spark.operators.frequency import mg_merge
+
+    stored = store.read()
+    mx = stored.agg(F.max("epoch_id").alias("m")).first()["m"]
+    if mx is None or through_epoch >= mx:
+        raise ValueError(
+            f"through_epoch must be < the newest epoch present ({mx}); "
+            f"got {through_epoch} — the latest epoch may still re-fire"
+        )
+    old = stored.filter(F.col("epoch_id") <= through_epoch)
+    n_old = old.count()
+    if n_old == 0:
+        return 0
+    merged = (
+        mg_merge(_store_to_summary(old), capacity)
+        .select(
+            F.coalesce(F.col("term"), F.lit(HH_TOTAL_KEY)).alias("term_key"),
+            "weight",
+            "n_part",
+        )
+        .withColumn("epoch_id", F.lit(int(through_epoch)))
+    )
+    keep = stored.filter(F.col("epoch_id") > through_epoch)
+    n_merged = merged.count()
+    store.overwrite(keep.unionByName(merged.select(*keep.columns)))
+    return n_old - n_merged

@@ -91,3 +91,127 @@ def test_property_matches_exact(spark, terms, num_den, parts):
     num, den = num_den
     got = rows_set(heavy_hitters(terms_df(spark, terms, parts), "term", num, den))
     assert set(got) == exact_hh(terms, num, den)
+
+
+# ---------------------------------------------------------------------------
+# incremental / streaming heavy hitters (streaming/incremental.py)
+# ---------------------------------------------------------------------------
+
+from etl_instagram_spark.operators.merge import MergeTable
+from etl_instagram_spark.streaming.incremental import (
+    HH_TOTAL_KEY,
+    apply_hh_delta,
+    compact_hh_summaries,
+    heavy_hitters_read,
+    stream_heavy_hitters,
+)
+
+
+def hh_store(spark, tmp_path):
+    return MergeTable(
+        spark,
+        str(tmp_path / "hh_store"),
+        key=["epoch_id", "term_key"],
+        order_by="epoch_id",
+    )
+
+
+BATCHES = [
+    ["the"] * 40 + ["of"] * 15 + [f"a{i}" for i in range(30)],
+    ["the"] * 30 + ["and"] * 25 + [f"b{i}" for i in range(40)],
+    ["of"] * 20 + ["the"] * 10 + [f"c{i}" for i in range(20)],
+]
+
+
+def test_incremental_hh_bounds_and_completeness(spark, tmp_path):
+    store = hh_store(spark, tmp_path)
+    for epoch, batch in enumerate(BATCHES):
+        apply_hh_delta(store, terms_df(spark, batch, 3), epoch)
+
+    allterms = [t for b in BATCHES for t in b]
+    counts = Counter(allterms)
+    n = len(allterms)
+    capacity = 25  # support 1/10 needs capacity+1 > 10; use extra room
+    out = {
+        r["term"]: (r["weight_lo"], r["weight_hi"])
+        for r in heavy_hitters_read(store, capacity, 1, 10).collect()
+    }
+    # completeness: every true >=10% term is reported
+    for t, c in counts.items():
+        if c * 10 >= n:
+            assert t in out, (t, c, n)
+    # honest bounds on everything reported
+    for t, (lo, hi) in out.items():
+        assert lo <= counts[t] <= hi, (t, lo, counts[t], hi)
+        assert hi - lo == n // (capacity + 1)
+
+
+def test_incremental_hh_replay_idempotent(spark, tmp_path):
+    store = hh_store(spark, tmp_path)
+    apply_hh_delta(store, terms_df(spark, BATCHES[0], 2), 0)
+    before = rows_set(heavy_hitters_read(store, 25, 1, 10))
+    # foreachBatch re-fires epoch 0 after a crash
+    apply_hh_delta(store, terms_df(spark, BATCHES[0], 4), 0)
+    assert rows_set(heavy_hitters_read(store, 25, 1, 10)) == before
+    # store did not grow: same (epoch, term_key) rows upserted over selves
+    assert store.read().count() == len(set(BATCHES[0])) + 1
+
+
+def test_incremental_hh_compaction_preserves_report(spark, tmp_path):
+    store = hh_store(spark, tmp_path)
+    for epoch, batch in enumerate(BATCHES):
+        apply_hh_delta(store, terms_df(spark, batch, 2), epoch)
+    capacity = 25
+    before = heavy_hitters_read(store, capacity, 1, 10)
+    before_terms = {r["term"] for r in before.collect()}
+
+    with pytest.raises(ValueError, match="through_epoch"):
+        compact_hh_summaries(store, 2, capacity)  # == newest: refused
+
+    eliminated = compact_hh_summaries(store, 1, capacity)
+    assert eliminated > 0
+    after = heavy_hitters_read(store, capacity, 1, 10)
+    after_terms = {r["term"] for r in after.collect()}
+    # completeness survives compaction (bounds may widen only within the
+    # mergeability guarantee, so true HH can never drop out)
+    allterms = [t for b in BATCHES for t in b]
+    counts, n = Counter(allterms), len(allterms)
+    for t, c in counts.items():
+        if c * 10 >= n:
+            assert t in after_terms, t
+    for r in after.collect():
+        assert r["weight_lo"] <= counts[r["term"]] <= r["weight_hi"], r
+    # compaction is re-runnable at a higher watermark only; history shrank
+    assert store.read().filter(F.col("epoch_id") <= 1).count() <= capacity + 1
+    assert before_terms <= after_terms | before_terms  # sanity
+
+
+def test_heavy_hitters_read_rejects_undersized_capacity(spark, tmp_path):
+    store = hh_store(spark, tmp_path)
+    apply_hh_delta(store, terms_df(spark, ["x", "y"], 1), 0)
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters_read(store, 9, 1, 10)
+
+
+def test_stream_heavy_hitters_tick(spark, tmp_path):
+    """End-to-end AvailableNow drain: landed JSON term rows → epoch
+    summaries → report."""
+    import json
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b0.json").write_text(
+        "\n".join(json.dumps({"term": t}) for t in BATCHES[0])
+    )
+    store = hh_store(spark, tmp_path)
+    stream_heavy_hitters(
+        spark,
+        str(landing),
+        "term string",
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    got = {r["term"] for r in heavy_hitters_read(store, 25, 1, 10).collect()}
+    assert "the" in got and "of" in got
+    stored = store.read()
+    assert stored.filter(F.col("term_key") == HH_TOTAL_KEY).count() >= 1
