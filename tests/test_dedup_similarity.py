@@ -610,3 +610,45 @@ def test_jaccard_join_lossless_property(spark, texts, threshold):
     out = D.jaccard_join(df, "doc_id", "text", threshold=threshold)
     got = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in out.collect()}
     assert got == _py_jaccard_pairs(rows, threshold)
+
+
+def test_jaccard_join_boilerplate_skew_stays_near_uniform_cost(spark):
+    """The frequency-ordered prefix claim, pinned with wall-clock: a
+    corpus-wide boilerplate suffix gives every doc ~8 shingles with
+    df == n. If those entered the prefix index the candidate join would
+    be O(n²) (16M pairs here); frequency ordering sorts them LAST so
+    they fall outside every prefix and the skewed run stays within a
+    noise-absorbing factor of the boilerplate-free one."""
+    import time
+
+    n = 4000
+
+    def words(idc, salt):
+        return F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{salt}{j}_"), idc * (31 + j) + j)
+                for j in range(12)
+            ],
+        )
+
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    uniform = base.select("doc_id", words(F.col("doc_id"), "u").alias("text"))
+    boiler = base.select(
+        "doc_id",
+        F.concat(
+            words(F.col("doc_id"), "b"),
+            F.lit(" subscribe to our newsletter terms of service apply today"),
+        ).alias("text"),
+    )
+
+    def timed(df):
+        t0 = time.perf_counter()
+        cnt = D.jaccard_join(df, "doc_id", "text", threshold=0.5).count()
+        return time.perf_counter() - t0, cnt
+
+    timed(uniform.limit(500))  # warm codegen/JVM
+    t_u, c_u = timed(uniform)
+    t_s, c_s = timed(boiler)
+    assert c_u == 0 and c_s == 0, (c_u, c_s)  # boilerplate alone J≈0.23
+    assert t_s <= 3 * t_u + 2.0, (t_s, t_u)
