@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_instagram_spark.functions.text import hash32, hash32_sql
@@ -228,3 +228,106 @@ def mix_corpora(
         ).withColumn(source_col, F.lit(name))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# weighted repeat (upsampling) and deterministic shuffle order
+# ---------------------------------------------------------------------------
+
+
+def repeat_by_weight(
+    df: DataFrame,
+    id_col: str,
+    multiplier: "float | dict[str, float]",
+    strata_col: str | None = None,
+    salt: str = "repeat",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic fractional repetition — the UPSAMPLING half of
+    corpus mixing (mix_corpora deliberately only downsamples; multi-epoch
+    recipes repeat high-quality sources 2-3×). Each row is emitted
+    ``floor(m)`` times, plus once more iff its hash bucket falls under
+    ``frac(m)`` — so realized counts hit the target in expectation AND
+    are a pure function of (id, salt): re-runs, different partitionings,
+    and different engines produce the SAME copy set, and a per-row
+    ``copy_col`` (1..copies) keeps downstream keys unique.
+
+    ``multiplier`` ≥ 0; values < 1 degrade to deterministic downsampling
+    (consistent with stratified_sample). A dict maps ``strata_col``
+    values → multipliers; strata absent from the dict keep m = 1.0.
+
+    Scale: a per-row projection + explode inside the scan stage — no
+    shuffle; output size is Σ m_s·n_s by construction.
+    """
+
+    def copies_for(m: float) -> Column:
+        if m < 0:
+            raise ValueError(f"multiplier must be >= 0, got {m}")
+        whole = int(m)
+        frac_edge = int(round((m - whole) * _BUCKETS))
+        return F.lit(whole) + (
+            _bucket(F.col(id_col), salt) < F.lit(frac_edge)
+        ).cast("int")
+
+    if isinstance(multiplier, dict):
+        if strata_col is None:
+            raise ValueError("strata_col is required when multiplier is a dict")
+        copies: Column = F.lit(None).cast("int")
+        expr = None
+        for k, m in multiplier.items():
+            clause = (F.col(strata_col) == F.lit(k), copies_for(m))
+            expr = F.when(*clause) if expr is None else expr.when(*clause)
+        copies = expr.otherwise(F.lit(1)) if expr is not None else F.lit(1)
+    else:
+        copies = copies_for(multiplier)
+
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") >= 1)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+        .drop("__copies")
+    )
+
+
+def repeat_sql_copies(
+    id_expr: str, multiplier: float, salt: str = "repeat"
+) -> str:
+    """DuckDB expression mirroring :func:`repeat_by_weight`'s per-row
+    copy count (replay the explode with
+    ``CROSS JOIN generate_series(1, copies)``)."""
+    whole = int(multiplier)
+    frac_edge = int(round((multiplier - whole) * _BUCKETS))
+    return (
+        f"({whole} + CASE WHEN {bucket_sql(id_expr, salt)} < {frac_edge} "
+        "THEN 1 ELSE 0 END)"
+    )
+
+
+def shuffle_key(id_col: Column, salt: str = "shuffle") -> Column:
+    """Deterministic pseudo-random global sort key: (hash bucket, id).
+    ``df.repartitionByRange(n, key).sortWithinPartitions(key)`` writes a
+    corpus in reproducible shuffled order with NO single-task bottleneck
+    — the scale-correct way to fix a training order. The order is a pure
+    function of (id, salt): stable under corpus growth (new rows
+    interleave, existing relative order never flips) and across engines;
+    a different salt is an independent permutation."""
+    return F.struct(
+        _bucket(id_col, salt).alias("b"), id_col.alias("i")
+    )
+
+
+def shuffle_rank(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    salt: str = "shuffle",
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Materialized per-stratum rank in :func:`shuffle_key` order (a
+    window per stratum — parallel over strata; for a TOTAL corpus rank
+    at 100 TB prefer writing in shuffle_key order instead of computing a
+    global dense rank)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return df.withColumn(rank_col, F.row_number().over(w))

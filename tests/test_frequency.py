@@ -215,3 +215,45 @@ def test_stream_heavy_hitters_tick(spark, tmp_path):
     assert "the" in got and "of" in got
     stored = store.read()
     assert stored.filter(F.col("term_key") == HH_TOTAL_KEY).count() >= 1
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    capacity=st.sampled_from([2, 3, 5]),
+)
+def test_mg_merge_error_bound_property(spark, batches, capacity):
+    """The mergeability claim itself, pinned: merging per-batch MG
+    summaries (any split, any order) keeps every term's weight within
+    [true_count − n/(capacity+1), true_count], and absent terms have
+    true_count ≤ n/(capacity+1)."""
+    from etl_instagram_spark.operators.frequency import mg_merge, mg_summary
+
+    summaries = None
+    for batch in batches:
+        s = mg_summary(terms_df(spark, batch, 2), "term", capacity)
+        summaries = s if summaries is None else summaries.unionByName(s)
+    merged = mg_merge(summaries, capacity).collect()
+
+    counts = Counter(t for b in batches for t in b)
+    n = sum(counts.values())
+    weights = {r["term"]: r["weight"] for r in merged if r["term"] is not None}
+    n_row = sum(r["n_part"] or 0 for r in merged if r["term"] is None)
+    assert n_row == n
+    assert len(weights) <= capacity
+    slack = n / (capacity + 1)
+    for t, c in counts.items():
+        w = weights.get(t, 0)
+        assert w <= c, (t, w, c)
+        assert w >= c - slack - 1e-9, (t, w, c, slack)

@@ -413,3 +413,149 @@ def test_first_fit_matches_python_reference_property(spark):
         assert got == want
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# repeat_by_weight / shuffle order
+# ---------------------------------------------------------------------------
+
+from etl_instagram_spark.operators.sampling import (  # noqa: E402
+    repeat_by_weight,
+    repeat_sql_copies,
+    shuffle_key,
+    shuffle_rank,
+)
+
+
+def test_repeat_matches_duckdb_mirror(spark, ids):
+    m = 1.7
+    got = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in repeat_by_weight(ids, "doc_id", m).collect()
+    )
+    copies = repeat_sql_copies("doc_id", m)
+    want = sorted(
+        duckdb.sql(
+            f"""SELECT doc_id, unnest(range(1, c + 1)) AS copy_idx
+                FROM (SELECT doc_id, {copies}::BIGINT AS c
+                      FROM range(2000) t(doc_id))"""
+        ).fetchall()
+    )
+    assert got == want
+    # expectation: realized total within hash noise of m*n
+    assert abs(len(got) - m * 2000) < 0.05 * 2000
+
+
+def test_repeat_per_stratum_and_downsample(spark, labeled):
+    mult = {"en": 2.0, "es": 0.5}
+    out = repeat_by_weight(labeled, "doc_id", mult, strata_col="lang")
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    base = {
+        r["lang"]: r["n"]
+        for r in labeled.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["en"] == 2 * base["en"]  # integer multiplier: exact
+    assert abs(counts["es"] - 0.5 * base["es"]) < 0.15 * base["es"]
+    # unlisted strata keep multiplier 1.0
+    for lang in base:
+        if lang not in mult:
+            assert counts.get(lang, 0) == base[lang]
+    # deterministic across partitionings
+    again = repeat_by_weight(
+        labeled.repartition(7), "doc_id", mult, strata_col="lang"
+    )
+    key = lambda df: sorted(
+        (r["doc_id"], r["copy_idx"]) for r in df.select("doc_id", "copy_idx").collect()
+    )
+    assert key(out) == key(again)
+
+
+def test_repeat_validation(spark, ids):
+    with pytest.raises(ValueError, match=">= 0"):
+        repeat_by_weight(ids, "doc_id", -0.5).collect()
+    with pytest.raises(ValueError, match="strata_col"):
+        repeat_by_weight(ids, "doc_id", {"en": 2.0})
+
+
+def test_shuffle_rank_matches_duckdb_and_is_growth_stable(spark, labeled):
+    from etl_instagram_spark.operators.sampling import bucket_sql
+
+    ranked = shuffle_rank(labeled, "doc_id", "lang")
+    got = sorted(
+        (r["lang"], r["shuffle_rank"], r["doc_id"]) for r in ranked.collect()
+    )
+    b = bucket_sql("doc_id", "shuffle")
+    want = sorted(
+        duckdb.sql(
+            f"""SELECT lang,
+                       row_number() OVER (PARTITION BY lang ORDER BY {b}, doc_id)
+                         AS shuffle_rank,
+                       doc_id
+                FROM (SELECT doc_id,
+                             CASE WHEN doc_id % 3 = 0 THEN 'en'
+                                  ELSE 'es' END AS lang
+                      FROM range(3000) t(doc_id))"""
+        ).fetchall()
+    )
+    assert got == want
+
+    # growth stability: adding rows never flips existing relative order
+    half = labeled.filter(F.col("doc_id") < 1500)
+    order_half = [
+        r["doc_id"]
+        for r in shuffle_rank(half, "doc_id", "lang")
+        .filter(F.col("lang") == "en")
+        .orderBy("shuffle_rank")
+        .collect()
+    ]
+    order_full = [
+        r["doc_id"]
+        for r in shuffle_rank(labeled, "doc_id", "lang")
+        .filter((F.col("lang") == "en") & (F.col("doc_id") < 1500))
+        .orderBy("shuffle_rank")
+        .collect()
+    ]
+    assert order_half == order_full
+    # a different salt is a different permutation
+    other = [
+        r["doc_id"]
+        for r in shuffle_rank(half, "doc_id", "lang", salt="epoch2")
+        .filter(F.col("lang") == "en")
+        .orderBy("shuffle_rank")
+        .collect()
+    ]
+    assert other != order_half and sorted(other) == sorted(order_half)
+
+
+def test_shuffle_key_global_write_order(spark, ids, tmp_path):
+    """The scale path: range-repartition + sort on shuffle_key yields a
+    globally ordered layout (every file's key range is disjoint and
+    files concatenate to the exact permutation) with no 1-task sort."""
+    key = shuffle_key(F.col("doc_id"))
+    p = str(tmp_path / "shuffled")
+    (
+        ids.repartitionByRange(8, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    import glob
+
+    perm = []
+    for f in sorted(glob.glob(f"{p}/part-*.parquet")):
+        perm.extend(r["doc_id"] for r in spark.read.parquet(f).collect())
+    # expected: ids ordered by (bucket, id) — replay via the rank window
+    expect = [
+        r["doc_id"]
+        for r in shuffle_rank(
+            ids.withColumn("g", F.lit(1)), "doc_id", "g"
+        ).orderBy("shuffle_rank").collect()
+    ]
+    assert sorted(perm) == sorted(expect)
+    # file order == key order requires files sorted by their range; part
+    # file names are ordered by partition id, which repartitionByRange
+    # assigns in key order
+    assert perm == expect
