@@ -194,6 +194,10 @@ def jaccard_join(
       rounding can never drop a qualifying pair — losslessness is
       pinned by a differential test against the naive all-pairs join.
     """
+    if not 0.0 < threshold <= 1.0:
+        # τ ≤ 0 would make every prefix the whole shingle set — the
+        # "lossless" join silently degrades to the full O(n²) index join
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     shingled = T.with_word_shingles(
         df.select(F.col(id_col), F.col(text_col)),
         text_col,

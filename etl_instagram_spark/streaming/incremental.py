@@ -563,7 +563,9 @@ def heavy_hitters_read(
       needing the exact answer runs operators.frequency.heavy_hitters
       over raw history — this face is the O(1)-state approximation the
       100-TB stream maintains continuously."""
-    if capacity + 1 <= support_den / support_num:
+    # integer cross-multiply: float den/num could round either way on
+    # awkward ratios and mis-gate a boundary capacity
+    if (capacity + 1) * support_num <= support_den:
         raise ValueError(
             "capacity+1 must exceed den/num or true heavy hitters can "
             "fall out of the merged summary"

@@ -652,3 +652,10 @@ def test_jaccard_join_boilerplate_skew_stays_near_uniform_cost(spark):
     t_s, c_s = timed(boiler)
     assert c_u == 0 and c_s == 0, (c_u, c_s)  # boilerplate alone J≈0.23
     assert t_s <= 3 * t_u + 2.0, (t_s, t_u)
+
+
+def test_jaccard_join_threshold_validation(spark):
+    with pytest.raises(ValueError, match="threshold"):
+        D.jaccard_join(corpus(spark), "doc_id", "text", threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        D.jaccard_join(corpus(spark), "doc_id", "text", threshold=1.5)
