@@ -296,3 +296,115 @@ def ann_ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_self_join(
+    df: DataFrame,
+    k: int = 10,
+    bits: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multi_probe_hamming: int = 1,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Approximate k nearest neighbors for EVERY row (the kNN self-join
+    under clustering, semantic dedup, and diversity filtering) — the
+    all-rows generalization of ``ann_lsh_topk``'s one-query probe.
+
+    Shape: each row probes its own hyperplane bucket plus all buckets
+    within ``multi_probe_hamming`` bit flips (left side exploded by the
+    Σ C(bits, i) probe masks — a constant), candidates come from a
+    bucket EQUI-join (never an all-pairs product), exact cosine ranks
+    the candidates, and a per-row window keeps the top k. Output:
+    (id_col, neighbor_id, cos_sim, knn_rank), ≤ k rows per input row.
+
+    Scale (100 TB): with a STORED ``bucket_col`` (written at ingest, the
+    table's partition/cluster key) both join sides arrive pre-bucketed —
+    the join is the only shuffle and it moves each vector
+    1 + Σ C(bits, i) times. Dense regions make hot buckets; that skew is
+    AQE's split-and-replicate case, and raising ``bits`` shrinks every
+    bucket geometrically. Recall is tunable via (bits, probe radius)
+    exactly like the one-query path; the brute-force window join is the
+    recall=1.0 oracle (pinned in tests on real embeddings).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        return (
+            df.sparkSession.createDataFrame(
+                [], f"{id_col} long, neighbor_id long, cos_sim double, knn_rank int"
+            )
+        )
+    planes = hyperplane_signs(bits, dim_row["d"])
+    bucket = (
+        F.col(bucket_col) if bucket_col else lsh_bucket(vec_col, planes)
+    )
+    masks = [
+        m for m in range(1 << bits) if bin(m).count("1") <= multi_probe_hamming
+    ]
+    base = df.select(F.col(id_col), F.col(vec_col), bucket.alias("__bk"))
+    left = base.withColumn(
+        "__pb",
+        F.explode(F.array(*[F.col("__bk").bitwiseXOR(F.lit(m)) for m in masks])),
+    ).select(
+        F.col(id_col).alias("__idl"),
+        F.col(vec_col).alias("__vl"),
+        F.col("__pb"),
+    )
+    right = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vr"),
+        F.col("__bk"),
+    )
+    sim = F.round(cosine(as_double(F.col("__vl")), as_double(F.col("__vr"))), 6)
+    pairs = (
+        left.join(
+            right,
+            (F.col("__pb") == F.col("__bk"))
+            & (F.col("__idl") != F.col("neighbor_id")),
+        )
+        .select(F.col("__idl"), "neighbor_id", sim.alias("cos_sim"))
+        # a pair can collide in several probe offsets — dedupe before
+        # ranking or k slots fill with repeats
+        .dropDuplicates(["__idl", "neighbor_id"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__idl").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(F.col("__idl").alias(id_col), "neighbor_id", "cos_sim", "knn_rank")
+    )
+
+
+def knn_self_join_exact(
+    df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force kNN self-join (full pair join + window): O(n²) —
+    the recall oracle for :func:`knn_self_join`, and the honest choice
+    for small dimension tables."""
+    a = df.select(F.col(id_col).alias("__idl"), F.col(vec_col).alias("__vl"))
+    b = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vr")
+    )
+    sim = F.round(cosine(as_double(F.col("__vl")), as_double(F.col("__vr"))), 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__idl").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("__idl") != F.col("neighbor_id"))
+        .select("__idl", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(F.col("__idl").alias(id_col), "neighbor_id", "cos_sim", "knn_rank")
+    )

@@ -659,3 +659,53 @@ def test_jaccard_join_threshold_validation(spark):
         D.jaccard_join(corpus(spark), "doc_id", "text", threshold=0.0)
     with pytest.raises(ValueError, match="threshold"):
         D.jaccard_join(corpus(spark), "doc_id", "text", threshold=1.5)
+
+
+def test_knn_self_join_recall_on_real_embeddings(spark, sf_oracle):
+    """knn_self_join vs the brute-force oracle on the real embeddings
+    table: mean recall@5 must clear a floor at radius 1 and IMPROVE (or
+    tie) when the probe radius widens — same gating style as the
+    one-query ANN paths."""
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    exact = S.knn_self_join_exact(emb, k=5)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+
+    def mean_recall(radius):
+        got = {}
+        for r in S.knn_self_join(emb, k=5, bits=4, multi_probe_hamming=radius).collect():
+            got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(v, set()) & t) / len(t) for v, t in truth.items()
+        ) / len(truth)
+
+    r1 = mean_recall(1)
+    r2 = mean_recall(2)
+    assert r1 >= 0.45, r1
+    assert r2 >= r1 - 0.02, (r1, r2)  # widening probes must not hurt
+    # shape contract: <= k rows per id, no self pairs, ranks 1..k dense
+    out = S.knn_self_join(emb, k=5, bits=4, multi_probe_hamming=1)
+    per = out.groupBy("vec_id").agg(
+        F.count("*").alias("n"), F.max("knn_rank").alias("mx")
+    )
+    bad = per.filter((F.col("n") > 5) | (F.col("mx") != F.col("n"))).count()
+    assert bad == 0
+    assert out.filter(F.col("vec_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_knn_self_join_stored_bucket_matches_computed(spark, sf_oracle):
+    """bucket_col path (the partition-pruned layout) must return exactly
+    the computed-bucket result."""
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    planes = S.hyperplane_signs(6, 64)
+    stored = emb.withColumn("bk", S.lsh_bucket("embedding", planes))
+    a = sorted(
+        map(tuple, S.knn_self_join(emb, k=3, bits=6).select(
+            "vec_id", "neighbor_id", "knn_rank").collect())
+    )
+    b = sorted(
+        map(tuple, S.knn_self_join(stored, k=3, bits=6, bucket_col="bk").select(
+            "vec_id", "neighbor_id", "knn_rank").collect())
+    )
+    assert a == b
