@@ -684,3 +684,59 @@ def incremental_near_dedup(
 
     store.upsert(sigs.withColumn("updated_at", F.current_timestamp()))
     return survivors
+
+
+def incremental_exact_dedup(
+    incoming: DataFrame,
+    store: MergeTable,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact-dedup a NEW batch against the corpus's whole history via a
+    compact content-hash store — the incremental sibling of
+    :func:`exact_dedup` (which is a per-snapshot operator) and of
+    :func:`incremental_near_dedup` (which pays signatures for fuzziness
+    this operator doesn't need).
+
+    Semantics: within the batch, smallest id per content wins (same rule
+    as exact_dedup); across batches, FIRST-SEEN content wins — a later
+    doc with already-stored content is dropped regardless of id (ids
+    only tie-break within one batch, where arrival order doesn't exist).
+
+    The store is keyed by ``content_hash`` (md5), so the history probe
+    rides MergeTable.read_overlapping's file-range pruning: a tick reads
+    only store files whose hash range can contain a batch hash — O(batch),
+    not O(corpus), exactly like the ingest pipelines' anti-joins.
+
+    Replay-safe: within-batch winners are deterministic; a replayed
+    winner finds its own (hash → id) row in the store and survives the
+    different-id check; the hash-keyed upsert overwrites rather than
+    duplicates. Ids must be unique across the corpus.
+    """
+    hashed = incoming.withColumn("__h", F.md5(F.col(text_col)))
+    winners = (
+        hashed.withColumn("__keep", F.min(id_col).over(Window.partitionBy("__h")))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+        .localCheckpoint(eager=True)
+    )
+    if store.exists():
+        hist = store.read_overlapping(
+            winners.select(F.col("__h").alias("content_hash"))
+        ).select(
+            F.col("content_hash").alias("__h"), F.col(id_col).alias("__hist_id")
+        )
+        taken = (
+            winners.join(hist, "__h")
+            .filter(F.col(id_col) != F.col("__hist_id"))
+            .select(id_col)
+            .distinct()
+        )
+        survivors = winners.join(taken, id_col, "left_anti")
+    else:
+        survivors = winners
+    survivors = survivors.localCheckpoint(eager=True)
+    store.upsert(
+        survivors.select(F.col("__h").alias("content_hash"), F.col(id_col))
+    )
+    return survivors.drop("__h")

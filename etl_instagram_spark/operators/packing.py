@@ -156,3 +156,66 @@ def bin_fill_stats(packed: DataFrame, token_col: str, budget: int) -> DataFrame:
         )
         .withColumn("fill", F.round(F.col("bin_tokens") / budget, 4))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    stride: int | None = None,
+    chunk_col: str = "chunk_idx",
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Split each document into fixed-size token windows — the step
+    BEFORE packing when docs exceed the context length (pretraining
+    chunking, retrieval-corpus windowing). Window i covers tokens
+    [1 + i·stride, i·stride + chunk_tokens]; ``stride < chunk_tokens``
+    overlaps consecutive chunks (retrieval), ``stride == chunk_tokens``
+    tiles exactly (pretraining, the default). The final partial window
+    is kept (training handles ragged tails); empty/blank docs yield one
+    empty chunk so no document silently disappears.
+
+    Pure per-row expressions — tokenize once, then slice + array_join
+    under a posexplode; no UDF, no shuffle. Chunk count and content are
+    a pure function of the text, partitioning-independent; DuckDB can
+    replay the windows with list slicing (pinned in tests).
+
+    Output: input columns (minus ``text_col``) + ``chunk_col`` (0-based)
+    + ``out_col`` + ``n_chunk_tokens``.
+    """
+    from etl_instagram_spark.functions.text import tokens
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens], got {stride}"
+        )
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(tokens(F.col(text_col)))
+    # number of windows over n tokens: 1 + ceil(max(0, n - chunk) / stride)
+    n = F.size(F.col("__ct_toks"))
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride + 1
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(F.col("__ct_toks"), s, chunk_tokens), " "),
+    )
+    keep = [c for c in df.columns if c != text_col]
+    return (
+        df.withColumn("__ct_toks", toks)
+        .select(*keep, F.posexplode(chunks).alias(chunk_col, out_col))
+        .withColumn(
+            "n_chunk_tokens",
+            F.when(F.length(F.col(out_col)) == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.col(out_col), " "))
+            ),
+        )
+    )

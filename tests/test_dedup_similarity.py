@@ -709,3 +709,33 @@ def test_knn_self_join_stored_bucket_matches_computed(spark, sf_oracle):
             "vec_id", "neighbor_id", "knn_rank").collect())
     )
     assert a == b
+
+
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    from etl_instagram_spark.operators.merge import MergeTable
+
+    store = MergeTable(
+        spark, str(tmp_path / "hash_store"), key="content_hash", order_by="doc_id"
+    )
+
+    b1 = spark.createDataFrame(
+        [(5, "alpha"), (3, "alpha"), (7, "beta")], "doc_id long, text string"
+    )
+    s1 = sorted(r["doc_id"] for r in D.incremental_exact_dedup(b1, store, "doc_id", "text").collect())
+    assert s1 == [3, 7]  # within-batch: smallest id per content
+
+    # cross-batch: earlier-seen content wins even against a smaller id
+    b2 = spark.createDataFrame(
+        [(1, "alpha"), (9, "gamma")], "doc_id long, text string"
+    )
+    s2 = sorted(r["doc_id"] for r in D.incremental_exact_dedup(b2, store, "doc_id", "text").collect())
+    assert s2 == [9]
+
+    # replay of batch 2 converges: its survivor finds its own store row
+    s2r = sorted(r["doc_id"] for r in D.incremental_exact_dedup(b2, store, "doc_id", "text").collect())
+    assert s2r == [9]
+    # store holds one row per distinct content
+    assert store.read().count() == 3
+    assert sorted(
+        (r["content_hash"] is not None, r["doc_id"]) for r in store.read().collect()
+    ) == [(True, 3), (True, 7), (True, 9)]

@@ -559,3 +559,87 @@ def test_shuffle_key_global_write_order(spark, ids, tmp_path):
     # file names are ordered by partition id, which repartitionByRange
     # assigns in key order
     assert perm == expect
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+from etl_instagram_spark.operators.packing import chunk_documents  # noqa: E402
+
+
+@pytest.fixture()
+def chunk_docs(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),          # 10 tokens
+        (2, "one two three"),                # shorter than a chunk
+        (3, ""),                             # blank -> one empty chunk
+        (4, "  x   y\tz  "),                 # messy whitespace
+        (5, " ".join(f"t{i}" for i in range(23))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_documents_tiling_and_tail(spark, chunk_docs):
+    out = chunk_documents(chunk_docs, "doc_id", "text", chunk_tokens=4)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in out.collect()
+    }
+    assert got[(1, 0)] == ("a b c d", 4)
+    assert got[(1, 1)] == ("e f g h", 4)
+    assert got[(1, 2)] == ("i j", 2)  # ragged tail kept
+    assert got[(2, 0)] == ("one two three", 3)
+    assert got[(3, 0)] == ("", 0)  # blank doc never disappears
+    assert got[(4, 0)] == ("x y z", 3)
+    assert max(i for d, i in got if d == 5) == 5  # 23 tokens / 4 -> 6 chunks
+    # exact tiling: concatenating non-overlap chunks reproduces the tokens
+    parts = [got[(5, i)][0] for i in range(6)]
+    assert " ".join(parts).split() == [f"t{i}" for i in range(23)]
+
+
+def test_chunk_documents_stride_overlap_matches_duckdb(spark, chunk_docs):
+    chunk, stride = 5, 3
+    out = chunk_documents(
+        chunk_docs, "doc_id", "text", chunk_tokens=chunk, stride=stride
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in out.collect()
+    )
+    rows = [(r["doc_id"], r["text"]) for r in chunk_docs.collect()]
+    import pandas as pd  # noqa: F401
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = sorted(
+        con.sql(
+            f"""
+        WITH t AS (SELECT doc_id,
+                          CASE WHEN length(trim(text)) = 0 THEN []
+                               ELSE regexp_split_to_array(trim(lower(text)),
+                                                          '[ \\t\\n\\x0B\\f\\r]+')
+                          END AS toks
+                   FROM d),
+             c AS (SELECT doc_id, toks,
+                          1 + CAST(ceil(greatest(len(toks) - {chunk}, 0)::DOUBLE
+                                        / {stride}) AS INT) AS nc
+                   FROM t)
+        SELECT doc_id, i AS chunk_idx,
+               coalesce(array_to_string(toks[1 + i*{stride} : i*{stride} + {chunk}],
+                                        ' '), '') AS chunk_text
+        FROM c CROSS JOIN unnest(range(nc)) u(i)
+        """
+        ).fetchall()
+    )
+    assert got == want
+    # overlap property: consecutive chunks share chunk-stride tokens
+    ten = {r[1]: r[2] for r in got if r[0] == 1}
+    assert ten[0].split()[stride:] == ten[1].split()[: chunk - stride]
+
+
+def test_chunk_documents_validation(spark, chunk_docs):
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(chunk_docs, "doc_id", "text", 0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(chunk_docs, "doc_id", "text", 4, stride=5)
