@@ -184,8 +184,6 @@ def chunk_documents(
     Output: input columns (minus ``text_col``) + ``chunk_col`` (0-based)
     + ``out_col`` + ``n_chunk_tokens``.
     """
-    from etl_instagram_spark.functions.text import tokens
-
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     stride = chunk_tokens if stride is None else stride
@@ -193,9 +191,12 @@ def chunk_documents(
         raise ValueError(
             f"stride must be in [1, chunk_tokens], got {stride}"
         )
+    # split directly (NOT functions.text.tokens, which lowercases for
+    # analysis kernels) — a chunker must hand training text through
+    # case-intact
     toks = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
-    ).otherwise(tokens(F.col(text_col)))
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
     # number of windows over n tokens: 1 + ceil(max(0, n - chunk) / stride)
     n = F.size(F.col("__ct_toks"))
     n_chunks = F.lit(1) + F.ceil(

@@ -2338,3 +2338,62 @@ oracle(
     ORDER BY id_a, id_b
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# documents: chunking (fixed token windows with stride overlap)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS, _CHUNK_STRIDE = 64, 48
+
+
+@query("docs_chunking")
+def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/packing.chunk_documents over the corpus: 64-token
+    windows with 16-token overlap (stride 48). Chunk text is md5'd so
+    the gate compares full content without hashing megabytes of strings;
+    token counts and chunk indices ride along. The oracle replays the
+    windows with DuckDB list slicing from the same tokenizer mirror."""
+    from etl_instagram_spark.operators.packing import chunk_documents
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = chunk_documents(
+        docs.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        chunk_tokens=_CHUNK_TOKENS,
+        stride=_CHUNK_STRIDE,
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        "n_chunk_tokens",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+oracle(
+    "docs_chunking",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN []
+                           -- case-PRESERVING split (not SQL_TOKS, which
+                           -- lowercases for the analysis kernels):
+                           -- chunking hands training text through intact
+                           ELSE regexp_split_to_array(trim(text), '[{SQL_WS}]+')
+                      END AS toks
+               FROM documents),
+         c AS (SELECT doc_id, toks,
+                      1 + CAST(ceil(greatest(len(toks) - {_CHUNK_TOKENS}, 0)::DOUBLE
+                                    / {_CHUNK_STRIDE}) AS INT) AS nc
+               FROM t)
+    SELECT doc_id, i AS chunk_idx,
+           md5(coalesce(array_to_string(
+                 toks[1 + i*{_CHUNK_STRIDE} : i*{_CHUNK_STRIDE} + {_CHUNK_TOKENS}],
+                 ' '), '')) AS chunk_md5,
+           coalesce(len(toks[1 + i*{_CHUNK_STRIDE} : i*{_CHUNK_STRIDE} + {_CHUNK_TOKENS}]), 0)
+             AS n_chunk_tokens
+    FROM c CROSS JOIN unnest(range(nc)) u(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)

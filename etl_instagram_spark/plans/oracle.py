@@ -179,34 +179,8 @@ oracle(
     """,
 )
 
-oracle(
-    "events_sessionization",
-    """
-    WITH flagged AS (
-      SELECT user_id, value, ts, event_id,
-             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sessions AS (
-      SELECT user_id, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-      FROM flagged
-    ), per_session AS (
-      SELECT user_id, session_seq,
-             count(*)             AS n_events,
-             round(sum(value), 2) AS session_value
-      FROM sessions GROUP BY user_id, session_seq
-    )
-    SELECT user_id,
-           count(*)                    AS n_sessions,
-           max(n_events)               AS max_session_events,
-           round(sum(session_value), 2) AS total_value
-    FROM per_session
-    GROUP BY user_id
-    ORDER BY user_id
-    """,
-)
+# (events_sessionization oracle moved to plans/parity_extras.py with the
+# query's r6 gate rotation)
 
 oracle(
     "events_asof_join",

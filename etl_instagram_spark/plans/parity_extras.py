@@ -25,6 +25,8 @@ Current entries:
   semi-join sibling stays gated via q4_order_priority_semijoin)
 - ``docs_minhash_bands`` (r6; banding audit — signature/band machinery
   stays gated end-to-end via docs_near_dedup_summary)
+- ``events_sessionization`` (r6; lag-gap batch sessionization — the
+  NATIVE session_window stays gated via events_session_window_native)
 """
 
 from __future__ import annotations
@@ -305,3 +307,65 @@ def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRAS["docs_minhash_bands"] = (docs_minhash_bands, _sql_minhash_bands_extra())
+
+
+@_extra(
+    "events_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, value, ts, event_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_seq,
+             count(*)             AS n_events,
+             round(sum(value), 2) AS session_value
+      FROM sessions GROUP BY user_id, session_seq
+    )
+    SELECT user_id,
+           count(*)                    AS n_sessions,
+           max(n_events)               AS max_session_events,
+           round(sum(session_value), 2) AS total_value
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative sum
+    of session-start flags — the batch analogue of session_window (r6
+    rotation; the NATIVE session_window formulation stays gated via
+    events_session_window_native)."""
+    from etl_instagram_spark.plans.queries import _epoch_s
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            _epoch_s(F.col("ts")) - F.lag(_epoch_s(F.col("ts"))).over(w) > 1800, 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("session_value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -292,36 +292,10 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
-@query("events_sessionization")
-def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity): lag + cumulative sum of
-    session-start flags — the batch analogue of session_window (§2.9).
-    Scale: both windows partition by user_id; no global ordering."""
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            _epoch_s(F.col("ts")) - F.lag(_epoch_s(F.col("ts"))).over(w) > 1800, 1
-        ).otherwise(0),
-    )
-    sessions = flagged.withColumn(
-        "session_seq", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-    )
-    return (
-        sessions.groupBy("user_id", "session_seq")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sessions"),
-            F.max("n_events").alias("max_session_events"),
-            F.round(F.sum("session_value"), 2).alias("total_value"),
-        )
-        .orderBy("user_id")
-    )
+# (events_sessionization rotated out of the gate in r6 to make room for
+# docs_chunking — the session surface stays gated via the NATIVE
+# session_window query events_session_window_native; the lag-gap batch
+# formulation keeps DuckDB parity in plans/parity_extras.py)
 
 
 @query("events_asof_join")

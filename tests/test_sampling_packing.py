@@ -574,7 +574,7 @@ def chunk_docs(spark):
         (1, "a b c d e f g h i j"),          # 10 tokens
         (2, "one two three"),                # shorter than a chunk
         (3, ""),                             # blank -> one empty chunk
-        (4, "  x   y\tz  "),                 # messy whitespace
+        (4, "  X   y\tZ  "),                 # messy whitespace + case
         (5, " ".join(f"t{i}" for i in range(23))),
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
@@ -591,7 +591,7 @@ def test_chunk_documents_tiling_and_tail(spark, chunk_docs):
     assert got[(1, 2)] == ("i j", 2)  # ragged tail kept
     assert got[(2, 0)] == ("one two three", 3)
     assert got[(3, 0)] == ("", 0)  # blank doc never disappears
-    assert got[(4, 0)] == ("x y z", 3)
+    assert got[(4, 0)] == ("X y Z", 3)  # case preserved
     assert max(i for d, i in got if d == 5) == 5  # 23 tokens / 4 -> 6 chunks
     # exact tiling: concatenating non-overlap chunks reproduces the tokens
     parts = [got[(5, i)][0] for i in range(6)]
@@ -617,7 +617,7 @@ def test_chunk_documents_stride_overlap_matches_duckdb(spark, chunk_docs):
             f"""
         WITH t AS (SELECT doc_id,
                           CASE WHEN length(trim(text)) = 0 THEN []
-                               ELSE regexp_split_to_array(trim(lower(text)),
+                               ELSE regexp_split_to_array(trim(text),
                                                           '[ \\t\\n\\x0B\\f\\r]+')
                           END AS toks
                    FROM d),
