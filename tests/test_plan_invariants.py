@@ -152,3 +152,70 @@ def test_scans_use_columnar_batch_reader(spark, name):
     """Parquet scans must be vectorized (Batched: true) — the interpreted
     row-by-row reader forfeits columnar decode throughput."""
     assert any("Batched: true" in s for s in _scans(_plan(spark, name))), name
+
+
+def test_heavy_hitters_verify_pass_broadcasts(spark):
+    """Pass 2 of the heavy-hitters operator must semi-join the candidate
+    set via BroadcastHashJoin — the term domain is never shuffled."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.operators.frequency import heavy_hitters
+
+    terms = spark.range(200).select(
+        F.concat(F.lit("t"), (F.col("id") % 7)).alias("term")
+    )
+    plan = (
+        heavy_hitters(terms, "term", 1, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_self_join_is_equi_join(spark):
+    """The kNN self-join's candidate stage must be a bucket EQUI-join —
+    never a cartesian/nested-loop pair product."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.operators.similarity import knn_self_join
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 3) % 17).cast("float") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    plan = (
+        knn_self_join(emb, k=3, bits=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_join_candidate_stage_is_equi_join(spark):
+    """jaccard_join's prefix self-join and verify joins must all be
+    equi-joins (hash/sort-merge); the only allowed non-equi logic is the
+    size/position FILTER conditions riding on the equi keys."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.operators.dedup import jaccard_join
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"w{j}_"), F.col("id") % 5) for j in range(8)]
+        ).alias("text"),
+    )
+    plan = (
+        jaccard_join(docs, "doc_id", "text", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -643,3 +643,47 @@ def test_chunk_documents_validation(spark, chunk_docs):
         chunk_documents(chunk_docs, "doc_id", "text", 0)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(chunk_docs, "doc_id", "text", 4, stride=5)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["Foo", "bar", "BAZ", "qux"]), max_size=15).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    chunk=st.integers(min_value=1, max_value=6),
+    stride_off=st.integers(min_value=0, max_value=5),
+)
+def test_chunk_documents_property_vs_python(spark, texts, chunk, stride_off):
+    """Any corpus, any (chunk, stride): windows match a direct Python
+    reference, every token position is covered, and case survives."""
+    stride = max(1, chunk - stride_off)
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk, stride=stride
+        ).collect()
+    }
+    import math
+    import re
+
+    for i, text in rows:
+        toks = [] if not text.strip() else re.split(r"\s+", text.strip())
+        nc = 1 + math.ceil(max(0, len(toks) - chunk) / stride)
+        for c in range(nc):
+            want = toks[c * stride : c * stride + chunk]
+            assert got[(i, c)] == (" ".join(want), len(want)), (i, c)
+        assert (i, nc) not in got
