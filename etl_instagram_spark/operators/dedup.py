@@ -265,10 +265,12 @@ def jaccard_join(
     # each shingle hashed ONCE per doc (not once per pair), and the
     # per-pair intersect runs on primitive long arrays instead of
     # strings (~5× cheaper measured). Equal strings always hash equal,
-    # so a collision can only INFLATE the hashed overlap — the filter
-    # below never drops a qualifying pair. Tier 2: exact string-shingle
-    # Jaccard on the few tier-1 survivors, so collisions cannot create
-    # false positives either: the RESULT is exact string similarity.
+    # so the hashed overlap can only miscount when two DISTINCT shared
+    # shingles collide in 64 bits (~2^-64 per shingle pair — the one
+    # probabilistic assumption in this operator's completeness; cross-doc
+    # collisions between non-shared shingles only inflate, which is
+    # harmless). Tier 2: exact string-shingle Jaccard on the few tier-1
+    # survivors, so the RESULT values are exact string similarity.
     hashed = shingled.withColumn(
         "__shh", F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
     )

@@ -160,6 +160,15 @@ def zorder_key(
     if not 1 <= bits <= 20:
         raise ValueError("bits must be in [1, 20]")
     n = len(cols)
+    # the interleaved key must fit a signed long: Spark's shiftleft masks
+    # the shift mod 64, so an overflowing config would silently wrap high
+    # bits onto low positions (merging distinct cells), and bit 63 would
+    # flip the sign and invert the range ordering
+    if bits * n > 63:
+        raise ValueError(
+            f"bits*len(cols) must be <= 63 to fit a long Morton key; "
+            f"got {bits}*{n} — lower bits (e.g. bits={63 // n})"
+        )
     grid_max = (1 << bits) - 1
     grids = []
     for c, (mn, mx) in zip(cols, ranges):

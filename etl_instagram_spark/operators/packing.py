@@ -193,10 +193,15 @@ def chunk_documents(
         )
     # split directly (NOT functions.text.tokens, which lowercases for
     # analysis kernels) — a chunker must hand training text through
-    # case-intact
-    toks = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # case-intact. Filtering empty fragments (instead of F.trim, which
+    # strips only ASCII spaces) makes the tokenization robust to tab/
+    # newline-edged and all-whitespace text, and the coalesce keeps NULL
+    # text on the same one-empty-chunk path as blank text — the oracle
+    # mirrors both.
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
     # number of windows over n tokens: 1 + ceil(max(0, n - chunk) / stride)
     n = F.size(F.col("__ct_toks"))
     n_chunks = F.lit(1) + F.ceil(

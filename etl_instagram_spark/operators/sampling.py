@@ -272,12 +272,11 @@ def repeat_by_weight(
     if isinstance(multiplier, dict):
         if strata_col is None:
             raise ValueError("strata_col is required when multiplier is a dict")
-        copies: Column = F.lit(None).cast("int")
         expr = None
         for k, m in multiplier.items():
             clause = (F.col(strata_col) == F.lit(k), copies_for(m))
             expr = F.when(*clause) if expr is None else expr.when(*clause)
-        copies = expr.otherwise(F.lit(1)) if expr is not None else F.lit(1)
+        copies: Column = expr.otherwise(F.lit(1)) if expr is not None else F.lit(1)
     else:
         copies = copies_for(multiplier)
 

@@ -331,10 +331,21 @@ def knn_self_join(
         raise ValueError(f"k must be >= 1, got {k}")
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
-        return (
-            df.sparkSession.createDataFrame(
-                [], f"{id_col} long, neighbor_id long, cos_sim double, knn_rank int"
-            )
+        # empty-input schema must match the non-empty path's exactly —
+        # derive the id type from the input instead of assuming long
+        from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+        id_type = df.schema[id_col].dataType
+        return df.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, id_type, True),
+                    StructField("neighbor_id", id_type, True),
+                    StructField("cos_sim", DoubleType(), True),
+                    StructField("knn_rank", IntegerType(), False),
+                ]
+            ),
         )
     planes = hyperplane_signs(bits, dim_row["d"])
     bucket = (

@@ -2376,12 +2376,13 @@ oracle(
     "docs_chunking",
     f"""
     WITH t AS (SELECT doc_id,
-                      CASE WHEN length(trim(text)) = 0 THEN []
-                           -- case-PRESERVING split (not SQL_TOKS, which
-                           -- lowercases for the analysis kernels):
-                           -- chunking hands training text through intact
-                           ELSE regexp_split_to_array(trim(text), '[{SQL_WS}]+')
-                      END AS toks
+                      -- case-PRESERVING split (not SQL_TOKS, which
+                      -- lowercases for the analysis kernels); empty
+                      -- fragments filtered so tab/newline-edged, blank,
+                      -- and NULL text all behave like the Spark side
+                      list_filter(
+                        regexp_split_to_array(coalesce(text, ''), '[{SQL_WS}]+'),
+                        x -> x <> '') AS toks
                FROM documents),
          c AS (SELECT doc_id, toks,
                       1 + CAST(ceil(greatest(len(toks) - {_CHUNK_TOKENS}, 0)::DOUBLE

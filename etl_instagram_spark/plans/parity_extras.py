@@ -271,12 +271,6 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def _sql_minhash_bands_extra() -> str:
-    from etl_instagram_spark.plans.llm_queries import _sql_minhash_bands
-
-    return _sql_minhash_bands()
-
-
 def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding audit: per band, distinct buckets and candidate
     pairs (Σ n·(n−1)/2 over buckets) — the tuning surface for the verify
@@ -306,7 +300,9 @@ def docs_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXTRAS["docs_minhash_bands"] = (docs_minhash_bands, _sql_minhash_bands_extra())
+from etl_instagram_spark.plans.llm_queries import _sql_minhash_bands  # noqa: E402
+
+EXTRAS["docs_minhash_bands"] = (docs_minhash_bands, _sql_minhash_bands())
 
 
 @_extra(

@@ -739,3 +739,20 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     assert sorted(
         (r["content_hash"] is not None, r["doc_id"]) for r in store.read().collect()
     ) == [(True, 3), (True, 7), (True, 9)]
+
+
+def test_knn_self_join_empty_input_schema_matches(spark):
+    emb = spark.createDataFrame([], "vec_id string, embedding array<float>")
+    out = S.knn_self_join(emb, k=3)
+    nonempty = S.knn_self_join(
+        spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [0.9, 0.1])],
+            "vec_id string, embedding array<float>",
+        ),
+        k=1,
+        bits=2,
+    )
+    assert out.count() == 0
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in nonempty.schema.fields
+    ]

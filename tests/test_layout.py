@@ -173,3 +173,15 @@ def test_write_zordered_empty_input(spark, tmp_path):
     p = str(tmp_path / "empty")
     write_zordered(df, p, ["x", "y"], n_files=4)
     assert spark.read.parquet(p).count() == 0
+
+
+def test_zorder_key_rejects_long_overflow(spark):
+    """bits*ncols > 63 would wrap shifts mod 64 (merging distinct cells)
+    or hit the sign bit (inverting range order) — must be refused."""
+    from etl_instagram_spark.operators.layout import zorder_key
+
+    cols = [F.col(c) for c in "abcd"]
+    with pytest.raises(ValueError, match="<= 63"):
+        zorder_key(cols, [(0, 1)] * 4, bits=16)
+    # 4 cols at bits=15 (60 bits) is fine
+    zorder_key(cols, [(0, 1)] * 4, bits=15)

@@ -576,6 +576,9 @@ def chunk_docs(spark):
         (3, ""),                             # blank -> one empty chunk
         (4, "  X   y\tZ  "),                 # messy whitespace + case
         (5, " ".join(f"t{i}" for i in range(23))),
+        (6, "\tlead tab"),                   # tab-edged text
+        (7, "\n"),                           # newline-only == blank
+        (8, None),                            # NULL text == blank
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -593,6 +596,9 @@ def test_chunk_documents_tiling_and_tail(spark, chunk_docs):
     assert got[(3, 0)] == ("", 0)  # blank doc never disappears
     assert got[(4, 0)] == ("X y Z", 3)  # case preserved
     assert max(i for d, i in got if d == 5) == 5  # 23 tokens / 4 -> 6 chunks
+    assert got[(6, 0)] == ("lead tab", 2)  # no phantom empty token
+    assert got[(7, 0)] == ("", 0)  # whitespace-only == blank
+    assert got[(8, 0)] == ("", 0)  # NULL text == blank, doc not dropped
     # exact tiling: concatenating non-overlap chunks reproduces the tokens
     parts = [got[(5, i)][0] for i in range(6)]
     assert " ".join(parts).split() == [f"t{i}" for i in range(23)]
@@ -616,10 +622,10 @@ def test_chunk_documents_stride_overlap_matches_duckdb(spark, chunk_docs):
         con.sql(
             f"""
         WITH t AS (SELECT doc_id,
-                          CASE WHEN length(trim(text)) = 0 THEN []
-                               ELSE regexp_split_to_array(trim(text),
-                                                          '[ \\t\\n\\x0B\\f\\r]+')
-                          END AS toks
+                          list_filter(
+                            regexp_split_to_array(coalesce(text, ''),
+                                                  '[ \\t\\n\\x0B\\f\\r]+'),
+                            x -> x <> '') AS toks
                    FROM d),
              c AS (SELECT doc_id, toks,
                           1 + CAST(ceil(greatest(len(toks) - {chunk}, 0)::DOUBLE
