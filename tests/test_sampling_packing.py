@@ -693,3 +693,40 @@ def test_chunk_documents_property_vs_python(spark, texts, chunk, stride_off):
             want = toks[c * stride : c * stride + chunk]
             assert got[(i, c)] == (" ".join(want), len(want)), (i, c)
         assert (i, nc) not in got
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    mult=st.floats(min_value=0.0, max_value=4.0).map(lambda x: round(x, 3)),
+    n=st.integers(min_value=1, max_value=300),
+)
+def test_repeat_property_matches_mirror_and_expectation(spark, mult, n):
+    """Any multiplier, any size: the copy set equals the DuckDB replay
+    exactly, per-row copies ∈ {floor(m), floor(m)+1}, and copy_idx is
+    dense 1..copies."""
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    got = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in repeat_by_weight(df, "doc_id", mult).collect()
+    )
+    copies = repeat_sql_copies("doc_id", mult)
+    want = sorted(
+        duckdb.sql(
+            f"""SELECT doc_id, unnest(range(1, c + 1)) AS copy_idx
+                FROM (SELECT doc_id, {copies}::BIGINT AS c
+                      FROM range({n}) t(doc_id))"""
+        ).fetchall()
+    )
+    assert got == want
+    from collections import Counter
+
+    per_row = Counter(d for d, _ in got)
+    lo = int(mult)
+    for d in range(n):
+        c = per_row.get(d, 0)
+        assert c in (lo, lo + 1), (d, c, mult)
+        assert [i for dd, i in got if dd == d] == list(range(1, c + 1))
