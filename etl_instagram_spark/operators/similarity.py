@@ -412,7 +412,10 @@ def knn_self_join_exact(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        a.crossJoin(b)
+        # broadcast the replicated side: the brute-force join is for
+        # oracle/small-corpus use, where one side fits every executor —
+        # BroadcastNestedLoopJoin, never an unpartitioned CartesianProduct
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("__idl") != F.col("neighbor_id"))
         .select("__idl", "neighbor_id", sim.alias("cos_sim"))
         .withColumn("knn_rank", F.row_number().over(w))

@@ -442,31 +442,14 @@ def _sql_bucket() -> str:
 # no new checked surface)
 
 
-@query("emb_ann_lsh_topk")
-def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN: top-5 cosine neighbors of vec_id=0 among vectors in
-    its LSH bucket. The bucket filter is the scan-pruning scale path
-    (at 100 TB the table is partitioned/bucketed by this value)."""
-    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).withColumn("bucket", _bucket_col())
-    q = emb.filter(F.col("vec_id") == 0).select(
-        _as_double(F.col("embedding")).alias("qv"), F.col("bucket").alias("qbucket")
-    )
-    v = _as_double(F.col("embedding"))
-    cos = _dot(v, F.col("qv")) / (
-        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-    )
-    return (
-        emb.crossJoin(F.broadcast(q))
-        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
-        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-        .limit(5)
-    )
+# (emb_ann_lsh_topk rotated out of the gate in r6 to make room for
+# emb_knn_join_recall — the bucket-filtered top-k path stays gated via
+# emb_ann_recall and the new self-join recall query; DuckDB parity
+# retained in plans/parity_extras.py via _sql_ann_lsh_topk below)
 
 
-oracle(
-    "emb_ann_lsh_topk",
-    f"""
+def _sql_ann_lsh_topk() -> str:
+    return f"""
     WITH b AS (SELECT vec_id, label, embedding, {_sql_bucket()} AS bucket
                FROM embeddings),
          q AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qbucket
@@ -479,8 +462,7 @@ oracle(
     WHERE bucket = qbucket AND vec_id <> 0
     ORDER BY cos_sim DESC, vec_id
     LIMIT 5
-    """,
-)
+    """
 
 
 @query("emb_near_dedup")
@@ -2396,5 +2378,109 @@ oracle(
              AS n_chunk_tokens
     FROM c CROSS JOIN unnest(range(nc)) u(i)
     ORDER BY doc_id, chunk_idx
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: kNN self-join recall (all-rows ANN vs brute force)
+# ---------------------------------------------------------------------------
+
+# subset cap keeps the exact side O(cap²) at every SF — the gate measures
+# recall semantics, not brute-force throughput
+_KNN_JOIN_CAP = 200
+
+
+@query("emb_knn_join_recall")
+def emb_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of operators/similarity.knn_self_join (top-k neighbors
+    for EVERY row via multi-probe bucket equi-join) against the
+    brute-force self-join, at probe radii Hamming ≤ {1, 2}, over the
+    vec_id < 200 subcorpus. Totals are integer hit counts (no float
+    accumulation ordering), recall derived from one division of the
+    totals; wider probing must never score lower. The oracle replays
+    both sides — buckets from the same hyperplane constants, Hamming
+    probe, rounded-cosine windows — entirely in SQL."""
+    from etl_instagram_spark.operators.similarity import (
+        knn_self_join,
+        knn_self_join_exact,
+    )
+
+    emb = (
+        _spread(spark, _t(spark, sf_dir, "embeddings"))
+        .filter(F.col("vec_id") < _KNN_JOIN_CAP)
+        .withColumn("bucket", _bucket_col())
+    )
+    gt = knn_self_join_exact(emb.select("vec_id", "embedding"), k=10).select(
+        "vec_id", "neighbor_id"
+    )
+    radii = spark.range(1, 3).select(F.col("id").cast("int").alias("probe_hamming"))
+    gt = gt.crossJoin(F.broadcast(radii))
+    ann = None
+    for r in (1, 2):
+        part = knn_self_join(
+            emb,
+            k=10,
+            bits=HYPERPLANE_BITS,
+            multi_probe_hamming=r,
+            bucket_col="bucket",
+        ).select(
+            "vec_id",
+            "neighbor_id",
+            F.lit(r).alias("probe_hamming"),
+            F.lit(1).alias("hit"),
+        )
+        ann = part if ann is None else ann.unionByName(part)
+    return (
+        gt.join(ann, ["vec_id", "neighbor_id", "probe_hamming"], "left")
+        .groupBy("probe_hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("total_hits"),
+        )
+        .select(
+            "probe_hamming",
+            "n_truth_pairs",
+            "total_hits",
+            F.round(F.col("total_hits") / F.col("n_truth_pairs"), 4).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("probe_hamming")
+    )
+
+
+oracle(
+    "emb_knn_join_recall",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_sql_bucket()} AS bucket
+               FROM embeddings WHERE vec_id < {_KNN_JOIN_CAP}),
+         radii AS (SELECT unnest([1, 2]) AS probe_hamming),
+         pairs AS (
+           SELECT a.vec_id, bb.vec_id AS neighbor_id,
+                  round(list_dot_product(a.embedding::DOUBLE[], bb.embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(bb.embedding::DOUBLE[], bb.embedding::DOUBLE[]))),
+                        6) AS cos_sim,
+                  bit_count(xor(a.bucket, bb.bucket)) AS ham
+           FROM b a JOIN b bb ON a.vec_id <> bb.vec_id),
+         gt AS (SELECT vec_id, probe_hamming, neighbor_id FROM
+                  (SELECT vec_id, neighbor_id,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY cos_sim DESC, neighbor_id) AS r
+                   FROM pairs) CROSS JOIN radii WHERE r <= 10),
+         ann AS (SELECT vec_id, probe_hamming, neighbor_id, 1 AS hit FROM
+                  (SELECT vec_id, probe_hamming, neighbor_id,
+                          row_number() OVER (PARTITION BY vec_id, probe_hamming
+                                             ORDER BY cos_sim DESC, neighbor_id) AS r
+                   FROM pairs CROSS JOIN radii WHERE ham <= probe_hamming)
+                 WHERE r <= 10)
+    SELECT probe_hamming,
+           count(*) AS n_truth_pairs,
+           CAST(sum(coalesce(hit, 0)) AS BIGINT) AS total_hits,
+           round(CAST(sum(coalesce(hit, 0)) AS BIGINT)
+                 / count(*)::DOUBLE, 4) AS recall_at_10
+    FROM gt LEFT JOIN ann USING (vec_id, probe_hamming, neighbor_id)
+    GROUP BY probe_hamming ORDER BY probe_hamming
     """,
 )

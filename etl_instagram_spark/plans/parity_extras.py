@@ -27,6 +27,8 @@ Current entries:
   stays gated end-to-end via docs_near_dedup_summary)
 - ``events_sessionization`` (r6; lag-gap batch sessionization — the
   NATIVE session_window stays gated via events_session_window_native)
+- ``emb_ann_lsh_topk`` (r6; single-query bucket top-k — the bucket path
+  stays gated via emb_ann_recall and emb_knn_join_recall)
 """
 
 from __future__ import annotations
@@ -365,3 +367,43 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _sql_ann_lsh_topk_extra() -> str:
+    from etl_instagram_spark.plans.llm_queries import _sql_ann_lsh_topk
+
+    return _sql_ann_lsh_topk()
+
+
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: top-5 cosine neighbors of vec_id=0 among vectors in
+    its LSH bucket (r6 rotation; the bucket-filtered path stays gated
+    via emb_ann_recall and emb_knn_join_recall)."""
+    from etl_instagram_spark.plans.llm_queries import (
+        _as_double,
+        _bucket_col,
+        _dot,
+        _spread,
+        _t,
+    )
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", _bucket_col()
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    v = _as_double(F.col("embedding"))
+    cos = _dot(v, F.col("qv")) / (
+        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+EXTRAS["emb_ann_lsh_topk"] = (emb_ann_lsh_topk, _sql_ann_lsh_topk_extra())
