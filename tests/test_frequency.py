@@ -257,3 +257,43 @@ def test_mg_merge_error_bound_property(spark, batches, capacity):
         w = weights.get(t, 0)
         assert w <= c, (t, w, c)
         assert w >= c - slack - 1e-9, (t, w, c, slack)
+
+
+def test_stream_heavy_hitters_second_drain_new_epoch(spark, tmp_path):
+    """The production contract the bench tick relies on: landing more
+    files into the SAME landing/checkpoint lineage and draining again
+    folds a NEW epoch into the store (AvailableNow processes only the
+    new files), and the merged read covers both drains' terms."""
+    import json
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b0.json").write_text(
+        "\n".join(json.dumps({"term": t}) for t in BATCHES[0])
+    )
+    store = hh_store(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    stream_heavy_hitters(spark, str(landing), "term string", store, ckpt)
+    n_after_first = (
+        store.read().filter(F.col("term_key") == HH_TOTAL_KEY)
+        .agg(F.sum("n_part")).collect()[0][0]
+    )
+    assert n_after_first == len(BATCHES[0])
+
+    (landing / "b1.json").write_text(
+        "\n".join(json.dumps({"term": t}) for t in BATCHES[1])
+    )
+    stream_heavy_hitters(spark, str(landing), "term string", store, ckpt)
+    stored = store.read()
+    epochs = sorted(
+        r["epoch_id"] for r in stored.select("epoch_id").distinct().collect()
+    )
+    assert len(epochs) == 2, epochs  # second drain = its own epoch
+    total = (
+        stored.filter(F.col("term_key") == HH_TOTAL_KEY)
+        .agg(F.sum("n_part")).collect()[0][0]
+    )
+    assert total == len(BATCHES[0]) + len(BATCHES[1])
+    got = {r["term"] for r in heavy_hitters_read(store, 25, 1, 10).collect()}
+    # 'and' is heavy only in batch 1; 'the' in both — both must surface
+    assert {"the", "and"} <= got
