@@ -185,3 +185,37 @@ def test_zorder_key_rejects_long_overflow(spark):
         zorder_key(cols, [(0, 1)] * 4, bits=16)
     # 4 cols at bits=15 (60 bits) is fine
     zorder_key(cols, [(0, 1)] * 4, bits=15)
+
+
+def test_write_zordered_three_columns(spark, tmp_path):
+    """Three-dimension clustering still prunes on every column (bits=16
+    × 3 cols = 48 key bits — inside the long-overflow guard)."""
+    import glob
+    import random
+
+    import duckdb
+
+    from etl_instagram_spark.operators.layout import write_zordered
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randrange(64), rng.randrange(64), rng.randrange(64))
+        for _ in range(4096)
+    ]
+    df = spark.createDataFrame(rows, "x int, y int, z int")
+    p = str(tmp_path / "z3")
+    write_zordered(df, p, ["x", "y", "z"], n_files=16, bits=6)
+    files = sorted(glob.glob(f"{p}/part-*.parquet"))
+    assert len(files) == 16
+    hits = {"x": 0, "y": 0, "z": 0}
+    for f in files:
+        stats = duckdb.sql(
+            f"SELECT min(x), max(x), min(y), max(y), min(z), max(z) FROM '{f}'"
+        ).fetchone()
+        for i, c in enumerate(("x", "y", "z")):
+            hits[c] += stats[2 * i] <= 31.5 <= stats[2 * i + 1]
+    # 16 files over a 3-d z-curve: every dimension must skip files; a
+    # linear sort would leave two dimensions at 16/16
+    for c, h in hits.items():
+        assert h < 16, (c, h)
+    assert sum(hits.values()) <= 36  # and prune meaningfully overall
