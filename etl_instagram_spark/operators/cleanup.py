@@ -167,6 +167,144 @@ def remove_boilerplate_lines(
 
 
 # ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446, Table A1)
+# ---------------------------------------------------------------------------
+
+# the published rule set's stopword list: a doc must contain at least 2
+# occurrences to count as natural prose
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def _toks(col: Column) -> Column:
+    # functions.text.tokens without the import cycle: lowercased trimmed
+    # whitespace split — the corpus-wide token definition every SQL
+    # mirror spells as SQL_TOKS
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def gopher_flags(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+) -> dict[str, Column]:
+    """The Gopher quality-filter rules as named violation booleans
+    (True = the document FAILS that rule), with the paper's thresholds
+    as defaults. Every rule is a pure scan-stage column expression —
+    array/regex arithmetic over one row, no UDF, no shuffle — and every
+    expression has an exact DuckDB mirror (plans/llm_queries
+    ``docs_gopher_filter``), so the whole rule set is value-checkable.
+
+    Rules (paper Table A1): word count in [min_words, max_words]; mean
+    word length in [min/max_mean_word_len]; symbol-to-word ratio
+    (``#`` and ``...``) ≤ max_symbol_ratio; ≥ min_alpha_word_frac of
+    words contain a letter; ≥ min_stopword_hits occurrences from
+    :data:`GOPHER_STOPWORDS`; ≤ max_bullet_frac of lines start with a
+    bullet; ≤ max_ellipsis_frac of lines end with an ellipsis; the two
+    within-doc repetition fractions (:func:`dup_line_fraction` /
+    :func:`dup_line_char_fraction`) under their caps.
+
+    Blank/whitespace-only docs fail the word-count rule (0 words) and
+    pass the ratio rules vacuously (each ratio is defined 0 on empty
+    input) — same convention as the individual signal functions.
+    """
+    toks = _toks(col)
+    blank = F.length(F.trim(col)) == 0
+    nw = F.when(blank, F.lit(0)).otherwise(F.size(toks))
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = F.when(nw > 0, tok_chars.cast("double") / nw).otherwise(F.lit(0.0))
+    # symbol counts via replace-and-measure — identical sequential
+    # non-overlapping replace semantics on both engines
+    n_hash = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        nw > 0, (n_hash + n_ellipsis).cast("double") / nw
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        nw > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / nw,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.when(
+        blank, F.lit(0)
+    ).otherwise(F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS))))
+    # line-shape rules: raw lines, space-trimmed (ltrim/rtrim — both
+    # engines trim the space character by default), empty lines excluded
+    raw_lines = F.filter(
+        F.transform(_lines(col), lambda s: F.trim(s)), lambda s: s != F.lit("")
+    )
+    nl = F.size(raw_lines)
+    bullet_frac = F.when(
+        nl > 0,
+        F.size(
+            F.filter(
+                raw_lines,
+                lambda s: s.startswith("- ")
+                | s.startswith("* ")
+                | s.startswith("•"),
+            )
+        ).cast("double")
+        / nl,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        nl > 0,
+        F.size(
+            F.filter(
+                raw_lines,
+                lambda s: s.endswith("...") | s.endswith("…"),
+            )
+        ).cast("double")
+        / nl,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_words": (nw < min_words) | (nw > max_words),
+        "word_len": (~blank)
+        & ((mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len)),
+        "symbol_ratio": symbol_ratio > max_symbol_ratio,
+        "alpha_words": (~blank) & (alpha_frac < min_alpha_word_frac),
+        "stopwords": stop_hits < min_stopword_hits,
+        "bullet_lines": bullet_frac > max_bullet_frac,
+        "ellipsis_lines": ellipsis_frac > max_ellipsis_frac,
+        "dup_lines": dup_line_fraction(col) > max_dup_line_frac,
+        "dup_line_chars": dup_line_char_fraction(col) > max_dup_line_char_frac,
+    }
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str,
+    flag_prefix: str = "fail_",
+    pass_col: str = "gopher_pass",
+    **thresholds,
+) -> DataFrame:
+    """Annotate ``df`` with the per-rule violation flags
+    (``{flag_prefix}{rule}``) and an all-rules ``pass_col`` — filtering
+    is the caller's ``.filter(F.col(pass_col))`` so rejected rows can be
+    routed to a reject-audit sink instead of vanishing (the same
+    keep-the-evidence convention as ``split_sentinel_pages``)."""
+    flags = gopher_flags(F.col(text_col), **thresholds)
+    out = df
+    ok = F.lit(True)
+    for rule, bad in flags.items():
+        out = out.withColumn(f"{flag_prefix}{rule}", bad)
+        ok = ok & ~bad
+    return out.withColumn(pass_col, ok)
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 

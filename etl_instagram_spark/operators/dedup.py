@@ -567,6 +567,95 @@ def near_dedup_embeddings(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Within-cluster cosine-scored pairs for SemDeDup-style semantic
+    dedup: assign every row to its nearest coarse-quantizer centroid,
+    then score ONLY same-cell pairs (id_a < id_b) — the published
+    SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embeddings, compare pairs inside each cluster, never across.
+
+    Contrast with ``near_dedup_embeddings``: hyperplane buckets are
+    data-INDEPENDENT (fixed signs, multi-probe for recall), while the
+    quantizer here is fit to the corpus geometry, so cells track actual
+    density — semantically-close rows land together without probing.
+    Cross-cell near-dups are missed BY DESIGN; that is the algorithm's
+    documented trade (its clusters are its candidate blocks).
+
+    Scale shape (100 TB): cell assignment is a pure column expression
+    over literal centroids (similarity.ivf_cell — no model object, no
+    UDF); candidates come from a self-equi-join on the cell id, so pair
+    count is O(Σ cell²) not O(n²), bounded by fitting enough centroids
+    that cells stay executor-sized (SemDeDup itself uses k=11k clusters
+    for LAION-scale; AQE skew-join splits any hot cell). Pass
+    ``cell_col`` when the table already carries an ingest-time cell
+    stamp — the same stored-column pruning contract as
+    ``similarity.ann_ivf_topk``, saving the assignment arithmetic and
+    keeping the fit corpus-versioned.
+
+    Returns (id_a, id_b, cell, cos) with cos rounded to 6 places — the
+    rounding makes the downstream threshold compare replayable on any
+    engine whose float64 sums match to 1e-6 instead of bit-exactly.
+    """
+    from etl_instagram_spark.operators.similarity import as_double, dot, ivf_cell
+
+    v = as_double(F.col(vec_col))
+    cell = F.col(cell_col) if cell_col else ivf_cell(vec_col, centroids)
+    scored = df.select(
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        F.sqrt(dot(v, v)).alias("__n"),
+        cell.alias("__c"),
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    norm_prod = F.col("a.__n") * F.col("b.__n")
+    # zero-norm guard: same NaN-orders-above-everything hazard as
+    # near_dedup_embeddings — a zero vector has no direction, cosine 0
+    return a.join(
+        b,
+        (F.col("a.__c") == F.col("b.__c")) & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        F.col("a.__c").alias("cell"),
+        F.round(
+            F.when(
+                norm_prod > 0, dot(F.col("a.__v"), F.col("b.__v")) / norm_prod
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("cos"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """SemDeDup survivors: drop rows whose embedding is within
+    ``threshold`` cosine of a smaller-id row in the SAME quantizer cell
+    (keep-smallest-id, single pass — the near_dedup_minhash survivor
+    rule applied to ``semantic_dedup_pairs`` candidates). Fit
+    ``centroids`` once with ``similarity.fit_ivf_centroids`` and reuse
+    across batches so the dedup decision is stable under corpus growth.
+    """
+    losers = (
+        semantic_dedup_pairs(df, id_col, vec_col, centroids, cell_col=cell_col)
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 # ---------------------------------------------------------------------------
 # incremental near-dedup against a persistent signature store
 # ---------------------------------------------------------------------------

@@ -230,6 +230,64 @@ def mix_corpora(
     return out
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: "str | Sequence[str]",
+    id_col: str,
+    n: int,
+    salt: str = "cap",
+    prefer: Column | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the per-domain frequency cap
+    of web-corpus curation (C4 caps pages per host; Gopher/RefinedWeb
+    cap documents per domain so boilerplate-heavy sites cannot dominate
+    the mixture). Engine-native extension; the reference's only limit is
+    the global dev-mode head (posts-from-hashtags.js:283).
+
+    Which ``n`` survive is deterministic and partitioning-independent:
+    rows are ranked inside each group by (hash32(salt ⊕ id), id) — an
+    unbiased pseudorandom preference that never flips when the cluster
+    layout changes (``rand(seed)`` would). Pass ``prefer`` (e.g. a
+    quality score, descending) to keep the BEST ``n`` instead of a
+    uniform ``n``; the hashed id stays as the tie-break so equal-quality
+    rows still cap deterministically.
+
+    Scale shape (100 TB): one shuffle on the group key, then a
+    rank-and-filter window. The hot groups a cap exists FOR are exactly
+    the skewed keys — but the window never materializes a group in
+    memory (rank is a streaming pass over the sorted partition), so a
+    100M-row domain costs sort spill, not OOM. When only the survivors
+    are needed downstream, the filter on row_number ≤ n composes with
+    Spark's WindowGroupLimit pushdown (rank-based filters prune inside
+    the sort), keeping the shuffle's output O(n · groups).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    order = [_bucket(F.col(id_col), salt).asc(), F.col(id_col).asc()]
+    if prefer is not None:
+        order = [prefer, *order]
+    w = Window.partitionBy(*groups).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def cap_rank_sql(id_expr: str, group_expr: str, salt: str = "cap") -> str:
+    """DuckDB ``row_number()`` expression mirroring the uniform (no
+    ``prefer``) ranking of :func:`cap_per_group` — oracles build their
+    rank here so the two engines cannot drift."""
+    # NULLS FIRST spelled out: Spark's asc() sorts nulls first while
+    # DuckDB defaults to NULLS LAST — a null id (null bucket, by the
+    # _bucket contract) must rank identically on both engines
+    return (
+        f"row_number() OVER (PARTITION BY {group_expr} "
+        f"ORDER BY {bucket_sql(id_expr, salt)} NULLS FIRST, {id_expr} NULLS FIRST)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # weighted repeat (upsampling) and deterministic shuffle order
 # ---------------------------------------------------------------------------

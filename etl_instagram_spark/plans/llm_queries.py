@@ -353,7 +353,10 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-@query("emb_knn_cosine")
+# (emb_knn_cosine rotated out of the gate in r6 to make room for
+# emb_semantic_dedup — the exact-cosine surface stays gated via the
+# ground-truth sides of emb_ann_recall / emb_knn_join_recall; this
+# single-query shape keeps DuckDB parity via plans/parity_extras.py)
 def emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-10 cosine neighbors of vec_id=0. One scan, the
     query vector broadcast as a 1-row dimension, TakeOrderedAndProject —
@@ -375,9 +378,7 @@ def emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-oracle(
-    "emb_knn_cosine",
-    """
+SQL_KNN_COSINE = """
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id, label,
            round(list_dot_product(embedding::DOUBLE[], qv)
@@ -387,8 +388,7 @@ oracle(
     WHERE vec_id <> 0
     ORDER BY cos_sim DESC, vec_id
     LIMIT 10
-    """,
-)
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -522,6 +522,96 @@ oracle(
            (SELECT count(*) FROM losers) AS n_dropped
     """,
 )
+
+
+@query("emb_semantic_dedup")
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.semantic_dedup run whole (SemDeDup, Abbas et al.
+    2023): seeded-Lloyd's coarse quantizer (8 cells, same deterministic
+    fit as emb_ann_ivf_recall) → within-cell cosine pairs ≥ 0.35 →
+    drop-larger-id survivors, summarized PER CELL so the hash checks the
+    cell assignment, the pair scoring, and the survivor rule together.
+    Exercises the stored-cell path (``cell_col``) — the ingest-time
+    stamping contract ``ann_ivf_topk`` shares.
+
+    Threshold 0.35 for the same reason as emb_near_dedup: the synthetic
+    vectors are isotropic, and a crossable threshold makes the verify +
+    survivor path produce non-trivial counts (≈100 within-cell pairs at
+    sf0.01) instead of vacuously passing."""
+    from etl_instagram_spark.operators.dedup import semantic_dedup_pairs
+    from etl_instagram_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_cell,
+    )
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    centroids = fit_ivf_centroids(emb, n_clusters=8, seed=42, order_col="vec_id")
+    cells = emb.withColumn("cell", ivf_cell("embedding", centroids))
+    losers = (
+        semantic_dedup_pairs(cells, "vec_id", "embedding", centroids, cell_col="cell")
+        .filter(F.col("cos") >= 0.35)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__lost", F.lit(1))
+    )
+    return (
+        cells.join(losers, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("__lost").alias("n_dropped"),
+            F.sum(F.when(F.col("__lost").isNull(), F.col("vec_id"))).alias(
+                "survivor_id_sum"
+            ),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            (F.col("n_vecs") - F.col("n_dropped")).alias("n_survivors"),
+            "n_dropped",
+            "survivor_id_sum",
+        )
+        .orderBy("cell")
+    )
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB mirror of emb_semantic_dedup (lazy — centroid literals are
+    fit from the gate data): cell assignment via ``_sql_centroid_dists``
+    argmin, same-cell self-join, round-6 cosine with the zero-norm
+    guard, keep-smallest-id survivors, per-cell rollup."""
+    centroids, con, _ = _fit_oracle_centroids(8, seed=42)
+    con.close()
+    dists = _sql_centroid_dists(centroids)
+    return f"""
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(d, list_min(d)) - 1 AS INT) AS cell
+      FROM (SELECT vec_id, embedding, {dists} AS d FROM embeddings)),
+    pairs AS (
+      SELECT b.vec_id AS ib,
+             round(CASE
+               WHEN list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+                    * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0
+               THEN 0.0
+               ELSE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+             END, 6) AS cos
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    losers AS (SELECT DISTINCT ib AS vec_id FROM pairs WHERE cos >= 0.35)
+    SELECT cell,
+           count(*) AS n_vecs,
+           count(*) - count(l.vec_id) AS n_survivors,
+           count(l.vec_id) AS n_dropped,
+           CAST(sum(CASE WHEN l.vec_id IS NULL THEN c.vec_id END) AS BIGINT)
+             AS survivor_id_sum
+    FROM cells c LEFT JOIN losers l USING (vec_id)
+    GROUP BY cell ORDER BY cell
+    """
+
+
+oracle("emb_semantic_dedup", _semantic_dedup_oracle_sql)
 
 
 # ---------------------------------------------------------------------------
@@ -714,32 +804,24 @@ def emb_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql() -> str:
-    """DuckDB mirror of emb_ann_ivf_recall, built LAZILY (resolved at
-    ``all_oracle_sql()`` time, not import time) because its literals are
-    FIT from the gate data: read the same deterministic sample the Spark
-    side uses (ORDER BY vec_id LIMIT 4096, float→double is exact), run
-    the identical seeded ``lloyd_kmeans``, and inline the resulting
-    centroids — bit-identical floats via ``repr`` round-trip — the way
-    ``_sql_bucket()`` inlines the hyperplane constants. Cell assignment
-    replays as argmin over a distance array (``list_position`` +
-    ``list_min`` — same first-minimum tie-break as the Spark
-    ``array_position``/``array_min`` shape); the per-query probe sets
-    come from the same ``_nearest_centroids`` code and inline as a
-    VALUES list.
+def _fit_oracle_centroids(n_clusters: int = 8, seed: int = 42):
+    """Fit the ORACLE's copy of the gate centroids: read the same
+    deterministic sample the Spark side uses (ORDER BY vec_id LIMIT
+    4096, float→double is exact) from the gate parquet and run the
+    identical seeded ``lloyd_kmeans`` — the literals it yields are
+    bit-identical to what the Spark plan carries.
 
     The correctness gate runs at sf=0.01 by the driver contract; when
     exercising the oracle against another scale, point
-    ``SPARK_GRAFT_ORACLE_SF_DIR`` at that directory."""
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` at that directory. Returns
+    (centroids, duckdb_connection, parquet_path) so callers can issue
+    follow-up probes on the same data before closing."""
     import os
 
     import duckdb
     import numpy as np
 
-    from etl_instagram_spark.operators.similarity import (
-        _nearest_centroids,
-        lloyd_kmeans,
-    )
+    from etl_instagram_spark.operators.similarity import lloyd_kmeans
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     path = os.path.join(sf_dir, "embeddings.parquet")
@@ -749,8 +831,40 @@ def _ivf_oracle_sql() -> str:
         "WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4096"
     ).fetchall()
     centroids = lloyd_kmeans(
-        np.asarray([r[0] for r in sample], dtype=np.float64), 8, seed=42
+        np.asarray([r[0] for r in sample], dtype=np.float64), n_clusters, seed=seed
     )
+    return centroids, con, path
+
+
+def _sql_centroid_dists(centroids: list[list[float]]) -> str:
+    """DuckDB expression for the per-row centroid distance array.
+    ``repr()`` is the shortest round-tripping decimal — DuckDB parses it
+    back to the exact same float64 the Spark literals carry;
+    list_distance = sqrt(Σ(a-b)²) is monotone in the Spark side's
+    Σ(a-b)², so the argmin (and its first-minimum tie-break via
+    list_position/list_min) is identical to ``similarity.ivf_cell``."""
+    c_lits = [
+        "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        for c in centroids
+    ]
+    return (
+        "["
+        + ", ".join(f"list_distance(embedding::DOUBLE[], {c})" for c in c_lits)
+        + "]"
+    )
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB mirror of emb_ann_ivf_recall, built LAZILY (resolved at
+    ``all_oracle_sql()`` time, not import time) because its literals are
+    FIT from the gate data (``_fit_oracle_centroids``), the way
+    ``_sql_bucket()`` inlines the hyperplane constants. Cell assignment
+    replays as argmin over a distance array (``_sql_centroid_dists``);
+    the per-query probe sets come from the same ``_nearest_centroids``
+    code and inline as a VALUES list."""
+    from etl_instagram_spark.operators.similarity import _nearest_centroids
+
+    centroids, con, path = _fit_oracle_centroids(8, seed=42)
     qrows = con.sql(
         f"SELECT vec_id, embedding::DOUBLE[] FROM '{path}' "
         "WHERE vec_id < 5 ORDER BY vec_id"
@@ -760,19 +874,7 @@ def _ivf_oracle_sql() -> str:
         int(qid): _nearest_centroids([float(x) for x in qv], centroids, 2)
         for qid, qv in qrows
     }
-    # repr() is the shortest round-tripping decimal — DuckDB parses it
-    # back to the exact same float64 the Spark literals carry
-    c_lits = [
-        "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
-        for c in centroids
-    ]
-    # list_distance = sqrt(Σ(a-b)²): monotone in the Spark side's Σ(a-b)²,
-    # so the argmin (and its first-minimum tie-break) is identical
-    dists = (
-        "["
-        + ", ".join(f"list_distance(embedding::DOUBLE[], {c})" for c in c_lits)
-        + "]"
-    )
+    dists = _sql_centroid_dists(centroids)
     qvals = ", ".join(
         f"({qid}, [{', '.join(str(c) for c in cells)}]::INT[])"
         for qid, cells in sorted(probes.items())
@@ -1056,7 +1158,9 @@ oracle(
 # ---------------------------------------------------------------------------
 
 
-@query("supplier_geo_bands")
+# (supplier_geo_bands rotated out of the gate in r6 to make room for
+# docs_domain_cap — the haversine/trig surface keeps DuckDB parity via
+# plans/parity_extras.py; functions/geo.py keeps its pytest coverage)
 def supplier_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haversine distance bands from synthetic supplier coordinates
     (derived deterministically from the key) to a fixed origin — the geo
@@ -1076,9 +1180,7 @@ def supplier_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-oracle(
-    "supplier_geo_bands",
-    """
+SQL_SUPPLIER_GEO_BANDS = """
     WITH pts AS (
       SELECT (s_suppkey % 120) - 60 + 0.25 AS lat,
              (s_suppkey * 7 % 360) - 180 + 0.5 AS lng
@@ -1095,8 +1197,7 @@ oracle(
     SELECT CAST(floor(dist / 2000) AS INT) AS band_2000km,
            count(*) AS n_suppliers
     FROM d GROUP BY band_2000km ORDER BY band_2000km
-    """,
-)
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1861,6 +1962,183 @@ oracle(
            CAST(sum(length(clean)) AS BIGINT) AS sum_clean_chars,
            count(DISTINCT md5(clean)) AS n_distinct_clean
     FROM rebuilt GROUP BY lang ORDER BY lang
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# documents: per-source frequency cap (C4/RefinedWeb domain capping)
+# ---------------------------------------------------------------------------
+
+
+@query("docs_domain_cap")
+def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sampling.cap_per_group: keep at most 15 docs per source
+    (uniform deterministic preference — hashed-id rank), then audit the
+    survivors per source. The id_sum makes the hash sensitive to WHICH
+    rows survived, not just how many — the oracle replays the identical
+    rank via ``cap_rank_sql`` (shared ``bucket_sql`` hash)."""
+    from etl_instagram_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "source", "doc_id", 15, salt="cap")
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_domain_cap() -> str:
+    from etl_instagram_spark.operators.sampling import cap_rank_sql
+
+    rn = cap_rank_sql("doc_id", "source", salt="cap")
+    return f"""
+    WITH r AS (SELECT source, doc_id, n_chars, {rn} AS rn FROM documents)
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM r WHERE rn <= 15 GROUP BY source ORDER BY source
+    """
+
+
+oracle("docs_domain_cap", _sql_domain_cap())
+
+
+# ---------------------------------------------------------------------------
+# documents: Gopher quality-filter rule set
+# ---------------------------------------------------------------------------
+
+
+_GOPHER_RULES = (
+    "n_words",
+    "word_len",
+    "symbol_ratio",
+    "alpha_words",
+    "stopwords",
+    "bullet_lines",
+    "ellipsis_lines",
+    "dup_lines",
+    "dup_line_chars",
+)
+
+
+@query("docs_gopher_filter")
+def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/cleanup.gopher_filter at the paper-default thresholds:
+    per language, how many docs pass the full Gopher rule set and how
+    many fail EACH rule — all nine violation expressions replayed
+    verbatim by the oracle, so the rule arithmetic (tokenization, ratio
+    guards, line shapes, dup fractions) is value-checked end-to-end, not
+    just the pass count. On the synthetic corpus several line-shape
+    rules are vacuous (single-line docs) — their zero counts are still
+    hash-checked; the crafted-doc rule coverage lives in
+    tests/test_cleanup.py."""
+    from etl_instagram_spark.operators.cleanup import gopher_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    flagged = gopher_filter(docs, "text")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("gopher_pass").cast("long")).alias("n_pass"),
+            *[
+                F.sum(F.col(f"fail_{r}").cast("long")).alias(f"fail_{r}")
+                for r in _GOPHER_RULES
+            ],
+        )
+        .orderBy("lang")
+    )
+
+
+# DuckDB mirror of every gopher_flags expression (same thresholds as the
+# Python defaults; blank-doc and empty-list guards spelled out —
+# list_sum([]) is NULL in DuckDB where Spark's aggregate-from-0 gives 0)
+_SQL_GOPHER_STOPS = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+oracle(
+    "docs_gopher_filter",
+    f"""
+    WITH g AS (
+      SELECT lang,
+             trim(text) = '' AS blank,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({SQL_TOKS}) END AS nw,
+             {SQL_TOKS} AS toks,
+             list_filter(list_transform(regexp_split_to_array(text, '\\r?\\n'),
+                                        s -> trim(s)), s -> s <> '') AS rl,
+             list_filter(list_transform(regexp_split_to_array(lower(text), '\\r?\\n'),
+                                        s -> trim(s)), s -> s <> '') AS nlns,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+      FROM documents),
+    m AS (
+      SELECT lang, blank, nw,
+             CASE WHEN nw > 0
+                  THEN coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                       / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS mean_wl,
+             CASE WHEN nw > 0 THEN (n_hash + n_ell) / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN nw > 0
+                  THEN len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                       / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS alpha_frac,
+             CASE WHEN blank THEN 0
+                  ELSE len(list_filter(toks,
+                           t -> list_contains({_SQL_GOPHER_STOPS}, t))) END AS stop_hits,
+             CASE WHEN len(rl) > 0
+                  THEN len(list_filter(rl, s -> starts_with(s, '- ')
+                                            OR starts_with(s, '* ')
+                                            OR starts_with(s, '•')))
+                       / CAST(len(rl) AS DOUBLE)
+                  ELSE 0.0 END AS bullet_frac,
+             CASE WHEN len(rl) > 0
+                  THEN len(list_filter(rl, s -> ends_with(s, '...')
+                                            OR ends_with(s, '…')))
+                       / CAST(len(rl) AS DOUBLE)
+                  ELSE 0.0 END AS ellipsis_frac,
+             CASE WHEN len(nlns) > 1
+                  THEN (len(nlns) - len(list_distinct(nlns)))
+                       / CAST(len(nlns) AS DOUBLE)
+                  ELSE 0.0 END AS dup_frac,
+             CASE WHEN coalesce(list_sum(list_transform(nlns, s -> length(s))), 0) > 0
+                  THEN (list_sum(list_transform(nlns, s -> length(s)))
+                        - list_sum(list_transform(list_distinct(nlns), s -> length(s))))
+                       / CAST(list_sum(list_transform(nlns, s -> length(s))) AS DOUBLE)
+                  ELSE 0.0 END AS dup_char_frac
+      FROM g),
+    f AS (
+      SELECT lang,
+             (nw < 50 OR nw > 100000) AS f_n_words,
+             (NOT blank) AND (mean_wl < 3.0 OR mean_wl > 10.0) AS f_word_len,
+             symbol_ratio > 0.1 AS f_symbol_ratio,
+             (NOT blank) AND alpha_frac < 0.8 AS f_alpha_words,
+             stop_hits < 2 AS f_stopwords,
+             bullet_frac > 0.9 AS f_bullet_lines,
+             ellipsis_frac > 0.3 AS f_ellipsis_lines,
+             dup_frac > 0.3 AS f_dup_lines,
+             dup_char_frac > 0.2 AS f_dup_line_chars
+      FROM m)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN NOT (f_n_words OR f_word_len OR f_symbol_ratio
+                                   OR f_alpha_words OR f_stopwords
+                                   OR f_bullet_lines OR f_ellipsis_lines
+                                   OR f_dup_lines OR f_dup_line_chars)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN f_n_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_n_words,
+           CAST(sum(CASE WHEN f_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+           CAST(sum(CASE WHEN f_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+           CAST(sum(CASE WHEN f_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_words,
+           CAST(sum(CASE WHEN f_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+           CAST(sum(CASE WHEN f_bullet_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullet_lines,
+           CAST(sum(CASE WHEN f_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis_lines,
+           CAST(sum(CASE WHEN f_dup_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup_lines,
+           CAST(sum(CASE WHEN f_dup_line_chars THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup_line_chars
+    FROM f GROUP BY lang ORDER BY lang
     """,
 )
 

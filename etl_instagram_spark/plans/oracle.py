@@ -54,17 +54,15 @@ oracle(
     """,
 )
 
-oracle(
-    "q6_forecast_revenue",
-    """
+# (q6_forecast_revenue rotated to plans/parity_extras.py in r6)
+SQL_Q6_FORECAST_REVENUE = """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
-    """,
-)
+    """
 
 oracle(
     "events_hypertable_rollup",

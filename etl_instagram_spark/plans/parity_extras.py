@@ -29,6 +29,12 @@ Current entries:
   NATIVE session_window stays gated via events_session_window_native)
 - ``emb_ann_lsh_topk`` (r6; single-query bucket top-k — the bucket path
   stays gated via emb_ann_recall and emb_knn_join_recall)
+- ``emb_knn_cosine`` (r6, for emb_semantic_dedup; exact-cosine stays
+  gated via the recall queries' ground-truth sides)
+- ``supplier_geo_bands`` (r6, for docs_domain_cap; haversine keeps
+  pytest coverage in functions/geo.py)
+- ``q6_forecast_revenue`` (r6, for docs_gopher_filter; filter+global-agg
+  stays gated via q1_pricing_summary / conditional_agg_promo_share)
 """
 
 from __future__ import annotations
@@ -407,3 +413,45 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRAS["emb_ann_lsh_topk"] = (emb_ann_lsh_topk, _sql_ann_lsh_topk_extra())
+
+
+def _llm(name: str):
+    from etl_instagram_spark.plans import llm_queries
+
+    return getattr(llm_queries, name)
+
+
+def _emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force single-query cosine top-10 (r6 rotation for
+    emb_semantic_dedup; the exact-cosine surface stays gated via the
+    ground-truth sides of emb_ann_recall / emb_knn_join_recall)."""
+    return _llm("emb_knn_cosine")(spark, sf_dir)
+
+
+def _supplier_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine distance bands (r6 rotation for docs_domain_cap; the
+    trig formula keeps its pytest coverage in functions/geo.py)."""
+    return _llm("supplier_geo_bands")(spark, sf_dir)
+
+
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 filter + global agg (r6 rotation for docs_gopher_filter;
+    the surface stays gated via q1 / conditional_agg_promo_share)."""
+    from etl_instagram_spark.plans.queries import q6_forecast_revenue
+
+    return q6_forecast_revenue(spark, sf_dir)
+
+
+def _register_rotated() -> None:
+    from etl_instagram_spark.plans import llm_queries
+    from etl_instagram_spark.plans.oracle import SQL_Q6_FORECAST_REVENUE
+
+    EXTRAS["emb_knn_cosine"] = (_emb_knn_cosine, llm_queries.SQL_KNN_COSINE)
+    EXTRAS["supplier_geo_bands"] = (
+        _supplier_geo_bands,
+        llm_queries.SQL_SUPPLIER_GEO_BANDS,
+    )
+    EXTRAS["q6_forecast_revenue"] = (_q6_forecast_revenue, SQL_Q6_FORECAST_REVENUE)
+
+
+_register_rotated()

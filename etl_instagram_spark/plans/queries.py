@@ -97,7 +97,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q6_forecast_revenue")
+# (q6_forecast_revenue rotated out of the gate in r6 to make room for
+# docs_gopher_filter — the filter-and-global-agg surface stays gated via
+# q1_pricing_summary / conditional_agg_promo_share; DuckDB parity via
+# plans/parity_extras.py)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + global agg — entirely pushdown-able;
     at scale this is a single scan with zero shuffle (partial sums only)."""

@@ -285,3 +285,103 @@ def test_flag_contaminated_blank_benchmark_flags_nothing(spark):
     docs = spark.createDataFrame([(1, "some doc")], "doc_id long, text string")
     out = flag_contaminated(docs, bench, "doc_id", "text", n=13).collect()
     assert [r["contaminated"] for r in out] == [False]
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-filter rules
+# ---------------------------------------------------------------------------
+
+_GOOD = (
+    "the quick brown fox jumps over that lazy dog and runs with great "
+    "speed to be first at the gate of the meadow and have plenty of time "
+    "that morning with friends to share the long road ahead and be glad "
+    "of every mile that passed with song and cheer to the very end of "
+    "that fine day with hope and the promise of rest"
+)  # 62 natural words, stopword-rich, mean len in band
+
+
+def _gopher_docs():
+    words60 = " ".join(["castle", "meadow", "branch"] * 20)
+    return [
+        (0, _GOOD),
+        (1, "the cat sat on the mat with that dog"),  # 9 words → n_words
+        (2, " ".join(["aa", "to", "of"] * 20)),  # mean word len 2 → word_len
+        (3, _GOOD + " " + "# " * 9),  # 9 '#' on 71 words → symbol_ratio
+        (4, _GOOD + " " + "12345 " * 20),  # 20/82 numeric → alpha_words
+        (5, words60),  # zero stopword hits → stopwords
+        (6, "\n".join(["- item one of the lot to have and that with be"] * 6)),
+        (7, _GOOD + "\n" + "\n".join(["so it goes on..."] * 3)),  # 3/4 lines
+        (8, "\n".join(["the same line of that text to have with be"] * 6)),
+        (9, ""),  # blank: n_words + stopwords only
+    ]
+
+
+def test_gopher_flags_each_rule_fires_on_its_crafted_doc(spark):
+    from etl_instagram_spark.operators.cleanup import gopher_filter
+
+    df = spark.createDataFrame(_gopher_docs(), "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in gopher_filter(df, "text").collect()}
+    assert rows[0]["gopher_pass"] is True
+    expect = {
+        1: "fail_n_words",
+        2: "fail_word_len",
+        3: "fail_symbol_ratio",
+        4: "fail_alpha_words",
+        5: "fail_stopwords",
+        6: "fail_bullet_lines",
+        7: "fail_ellipsis_lines",
+        8: "fail_dup_lines",
+    }
+    for doc_id, flag in expect.items():
+        assert rows[doc_id][flag] is True, (doc_id, flag, rows[doc_id])
+        assert rows[doc_id]["gopher_pass"] is False
+    # doc 8's duplicated lines also trip the char-weighted variant
+    assert rows[8]["fail_dup_line_chars"] is True
+    # blank text: fails word count (0 words) and stopwords, passes the
+    # ratio rules vacuously
+    assert rows[9]["fail_n_words"] is True
+    assert rows[9]["fail_stopwords"] is True
+    assert rows[9]["fail_word_len"] is False
+    assert rows[9]["fail_symbol_ratio"] is False
+    assert rows[9]["fail_dup_lines"] is False
+
+
+def test_gopher_rules_match_duckdb_mirror_on_crafted_docs(spark):
+    """Replay the REGISTERED gate oracle over a crafted corpus that
+    exercises the line-shape and blank branches the synthetic gate data
+    never hits — the drift test the sf0.01 hash can't provide."""
+    import pandas as pd
+
+    from etl_instagram_spark.operators.cleanup import gopher_filter
+    from etl_instagram_spark.plans.oracle import all_oracle_sql
+
+    docs = [
+        (i, t, f"l{i % 3}", "src", len(t)) for i, t in _gopher_docs()
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    flagged = gopher_filter(df, "text")
+    rules = [c for c in flagged.columns if c.startswith("fail_")]
+    got = sorted(
+        tuple(r)
+        for r in flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("gopher_pass").cast("long")).alias("n_pass"),
+            *[F.sum(F.col(c).cast("long")).alias(c) for c in rules],
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+    )
+    want = sorted(tuple(r) for r in con.sql(
+        all_oracle_sql()["docs_gopher_filter"]
+    ).fetchall())
+    con.close()
+    assert got == want

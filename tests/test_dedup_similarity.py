@@ -756,3 +756,106 @@ def test_knn_self_join_empty_input_schema_matches(spark):
     assert [(f.name, f.dataType) for f in out.schema.fields] == [
         (f.name, f.dataType) for f in nonempty.schema.fields
     ]
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: IVF cells → within-cell cosine → survivors)
+# ---------------------------------------------------------------------------
+
+
+def _planted_vectors():
+    """40 deterministic 8-dim vectors with planted same-direction dups:
+    ids 100/101 are near-identical, 200/201/202 form a chain, the rest
+    are pseudo-random directions (md5-derived, no PRNG state)."""
+    import hashlib
+
+    def vec(seed: str) -> list[float]:
+        h = hashlib.md5(seed.encode()).digest()
+        return [((b / 255.0) * 2 - 1) for b in h[:8]]
+
+    rows = [(i, vec(f"base:{i}")) for i in range(35)]
+    a = vec("dup:a")
+    rows += [(100, a), (101, [x * 1.01 for x in a])]  # cos == 1.0
+    b = vec("dup:b")
+    rows += [
+        (200, b),
+        (201, [x + 0.001 for x in b]),
+        (202, [x + 0.002 for x in b]),
+    ]
+    return rows
+
+
+def _numpy_semantic_reference(rows, centroids, threshold):
+    """Plain-NumPy SemDeDup: argmin-cell assign, same-cell pairs, cosine
+    rounded to 6, keep-smallest-id."""
+    import numpy as np
+
+    ids = [r[0] for r in rows]
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    c = np.asarray(centroids)
+    d2 = (x**2).sum(1)[:, None] - 2 * x @ c.T + (c**2).sum(1)[None, :]
+    cell = d2.argmin(1)
+    losers = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if cell[i] == cell[j] and ids[i] < ids[j]:
+                ni, nj = np.linalg.norm(x[i]), np.linalg.norm(x[j])
+                cos = 0.0 if ni * nj == 0 else float(x[i] @ x[j] / (ni * nj))
+                if round(cos, 6) >= threshold:
+                    losers.add(ids[j])
+    return sorted(set(ids) - losers)
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """End-to-end against an independent NumPy implementation, including
+    the keep-smallest-id rule on the planted dup pairs."""
+    rows = _planted_vectors()
+    centroids = S.lloyd_kmeans([r[1] for r in rows], 4, seed=7)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        r["vec_id"]
+        for r in D.semantic_dedup(
+            df, "vec_id", "embedding", centroids, threshold=0.9
+        ).collect()
+    )
+    want = _numpy_semantic_reference(rows, centroids, 0.9)
+    assert got == want
+    # the planted dups actually exercised the drop path
+    assert 101 not in got and 100 in got
+    assert 201 not in got and 202 not in got and 200 in got
+
+
+def test_semantic_dedup_stored_cell_matches_computed(spark):
+    """The cell_col fast path must agree with on-the-fly assignment —
+    the stored-column contract shared with ann_ivf_topk."""
+    rows = _planted_vectors()
+    centroids = S.lloyd_kmeans([r[1] for r in rows], 4, seed=7)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stamped = df.withColumn("cell", S.ivf_cell("embedding", centroids))
+    on_the_fly = D.semantic_dedup_pairs(df, "vec_id", "embedding", centroids)
+    stored = D.semantic_dedup_pairs(
+        stamped, "vec_id", "embedding", centroids, cell_col="cell"
+    )
+    assert sorted(map(tuple, on_the_fly.collect())) == sorted(
+        map(tuple, stored.select(on_the_fly.columns).collect())
+    )
+
+
+def test_semantic_dedup_threshold_monotone(spark):
+    """Raising the threshold can only ADD survivors (fewer pairs cross)."""
+    rows = _planted_vectors()
+    centroids = S.lloyd_kmeans([r[1] for r in rows], 4, seed=7)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    strict = {
+        r["vec_id"]
+        for r in D.semantic_dedup(
+            df, "vec_id", "embedding", centroids, threshold=0.5
+        ).collect()
+    }
+    loose = {
+        r["vec_id"]
+        for r in D.semantic_dedup(
+            df, "vec_id", "embedding", centroids, threshold=0.99
+        ).collect()
+    }
+    assert strict <= loose

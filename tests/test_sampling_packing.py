@@ -730,3 +730,86 @@ def test_repeat_property_matches_mirror_and_expectation(spark, mult, n):
         c = per_row.get(d, 0)
         assert c in (lo, lo + 1), (d, c, mult)
         assert [i for dd, i in got if dd == d] == list(range(1, c + 1))
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group (per-domain frequency capping)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def domain_docs(spark):
+    """60 docs over 4 domains with skew: d0×30, d1×20, d2×8, d3×2."""
+    rows = []
+    i = 0
+    for dom, n in (("d0", 30), ("d1", 20), ("d2", 8), ("d3", 2)):
+        for _ in range(n):
+            rows.append((i, dom, i * 7 % 100))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, domain string, score long")
+
+
+def test_cap_per_group_caps_and_matches_duckdb(spark, domain_docs):
+    """Cap respected, under-cap groups untouched, and the kept SET (not
+    just the counts) replays through cap_rank_sql on DuckDB."""
+    from etl_instagram_spark.operators.sampling import cap_per_group, cap_rank_sql
+
+    out = cap_per_group(domain_docs, "domain", "doc_id", 10, salt="t")
+    per = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {"d0": 10, "d1": 10, "d2": 8, "d3": 2}
+    kept = sorted(r["doc_id"] for r in out.collect())
+    con = duckdb.connect()
+    con.register("docs", domain_docs.toPandas())
+    rn = cap_rank_sql("doc_id", "domain", salt="t")
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            f"SELECT doc_id FROM (SELECT doc_id, {rn} AS rn FROM docs) WHERE rn <= 10"
+        ).fetchall()
+    )
+    con.close()
+    assert kept == want
+
+
+def test_cap_per_group_partitioning_independent(spark, domain_docs):
+    """The kept set is a pure function of (id, salt) — cluster layout
+    must not change which rows survive."""
+    from etl_instagram_spark.operators.sampling import cap_per_group
+
+    one = cap_per_group(domain_docs.repartition(1), "domain", "doc_id", 5)
+    many = cap_per_group(domain_docs.repartition(7, "score"), "domain", "doc_id", 5)
+    assert sorted(r["doc_id"] for r in one.collect()) == sorted(
+        r["doc_id"] for r in many.collect()
+    )
+
+
+def test_cap_per_group_prefer_keeps_best(spark, domain_docs):
+    """With a prefer column the cap keeps the top-n by that ordering."""
+    from etl_instagram_spark.operators.sampling import cap_per_group
+
+    out = cap_per_group(
+        domain_docs, "domain", "doc_id", 3, prefer=F.col("score").desc()
+    )
+    got = {
+        r["domain"]: sorted(r["scores"], reverse=True)
+        for r in out.groupBy("domain")
+        .agg(F.collect_list("score").alias("scores"))
+        .collect()
+    }
+    want = {
+        r["domain"]: sorted(r["scores"], reverse=True)[:3]
+        for r in domain_docs.groupBy("domain")
+        .agg(F.collect_list("score").alias("scores"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_cap_per_group_validation(spark, domain_docs):
+    from etl_instagram_spark.operators.sampling import cap_per_group
+
+    with pytest.raises(ValueError, match="n must be"):
+        cap_per_group(domain_docs, "domain", "doc_id", 0)
