@@ -20,7 +20,16 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
-    fn = all_queries()[name]
+    reg = all_queries()
+    if name in reg:
+        fn = reg[name]
+    else:
+        # queries rotated out of the 50-row gate keep their plan pins:
+        # rotation moves the value check to parity_extras, not the
+        # physical-plan expectations
+        from etl_instagram_spark.plans.parity_extras import EXTRAS
+
+        fn = EXTRAS[name][0]
     return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
@@ -219,3 +228,58 @@ def test_jaccard_join_candidate_stage_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_candidates_are_an_equi_join(spark):
+    """semantic_dedup_pairs must plan a hash/sort-merge join keyed on
+    the cell id (the id inequality riding as a join condition) — the
+    O(Σ cell²)-not-O(n²) claim, pinned at the plan level."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.operators.dedup import semantic_dedup_pairs
+    from etl_instagram_spark.operators.similarity import fit_ivf_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = fit_ivf_centroids(emb, n_clusters=4, seed=42, order_col="vec_id")
+    plan = (
+        semantic_dedup_pairs(emb, "vec_id", "embedding", cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cap_per_group_plan_one_shuffle_with_group_limit(spark):
+    """cap_per_group is one Exchange (the group-key shuffle) and Spark's
+    WindowGroupLimit pushdown must engage — the rank filter prunes
+    inside the sort, keeping shuffle output O(n · groups) instead of
+    materializing whole groups."""
+    from etl_instagram_spark.operators.sampling import cap_per_group
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        cap_per_group(docs, "source", "doc_id", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_gopher_filter_stays_in_the_scan_stage(spark):
+    """Every Gopher rule is a per-row expression: annotate + filter must
+    plan with ZERO shuffles."""
+    from etl_instagram_spark.operators.cleanup import gopher_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        gopher_filter(docs, "text")
+        .filter("gopher_pass")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
