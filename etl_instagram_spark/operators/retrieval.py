@@ -1,0 +1,151 @@
+"""BM25 ranked retrieval over a document table — the lexical search
+side of a training-data/RAG pipeline (mine documents for a topic, build
+eval retrieval sets, hybrid-score with the ANN operators in
+operators/similarity.py). Engine-native extension; the reference's only
+text ranking is LDA topic confidence (lda/index.js:68-101).
+
+Okapi BM25 with the Lucene/Robertson idf variant:
+
+    score(d, q) = Σ_t  ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                       · tf_td·(k1+1) / (tf_td + k1·(1 - b + b·|d|/avgdl))
+
+Spark-first shape, sized for a SHORT literal query-term list (the query
+is user input, like the query vector in ann_lsh_topk — not a joined
+table):
+
+- per-term tf is ``size(filter(tokens, x -> x = t))`` — a scan-stage
+  column expression per query term; no explode, no postings shuffle;
+- corpus stats (N, avgdl, df per term) reduce to ONE partially-aggregated
+  row, crossJoin(broadcast)-ed back onto the scoring scan — the classic
+  tiny-dimension broadcast, never a shuffle of the corpus;
+- the final top-k is orderBy+limit → TakeOrderedAndProject.
+
+So the whole operator is two corpus scans (stats, score) and a top-k —
+at 100 TB each scan is embarrassingly parallel and the only data
+movement is one broadcast row. An inverted-postings design (explode →
+groupBy(term, doc)) only wins when |query| is large or when many
+queries amortize one postings build; for the interactive single-query
+path this shape strictly dominates.
+
+Determinism note: the per-doc score is built as a FIXED-ORDER sum of
+per-term components (t1 + t2 + ...), not an aggregation over an
+unordered term frame — floating addition is order-sensitive, and the
+fixed order is what lets the DuckDB oracle replay scores bit-for-bit
+(plans/llm_queries ``docs_bm25_topk``).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _toks(col: Column) -> Column:
+    # the corpus-wide token definition (functions.text.tokens): lowered,
+    # trimmed, whitespace-split — SQL mirror is SQL_TOKS
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def _tf(toks: Column, term: str) -> Column:
+    # a real closure, not a default-arg lambda: F.filter dispatches on
+    # lambda ARITY, so `lambda x, t=t:` would be read as the two-arg
+    # (element, index) form and compare tokens against positions
+    lit = F.lit(term)
+    return F.size(F.filter(toks, lambda x: x == lit))
+
+
+def _validate(query_terms: Sequence[str], k1: float, b: float) -> list[str]:
+    terms = [t.strip().lower() for t in query_terms]
+    if not terms or any(not t for t in terms):
+        raise ValueError(f"query_terms must be non-empty words, got {query_terms!r}")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"query_terms must be distinct, got {query_terms!r}")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+    return terms
+
+
+def bm25_corpus_stats(
+    df: DataFrame, text_col: str, query_terms: Sequence[str]
+) -> DataFrame:
+    """One-row frame of the corpus statistics BM25 needs for these query
+    terms: ``n_docs``, ``avgdl`` (mean token count over non-blank docs,
+    0.0 for an empty corpus), and one ``df_i`` document-frequency column
+    per term (fixed order = the query order). A single partial
+    aggregation — this is the frame :func:`bm25_topk` broadcasts."""
+    terms = _validate(query_terms, 1.0, 0.5)
+    toks = _toks(F.col(text_col))
+    blank = F.length(F.trim(F.col(text_col))) == 0
+    dl = F.when(blank, F.lit(0)).otherwise(F.size(toks))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.avg(dl.cast("double")), F.lit(0.0)).alias("avgdl"),
+    ]
+    for i, t in enumerate(terms):
+        aggs.append(F.sum((_tf(toks, t) > 0).cast("long")).alias(f"df_{i}"))
+    return df.agg(*aggs)
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for ``query_terms`` (matched
+    against the lowercased whitespace tokens — pre-normalize the query
+    through the same pipeline as the corpus). Returns (id, score
+    rounded to 6, per-term tf columns) ordered by score desc with the id
+    as the deterministic tie-break. Zero-score docs are filtered before
+    the top-k so an all-miss corpus returns an empty frame rather than
+    arbitrary zero-score rows."""
+    terms = _validate(query_terms, k1, b)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    stats = bm25_corpus_stats(df, text_col, terms)
+    toks = _toks(F.col(text_col))
+    blank = F.length(F.trim(F.col(text_col))) == 0
+    dl = F.when(blank, F.lit(0)).otherwise(F.size(toks))
+    scored = df.crossJoin(F.broadcast(stats)).withColumn("__dl", dl)
+    score: Column = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf_col = f"tf_{i}"
+        scored = scored.withColumn(tf_col, _tf(toks, t).cast("double"))
+        dfreq = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        denom = F.col(tf_col) + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("avgdl")
+        )
+        contrib = idf * F.col(tf_col) * F.lit(k1 + 1.0) / denom
+        # avgdl == 0 (empty/blank corpus) or tf == 0 → the term
+        # contributes nothing; the guard keeps 0/0 NaNs out of the sum
+        score = score + F.when(
+            (F.col(tf_col) > 0) & (F.col("avgdl") > 0), contrib
+        ).otherwise(F.lit(0.0))
+    return (
+        scored.withColumn("score", F.round(score, 6))
+        .filter(F.col("score") > 0)
+        .select(id_col, "score", *[f"tf_{i}" for i in range(len(terms))])
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bm25_score_py(
+    tf: float, df: int, n_docs: int, dl: int, avgdl: float, k1: float, b: float
+) -> float:
+    """Reference scalar implementation (same formula, same guards) for
+    differential tests — NOT used by the Spark path."""
+    if tf <= 0 or avgdl <= 0:
+        return 0.0
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))

@@ -1108,7 +1108,9 @@ oracle(
 # ---------------------------------------------------------------------------
 
 
-@query("part_url_parse")
+# (part_url_parse rotated out of the gate in r6 to make room for
+# docs_bm25_topk — the F10 parse surface keeps DuckDB parity via
+# plans/parity_extras.py and its projection pytest coverage)
 def part_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL origin/path/query parsing (F10, elimparcial.js:16 getImageURL
     origin logic) via parse_url — mirrored in the oracle with regexes."""
@@ -1130,9 +1132,7 @@ def part_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
-oracle(
-    "part_url_parse",
-    """
+SQL_PART_URL_PARSE = """
     WITH u AS (
       SELECT p_partkey,
              'https://cdn.example/' || lower(regexp_replace(p_brand, '[^A-Za-z0-9]', '', 'g'))
@@ -1144,8 +1144,75 @@ oracle(
            regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path,
            regexp_extract(url, '[?&]size=([^&]*)', 1) AS size_param
     FROM u ORDER BY p_partkey
-    """,
-)
+    """
+
+
+# ---------------------------------------------------------------------------
+# documents: BM25 ranked retrieval (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "vector", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query("docs_bm25_topk")
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/retrieval.bm25_topk: top-10 docs for a 3-term query at
+    the standard (k1=1.2, b=0.75). The oracle replays the IDENTICAL
+    fixed-order floating arithmetic (idf·tf·(k1+1)/denom per term,
+    summed in query order), so ranks AND 6-place scores value-check —
+    tf columns included to pin the per-term counts, not just the sum."""
+    from etl_instagram_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _sql_bm25_topk() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    tf_defs = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_aggs = ",\n             ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # literal-for-literal the Spark expression: ((idf * tf) * (k1+1)) /
+    # (tf + k1 * ((1-b) + ((b * dl) / avgdl))), summed left-to-right
+    terms = " + ".join(
+        f"""CASE WHEN tf_{i} > 0 AND avgdl > 0
+             THEN ln(1.0 + (n_docs - CAST(df_{i} AS DOUBLE) + 0.5)
+                           / (CAST(df_{i} AS DOUBLE) + 0.5))
+                  * tf_{i} * {k1 + 1.0}
+                  / (tf_{i} + {k1} * ({1.0 - b} + {b} * dl / avgdl))
+             ELSE 0.0 END"""
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_cols = ", ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({SQL_TOKS}) END AS dl,
+             {tf_defs}
+      FROM (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents)),
+    s AS (
+      SELECT count(*) AS n_docs,
+             coalesce(avg(CAST(dl AS DOUBLE)), 0.0) AS avgdl,
+             {df_aggs}
+      FROM t),
+    sc AS (
+      SELECT doc_id, round(0.0 + {terms}, 6) AS score, {tf_cols}
+      FROM t CROSS JOIN s)
+    SELECT doc_id, score, {tf_cols}
+    FROM sc WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+oracle("docs_bm25_topk", _sql_bm25_topk())
 
 
 # ---------------------------------------------------------------------------

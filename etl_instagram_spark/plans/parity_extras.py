@@ -35,6 +35,8 @@ Current entries:
   pytest coverage in functions/geo.py)
 - ``q6_forecast_revenue`` (r6, for docs_gopher_filter; filter+global-agg
   stays gated via q1_pricing_summary / conditional_agg_promo_share)
+- ``part_url_parse`` (r6, for docs_bm25_topk; the parse_url surface
+  keeps projection pytest coverage)
 """
 
 from __future__ import annotations
@@ -442,6 +444,12 @@ def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q6_forecast_revenue(spark, sf_dir)
 
 
+def _part_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url host/path/query extraction (r6 rotation for
+    docs_bm25_topk; the F10 surface keeps projection pytest coverage)."""
+    return _llm("part_url_parse")(spark, sf_dir)
+
+
 def _register_rotated() -> None:
     from etl_instagram_spark.plans import llm_queries
     from etl_instagram_spark.plans.oracle import SQL_Q6_FORECAST_REVENUE
@@ -452,6 +460,7 @@ def _register_rotated() -> None:
         llm_queries.SQL_SUPPLIER_GEO_BANDS,
     )
     EXTRAS["q6_forecast_revenue"] = (_q6_forecast_revenue, SQL_Q6_FORECAST_REVENUE)
+    EXTRAS["part_url_parse"] = (_part_url_parse, llm_queries.SQL_PART_URL_PARSE)
 
 
 _register_rotated()

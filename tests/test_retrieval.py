@@ -1,0 +1,112 @@
+"""BM25 ranked retrieval: differential against the scalar reference,
+ranking sanity on a crafted corpus, parameter validation, degenerate
+corpora, and the no-wide-shuffle plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.operators.retrieval import (
+    bm25_corpus_stats,
+    bm25_score_py,
+    bm25_topk,
+)
+
+DOCS = [
+    (1, "spark runs spark jobs on spark clusters"),       # tf(spark)=3, 7 words
+    (2, "spark joins tables"),                             # tf=1, short
+    (3, "rare gem hidden here"),                           # tf(gem)=1
+    (4, "tables joined by the planner with no match"),     # no query terms
+    (5, "spark spark"),                                    # tf=2, 2 words
+    (6, ""),                                               # blank
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_matches_scalar_reference(spark, docs):
+    """Every returned score equals the independent scalar formula run on
+    hand-derived (tf, df, dl) — including the rare-term idf boost."""
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(
+            docs, "doc_id", "text", ["spark", "gem"], k=10
+        ).collect()
+    }
+    n_docs, avgdl = 6, (7 + 3 + 4 + 8 + 2 + 0) / 6
+    tf = {1: (3, 7), 2: (1, 3), 3: (0, 4), 5: (2, 2)}
+    want = {}
+    for doc, (tf_spark, dl) in tf.items():
+        s = bm25_score_py(tf_spark, 3, n_docs, dl, avgdl, 1.2, 0.75)
+        if doc == 3:
+            s += bm25_score_py(1, 1, n_docs, dl, avgdl, 1.2, 0.75)
+        want[doc] = round(s, 6)
+    assert out == pytest.approx(want)
+    # doc 4 (no terms) and doc 6 (blank) must not appear at all
+    assert 4 not in out and 6 not in out
+    # the rare term's idf dominates the common term's repetitions
+    assert out[3] == max(out.values())
+
+
+def test_bm25_corpus_stats_row(spark, docs):
+    row = bm25_corpus_stats(docs, "text", ["spark", "gem"]).first()
+    assert row["n_docs"] == 6
+    assert row["avgdl"] == pytest.approx(24 / 6)
+    assert row["df_0"] == 3 and row["df_1"] == 1
+
+
+def test_bm25_k_and_tie_break(spark, docs):
+    """k truncates after the (score desc, id asc) ordering."""
+    top = bm25_topk(docs, "doc_id", "text", ["spark"], k=2).collect()
+    assert len(top) == 2
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_empty_and_all_miss_corpora(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(empty, "doc_id", "text", ["spark"]).count() == 0
+    miss = spark.createDataFrame([(1, "nothing relevant")], "doc_id long, text string")
+    assert bm25_topk(miss, "doc_id", "text", ["spark"]).count() == 0
+
+
+def test_bm25_validation(spark, docs):
+    for bad in ([], ["ok", ""], ["dup", "dup"]):
+        with pytest.raises(ValueError):
+            bm25_topk(docs, "doc_id", "text", bad)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", ["x"], k1=-1)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", ["x"], b=1.5)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", ["x"], k=0)
+
+
+def test_bm25_plan_broadcasts_stats_no_wide_shuffle(spark):
+    """The corpus is never shuffled: the only Exchanges allowed are the
+    stats row's global aggregation (partial → single) and the top-k's
+    TakeOrdered machinery; the stats join must be a broadcast."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        bm25_topk(docs, "doc_id", "text", ["spark", "vector"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # no shuffle keyed on document data: every Exchange is either the
+    # 1-row stats aggregation (SinglePartition) or absent
+    import re
+
+    doc_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"Exchange (hash|range)partitioning", ln)
+    ]
+    assert not doc_exchanges, doc_exchanges
