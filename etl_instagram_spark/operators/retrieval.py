@@ -149,3 +149,49 @@ def bm25_score_py(
         return 0.0
     idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
     return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    id_col: str,
+    order_cols: Sequence[Sequence[Column]],
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked result
+    frames: ``rrf = Σ_lists 1/(c + rank)``, summed in LIST order (fixed
+    floating order — replayable), with absent ids contributing nothing.
+    ``order_cols[i]`` is the ordering that defines list i's ranks (give
+    each a deterministic tie-break!). Returns (id, rrf_score, rank_0..)
+    top-``k`` by fused score, id ascending on ties.
+
+    The standard way to combine BM25 and embedding-cosine retrieval
+    WITHOUT score calibration — ranks are scale-free, so a 0-10 BM25
+    and a [-1,1] cosine fuse cleanly. Scale shape: each input is already
+    a top-N (small); ranking is one window per list over N rows and the
+    fusion an N-row broadcast-able outer join chain — driver-bounded by
+    construction, like the ANN query sides."""
+    if len(ranked) != len(order_cols) or not ranked:
+        raise ValueError("need one order_cols entry per ranked frame")
+    if k < 1 or c < 1:
+        raise ValueError(f"need k >= 1 and c >= 1, got k={k}, c={c}")
+    from pyspark.sql import Window
+
+    fused: DataFrame | None = None
+    for i, (df, order) in enumerate(zip(ranked, order_cols)):
+        w = Window.orderBy(*order)
+        lst = df.select(
+            F.col(id_col),
+            F.row_number().over(w).cast("double").alias(f"rank_{i}"),
+        )
+        fused = lst if fused is None else fused.join(lst, id_col, "full_outer")
+    score: Column = F.lit(0.0)
+    for i in range(len(ranked)):
+        score = score + F.when(
+            F.col(f"rank_{i}").isNotNull(), F.lit(1.0) / (F.lit(float(c)) + F.col(f"rank_{i}"))
+        ).otherwise(F.lit(0.0))
+    return (
+        fused.withColumn("rrf_score", F.round(score, 6))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+    )

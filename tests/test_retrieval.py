@@ -110,3 +110,67 @@ def test_bm25_plan_broadcasts_stats_no_wide_shuffle(spark):
         if re.search(r"Exchange (hash|range)partitioning", ln)
     ]
     assert not doc_exchanges, doc_exchanges
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion (hybrid lexical + vector retrieval)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_matches_hand_computed(spark):
+    from etl_instagram_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0)], "doc_id long, s double"
+    )
+    vec = spark.createDataFrame(
+        [(3, 0.9), (4, 0.8), (1, 0.7)], "doc_id long, s double"
+    )
+    out = {
+        r["doc_id"]: r["rrf_score"]
+        for r in rrf_fuse(
+            [lex, vec],
+            "doc_id",
+            [[F.col("s").desc(), F.col("doc_id")], [F.col("s").desc(), F.col("doc_id")]],
+            k=10,
+        ).collect()
+    }
+    want = {
+        1: round(1 / 61 + 1 / 63, 6),  # rank 1 lexical, rank 3 vector
+        2: round(1 / 62, 6),
+        3: round(1 / 63 + 1 / 61, 6),
+        4: round(1 / 62, 6),
+    }
+    assert out == pytest.approx(want)
+
+
+def test_rrf_hybrid_bm25_plus_cosine_end_to_end(spark, docs):
+    """Fusing a BM25 list with a synthetic 'vector' list prefers docs
+    present in both — the hybrid-retrieval composition."""
+    from etl_instagram_spark.operators.retrieval import rrf_fuse
+
+    lex = bm25_topk(docs, "doc_id", "text", ["spark"], k=5)
+    vec = spark.createDataFrame(
+        [(3, 0.99), (1, 0.55)], "doc_id long, cos double"
+    )
+    fused = rrf_fuse(
+        [lex, vec],
+        "doc_id",
+        [
+            [F.col("score").desc(), F.col("doc_id")],
+            [F.col("cos").desc(), F.col("doc_id")],
+        ],
+        k=3,
+    ).collect()
+    assert fused[0]["doc_id"] == 1  # high in both lists → top fused
+
+
+def test_rrf_validation(spark, docs):
+    from etl_instagram_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([], "doc_id", [])
+    with pytest.raises(ValueError):
+        rrf_fuse([docs], "doc_id", [[F.col("doc_id")]], k=0)
+    with pytest.raises(ValueError):
+        rrf_fuse([docs, docs], "doc_id", [[F.col("doc_id")]])
