@@ -813,3 +813,29 @@ def test_cap_per_group_validation(spark, domain_docs):
 
     with pytest.raises(ValueError, match="n must be"):
         cap_per_group(domain_docs, "domain", "doc_id", 0)
+
+
+def test_cap_per_group_null_id_ranks_identically_on_both_engines(spark):
+    """A NULL id hashes to a NULL bucket (the _bucket contract) and
+    Spark's asc() puts nulls FIRST — cap_rank_sql spells NULLS FIRST so
+    DuckDB agrees instead of silently ranking the row last."""
+    from etl_instagram_spark.operators.sampling import cap_per_group, cap_rank_sql
+
+    rows = [(None, "g"), (1, "g"), (2, "g"), (3, "g")]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    kept = sorted(
+        (r["doc_id"] is None, r["doc_id"] or 0)
+        for r in cap_per_group(df, "domain", "doc_id", 2).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    rn = cap_rank_sql("doc_id", "domain")
+    want = sorted(
+        (r[0] is None, int(r[0]) if r[0] is not None else 0)
+        for r in con.sql(
+            f"SELECT doc_id FROM (SELECT doc_id, {rn} AS rn FROM docs) WHERE rn <= 2"
+        ).fetchall()
+    )
+    con.close()
+    assert kept == want
+    assert (True, 0) in kept  # the NULL row ranked first on both engines
