@@ -77,16 +77,22 @@ def bm25_corpus_stats(
     per term (fixed order = the query order). A single partial
     aggregation — this is the frame :func:`bm25_topk` broadcasts."""
     terms = _validate(query_terms, 1.0, 0.5)
-    toks = _toks(F.col(text_col))
+    # tokenize once per row in a projection below the aggregate — the
+    # split is the dominant per-row cost and every df_i references it
     blank = F.length(F.trim(F.col(text_col))) == 0
-    dl = F.when(blank, F.lit(0)).otherwise(F.size(toks))
+    staged = df.select(
+        _toks(F.col(text_col)).alias("__btoks"),
+        F.when(blank, F.lit(True)).otherwise(F.lit(False)).alias("__bblank"),
+    )
+    toks = F.col("__btoks")
+    dl = F.when(F.col("__bblank"), F.lit(0)).otherwise(F.size(toks))
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.avg(dl.cast("double")), F.lit(0.0)).alias("avgdl"),
     ]
     for i, t in enumerate(terms):
         aggs.append(F.sum((_tf(toks, t) > 0).cast("long")).alias(f"df_{i}"))
-    return df.agg(*aggs)
+    return staged.agg(*aggs)
 
 
 def bm25_topk(
@@ -109,10 +115,12 @@ def bm25_topk(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     stats = bm25_corpus_stats(df, text_col, terms)
-    toks = _toks(F.col(text_col))
     blank = F.length(F.trim(F.col(text_col))) == 0
+    # same once-per-row tokenization staging as the stats pass
+    staged = df.withColumn("__btoks", _toks(F.col(text_col)))
+    toks = F.col("__btoks")
     dl = F.when(blank, F.lit(0)).otherwise(F.size(toks))
-    scored = df.crossJoin(F.broadcast(stats)).withColumn("__dl", dl)
+    scored = staged.crossJoin(F.broadcast(stats)).withColumn("__dl", dl)
     score: Column = F.lit(0.0)
     for i, t in enumerate(terms):
         tf_col = f"tf_{i}"

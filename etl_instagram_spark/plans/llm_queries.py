@@ -546,7 +546,11 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     centroids = fit_ivf_centroids(emb, n_clusters=8, seed=42, order_col="vec_id")
-    cells = emb.withColumn("cell", ivf_cell("embedding", centroids))
+    # pin the stamped frame: the self-join's two branches and the final
+    # survivor join would otherwise each re-run the 8×64 cell argmin
+    cells = emb.withColumn(
+        "cell", ivf_cell("embedding", centroids)
+    ).localCheckpoint(eager=True)
     losers = (
         semantic_dedup_pairs(cells, "vec_id", "embedding", centroids, cell_col="cell")
         .filter(F.col("cos") >= 0.35)
