@@ -482,6 +482,64 @@ class MergeTable:
             remaining = delete_by_key(self._read_files(overlapping), tombstones, self.keys)
             self._commit_manifest(carried + self._write_data(remaining))
 
+    def diff(self, since: str, until: str | None = None) -> DataFrame:
+        """CDC-style snapshot diff: the rows inserted, updated, or
+        deleted between snapshot ``since`` and ``until`` (default: the
+        current snapshot), as a DataFrame in the NEWER snapshot's column
+        set plus a ``_change`` column ('insert' | 'update' | 'delete').
+        Deleted rows carry their OLD values (columns the new schema
+        added are null for them); unchanged rows are filtered out.
+
+        Change detection hashes the columns COMMON to both snapshots
+        (sha2 over to_json of a name-sorted struct), so schema evolution
+        alone does not mark every row updated — a row counts as updated
+        only when a shared column's value changed. Plan shape: one
+        key-equi full-outer join (sort-merge on the table key, the same
+        shuffle the upsert itself pays) — O(|old| + |new|), no driver
+        state, safe at any table size.
+
+        The downstream-sync primitive (reference analogue: none — the
+        reference overwrites collections blindly; engines like Delta
+        expose this as CHANGE DATA FEED)."""
+        old_df = self.read(since)
+        new_df = self.read(until) if until else self.read()
+        common = sorted(set(old_df.columns) & set(new_df.columns))
+        if not set(self.keys) <= set(common):
+            raise ValueError(
+                f"snapshots do not share the table key {self.keys}"
+            )
+
+        def fingerprint(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "__fp", F.sha2(F.to_json(F.struct(*[F.col(c) for c in common])), 256)
+            ).withColumn("__present", F.lit(1))
+
+        o, n = fingerprint(old_df).alias("__o"), fingerprint(new_df).alias("__n")
+        cond = None
+        for k in self.keys:
+            eq = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
+            cond = eq if cond is None else cond & eq
+        joined = o.join(n, cond, "full_outer")
+        change = (
+            F.when(F.col("__o.__present").isNull(), F.lit("insert"))
+            .when(F.col("__n.__present").isNull(), F.lit("delete"))
+            .when(F.col("__o.__fp") != F.col("__n.__fp"), F.lit("update"))
+        )  # unchanged → null → filtered
+        image = [
+            F.when(
+                F.col("__n.__present").isNull(),
+                F.col(f"__o.{c}") if c in old_df.columns else F.lit(None),
+            )
+            .otherwise(F.col(f"__n.{c}"))
+            .alias(c)
+            for c in new_df.columns
+        ]
+        return (
+            joined.withColumn("_change", change)
+            .filter(F.col("_change").isNotNull())
+            .select(*image, "_change")
+        )
+
     def compact(self, target_files: int | None = None) -> None:
         """Rewrite the current snapshot into ``target_files`` files (the
         small-files fix for append-heavy tables: many O(batch) appends →

@@ -326,3 +326,52 @@ def test_key_stats_ignore_same_named_nested_leaf(spark, tmp_path):
     )
     rows = {r["id"]: r["user"]["id"] for r in t.read().collect()}
     assert rows == {"1": "u-z", "2": "u-b"}
+
+
+def test_diff_insert_update_delete_between_snapshots(spark, tmp_path):
+    """CDC semantics: an upsert + delete between two snapshots yields
+    exactly the inserted/updated/deleted rows, unchanged rows absent,
+    deleted rows carrying their old values."""
+    from pyspark.sql import functions as F
+
+    t = MergeTable(spark, str(tmp_path / "t"), "id", order_by="ts")
+    t0 = dt.datetime(2024, 1, 1)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", t0), (2, "b", t0), (3, "c", t0)], "id long, v string, ts timestamp"
+        )
+    )
+    snap_a = t.list_snapshots()[-1]
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "B", dt.datetime(2024, 1, 2)), (4, "d", dt.datetime(2024, 1, 2))],
+            "id long, v string, ts timestamp",
+        )
+    )
+    t.delete(spark.createDataFrame([(3,)], "id long"))
+    got = {
+        r["id"]: (r["_change"], r["v"])
+        for r in t.diff(snap_a).collect()
+    }
+    # row 1 is unchanged and must be ABSENT; the rest classify exactly
+    assert got == {
+        2: ("update", "B"),
+        3: ("delete", "c"),
+        4: ("insert", "d"),
+    }
+    # diff against an explicit until: comparing snap_a with itself is empty
+    assert t.diff(snap_a, snap_a).count() == 0
+    # the timestamp column does count as change: upsert stamps rode ts
+    assert (
+        t.diff(snap_a).filter(F.col("_change") == "update").count() == 1
+    )
+
+
+def test_diff_requires_shared_key(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"), "id")
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    snap_a = t.list_snapshots()[-1]
+    # a later snapshot that (pathologically) dropped the key column
+    t.overwrite(spark.createDataFrame([("x",)], "v string"))
+    with pytest.raises(ValueError, match="share the table key"):
+        t.diff(snap_a)
