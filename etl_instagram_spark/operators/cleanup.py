@@ -35,6 +35,9 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_instagram_spark.functions.text import tokens
+
+
 def _lines(col: Column) -> Column:
     # tolerate CRLF: a cookie banner in Windows-lineage pages must
     # normalize to the same line as its LF twin or boilerplate counting
@@ -176,34 +179,41 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
     "the", "be", "to", "of", "and", "that", "have", "with",
 )
 
+# the paper-default thresholds — the ONE place they live; gopher_flags,
+# gopher_filter, and the threshold docs all draw from here (the DuckDB
+# oracle hardcodes the same values by design: it is a frozen mirror of
+# the default-threshold gate query, pinned by the crafted-corpus parity
+# test, not a second source of truth for the operator)
+GOPHER_DEFAULTS: dict[str, "int | float"] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "min_alpha_word_frac": 0.8,
+    "min_stopword_hits": 2,
+    "max_bullet_frac": 0.9,
+    "max_ellipsis_frac": 0.3,
+    "max_dup_line_frac": 0.3,
+    "max_dup_line_char_frac": 0.2,
+}
 
-def _toks(col: Column) -> Column:
-    # functions.text.tokens without the import cycle: lowercased trimmed
-    # whitespace split — the corpus-wide token definition every SQL
-    # mirror spells as SQL_TOKS
-    return F.split(F.trim(F.lower(col)), r"\s+")
+
+def _resolve_thresholds(thresholds: dict) -> dict:
+    unknown = set(thresholds) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise TypeError(f"unknown gopher thresholds: {sorted(unknown)}")
+    return {**GOPHER_DEFAULTS, **thresholds}
 
 
-def gopher_flags(
-    col: Column,
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    min_alpha_word_frac: float = 0.8,
-    min_stopword_hits: int = 2,
-    max_bullet_frac: float = 0.9,
-    max_ellipsis_frac: float = 0.3,
-    max_dup_line_frac: float = 0.3,
-    max_dup_line_char_frac: float = 0.2,
-) -> dict[str, Column]:
+def gopher_flags(col: Column, **thresholds) -> dict[str, Column]:
     """The Gopher quality-filter rules as named violation booleans
-    (True = the document FAILS that rule), with the paper's thresholds
-    as defaults. Every rule is a pure scan-stage column expression —
-    array/regex arithmetic over one row, no UDF, no shuffle — and every
-    expression has an exact DuckDB mirror (plans/llm_queries
-    ``docs_gopher_filter``), so the whole rule set is value-checkable.
+    (True = the document FAILS that rule), thresholds defaulting to
+    :data:`GOPHER_DEFAULTS` (the paper's Table A1 values). Every rule is
+    a pure scan-stage column expression — array/regex arithmetic over
+    one row, no UDF, no shuffle — and every expression has an exact
+    DuckDB mirror (plans/llm_queries ``docs_gopher_filter``), so the
+    whole rule set is value-checkable.
 
     Rules (paper Table A1): word count in [min_words, max_words]; mean
     word length in [min/max_mean_word_len]; symbol-to-word ratio
@@ -214,26 +224,15 @@ def gopher_flags(
     within-doc repetition fractions (:func:`dup_line_fraction` /
     :func:`dup_line_char_fraction`) under their caps.
 
-    Blank/whitespace-only docs fail the word-count rule (0 words) and
-    pass the ratio rules vacuously (each ratio is defined 0 on empty
-    input) — same convention as the individual signal functions.
+    NULL text is treated as empty text (coalesced before the rules):
+    blank/missing docs fail the word-count rule (0 words) and pass the
+    ratio rules vacuously — a NULL propagating through the flags would
+    instead drop the row from BOTH sides of a pass/reject split.
     """
+    resolved = _resolve_thresholds(thresholds)
+    c = F.coalesce(col, F.lit(""))
     return _gopher_flags_from(
-        col,
-        _toks(col),
-        _gopher_raw_lines(col),
-        _gopher_norm_lines(col),
-        min_words=min_words,
-        max_words=max_words,
-        min_mean_word_len=min_mean_word_len,
-        max_mean_word_len=max_mean_word_len,
-        max_symbol_ratio=max_symbol_ratio,
-        min_alpha_word_frac=min_alpha_word_frac,
-        min_stopword_hits=min_stopword_hits,
-        max_bullet_frac=max_bullet_frac,
-        max_ellipsis_frac=max_ellipsis_frac,
-        max_dup_line_frac=max_dup_line_frac,
-        max_dup_line_char_frac=max_dup_line_char_frac,
+        c, tokens(c), _gopher_raw_lines(c), _gopher_norm_lines(c), **resolved
     )
 
 
@@ -368,34 +367,20 @@ def gopher_filter(
     are materialized as hidden columns in their own projection before
     the rules reference them: CollapseProject keeps non-cheap
     expressions with multiple consumers in a separate project, so each
-    array is computed once per row, not once per rule."""
-    defaults = dict(
-        min_words=50,
-        max_words=100_000,
-        min_mean_word_len=3.0,
-        max_mean_word_len=10.0,
-        max_symbol_ratio=0.1,
-        min_alpha_word_frac=0.8,
-        min_stopword_hits=2,
-        max_bullet_frac=0.9,
-        max_ellipsis_frac=0.3,
-        max_dup_line_frac=0.3,
-        max_dup_line_char_frac=0.2,
-    )
-    unknown = set(thresholds) - set(defaults)
-    if unknown:
-        raise TypeError(f"unknown gopher thresholds: {sorted(unknown)}")
-    defaults.update(thresholds)
-    c = F.col(text_col)
+    array is computed once per row, not once per rule. NULL text is
+    coalesced to '' first (see :func:`gopher_flags`) so every row lands
+    in exactly one of the pass/reject streams."""
+    resolved = _resolve_thresholds(thresholds)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     staged = df.withColumns(
         {
-            "__gtoks": _toks(c),
+            "__gtoks": tokens(c),
             "__grl": _gopher_raw_lines(c),
             "__gnlns": _gopher_norm_lines(c),
         }
     )
     flags = _gopher_flags_from(
-        c, F.col("__gtoks"), F.col("__grl"), F.col("__gnlns"), **defaults
+        c, F.col("__gtoks"), F.col("__grl"), F.col("__gnlns"), **resolved
     )
     ok = F.lit(True)
     named = {}

@@ -42,11 +42,9 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _toks(col: Column) -> Column:
-    # the corpus-wide token definition (functions.text.tokens): lowered,
-    # trimmed, whitespace-split — SQL mirror is SQL_TOKS
-    return F.split(F.trim(F.lower(col)), r"\s+")
+# the corpus-wide token definition — ONE implementation (SQL mirror:
+# llm_queries.SQL_TOKS), shared with cleanup/dedup/packing
+from etl_instagram_spark.functions.text import tokens as _toks
 
 
 def _tf(toks: Column, term: str) -> Column:
@@ -114,35 +112,45 @@ def bm25_topk(
     terms = _validate(query_terms, k1, b)
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # every working column is __bm-prefixed so an input table that
+    # already carries n_docs / score / tf_0 / ... neither collides with
+    # the broadcast stats row nor gets silently overwritten; the output
+    # names (score, tf_i) exist only in the final projection
     stats = bm25_corpus_stats(df, text_col, terms)
+    stats = stats.select([F.col(c).alias(f"__bm_{c}") for c in stats.columns])
     blank = F.length(F.trim(F.col(text_col))) == 0
     # same once-per-row tokenization staging as the stats pass
     staged = df.withColumn("__btoks", _toks(F.col(text_col)))
     toks = F.col("__btoks")
     dl = F.when(blank, F.lit(0)).otherwise(F.size(toks))
     scored = staged.crossJoin(F.broadcast(stats)).withColumn("__dl", dl)
+    avgdl = F.col("__bm_avgdl")
     score: Column = F.lit(0.0)
     for i, t in enumerate(terms):
-        tf_col = f"tf_{i}"
+        tf_col = f"__bm_tf_{i}"
         scored = scored.withColumn(tf_col, _tf(toks, t).cast("double"))
-        dfreq = F.col(f"df_{i}").cast("double")
+        dfreq = F.col(f"__bm_df_{i}").cast("double")
         idf = F.log(
             F.lit(1.0)
-            + (F.col("n_docs") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+            + (F.col("__bm_n_docs") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
         )
         denom = F.col(tf_col) + F.lit(k1) * (
-            F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("avgdl")
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl
         )
         contrib = idf * F.col(tf_col) * F.lit(k1 + 1.0) / denom
         # avgdl == 0 (empty/blank corpus) or tf == 0 → the term
         # contributes nothing; the guard keeps 0/0 NaNs out of the sum
         score = score + F.when(
-            (F.col(tf_col) > 0) & (F.col("avgdl") > 0), contrib
+            (F.col(tf_col) > 0) & (avgdl > 0), contrib
         ).otherwise(F.lit(0.0))
     return (
-        scored.withColumn("score", F.round(score, 6))
-        .filter(F.col("score") > 0)
-        .select(id_col, "score", *[f"tf_{i}" for i in range(len(terms))])
+        scored.withColumn("__bm_score", F.round(score, 6))
+        .filter(F.col("__bm_score") > 0)
+        .select(
+            id_col,
+            F.col("__bm_score").alias("score"),
+            *[F.col(f"__bm_tf_{i}").alias(f"tf_{i}") for i in range(len(terms))],
+        )
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )

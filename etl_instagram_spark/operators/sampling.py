@@ -252,6 +252,13 @@ def cap_per_group(
     uniform ``n``; the hashed id stays as the tie-break so equal-quality
     rows still cap deterministically.
 
+    The guarantee requires ``id_col`` to be UNIQUE within a group (the
+    same contract every keyed operator here assumes): duplicate ids —
+    including multiple NULL ids — tie on both sort keys, and
+    ``row_number`` then picks an arbitrary physical row, so which COPY
+    survives can vary with layout even though the surviving id set does
+    not. Run ``exact_dedup``/``dedup_latest`` first if ids can repeat.
+
     Scale shape (100 TB): one shuffle on the group key, then a
     rank-and-filter window. The hot groups a cap exists FOR are exactly
     the skewed keys — but the window never materializes a group in

@@ -2129,12 +2129,14 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB mirror of every gopher_flags expression (same thresholds as the
 # Python defaults; blank-doc and empty-list guards spelled out —
-# list_sum([]) is NULL in DuckDB where Spark's aggregate-from-0 gives 0)
+# list_sum([]) is NULL in DuckDB where Spark's aggregate-from-0 gives 0;
+# NULL text coalesced to '' exactly like the operator)
 _SQL_GOPHER_STOPS = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
 oracle(
     "docs_gopher_filter",
     f"""
-    WITH g AS (
+    WITH src AS (SELECT lang, coalesce(text, '') AS text FROM documents),
+    g AS (
       SELECT lang,
              trim(text) = '' AS blank,
              CASE WHEN trim(text) = '' THEN 0 ELSE len({SQL_TOKS}) END AS nw,
@@ -2145,7 +2147,7 @@ oracle(
                                         s -> trim(s)), s -> s <> '') AS nlns,
              length(text) - length(replace(text, '#', '')) AS n_hash,
              (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
-      FROM documents),
+      FROM src),
     m AS (
       SELECT lang, blank, nw,
              CASE WHEN nw > 0

@@ -385,3 +385,26 @@ def test_gopher_rules_match_duckdb_mirror_on_crafted_docs(spark):
     ).fetchall())
     con.close()
     assert got == want
+
+
+def test_gopher_null_text_rejected_not_vanished(spark):
+    """NULL text must land in exactly one stream (reject), never in
+    neither: the flags coalesce missing text to '' so the pass/reject
+    split partitions the input."""
+    from etl_instagram_spark.operators.cleanup import gopher_filter
+
+    df = spark.createDataFrame([(1, None), (2, _GOOD)], "doc_id long, text string")
+    out = gopher_filter(df, "text")
+    passed = {r["doc_id"] for r in out.filter(F.col("gopher_pass")).collect()}
+    rejected = {r["doc_id"] for r in out.filter(~F.col("gopher_pass")).collect()}
+    assert passed == {2} and rejected == {1}
+    row = {r["doc_id"]: r for r in out.collect()}[1]
+    assert row["fail_n_words"] is True and row["fail_symbol_ratio"] is False
+
+
+def test_gopher_unknown_threshold_rejected(spark):
+    from etl_instagram_spark.operators.cleanup import gopher_filter
+
+    df = spark.createDataFrame([(1, _GOOD)], "doc_id long, text string")
+    with pytest.raises(TypeError, match="unknown gopher thresholds"):
+        gopher_filter(df, "text", min_wordz=10)

@@ -174,3 +174,17 @@ def test_rrf_validation(spark, docs):
         rrf_fuse([docs], "doc_id", [[F.col("doc_id")]], k=0)
     with pytest.raises(ValueError):
         rrf_fuse([docs, docs], "doc_id", [[F.col("doc_id")]])
+
+
+def test_bm25_survives_adversarial_input_column_names(spark):
+    """An input table already carrying n_docs / score / tf_0 columns
+    must neither collide with the broadcast stats row nor leak into the
+    output — all working columns are __bm-prefixed."""
+    df = spark.createDataFrame(
+        [(1, "spark spark jobs", 99, 1.5, 7.0), (2, "no match here", 99, 1.5, 7.0)],
+        "doc_id long, text string, n_docs long, score double, tf_0 double",
+    )
+    out = bm25_topk(df, "doc_id", "text", ["spark"], k=5)
+    assert out.columns == ["doc_id", "score", "tf_0"]
+    row = out.first()
+    assert row["doc_id"] == 1 and row["tf_0"] == 2.0 and row["score"] > 0
