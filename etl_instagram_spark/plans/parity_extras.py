@@ -450,6 +450,55 @@ def _part_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _llm("part_url_parse")(spark, sf_dir)
 
 
+def _docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, value-checked end-to-end: reciprocal-rank
+    fusion of the BM25 top-10 (docs_bm25_topk's list) with the exact
+    cosine top-10 for vec_id=0 (emb_knn_cosine's list, doc_id = vec_id
+    as in docs_emb_crossmodal). Never gate-registered — EXTRAS has no
+    row cap, and this pins rrf_fuse's rank+fusion arithmetic against a
+    full DuckDB replay."""
+    from etl_instagram_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from etl_instagram_spark.plans import llm_queries
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, "doc_id", "text", llm_queries._BM25_TERMS, k=10)
+    vec = llm_queries.emb_knn_cosine(spark, sf_dir).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return rrf_fuse(
+        [lex, vec],
+        "doc_id",
+        [
+            [F.col("score").desc(), F.col("doc_id")],
+            [F.col("cos_sim").desc(), F.col("doc_id")],
+        ],
+        k=10,
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    from etl_instagram_spark.plans import llm_queries
+
+    return f"""
+    WITH lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r0
+      FROM ({llm_queries._sql_bm25_topk()})),
+    vec AS (
+      SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r1
+      FROM ({llm_queries.SQL_KNN_COSINE})),
+    f AS (
+      SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+             CAST(r0 AS DOUBLE) AS rank_0,
+             CAST(r1 AS DOUBLE) AS rank_1,
+             round(0.0 + CASE WHEN r0 IS NOT NULL THEN 1.0 / (60.0 + r0) ELSE 0.0 END
+                       + CASE WHEN r1 IS NOT NULL THEN 1.0 / (60.0 + r1) ELSE 0.0 END,
+                   6) AS rrf_score
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+    SELECT doc_id, rank_0, rank_1, rrf_score
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
 def _register_rotated() -> None:
     from etl_instagram_spark.plans import llm_queries
     from etl_instagram_spark.plans.oracle import SQL_Q6_FORECAST_REVENUE
@@ -461,6 +510,7 @@ def _register_rotated() -> None:
     )
     EXTRAS["q6_forecast_revenue"] = (_q6_forecast_revenue, SQL_Q6_FORECAST_REVENUE)
     EXTRAS["part_url_parse"] = (_part_url_parse, llm_queries.SQL_PART_URL_PARSE)
+    EXTRAS["docs_hybrid_rrf"] = (_docs_hybrid_rrf, _sql_hybrid_rrf())
 
 
 _register_rotated()
