@@ -149,6 +149,55 @@ def delete_by_key(existing: DataFrame, tombstones: DataFrame, key: str | Sequenc
     return existing.join(tombstones.select(*keys).distinct(), on=keys, how="left_anti")
 
 
+def table_changes(
+    old_df: DataFrame, new_df: DataFrame, key: str | Sequence[str]
+) -> DataFrame:
+    """The diff core shared by :meth:`MergeTable.diff` and the streaming
+    changelog (streaming/incremental.apply_changelog_batch): classify
+    rows as insert/update/delete between two images of the same keyed
+    table. Change detection hashes the columns COMMON to both frames
+    (sha2 over to_json of a name-sorted struct) so schema evolution
+    alone doesn't read as a mass update; output is the NEW frame's
+    column set (deleted rows carry old values, added columns null) plus
+    ``_change``; unchanged rows are filtered. One key-equi full-outer
+    join — O(|old| + |new|), no driver state."""
+    keys = _key_list(key)
+    common = sorted(set(old_df.columns) & set(new_df.columns))
+    if not set(keys) <= set(common):
+        raise ValueError(f"frames do not share the table key {keys}")
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__fp", F.sha2(F.to_json(F.struct(*[F.col(c) for c in common])), 256)
+        ).withColumn("__present", F.lit(1))
+
+    o, n = fingerprint(old_df).alias("__o"), fingerprint(new_df).alias("__n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    change = (
+        F.when(F.col("__o.__present").isNull(), F.lit("insert"))
+        .when(F.col("__n.__present").isNull(), F.lit("delete"))
+        .when(F.col("__o.__fp") != F.col("__n.__fp"), F.lit("update"))
+    )  # unchanged → null → filtered
+    image = [
+        F.when(
+            F.col("__n.__present").isNull(),
+            F.col(f"__o.{c}") if c in old_df.columns else F.lit(None),
+        )
+        .otherwise(F.col(f"__n.{c}"))
+        .alias(c)
+        for c in new_df.columns
+    ]
+    return (
+        joined.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .select(*image, "_change")
+    )
+
+
 def stamp_timestamps(
     incoming: DataFrame,
     existing: DataFrame | None,
@@ -503,42 +552,7 @@ class MergeTable:
         expose this as CHANGE DATA FEED)."""
         old_df = self.read(since)
         new_df = self.read(until) if until else self.read()
-        common = sorted(set(old_df.columns) & set(new_df.columns))
-        if not set(self.keys) <= set(common):
-            raise ValueError(
-                f"snapshots do not share the table key {self.keys}"
-            )
-
-        def fingerprint(df: DataFrame) -> DataFrame:
-            return df.withColumn(
-                "__fp", F.sha2(F.to_json(F.struct(*[F.col(c) for c in common])), 256)
-            ).withColumn("__present", F.lit(1))
-
-        o, n = fingerprint(old_df).alias("__o"), fingerprint(new_df).alias("__n")
-        cond = None
-        for k in self.keys:
-            eq = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
-            cond = eq if cond is None else cond & eq
-        joined = o.join(n, cond, "full_outer")
-        change = (
-            F.when(F.col("__o.__present").isNull(), F.lit("insert"))
-            .when(F.col("__n.__present").isNull(), F.lit("delete"))
-            .when(F.col("__o.__fp") != F.col("__n.__fp"), F.lit("update"))
-        )  # unchanged → null → filtered
-        image = [
-            F.when(
-                F.col("__n.__present").isNull(),
-                F.col(f"__o.{c}") if c in old_df.columns else F.lit(None),
-            )
-            .otherwise(F.col(f"__n.{c}"))
-            .alias(c)
-            for c in new_df.columns
-        ]
-        return (
-            joined.withColumn("_change", change)
-            .filter(F.col("_change").isNotNull())
-            .select(*image, "_change")
-        )
+        return table_changes(old_df, new_df, self.keys)
 
     def compact(self, target_files: int | None = None) -> None:
         """Rewrite the current snapshot into ``target_files`` files (the

@@ -152,6 +152,73 @@ def stream_upsert(
     return True
 
 
+def apply_changelog_batch(
+    table: MergeTable, changes: MergeTable, batch_df: DataFrame, epoch_id: int
+) -> None:
+    """One CDC tick: upsert ``batch_df`` into ``table`` AND record what
+    changed (insert/update per key, with the new row image) in
+    ``changes`` — the Delta CHANGE-DATA-FEED shape for downstream
+    incremental consumers, on the engine's own merge table.
+
+    The delta is computed BEFORE the upsert is applied, as a pure
+    function of (current state, batch): rows the batch inserts, and
+    rows it replaces with a different image (an identical re-delivery
+    is no change). Construct ``changes`` with key
+    ``["epoch", *table.keys]`` and the table's order_by column.
+
+    Exactly-once under replay, by case: crash before the changelog
+    write → full recompute; crash between changelog and upsert → the
+    replayed delta is identical (table state unchanged), and the
+    epoch-keyed upsert into ``changes`` is idempotent; crash after both
+    → the replayed delta is EMPTY (the batch no longer changes the
+    table), so the recorded changelog rows stand. Cost is O(batch):
+    only key-overlapping files are read (read_overlapping), never the
+    whole table."""
+    from etl_instagram_spark.operators.merge import table_changes, upsert
+
+    batch = batch_df.localCheckpoint(eager=True)  # probe/apply same rows
+    if table.exists():
+        existing = table.read_overlapping(
+            batch.select(*table.keys).distinct()
+        ).localCheckpoint(eager=True)
+        post = upsert(existing, batch, table.keys, table.order_by)
+        delta = table_changes(existing, post, table.keys)
+    else:
+        from etl_instagram_spark.operators.merge import dedup_latest
+
+        delta = dedup_latest(batch, table.keys, table.order_by).withColumn(
+            "_change", F.lit("insert")
+        )
+    delta = delta.withColumn("epoch", F.lit(int(epoch_id)))
+    if not delta.isEmpty():
+        changes.upsert(delta)
+    table.upsert(batch)
+
+
+def stream_upsert_with_changelog(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    table: MergeTable,
+    changes: MergeTable,
+    checkpoint_dir: str,
+    breaker: CircuitBreaker | None = None,
+) -> bool:
+    """``stream_upsert`` plus a change-data feed: every epoch's
+    inserts/updates land in ``changes`` keyed by (epoch, table key), so
+    downstream consumers sync incrementally instead of re-diffing or
+    re-reading the table (see :func:`apply_changelog_batch` for the
+    exactly-once argument)."""
+    if breaker is not None and breaker.tripped():
+        return False
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_changelog_batch(table, changes, batch_df, epoch_id)
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
 def stream_pages_with_sentinel_gate(
     spark: SparkSession,
     landing_dir: str,

@@ -417,3 +417,60 @@ def test_continuous_rollup_read_validates_grain(spark, tmp_path):
         continuous_rollup_read(partials, ["hour", "day"])
     rows = continuous_rollup_read(partials, ["day", "week"]).collect()
     assert {r["grain"] for r in rows} == {"day", "week"}
+
+
+def test_stream_upsert_changelog_records_cdc_and_replays_safely(spark, tmp_path):
+    """The change-data feed: per epoch, exactly the inserted/updated
+    keys with new images; identical re-deliveries are NOT changes; a
+    replayed batch (crash between changelog and upsert, and after both)
+    leaves the changelog converged."""
+    from etl_instagram_spark.streaming.incremental import (
+        apply_changelog_batch,
+        stream_upsert_with_changelog,
+    )
+
+    landing = tmp_path / "landing"
+    table = MergeTable(spark, str(tmp_path / "posts"), "id")
+    changes = MergeTable(spark, str(tmp_path / "changes"), ["epoch", "id"])
+    ckpt = str(tmp_path / "ckpt")
+
+    write_json(landing / "b1.json", [
+        {"id": "1", "like_count": 10, "source": "food", "updated_at": "2021-01-01T00:00:00Z"},
+        {"id": "2", "like_count": 20, "source": "food", "updated_at": "2021-01-01T00:00:00Z"},
+    ])
+    assert stream_upsert_with_changelog(
+        spark, str(landing), POST_DDL, table, changes, ckpt
+    )
+    write_json(landing / "b2.json", [
+        # id 2: real update; id 1: identical re-delivery (NOT a change)
+        {"id": "2", "like_count": 99, "source": "food", "updated_at": "2021-01-02T00:00:00Z"},
+        {"id": "1", "like_count": 10, "source": "food", "updated_at": "2021-01-01T00:00:00Z"},
+        {"id": "3", "like_count": 30, "source": "food", "updated_at": "2021-01-02T00:00:00Z"},
+    ])
+    assert stream_upsert_with_changelog(
+        spark, str(landing), POST_DDL, table, changes, ckpt
+    )
+    feed = {
+        (r["epoch"], r["id"]): (r["_change"], r["like_count"])
+        for r in changes.read().collect()
+    }
+    assert feed == {
+        (0, "1"): ("insert", 10),
+        (0, "2"): ("insert", 20),
+        (1, "2"): ("update", 99),
+        (1, "3"): ("insert", 30),
+    }
+    # crash-replay after full success: re-applying epoch 1's batch finds
+    # an unchanged table → empty delta → the changelog stands
+    replay = spark.createDataFrame(
+        [("2", 99, "food", "2021-01-02T00:00:00Z"),
+         ("1", 10, "food", "2021-01-01T00:00:00Z"),
+         ("3", 30, "food", "2021-01-02T00:00:00Z")],
+        "id string, like_count long, source string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    apply_changelog_batch(table, changes, replay, 1)
+    assert {
+        (r["epoch"], r["id"]): (r["_change"], r["like_count"])
+        for r in changes.read().collect()
+    } == feed
+    assert table.read().count() == 3
