@@ -839,3 +839,114 @@ def incremental_exact_dedup(
         survivors.select(F.col("__h").alias("content_hash"), F.col(id_col))
     )
     return survivors.drop("__h")
+
+
+def semantic_store_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    cell_col: str | None = None,
+) -> DataFrame:
+    """One row per doc for the semantic-dedup store: (id, cell, unit) —
+    the UNIT-normalized embedding plus its quantizer cell, O(dim)
+    doubles per historical doc and no raw text/embedding retention
+    beyond the direction. Unit vectors make the store-side verify a
+    bare dot product (norms are 1 by construction); a zero vector
+    stores as all-zero, whose dot with anything is 0 — the same
+    no-direction-never-duplicate convention as the batch path."""
+    from etl_instagram_spark.operators.similarity import as_double, dot, ivf_cell
+
+    v = as_double(F.col(vec_col))
+    n = F.sqrt(dot(v, v))
+    cell = F.col(cell_col) if cell_col else ivf_cell(vec_col, centroids)
+    return df.select(
+        F.col(id_col),
+        cell.alias("cell"),
+        F.when(n > 0, F.transform(v, lambda x: x / n))
+        .otherwise(F.transform(v, lambda x: x * 0.0))
+        .alias("unit"),
+    )
+
+
+def incremental_semantic_dedup(
+    incoming: DataFrame,
+    store: MergeTable,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """SemDeDup a NEW batch against the corpus's semantic history, then
+    fold the survivors into the store — the incremental face of
+    :func:`semantic_dedup`, completing the family the MinHash path
+    already has (``incremental_near_dedup``): the daily delta is
+    deduped against a compact (id, cell, unit-vector) table, never by
+    re-scanning or re-embedding the corpus.
+
+    Stages: (1) within-batch ``semantic_dedup``; (2) cross-history —
+    batch survivors equi-join the store on the cell id (same candidate
+    blocking as the batch path) and drop any row within ``threshold``
+    cosine (a bare dot of unit vectors, rounded to 6) of a DIFFERENT
+    id's historical entry; (3) the survivors' store rows upsert by id.
+
+    Replay-safe like the MinHash variant: a re-ingested doc's own store
+    entry is excluded by id, within-batch losers lose again, and the
+    id-keyed upsert overwrites — a crashed tick re-run converges to the
+    same survivors and store. Ids must be corpus-unique.
+
+    The quantizer is part of the store's identity: ``centroids`` must
+    stay FROZEN for the store's lifetime (same contract as
+    shingle_words for the signature store — fit once with
+    ``similarity.fit_ivf_centroids``, persist, reuse). The embedding
+    dimensionality is validated against the store; centroid values
+    cannot be recovered from store rows, so a changed quantizer is the
+    caller's responsibility.
+    """
+    from etl_instagram_spark.operators.similarity import dot
+
+    survivors = semantic_dedup(
+        incoming, id_col, vec_col, centroids, threshold, cell_col
+    ).localCheckpoint(eager=True)
+    rows = semantic_store_rows(
+        survivors, id_col, vec_col, centroids, cell_col
+    ).localCheckpoint(eager=True)
+
+    if store.exists():
+        hist = store.read()
+        dims = (
+            rows.select(F.size("unit").alias("d")).first(),
+            hist.select(F.size("unit").alias("d")).first(),
+        )
+        if dims[0] is not None and dims[1] is not None and dims[0]["d"] != dims[1]["d"]:
+            raise ValueError(
+                f"store holds {dims[1]['d']}-dim units; batch embeddings are "
+                f"{dims[0]['d']}-dim — not comparable"
+            )
+        new_side = rows.select(
+            F.col(id_col).alias("__new_id"),
+            F.col("cell").alias("__c"),
+            F.col("unit").alias("__new_u"),
+        )
+        old_side = hist.select(
+            F.col(id_col).alias("__old_id"),
+            F.col("cell").alias("__c"),
+            F.col("unit").alias("__old_u"),
+        )
+        losers = (
+            new_side.join(old_side, "__c")
+            .filter(F.col("__new_id") != F.col("__old_id"))
+            .filter(
+                F.round(dot(F.col("__new_u"), F.col("__old_u")), 6)
+                >= F.lit(threshold)
+            )
+            .select(F.col("__new_id").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        survivors = survivors.join(losers, id_col, "left_anti")
+        rows = rows.join(losers, id_col, "left_anti")
+
+    store.upsert(rows.withColumn("updated_at", F.current_timestamp()))
+    return survivors

@@ -859,3 +859,80 @@ def test_semantic_dedup_threshold_monotone(spark):
         ).collect()
     }
     assert strict <= loose
+
+
+def test_incremental_semantic_dedup_across_batches(spark, tmp_path):
+    """The daily-delta shape for embeddings: batch 2 is deduped against
+    batch 1's (cell, unit) store — no batch-1 embeddings re-read — and a
+    verbatim replay of batch 2 converges to the same survivors/store."""
+    from etl_instagram_spark.operators.dedup import incremental_semantic_dedup
+    from etl_instagram_spark.operators.merge import MergeTable
+
+    rows = _planted_vectors()
+    centroids = S.lloyd_kmeans([r[1] for r in rows], 4, seed=7)
+    store = MergeTable(spark, str(tmp_path / "semstore"), "vec_id")
+
+    b1 = spark.createDataFrame(
+        [r for r in rows if r[0] < 100], "vec_id long, embedding array<double>"
+    )
+    s1 = incremental_semantic_dedup(
+        b1, store, "vec_id", "embedding", centroids, threshold=0.9
+    )
+    n1 = s1.count()
+    assert n1 == b1.count()  # base vectors are mutually non-duplicate at 0.9
+    assert store.read().count() == n1
+
+    # batch 2: 100/101 are near-identical (within-batch dup) and 201/202
+    # duplicate batch-1 nothing but each other + 200 is new
+    b2 = spark.createDataFrame(
+        [r for r in rows if r[0] >= 100], "vec_id long, embedding array<double>"
+    )
+    s2 = sorted(
+        r["vec_id"]
+        for r in incremental_semantic_dedup(
+            b2, store, "vec_id", "embedding", centroids, threshold=0.9
+        ).collect()
+    )
+    assert 100 in s2 and 101 not in s2          # within-batch dup dropped
+    assert 200 in s2 and 201 not in s2 and 202 not in s2
+    store_ids = sorted(r["vec_id"] for r in store.read().collect())
+    assert store_ids == sorted([r[0] for r in rows if r[0] < 100] + s2)
+
+    # cross-HISTORY drop: a third batch re-sends 100's direction under a
+    # new id — it must lose to the STORE entry, not to anything in-batch
+    b3 = spark.createDataFrame(
+        [(300, [x * 0.99 for x in dict((r[0], r[1]) for r in rows)[100]])],
+        "vec_id long, embedding array<double>",
+    )
+    s3 = incremental_semantic_dedup(
+        b3, store, "vec_id", "embedding", centroids, threshold=0.9
+    )
+    assert s3.count() == 0
+    assert 300 not in {r["vec_id"] for r in store.read().collect()}
+
+    # replay of batch 2 converges (own ids excluded, store unchanged)
+    replay = sorted(
+        r["vec_id"]
+        for r in incremental_semantic_dedup(
+            b2, store, "vec_id", "embedding", centroids, threshold=0.9
+        ).collect()
+    )
+    assert replay == s2
+    assert sorted(r["vec_id"] for r in store.read().collect()) == store_ids
+
+
+def test_incremental_semantic_dedup_rejects_dim_mismatch(spark, tmp_path):
+    from etl_instagram_spark.operators.dedup import incremental_semantic_dedup
+    from etl_instagram_spark.operators.merge import MergeTable
+
+    store = MergeTable(spark, str(tmp_path / "semstore"), "vec_id")
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    b1 = spark.createDataFrame(
+        [(1, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    incremental_semantic_dedup(b1, store, "vec_id", "embedding", cents, 0.9)
+    b2 = spark.createDataFrame(
+        [(2, [0.5, 0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not comparable"):
+        incremental_semantic_dedup(b2, store, "vec_id", "embedding", cents, 0.9)
