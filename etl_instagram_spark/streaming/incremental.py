@@ -348,6 +348,38 @@ def stream_near_dedup(
     return True
 
 
+def stream_semantic_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    store: MergeTable,
+    clean_table: MergeTable,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> bool:
+    """The embedding-modality sibling of :func:`stream_near_dedup`: one
+    AvailableNow tick that SemDeDups each micro-batch against the
+    corpus's semantic history via the (cell, unit-vector) store
+    (operators/dedup.incremental_semantic_dedup) and upserts survivors
+    into ``clean_table``. The quantizer ``centroids`` must be the
+    store's frozen fit. Same exactly-once composition and same
+    store/clean/checkpoint relocation unit as the text face."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        from etl_instagram_spark.operators.dedup import incremental_semantic_dedup
+
+        survivors = incremental_semantic_dedup(
+            batch_df, store, id_col, vec_col, centroids, threshold
+        )
+        clean_table.upsert(survivors)
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
 # ---------------------------------------------------------------------------
 # continuous aggregate: incrementally maintained hypertable rollup
 # ---------------------------------------------------------------------------

@@ -474,3 +474,50 @@ def test_stream_upsert_changelog_records_cdc_and_replays_safely(spark, tmp_path)
         for r in changes.read().collect()
     } == feed
     assert table.read().count() == 3
+
+
+def test_stream_semantic_dedup_across_waves_and_replay(spark, tmp_path):
+    """The embedding-modality dedup loop: wave 2's cross-wave semantic
+    duplicate drops against wave 1's (cell, unit) STORE — no historical
+    embeddings re-read — and re-draining with a fresh checkpoint (every
+    file re-fires) leaves the clean table unchanged."""
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.operators.similarity import lloyd_kmeans
+    from etl_instagram_spark.streaming.incremental import stream_semantic_dedup
+
+    base = [1.0, 0.2, -0.4, 0.7]
+    other = [-0.8, 0.5, 0.1, -0.2]
+    third = [0.1, -0.9, 0.6, 0.3]
+    cents = lloyd_kmeans([base, other, third], 2, seed=3)
+    landing = tmp_path / "vecs"
+    store = MergeTable(spark, str(tmp_path / "store"), "vec_id")
+    clean = MergeTable(spark, str(tmp_path / "clean"), "vec_id")
+    DDL = "vec_id LONG, embedding ARRAY<DOUBLE>, updated_at TIMESTAMP"
+
+    write_json(landing / "w1.json", [
+        {"vec_id": 1, "embedding": base, "updated_at": "2021-01-01T00:00:00Z"},
+        {"vec_id": 2, "embedding": other, "updated_at": "2021-01-01T00:00:00Z"},
+    ])
+    assert stream_semantic_dedup(
+        spark, str(landing), DDL, store, clean, str(tmp_path / "ck1"), cents,
+        threshold=0.98,
+    )
+    assert sorted(r["vec_id"] for r in clean.read().collect()) == [1, 2]
+
+    write_json(landing / "w2.json", [
+        # same direction as vec 1 (scaled) → cross-wave semantic dup
+        {"vec_id": 3, "embedding": [x * 2.0 for x in base], "updated_at": "2021-01-02T00:00:00Z"},
+        {"vec_id": 4, "embedding": third, "updated_at": "2021-01-02T00:00:00Z"},
+    ])
+    assert stream_semantic_dedup(
+        spark, str(landing), DDL, store, clean, str(tmp_path / "ck1"), cents,
+        threshold=0.98,
+    )
+    assert sorted(r["vec_id"] for r in clean.read().collect()) == [1, 2, 4]
+
+    # crash-replay worst case: fresh checkpoint, every file re-fires
+    assert stream_semantic_dedup(
+        spark, str(landing), DDL, store, clean, str(tmp_path / "ck2"), cents,
+        threshold=0.98,
+    )
+    assert sorted(r["vec_id"] for r in clean.read().collect()) == [1, 2, 4]
