@@ -936,3 +936,62 @@ def test_incremental_semantic_dedup_rejects_dim_mismatch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not comparable"):
         incremental_semantic_dedup(b2, store, "vec_id", "embedding", cents, 0.9)
+
+
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_incremental_semantic_dedup_converges_to_single_batch(spark, tmp_path, data):
+    """The semantic analogue of the MinHash convergence property: ANY
+    batch split of one corpus yields one survivor per duplicate cluster
+    — first arrival wins (min id within the cluster's earliest batch) —
+    and every dropped doc has a surviving semantic duplicate. Clusters
+    are orthogonal one-hot directions (within-cluster cosine exactly 1,
+    across exactly 0) and the quantizer's centroids ARE the directions,
+    so cell assignment can never blur the clusters."""
+    import uuid
+
+    from etl_instagram_spark.operators.dedup import incremental_semantic_dedup
+    from etl_instagram_spark.operators.merge import MergeTable
+
+    n_clusters = data.draw(st.integers(1, 4), label="n_clusters")
+    docs = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, n_clusters - 1), st.integers(0, 2)),
+            min_size=1,
+            max_size=10,
+        ),
+        label="docs",
+    )
+    dim = 4
+    centroids = [[1.0 if j == c else 0.0 for j in range(dim)] for c in range(dim)]
+
+    def vec_of(cluster: int, i: int) -> list[float]:
+        scale = 1.0 + 0.1 * (i % 10)  # distinct rows, same direction
+        return [scale if j == cluster else 0.0 for j in range(dim)]
+
+    expect = {
+        c: min(
+            i
+            for i, (cc, b) in enumerate(docs)
+            if cc == c
+            and b == min(bb for _, (c2, bb) in enumerate(docs) if c2 == c)
+        )
+        for c in {c for c, _b in docs}
+    }
+
+    store = MergeTable(spark, str(tmp_path / f"ss_{uuid.uuid4().hex[:8]}"), "vec_id")
+    survivors: list[int] = []
+    for b in (0, 1, 2):
+        batch = [(i, vec_of(c, i)) for i, (c, bb) in enumerate(docs) if bb == b]
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, "vec_id long, embedding array<double>")
+        got = incremental_semantic_dedup(
+            bdf, store, "vec_id", "embedding", centroids, threshold=0.9
+        )
+        survivors.extend(r["vec_id"] for r in got.collect())
+    assert sorted(survivors) == sorted(expect.values())
