@@ -422,3 +422,185 @@ def knn_self_join_exact(
         .filter(F.col("knn_rank") <= k)
         .select(F.col("__idl").alias(id_col), "neighbor_id", "cos_sim", "knn_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def fit_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    max_fit_points: int | None = 4096,
+    max_iter: int = 8,
+    order_col: str | None = None,
+) -> list[list[list[float]]]:
+    """Fit product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    ``dim``-dimensional space into ``m`` contiguous subspaces and run the
+    same bounded-sample seeded Lloyd's as :func:`fit_ivf_centroids`
+    independently in each (seed offset per subspace so codebooks differ).
+
+    Returns ``codebooks[j][c]`` = centroid ``c`` of subspace ``j`` — an
+    O(m·k·dim/m) = O(k·dim) driver-sized object. Only this list leaves
+    the driver; encoding and ADC scanning are pure column expressions.
+
+    Why PQ at 100 TB: a 64-dim float32 vector is 256 bytes; its m=8/k≤256
+    PQ code is m bytes — a 32× (here, with k=16, effectively 64×) smaller
+    scan. The compressed table fits in a fraction of the executors'
+    page cache and the ADC scan reads no raw vectors at all; raw
+    embeddings are needed only for the optional exact re-rank of a
+    shortlist (``rerank`` in :func:`ann_pq_topk`).
+
+    ``order_col`` makes the fit a deterministic function of the data
+    (sort-before-limit), which is what lets the DuckDB oracle replay
+    bit-identical codebooks — same contract as :func:`fit_ivf_centroids`.
+    """
+    import numpy as np
+
+    base = df.select(
+        as_double(F.col(vec_col)).alias("__v"),
+        *([F.col(order_col).alias("__o")] if order_col else []),
+    ).where(F.col("__v").isNotNull())
+    if order_col:
+        base = base.orderBy("__o")
+    rows = base.select("__v").limit(max_fit_points or (1 << 20)).collect()
+    x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    return pq_codebooks_from_sample(x, m=m, k=k, seed=seed, max_iter=max_iter)
+
+
+def pq_codebooks_from_sample(
+    x, m: int = 8, k: int = 16, seed: int = 42, max_iter: int = 8
+) -> list[list[list[float]]]:
+    """Pure PQ fit over an (n, dim) sample array — per-subspace seeded
+    Lloyd's with a per-subspace seed offset. Pure function of
+    (x, m, k, seed, max_iter): the DuckDB oracle reads the SAME
+    deterministic sample from parquet and calls this exact code, so the
+    codebook literals both engines carry are bit-identical."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    return [
+        lloyd_kmeans(x[:, j * ds : (j + 1) * ds], k, seed=seed + j, max_iter=max_iter)
+        for j in range(m)
+    ]
+
+
+def pq_code(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """PQ encode: ``array<int>`` of length m — per subspace, the argmin
+    squared distance between the vector's slice and that subspace's
+    centroid literals. Same distance-ARRAY + first-minimum shape as
+    :func:`ivf_cell` (each distance evaluated once, O(k) per subspace,
+    no when-chain blowup); no UDF, no model object on executors.
+
+    Written at ingest this is the stored-codes column: downstream ADC
+    scans then read m small ints per row instead of the raw vector."""
+    v = as_double(F.col(vec_col))
+    ds = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        sl = F.slice(v, j * ds + 1, ds)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sl,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in book
+            ]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_lut(query_vec: list[float], codebooks: list[list[list[float]]]) -> list[float]:
+    """Asymmetric-distance lookup table for one query, flattened row-major:
+    ``lut[j*k + c]`` = squared L2 distance between the query's subspace-j
+    slice and centroid c of codebook j. Computed ONCE on the driver in
+    plain Python (O(m·k·dim/m) floats) and shipped as a literal — the
+    per-row ADC distance is then m array lookups + (m−1) adds, no float
+    math over the original dimensions at all."""
+    ds = len(codebooks[0][0])
+    lut: list[float] = []
+    for j, book in enumerate(codebooks):
+        q = query_vec[j * ds : (j + 1) * ds]
+        for c in book:
+            lut.append(sum((a - b) ** 2 for a, b in zip(q, c)))
+    return lut
+
+
+def pq_adc_dist(code_col: Column, lut_col: Column, m: int, k: int) -> Column:
+    """ADC distance from a stored code and a (broadcast or literal) flat
+    LUT column: Σ_j lut[j·k + code_j]. Fixed left-to-right addition order
+    so the sum is bit-reproducible across engines."""
+    terms = [
+        F.element_at(lut_col, F.lit(j * k + 1) + F.element_at(code_col, j + 1))
+        for j in range(m)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ ADC approximate top-k: rank by compressed-domain distance
+    (ascending; ADC approximates squared L2), smallest id breaks ties.
+
+    ``code_col`` names a STORED codes column written by :func:`pq_code`
+    at ingest — then the scan reads m ints per row and never touches the
+    raw embedding (the compression payoff). Without it codes are computed
+    on the fly from the vector (correct; scans raw data — the ad-hoc
+    path). ``rerank`` keeps an ADC shortlist of that size and re-ranks it
+    by exact distance on the raw vectors (the standard IVFADC+R refine
+    step): the exact pass touches only ``rerank`` rows, so recall rises
+    without giving back the compressed scan."""
+    nk = len(codebooks[0])
+    m = len(codebooks)
+    lut = F.array(*[F.lit(float(x)) for x in pq_lut(query_vec, codebooks)])
+    code = F.col(code_col) if code_col else pq_code(vec_col, codebooks)
+    adc = pq_adc_dist(code, lut, m, nk)
+    # pure-ADC path never projects the raw vector: with a stored code_col
+    # the scan is codes-only (the compression payoff survives the plan)
+    keep = [id_col] if not rerank else [id_col, vec_col]
+    shortlist = (
+        df.select(*keep, F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(rerank if rerank else k)
+    )
+    if not rerank:
+        return shortlist
+    v = as_double(F.col(vec_col))
+    q = _query_lit(query_vec)
+    exact = F.aggregate(
+        F.zip_with(v, q, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        shortlist.select(id_col, F.round(F.sqrt(exact), 6).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col))
+        .limit(k)
+    )

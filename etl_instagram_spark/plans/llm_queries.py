@@ -919,6 +919,181 @@ def _ivf_oracle_sql() -> str:
 oracle("emb_ann_ivf_recall", _ivf_oracle_sql)
 
 
+_PQ_M, _PQ_K = 8, 16  # shared by the Spark query and its oracle builder
+
+
+@query("emb_pq_recall")
+def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of product-quantization ADC ranking (m=8 subspaces ×
+    k=16 centroids, Jégou et al. 2011) against the exact L2 top-10, for
+    5 query vectors in one distributed pass.
+
+    The compressed-domain rank is the MEASURED value: every row is
+    scored from its m-int PQ code and the query's lookup table alone
+    (``pq_adc_dist`` — m array lookups, fixed-order adds, bit-identical
+    on both engines since the LUT floats are Python-computed literals);
+    the raw embedding feeds only the ground-truth side. Codebooks are
+    deterministic (sort-before-sample, ``pq_codebooks_from_sample``), so
+    ``_pq_oracle_sql`` refits identical literals and replays encode →
+    ADC → rank in DuckDB."""
+    from pyspark.sql import Window
+
+    from etl_instagram_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_adc_dist,
+        pq_code,
+        pq_lut,
+    )
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    cbs = fit_pq_codebooks(
+        emb, m=_PQ_M, k=_PQ_K, seed=42, order_col="vec_id"
+    )
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )  # 5 rows — O(1) driver bytes, broadcast back as the query side
+    q = spark.createDataFrame(
+        [
+            (
+                int(r["vec_id"]),
+                [float(x) for x in r["embedding"]],
+                pq_lut([float(x) for x in r["embedding"]], cbs),
+            )
+            for r in qrows
+        ],
+        "qid long, qv array<double>, lut array<double>",
+    )
+    coded = emb.withColumn("code", pq_code("embedding", cbs))
+    v = _as_double(F.col("embedding"))
+    l2sq = F.aggregate(
+        F.zip_with(v, F.col("qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(F.sqrt(l2sq), 6).alias("dist"),
+            pq_adc_dist(F.col("code"), F.col("lut"), _PQ_M, _PQ_K).alias("adc"),
+        )
+        .localCheckpoint(eager=True)  # one evaluation of the encode chain
+    )
+    w_gt = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id"))
+    w_adc = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    gt = (
+        pairs.withColumn("r", F.row_number().over(w_gt))
+        .filter(F.col("r") <= 10)
+        .select("qid", "vec_id")
+    )
+    ann = (
+        pairs.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= 10)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        gt.join(ann, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / 10.0, 2).alias(
+                "recall_at_10"
+            )
+        )
+        .orderBy("qid")
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB mirror of emb_pq_recall (lazy — codebooks and LUTs are fit
+    from the gate data through the same ``pq_codebooks_from_sample`` /
+    ``pq_lut`` code the Spark side runs, then inlined as literals).
+    Per-subspace encode replays as argmin over a ``list_distance`` array
+    on ``list_slice`` (sqrt is monotone in the Spark side's Σ(a-b)², so
+    argmin + first-minimum tie-break agree); the ADC sum indexes the
+    same LUT literals left-to-right, so it is bit-identical."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from etl_instagram_spark.operators.similarity import (
+        pq_codebooks_from_sample,
+        pq_lut,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = duckdb.connect()
+    sample = con.sql(
+        f"SELECT embedding::DOUBLE[] AS v FROM '{path}' "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    cbs = pq_codebooks_from_sample(
+        np.asarray([r[0] for r in sample], dtype=np.float64), m=_PQ_M, k=_PQ_K, seed=42
+    )
+    qrows = con.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM '{path}' "
+        "WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ds = len(cbs[0][0])
+    sub_dists = []
+    for j, book in enumerate(cbs):
+        sl = f"list_slice(embedding::DOUBLE[], {j * ds + 1}, {j * ds + ds})"
+        arr = ", ".join(
+            "list_distance({}, [{}]::DOUBLE[])".format(
+                sl, ", ".join(repr(float(x)) for x in c)
+            )
+            for c in book
+        )
+        sub_dists.append(f"[{arr}] AS d{j}")
+    code_cols = ", ".join(
+        f"(list_position(d{j}, list_min(d{j})) - 1) AS c{j}" for j in range(_PQ_M)
+    )
+    adc = " + ".join(f"lut[{j * _PQ_K} + c{j} + 1]" for j in range(_PQ_M))
+    qvals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            int(qid),
+            ", ".join(repr(float(x)) for x in pq_lut([float(v) for v in qv], cbs)),
+        )
+        for qid, qv in qrows
+    )
+    return f"""
+    WITH sub AS (SELECT vec_id, embedding, {", ".join(sub_dists)} FROM embeddings),
+    codes AS (SELECT vec_id, embedding, {code_cols} FROM sub),
+    q AS (
+      SELECT p.qid, e.embedding::DOUBLE[] AS qv, p.lut
+      FROM (VALUES {qvals}) p(qid, lut)
+      JOIN embeddings e ON e.vec_id = p.qid),
+    pairs AS (
+      SELECT qid, vec_id,
+             round(list_distance(embedding::DOUBLE[], qv), 6) AS dist,
+             {adc} AS adc
+      FROM codes CROSS JOIN q WHERE vec_id <> qid),
+    gt AS (SELECT qid, vec_id FROM
+             (SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY dist ASC, vec_id) AS r
+              FROM pairs)
+           WHERE r <= 10),
+    ann AS (SELECT qid, vec_id, 1 AS hit FROM
+             (SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY adc ASC, vec_id) AS r
+              FROM pairs)
+            WHERE r <= 10)
+    SELECT qid, round(sum(coalesce(hit, 0)) / 10.0, 2) AS recall_at_10
+    FROM gt LEFT JOIN ann USING (qid, vec_id)
+    GROUP BY qid ORDER BY qid
+    """
+
+
+oracle("emb_pq_recall", _pq_oracle_sql)
+
+
 # ---------------------------------------------------------------------------
 # documents: top terms per language (the unstemmed topics path, F3/F5/F7)
 # ---------------------------------------------------------------------------

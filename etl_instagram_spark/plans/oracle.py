@@ -238,14 +238,12 @@ oracle(
     """,
 )
 
-oracle(
-    "conditional_agg_promo_share",
-    """
+# (conditional_agg_promo_share rotated to plans/parity_extras.py in r6)
+SQL_CONDITIONAL_AGG_PROMO_SHARE = """
     SELECT round(
              sum(CASE WHEN p_type LIKE 'PROMO%'
                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
              / sum(l_extendedprice * (1 - l_discount)) * 100,
              4) AS promo_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
-    """,
-)
+    """

@@ -37,6 +37,9 @@ Current entries:
   stays gated via q1_pricing_summary / conditional_agg_promo_share)
 - ``part_url_parse`` (r6, for docs_bm25_topk; the parse_url surface
   keeps projection pytest coverage)
+- ``conditional_agg_promo_share`` (r6, for emb_pq_recall;
+  CASE-WHEN-in-aggregate stays gated via docs_gopher_filter /
+  cube_returnflag_status)
 """
 
 from __future__ import annotations
@@ -499,9 +502,21 @@ def _sql_hybrid_rrf() -> str:
     """
 
 
+def _conditional_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 conditional aggregate (r6 rotation for emb_pq_recall;
+    CASE-WHEN-in-aggregate stays gated via docs_gopher_filter /
+    cube_returnflag_status)."""
+    from etl_instagram_spark.plans.queries import conditional_agg_promo_share
+
+    return conditional_agg_promo_share(spark, sf_dir)
+
+
 def _register_rotated() -> None:
     from etl_instagram_spark.plans import llm_queries
-    from etl_instagram_spark.plans.oracle import SQL_Q6_FORECAST_REVENUE
+    from etl_instagram_spark.plans.oracle import (
+        SQL_CONDITIONAL_AGG_PROMO_SHARE,
+        SQL_Q6_FORECAST_REVENUE,
+    )
 
     EXTRAS["emb_knn_cosine"] = (_emb_knn_cosine, llm_queries.SQL_KNN_COSINE)
     EXTRAS["supplier_geo_bands"] = (
@@ -510,6 +525,10 @@ def _register_rotated() -> None:
     )
     EXTRAS["q6_forecast_revenue"] = (_q6_forecast_revenue, SQL_Q6_FORECAST_REVENUE)
     EXTRAS["part_url_parse"] = (_part_url_parse, llm_queries.SQL_PART_URL_PARSE)
+    EXTRAS["conditional_agg_promo_share"] = (
+        _conditional_agg_promo_share,
+        SQL_CONDITIONAL_AGG_PROMO_SHARE,
+    )
     EXTRAS["docs_hybrid_rrf"] = (_docs_hybrid_rrf, _sql_hybrid_rrf())
 
 

@@ -414,7 +414,10 @@ def part_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # customer_rolling_30d_revenue; parity in plans/parity_extras.py)
 
 
-@query("conditional_agg_promo_share")
+# (conditional_agg_promo_share rotated out of the gate in r6 to make room
+# for emb_pq_recall — CASE-WHEN-in-aggregate stays gated via
+# docs_gopher_filter's nine conditional sums and cube_returnflag_status;
+# parity in plans/parity_extras.py)
 def conditional_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: CASE WHEN inside an aggregate (conditional agg).
     `part` is SF×200k rows — it scales linearly with the fact, so no static

@@ -995,3 +995,105 @@ def test_incremental_semantic_dedup_converges_to_single_batch(spark, tmp_path, d
         )
         survivors.extend(r["vec_id"] for r in got.collect())
     assert sorted(survivors) == sorted(expect.values())
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_shape_and_range(spark, sf_oracle):
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    cbs = S.fit_pq_codebooks(emb, m=8, k=16, seed=42, order_col="vec_id")
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    codes = emb.select(S.pq_code("embedding", cbs).alias("c")).collect()
+    for r in codes:
+        assert len(r["c"]) == 8
+        assert all(0 <= c < 16 for c in r["c"])
+
+
+def test_pq_fit_rejects_indivisible_dim(spark):
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        S.fit_pq_codebooks(df, m=2, k=2, order_col="vec_id")
+
+
+def test_pq_stored_codes_match_computed(spark, sf_oracle):
+    """code_col path (the compressed-layout scan) must return exactly the
+    on-the-fly-encoded result."""
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    cbs = S.fit_pq_codebooks(emb, m=8, k=16, seed=42, order_col="vec_id")
+    qv = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    corpus = emb.filter("vec_id <> 3")
+    stored = corpus.withColumn("code", S.pq_code("embedding", cbs))
+    a = [tuple(r) for r in S.ann_pq_topk(corpus, qv, cbs, k=5).collect()]
+    b = [
+        tuple(r)
+        for r in S.ann_pq_topk(stored, qv, cbs, k=5, code_col="code")
+        .select("vec_id", "adc_dist")
+        .collect()
+    ]
+    assert a == b
+
+
+def test_pq_adc_is_exact_for_centroid_vectors(spark):
+    """A vector that IS a concatenation of per-subspace centroids has ADC
+    distance equal to the exact squared distance between the two codes'
+    centroid chains — on such points the quantization error is zero, so
+    ADC must rank them exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = S.fit_pq_codebooks(df, m=4, k=4, seed=1, order_col="vec_id")
+    # build 6 synthetic vectors that sit exactly on centroid chains
+    chains = []
+    for i in range(6):
+        v = []
+        for j in range(4):
+            v.extend(cbs[j][(i + j) % 4])
+        chains.append((100 + i, [float(x) for x in v]))
+    cdf = spark.createDataFrame(chains, "vec_id long, embedding array<double>")
+    qv = chains[0][1]
+    got = S.ann_pq_topk(cdf, qv, cbs, k=6).collect()
+    exact = sorted(
+        (
+            float(np.sum((np.array(v) - np.array(qv)) ** 2)),
+            i,
+        )
+        for i, v in chains
+    )
+    assert [r["vec_id"] for r in got] == [i for _, i in exact]
+    for r, (d, _) in zip(got, exact):
+        assert r["adc_dist"] == pytest.approx(d, abs=1e-6)
+
+
+def test_pq_rerank_recall_not_below_adc(spark, sf_oracle):
+    """The exact-rerank refinement (ADC shortlist → exact distance) must
+    never score LOWER recall@10 than the raw ADC ranking it refines."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    cbs = S.fit_pq_codebooks(emb, m=8, k=16, seed=42, order_col="vec_id")
+    rows = emb.collect()
+    X = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for qid in (0, 1, 2):
+        q = X[qid]
+        gt = set(
+            i
+            for _, i in sorted(
+                (float(np.sum((v - q) ** 2)), i) for i, v in X.items() if i != qid
+            )[:10]
+        )
+        corpus = emb.filter(F.col("vec_id") != qid)
+        qv = [float(x) for x in q]
+        adc = set(r["vec_id"] for r in S.ann_pq_topk(corpus, qv, cbs, k=10).collect())
+        rr = set(
+            r["vec_id"]
+            for r in S.ann_pq_topk(corpus, qv, cbs, k=10, rerank=100).collect()
+        )
+        assert len(gt & rr) >= len(gt & adc)

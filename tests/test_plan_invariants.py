@@ -283,3 +283,32 @@ def test_gopher_filter_stays_in_the_scan_stage(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pq_stored_codes_scan_never_reads_raw_vectors(spark, tmp_path):
+    """The pure-ADC path over a stored codes column must plan a scan that
+    reads (id, code) ONLY — never the raw embedding column. That narrow
+    read IS product quantization's 100-TB payoff (m bytes/row vs
+    dim×4), so it is pinned at the plan level."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.operators.similarity import (
+        ann_pq_topk,
+        fit_pq_codebooks,
+        pq_code,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cbs = fit_pq_codebooks(emb, m=8, k=16, seed=42, order_col="vec_id")
+    path = str(tmp_path / "pq_table")
+    emb.withColumn("code", pq_code("embedding", cbs)).write.parquet(path)
+    table = spark.read.parquet(path)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    plan = (
+        ann_pq_topk(table, qv, cbs, k=5, code_col="code")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for scan in _scans(plan):
+        assert "embedding" not in _scan_cols(scan), scan
