@@ -150,7 +150,9 @@ oracle(
 # ---------------------------------------------------------------------------
 
 
-@query("docs_quality_bands")
+# (docs_quality_bands rotated out of the gate in r6 to make room for
+# docs_bpe_tokens — quality scoring stays gated via docs_gopher_filter's
+# nine-rule profile; parity in plans/parity_extras.py)
 def docs_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter profile: docs per score band (the distribution a
     training-data filter thresholds against)."""
@@ -183,9 +185,8 @@ round(
   4)
 """
 
-oracle(
-    "docs_quality_bands",
-    f"""
+# (docs_quality_bands rotated to plans/parity_extras.py in r6)
+SQL_DOCS_QUALITY_BANDS = f"""
     WITH t AS (SELECT text, {SQL_TOKS} AS toks FROM documents),
          s AS (SELECT {_SQL_QUALITY} AS q FROM t)
     SELECT CASE WHEN q < 0.25 THEN 'q0_low'
@@ -195,8 +196,113 @@ oracle(
            count(*) AS n_docs,
            round(avg(q), 4) AS avg_score
     FROM s GROUP BY band ORDER BY band
-    """,
-)
+    """
+
+
+_BPE_N_MERGES = 24
+_BPE_MAX_WORDS = 65536
+
+
+@query("docs_bpe_tokens")
+def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the corpus, then count learned-subword
+    tokens per source — tokenizer TRAINING as a gated pipeline stage.
+
+    The distributed part is exactly what must be distributed at 100 TB:
+    one explode+count pass for the word-frequency table (map-side
+    combined) and one Arrow-batched encode pass with the learned merges
+    (per-word memoized, operators/tokenizer.py). The merge loop itself
+    runs on the driver over the bounded frequency table — the shape
+    every real subword trainer uses. Deterministic end to end
+    (sort-before-cap collection, smallest-pair tie-break), so the oracle
+    re-learns identical merges from DuckDB's word counts and replays the
+    encode as an inlined word→token-count map: any cross-engine drift in
+    splitting, counting, ordering, or the merge loop breaks the hash."""
+    from etl_instagram_spark.operators.tokenizer import bpe_token_count, fit_bpe
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    merges = fit_bpe(
+        docs, "text", n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+    )
+    return (
+        docs.select("source", bpe_token_count("text", merges).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("bpe_tokens"),
+            F.round(F.sum("nt") / F.count(F.lit(1)), 4).alias("avg_bpe_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB mirror of docs_bpe_tokens (lazy — its literals are LEARNED
+    from the gate data): count words in DuckDB with the same explicit
+    whitespace class, feed the same ordered/capped frequency table
+    through the same ``learn_bpe`` loop, then inline the resulting
+    word→token-count map (every distinct corpus word through
+    ``bpe_apply``) as a VALUES join."""
+    import os
+
+    import duckdb
+
+    from etl_instagram_spark.operators.tokenizer import (
+        WORD_SPLIT_REGEX,
+        bpe_apply,
+        learn_bpe,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    con = duckdb.connect()
+    split = f"string_split_regex(lower(text), '{WORD_SPLIT_REGEX}')"
+    freqs = con.sql(
+        f"""
+        SELECT w AS word, count(*) AS freq
+        FROM (SELECT unnest({split}) AS w FROM '{path}' WHERE text IS NOT NULL)
+        WHERE w <> ''
+        GROUP BY w ORDER BY freq DESC, word ASC LIMIT {_BPE_MAX_WORDS}
+        """
+    ).fetchall()
+    words = [w for w, _ in freqs]  # gate-scale corpora fit the cap, so
+    # the capped table IS the full distinct-word list (asserted below)
+    n_distinct = con.sql(
+        f"SELECT count(DISTINCT w) FROM (SELECT unnest({split}) AS w "
+        f"FROM '{path}' WHERE text IS NOT NULL) WHERE w <> ''"
+    ).fetchone()[0]
+    con.close()
+    if n_distinct > len(words):
+        raise AssertionError(
+            f"oracle word map incomplete: {n_distinct} distinct words > cap"
+        )
+    merges = learn_bpe([(w, int(f)) for w, f in freqs], _BPE_N_MERGES)
+    wm = ", ".join(
+        "('{}', {})".format(w.replace("'", "''"), len(bpe_apply(w, merges)))
+        for w in sorted(words)
+    )
+    return f"""
+    WITH wm(word, nt) AS (VALUES {wm}),
+    doc_words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest({split}) AS w
+        FROM documents WHERE text IS NOT NULL)
+      WHERE w <> ''),
+    per_doc AS (
+      SELECT d.doc_id, d.source, coalesce(sum(wm.nt), 0) AS nt
+      FROM documents d
+      LEFT JOIN doc_words x ON d.doc_id = x.doc_id
+      LEFT JOIN wm ON x.w = wm.word
+      GROUP BY d.doc_id, d.source)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS bpe_tokens,
+           round(CAST(sum(nt) AS BIGINT) / count(*), 4) AS avg_bpe_per_doc
+    FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+oracle("docs_bpe_tokens", _bpe_oracle_sql)
 
 
 # ---------------------------------------------------------------------------

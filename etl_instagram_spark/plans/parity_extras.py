@@ -40,6 +40,8 @@ Current entries:
 - ``conditional_agg_promo_share`` (r6, for emb_pq_recall;
   CASE-WHEN-in-aggregate stays gated via docs_gopher_filter /
   cube_returnflag_status)
+- ``docs_quality_bands`` (r6, for docs_bpe_tokens; quality scoring
+  stays gated via docs_gopher_filter's nine-rule profile)
 """
 
 from __future__ import annotations
@@ -511,6 +513,12 @@ def _conditional_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conditional_agg_promo_share(spark, sf_dir)
 
 
+def _docs_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-score bands (r6 rotation for docs_bpe_tokens;
+    quality scoring stays gated via docs_gopher_filter's nine rules)."""
+    return _llm("docs_quality_bands")(spark, sf_dir)
+
+
 def _register_rotated() -> None:
     from etl_instagram_spark.plans import llm_queries
     from etl_instagram_spark.plans.oracle import (
@@ -528,6 +536,10 @@ def _register_rotated() -> None:
     EXTRAS["conditional_agg_promo_share"] = (
         _conditional_agg_promo_share,
         SQL_CONDITIONAL_AGG_PROMO_SHARE,
+    )
+    EXTRAS["docs_quality_bands"] = (
+        _docs_quality_bands,
+        llm_queries.SQL_DOCS_QUALITY_BANDS,
     )
     EXTRAS["docs_hybrid_rrf"] = (_docs_hybrid_rrf, _sql_hybrid_rrf())
 
