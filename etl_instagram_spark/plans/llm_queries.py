@@ -1070,7 +1070,12 @@ def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "qid long, qv array<double>, lut array<double>",
     )
-    coded = emb.withColumn("code", pq_code("embedding", cbs))
+    # pin the encoded corpus BEFORE the query cross-join: the encode
+    # expression (m·k interpreted HOF aggregates per row) must evaluate
+    # once per corpus row, not once per (row × query) pair
+    coded = emb.withColumn("code", pq_code("embedding", cbs)).localCheckpoint(
+        eager=True
+    )
     v = _as_double(F.col("embedding"))
     l2sq = F.aggregate(
         F.zip_with(v, F.col("qv"), lambda a, b: (a - b) * (a - b)),
