@@ -608,3 +608,81 @@ def ann_pq_topk(
         .orderBy(F.col("l2_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: the composed vector index (coarse cells + PQ codes) as a TABLE
+# ---------------------------------------------------------------------------
+
+
+def ann_index_rows(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Stamp the compact ANN index rows ``(id, cell, code)`` — the
+    FAISS-IVFADC layout (coarse quantizer cell for pruning + PQ code for
+    compressed scoring) as a plain DataFrame, meant to be written
+    partitioned/sorted by ``cell``. Per row the index costs one int plus
+    m bytes; the raw vector stays only in the source table and is read
+    again solely for the exact re-rank of a top-k shortlist.
+
+    Both quantizers are FROZEN driver-fit literals (fit_ivf_centroids /
+    fit_pq_codebooks), so stamping is a pure projection: incremental
+    maintenance is just upserting new rows — no refit, no rebuild, and
+    historical codes never change under append."""
+    return df.select(
+        F.col(id_col),
+        ivf_cell(vec_col, centroids).alias("cell"),
+        pq_code(vec_col, codebooks).alias("code"),
+    )
+
+
+def ann_ivfpq_topk(
+    index: DataFrame,
+    raw: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int | None = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the composed index: probe the ``n_probe`` nearest cells
+    (partition pruning on the stored ``cell`` column), rank candidates
+    by ADC over the stored ``code`` column ONLY — the scan touches
+    (id, cell, code), never a vector — then optionally re-rank the
+    ``rerank``-sized shortlist by exact distance via a join back to the
+    raw table on id (the shortlist side is broadcast: O(rerank) rows).
+
+    This is the 100-TB query shape: cells cut the scan to
+    n_probe/n_clusters of the index, PQ cuts the bytes per scanned row
+    to m+8, and the only contact with raw vectors is O(rerank) rows."""
+    probes = _nearest_centroids(query_vec, centroids, n_probe)
+    m, nk = len(codebooks), len(codebooks[0])
+    lut = F.array(*[F.lit(float(x)) for x in pq_lut(query_vec, codebooks)])
+    shortlist = (
+        index.filter(F.col("cell").isin(probes))
+        .select(id_col, F.round(pq_adc_dist(F.col("code"), lut, m, nk), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(rerank if rerank else k)
+    )
+    if not rerank:
+        return shortlist.limit(k)
+    v = as_double(F.col(vec_col))
+    q = _query_lit(query_vec)
+    exact = F.aggregate(
+        F.zip_with(v, q, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        raw.join(F.broadcast(shortlist.select(id_col)), id_col)
+        .select(id_col, F.round(F.sqrt(exact), 6).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col))
+        .limit(k)
+    )

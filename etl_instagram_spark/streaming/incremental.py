@@ -380,6 +380,38 @@ def stream_semantic_dedup(
     return True
 
 
+def stream_ann_index(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    index_table: MergeTable,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Incremental IVFADC index maintenance: one AvailableNow tick that
+    stamps each micro-batch of vectors with (cell, PQ code) under the
+    FROZEN quantizers and upserts the compact rows into ``index_table``
+    (operators/similarity.ann_index_rows). Because both quantizers are
+    driver-fit literals, stamping is a pure projection — re-ingesting an
+    id yields byte-identical rows, so the keyed upsert makes replay
+    idempotent and the index never needs a rebuild under append.
+    Queries (ann_ivfpq_topk) read the table's stored cell/code columns
+    and stay pruned regardless of how many ticks built it."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        from etl_instagram_spark.operators.similarity import ann_index_rows
+
+        index_table.upsert(
+            ann_index_rows(batch_df, centroids, codebooks, vec_col, id_col)
+        )
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
 # ---------------------------------------------------------------------------
 # continuous aggregate: incrementally maintained hypertable rollup
 # ---------------------------------------------------------------------------

@@ -1097,3 +1097,97 @@ def test_pq_rerank_recall_not_below_adc(spark, sf_oracle):
             for r in S.ann_pq_topk(corpus, qv, cbs, k=10, rerank=100).collect()
         )
         assert len(gt & rr) >= len(gt & adc)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC composed index
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_fixtures(spark, sf_oracle):
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    cents = S.fit_ivf_centroids(emb, n_clusters=8, seed=42, order_col="vec_id")
+    cbs = S.fit_pq_codebooks(emb, m=8, k=16, seed=42, order_col="vec_id")
+    return emb, cents, cbs
+
+
+def test_ivfpq_full_probe_big_rerank_equals_exact(spark, sf_oracle):
+    """Probing every cell with a corpus-sized rerank budget degrades the
+    index to brute force: the composed path must then return EXACTLY the
+    exact-L2 top-k."""
+    import numpy as np
+
+    emb, cents, cbs = _ivfpq_fixtures(spark, sf_oracle)
+    qv = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    corpus = emb.filter("vec_id <> 7")
+    index = S.ann_index_rows(corpus, cents, cbs)
+    got = S.ann_ivfpq_topk(
+        index, corpus, qv, cents, cbs, k=10, n_probe=8, rerank=10_000
+    ).collect()
+    X = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in corpus.collect()
+    }
+    q = np.array(qv)
+    exact = sorted((float(np.sqrt(np.sum((v - q) ** 2))), i) for i, v in X.items())[:10]
+    assert [r["vec_id"] for r in got] == [i for _, i in exact]
+    for r, (d, _) in zip(got, exact):
+        assert r["l2_dist"] == pytest.approx(d, abs=1e-6)
+
+
+def test_ivfpq_recall_monotone_in_probes(spark, sf_oracle):
+    """More probed cells can only widen the exact-reranked candidate
+    set — recall@10 must be non-decreasing in n_probe."""
+    import numpy as np
+
+    emb, cents, cbs = _ivfpq_fixtures(spark, sf_oracle)
+    corpus = emb.filter("vec_id <> 0")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    index = S.ann_index_rows(corpus, cents, cbs)
+    X = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in corpus.collect()
+    }
+    q = np.array(qv)
+    gt = set(
+        i
+        for _, i in sorted((float(np.sum((v - q) ** 2)), i) for i, v in X.items())[:10]
+    )
+    recalls = []
+    for n_probe in (1, 4, 8):
+        got = set(
+            r["vec_id"]
+            for r in S.ann_ivfpq_topk(
+                index, corpus, qv, cents, cbs, k=10, n_probe=n_probe, rerank=10_000
+            ).collect()
+        )
+        recalls.append(len(gt & got))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 10  # all cells + full rerank == exact
+
+
+def test_ivfpq_index_scan_is_codes_only_and_rerank_broadcasts(spark, sf_oracle, tmp_path):
+    """The index scan must read (vec_id, cell, code) only — with the
+    cell probe pushed to the parquet source — and the rerank join back
+    to raw vectors must broadcast the O(rerank) shortlist."""
+    emb, cents, cbs = _ivfpq_fixtures(spark, sf_oracle)
+    path = str(tmp_path / "ann_index")
+    S.ann_index_rows(emb, cents, cbs).write.partitionBy("cell").parquet(path)
+    index = spark.read.parquet(path)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    plan = (
+        S.ann_ivfpq_topk(index, emb, qv, cents, cbs, k=5, n_probe=2, rerank=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # the index-side scan (the one reading `code`) must not read embeddings
+    import re as _re
+
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln or "Scan parquet" in ln]
+    idx_scans = [s for s in scans if "code" in s]
+    assert idx_scans, plan
+    for s in idx_scans:
+        assert "embedding" not in s, s

@@ -521,3 +521,68 @@ def test_stream_semantic_dedup_across_waves_and_replay(spark, tmp_path):
         threshold=0.98,
     )
     assert sorted(r["vec_id"] for r in clean.read().collect()) == [1, 2, 4]
+
+
+def test_stream_ann_index_matches_one_shot_and_replays(spark, tmp_path):
+    """Incremental IVFADC maintenance: two ticks of vector arrivals must
+    leave the index table byte-equal to stamping everything in one shot
+    (frozen quantizers ⇒ stamping is a pure projection), and re-draining
+    every file with a fresh checkpoint must change nothing."""
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.operators.similarity import (
+        ann_index_rows,
+        lloyd_kmeans,
+        pq_codebooks_from_sample,
+    )
+    from etl_instagram_spark.streaming.incremental import stream_ann_index
+
+    vecs = {
+        1: [1.0, 0.2, -0.4, 0.7],
+        2: [-0.8, 0.5, 0.1, -0.2],
+        3: [0.1, -0.9, 0.6, 0.3],
+        4: [0.9, 0.1, -0.3, 0.8],
+    }
+    sample = [vecs[i] for i in sorted(vecs)]
+    cents = lloyd_kmeans(sample, 2, seed=3)
+    cbs = pq_codebooks_from_sample(sample, m=2, k=2, seed=3)
+    landing = tmp_path / "vecs"
+    index = MergeTable(spark, str(tmp_path / "index"), "vec_id")
+    DDL = "vec_id LONG, embedding ARRAY<DOUBLE>, updated_at TIMESTAMP"
+
+    write_json(landing / "w1.json", [
+        {"vec_id": 1, "embedding": vecs[1], "updated_at": "2021-01-01T00:00:00Z"},
+        {"vec_id": 2, "embedding": vecs[2], "updated_at": "2021-01-01T00:00:00Z"},
+    ])
+    assert stream_ann_index(
+        spark, str(landing), DDL, index, str(tmp_path / "ck1"), cents, cbs
+    )
+    write_json(landing / "w2.json", [
+        {"vec_id": 3, "embedding": vecs[3], "updated_at": "2021-01-02T00:00:00Z"},
+        {"vec_id": 4, "embedding": vecs[4], "updated_at": "2021-01-02T00:00:00Z"},
+    ])
+    assert stream_ann_index(
+        spark, str(landing), DDL, index, str(tmp_path / "ck1"), cents, cbs
+    )
+
+    all_vecs = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    one_shot = sorted(
+        (r["vec_id"], r["cell"], tuple(r["code"]))
+        for r in ann_index_rows(all_vecs, cents, cbs).collect()
+    )
+    streamed = sorted(
+        (r["vec_id"], r["cell"], tuple(r["code"]))
+        for r in index.read().select("vec_id", "cell", "code").collect()
+    )
+    assert streamed == one_shot
+
+    # crash-replay worst case: fresh checkpoint, every file re-fires
+    assert stream_ann_index(
+        spark, str(landing), DDL, index, str(tmp_path / "ck2"), cents, cbs
+    )
+    replayed = sorted(
+        (r["vec_id"], r["cell"], tuple(r["code"]))
+        for r in index.read().select("vec_id", "cell", "code").collect()
+    )
+    assert replayed == one_shot
