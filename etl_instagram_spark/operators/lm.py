@@ -1,0 +1,137 @@
+"""N-gram language-model perplexity scoring (the CCNet quality signal).
+
+Engine extension for training-data pipelines (the reference has no LM
+surface). CCNet (Wenzek et al., "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data", LREC 2020) buckets crawl text
+by language-model perplexity and keeps the low-perplexity head; this
+module provides that signal with the same fit/score split the engine's
+other learned operators use (BPE, IVF, PQ):
+
+- **Fit is one distributed counting pass** over the corpus (the
+  tokenizer module's word-frequency shuffle) collected as a BOUNDED,
+  deterministically-ordered table, with add-one-smoothed log2
+  probabilities computed ONCE in driver Python — so the model constants
+  are bit-identical wherever they are replayed (the SQL parity mirror
+  inlines the very same doubles).
+- **Scoring is pure relational algebra**: explode words, LEFT join the
+  broadcast (word, logp) model, coalesce misses to the model's OOV
+  floor, aggregate bits-per-word per document. No UDF anywhere — the
+  hot path is codegen'd joins and aggregates, and at 100 TB the model
+  side is a broadcast of at most ``max_vocab`` rows.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.operators.tokenizer import (
+    WORD_SPLIT_REGEX,
+    collect_word_frequencies,
+)
+
+
+class UnigramLM(NamedTuple):
+    """A fitted unigram model: ``entries`` is [(word, log2 p)] over the
+    capped vocabulary; ``oov_logp`` the smoothed floor for unseen words.
+    Both carry driver-computed doubles — the only floats in play."""
+
+    entries: list[tuple[str, float]]
+    oov_logp: float
+
+
+def fit_unigram_lm(
+    df: DataFrame, text_col: str = "text", max_vocab: int = 65536
+) -> UnigramLM:
+    """Fit an add-one-smoothed unigram LM from one distributed counting
+    pass: p(w) = (c(w)+1) / (total + V + 1), with the +1 mass in the
+    denominator shared by every unseen word (the OOV floor). The
+    frequency table is collected sorted (freq DESC, word ASC) and capped,
+    so the model is a pure function of the data — same replayability
+    contract as ``fit_pq_codebooks`` / ``learn_bpe``."""
+    return unigram_lm_from_freqs(collect_word_frequencies(df, text_col, max_vocab))
+
+
+def unigram_lm_from_freqs(freqs: list[tuple[str, int]]) -> UnigramLM:
+    """Pure model math over a frequency table — the SQL parity mirror
+    feeds it DuckDB's counts and inlines the identical doubles."""
+    total = sum(f for _, f in freqs)
+    v = len(freqs)
+    denom = float(total + v + 1)
+    entries = [(w, math.log2((c + 1) / denom)) for w, c in freqs]
+    return UnigramLM(entries, math.log2(1.0 / denom))
+
+
+def _model_df(spark: SparkSession, lm: UnigramLM) -> DataFrame:
+    return spark.createDataFrame(lm.entries, "word string, logp double")
+
+
+def doc_bits_per_word(
+    df: DataFrame,
+    lm: UnigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LM score: ``(id, n_words, bits_per_word)`` where
+    bits_per_word = mean −log2 p(word) (perplexity = 2^bits_per_word).
+    Documents with no words keep a row with n_words=0 and NULL score.
+
+    Plan shape: explode → broadcast LEFT join the model → per-doc
+    aggregate, then a LEFT join back to the document spine so empty/NULL
+    docs survive. The corpus is shuffled once, keyed by document id."""
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), WORD_SPLIT_REGEX)
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .join(F.broadcast(_model_df(spark, lm)), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.avg(-F.coalesce(F.col("logp"), F.lit(lm.oov_logp))).alias(
+                "bits_per_word"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(words, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.col("bits_per_word"),
+        )
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    lm: UnigramLM,
+    max_bits: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the low-perplexity head: documents whose bits_per_word is at
+    most ``max_bits``. Wordless documents carry no LM evidence and are
+    dropped (CCNet discards them before bucketing)."""
+    scored = doc_bits_per_word(df, lm, text_col, id_col)
+    keep = scored.filter(
+        (F.col("n_words") > 0) & (F.col("bits_per_word") <= max_bits)
+    ).select(id_col)
+    return df.join(keep, id_col, "semi")
+
+
+def unigram_model_sql_values(lm: UnigramLM) -> str:
+    """The model as a SQL VALUES list ``('word', logp), ...`` — the
+    parity mirror inlines exactly the doubles the Spark plan broadcasts
+    (repr round-trips), so both engines score from identical constants."""
+    return ", ".join(
+        "('{}', {!r})".format(w.replace("'", "''"), lp) for w, lp in lm.entries
+    )

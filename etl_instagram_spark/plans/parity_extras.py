@@ -42,6 +42,9 @@ Current entries:
   cube_returnflag_status)
 - ``docs_quality_bands`` (r6, for docs_bpe_tokens; quality scoring
   stays gated via docs_gopher_filter's nine-rule profile)
+- ``docs_unigram_ppl`` (never gated — the CCNet perplexity signal,
+  value-checked against a model-literal SQL mirror like the gate's
+  fit-from-data oracles)
 """
 
 from __future__ import annotations
@@ -519,6 +522,77 @@ def _docs_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _llm("docs_quality_bands")(spark, sf_dir)
 
 
+def _docs_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal, value-checked end-to-end: fit the
+    add-one unigram model on the corpus (one distributed counting pass),
+    score every document's bits-per-word relationally (broadcast model
+    join — no UDF), roll up per source. Never gate-registered — EXTRAS
+    has no row cap; the SQL mirror re-fits the model from DuckDB's
+    counts through the same pure math and inlines identical doubles."""
+    from etl_instagram_spark.operators.lm import doc_bits_per_word, fit_unigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = fit_unigram_lm(docs)
+    scored = doc_bits_per_word(docs, lm)
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.round(F.avg("bits_per_word"), 4).alias("avg_bits_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_unigram_ppl() -> str:
+    import os
+
+    import duckdb
+
+    from etl_instagram_spark.operators.lm import (
+        unigram_lm_from_freqs,
+        unigram_model_sql_values,
+    )
+    from etl_instagram_spark.operators.tokenizer import WORD_SPLIT_REGEX
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    split = f"string_split_regex(lower(text), '{WORD_SPLIT_REGEX}')"
+    con = duckdb.connect()
+    freqs = con.sql(
+        f"""
+        SELECT w AS word, count(*) AS freq
+        FROM (SELECT unnest({split}) AS w FROM '{path}' WHERE text IS NOT NULL)
+        WHERE w <> ''
+        GROUP BY w ORDER BY freq DESC, word ASC LIMIT 65536
+        """
+    ).fetchall()
+    con.close()
+    lm = unigram_lm_from_freqs([(w, int(f)) for w, f in freqs])
+    return f"""
+    WITH m(word, logp) AS (VALUES {unigram_model_sql_values(lm)}),
+    dw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest({split}) AS w
+        FROM documents WHERE text IS NOT NULL)
+      WHERE w <> ''),
+    scored AS (
+      SELECT dw.doc_id, count(*) AS n_words,
+             avg(-coalesce(m.logp, {lm.oov_logp!r})) AS bpw
+      FROM dw LEFT JOIN m ON dw.w = m.word GROUP BY dw.doc_id),
+    per_doc AS (
+      SELECT d.doc_id, d.source, coalesce(s.n_words, 0) AS n_words, s.bpw
+      FROM documents d LEFT JOIN scored s USING (doc_id))
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           round(avg(bpw), 4) AS avg_bits_per_word
+    FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
 def _register_rotated() -> None:
     from etl_instagram_spark.plans import llm_queries
     from etl_instagram_spark.plans.oracle import (
@@ -542,6 +616,10 @@ def _register_rotated() -> None:
         llm_queries.SQL_DOCS_QUALITY_BANDS,
     )
     EXTRAS["docs_hybrid_rrf"] = (_docs_hybrid_rrf, _sql_hybrid_rrf())
+    # stored as a CALLABLE: the mirror's model literals are FIT from the
+    # gate data, and building them at import time would read parquet on
+    # every `import etl_instagram_spark` (the plans.oracle lazy pattern)
+    EXTRAS["docs_unigram_ppl"] = (_docs_unigram_ppl, _sql_unigram_ppl)
 
 
 _register_rotated()

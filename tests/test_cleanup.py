@@ -408,3 +408,70 @@ def test_gopher_unknown_threshold_rejected(spark):
     df = spark.createDataFrame([(1, _GOOD)], "doc_id long, text string")
     with pytest.raises(TypeError, match="unknown gopher thresholds"):
         gopher_filter(df, "text", min_wordz=10)
+
+
+# ---------------------------------------------------------------------------
+# unigram LM perplexity (operators/lm.py)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_hand_computed(spark):
+    import math
+
+    from etl_instagram_spark.operators import lm as L
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a zz"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    model = L.fit_unigram_lm(df)
+    # counts: a=3, b=1, zz=1 -> total=5, V=3, denom=9
+    by_word = dict(model.entries)
+    assert by_word["a"] == math.log2(4 / 9)
+    assert by_word["b"] == math.log2(2 / 9)
+    assert model.oov_logp == math.log2(1 / 9)
+    scored = {
+        r["doc_id"]: (r["n_words"], r["bits_per_word"])
+        for r in L.doc_bits_per_word(df, model).collect()
+    }
+    assert scored[0][0] == 3
+    expect0 = -(2 * math.log2(4 / 9) + math.log2(2 / 9)) / 3
+    assert scored[0][1] == pytest.approx(expect0, rel=1e-12)
+    assert scored[2] == (0, None) and scored[3] == (0, None)
+
+
+def test_unigram_oov_scores_at_floor(spark):
+    import math
+
+    from etl_instagram_spark.operators import lm as L
+
+    train = spark.createDataFrame([(0, "x x y")], "doc_id long, text string")
+    model = L.fit_unigram_lm(train)
+    unseen = spark.createDataFrame([(9, "qqq qqq")], "doc_id long, text string")
+    r = L.doc_bits_per_word(unseen, model).first()
+    assert r["bits_per_word"] == pytest.approx(-model.oov_logp, rel=1e-12)
+    assert -model.oov_logp == pytest.approx(math.log2(6), rel=1e-12)
+
+
+def test_perplexity_filter_keeps_low_bits_head(spark):
+    from etl_instagram_spark.operators import lm as L
+
+    # doc 0/1 use the dominant vocabulary; doc 2 is all-OOV gibberish
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "zq xv jk wp")],
+        "doc_id long, text string",
+    )
+    model = L.fit_unigram_lm(df.filter("doc_id < 2"))
+    scored = {
+        r["doc_id"]: r["bits_per_word"]
+        for r in L.doc_bits_per_word(df, model).collect()
+    }
+    assert scored[2] > scored[0] and scored[2] > scored[1]
+    cut = (max(scored[0], scored[1]) + scored[2]) / 2
+    kept = sorted(
+        r["doc_id"] for r in L.perplexity_filter(df, model, max_bits=cut).collect()
+    )
+    assert kept == [0, 1]
+    # wordless docs carry no evidence and are dropped
+    empty = spark.createDataFrame([(7, "  ")], "doc_id long, text string")
+    assert L.perplexity_filter(empty, model, max_bits=100.0).count() == 0

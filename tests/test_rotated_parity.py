@@ -28,6 +28,8 @@ def duck(sf_oracle):
 @pytest.mark.parametrize("name", sorted(EXTRAS))
 def test_rotated_query_matches_oracle(spark, sf_oracle, duck, name):
     fn, sql = EXTRAS[name]
+    if callable(sql):  # lazy mirrors whose literals are fit from data
+        sql = sql()
     sdf = fn(spark, sf_oracle)
     scols = sorted(sdf.columns)
     # repr-keyed sort: None-safe (ROLLUP rows carry NULL grouping keys,
