@@ -593,6 +593,50 @@ def _sql_unigram_ppl() -> str:
     """
 
 
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+]
+
+
+def _orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of orders (exact distincts for the
+    parity check; production defaults to HLL). Never gate-registered."""
+    from etl_instagram_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        [c for c, _ in _PROFILE_COLS],
+        exact_distinct=True,
+    ).orderBy("column")
+
+
+def _sql_orders_profile() -> str:
+    parts = []
+    for c, numeric in _PROFILE_COLS:
+        mins = (
+            f"round(CAST(min({c}) AS DOUBLE), 4)" if numeric else "CAST(NULL AS DOUBLE)"
+        )
+        maxs = (
+            f"round(CAST(max({c}) AS DOUBLE), 4)" if numeric else "CAST(NULL AS DOUBLE)"
+        )
+        avgs = (
+            f"round(avg(CAST({c} AS DOUBLE)), 4)" if numeric else "CAST(NULL AS DOUBLE)"
+        )
+        parts.append(
+            f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+                count(*) - count({c}) AS n_nulls,
+                count(DISTINCT {c}) AS n_distinct,
+                {mins} AS min_d, {maxs} AS max_d, {avgs} AS avg_d
+                FROM orders"""
+        )
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
 def _register_rotated() -> None:
     from etl_instagram_spark.plans import llm_queries
     from etl_instagram_spark.plans.oracle import (
@@ -620,6 +664,7 @@ def _register_rotated() -> None:
     # gate data, and building them at import time would read parquet on
     # every `import etl_instagram_spark` (the plans.oracle lazy pattern)
     EXTRAS["docs_unigram_ppl"] = (_docs_unigram_ppl, _sql_unigram_ppl)
+    EXTRAS["orders_profile"] = (_orders_profile, _sql_orders_profile())
 
 
 _register_rotated()
