@@ -637,6 +637,25 @@ def _sql_orders_profile() -> str:
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'
 
 
+_SQL_ABOVE_CUST_AVG = """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """
+
+
+def _orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (each order against its own customer's
+    average) — the decorrelation surface no other inventory query
+    exercises (the gate's correlated shapes are EXISTS/IN semi-joins).
+    Catalyst rewrites it to an aggregate + join; the same ANSI text runs
+    on both engines. Never gate-registered."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_ABOVE_CUST_AVG)
+
+
 def _register_rotated() -> None:
     from etl_instagram_spark.plans import llm_queries
     from etl_instagram_spark.plans.oracle import (
@@ -665,6 +684,10 @@ def _register_rotated() -> None:
     # every `import etl_instagram_spark` (the plans.oracle lazy pattern)
     EXTRAS["docs_unigram_ppl"] = (_docs_unigram_ppl, _sql_unigram_ppl)
     EXTRAS["orders_profile"] = (_orders_profile, _sql_orders_profile())
+    EXTRAS["orders_above_customer_avg"] = (
+        _orders_above_customer_avg,
+        _SQL_ABOVE_CUST_AVG,
+    )
 
 
 _register_rotated()

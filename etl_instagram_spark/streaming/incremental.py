@@ -380,6 +380,46 @@ def stream_semantic_dedup(
     return True
 
 
+def stream_profile_drift(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    profile_table: MergeTable,
+    checkpoint_dir: str,
+    breaker: CircuitBreaker,
+    cols: list[str] | None = None,
+    max_null_frac_delta: float = 0.2,
+    on_alert: Callable[[str], None] | None = None,
+) -> bool:
+    """Continuous data-quality monitoring: profile each micro-batch
+    (operators/profiling.profile_columns — one scan, O(columns) rows),
+    diff it against the STORED profile of the previous batch, raise an
+    at-most-once alert per column whose null fraction jumped more than
+    ``max_null_frac_delta``, then upsert the new profile as the next
+    baseline (keyed by column, so the store stays O(columns) forever).
+
+    Replay safety comes from composition, not bookkeeping: re-profiling
+    the same batch is deterministic, the keyed upsert is idempotent, and
+    alert delivery rides the breaker's incident store (W9 semantics,
+    E2) — a replayed drift fires ``alert_once`` with the same incident
+    key and is swallowed."""
+    from etl_instagram_spark.operators.profiling import profile_columns, profile_drift
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        prof = profile_columns(batch_df, cols).localCheckpoint(eager=True)
+        if profile_table.exists():
+            drift = profile_drift(profile_table.read(), prof)
+            breaches = drift.filter(
+                F.abs(F.col("null_frac_delta")) > max_null_frac_delta
+            ).collect()  # bounded: at most one row per column
+            for r in breaches:
+                breaker.alert_once(f"null_drift:{r['column']}", on_alert)
+        profile_table.upsert(prof.withColumn("epoch_id", F.lit(epoch_id)))
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
 def stream_ann_index(
     spark: SparkSession,
     landing_dir: str,

@@ -586,3 +586,45 @@ def test_stream_ann_index_matches_one_shot_and_replays(spark, tmp_path):
         for r in index.read().select("vec_id", "cell", "code").collect()
     )
     assert replayed == one_shot
+
+
+def test_stream_profile_drift_alerts_once_and_replays_quietly(spark, tmp_path):
+    """Continuous profiling: wave 2's null storm on `v` must raise ONE
+    alert, the baseline store stays O(columns), and a full re-drain with
+    a fresh checkpoint re-fires nothing (incident-keyed at-most-once)."""
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.streaming.incremental import (
+        CircuitBreaker,
+        stream_profile_drift,
+    )
+
+    landing = tmp_path / "rows"
+    store = MergeTable(spark, str(tmp_path / "profiles"), "column")
+    breaker = CircuitBreaker(str(tmp_path / "breaker"))
+    alerts: list[str] = []
+    DDL = "k LONG, v DOUBLE"
+
+    write_json(landing / "w1.json", [{"k": i, "v": float(i)} for i in range(10)])
+    assert stream_profile_drift(
+        spark, str(landing), DDL, store, str(tmp_path / "ck1"), breaker,
+        on_alert=alerts.append,
+    )
+    assert alerts == []  # first batch has no baseline to drift from
+
+    write_json(
+        landing / "w2.json",
+        [{"k": i, "v": None if i % 2 else float(i)} for i in range(10)],
+    )
+    assert stream_profile_drift(
+        spark, str(landing), DDL, store, str(tmp_path / "ck1"), breaker,
+        on_alert=alerts.append,
+    )
+    assert alerts == ["null_drift:v"]
+    assert store.read().count() == 2  # one row per column, forever
+
+    # crash-replay worst case: fresh checkpoint, both files re-fire
+    assert stream_profile_drift(
+        spark, str(landing), DDL, store, str(tmp_path / "ck2"), breaker,
+        on_alert=alerts.append,
+    )
+    assert alerts == ["null_drift:v"]
