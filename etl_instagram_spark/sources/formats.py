@@ -28,10 +28,15 @@ def read_landing(
     schema_ddl: str,
     csv_header: bool = True,
 ) -> DataFrame:
-    """Read a landing directory in ``parquet`` | ``json`` | ``csv`` with
-    an explicit schema; json/csv attach ``_corrupt_record``."""
+    """Read a landing directory in ``parquet`` | ``orc`` | ``json`` |
+    ``csv`` with an explicit schema; json/csv attach
+    ``_corrupt_record`` (the binary columnar formats have no permissive
+    row mode — a corrupt file fails loudly, which is the correct
+    dead-letter granularity for self-describing formats)."""
     if fmt == "parquet":
         return spark.read.schema(schema_ddl).parquet(path)
+    if fmt == "orc":
+        return spark.read.schema(schema_ddl).orc(path)
     schema_with_corrupt = f"{schema_ddl}, {CORRUPT_COL} STRING"
     if fmt == "json":
         return (

@@ -138,3 +138,38 @@ def test_ivf_over_cell_partitioned_table_prunes(spark, tmp_path, sf_smoke):
         emb.filter("vec_id != 0"), qv, centroids, k=5, n_probe=2
     )
     assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in base.collect()]
+
+
+def test_read_landing_orc_roundtrip(spark, tmp_path):
+    from etl_instagram_spark.sources.formats import read_landing
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, None)], "id long, name string"
+    )
+    path = str(tmp_path / "orc_landing")
+    src.write.orc(path)
+    got = read_landing(spark, path, "orc", "id LONG, name STRING")
+    assert sorted((r["id"], r["name"]) for r in got.collect()) == [
+        (1, "a"),
+        (2, None),
+    ]
+    assert got.columns == ["id", "name"]  # no corrupt column for columnar
+
+
+def test_lm_model_join_broadcasts(spark):
+    """The perplexity scorer's model side must broadcast — a shuffle of
+    the corpus against an O(max_vocab) model table would be the wrong
+    plan at any scale."""
+    from etl_instagram_spark.operators.lm import doc_bits_per_word, fit_unigram_lm
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(50)], "doc_id long, text string"
+    )
+    lm = fit_unigram_lm(df)
+    plan = (
+        doc_bits_per_word(df, lm)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
