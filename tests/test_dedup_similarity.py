@@ -1191,3 +1191,33 @@ def test_ivfpq_index_scan_is_codes_only_and_rerank_broadcasts(spark, sf_oracle, 
     assert idx_scans, plan
     for s in idx_scans:
         assert "embedding" not in s, s
+
+
+def test_pq_code_handles_zero_and_constant_vectors(spark):
+    """Degenerate vectors must still encode (first-minimum tie-break),
+    never NULL/except — a zero-norm row upstream cannot poison the
+    index build."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = [(i, [float(x) for x in rng.randn(8)]) for i in range(20)]
+    df = spark.createDataFrame(
+        base + [(100, [0.0] * 8), (101, [2.5] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = S.fit_pq_codebooks(df, m=2, k=4, seed=9, order_col="vec_id")
+    rows = {
+        r["vec_id"]: r["c"]
+        for r in df.select("vec_id", S.pq_code("embedding", cbs).alias("c")).collect()
+    }
+    for code in rows.values():
+        assert len(code) == 2 and all(c is not None and 0 <= c < 4 for c in code)
+    # identical input vectors encode identically regardless of id
+    df2 = spark.createDataFrame(
+        [(7, [2.5] * 8), (8, [2.5] * 8)], "vec_id long, embedding array<double>"
+    )
+    codes = [
+        r["c"]
+        for r in df2.select(S.pq_code("embedding", cbs).alias("c")).collect()
+    ]
+    assert codes[0] == codes[1]
