@@ -236,13 +236,13 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql() -> str:
-    """DuckDB mirror of docs_bpe_tokens (lazy — its literals are LEARNED
-    from the gate data): count words in DuckDB with the same explicit
-    whitespace class, feed the same ordered/capped frequency table
-    through the same ``learn_bpe`` loop, then inline the resulting
-    word→token-count map (every distinct corpus word through
-    ``bpe_apply``) as a VALUES join."""
+def _bpe_fit_word_map() -> tuple[str, str]:
+    """Shared oracle scaffolding: re-learn the gate's BPE merges from
+    DuckDB's word counts (same ordered/capped table, same pure loop) and
+    return ``(split_expr, wm_values)`` — the word-splitting SQL and the
+    inline word→token-count VALUES list every BPE mirror joins against.
+    Asserts the cap covered the full distinct-word inventory (true at
+    gate scale by construction)."""
     import os
 
     import duckdb
@@ -265,8 +265,7 @@ def _bpe_oracle_sql() -> str:
         GROUP BY w ORDER BY freq DESC, word ASC LIMIT {_BPE_MAX_WORDS}
         """
     ).fetchall()
-    words = [w for w, _ in freqs]  # gate-scale corpora fit the cap, so
-    # the capped table IS the full distinct-word list (asserted below)
+    words = [w for w, _ in freqs]
     n_distinct = con.sql(
         f"SELECT count(DISTINCT w) FROM (SELECT unnest({split}) AS w "
         f"FROM '{path}' WHERE text IS NOT NULL) WHERE w <> ''"
@@ -281,6 +280,17 @@ def _bpe_oracle_sql() -> str:
         "('{}', {})".format(w.replace("'", "''"), len(bpe_apply(w, merges)))
         for w in sorted(words)
     )
+    return split, wm
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB mirror of docs_bpe_tokens (lazy — its literals are LEARNED
+    from the gate data): count words in DuckDB with the same explicit
+    whitespace class, feed the same ordered/capped frequency table
+    through the same ``learn_bpe`` loop, then inline the resulting
+    word→token-count map (every distinct corpus word through
+    ``bpe_apply``) as a VALUES join."""
+    split, wm = _bpe_fit_word_map()
     return f"""
     WITH wm(word, nt) AS (VALUES {wm}),
     doc_words AS (

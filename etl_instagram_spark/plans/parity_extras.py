@@ -637,6 +637,84 @@ def _sql_orders_profile() -> str:
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'
 
 
+_BPE_PACK_BUDGET = 2048
+
+
+def _docs_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize-then-pack pipeline end to end: train BPE on the
+    corpus, count LEARNED tokens per doc (not the n_chars proxy), pack
+    into token-budget bins, roll up per shard. Certifies the real
+    pretraining composition — tokenizer fit → Arrow encode → window
+    packing — in one value-checked result. Never gate-registered."""
+    from etl_instagram_spark.operators.packing import pack_cumsum
+    from etl_instagram_spark.operators.tokenizer import bpe_token_count, fit_bpe
+    from etl_instagram_spark.plans import llm_queries as LQ
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = fit_bpe(
+        docs, "text", n_merges=LQ._BPE_N_MERGES, max_words=LQ._BPE_MAX_WORDS
+    )
+    counts = docs.select(
+        "doc_id", bpe_token_count("text", merges).alias("bpe_t")
+    )
+    packed = pack_cumsum(
+        counts, "doc_id", "bpe_t", budget=_BPE_PACK_BUDGET, shards=LQ._PACK_SHARDS
+    )
+    per_bin = packed.groupBy("shard", "bin_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe_t").alias("bin_tokens"),
+    )
+    return (
+        per_bin.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("bin_tokens").alias("sum_tokens"),
+            F.max("bin_tokens").alias("max_bin_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _sql_bpe_pack() -> str:
+    from etl_instagram_spark.plans import llm_queries as LQ
+
+    split, wm = LQ._bpe_fit_word_map()
+    b = _BPE_PACK_BUDGET
+    return f"""
+    WITH wm(word, nt) AS (VALUES {wm}),
+    dw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest({split}) AS w
+        FROM documents WHERE text IS NOT NULL)
+      WHERE w <> ''),
+    counts AS (
+      SELECT d.doc_id, coalesce(sum(wm.nt), 0) AS t
+      FROM documents d
+      LEFT JOIN dw x ON d.doc_id = x.doc_id
+      LEFT JOIN wm ON x.w = wm.word
+      GROUP BY d.doc_id),
+    base AS (
+      SELECT doc_id, t, {LQ._sql_pack_shard("doc_id")} AS shard FROM counts),
+    binned AS (
+      SELECT shard, t,
+             CAST(floor(coalesce(sum(t) OVER (
+               PARTITION BY shard ORDER BY t DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {b}.0)
+             AS BIGINT) AS bin_idx
+      FROM base),
+    bins AS (
+      SELECT shard, bin_idx, count(*) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS bin_tokens
+      FROM binned GROUP BY shard, bin_idx)
+    SELECT shard, count(*) AS n_bins,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bin_tokens) AS BIGINT) AS sum_tokens,
+           max(bin_tokens) AS max_bin_tokens
+    FROM bins GROUP BY shard ORDER BY shard
+    """
+
+
 _SQL_ABOVE_CUST_AVG = """
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
     FROM orders o
@@ -688,6 +766,7 @@ def _register_rotated() -> None:
         _orders_above_customer_avg,
         _SQL_ABOVE_CUST_AVG,
     )
+    EXTRAS["docs_bpe_pack"] = (_docs_bpe_pack, _sql_bpe_pack)
 
 
 _register_rotated()
