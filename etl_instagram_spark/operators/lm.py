@@ -135,3 +135,148 @@ def unigram_model_sql_values(lm: UnigramLM) -> str:
     return ", ".join(
         "('{}', {!r})".format(w.replace("'", "''"), lp) for w, lp in lm.entries
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM with stupid backoff
+# ---------------------------------------------------------------------------
+
+BACKOFF = 0.4  # Brants et al. 2007 ("Large Language Models in MT") constant
+
+
+class BigramLM(NamedTuple):
+    """Stupid-backoff bigram model: ``bigram_entries`` is
+    [((prev, word), log2 c(prev,word)/c(prev))] over observed pairs;
+    unseen pairs back off to log2(BACKOFF) + unigram log-prob. All
+    doubles are driver-computed once (replayable as literals)."""
+
+    unigram: UnigramLM
+    bigram_entries: list[tuple[str, str, float]]
+    backoff_logp: float
+
+
+def bigram_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed adjacent-pair counts WITHIN each document:
+    ``(prev string, word string, freq bigint)``. Pairs are built
+    positionally (zip the filtered word array against itself shifted by
+    one) so empty-string splitter artifacts never break adjacency; one
+    explode + one map-side-combined groupBy, same cost shape as
+    :func:`word_frequencies`."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT_REGEX),
+        lambda w: w != "",
+    )
+    n = F.size(words)
+    pairs = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("word")),
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.prev", "p.word")
+        .groupBy("prev", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def fit_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    max_vocab: int = 65536,
+    max_bigrams: int = 262144,
+) -> BigramLM:
+    """Fit unigram + bigram tables in two counting passes (both bounded,
+    both sorted-before-cap: freq DESC then keys ASC) and compute every
+    log-probability once in driver Python — bigram scores are relative
+    frequencies log2(c(prev,w)/c(prev)), unseen pairs take
+    log2(BACKOFF·p_uni(w)). Bigrams whose ``prev`` fell outside the
+    capped vocabulary are dropped (their context count is unknown), which
+    only widens backoff — never a wrong probability."""
+    uni_freqs = collect_word_frequencies(df, text_col, max_vocab)
+    uni = unigram_lm_from_freqs(uni_freqs)
+    context = dict(uni_freqs)
+    rows = (
+        bigram_frequencies(df, text_col)
+        .orderBy(F.col("freq").desc(), F.col("prev").asc(), F.col("word").asc())
+        .limit(max_bigrams)
+        .collect()
+    )
+    entries = [
+        (r["prev"], r["word"], math.log2(int(r["freq"]) / context[r["prev"]]))
+        for r in rows
+        if r["prev"] in context
+    ]
+    return BigramLM(uni, entries, math.log2(BACKOFF))
+
+
+def doc_bits_per_word_bigram(
+    df: DataFrame,
+    blm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document stupid-backoff score: the first word of a doc scores
+    by unigram; every later word by its bigram entry when observed, else
+    backoff + unigram. Shape: posexplode for positions, a window lag for
+    the previous word, two broadcast LEFT joins (bigram then unigram),
+    one per-doc aggregate — no UDF, corpus shuffled once per stage key.
+    Documents with no words keep n_words=0 and NULL score."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    uni_df = F.broadcast(_model_df(spark, blm.unigram))
+    bi_df = F.broadcast(
+        spark.createDataFrame(
+            blm.bigram_entries, "prev string, word string, bi_logp double"
+        )
+    )
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT_REGEX),
+        lambda w: w != "",
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    scored = (
+        df.select(F.col(id_col), F.posexplode(words).alias("pos", "word"))
+        .withColumn("prev", F.lag("word").over(w))
+        .join(bi_df, ["prev", "word"], "left")
+        .join(uni_df, "word", "left")
+        .withColumn(
+            "logp",
+            F.coalesce(
+                F.col("bi_logp"),
+                # backoff (or doc-initial) → discounted unigram; the
+                # discount is dropped for the FIRST word, which has no
+                # context to back off from
+                F.when(
+                    F.col("prev").isNull(), F.lit(0.0)
+                ).otherwise(F.lit(blm.backoff_logp))
+                + F.coalesce(F.col("logp"), F.lit(blm.unigram.oov_logp)),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.avg(-F.col("logp")).alias("bits_per_word"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.col("bits_per_word"),
+        )
+    )
+
+
+def bigram_model_sql_values(blm: BigramLM) -> str:
+    """Bigram entries as SQL VALUES ``('prev', 'word', logp), ...`` with
+    the identical driver doubles (repr round-trip)."""
+    return ", ".join(
+        "('{}', '{}', {!r})".format(
+            p.replace("'", "''"), w.replace("'", "''"), lp
+        )
+        for p, w, lp in blm.bigram_entries
+    )

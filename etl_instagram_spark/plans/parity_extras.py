@@ -637,6 +637,121 @@ def _sql_orders_profile() -> str:
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'
 
 
+def _docs_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram perplexity per source (the fuller CCNet
+    signal): doc-initial words score by unigram, later words by their
+    observed bigram relative frequency or the 0.4-discounted unigram
+    backoff. Spark shapes it as posexplode → window lag → two broadcast
+    joins; the mirror re-derives pairs by list-zipping — different
+    plans, same math, same literals. Never gate-registered."""
+    from etl_instagram_spark.operators.lm import (
+        doc_bits_per_word_bigram,
+        fit_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    blm = fit_bigram_lm(docs)
+    scored = doc_bits_per_word_bigram(docs, blm)
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.round(F.avg("bits_per_word"), 4).alias("avg_bits_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_bigram_ppl() -> str:
+    import os
+
+    import duckdb
+
+    from etl_instagram_spark.operators.lm import (
+        bigram_model_sql_values,
+        unigram_model_sql_values,
+    )
+    from etl_instagram_spark.operators.tokenizer import WORD_SPLIT_REGEX
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    split = f"string_split_regex(lower(text), '{WORD_SPLIT_REGEX}')"
+    # refit BOTH tables from DuckDB counts through the same pure model
+    # math the Spark side used (fit_bigram_lm's driver step, re-applied)
+    import math as _math
+
+    from etl_instagram_spark.operators.lm import BACKOFF, BigramLM, unigram_lm_from_freqs
+
+    con = duckdb.connect()
+    uni_freqs = [
+        (w, int(f))
+        for w, f in con.sql(
+            f"""SELECT w, count(*) FROM (SELECT unnest({split}) AS w
+                FROM '{path}' WHERE text IS NOT NULL) WHERE w <> ''
+                GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 65536"""
+        ).fetchall()
+    ]
+    bi_rows = con.sql(
+        f"""WITH lsts AS (
+              SELECT list_filter({split}, w -> w <> '') AS lst
+              FROM '{path}' WHERE text IS NOT NULL)
+            SELECT p[1] AS prev, p[2] AS word, count(*) AS freq
+            FROM (SELECT unnest(list_zip(lst[1:len(lst)-1], lst[2:len(lst)])) AS p
+                  FROM lsts WHERE len(lst) >= 2)
+            GROUP BY prev, word
+            ORDER BY freq DESC, prev ASC, word ASC LIMIT 262144"""
+    ).fetchall()
+    con.close()
+    uni = unigram_lm_from_freqs(uni_freqs)
+    ctx = dict(uni_freqs)
+    blm = BigramLM(
+        uni,
+        [
+            (p, w, _math.log2(int(f) / ctx[p]))
+            for p, w, f in bi_rows
+            if p in ctx
+        ],
+        _math.log2(BACKOFF),
+    )
+    return f"""
+    WITH m(word, logp) AS (VALUES {unigram_model_sql_values(uni)}),
+    bm(prev, word, bi_logp) AS (VALUES {bigram_model_sql_values(blm)}),
+    lsts AS (
+      SELECT doc_id, list_filter({split}, w -> w <> '') AS lst
+      FROM documents WHERE text IS NOT NULL),
+    first_scored AS (
+      SELECT doc_id, coalesce(m.logp, {uni.oov_logp!r}) AS lp
+      FROM (SELECT doc_id, lst[1] AS word FROM lsts WHERE len(lst) >= 1) f
+      LEFT JOIN m USING (word)),
+    pairs AS (
+      SELECT doc_id, p[1] AS prev, p[2] AS word
+      FROM (SELECT doc_id,
+                   unnest(list_zip(lst[1:len(lst)-1], lst[2:len(lst)])) AS p
+            FROM lsts WHERE len(lst) >= 2)),
+    pair_scored AS (
+      SELECT pairs.doc_id,
+             coalesce(bm.bi_logp,
+                      {blm.backoff_logp!r} + coalesce(m.logp, {uni.oov_logp!r})) AS lp
+      FROM pairs
+      LEFT JOIN bm ON pairs.prev = bm.prev AND pairs.word = bm.word
+      LEFT JOIN m ON pairs.word = m.word),
+    scored AS (
+      SELECT doc_id, count(*) AS n_words, avg(-lp) AS bpw
+      FROM (SELECT * FROM first_scored UNION ALL SELECT * FROM pair_scored)
+      GROUP BY doc_id),
+    per_doc AS (
+      SELECT d.doc_id, d.source, coalesce(s.n_words, 0) AS n_words, s.bpw
+      FROM documents d LEFT JOIN scored s USING (doc_id))
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           round(avg(bpw), 4) AS avg_bits_per_word
+    FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
 _BPE_PACK_BUDGET = 2048
 
 
@@ -767,6 +882,7 @@ def _register_rotated() -> None:
         _SQL_ABOVE_CUST_AVG,
     )
     EXTRAS["docs_bpe_pack"] = (_docs_bpe_pack, _sql_bpe_pack)
+    EXTRAS["docs_bigram_ppl"] = (_docs_bigram_ppl, _sql_bigram_ppl)
 
 
 _register_rotated()

@@ -475,3 +475,50 @@ def test_perplexity_filter_keeps_low_bits_head(spark):
     # wordless docs carry no evidence and are dropped
     empty = spark.createDataFrame([(7, "  ")], "doc_id long, text string")
     assert L.perplexity_filter(empty, model, max_bits=100.0).count() == 0
+
+
+def test_bigram_lm_hand_computed(spark):
+    import math
+
+    from etl_instagram_spark.operators import lm as L
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
+    )
+    blm = L.fit_bigram_lm(df)
+    bi = {(p, w): lp for p, w, lp in blm.bigram_entries}
+    # contexts: a=3, b=2, c=1; pairs: (a,b)x2, (b,a)x1, (a,c)x1
+    assert bi[("a", "b")] == math.log2(2 / 3)
+    assert bi[("b", "a")] == math.log2(1 / 2)
+    assert bi[("a", "c")] == math.log2(1 / 3)
+    uni = dict(blm.unigram.entries)
+    scored = {
+        r["doc_id"]: (r["n_words"], r["bits_per_word"])
+        for r in L.doc_bits_per_word_bigram(df, blm).collect()
+    }
+    # doc 0: uni(a), bi(a,b), bi(b,a), bi(a,b)
+    lp0 = uni["a"] + bi[("a", "b")] + bi[("b", "a")] + bi[("a", "b")]
+    assert scored[0] == (4, pytest.approx(-lp0 / 4, rel=1e-12))
+    # doc 1: uni(a), bi(a,c)
+    lp1 = uni["a"] + bi[("a", "c")]
+    assert scored[1] == (2, pytest.approx(-lp1 / 2, rel=1e-12))
+
+
+def test_bigram_backoff_on_unseen_pair(spark):
+    import math
+
+    from etl_instagram_spark.operators import lm as L
+
+    train = spark.createDataFrame([(0, "x y x y")], "doc_id long, text string")
+    blm = L.fit_bigram_lm(train)
+    uni = dict(blm.unigram.entries)
+    # "y y" never observed -> backoff + uni(y); "qq" is OOV everywhere
+    test = spark.createDataFrame([(9, "y y qq")], "doc_id long, text string")
+    r = L.doc_bits_per_word_bigram(test, blm).first()
+    lp = (
+        uni["y"]
+        + (math.log2(0.4) + uni["y"])
+        + (math.log2(0.4) + blm.unigram.oov_logp)
+    )
+    assert r["n_words"] == 3
+    assert r["bits_per_word"] == pytest.approx(-lp / 3, rel=1e-12)
