@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -564,4 +565,47 @@ def flag_contaminated(
         .drop("__doc")
         .withColumn("n_hit_shingles", F.coalesce("n_hit_shingles", F.lit(0)))
         .withColumn("contaminated", F.col("n_hit_shingles") > 0)
+    )
+
+
+def compression_ratio(col: Column) -> Column:
+    """zlib compression ratio of the UTF-8 text: compressed_len /
+    raw_len (1.0 for empty/NULL-safe via the guard below). Highly
+    repetitive boilerplate compresses far below natural prose, so
+    pipelines (Gopher/RedPajama practice) drop docs whose ratio falls
+    under ~0.3 as machine-generated or template spam and flag ratios
+    near 1.0 as binary-ish noise.
+
+    This is the engine's one deliberately-Python text signal: zlib has
+    no Catalyst analogue, so it runs as an Arrow-batched pandas_udf —
+    O(bytes) per row, no shuffle, and only rows that survive cheaper
+    codegen filters should be fed to it (order your filter chain
+    accordingly)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t):
+            if not isinstance(t, str) or not t:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(one)
+
+    return _ratio(col)
+
+
+def compression_band(col: Column, low: float = 0.3, high: float = 0.95) -> Column:
+    """Classify the ratio: 'template_spam' (< low), 'natural'
+    ([low, high]), 'noise' (> high), NULL for empty docs."""
+    r = compression_ratio(col)
+    return (
+        F.when(r.isNull(), F.lit(None).cast("string"))
+        .when(r < low, F.lit("template_spam"))
+        .when(r > high, F.lit("noise"))
+        .otherwise(F.lit("natural"))
     )

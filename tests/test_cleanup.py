@@ -522,3 +522,38 @@ def test_bigram_backoff_on_unseen_pair(spark):
     )
     assert r["n_words"] == 3
     assert r["bits_per_word"] == pytest.approx(-lp / 3, rel=1e-12)
+
+
+def test_compression_ratio_separates_spam_from_prose(spark):
+    import zlib
+
+    from etl_instagram_spark.operators.cleanup import (
+        compression_band,
+        compression_ratio,
+    )
+
+    prose = (
+        "Catalyst rewrites declarative plans while Tungsten generates "
+        "vectorized bytecode for the surviving physical operators, and "
+        "adaptive execution re-plans shuffles from runtime statistics."
+    )
+    spam = "buy now click here " * 40
+    df = spark.createDataFrame(
+        [(0, prose), (1, spam), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["ratio"], r["band"])
+        for r in df.select(
+            "doc_id",
+            compression_ratio(F.col("text")).alias("ratio"),
+            compression_band(F.col("text")).alias("band"),
+        ).collect()
+    }
+    # exact agreement with a local zlib reference
+    for i, t in ((0, prose), (1, spam)):
+        want = len(zlib.compress(t.encode())) / len(t.encode())
+        assert rows[i][0] == pytest.approx(want, rel=1e-12)
+    assert rows[1][0] < rows[0][0]
+    assert rows[1][1] == "template_spam" and rows[0][1] == "natural"
+    assert rows[2] == (None, None) and rows[3] == (None, None)

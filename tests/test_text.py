@@ -204,3 +204,60 @@ def test_haversine_known_distances(spark):
         geo.within_radius_km(F.col("lat1"), F.col("lng1"), F.col("lat2"), F.col("lng2"), 500.0).alias("w")
     ).collect()
     assert [r["w"] for r in hit] == [True, False, True]
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (functions/url.py)
+# ---------------------------------------------------------------------------
+
+
+def test_canonicalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.functions.url import canonicalize_url
+
+    cases = [
+        ("HTTP://Example.COM/Path?b=2&utm_source=x&a=1#frag",
+         "http://example.com/Path?a=1&b=2"),
+        ("https://host:443/a", "https://host/a"),
+        ("http://host:80/a?", "http://host/a"),
+        ("https://host:8443/a", "https://host:8443/a"),
+        ("https://h/p?utm_campaign=z&fbclid=1", "https://h/p"),
+        ("https://h/p?z=1&y=2&ref=home", "https://h/p?y=2&z=1"),
+        ("https://h/CaseKept/Path", "https://h/CaseKept/Path"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_canonicalize_url_sql_mirror_agrees(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.functions.url import canonicalize_url, canonicalize_url_sql
+
+    urls = [
+        "HTTP://Example.COM/Path?b=2&utm_source=x&a=1#frag",
+        "https://host:443/a?gclid=7",
+        "http://h:80/p?x=1&x=0",
+        "https://h/p",
+        "ftp://Weird.Host/file",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    spark_out = [
+        r["c"]
+        for r in df.select("i", canonicalize_url(F.col("url")).alias("c"))
+        .orderBy("i")
+        .collect()
+    ]
+    con = duckdb.connect()
+    duck_out = [
+        r[0]
+        for r in con.sql(
+            "SELECT " + canonicalize_url_sql("url") + " FROM (SELECT unnest(?) AS url)",
+            params=[urls],
+        ).fetchall()
+    ]
+    assert spark_out == duck_out
