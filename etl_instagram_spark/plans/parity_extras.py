@@ -830,6 +830,38 @@ def _sql_bpe_pack() -> str:
     """
 
 
+_SQL_CUST_RANK_DIST = """
+    WITH rev AS (
+      SELECT o_custkey AS c_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey)
+    SELECT c_custkey, revenue,
+           round(percent_rank() OVER (ORDER BY revenue DESC, c_custkey), 6)
+             AS pct_rank,
+           round(cume_dist() OVER (ORDER BY revenue DESC, c_custkey), 6)
+             AS cum_dist
+    FROM rev ORDER BY c_custkey
+    """
+
+
+def _customer_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over customer revenue — the two rank
+    distributions no other inventory window uses (rank/lag/ntile/frames
+    are covered elsewhere). Never gate-registered."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return rev.select(
+        "c_custkey",
+        "revenue",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    ).orderBy("c_custkey")
+
+
 _SQL_ABOVE_CUST_AVG = """
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
     FROM orders o
@@ -883,6 +915,10 @@ def _register_rotated() -> None:
     )
     EXTRAS["docs_bpe_pack"] = (_docs_bpe_pack, _sql_bpe_pack)
     EXTRAS["docs_bigram_ppl"] = (_docs_bigram_ppl, _sql_bigram_ppl)
+    EXTRAS["customer_rank_distributions"] = (
+        _customer_rank_distributions,
+        _SQL_CUST_RANK_DIST,
+    )
 
 
 _register_rotated()

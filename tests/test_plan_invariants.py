@@ -125,6 +125,8 @@ def test_scans_are_column_pruned(spark):
         "docs_pack_first_fit": ("n_chars", 2),
         "docs_pii_audit": ("text", 3),
         "docs_decontamination": ("text", 3),
+        # BPE gate: the encode pass reads (source, text) only
+        "docs_bpe_tokens": ("text", 2),
     }
     for name, (marker, max_cols) in cases.items():
         plan = _plan(spark, name)
