@@ -71,13 +71,24 @@ def hyperplane_signs(bits: int, dim: int) -> list[list[int]]:
 
 
 def lsh_bucket(vec_col: str, planes: list[list[int]]) -> Column:
-    """Hyperplane-LSH bucket id: bit j = sign(v · plane_j)."""
-    v = as_double(F.col(vec_col))
-    bucket = F.lit(0)
+    """Hyperplane-LSH bucket id: bit j = sign(v · plane_j).
+
+    The planes are ±1-valued, so each dot product unrolls to a SIGNED
+    SUM of element_at terms — one SQL-string expression that stays in
+    whole-stage codegen (the zip_with/aggregate fold it replaces
+    evaluates interpreted) and is BIT-identical to the fold: ±1.0
+    multiplies are exact and the addition order is unchanged, so every
+    stored bucket and oracle mirror is unaffected."""
+    terms = []
     for j, plane in enumerate(planes):
-        w = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(dot(v, w) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+        signed = " + ".join(
+            "({s}CAST(element_at(`{v}`, {i}) AS DOUBLE))".format(
+                s="-" if x < 0 else "", v=vec_col, i=i + 1
+            )
+            for i, x in enumerate(plane)
+        )
+        terms.append(f"IF(({signed}) >= 0.0D, {1 << j}, 0)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def _bucket_of(query_vec: list[float], planes: list[list[int]]) -> int:
