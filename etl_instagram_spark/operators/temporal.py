@@ -413,3 +413,101 @@ def hypertable_rollup(
             F.hll_sketch_estimate(F.col(f"__hll_{c}")).alias(f"approx_distinct_{c}")
         )
     return merged.select(*out)
+
+
+def gapfill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """Time-bucket gap filling (the TimescaleDB ``time_bucket_gapfill``
+    shape): bucket observations per key, then emit EVERY bucket of the
+    grid — missing ones carried with both LOCF (last observation
+    carried forward) and linear interpolation between the neighboring
+    observed buckets.
+
+    Output: (key, bucket_ts, n_obs, value_obs, value_locf,
+    value_linear) where value_obs is the bucket's observed mean (NULL
+    on gaps), n_obs = 0 marks filled rows, and leading gaps stay NULL
+    under both fills (nothing to carry).
+
+    Scale shape: one aggregation to buckets, one per-key grid built
+    from a ``sequence()`` explode of the (start, end) range — O(keys ×
+    buckets) rows, independent of raw event count — and three window
+    passes over that grid, all partitioned by key. No UDF, no driver
+    loop; the grid bounds are either caller literals or one bounded
+    min/max aggregate. ``bucket`` accepts the validated interval specs
+    of :func:`_interval_seconds`."""
+    from pyspark.sql import Window
+
+    step = _interval_seconds(bucket)
+    b = (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            b.alias("b"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("key", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.avg("v"), 6).alias("value_obs"),
+        )
+    )
+    if start is not None and end is not None:
+        lo = F.lit(start).cast("timestamp")
+        hi = F.lit(end).cast("timestamp")
+        bounds = obs.select("key").distinct().select(
+            "key",
+            (F.unix_timestamp(lo) / step).cast("long").alias("lo"),
+            (F.unix_timestamp(hi) / step).cast("long").alias("hi"),
+        )
+    else:
+        bounds = obs.groupBy("key").agg(
+            (F.min("b") / step).cast("long").alias("lo"),
+            (F.max("b") / step).cast("long").alias("hi"),
+        )
+    grid = bounds.select(
+        "key",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("i"),
+    ).select("key", (F.col("i") * step).alias("b"))
+    g = grid.join(obs, ["key", "b"], "left")
+    w_past = (
+        Window.partitionBy("key")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("key")
+        .orderBy("b")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("value_obs", ignorenulls=True).over(w_past)
+    prev_b = F.last(
+        F.when(F.col("value_obs").isNotNull(), F.col("b")), ignorenulls=True
+    ).over(w_past)
+    next_v = F.first("value_obs", ignorenulls=True).over(w_next)
+    next_b = F.first(
+        F.when(F.col("value_obs").isNotNull(), F.col("b")), ignorenulls=True
+    ).over(w_next)
+    frac = (F.col("b") - prev_b) / F.nullif(next_b - prev_b, F.lit(0))
+    linear = F.when(
+        F.col("value_obs").isNotNull(), F.col("value_obs")
+    ).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            F.round(prev_v + (next_v - prev_v) * frac, 6),
+        ).otherwise(prev_v)  # trailing gaps degrade to LOCF; leading stay NULL
+    )
+    return g.select(
+        F.col("key").alias(key_col),
+        F.col("b").cast("timestamp").alias("bucket_ts"),
+        F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+        "value_obs",
+        prev_v.alias("value_locf"),
+        linear.alias("value_linear"),
+    )

@@ -830,6 +830,61 @@ def _sql_bpe_pack() -> str:
     """
 
 
+_SQL_EVENTS_GAPFILL = """
+    WITH obs AS (
+      SELECT event_type AS key,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b,
+             count(*) AS n_obs, round(avg(value), 6) AS value_obs
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT key, CAST(min(b) / 3600 AS BIGINT) AS lo,
+             CAST(max(b) / 3600 AS BIGINT) AS hi
+      FROM obs GROUP BY key),
+    grid AS (
+      SELECT key, unnest(generate_series(lo, hi)) * 3600 AS b FROM bounds),
+    g AS (
+      SELECT grid.key, grid.b, obs.n_obs, obs.value_obs
+      FROM grid LEFT JOIN obs ON grid.key = obs.key AND grid.b = obs.b),
+    w AS (
+      SELECT key, b, n_obs, value_obs,
+             last_value(value_obs IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             last_value(CASE WHEN value_obs IS NOT NULL THEN b END IGNORE NULLS)
+               OVER (PARTITION BY key ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+             first_value(value_obs IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN value_obs IS NOT NULL THEN b END IGNORE NULLS)
+               OVER (PARTITION BY key ORDER BY b
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+      FROM g)
+    SELECT key AS event_type, make_timestamp(b * 1000000) AS bucket_ts,
+           coalesce(n_obs, 0) AS n_obs, value_obs,
+           prev_v AS value_locf,
+           CASE WHEN value_obs IS NOT NULL THEN value_obs
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN round(prev_v + (next_v - prev_v)
+                           * ((b - prev_b) / nullif(next_b - prev_b, 0)), 6)
+                ELSE prev_v END AS value_linear
+    FROM w ORDER BY event_type, bucket_ts
+    """
+
+
+def _events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled events per type, LOCF + linear (the
+    time_bucket_gapfill shape, operators/temporal.gapfill). Grid size is
+    O(keys × buckets) regardless of event count. Never gate-registered;
+    the mirror replays bucketing, per-key grids, and both fills with
+    IGNORE-NULLS windows."""
+    from etl_instagram_spark.operators.temporal import gapfill
+
+    return gapfill(_t(spark, sf_dir, "events"), bucket="1 hour").orderBy(
+        "event_type", "bucket_ts"
+    )
+
+
 _SQL_CUST_RANK_DIST = """
     WITH rev AS (
       SELECT o_custkey AS c_custkey, round(sum(o_totalprice), 2) AS revenue
@@ -919,6 +974,7 @@ def _register_rotated() -> None:
         _customer_rank_distributions,
         _SQL_CUST_RANK_DIST,
     )
+    EXTRAS["events_gapfill"] = (_events_gapfill, _SQL_EVENTS_GAPFILL)
 
 
 _register_rotated()

@@ -114,3 +114,66 @@ def test_plan_one_exchange_no_cartesian(spark, trades_quotes):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert exchange_count(df) == 1
+
+
+# ---------------------------------------------------------------------------
+# gapfill
+# ---------------------------------------------------------------------------
+
+
+def _gap_df(spark):
+    rows = [
+        (1, "2024-01-01 00:10:00", "a", 10.0),
+        (2, "2024-01-01 02:20:00", "a", 30.0),
+        (3, "2024-01-01 05:30:00", "a", 60.0),
+        (4, "2024-01-01 01:00:00", "b", 5.0),
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "event_type", "value")
+    )
+
+
+def test_gapfill_locf_and_linear(spark):
+    from etl_instagram_spark.operators.temporal import gapfill
+
+    out = {
+        (r["event_type"], str(r["bucket_ts"])): (
+            r["n_obs"], r["value_obs"], r["value_locf"], r["value_linear"]
+        )
+        for r in gapfill(_gap_df(spark), bucket="1 hour").collect()
+    }
+    assert out[("a", "2024-01-01 01:00:00")] == (0, None, 10.0, 20.0)
+    assert out[("a", "2024-01-01 03:00:00")] == (0, None, 30.0, 40.0)
+    assert out[("a", "2024-01-01 04:00:00")] == (0, None, 30.0, 50.0)
+    assert out[("a", "2024-01-01 05:00:00")] == (1, 60.0, 60.0, 60.0)
+    # key b spans a single bucket — no gaps emitted
+    assert len([k for k in out if k[0] == "b"]) == 1
+
+
+def test_gapfill_explicit_bounds_leading_and_trailing(spark):
+    from etl_instagram_spark.operators.temporal import gapfill
+
+    out = {
+        (r["event_type"], str(r["bucket_ts"])): (r["value_locf"], r["value_linear"])
+        for r in gapfill(
+            _gap_df(spark).filter("event_type = 'b'"),
+            bucket="1 hour",
+            start="2024-01-01 00:00:00",
+            end="2024-01-01 03:00:00",
+        ).collect()
+    }
+    # leading gap: nothing to carry under either fill
+    assert out[("b", "2024-01-01 00:00:00")] == (None, None)
+    assert out[("b", "2024-01-01 01:00:00")] == (5.0, 5.0)
+    # trailing gaps: LOCF under both (no next neighbor to interpolate to)
+    assert out[("b", "2024-01-01 02:00:00")] == (5.0, 5.0)
+    assert out[("b", "2024-01-01 03:00:00")] == (5.0, 5.0)
+
+
+def test_gapfill_rejects_malformed_bucket(spark):
+    from etl_instagram_spark.operators.temporal import gapfill
+
+    with pytest.raises(ValueError):
+        gapfill(_gap_df(spark), bucket="1; DROP TABLE x")
