@@ -511,3 +511,44 @@ def gapfill(
         prev_v.alias("value_locf"),
         linear.alias("value_linear"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lookback: int = 100,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: each observation is
+    scored against the mean/sample-stddev of its ``lookback`` PRECEDING
+    observations (strictly before the current row, so a spike never
+    suppresses its own detection). Output keeps every row with
+    ``(z_score, is_anomaly)``; rows whose trailing window has fewer
+    than 2 points or zero variance carry NULL z and are never flagged.
+
+    One window pass partitioned by key — the shuffle is by ``key_col``
+    and state per row is O(lookback) within the sorted partition. At
+    skewed-key scale, pre-bucket by (key, time-range) and run per
+    bucket with ``lookback`` rows of overlap carried from the previous
+    bucket."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-lookback, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = F.round((F.col(value_col) - mu) / F.nullif(sd, F.lit(0.0)), 4)
+    return df.select(
+        key_col,
+        ts_col,
+        id_col,
+        value_col,
+        z.alias("z_score"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -885,6 +885,42 @@ def _events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_EVENTS_ANOMALIES = """
+    WITH scored AS (
+      SELECT event_type, ts, event_id, value,
+             round((value - avg(value) OVER w)
+                   / nullif(stddev_samp(value) OVER w, 0.0), 4) AS z_score
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN abs(z_score) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           round(max(abs(z_score)), 4) AS max_abs_z
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """
+
+
+def _events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly profile per event type
+    (temporal.rolling_zscore, lookback 100, |z| > 3). Never
+    gate-registered; the mirror replays the trailing window, the
+    sample-stddev guard, and the flag threshold."""
+    from etl_instagram_spark.operators.temporal import rolling_zscore
+
+    scored = rolling_zscore(_t(spark, sf_dir, "events"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0)).alias("n_anomalies"),
+            F.round(F.max(F.abs(F.col("z_score"))), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _SQL_CUST_RANK_DIST = """
     WITH rev AS (
       SELECT o_custkey AS c_custkey, round(sum(o_totalprice), 2) AS revenue
@@ -975,6 +1011,7 @@ def _register_rotated() -> None:
         _SQL_CUST_RANK_DIST,
     )
     EXTRAS["events_gapfill"] = (_events_gapfill, _SQL_EVENTS_GAPFILL)
+    EXTRAS["events_anomalies"] = (_events_anomalies, _SQL_EVENTS_ANOMALIES)
 
 
 _register_rotated()

@@ -177,3 +177,31 @@ def test_gapfill_rejects_malformed_bucket(spark):
 
     with pytest.raises(ValueError):
         gapfill(_gap_df(spark), bucket="1; DROP TABLE x")
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    from etl_instagram_spark.operators.temporal import rolling_zscore
+
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", "a", 10.0 + (i % 3) * 0.1) for i in range(30)]
+    rows.append((30, "2024-01-01 00:30:00", "a", 500.0))  # the spike
+    rows.append((31, "2024-01-01 00:31:00", "a", 10.1))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "event_type", "value")
+    out = {r["event_id"]: (r["z_score"], r["is_anomaly"]) for r in rolling_zscore(df).collect()}
+    assert out[30][1] is True and out[30][0] > 100
+    assert all(not v[1] for k, v in out.items() if k != 30)
+    # first two rows: window has <2 points -> NULL z, never flagged
+    assert out[0] == (None, False) and out[1][1] is False
+
+
+def test_rolling_zscore_zero_variance_window_never_flags(spark):
+    from etl_instagram_spark.operators.temporal import rolling_zscore
+
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", "a", 7.0) for i in range(10)]
+    rows.append((10, "2024-01-01 00:10:00", "a", 7.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "event_type", "value")
+    out = rolling_zscore(df).collect()
+    assert all(r["z_score"] is None and r["is_anomaly"] is False for r in out)
