@@ -310,6 +310,43 @@ def stream_dedup_within_watermark(
 # ---------------------------------------------------------------------------
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    tolerance: str = "15 minutes",
+    watermark: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with the right-side events of the same ``key`` whose timestamp
+    falls within ``[left_ts − tolerance, left_ts]`` (the
+    click-to-impression attribution shape). Both sides carry the same
+    ``watermark``, so the join state store evicts a buffered row once
+    the other stream's watermark passes its eligibility window —
+    bounded state by construction, the requirement for an unbounded
+    run. Works identically on batch frames (the parity tests exploit
+    that).
+
+    ``tolerance`` goes through the temporal module's interval
+    validator, so malformed or hostile strings raise instead of
+    reaching ``expr``."""
+    from etl_instagram_spark.operators.temporal import _interval_seconds
+
+    tol = _interval_seconds(tolerance)
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND "
+            f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {tol} SECONDS "
+            f"AND l.{left_ts}"
+        ),
+    )
+
+
 def stream_near_dedup(
     spark: SparkSession,
     landing_dir: str,

@@ -628,3 +628,63 @@ def test_stream_profile_drift_alerts_once_and_replays_quietly(spark, tmp_path):
         on_alert=alerts.append,
     )
     assert alerts == ["null_drift:v"]
+
+
+def test_stream_interval_join_streaming_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch join's pairs when both streams drain with AvailableNow —
+    and reject malformed tolerance strings before they reach expr."""
+    import pytest as _pytest
+
+    from etl_instagram_spark.streaming.incremental import stream_interval_join
+
+    clicks = [
+        {"user_id": 1, "ts": "2024-01-01T10:00:00Z", "click_id": 100},
+        {"user_id": 1, "ts": "2024-01-01T12:00:00Z", "click_id": 101},
+        {"user_id": 2, "ts": "2024-01-01T10:05:00Z", "click_id": 200},
+    ]
+    views = [
+        {"user_id": 1, "ts": "2024-01-01T09:50:00Z", "view_id": 900},  # in window of 100
+        {"user_id": 1, "ts": "2024-01-01T11:59:00Z", "view_id": 901},  # in window of 101
+        {"user_id": 1, "ts": "2024-01-01T09:30:00Z", "view_id": 902},  # too early
+        {"user_id": 2, "ts": "2024-01-01T10:06:00Z", "view_id": 903},  # after the click
+    ]
+    write_json(tmp_path / "clicks" / "c.json", clicks)
+    write_json(tmp_path / "views" / "v.json", views)
+    C_DDL = "user_id LONG, ts TIMESTAMP, click_id LONG"
+    V_DDL = "user_id LONG, ts TIMESTAMP, view_id LONG"
+
+    def pairs_of(df):
+        return sorted((r["click_id"], r["view_id"]) for r in df.collect())
+
+    batch = stream_interval_join(
+        spark.read.schema(C_DDL).json(str(tmp_path / "clicks")),
+        spark.read.schema(V_DDL).json(str(tmp_path / "views")),
+        key="user_id",
+    ).select("click_id", "view_id")
+    expect = [(100, 900), (101, 901)]
+    assert pairs_of(batch) == expect
+
+    joined = stream_interval_join(
+        spark.readStream.schema(C_DDL).json(str(tmp_path / "clicks")),
+        spark.readStream.schema(V_DDL).json(str(tmp_path / "views")),
+        key="user_id",
+    ).select("click_id", "view_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert pairs_of(spark.table("ivj")) == expect
+
+    with _pytest.raises(ValueError):
+        stream_interval_join(
+            spark.read.schema(C_DDL).json(str(tmp_path / "clicks")),
+            spark.read.schema(V_DDL).json(str(tmp_path / "views")),
+            key="user_id",
+            tolerance="15; DROP TABLE x",
+        )
