@@ -91,3 +91,67 @@ def test_range_join_matches_brute_force(spark, points, intervals, bucket_hours):
         if lo <= ts < hi
     }
     assert got == expect
+
+
+@settings(
+    deadline=None,
+    max_examples=15,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.floats(-100, 100)),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_gapfill_matches_python_reference(spark, obs):
+    """For ANY set of (hour, value) observations on one key, gapfill's
+    grid, LOCF, and linear fills must match a pure-Python replay."""
+    from etl_instagram_spark.operators.temporal import gapfill
+
+    base = 1704067200  # 2024-01-01 00:00:00 UTC, hour-aligned
+    rows = [
+        (i, base + h * 3600, "k", float(v)) for i, (h, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, epoch long, event_type string, value double"
+    ).selectExpr("event_id", "CAST(epoch AS TIMESTAMP) ts", "event_type", "value")
+    got = {
+        int(r["bucket_ts"].timestamp()): (
+            r["n_obs"], r["value_obs"], r["value_locf"], r["value_linear"]
+        )
+        for r in gapfill(df, bucket="1 hour").collect()
+    }
+    # python reference
+    from collections import defaultdict
+
+    per_bucket = defaultdict(list)
+    for _, (h, v) in zip(rows, obs):
+        per_bucket[base + h * 3600].append(float(v))
+    lo, hi = min(per_bucket), max(per_bucket)
+    assert set(got) == {b for b in range(lo, hi + 3600, 3600)}
+    prev = None
+    obs_sorted = sorted(per_bucket.items())
+    for b in range(lo, hi + 3600, 3600):
+        n = len(per_bucket.get(b, []))
+        mean = round(sum(per_bucket[b]) / n, 6) if n else None
+        if n:
+            prev = (b, mean)
+        nxt = next(((bb, round(sum(vs) / len(vs), 6)) for bb, vs in obs_sorted if bb >= b), None)
+        want_locf = prev[1] if prev else None
+        if mean is not None:
+            want_lin = mean
+        elif prev and nxt:
+            frac = (b - prev[0]) / (nxt[0] - prev[0])
+            want_lin = round(prev[1] + (nxt[1] - prev[1]) * frac, 6)
+        else:
+            want_lin = want_locf
+        g = got[b]
+        assert g[0] == n
+        assert g[1] == mean or (g[1] is not None and mean is not None and abs(g[1] - mean) < 1e-9)
+        assert g[2] == want_locf or (g[2] is not None and want_locf is not None and abs(g[2] - want_locf) < 1e-9)
+        # 5e-6, not 1e-9: the reference uses Python round (half-even),
+        # Spark rounds half-up — a value landing exactly on .5 at the
+        # 6th decimal differs by one ulp-of-rounding between them
+        assert (g[3] is None and want_lin is None) or abs(g[3] - want_lin) < 5e-6
