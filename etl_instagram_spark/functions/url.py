@@ -34,8 +34,8 @@ def canonicalize_url(col: Column) -> Column:
     # 2. lowercase scheme://host[:port] (group 1), keep the rest verbatim
     head = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1))
     tail = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
-    # 3. default ports
-    head = F.regexp_replace(head, ":80$", "")
+    # 3. default ports — scheme-conditional ONLY: https on port 80 is a
+    # DIFFERENT resource than https on 443 and must keep its port
     head = F.when(head.startswith("https://"), F.regexp_replace(head, ":443$", "")).otherwise(
         F.regexp_replace(head, ":80$", "")
     )

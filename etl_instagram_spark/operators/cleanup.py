@@ -570,7 +570,7 @@ def flag_contaminated(
 
 def compression_ratio(col: Column) -> Column:
     """zlib compression ratio of the UTF-8 text: compressed_len /
-    raw_len (1.0 for empty/NULL-safe via the guard below). Highly
+    raw_len; NULL for empty or NULL text (no bytes, no evidence). Highly
     repetitive boilerplate compresses far below natural prose, so
     pipelines (Gopher/RedPajama practice) drop docs whose ratio falls
     under ~0.3 as machine-generated or template spam and flag ratios
@@ -599,10 +599,19 @@ def compression_ratio(col: Column) -> Column:
     return _ratio(col)
 
 
-def compression_band(col: Column, low: float = 0.3, high: float = 0.95) -> Column:
+def compression_band(
+    col: Column,
+    low: float = 0.3,
+    high: float = 0.95,
+    ratio: Column | None = None,
+) -> Column:
     """Classify the ratio: 'template_spam' (< low), 'natural'
-    ([low, high]), 'noise' (> high), NULL for empty docs."""
-    r = compression_ratio(col)
+    ([low, high]), 'noise' (> high), NULL for empty docs. Pass an
+    already-computed ``ratio`` Column when also selecting
+    :func:`compression_ratio` in the same projection — otherwise each
+    output column plans its own Arrow UDF and every document is
+    zlib-compressed twice."""
+    r = ratio if ratio is not None else compression_ratio(col)
     return (
         F.when(r.isNull(), F.lit(None).cast("string"))
         .when(r < low, F.lit("template_spam"))

@@ -82,7 +82,7 @@ def lsh_bucket(vec_col: str, planes: list[list[int]]) -> Column:
     terms = []
     for j, plane in enumerate(planes):
         signed = " + ".join(
-            "({s}CAST(element_at(`{v}`, {i}) AS DOUBLE))".format(
+            "({s}CAST(try_element_at(`{v}`, {i}) AS DOUBLE))".format(
                 s="-" if x < 0 else "", v=vec_col, i=i + 1
             )
             for i, x in enumerate(plane)
@@ -265,7 +265,7 @@ def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
         "(CAST({sc2!r} AS DOUBLE) - 2.0 * ({dot}))".format(
             sc2=sum(float(x) * float(x) for x in c),
             dot=" + ".join(
-                "CAST(element_at(`{v}`, {i}) AS DOUBLE) * CAST({c!r} AS DOUBLE)".format(
+                "CAST(try_element_at(`{v}`, {i}) AS DOUBLE) * CAST({c!r} AS DOUBLE)".format(
                     v=vec_col, i=d + 1, c=float(c[d])
                 )
                 for d in range(dim)
@@ -553,7 +553,7 @@ def pq_code(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
             "(CAST({sc2!r} AS DOUBLE) - 2.0 * ({dot}))".format(
                 sc2=sum(float(x) * float(x) for x in cent),
                 dot=" + ".join(
-                    "CAST(element_at(`{v}`, {i}) AS DOUBLE) * CAST({c!r} AS DOUBLE)".format(
+                    "CAST(try_element_at(`{v}`, {i}) AS DOUBLE) * CAST({c!r} AS DOUBLE)".format(
                         v=vec_col, i=j * ds + d + 1, c=float(cent[d])
                     )
                     for d in range(ds)
@@ -589,7 +589,9 @@ def pq_adc_dist(code_col: Column, lut_col: Column, m: int, k: int) -> Column:
     LUT column: Σ_j lut[j·k + code_j]. Fixed left-to-right addition order
     so the sum is bit-reproducible across engines."""
     terms = [
-        F.element_at(lut_col, F.lit(j * k + 1) + F.element_at(code_col, j + 1))
+        F.try_element_at(
+            lut_col, F.lit(j * k + 1) + F.try_element_at(code_col, F.lit(j + 1))
+        )
         for j in range(m)
     ]
     out = terms[0]
@@ -619,6 +621,9 @@ def ann_pq_topk(
     by exact distance on the raw vectors (the standard IVFADC+R refine
     step): the exact pass touches only ``rerank`` rows, so recall rises
     without giving back the compressed scan."""
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank budget {rerank} < k={k}: the exact pass "
+                         "could only ever return rerank rows")
     nk = len(codebooks[0])
     m = len(codebooks)
     lut = F.array(*[F.lit(float(x)) for x in pq_lut(query_vec, codebooks)])
@@ -700,6 +705,9 @@ def ann_ivfpq_topk(
     This is the 100-TB query shape: cells cut the scan to
     n_probe/n_clusters of the index, PQ cuts the bytes per scanned row
     to m+8, and the only contact with raw vectors is O(rerank) rows."""
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank budget {rerank} < k={k}: the exact pass "
+                         "could only ever return rerank rows")
     probes = _nearest_centroids(query_vec, centroids, n_probe)
     m, nk = len(codebooks), len(codebooks[0])
     lut = F.array(*[F.lit(float(x)) for x in pq_lut(query_vec, codebooks)])

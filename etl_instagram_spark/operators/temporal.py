@@ -445,7 +445,9 @@ def gapfill(
     from pyspark.sql import Window
 
     step = _interval_seconds(bucket)
-    b = (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
+    # floor, not cast-truncation: they differ on pre-1970 (negative
+    # epoch) timestamps, and the DuckDB mirror floors
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
     obs = (
         df.select(
             F.col(key_col).alias("key"),
@@ -463,13 +465,15 @@ def gapfill(
         hi = F.lit(end).cast("timestamp")
         bounds = obs.select("key").distinct().select(
             "key",
-            (F.unix_timestamp(lo) / step).cast("long").alias("lo"),
-            (F.unix_timestamp(hi) / step).cast("long").alias("hi"),
+            F.floor(F.unix_timestamp(lo) / step).cast("long").alias("lo"),
+            F.floor(F.unix_timestamp(hi) / step).cast("long").alias("hi"),
         )
     else:
         bounds = obs.groupBy("key").agg(
-            (F.min("b") / step).cast("long").alias("lo"),
-            (F.max("b") / step).cast("long").alias("hi"),
+            # b is already a floored bucket multiple of step, so this
+            # division is exact for negatives too
+            F.floor(F.min("b") / step).cast("long").alias("lo"),
+            F.floor(F.max("b") / step).cast("long").alias("hi"),
         )
     grid = bounds.select(
         "key",

@@ -959,10 +959,13 @@ def _fit_oracle_centroids(n_clusters: int = 8, seed: int = 42):
 def _sql_centroid_dists(centroids: list[list[float]]) -> str:
     """DuckDB expression for the per-row centroid distance array.
     ``repr()`` is the shortest round-tripping decimal — DuckDB parses it
-    back to the exact same float64 the Spark literals carry;
-    list_distance = sqrt(Σ(a-b)²) is monotone in the Spark side's
-    Σ(a-b)², so the argmin (and its first-minimum tie-break via
-    list_position/list_min) is identical to ``similarity.ivf_cell``."""
+    back to the exact same float64 the Spark literals carry. The Spark
+    side (``similarity.ivf_cell``) scores centroids in the shifted
+    ‖c‖²−2·v·c form while this mirror uses list_distance = sqrt(Σ(a-b)²)
+    — identical ordering in exact arithmetic, and in floats the argmin
+    agreement rests on the MEASURED top-2 margin of the gate data
+    (worst 3.7e-5 relative, ten orders above double rounding; see
+    ivf_cell's docstring). The per-query hash would catch any flip."""
     c_lits = [
         "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
         for c in centroids
@@ -1132,9 +1135,12 @@ def _pq_oracle_sql() -> str:
     from the gate data through the same ``pq_codebooks_from_sample`` /
     ``pq_lut`` code the Spark side runs, then inlined as literals).
     Per-subspace encode replays as argmin over a ``list_distance`` array
-    on ``list_slice`` (sqrt is monotone in the Spark side's Σ(a-b)², so
-    argmin + first-minimum tie-break agree); the ADC sum indexes the
-    same LUT literals left-to-right, so it is bit-identical."""
+    on ``list_slice`` against Spark's shifted ‖c‖²−2·v·c scoring —
+    ordering-identical in exact arithmetic; in floats the argmin rests
+    on the measured top-2 margin of the gate data (worst 2e-5 relative,
+    see pq_code's docstring), and this hash catches any flip. The ADC
+    sum indexes the same LUT literals left-to-right, so it is
+    bit-identical."""
     import os
 
     import duckdb

@@ -547,7 +547,8 @@ def test_compression_ratio_separates_spam_from_prose(spark):
         for r in df.select(
             "doc_id",
             compression_ratio(F.col("text")).alias("ratio"),
-            compression_band(F.col("text")).alias("band"),
+            # reuse the ratio column: one Arrow UDF, not two
+            compression_band(F.col("text"), ratio=F.col("ratio")).alias("band"),
         ).collect()
     }
     # exact agreement with a local zlib reference

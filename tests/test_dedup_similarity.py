@@ -1221,3 +1221,51 @@ def test_pq_code_handles_zero_and_constant_vectors(spark):
         for r in df2.select(S.pq_code("embedding", cbs).alias("c")).collect()
     ]
     assert codes[0] == codes[1]
+
+
+def test_encode_exprs_tolerate_short_vectors_under_ansi(spark):
+    """A malformed (short) vector must degrade the way the old
+    NULL-tolerant folds did — NULL cell/code, bucket 0 — never throw
+    under Spark 4's default ANSI mode (one bad landing row must not
+    kill an ingest job)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    good = [(i, [float(x) for x in rng.randn(8)]) for i in range(20)]
+    fit_df = spark.createDataFrame(good, "vec_id long, embedding array<double>")
+    cents = S.fit_ivf_centroids(fit_df, n_clusters=2, seed=1, order_col="vec_id")
+    cbs = S.fit_pq_codebooks(fit_df, m=2, k=2, seed=1, order_col="vec_id")
+    planes = S.hyperplane_signs(3, 8)
+    mixed = spark.createDataFrame(
+        good[:2] + [(100, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    rows = {
+        r["vec_id"]: (r["cell"], r["code"], r["bucket"])
+        for r in mixed.select(
+            "vec_id",
+            S.ivf_cell("embedding", cents).alias("cell"),
+            S.pq_code("embedding", cbs).alias("code"),
+            S.lsh_bucket("embedding", planes).alias("bucket"),
+        ).collect()
+    }
+    for i, _ in good[:2]:
+        cell, code, bucket = rows[i]
+        assert cell is not None and all(c is not None for c in code)
+        assert 0 <= bucket < 8
+    cell, code, bucket = rows[100]
+    assert cell is None
+    assert code is None or all(c is None for c in code)
+    assert bucket == 0  # NULL plane sums sign as the old fold did
+
+
+def test_pq_topk_rejects_rerank_below_k(spark, sf_oracle):
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    cbs = S.fit_pq_codebooks(emb, m=8, k=16, seed=42, order_col="vec_id")
+    cents = S.fit_ivf_centroids(emb, n_clusters=8, seed=42, order_col="vec_id")
+    qv = [float(x) for x in emb.first()["embedding"]]
+    with pytest.raises(ValueError, match="rerank budget"):
+        S.ann_pq_topk(emb, qv, cbs, k=10, rerank=5)
+    with pytest.raises(ValueError, match="rerank budget"):
+        S.ann_ivfpq_topk(
+            S.ann_index_rows(emb, cents, cbs), emb, qv, cents, cbs, k=10, rerank=5
+        )

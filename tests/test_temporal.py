@@ -205,3 +205,18 @@ def test_rolling_zscore_zero_variance_window_never_flags(spark):
     ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "event_type", "value")
     out = rolling_zscore(df).collect()
     assert all(r["z_score"] is None and r["is_anomaly"] is False for r in out)
+
+
+def test_gapfill_pre_1970_buckets_floor_not_truncate(spark):
+    """Negative epochs: cast-truncation rounds toward zero, floor rounds
+    down — a 1969 timestamp must land in ITS hour, not 1970's."""
+    from etl_instagram_spark.operators.temporal import gapfill
+
+    df = spark.createDataFrame(
+        [(1, -1800, "a", 5.0), (2, 1800, "a", 7.0)],
+        "event_id long, epoch long, event_type string, value double",
+    ).selectExpr("event_id", "CAST(epoch AS TIMESTAMP) ts", "event_type", "value")
+    out = sorted(
+        (str(r["bucket_ts"]), r["n_obs"]) for r in gapfill(df, bucket="1 hour").collect()
+    )
+    assert out == [("1969-12-31 23:00:00", 1), ("1970-01-01 00:00:00", 1)]

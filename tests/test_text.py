@@ -222,6 +222,9 @@ def test_canonicalize_url_rules(spark):
         ("https://host:443/a", "https://host/a"),
         ("http://host:80/a?", "http://host/a"),
         ("https://host:8443/a", "https://host:8443/a"),
+        # https on port 80 is NOT the default port — it must survive
+        ("https://host:80/a", "https://host:80/a"),
+        ("http://host:443/a", "http://host:443/a"),
         ("https://h/p?utm_campaign=z&fbclid=1", "https://h/p"),
         ("https://h/p?z=1&y=2&ref=home", "https://h/p?y=2&z=1"),
         ("https://h/CaseKept/Path", "https://h/CaseKept/Path"),
@@ -241,6 +244,8 @@ def test_canonicalize_url_sql_mirror_agrees(spark):
     urls = [
         "HTTP://Example.COM/Path?b=2&utm_source=x&a=1#frag",
         "https://host:443/a?gclid=7",
+        "https://host:80/a",
+        "http://host:443/a",
         "http://h:80/p?x=1&x=0",
         "https://h/p",
         "ftp://Weird.Host/file",
