@@ -395,3 +395,25 @@ def shuffle_rank(
         _bucket(F.col(id_col), salt), F.col(id_col)
     )
     return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def temperature_weights(
+    available: dict[str, float], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-based mixture reweighting (the multilingual-corpus
+    balancing rule, Conneau & Lample 2019 / mT5: sample source i with
+    probability ∝ nᵢ^α). ``alpha=1`` reproduces natural proportions,
+    ``alpha=0`` uniform; the usual 0.2–0.5 range lifts low-resource
+    sources without letting any dominate. Returns normalized weights
+    ready for :func:`mixture_fractions` / :func:`mix_corpora` — driver
+    math over O(sources) floats, deterministic by construction."""
+    if not available:
+        raise ValueError("available must be non-empty")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    for s, n in available.items():
+        if n <= 0:
+            raise ValueError(f"available for {s!r} must be > 0, got {n}")
+    raw = {s: float(n) ** alpha for s, n in available.items()}
+    total = sum(raw.values())
+    return {s: v / total for s, v in raw.items()}

@@ -839,3 +839,44 @@ def test_cap_per_group_null_id_ranks_identically_on_both_engines(spark):
     con.close()
     assert kept == want
     assert (True, 0) in kept  # the NULL row ranked first on both engines
+
+
+def test_temperature_weights_limits_and_monotonicity():
+    from etl_instagram_spark.operators.sampling import temperature_weights
+
+    avail = {"big": 1_000_000.0, "mid": 10_000.0, "small": 100.0}
+    natural = temperature_weights(avail, alpha=1.0)
+    assert natural["big"] == pytest.approx(1_000_000 / 1_010_100)
+    uniform = temperature_weights(avail, alpha=0.0)
+    assert all(v == pytest.approx(1 / 3) for v in uniform.values())
+    tempered = temperature_weights(avail, alpha=0.3)
+    # lifts the tail relative to natural, but big still leads
+    assert tempered["small"] > natural["small"]
+    assert tempered["big"] > tempered["mid"] > tempered["small"]
+    assert sum(tempered.values()) == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        temperature_weights({}, 0.3)
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 0.0}, 0.3)
+    with pytest.raises(ValueError):
+        temperature_weights(avail, -0.1)
+
+
+def test_temperature_weights_compose_with_mixture(spark):
+    """alpha-tempered weights flow straight into mix_corpora: the
+    low-resource source is kept whole (binding) and the big source is
+    down-sampled toward the tempered share."""
+    from etl_instagram_spark.operators.sampling import (
+        mix_corpora,
+        temperature_weights,
+    )
+
+    big = spark.range(900).selectExpr("id AS doc_id")
+    small = spark.range(100).selectExpr("id + 10000 AS doc_id")
+    w = temperature_weights({"big": 900.0, "small": 100.0}, alpha=0.3)
+    mixed = mix_corpora({"big": big, "small": small}, w, "doc_id")
+    counts = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 100  # binding source kept whole
+    # big is sampled to approximately small * w_big / w_small
+    want_big = 100 * w["big"] / w["small"]
+    assert abs(counts["big"] - want_big) / want_big < 0.2
