@@ -618,3 +618,77 @@ def compression_band(
         .when(r > high, F.lit("noise"))
         .otherwise(F.lit("natural"))
     )
+
+
+def flag_contaminated_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Near-duplicate decontamination: flag corpus docs whose exact
+    word-shingle Jaccard against ANY benchmark item reaches
+    ``threshold`` — the fuzzy complement of :func:`flag_contaminated`
+    (exact n-gram overlap misses an eval item that was lightly
+    paraphrased or re-punctuated into the crawl; public training
+    reports run both rules).
+
+    Same scale shape as the dedup family's delta-vs-history path
+    (dedup.incremental_near_dedup): both sides get MinHash band hashes,
+    candidates come from a band-hash EQUI-join (corpus × benchmark —
+    never all pairs), and the exact Jaccard verify runs only on
+    candidates. The benchmark side is eval-set sized; Spark broadcasts
+    it under AQE. Adds ``fuzzy_contaminated`` and ``max_eval_jaccard``
+    (the best-matching eval similarity, 0.0 when no candidate)."""
+    from etl_instagram_spark.functions import text as T
+    from etl_instagram_spark.operators.dedup import _band_hashes, shingle_jaccard
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    bench_text = bench_text_col or text_col
+
+    def banded(df: DataFrame, idc: str, txt: str, side: str) -> DataFrame:
+        staged = T.with_minhash_signature(df, txt, "__sig", k, shingle_words)
+        return staged.select(
+            F.col(idc).alias(f"{side}_id"),
+            F.col(txt).alias(f"{side}_text"),
+            F.posexplode(_band_hashes(F.col("__sig"), k, bands)).alias(
+                "band_idx", "band_hash"
+            ),
+        )
+    c = banded(docs, id_col, text_col, "doc")
+    e = banded(
+        benchmark.select(
+            F.monotonically_increasing_id().alias("__eid"), F.col(bench_text)
+        ),
+        "__eid",
+        bench_text,
+        "eval",
+    )
+    hits = (
+        c.join(e, ["band_idx", "band_hash"])
+        .select("doc_id", "doc_text", "eval_text")
+        .distinct()
+        .select(
+            "doc_id",
+            shingle_jaccard(
+                F.col("doc_text"), F.col("eval_text"), shingle_words
+            ).alias("__j"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.max("__j"), 6).alias("max_eval_jaccard"))
+    )
+    return (
+        docs.join(hits.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn(
+            "max_eval_jaccard", F.coalesce(F.col("max_eval_jaccard"), F.lit(0.0))
+        )
+        .withColumn(
+            "fuzzy_contaminated", F.col("max_eval_jaccard") >= threshold
+        )
+    )

@@ -558,3 +558,76 @@ def test_compression_ratio_separates_spam_from_prose(spark):
     assert rows[1][0] < rows[0][0]
     assert rows[1][1] == "template_spam" and rows[0][1] == "natural"
     assert rows[2] == (None, None) and rows[3] == (None, None)
+
+
+def test_fuzzy_decontamination_catches_paraphrase_exact_misses(spark):
+    """A lightly edited eval item evades the exact 13-gram rule but must
+    fall to the fuzzy Jaccard rule; unrelated docs stay clean either
+    way."""
+    from etl_instagram_spark.operators.cleanup import (
+        flag_contaminated,
+        flag_contaminated_fuzzy,
+    )
+
+    eval_q = (
+        "what is the capital city of the republic of france and when was "
+        "it founded by the early settlers of the region"
+    )
+    # same content, one word changed every ~10 tokens -> no shared 13-gram
+    paraphrased = (
+        "what is the capital town of the republic of france and when was "
+        "it established by the early settlers of the region"
+    )
+    other = (
+        "completely different prose about growing tomatoes on a balcony "
+        "with drip irrigation and afternoon shade for the hot months of "
+        "summer in a mediterranean climate zone somewhere far away"
+    )
+    docs = spark.createDataFrame(
+        [(0, paraphrased), (1, other)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(eval_q,)], "text string")
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in flag_contaminated(docs, bench, "doc_id", "text").collect()
+    }
+    assert exact[0] is False  # the paraphrase slips the exact rule
+    fuzzy = {
+        r["doc_id"]: (r["fuzzy_contaminated"], r["max_eval_jaccard"])
+        # bands=8 (band size 2): candidate P at J~0.54 is ~0.95 and this
+        # specific pair deterministically collides under the fixed hashes
+        for r in flag_contaminated_fuzzy(
+            docs, bench, "doc_id", "text", threshold=0.4, bands=8
+        ).collect()
+    }
+    assert fuzzy[0][0] is True and fuzzy[0][1] > 0.4
+    assert fuzzy[1] == (False, 0.0)
+
+
+def test_fuzzy_decontamination_threshold_validation(spark):
+    from etl_instagram_spark.operators.cleanup import flag_contaminated_fuzzy
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    bench = spark.createDataFrame([("a b c",)], "text string")
+    with pytest.raises(ValueError, match="threshold"):
+        flag_contaminated_fuzzy(docs, bench, "doc_id", "text", threshold=0.0)
+
+
+def test_fuzzy_decontamination_candidate_stage_is_equi_join(spark):
+    """The corpus x benchmark candidate stage must be a band-hash
+    equi-join — never a cartesian pair product."""
+    from etl_instagram_spark.operators.cleanup import flag_contaminated_fuzzy
+
+    docs = spark.range(30).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', 'w', id % 7, 'x', id % 5, 'y', id % 3, 'z', id, 'p', id % 11) AS text",
+    )
+    bench = spark.createDataFrame([("w 1 x 2 y 3 z 4 p 5",)], "text string")
+    plan = (
+        flag_contaminated_fuzzy(docs, bench, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
