@@ -169,6 +169,48 @@ def etl_tick_seconds(spark, n_pages: int = 10_000, posts_per_page: int = 3) -> f
         shutil.rmtree(work, ignore_errors=True)
 
 
+def ann_query_tick_seconds(spark, n_queries: int = 10) -> float:
+    """ANN PRODUCTION-path throughput: ``n_queries`` ann_ivfpq_topk
+    lookups (cell-pruned codes-only ADC scan + broadcast-shortlist
+    exact rerank) against a prebuilt on-disk IVFADC index over the
+    sf-dir embeddings, partitioned by cell. The recall GATES time the
+    exact ground-truth side too; this is what a serving workload
+    actually pays per query. Index build and quantizer fits are
+    untimed (one-time ingest cost)."""
+    import shutil
+    import tempfile
+
+    from etl_instagram_spark.operators.similarity import (
+        ann_index_rows,
+        ann_ivfpq_topk,
+        fit_ivf_centroids,
+        fit_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = fit_ivf_centroids(emb, n_clusters=8, seed=42, order_col="vec_id")
+    cbs = fit_pq_codebooks(emb, m=8, k=16, seed=42, order_col="vec_id")
+    tmp = tempfile.mkdtemp(prefix="annq_")
+    try:
+        path = f"{tmp}/index"
+        ann_index_rows(emb, cents, cbs).write.partitionBy("cell").parquet(path)
+        index = spark.read.parquet(path)
+        qrows = (
+            emb.filter(f"vec_id < {n_queries}")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        t0 = time.perf_counter()
+        for r in qrows:
+            qv = [float(x) for x in r["embedding"]]
+            ann_ivfpq_topk(
+                index, emb, qv, cents, cbs, k=10, n_probe=2, rerank=50
+            ).collect()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def stream_dedup_tick_seconds(
     spark, n_history: int = 20_000, n_batch: int = 20_000, dup_pct: int = 30
 ) -> float:
@@ -356,6 +398,7 @@ def main() -> int:
         ("etl_hashtag_tick", etl_tick_seconds),
         ("stream_dedup_tick", stream_dedup_tick_seconds),
         ("stream_hh_tick", stream_hh_tick_seconds),
+        ("ann_query_tick", ann_query_tick_seconds),
     ):
         samples = []
         try:
