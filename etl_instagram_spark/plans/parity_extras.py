@@ -45,6 +45,17 @@ Current entries:
 - ``docs_unigram_ppl`` (never gated — the CCNet perplexity signal,
   value-checked against a model-literal SQL mirror like the gate's
   fit-from-data oracles)
+
+Never-gated entries (EXTRAS has no row cap, so surfaces that would
+displace gate diversity get driver-grade value+type parity here):
+``docs_hybrid_rrf`` (BM25 ⊕ cosine fusion), ``docs_unigram_ppl`` /
+``docs_bigram_ppl`` (LM perplexity, uni + stupid-backoff bigram),
+``docs_bpe_pack`` (tokenizer-fit → learned-token counts → budget
+packing, end to end), ``orders_profile`` (one-scan column profiler),
+``orders_above_customer_avg`` (correlated scalar subquery),
+``customer_rank_distributions`` (percent_rank / cume_dist),
+``events_gapfill`` (LOCF + linear time-bucket gap filling),
+``events_anomalies`` (rolling z-score profile).
 """
 
 from __future__ import annotations
