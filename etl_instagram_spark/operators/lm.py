@@ -280,3 +280,20 @@ def bigram_model_sql_values(blm: BigramLM) -> str:
         )
         for p, w, lp in blm.bigram_entries
     )
+
+
+def perplexity_filter_bigram(
+    df: DataFrame,
+    blm: BigramLM,
+    max_bits: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`perplexity_filter`'s bigram-scored sibling: keep documents
+    whose stupid-backoff bits-per-word is at most ``max_bits``
+    (wordless docs carry no evidence and are dropped)."""
+    scored = doc_bits_per_word_bigram(df, blm, text_col, id_col)
+    keep = scored.filter(
+        (F.col("n_words") > 0) & (F.col("bits_per_word") <= max_bits)
+    ).select(id_col)
+    return df.join(keep, id_col, "semi")

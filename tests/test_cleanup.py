@@ -631,3 +631,24 @@ def test_fuzzy_decontamination_candidate_stage_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_perplexity_filter_keeps_fluent_head(spark):
+    from etl_instagram_spark.operators import lm as L
+
+    fluent = ["the cat sat on the mat", "the cat ran on the mat"]
+    df = spark.createDataFrame(
+        [(0, fluent[0]), (1, fluent[1]), (2, "zq wv jk pq xx"), (3, "  ")],
+        "doc_id long, text string",
+    )
+    blm = L.fit_bigram_lm(df.filter("doc_id < 2"))
+    scored = {
+        r["doc_id"]: r["bits_per_word"]
+        for r in L.doc_bits_per_word_bigram(df, blm).collect()
+    }
+    cut = (max(scored[0], scored[1]) + scored[2]) / 2
+    kept = sorted(
+        r["doc_id"]
+        for r in L.perplexity_filter_bigram(df, blm, max_bits=cut).collect()
+    )
+    assert kept == [0, 1]  # gibberish and the wordless doc are dropped
