@@ -2540,7 +2540,10 @@ def docs_pack_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, per-shard (tokens desc, id) running sum, bin = cumsum // budget.
     Value-checked per shard: bin count, doc count, token conservation,
     max bin load, and mean fill — the oracle replays the identical window
-    arithmetic, so the bin ASSIGNMENT (not just totals) is certified."""
+    arithmetic, so the bin ASSIGNMENT (not just totals) is certified.
+    avg_fill is derived from the INTEGER aggregates (floor of an exactly
+    representable ratio), never from averaged rounded doubles, so the
+    value is partitioning/summation-order independent on both engines."""
     from etl_instagram_spark.operators.packing import bin_fill_stats, pack_cumsum
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -2555,7 +2558,15 @@ def docs_pack_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_docs").alias("n_docs"),
             F.sum("bin_tokens").alias("sum_tokens"),
             F.max("bin_tokens").alias("max_bin_tokens"),
-            F.round(F.avg("fill"), 4).alias("avg_fill"),
+        )
+        .withColumn(
+            "avg_fill",
+            F.floor(
+                F.lit(10000.0)
+                * F.col("sum_tokens")
+                / (F.col("n_bins") * F.lit(_PACK_BUDGET_CUMSUM))
+            )
+            / F.lit(10000.0),
         )
         .orderBy("shard")
     )
@@ -2576,15 +2587,17 @@ def _sql_pack_cumsum() -> str:
       FROM base),
     bins AS (
       SELECT shard, bin_idx, count(*) AS n_docs,
-             CAST(sum(t) AS BIGINT) AS bin_tokens,
-             round(CAST(sum(t) AS BIGINT) / {b}.0, 4) AS fill
-      FROM binned GROUP BY shard, bin_idx)
-    SELECT shard, count(*) AS n_bins,
-           CAST(sum(n_docs) AS BIGINT) AS n_docs,
-           CAST(sum(bin_tokens) AS BIGINT) AS sum_tokens,
-           max(bin_tokens) AS max_bin_tokens,
-           round(avg(fill), 4) AS avg_fill
-    FROM bins GROUP BY shard ORDER BY shard
+             CAST(sum(t) AS BIGINT) AS bin_tokens
+      FROM binned GROUP BY shard, bin_idx),
+    agg AS (
+      SELECT shard, count(*) AS n_bins,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(bin_tokens) AS BIGINT) AS sum_tokens,
+             max(bin_tokens) AS max_bin_tokens
+      FROM bins GROUP BY shard)
+    SELECT shard, n_bins, n_docs, sum_tokens, max_bin_tokens,
+           floor(10000.0 * sum_tokens / (n_bins * {b})) / 10000.0 AS avg_fill
+    FROM agg ORDER BY shard
     """
 
 

@@ -83,6 +83,71 @@ def test_result_value_types_match_oracle(spark, sf_smoke):
     assert not mismatches, mismatches
 
 
+def _driver_fingerprint(columns, rows):
+    """The driver's order-insensitive value hash (tools/oracle_check.py
+    frame_fingerprint), inlined: columns sorted by name, floats
+    canonicalized to 12 significant digits, rows sorted."""
+    import hashlib
+    import math
+
+    def canon(v):
+        if v is None:
+            return "<NULL>"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return f"{v:.12g}"
+        if isinstance(v, bool):
+            return str(int(v))
+        return str(v)
+
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    canon_rows = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    return (
+        len(rows),
+        [columns[i] for i in order],
+        hashlib.sha256("\x1e".join(canon_rows).encode()).hexdigest()[:16],
+    )
+
+
+def test_gate_hash_stable_across_partitioning(spark, sf_smoke):
+    """Rounds 5 and 6 each shipped exactly one gate red, and both were the
+    same bug class: a result that depends on partitioning (HUGEINT cast
+    surfacing through a different plan; a summation-order rounding tie at
+    0.98195). Pin the class: every registered query must produce the
+    IDENTICAL driver-style value hash under two adversarially different
+    physical layouts — (shuffle=1, whole-file scan splits, AQE on) vs
+    (shuffle=32, 32 KiB scan splits, AQE off). Any stat whose value
+    drifts with float summation order fails here before the driver sees
+    it."""
+    layouts = [
+        {"spark.sql.shuffle.partitions": "1",
+         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+         "spark.sql.adaptive.enabled": "true"},
+        {"spark.sql.shuffle.partitions": "32",
+         "spark.sql.files.maxPartitionBytes": str(32 * 1024),
+         "spark.sql.adaptive.enabled": "false"},
+    ]
+    saved = {k: spark.conf.get(k) for k in layouts[0]}
+    mismatches = []
+    try:
+        for name, fn in entry_mod.queries().items():
+            prints = []
+            for layout in layouts:
+                for k, v in layout.items():
+                    spark.conf.set(k, v)
+                df = fn(spark, sf_smoke)
+                prints.append(_driver_fingerprint(df.columns, [tuple(r) for r in df.collect()]))
+            if prints[0] != prints[1]:
+                mismatches.append((name, prints[0], prints[1]))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert not mismatches, mismatches
+
+
 def test_entry_smokes(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
