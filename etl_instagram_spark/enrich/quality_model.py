@@ -16,7 +16,13 @@ fit/serve split:
   the scan, with NO model object, ml pipeline, or UDF on the hot path —
   and therefore also usable inside streaming foreachBatch ticks and the
   DuckDB-mirrorable query surface. Parity between the two faces is
-  pinned by test (expression scores == ml transform probabilities).
+  pinned two ways: in-session, expression scores are checked against
+  ``sigmoid(w·x + b)`` recomputed in plain Python from the fitted
+  coefficients; and a subprocess-isolated test (fresh JVM — the shared
+  long-lived test session intermittently fails ml transform's closure
+  serialization) checks expression scores against the actual
+  ``LogisticRegressionModel.transform`` probabilities row-for-row.
+  Refit determinism is verified for a fixed dataset and partitioning.
 """
 
 from __future__ import annotations
@@ -57,21 +63,24 @@ def quality_feature_cols(col: Column) -> list[Column]:
     ]
 
 
-def fit_quality_classifier(
+def _fit_quality_model(
     df: DataFrame,
     label_col: str,
     text_col: str = "text",
     max_iter: int = 50,
     reg_param: float = 0.01,
-) -> tuple[list[float], float]:
-    """Fit the classifier distributed and return ``(weights, bias)`` —
-    the only state serving needs. LBFGS logistic regression is
-    deterministic for a fixed dataset (no sampling; seed-free by
-    nature), so refits reproduce coefficients bit-for-bit."""
+    keep_cols: tuple[str, ...] = (),
+):
+    """Internal fit: returns ``(model, assembled)`` — the fitted
+    LogisticRegressionModel and its assembled-features input frame
+    (``keep_cols`` pass through for row-level joins). Only the isolated
+    transform-parity test touches the model object; production serving
+    goes through :func:`fit_quality_classifier`'s coefficient list."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
     feats = df.select(
+        *[F.col(c) for c in keep_cols],
         F.col(label_col).cast("double").alias("label"),
         *quality_feature_cols(F.col(text_col)),
     )
@@ -81,6 +90,21 @@ def fit_quality_classifier(
     model = LogisticRegression(
         maxIter=max_iter, regParam=reg_param, standardization=True
     ).fit(assembled)
+    return model, assembled
+
+
+def fit_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+) -> tuple[list[float], float]:
+    """Fit the classifier distributed and return ``(weights, bias)`` —
+    the only state serving needs. LBFGS logistic regression involves no
+    sampling, so refits reproduce coefficients bit-for-bit for a fixed
+    dataset and partitioning (pinned by test at one partitioning)."""
+    model, _ = _fit_quality_model(df, label_col, text_col, max_iter, reg_param)
     return [float(w) for w in model.coefficients], float(model.intercept)
 
 

@@ -70,10 +70,12 @@ def bm25_corpus_stats(
     df: DataFrame, text_col: str, query_terms: Sequence[str]
 ) -> DataFrame:
     """One-row frame of the corpus statistics BM25 needs for these query
-    terms: ``n_docs``, ``avgdl`` (mean token count over non-blank docs,
-    0.0 for an empty corpus), and one ``df_i`` document-frequency column
-    per term (fixed order = the query order). A single partial
-    aggregation — this is the frame :func:`bm25_topk` broadcasts."""
+    terms: ``n_docs``, ``avgdl`` (mean token count over ALL docs, with
+    blank docs contributing length 0 — so a blank-heavy corpus deflates
+    avgdl by design; 0.0 for an empty corpus), and one ``df_i``
+    document-frequency column per term (fixed order = the query order).
+    A single partial aggregation — this is the frame :func:`bm25_topk`
+    broadcasts. The DuckDB mirror counts blanks the same way."""
     terms = _validate(query_terms, 1.0, 0.5)
     # tokenize once per row in a projection below the aggregate — the
     # split is the dominant per-row cost and every df_i references it

@@ -240,6 +240,24 @@ def _nearest_centroids(query_vec: list[float], centroids: list[list[float]], n_p
     return order[:n_probe]
 
 
+def shifted_score_sql(elem, cent, offset: int = 0) -> str:
+    """One centroid's shifted-dot score ``‖c‖² − 2·v·c`` as engine-neutral
+    SQL text: ``elem(i)`` renders the 1-based vector element ``i`` as an
+    engine-specific DOUBLE expression (Spark ``try_element_at``, DuckDB
+    ``embedding[i]``). Both :func:`ivf_cell`/:func:`pq_code` and the
+    DuckDB oracle mirrors emit THIS function's output, so the scores the
+    two engines rank by are bit-identical IEEE doubles (same literals via
+    ``repr``, same left-to-right addition order, same ``2.0 *`` scale) —
+    cross-engine argmin agreement no longer rests on a data-dependent
+    top-2 margin."""
+    sc2 = sum(float(x) * float(x) for x in cent)
+    dot = " + ".join(
+        f"{elem(offset + d + 1)} * CAST({float(cent[d])!r} AS DOUBLE)"
+        for d in range(len(cent))
+    )
+    return f"(CAST({sc2!r} AS DOUBLE) - 2.0 * ({dot}))"
+
+
 def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
     """Cell id = argmin squared distance to the centroids — a pure column
     expression over the literal centroid arrays (no model object shipped
@@ -256,23 +274,15 @@ def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
     one SQL-string expression (no py4j-per-literal cost), unrolled
     element_at multiply-adds (no interpreted higher-order functions),
     and the dot-product identity ``argmin ‖v−c‖² = argmin (‖c‖² −
-    2·v·c)`` (the per-row ‖v‖² drops out). Argmin safety under the
-    shifted float rounding is MEASURED on the gate data: worst top-2
-    relative margin 3.7e-5, ten orders above double rounding, and every
-    IVF-family oracle hash pins it."""
-    dim = len(centroids[0])
-    dists = ", ".join(
-        "(CAST({sc2!r} AS DOUBLE) - 2.0 * ({dot}))".format(
-            sc2=sum(float(x) * float(x) for x in c),
-            dot=" + ".join(
-                "CAST(try_element_at(`{v}`, {i}) AS DOUBLE) * CAST({c!r} AS DOUBLE)".format(
-                    v=vec_col, i=d + 1, c=float(c[d])
-                )
-                for d in range(dim)
-            ),
-        )
-        for c in centroids
-    )
+    2·v·c)`` (the per-row ‖v‖² drops out). The DuckDB oracle mirrors
+    emit the SAME :func:`shifted_score_sql` text (only the element
+    accessor differs), so both engines rank by bit-identical doubles;
+    the per-query oracle hashes pin the agreement."""
+
+    def elem(i: int) -> str:
+        return f"CAST(try_element_at(`{vec_col}`, {i}) AS DOUBLE)"
+
+    dists = ", ".join(shifted_score_sql(elem, c) for c in centroids)
     return F.expr(
         f"CAST(array_position(array({dists}), "
         f"array_min(array({dists}))) - 1 AS INT)"
@@ -538,28 +548,21 @@ def pq_code(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     is constant within a subspace and drops out, so each centroid costs
     one precomputed constant plus dim/m multiply-adds instead of dim/m
     subtract-squares. That cuts the expression to ~1/4 the nodes (parse
-    + codegen + eval all scale with it). The shifted score orders
-    identically in exact arithmetic; in floats the argmin is safe by
-    MEASURED margin — on the gate data the worst top-2 relative gap is
-    2e-5 (sf0.1), ten orders above double rounding, and the per-query
-    oracle hash would catch any flip.
+    + codegen + eval all scale with it). The DuckDB oracle emits the SAME
+    :func:`shifted_score_sql` text per centroid, so both engines rank by
+    bit-identical doubles and the encode agrees by construction.
 
     Written at ingest this is the stored-codes column: downstream ADC
     scans then read m small ints per row instead of the raw vector."""
     ds = len(codebooks[0][0])
+
+    def elem(i: int) -> str:
+        return f"CAST(try_element_at(`{vec_col}`, {i}) AS DOUBLE)"
+
     parts = []
     for j, book in enumerate(codebooks):
         dists = ", ".join(
-            "(CAST({sc2!r} AS DOUBLE) - 2.0 * ({dot}))".format(
-                sc2=sum(float(x) * float(x) for x in cent),
-                dot=" + ".join(
-                    "CAST(try_element_at(`{v}`, {i}) AS DOUBLE) * CAST({c!r} AS DOUBLE)".format(
-                        v=vec_col, i=j * ds + d + 1, c=float(cent[d])
-                    )
-                    for d in range(ds)
-                ),
-            )
-            for cent in book
+            shifted_score_sql(elem, cent, offset=j * ds) for cent in book
         )
         parts.append(
             f"CAST(array_position(array({dists}), "

@@ -957,22 +957,22 @@ def _fit_oracle_centroids(n_clusters: int = 8, seed: int = 42):
 
 
 def _sql_centroid_dists(centroids: list[list[float]]) -> str:
-    """DuckDB expression for the per-row centroid distance array.
-    ``repr()`` is the shortest round-tripping decimal — DuckDB parses it
-    back to the exact same float64 the Spark literals carry. The Spark
-    side (``similarity.ivf_cell``) scores centroids in the shifted
-    ‖c‖²−2·v·c form while this mirror uses list_distance = sqrt(Σ(a-b)²)
-    — identical ordering in exact arithmetic, and in floats the argmin
-    agreement rests on the MEASURED top-2 margin of the gate data
-    (worst 3.7e-5 relative, ten orders above double rounding; see
-    ivf_cell's docstring). The per-query hash would catch any flip."""
-    c_lits = [
-        "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
-        for c in centroids
-    ]
+    """DuckDB expression for the per-row centroid score array — the SAME
+    ``similarity.shifted_score_sql`` text the Spark side (``ivf_cell``)
+    emits, with only the element accessor swapped (DuckDB 1-based
+    ``embedding[i]`` for Spark ``try_element_at``). Identical ``repr``
+    literals, identical left-to-right addition order, identical
+    ``‖c‖²−2·v·c`` shape → both engines rank by bit-identical IEEE
+    doubles, so cross-engine argmin agreement holds by construction on
+    ANY data, not just by the measured top-2 margin of the gate data."""
+    from etl_instagram_spark.operators.similarity import shifted_score_sql
+
+    def elem(i: int) -> str:
+        return f"CAST(embedding[{i}] AS DOUBLE)"
+
     return (
         "["
-        + ", ".join(f"list_distance(embedding::DOUBLE[], {c})" for c in c_lits)
+        + ", ".join(shifted_score_sql(elem, c) for c in centroids)
         + "]"
     )
 
@@ -1134,13 +1134,11 @@ def _pq_oracle_sql() -> str:
     """DuckDB mirror of emb_pq_recall (lazy — codebooks and LUTs are fit
     from the gate data through the same ``pq_codebooks_from_sample`` /
     ``pq_lut`` code the Spark side runs, then inlined as literals).
-    Per-subspace encode replays as argmin over a ``list_distance`` array
-    on ``list_slice`` against Spark's shifted ‖c‖²−2·v·c scoring —
-    ordering-identical in exact arithmetic; in floats the argmin rests
-    on the measured top-2 margin of the gate data (worst 2e-5 relative,
-    see pq_code's docstring), and this hash catches any flip. The ADC
-    sum indexes the same LUT literals left-to-right, so it is
-    bit-identical."""
+    Per-subspace encode replays the SAME ``shifted_score_sql`` text as
+    Spark's ``pq_code`` (only the element accessor differs), so both
+    engines rank by bit-identical doubles and the code assignment agrees
+    by construction on any data. The ADC sum indexes the same LUT
+    literals left-to-right, so it is bit-identical too."""
     import os
 
     import duckdb
@@ -1166,15 +1164,16 @@ def _pq_oracle_sql() -> str:
         "WHERE vec_id < 5 ORDER BY vec_id"
     ).fetchall()
     con.close()
+    from etl_instagram_spark.operators.similarity import shifted_score_sql
+
+    def elem(i: int) -> str:
+        return f"CAST(embedding[{i}] AS DOUBLE)"
+
     ds = len(cbs[0][0])
     sub_dists = []
     for j, book in enumerate(cbs):
-        sl = f"list_slice(embedding::DOUBLE[], {j * ds + 1}, {j * ds + ds})"
         arr = ", ".join(
-            "list_distance({}, [{}]::DOUBLE[])".format(
-                sl, ", ".join(repr(float(x)) for x in c)
-            )
-            for c in book
+            shifted_score_sql(elem, c, offset=j * ds) for c in book
         )
         sub_dists.append(f"[{arr}] AS d{j}")
     code_cols = ", ".join(

@@ -329,22 +329,19 @@ def stream_interval_join(
     run. Works identically on batch frames (the parity tests exploit
     that).
 
-    ``tolerance`` goes through the temporal module's interval
-    validator, so malformed or hostile strings raise instead of
-    reaching ``expr``."""
+    ``tolerance`` goes through the temporal module's interval validator
+    (malformed strings raise before any plan is built), and the join
+    condition is assembled from Column operations on the aliased frames
+    — column NAMES are never string-formatted into a SQL expression, so
+    a hostile ``key``/``left_ts``/``right_ts`` argument cannot splice
+    SQL into the condition (it just fails column resolution)."""
     from etl_instagram_spark.operators.temporal import _interval_seconds
 
     tol = _interval_seconds(tolerance)
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
-    return l.join(
-        r,
-        F.expr(
-            f"l.{key} = r.{key} AND "
-            f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {tol} SECONDS "
-            f"AND l.{left_ts}"
-        ),
-    )
+    lo = l[left_ts] - F.expr(f"INTERVAL {tol} SECONDS")
+    return l.join(r, (l[key] == r[key]) & r[right_ts].between(lo, l[left_ts]))
 
 
 def stream_near_dedup(

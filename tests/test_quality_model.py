@@ -89,6 +89,68 @@ def test_expression_serving_matches_model_math(spark):
         assert expr_probs[k] == pytest.approx(ref_probs[k], abs=1e-9)
 
 
+_ISOLATED_TRANSFORM_SCRIPT = r"""
+import math, sys
+sys.path[:0] = ["/root/repo", "/root/repo/tests"]
+from pyspark.sql import functions as F
+from etl_instagram_spark.session import get_spark
+from etl_instagram_spark.enrich.quality_model import (
+    _fit_quality_model, quality_model_score,
+)
+from test_quality_model import _train_df
+
+spark = get_spark("qm-transform-parity", shuffle_partitions=2)
+df = _train_df(spark)
+model, assembled = _fit_quality_model(df, "label", keep_cols=("doc_id",))
+w = [float(x) for x in model.coefficients]
+b = float(model.intercept)
+ml_probs = {
+    r["doc_id"]: float(r["probability"][1])
+    for r in model.transform(assembled).select("doc_id", "probability").collect()
+}
+expr_probs = {
+    r["doc_id"]: r["s"]
+    for r in df.select(
+        "doc_id", quality_model_score(F.col("text"), w, b).alias("s")
+    ).collect()
+}
+assert set(ml_probs) == set(expr_probs)
+bad = {
+    k: (ml_probs[k], expr_probs[k])
+    for k in ml_probs
+    if abs(ml_probs[k] - expr_probs[k]) > 1e-6
+}
+assert not bad, bad
+spark.stop()
+print("TRANSFORM_PARITY_OK", len(ml_probs))
+"""
+
+
+def test_ml_transform_matches_expression_serving_isolated():
+    """The serving face certified against the ACTUAL fitted model's
+    transform probabilities, row-for-row at 1e-6 — not just against a
+    Python recomputation from the coefficients. Runs in a fresh JVM via
+    subprocess because LogisticRegressionModel.transform's internal
+    ScalaUDF closure intermittently fails Java serialization in the
+    shared long-lived test session (the quirk that motivated the
+    coefficient-based in-session test above)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    proc = subprocess.run(
+        [sys.executable, "-c", _ISOLATED_TRANSFORM_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "TRANSFORM_PARITY_OK" in proc.stdout
+
+
 def test_null_text_scores_at_zero_features_not_error(spark):
     df = _train_df(spark)
     w, b = fit_quality_classifier(df, "label")
