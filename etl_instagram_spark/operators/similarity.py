@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd  # module-level so pandas_udf type hints resolve under
+# postponed annotations (get_type_hints reads the defining module globals)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -258,6 +260,42 @@ def shifted_score_sql(elem, cent, offset: int = 0) -> str:
     return f"(CAST({sc2!r} AS DOUBLE) - 2.0 * ({dot}))"
 
 
+# beyond ~4096 unrolled multiply-add terms (n_clusters·dim) janino's
+# codegen of the literal expression exhausts the compiler; the gate's
+# quantizers (8×64, 16×4-8 PQ subspaces) sit far below it
+_UNROLL_MAX_TERMS = 4096
+
+
+def _ivf_cell_vectorized(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Cell assignment for LARGE quantizers: an Arrow-batched pandas_udf
+    computing ``argmin(‖c‖² − 2·V·Cᵀ)`` with one NumPy matmul per batch.
+    The centroid matrix (n_clusters·dim doubles — a few MB even at
+    n_clusters=4096) ships once per executor in the UDF closure, so at
+    scale this is a scan-local map with no join or shuffle, and the
+    O(batch·k·dim) arithmetic runs in BLAS instead of a generated-code
+    expression janino can no longer compile. NumPy's dot accumulates in
+    a different order than the unrolled expression, so exact-tie
+    assignments may differ from the small-k codegen path — which is why
+    oracle-gated queries keep quantizers under the unroll limit."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    sc2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        mask = v.notna()
+        out = pd.Series([None] * len(v), dtype="Int32")
+        if mask.any():
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in v[mask]])
+            scores = sc2[None, :] - 2.0 * (m @ C.T)
+            out[mask] = np.argmin(scores, axis=1).astype("int32")
+        return out
+
+    return assign(F.col(vec_col))
+
+
 def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
     """Cell id = argmin squared distance to the centroids — a pure column
     expression over the literal centroid arrays (no model object shipped
@@ -277,7 +315,19 @@ def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
     2·v·c)`` (the per-row ‖v‖² drops out). The DuckDB oracle mirrors
     emit the SAME :func:`shifted_score_sql` text (only the element
     accessor differs), so both engines rank by bit-identical doubles;
-    the per-query oracle hashes pin the agreement."""
+    the per-query oracle hashes pin the agreement.
+
+    The unrolled expression scales to n_clusters·dim ≈ a few thousand
+    terms; past :data:`_UNROLL_MAX_TERMS` janino's whole-stage codegen
+    blows up compiling it (observed: OOM in buildLocalVariableMap at
+    80 cells × 64 dims under a 16g heap), so large quantizers — the
+    production regime, where n_clusters grows ~√n — switch to an
+    Arrow-batched NumPy matmul (:func:`_ivf_cell_vectorized`). Same
+    argmin in exact arithmetic; the tie-break and last-ulp behavior of
+    the two paths can differ, which is why the small-k oracle-gated
+    queries stay on the codegen path."""
+    if len(centroids) * len(centroids[0]) > _UNROLL_MAX_TERMS:
+        return _ivf_cell_vectorized(vec_col, centroids)
 
     def elem(i: int) -> str:
         return f"CAST(try_element_at(`{vec_col}`, {i}) AS DOUBLE)"

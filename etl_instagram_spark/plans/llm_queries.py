@@ -167,7 +167,15 @@ def docs_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(band.alias("band"), q.alias("q"))
         .groupBy("band")
-        .agg(F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_score"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            # q is a 4dp-rounded score: exact DECIMAL sum so the mean's
+            # 4dp re-round can't sit on a summation-order tie
+            F.round(
+                F.sum(F.col("q").cast("decimal(14,4)")).cast("double") / F.count("*"),
+                4,
+            ).alias("avg_score"),
+        )
         .orderBy("band")
     )
 
@@ -194,7 +202,8 @@ SQL_DOCS_QUALITY_BANDS = f"""
                 WHEN q < 0.75 THEN 'q2_midhigh'
                 ELSE 'q3_high' END AS band,
            count(*) AS n_docs,
-           round(avg(q), 4) AS avg_score
+           round(CAST(sum(CAST(q AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4)
+             AS avg_score
     FROM s GROUP BY band ORDER BY band
     """
 
@@ -1787,7 +1796,9 @@ oracle(
 _SHARED_SQL_BRAND_REVENUE = """
     SELECT p.p_brand AS brand,
            count(*) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size <= 20
     GROUP BY p.p_brand
@@ -1884,7 +1895,15 @@ def docs_emb_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("label")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("q"), 4).alias("avg_quality"),
+            # q is a 4dp-rounded score: recover the exact grid value with
+            # a DECIMAL cast and sum exactly, so the re-rounded mean can't
+            # sit on a summation-order tie (the docs_pack_cumsum class);
+            # nrm (a sqrt) is not grid-aligned, so a tie there has
+            # measure zero and plain avg is fine
+            F.round(
+                F.sum(F.col("q").cast("decimal(14,4)")).cast("double") / F.count("*"),
+                4,
+            ).alias("avg_quality"),
             F.round(F.avg("nrm"), 4).alias("avg_norm"),
         )
         .orderBy("label")
@@ -1904,7 +1923,8 @@ oracle(
       FROM embeddings)
     SELECT label,
            count(*) AS n_docs,
-           round(avg(q), 4) AS avg_quality,
+           round(CAST(sum(CAST(q AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4)
+             AS avg_quality,
            round(avg(nrm), 4) AS avg_norm
     FROM dq JOIN en ON dq.doc_id = en.vec_id
     GROUP BY label ORDER BY label

@@ -15,6 +15,14 @@ from etl_instagram_spark.functions.text import hash32_sql
 
 _ORACLE: dict[str, "str | Callable[[], str]"] = {}
 
+# exact-DECIMAL revenue aggregate — the DuckDB mirror of
+# plans.queries._revenue_dec (see its docstring for the tie-class
+# argument); interpolate into any oracle that sums price·(1−disc)
+SQL_REVENUE_DEC = (
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)"
+)
+
 
 def oracle(name: str, sql: "str | Callable[[], str]") -> None:
     """Register oracle SQL for a query — either the string itself or a
@@ -38,15 +46,24 @@ def all_oracle_sql() -> dict[str, str]:
 oracle(
     "q1_pricing_summary",
     """
+    -- money measures in exact DECIMAL (order-independent, bit-equal to
+    -- Spark's decimal sums); see q1_pricing_summary's docstring
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_disc,
+           count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -56,7 +73,8 @@ oracle(
 
 # (q6_forecast_revenue rotated to plans/parity_extras.py in r6)
 SQL_Q6_FORECAST_REVENUE = """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -84,8 +102,9 @@ oracle(
     "events_json_extract",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-           count(*)             AS n,
-           round(avg(value), 4) AS avg_value
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+             AS avg_value
     FROM events
     GROUP BY 1
     ORDER BY 1
@@ -98,7 +117,8 @@ oracle(
     SELECT l_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
            o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -115,7 +135,8 @@ oracle(
     "q5_region_revenue",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -241,9 +262,12 @@ oracle(
 # (conditional_agg_promo_share rotated to plans/parity_extras.py in r6)
 SQL_CONDITIONAL_AGG_PROMO_SHARE = """
     SELECT round(
-             sum(CASE WHEN p_type LIKE 'PROMO%'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)) * 100,
+             CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) * 100,
              4) AS promo_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """

@@ -277,7 +277,8 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            count(*)               AS n_customers,
-           round(avg(c_acctbal), 4) AS avg_acctbal
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+             AS avg_acctbal
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
@@ -295,7 +296,16 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         cu.join(od.select("o_custkey").distinct(), cu.c_custkey == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            # c_acctbal is a 2dp grid column: exact DECIMAL sum so the
+            # 4dp rounding can't sit on a summation-order tie
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_acctbal"),
+        )
         .orderBy("c_mktsegment")
     )
 
@@ -964,10 +974,14 @@ def _customer_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+# the threshold derives from an exact DECIMAL sum (o_totalprice is a 2dp
+# grid column): a float avg's summation-order ulps could otherwise flip
+# the comparison for an order priced exactly at 1.5x the mean
 _SQL_ABOVE_CUST_AVG = """
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
     FROM orders o
-    WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+    WHERE o_totalprice > (SELECT 1.5 * (CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                        / count(*))
                           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
     ORDER BY o_orderkey
     """

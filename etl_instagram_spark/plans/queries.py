@@ -67,6 +67,22 @@ def _epoch_s(c) -> "F.Column":
     return c.cast("timestamp").cast("long")
 
 
+def _revenue_dec() -> "F.Column":
+    """``round(sum(price·(1−disc)), 2)`` in exact DECIMAL, cast to double
+    — the tie-proof revenue aggregate shared by q3/q5 (and mirrored
+    verbatim as SQL_REVENUE_DEC in plans.oracle). price and discount are
+    2dp values, so the product lives on a 1e-4 grid and its EXACT sum can
+    land precisely on a 0.005 rounding boundary; a float sum's
+    partitioning-dependent last ulps then flip the rounded result (the
+    docs_pack_cumsum tie class). The decimal sum is order-independent and
+    bit-equal across engines; both round half-away-from-zero in decimal,
+    and the final double cast of a 2dp value is correctly rounded on both."""
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return F.round(F.sum(price_d * (one - disc_d)), 2).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -76,21 +92,34 @@ def _epoch_s(c) -> "F.Column":
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy groupBy with 8 partial-aggregatable
     measures. Scale: map-side combine collapses 100 TB to |groups|≈6 rows
-    before the shuffle; the date filter pushes into the parquet scan."""
+    before the shuffle; the date filter pushes into the parquet scan.
+
+    The money measures aggregate in exact DECIMAL: the inputs are 2dp
+    values, so the discounted/charged products live on a 1e-4/1e-6 grid
+    and a float sum's order-dependent last ulps can straddle a rounding
+    boundary the exact sum lands on (the docs_pack_cumsum tie class).
+    A decimal sum is order-independent and bit-equal across engines;
+    averages divide the decimal sum (cast once to double) by the count.
+    l_quantity stays double — its values are integral, so even float
+    partial sums are exact at any partitioning."""
     li = _t(spark, sf_dir, "lineitem")
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.col("l_discount").cast("decimal(4,2)")
+    tax_d = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
+            F.sum(price_d).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price_d * (one - disc_d)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price_d * (one - disc_d) * (one + tax_d)), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(price_d).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(F.sum(disc_d).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -110,7 +139,19 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(
+        # price·disc lives on a 1e-4 grid: exact DECIMAL sum (see
+        # _revenue_dec) so the 2dp rounding can't sit on a tie
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
 
 
 @query("events_hypertable_rollup")
@@ -159,7 +200,16 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
         .groupBy((F.col("k") % 10).alias("k_bucket"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # value is a 2dp grid column: avg via the exact DECIMAL sum
+            # so the 4dp rounding can't sit on a summation-order tie
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_value"),
+        )
         .orderBy("k_bucket")
     )
 
@@ -189,7 +239,10 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # exact DECIMAL revenue (see q1's docstring): the top-10 CUTOFF
+        # rides on this value, so order-dependent float ulps could even
+        # change which rows qualify
+        .agg(_revenue_dec().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -219,7 +272,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_revenue_dec().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -425,11 +478,16 @@ def conditional_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     pa = _t(spark, sf_dir, "part")
     joined = li.join(pa, li.l_partkey == pa.p_partkey)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # ratio of exact DECIMAL sums (see _revenue_dec's tie-class note),
+    # cast to double once before the division/round
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    zero = F.lit(0).cast("decimal(24,4)")
     return joined.agg(
         F.round(
-            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)))
-            / F.sum(rev)
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(zero)).cast("double")
+            / F.sum(rev).cast("double")
             * 100,
             4,
         ).alias("promo_share_pct")

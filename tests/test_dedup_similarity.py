@@ -440,6 +440,33 @@ def test_cosine_zero_norm_is_zero_not_nan(spark):
     assert abs(got[1] - 1.0) < 1e-9
 
 
+def test_ivf_cell_vectorized_path_matches_codegen_path(spark, sf_oracle):
+    """The large-quantizer NumPy path must assign the same cells as the
+    unrolled-codegen path (away from exact ties — real data), and must
+    actually RUN at a quantizer size the codegen path cannot compile
+    (janino OOMs past ~4096 unrolled terms — observed at 80 cells × 64
+    dims)."""
+    from etl_instagram_spark.operators.similarity import (
+        _ivf_cell_vectorized,
+        fit_ivf_centroids,
+        ivf_cell,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    cents8 = fit_ivf_centroids(emb, n_clusters=8, seed=42, order_col="vec_id")
+    both = emb.select(
+        "vec_id",
+        ivf_cell("embedding", cents8).alias("unrolled"),
+        _ivf_cell_vectorized("embedding", cents8).alias("vectorized"),
+    ).collect()
+    assert all(r["unrolled"] == r["vectorized"] for r in both)
+    # a quantizer past the unroll limit dispatches to the NumPy path and
+    # completes (100 cells x 64 dims = 6400 terms > _UNROLL_MAX_TERMS)
+    cents100 = fit_ivf_centroids(emb, n_clusters=100, seed=42, order_col="vec_id")
+    cells = emb.select(ivf_cell("embedding", cents100).alias("cell")).collect()
+    assert all(r["cell"] is not None and 0 <= r["cell"] < 100 for r in cells)
+
+
 def test_ivf_cell_assignment_matches_duckdb_mirror(spark, sf_oracle):
     """Per-row pin of the IVF oracle's riskiest step: the DuckDB mirror
     assigns cells via list_distance (sqrt form) while Spark uses the

@@ -1,0 +1,269 @@
+#!/usr/bin/env python
+"""Scale smoke: measure how the superlinear-RISK operators actually grow.
+
+``jaccard_join``, ``knn_self_join``, ``semantic_dedup``, and ``fit_bpe``
+are the operators whose candidate/pair stages could blow up
+quadratically if their pruning failed. This script times each at sf0.1
+and at a deterministic 10x synthetic scale-up and writes the pairs to
+``BENCH_SCALE.json`` so the "scales linearly" docstring claims are a
+measured trend, not an assertion.
+
+Scaling protocol (matters for honesty):
+
+- **documents x10**: copy 0 is the original; copy c>0 prefixes every
+  word with ``c{c}~`` — each copy's shingle vocabulary is DISJOINT from
+  every other copy's, so the within-copy duplicate/near-dup structure
+  replicates the original distribution while no cross-copy pair is a
+  candidate. That is "10x more data that looks like the data"; naive
+  verbatim copies would make every doc a 10-way near-dup and measure a
+  by-construction quadratic blowup of the DATA, not the operator.
+- **embeddings x10**: copy c>0 applies a fixed per-copy sign-flip
+  pattern (a reflection isometry) — pairwise dot products WITHIN a copy
+  are exactly the original's, while cross-copy cosines decorrelate.
+- **index parameters scale with n**, as they would in production: a
+  fixed LSH ``bits`` or IVF ``n_clusters`` makes bucket/cell sizes grow
+  linearly with n and the within-bucket pair stage is then O(n^2) BY
+  CONFIGURATION. The scale path is constant expected bucket size:
+  bits += log2(mult), n_clusters *= mult. (fit_bpe and jaccard_join
+  take no index parameter; their linearity is structural.)
+
+Usage: python tools/scale_smoke.py [--mult 10] [--out BENCH_SCALE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+WORK_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
+
+
+def scaled_documents(spark: SparkSession, mult: int, out_path: str) -> None:
+    base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    copies = []
+    for c in range(mult):
+        cp = base.withColumn("doc_id", F.col("doc_id") + F.lit(c * 10_000_000))
+        if c > 0:
+            # disjoint shingle vocabulary per copy: prefix every word
+            cp = cp.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"c{c}~$1")
+            )
+        copies.append(cp)
+    out = copies[0]
+    for cp in copies[1:]:
+        out = out.unionByName(cp)
+    out.repartition(32).write.mode("overwrite").parquet(out_path)
+
+
+def scaled_embeddings(spark: SparkSession, mult: int, out_path: str) -> None:
+    base = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    copies = []
+    for c in range(mult):
+        cp = base.withColumn("vec_id", F.col("vec_id") + F.lit(c * 10_000_000))
+        if c > 0:
+            # per-copy reflection: flip the sign of a copy-specific set
+            # of dimensions — an isometry, so within-copy geometry is
+            # exactly the original's
+            cp = cp.withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, (x, i) -> "
+                    f"CASE WHEN pmod((i + 1) * {2 * c + 3}, 7) < 3 "
+                    f"THEN -x ELSE x END)"
+                ),
+            )
+        copies.append(cp)
+    out = copies[0]
+    for cp in copies[1:]:
+        out = out.unionByName(cp)
+    out.repartition(32).write.mode("overwrite").parquet(out_path)
+
+
+def timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return round(time.monotonic() - t0, 3)
+
+
+def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
+    """Measure ONE operator in this process (invoked as a subprocess per
+    measurement so each op gets a fresh JVM: no cached-checkpoint debt,
+    no GC pressure from the previous op contaminating the timing — the
+    first in-JVM run of the 10x suite OOMed knn_self_join's broadcast
+    purely on the heap the preceding jaccard run left behind)."""
+    import math
+
+    from etl_instagram_spark.operators.dedup import jaccard_join, semantic_dedup
+    from etl_instagram_spark.operators.similarity import (
+        fit_ivf_centroids,
+        knn_self_join,
+    )
+    from etl_instagram_spark.operators.tokenizer import fit_bpe
+    from etl_instagram_spark.session import get_spark
+
+    spark = get_spark(f"scale-smoke-{op}-x{mult}")
+    # measure the at-scale plans: corpus-sized join sides don't fit a
+    # broadcast at real scale, but at the 10x point they still slip
+    # under the 64MB threshold and the driver-side relation build races
+    # local[32] task memory (observed OOM for knn's bucket join AND
+    # semantic_dedup's within-cell self-join). Explicit F.broadcast
+    # hints (O(1)-row query/bounds/stats frames) ignore the threshold
+    # and keep their plans.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bits = 6 + round(math.log2(mult))
+    n_clusters = 8 * mult
+    if op == "jaccard_join":
+        docs = spark.read.parquet(docs_path).localCheckpoint()
+        res = {
+            "sec": timed(
+                lambda: jaccard_join(docs, "doc_id", "text", threshold=0.8).count()
+            ),
+            "params": {"threshold": 0.8},
+        }
+    elif op == "fit_bpe":
+        docs = spark.read.parquet(docs_path).localCheckpoint()
+        res = {
+            "sec": timed(lambda: fit_bpe(docs, "text", n_merges=32)),
+            "params": {"n_merges": 32},
+        }
+    elif op == "knn_self_join":
+        emb = spark.read.parquet(emb_path).localCheckpoint()
+        res = {
+            "sec": timed(lambda: knn_self_join(emb, k=10, bits=bits).count()),
+            "params": {"k": 10, "bits": bits},
+        }
+    elif op == "semantic_dedup":
+        emb = spark.read.parquet(emb_path).localCheckpoint()
+        cents = fit_ivf_centroids(emb, n_clusters=n_clusters, order_col="vec_id")
+        res = {
+            "sec": timed(
+                lambda: semantic_dedup(
+                    emb, "vec_id", "embedding", cents, threshold=0.95
+                ).count()
+            ),
+            "params": {"n_clusters": n_clusters, "threshold": 0.95},
+        }
+    else:
+        raise SystemExit(f"unknown op {op}")
+    spark.stop()
+    return res
+
+
+OPS = ("jaccard_join", "fit_bpe", "knn_self_join", "semantic_dedup")
+
+
+def run_ops(docs_path: str, emb_path: str, mult: int) -> dict[str, dict]:
+    import subprocess
+
+    # 16g driver for the measured JVMs: at the 10x point the knn bucket
+    # join's build side still falls under the broadcast threshold (it
+    # would exceed it and fall back to a shuffle join at real scale),
+    # and building that relation under local[32] task pressure needs
+    # more headroom than the 8g default
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="16g")
+    out: dict[str, dict] = {}
+    for op in OPS:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--run-op",
+                op,
+                "--docs-path",
+                docs_path,
+                "--emb-path",
+                emb_path,
+                "--mult",
+                str(mult),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env=env,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"{op} x{mult} failed:\n{proc.stderr[-3000:]}")
+        out[op] = json.loads(proc.stdout.strip().splitlines()[-1])
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SCALE.json"))
+    ap.add_argument("--run-op", default=None, help="internal: measure one op and print JSON")
+    ap.add_argument("--docs-path", default=None)
+    ap.add_argument("--emb-path", default=None)
+    args = ap.parse_args()
+
+    if args.run_op:
+        print(json.dumps(run_one_op(args.run_op, args.docs_path, args.emb_path, args.mult)))
+        return 0
+
+    from etl_instagram_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    shutil.rmtree(WORK_DIR, ignore_errors=True)
+    docs_path = f"{WORK_DIR}/documents_x{args.mult}"
+    emb_path = f"{WORK_DIR}/embeddings_x{args.mult}"
+    scaled_documents(spark, args.mult, docs_path)
+    scaled_embeddings(spark, args.mult, emb_path)
+
+    base_docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    base_emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    big_docs = spark.read.parquet(docs_path)
+    big_emb = spark.read.parquet(emb_path)
+    rows = {
+        "documents": {"base": base_docs.count(), "scaled": big_docs.count()},
+        "embeddings": {"base": base_emb.count(), "scaled": big_emb.count()},
+    }
+    spark.stop()  # free the JVM before the measured subprocesses start
+
+    small = run_ops(f"{BASE_SF}/documents.parquet", f"{BASE_SF}/embeddings.parquet", mult=1)
+    big = run_ops(docs_path, emb_path, mult=args.mult)
+
+    report = {
+        "base_sf_dir": BASE_SF,
+        "data_mult": args.mult,
+        "resources": {
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "driver_mem": "16g",
+            "isolation": "one fresh JVM per measurement",
+            "autoBroadcastJoinThreshold": "-1 (at-scale join plans; explicit hints unaffected)",
+        },
+        "rows": rows,
+        "ops": {
+            name: {
+                "base_sec": small[name]["sec"],
+                "scaled_sec": big[name]["sec"],
+                "time_ratio": round(big[name]["sec"] / max(small[name]["sec"], 1e-9), 2),
+                "base_params": small[name]["params"],
+                "scaled_params": big[name]["params"],
+            }
+            for name in small
+        },
+        "note": (
+            "time_ratio ~= data_mult indicates linear scaling; index "
+            "parameters (bits, n_clusters) scale with n to hold expected "
+            "bucket/cell size constant, as they would in production"
+        ),
+    }
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(report["ops"], indent=1, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
