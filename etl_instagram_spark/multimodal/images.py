@@ -78,13 +78,19 @@ def blobs_from_posts(posts: DataFrame, url_col: str = "media_url", content_col: 
 
 def decode_images(blobs: DataFrame, decoder: str = "fake") -> DataFrame:
     """Fill ``meta`` by decoding ``content``. Arrow-batched; the only
-    Python boundary in the multimodal path."""
-    if decoder not in ("fake", "pil"):
-        raise ValueError(f"unknown decoder {decoder!r}; expected 'fake' or 'pil'")
+    Python boundary in the multimodal path.
+
+    ``decoder='png'`` is a REAL decode (multimodal/png.py, pure stdlib:
+    chunk walk → zlib → unfilter) — width/height come from the pixels,
+    not a hash. 'fake' stays the deterministic stub for formats the
+    environment can't decode; 'pil' keeps its honest guard."""
+    if decoder not in ("fake", "pil", "png"):
+        raise ValueError(f"unknown decoder {decoder!r}; expected 'fake', 'png', or 'pil'")
     if decoder == "pil" and not _pil_available():
         raise NotImplementedError(
             "decoder='pil' requires Pillow, which is not installed in this "
-            "environment; use decoder='fake' (deterministic stub) or install PIL"
+            "environment; use decoder='png' (stdlib, PNG-only) or "
+            "decoder='fake' (deterministic stub), or install PIL"
         )
 
     out_schema = ", ".join(
@@ -97,6 +103,20 @@ def decode_images(blobs: DataFrame, decoder: str = "fake") -> DataFrame:
             pdf = pdf.drop(columns=["meta"], errors="ignore")
             if decoder == "fake":
                 pdf["meta"] = pdf["content"].map(_fake_meta)
+            elif decoder == "png":
+                from etl_instagram_spark.multimodal.png import decode_png
+
+                def png_meta(b):
+                    if b is None:
+                        return None
+                    d = decode_png(bytes(b))
+                    return {
+                        "width": d["width"],
+                        "height": d["height"],
+                        "format": "png",
+                    }
+
+                pdf["meta"] = pdf["content"].map(png_meta)
             else:  # decoder == 'pil'
                 from io import BytesIO
 

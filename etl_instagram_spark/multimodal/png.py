@@ -1,0 +1,186 @@
+"""Pure-stdlib PNG codec — a REAL decoder for the multimodal path.
+
+The container has no imaging library (no Pillow), but PNG's baseline
+format needs only ``zlib`` + ``struct``: chunk walk → IDAT inflate →
+per-scanline unfilter (types 0-4, including Paeth). That turns
+``decode_images``'s honest NotImplementedError guard into a working
+``decoder='png'`` for the most common lossless training-data format,
+while JPEG/WebP keep the guard (entropy coding is not a stdlib job).
+
+Reference behavior parity: the reference only ever moves image BYTES
+(fetch → S3 put → Rekognition, labels.js:12-48) and never decodes
+locally — this decoder is part of the engine's training-data extension
+surface, not a port.
+
+Scope (asserted, not silently wrong): 8-bit depth, color types 0
+(gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced. That covers
+what ``encode_png`` and typical dataset thumbnails produce; anything
+else raises with the offending parameter named.
+
+Scale notes: decode runs inside ``mapInPandas`` (one Arrow batch of
+blobs in memory at a time). The unfilter loop is pure Python — correct
+and dependency-free; swap the body for numpy/Pillow per-executor when
+throughput matters, the Spark plumbing does not change.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> dict:
+    """Decode baseline PNG bytes → ``{width, height, channels, pixels}``
+    with ``pixels`` the raw, unfiltered, row-major samples
+    (``width·height·channels`` bytes)."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise TypeError(f"expected bytes, got {type(data).__name__}")
+    data = bytes(data)
+    if not data.startswith(_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_SIG)
+    width = height = None
+    depth = ctype = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth} (only 8)")
+            if ctype not in _CHANNELS:
+                raise ValueError(f"unsupported color type {ctype}")
+            if comp != 0 or filt != 0:
+                raise ValueError("non-standard compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped
+        pos += 12 + length  # length + tag + body + crc
+    if width is None:
+        raise ValueError("missing IHDR")
+    if not seen_iend:
+        raise ValueError("missing IEND")
+    channels = _CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"decompressed size {len(raw)} != expected {height * (stride + 1)}"
+        )
+    out = bytearray(height * stride)
+    prev_start = -1  # row above, in `out`
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        if ftype == 0:  # None
+            out[o : o + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[o + x - channels] if x >= channels else 0
+                out[o + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                up = out[prev_start + x] if y else 0
+                out[o + x] = (line[x] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[o + x - channels] if x >= channels else 0
+                up = out[prev_start + x] if y else 0
+                out[o + x] = (line[x] + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = out[o + x - channels] if x >= channels else 0
+                up = out[prev_start + x] if y else 0
+                ul = out[prev_start + x - channels] if (y and x >= channels) else 0
+                out[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown scanline filter {ftype}")
+        prev_start = o
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": bytes(out),
+    }
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    filter_type: int = 0,
+) -> bytes:
+    """Minimal PNG encoder (8-bit, non-interlaced): the test/fixture
+    face of :func:`decode_png`. ``filter_type`` applies ONE filter to
+    every scanline — real encoders pick per-row, but a fixed type lets
+    tests exercise each unfilter path explicitly."""
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if ctype is None:
+        raise ValueError(f"channels must be 1/2/3/4, got {channels}")
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError(f"pixels length {len(pixels)} != {height}x{stride}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"filter_type must be 0-4, got {filter_type}")
+    raw = bytearray()
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        prev = pixels[(y - 1) * stride : y * stride] if y else bytes(stride)
+        raw.append(filter_type)
+        for x in range(stride):
+            left = row[x - channels] if x >= channels else 0
+            up = prev[x]
+            ul = prev[x - channels] if x >= channels else 0
+            if filter_type == 0:
+                v = row[x]
+            elif filter_type == 1:
+                v = row[x] - left
+            elif filter_type == 2:
+                v = row[x] - up
+            elif filter_type == 3:
+                v = row[x] - (left + up) // 2
+            else:
+                v = row[x] - _paeth(left, up, ul)
+            raw.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
