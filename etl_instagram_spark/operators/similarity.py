@@ -276,19 +276,38 @@ def _ivf_cell_vectorized(vec_col: str, centroids: list[list[float]]) -> Column:
     expression janino can no longer compile. NumPy's dot accumulates in
     a different order than the unrolled expression, so exact-tie
     assignments may differ from the small-k codegen path — which is why
-    oracle-gated queries keep quantizers under the unroll limit."""
+    oracle-gated queries keep quantizers under the unroll limit.
+
+    Malformed rows (NULL vector, ragged length, NULL element) yield a
+    NULL cell — the same NULL propagation the try_element_at expression
+    path produces — instead of np.stack raising, so error behavior does
+    not silently flip when a quantizer crosses the unroll limit
+    (round-7 advisor finding)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
     sc2 = (C * C).sum(axis=1)
+    dim = C.shape[1]
 
     @pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
-        mask = v.notna()
+        # expression-path parity: try_element_at reads only indices
+        # 1..dim, so longer vectors are fine (extra elements ignored);
+        # short/NULL-element vectors NULL-propagate to a NULL cell.
+        # Arrow surfaces SQL NULL elements as NaN here, so NaN ≡ NULL
+        # (a true-NaN embedding scores NaN on the expression path too —
+        # garbage either way, and indistinguishable at this boundary).
+        mask = v.map(
+            lambda x: x is not None
+            and len(x) >= dim
+            and not any(e is None or e != e for e in x[:dim])
+        )
         out = pd.Series([None] * len(v), dtype="Int32")
         if mask.any():
-            m = np.stack([np.asarray(x, dtype=np.float64) for x in v[mask]])
+            m = np.stack(
+                [np.asarray(x[:dim], dtype=np.float64) for x in v[mask]]
+            )
             scores = sc2[None, :] - 2.0 * (m @ C.T)
             out[mask] = np.argmin(scores, axis=1).astype("int32")
         return out
@@ -575,6 +594,75 @@ def pq_codebooks_from_sample(
     ]
 
 
+def _pq_code_vectorized(
+    vec_col: str, codebooks: list[list[list[float]]]
+) -> Column:
+    """PQ encode for LARGE codebooks (k·dim past the unroll limit): one
+    Arrow-batched pandas_udf computing every subspace's argmin with a
+    single (batch, dim/m) × (dim/m, k) matmul per subspace — BLAS
+    arithmetic instead of a generated expression janino can't compile.
+    The codebook tensor (k·dim doubles) ships once per executor in the
+    closure; at scale this stays a scan-local map with no shuffle.
+
+    NULL semantics mirror the expression path element-for-element: a
+    vector whose subspace-j slice is missing, short, or contains a NULL
+    element gets NULL at position j only (the unrolled try_element_at
+    scores NULL-propagate per subspace) — including the all-NULL-element
+    code for a NULL input vector, since SQL's array() constructor never
+    returns a NULL array."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sc2s = [(B * B).sum(axis=1) for B in books]
+    ds = books[0].shape[1]
+    m_sub = len(books)
+
+    dim = ds * m_sub
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        # fast path: batch matmul over the (typical) fully-valid rows;
+        # malformed rows take the per-row NULL-propagating path
+        # NaN ≡ NULL element here: see _ivf_cell_vectorized
+        mask = v.map(
+            lambda x: x is not None
+            and len(x) >= dim
+            and not any(e is None or e != e for e in x[:dim])
+        )
+        out = pd.Series([None] * len(v), dtype="object")
+        if mask.any():
+            m = np.stack(
+                [np.asarray(x[:dim], dtype=np.float64) for x in v[mask]]
+            )
+            codes = np.empty((m.shape[0], m_sub), dtype=np.int32)
+            for j, (B, sc2) in enumerate(zip(books, sc2s)):
+                scores = sc2[None, :] - 2.0 * (m[:, j * ds : (j + 1) * ds] @ B.T)
+                codes[:, j] = np.argmin(scores, axis=1)
+            # index-aligned Series: a bare list-of-lists through a boolean
+            # mask would be coerced as a 2-D block, not row values
+            out[mask] = pd.Series(
+                [c.tolist() for c in codes], index=out.index[mask]
+            )
+
+        def enc_slow(x):
+            code: list = [None] * m_sub
+            for j, (B, sc2) in enumerate(zip(books, sc2s)):
+                sl = x[j * ds : (j + 1) * ds]
+                if len(sl) < ds or any(e is None or e != e for e in sl):
+                    continue
+                q = np.asarray(sl, dtype=np.float64)
+                code[j] = int(np.argmin(sc2 - 2.0 * (B @ q)))
+            return code
+
+        bad = ~mask
+        if bad.any():
+            out[bad] = v[bad].map(lambda x: enc_slow(x if x is not None else []))
+        return out
+
+    return encode(F.col(vec_col))
+
+
 def pq_code(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     """PQ encode: ``array<int>`` of length m — per subspace, the argmin
     squared distance between the vector's slice and that subspace's
@@ -603,8 +691,19 @@ def pq_code(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     bit-identical doubles and the encode agrees by construction.
 
     Written at ingest this is the stored-codes column: downstream ADC
-    scans then read m small ints per row instead of the raw vector."""
+    scans then read m small ints per row instead of the raw vector.
+
+    Like :func:`ivf_cell`, the unrolled expression is bounded by
+    :data:`_UNROLL_MAX_TERMS` total multiply-add terms (m·k·dim/m =
+    k·dim): production-sized PQ (k=256, dim=64 → 16384 terms) would hit
+    the same janino codegen blowup, so past the limit encoding switches
+    to the Arrow-batched NumPy path (:func:`_pq_code_vectorized`) —
+    same argmin per subspace; exact-tie/last-ulp behavior may differ
+    from codegen, which is why oracle-gated queries stay under the
+    limit (round-7 advisor finding)."""
     ds = len(codebooks[0][0])
+    if len(codebooks) * len(codebooks[0]) * ds > _UNROLL_MAX_TERMS:
+        return _pq_code_vectorized(vec_col, codebooks)
 
     def elem(i: int) -> str:
         return f"CAST(try_element_at(`{vec_col}`, {i}) AS DOUBLE)"

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_instagram_spark.functions import text as T
-from etl_instagram_spark.plans.oracle import oracle
+from etl_instagram_spark.plans.oracle import oracle, sql_revenue_dec
 from etl_instagram_spark.plans.queries import query, _t
 
 # ---------------------------------------------------------------------------
@@ -1793,11 +1793,10 @@ oracle(
 # shared-SQL query: the engine's spark.sql surface, one SQL text both sides
 # ---------------------------------------------------------------------------
 
-_SHARED_SQL_BRAND_REVENUE = """
+_SHARED_SQL_BRAND_REVENUE = f"""
     SELECT p.p_brand AS brand,
            count(*) AS n_items,
-           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+           {sql_revenue_dec("l.")}
              AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size <= 20

@@ -15,13 +15,21 @@ from etl_instagram_spark.functions.text import hash32_sql
 
 _ORACLE: dict[str, "str | Callable[[], str]"] = {}
 
-# exact-DECIMAL revenue aggregate — the DuckDB mirror of
-# plans.queries._revenue_dec (see its docstring for the tie-class
-# argument); interpolate into any oracle that sums price·(1−disc)
-SQL_REVENUE_DEC = (
-    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)"
-)
+def sql_revenue_dec(prefix: str = "") -> str:
+    """Exact-DECIMAL revenue aggregate — the DuckDB mirror of
+    plans.queries._revenue_dec (see its docstring for the tie-class
+    argument). ``prefix`` qualifies the columns for aliased-table
+    queries (e.g. ``"l."``). Every oracle that sums price·(1−disc)
+    interpolates THIS text so the expression cannot drift from the
+    Spark twin (round-7 advisor finding: the constant existed but was
+    never interpolated, letting copies diverge silently)."""
+    return (
+        f"CAST(round(sum(CAST({prefix}l_extendedprice AS DECIMAL(18,2))"
+        f" * (1 - CAST({prefix}l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)"
+    )
+
+
+SQL_REVENUE_DEC = sql_revenue_dec()
 
 
 def oracle(name: str, sql: "str | Callable[[], str]") -> None:
@@ -45,14 +53,17 @@ def all_oracle_sql() -> dict[str, str]:
 
 oracle(
     "q1_pricing_summary",
-    """
+    f"""
     -- money measures in exact DECIMAL (order-independent, bit-equal to
-    -- Spark's decimal sums); see q1_pricing_summary's docstring
+    -- Spark's decimal sums); see q1_pricing_summary's docstring.
+    -- sum_base_price carries a free round(...,2) (the value is already
+    -- 2dp) so cross-engine equality never rests on the raw
+    -- hugeint-decimal→double cast being correctly rounded at scale.
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_base_price,
+           {SQL_REVENUE_DEC}
              AS sum_disc_price,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                           * (1 - CAST(l_discount AS DECIMAL(4,2)))
@@ -113,12 +124,11 @@ oracle(
 
 oracle(
     "q3_unshipped_revenue",
-    """
+    f"""
     SELECT l_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
            o_orderpriority,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+           {SQL_REVENUE_DEC} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -133,10 +143,9 @@ oracle(
 
 oracle(
     "q5_region_revenue",
-    """
+    f"""
     SELECT n_name,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+           {SQL_REVENUE_DEC} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey

@@ -112,7 +112,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.sum(price_d).cast("double").alias("sum_base_price"),
+            # free round (value is already 2dp) so parity never rests on
+            # the raw wide-decimal→double cast being correctly rounded
+            F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
             F.round(F.sum(price_d * (one - disc_d)), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum(price_d * (one - disc_d) * (one + tax_d)), 2)
             .cast("double")

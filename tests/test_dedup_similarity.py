@@ -504,6 +504,95 @@ def test_ivf_cell_assignment_matches_duckdb_mirror(spark, sf_oracle):
     assert got == want
 
 
+def test_pq_code_vectorized_path_matches_codegen_path(spark, sf_oracle):
+    """The large-codebook NumPy PQ encode must produce the same codes as
+    the unrolled-codegen path (away from exact ties — real data), and a
+    codebook past the unroll limit (k·dim terms) must dispatch to it and
+    complete — pq_code previously had no guard, so production-sized PQ
+    (k=256, dim=64 → 16384 terms) would hit the janino blowup ivf_cell
+    already defends against (round-7 advisor finding)."""
+    from etl_instagram_spark.operators.similarity import (
+        _UNROLL_MAX_TERMS,
+        _pq_code_vectorized,
+        fit_pq_codebooks,
+        pq_code,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    books = fit_pq_codebooks(emb, m=8, k=16, seed=42, order_col="vec_id")
+    both = emb.select(
+        pq_code("embedding", books).alias("unrolled"),
+        _pq_code_vectorized("embedding", books).alias("vectorized"),
+    ).collect()
+    assert all(r["unrolled"] == r["vectorized"] for r in both)
+    # k=80 on dim=64 → 5120 terms > limit: must route to NumPy and finish
+    big = fit_pq_codebooks(emb, m=8, k=80, seed=42, order_col="vec_id")
+    assert 80 * 64 > _UNROLL_MAX_TERMS
+    codes = emb.select(pq_code("embedding", big).alias("c")).collect()
+    assert all(
+        r["c"] is not None and all(x is not None and 0 <= x < 80 for x in r["c"])
+        for r in codes
+    )
+
+
+def test_vectorized_encode_null_propagation_matches_expressions(spark, sf_oracle):
+    """Malformed vectors must behave identically on both encode paths:
+    the expression path NULL-propagates (NULL vector → NULL; short
+    slice / NULL element → NULL cell, and for PQ a NULL only at the
+    affected subspace) while the NumPy path previously raised on ragged
+    input via np.stack — so error behavior silently flipped when a
+    quantizer crossed the unroll limit (round-7 advisor finding)."""
+    from etl_instagram_spark.operators.similarity import (
+        _ivf_cell_vectorized,
+        _pq_code_vectorized,
+        fit_ivf_centroids,
+        fit_pq_codebooks,
+        ivf_cell,
+        pq_code,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    cents = fit_ivf_centroids(emb, n_clusters=4, seed=42, order_col="vec_id")
+    books = fit_pq_codebooks(emb, m=4, k=4, seed=42, order_col="vec_id")
+    dim = len(cents[0])
+    good = [float(i % 7) / 7.0 for i in range(dim)]
+    rows = [
+        (0, good),                      # valid
+        (1, None),                      # NULL vector
+        (2, good[: dim // 2]),          # ragged: half the dimensions
+        (3, good[:-1] + [None]),        # NULL element in last subspace
+        (4, good + [9.9]),              # longer than dim: extra ignored
+        (5, []),                        # empty
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = (
+        df.select(
+            "vec_id",
+            ivf_cell("embedding", cents).alias("cell_e"),
+            _ivf_cell_vectorized("embedding", cents).alias("cell_v"),
+            pq_code("embedding", books).alias("code_e"),
+            _pq_code_vectorized("embedding", books).alias("code_v"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    for r in got:
+        assert r["cell_e"] == r["cell_v"], r
+        assert r["code_e"] == r["code_v"], r
+    # spot semantics: NULL/ragged-short → NULL cell; NULL PQ input →
+    # all-NULL code array (array() never returns a NULL array); NULL
+    # element hits only its own PQ subspace; longer vector encodes like
+    # the base one
+    by_id = {r["vec_id"]: r for r in got}
+    assert by_id[1]["cell_e"] is None
+    assert by_id[1]["code_e"] == [None] * len(by_id[0]["code_e"])
+    assert by_id[2]["cell_e"] is None
+    assert by_id[3]["code_e"][:-1] == by_id[0]["code_e"][:-1]
+    assert by_id[3]["code_e"][-1] is None
+    assert by_id[4]["cell_e"] == by_id[0]["cell_e"]
+    assert by_id[4]["code_e"] == by_id[0]["code_e"]
+
+
 def test_skewed_dup_clusters_stay_near_uniform_cost(spark):
     """Skew resilience, pinned with wall-clock: the module header claims
     hot duplicate clusters are absorbed (exact_dedup via AQE-coalesced
