@@ -1,0 +1,196 @@
+"""Distributed k-means clustering (Lloyd's) over embedding columns.
+
+The reference engine has no clustering surface (its only grouping
+analytics is the LDA topic kernel, module/instagram/topics.js:5-48);
+this module generalizes that to vector-space clustering for the
+LLM-pipeline surfaces that consume centroids — IVF/IVFADC coarse
+quantizers (operators/similarity.py), SemDeDup cells
+(operators/dedup.py), and corpus bucketing for curriculum/mixture
+construction.
+
+Division of labor with ``similarity.fit_ivf_centroids``: the bounded
+driver-sample fit is the right shape when only rough cluster geometry is
+needed (ANN recall is insensitive to centroid precision — see its
+docstring). THIS module is for when the clusters themselves are the
+deliverable, or the corpus is skewed enough that a 4096-point sample
+misrepresents it: ``refine_centroids`` runs true Lloyd's over ALL rows,
+one scan per iteration, with per-partition partial aggregation
+collapsing each partition to ≤ k rows of (count, dim decimal sums)
+before the shuffle — at 100 TB and 1000 executors each iteration
+shuffles O(partitions · k · dim) small decimals and the driver holds
+O(k · dim) floats, never row data.
+
+Determinism (the repo's tie-class discipline): float summation order is
+partitioning-dependent, so a naive ``avg(element)`` yields different
+last-ulp centroids on different cluster layouts. Instead each element is
+rounded to ``QUANT_DP`` places (per-row expression — bit-identical on
+any engine, the 6-place precedent certified by docs_bm25_topk) and
+summed as DECIMAL(38, QUANT_DP): exact, order-independent, overflow-safe
+past 10^31 rows. The new centroid ``float(exact_sum) / n`` is computed
+in PYTHON on the driver from the exact decimal, so a DuckDB replay that
+produces the same decimal sums reproduces bit-identical centroids —
+certified end-to-end by the ``emb_kmeans_cells`` EXTRAS parity entry
+(plans/parity_extras.py), which re-runs init + every refinement
+iteration with DuckDB doing all the data math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.operators.similarity import (
+    fit_ivf_centroids,
+    ivf_cell,
+    shifted_score_sql,
+)
+
+# per-element quantization for order-independent decimal sums; 6 places
+# is the cross-engine-certified grid (docs_bm25_topk replays 6-place
+# scores value-for-value), and a 1e-6 grid on O(1) embedding values is
+# far below any meaningful centroid movement
+QUANT_DP = 6
+
+
+def _elem(vec_col: str, i: int) -> str:
+    """1-based vector element as Spark SQL text — the same accessor
+    ivf_cell/pq_code unroll, so scores here match theirs bit-for-bit."""
+    return f"CAST(try_element_at(`{vec_col}`, {i}) AS DOUBLE)"
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure column expression (no UDF,
+    no model object; the ``ivf_cell`` codegen/vectorized dispatch).
+    Malformed vectors (NULL, short, NULL element) get a NULL cell."""
+    return df.withColumn(out_col, ivf_cell(vec_col, centroids))
+
+
+def refine_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    n_iter: int = 1,
+    quant_dp: int = QUANT_DP,
+) -> list[list[float]]:
+    """Distributed Lloyd's refinement: ``n_iter`` iterations of
+    assign-all-rows → per-cell mean, each iteration ONE scan.
+
+    Physical shape per iteration: the assignment is a scan-stage
+    expression (``ivf_cell``); the aggregation is ``groupBy(cell)`` over
+    ``count`` plus one exact DECIMAL sum per dimension — map-side
+    partial aggregation collapses every partition to ≤ k rows before
+    the shuffle, so shuffle volume is O(partitions · k · dim) decimals
+    regardless of row count, and only k aggregate rows reach the driver.
+
+    Centroids are a deterministic function of the DATA, not the
+    partitioning: per-row ``round(element, quant_dp)`` is bit-identical
+    everywhere, the decimal sum is exact and order-independent, and the
+    final ``float(exact_sum)/n`` division happens in Python on the
+    driver. Cells that receive no rows keep their previous centroid
+    (the standard empty-cluster fallback). Rows whose vector is NULL or
+    malformed carry a NULL cell and drop out of the update.
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    dim = len(centroids[0])
+    cur = [[float(x) for x in c] for c in centroids]
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(
+            F.round(F.expr(_elem(vec_col, d + 1)), quant_dp).cast(
+                f"decimal(38,{quant_dp})"
+            )
+        ).alias(f"s{d}")
+        for d in range(dim)
+    ]
+    for _ in range(n_iter):
+        rows = (
+            df.select(ivf_cell(vec_col, cur).alias("cell"), vec_col)
+            .where(F.col("cell").isNotNull())
+            .groupBy("cell")
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            if r["n"]:
+                cur[r["cell"]] = [
+                    float(r[f"s{d}"]) / r["n"] for d in range(dim)
+                ]
+    return cur
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    seed: int = 42,
+    n_iter: int = 4,
+    init_points: int = 4096,
+    order_col: str | None = None,
+    quant_dp: int = QUANT_DP,
+) -> list[list[float]]:
+    """Full distributed k-means: seeded k-means++ init on a bounded
+    driver sample (``similarity.fit_ivf_centroids`` — one TakeOrdered
+    job, O(init_points · dim) driver memory) followed by ``n_iter``
+    distributed Lloyd's iterations over the whole table. With
+    ``order_col`` set, the entire fit — init sample and refinement — is
+    a pure function of the data, replayable bit-identically by another
+    engine."""
+    init = fit_ivf_centroids(
+        df,
+        vec_col=vec_col,
+        n_clusters=k,
+        seed=seed,
+        max_fit_points=init_points,
+        order_col=order_col,
+    )
+    return refine_centroids(
+        df, init, vec_col=vec_col, n_iter=n_iter, quant_dp=quant_dp
+    )
+
+
+def kmeans_cost(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    quant_dp: int = QUANT_DP,
+) -> DataFrame:
+    """Per-cell size and within-cluster SSE (the k-means objective) in
+    one scan: ``(cell, n, sse)`` ordered by cell.
+
+    The per-row squared distance to the assigned centroid is
+    ``array_min(scores) + ‖v‖²`` where ``scores`` is the SAME
+    ``shifted_score_sql`` text ``ivf_cell`` ranks by (``‖c‖² − 2·v·c``)
+    — one expression evaluation serves both the argmin and the
+    distance. Rows are rounded to ``quant_dp`` places and summed in
+    exact DECIMAL, so the reported SSE is partitioning-independent and
+    cross-engine reproducible (same discipline as
+    :func:`refine_centroids`); the published column rounds to 4 places.
+    """
+
+    def elem(i: int) -> str:
+        return _elem(vec_col, i)
+
+    dim = len(centroids[0])
+    scores = ", ".join(shifted_score_sql(elem, c) for c in centroids)
+    sumsq = " + ".join(f"{elem(d + 1)} * {elem(d + 1)}" for d in range(dim))
+    sse_row = f"(array_min(array({scores})) + ({sumsq}))"
+    return (
+        df.select(
+            ivf_cell(vec_col, centroids).alias("cell"),
+            F.round(F.expr(sse_row), quant_dp)
+            .cast(f"decimal(38,{quant_dp})")
+            .alias("__sse"),
+        )
+        .where(F.col("cell").isNotNull())
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("__sse"), 4).cast("double").alias("sse"),
+        )
+        .orderBy("cell")
+    )
