@@ -82,6 +82,224 @@ def dup_line_char_fraction(col: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# Gopher Table A1 n-gram repetition thresholds (Rae et al. 2021): a doc
+# fails when too many of its characters sit in the single most frequent
+# n-gram (short n — catches repeated headers/CTAs) or in any duplicated
+# n-gram (long n — catches copy-pasted passages)
+GOPHER_TOP_NGRAM_DEFAULTS: dict[int, float] = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_DEFAULTS: dict[int, float] = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
+def _nonblank_tokens(col: Column) -> Column:
+    # tokens('') is [''] (split of an empty string); the repetition
+    # signals need a genuinely empty array for blank docs
+    return F.filter(tokens(col), lambda t: t != F.lit(""))
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams of an already-tokenized array —
+    positions 1..w−n+1; empty array when the doc has < n words."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _token_chars(toks: Column) -> Column:
+    return F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+
+
+def _let(val: Column, body) -> Column:
+    """Let-binding for column expressions: materialize ``val`` ONCE per
+    row and hand it to ``body`` as a lambda variable. Spark has no SQL
+    let, and interpreted higher-order functions re-evaluate a captured
+    expression SUBTREE at every reference — an n-gram array referenced
+    inside a per-position lambda would be rebuilt (split + slice + sort)
+    for every position, turning a linear signal quadratic (measured:
+    the un-bound dup_ngram_char_fraction did not finish 200 real docs;
+    the bound version does them in seconds). ``transform`` over a
+    1-element array is the standard workaround: the lambda variable is
+    a plain attribute read wherever the body references it."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def top_ngram_char_fraction(col: Column, n: int) -> Column:
+    """Gopher repetition signal: the fraction of a document's WORD
+    characters (spaces excluded) contained in occurrences of its single
+    most frequent word ``n``-gram. 0.0 for docs with < n words.
+
+    Pure per-row expressions, no shuffle: the n-gram array is sorted and
+    the longest equal-run found with one ``aggregate`` fold (O(w log w)
+    per row); ties break to the lexicographically smallest n-gram (the
+    first maximal run in sorted order), so the signal is a deterministic
+    function of the text. Everything is scan-local — the signal costs
+    zero shuffle bytes at any corpus size."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+
+    def with_toks(toks):
+        def with_ng(ng):
+            init = F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+                F.lit("").alias("arg"),
+            )
+
+            def step(acc, x):
+                run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                )
+                better = run > acc["best"]
+                return F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.when(better, run).otherwise(acc["best"]).alias("best"),
+                    F.when(better, x).otherwise(acc["arg"]).alias("arg"),
+                )
+
+            top = F.aggregate(ng, init, step)
+            total = _token_chars(toks)
+            # chars of the winning n-gram minus its n-1 joining spaces
+            top_chars = top["best"] * (F.length(top["arg"]) - (n - 1))
+            return F.when(
+                (total > 0) & (F.size(ng) > 0),
+                top_chars.cast("double") / total,
+            ).otherwise(F.lit(0.0))
+
+        return _let(F.array_sort(_word_ngrams(toks, n)), with_ng)
+
+    return _let(_nonblank_tokens(F.coalesce(col, F.lit(""))), with_toks)
+
+
+def dup_ngram_char_fraction(col: Column, n: int) -> Column:
+    """Gopher repetition signal: the fraction of a document's WORD
+    characters lying inside at least one occurrence of a DUPLICATED
+    word ``n``-gram (one appearing ≥ 2 times in the doc) — overlap
+    counted once, per the paper's span-coverage semantics. 0.0 for docs
+    with < n words.
+
+    Per-row expression pipeline, no shuffle, every intermediate bound
+    once via :func:`_let`: sort the n-gram array and take values equal
+    to their sorted predecessor (the duplicate set, O(w log w) — never
+    the O(w²) all-pairs count); flag each window by membership
+    (O(m·|dup set|)); then a word position i is covered iff some window
+    j ∈ [i−n+1, i] is flagged (O(w·n) attribute reads). The word-count
+    cap rule (max_words, applied in the same scan) bounds w."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+
+    def with_toks(toks):
+        def with_ng(ng):
+            w = F.size(toks)
+            m = F.size(ng)  # number of n-gram windows = w - n + 1
+
+            def dup_set(s):
+                # m >= 2 guard: sequence(2, m) must ascend and
+                # element_at stay in-bounds (ANSI errors otherwise)
+                return F.when(
+                    m >= 2,
+                    F.array_distinct(
+                        F.filter(
+                            F.transform(
+                                F.sequence(F.lit(2), m),
+                                lambda i: F.when(
+                                    F.element_at(s, i)
+                                    == F.element_at(s, i - 1),
+                                    F.element_at(s, i),
+                                ),
+                            ),
+                            lambda x: x.isNotNull(),
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+
+            def with_flags(flags):
+                def covered(i):
+                    return F.exists(
+                        F.sequence(
+                            F.greatest(F.lit(1), i - (n - 1)), F.least(i, m)
+                        ),
+                        lambda j: F.element_at(flags, j),
+                    )
+
+                # taken only when some flag is set ⟹ m >= 2 ⟹ w > n,
+                # so inner sequences ascend and element_at is in-bounds
+                covered_chars = F.aggregate(
+                    F.filter(F.sequence(F.lit(1), w), covered),
+                    F.lit(0).cast("long"),
+                    lambda a, i: a + F.length(F.element_at(toks, i)),
+                )
+                total = _token_chars(toks)
+                return F.when(
+                    (total > 0) & F.array_contains(flags, F.lit(True)),
+                    covered_chars.cast("double") / total,
+                ).otherwise(F.lit(0.0))
+
+            def with_dups(dups):
+                return _let(
+                    F.transform(ng, lambda g: F.array_contains(dups, g)),
+                    with_flags,
+                )
+
+            return _let(_let(F.array_sort(ng), dup_set), with_dups)
+
+        return _let(_word_ngrams(toks, n), with_ng)
+
+    return _let(_nonblank_tokens(F.coalesce(col, F.lit(""))), with_toks)
+
+
+def gopher_ngram_flags(
+    col: Column,
+    top_fracs: dict[int, float] | None = None,
+    dup_fracs: dict[int, float] | None = None,
+) -> dict[str, Column]:
+    """The nine Gopher n-gram repetition rules as named violation
+    booleans (True = FAIL), thresholds defaulting to the paper's Table
+    A1 (:data:`GOPHER_TOP_NGRAM_DEFAULTS` /
+    :data:`GOPHER_DUP_NGRAM_DEFAULTS`). Kept separate from
+    :func:`gopher_flags` so the frozen default-rule oracle
+    (docs_gopher_filter) is unchanged; compose via
+    :func:`gopher_ngram_filter` or AND the flags yourself."""
+    top_fracs = GOPHER_TOP_NGRAM_DEFAULTS if top_fracs is None else top_fracs
+    dup_fracs = GOPHER_DUP_NGRAM_DEFAULTS if dup_fracs is None else dup_fracs
+    out: dict[str, Column] = {}
+    for n, cap in sorted(top_fracs.items()):
+        out[f"top_{n}gram_chars"] = top_ngram_char_fraction(col, n) > cap
+    for n, cap in sorted(dup_fracs.items()):
+        out[f"dup_{n}gram_chars"] = dup_ngram_char_fraction(col, n) > cap
+    return out
+
+
+def gopher_ngram_filter(
+    df: DataFrame,
+    text_col: str,
+    flag_prefix: str = "fail_",
+    pass_col: str = "gopher_ngram_pass",
+    top_fracs: dict[int, float] | None = None,
+    dup_fracs: dict[int, float] | None = None,
+) -> DataFrame:
+    """Annotate ``df`` with the n-gram repetition violation flags and an
+    all-rules ``pass_col`` — same keep-the-evidence convention as
+    :func:`gopher_filter` (filtering is the caller's move so rejects can
+    route to an audit sink). Composes with the base rule set:
+    ``gopher_filter(...)`` then this, then
+    ``F.col("gopher_pass") & F.col("gopher_ngram_pass")``."""
+    flags = gopher_ngram_flags(F.col(text_col), top_fracs, dup_fracs)
+    ok = F.lit(True)
+    named = {}
+    for rule, bad in flags.items():
+        named[f"{flag_prefix}{rule}"] = bad
+        ok = ok & ~bad
+    named[pass_col] = ok
+    return df.withColumns(named)
+
+
 def boilerplate_lines(
     df: DataFrame,
     id_col: str,

@@ -652,3 +652,121 @@ def test_bigram_perplexity_filter_keeps_fluent_head(spark):
         for r in L.perplexity_filter_bigram(df, blm, max_bits=cut).collect()
     )
     assert kept == [0, 1]  # gibberish and the wordless doc are dropped
+
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition signals
+# ---------------------------------------------------------------------------
+
+
+def _ref_ngram_fractions(text, n):
+    """Python reference for top/dup n-gram char fractions — the same
+    semantics the column expressions claim (word chars only; top ties to
+    the lexicographically smallest; dup = span coverage, overlap once)."""
+    toks = (text or "").lower().split()
+    total = sum(len(t) for t in toks)
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams or total == 0:
+        return 0.0, 0.0
+    counts = {}
+    for g in grams:
+        counts[g] = counts.get(g, 0) + 1
+    best = max(counts.values())
+    arg = min(g for g, c in counts.items() if c == best)
+    top = best * (len(arg) - (n - 1)) / total
+    dups = {g for g, c in counts.items() if c >= 2}
+    covered = set()
+    for j, g in enumerate(grams):
+        if g in dups:
+            covered.update(range(j, j + n))
+    dup = (
+        sum(len(toks[i]) for i in covered) / total if dups else 0.0
+    )
+    return top, dup
+
+
+def test_ngram_fractions_hand_computed(spark):
+    from etl_instagram_spark.operators.cleanup import (
+        dup_ngram_char_fraction,
+        top_ngram_char_fraction,
+    )
+
+    rows = [
+        (0, "a b a b a b"),          # top-2 "a b" x3 covers all chars
+        (1, "one two three four"),   # no repetition
+        (2, None),                   # NULL
+        (3, "   "),                  # blank
+        (4, "tiny"),                 # fewer than n words
+        (5, "x y z x y w x y"),      # partial coverage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["top"], r["dup"])
+        for r in df.select(
+            "doc_id",
+            top_ngram_char_fraction(F.col("text"), 2).alias("top"),
+            dup_ngram_char_fraction(F.col("text"), 2).alias("dup"),
+        ).collect()
+    }
+    assert got[0] == (1.0, 1.0)
+    # top bigram of doc 1 ties at count 1 -> lexicographically smallest
+    # is "four three"... sorted order; chars = len("fourthree")=9 over 15
+    exp_top, exp_dup = _ref_ngram_fractions(rows[1][1], 2)
+    assert abs(got[1][0] - exp_top) < 1e-12 and got[1][1] == exp_dup == 0.0
+    assert got[2] == (0.0, 0.0) and got[3] == (0.0, 0.0) and got[4] == (0.0, 0.0)
+    exp5 = _ref_ngram_fractions(rows[5][1], 2)
+    assert abs(got[5][0] - exp5[0]) < 1e-12 and abs(got[5][1] - exp5[1]) < 1e-12
+
+
+def test_ngram_fractions_match_python_reference_on_real_docs(spark, sf_smoke):
+    from etl_instagram_spark.operators.cleanup import (
+        dup_ngram_char_fraction,
+        top_ngram_char_fraction,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(200)
+    for n in (2, 3, 5, 10):
+        got = docs.select(
+            "doc_id",
+            "text",
+            top_ngram_char_fraction(F.col("text"), n).alias("top"),
+            dup_ngram_char_fraction(F.col("text"), n).alias("dup"),
+        ).collect()
+        assert len(got) > 0
+        for r in got:
+            exp_top, exp_dup = _ref_ngram_fractions(r["text"], n)
+            assert abs(r["top"] - exp_top) < 1e-12, (n, r["doc_id"])
+            assert abs(r["dup"] - exp_dup) < 1e-12, (n, r["doc_id"])
+
+
+def test_gopher_ngram_filter_flags_spam_and_passes_prose(spark):
+    from etl_instagram_spark.operators.cleanup import gopher_ngram_filter
+
+    spam = "buy now " * 40                       # top-2gram ~ everything
+    passage = "this exact sentence repeats here and " * 3 + "then stops"
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "distinct words follow in a natural flowing order without any "
+        "meaningful repetition of longer phrases at all"
+    )
+    df = spark.createDataFrame(
+        [(0, spam), (1, passage), (2, prose)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_ngram_filter(df, "text").collect()}
+    assert out[0]["fail_top_2gram_chars"] and not out[0]["gopher_ngram_pass"]
+    assert out[1]["fail_dup_5gram_chars"] and not out[1]["gopher_ngram_pass"]
+    assert out[2]["gopher_ngram_pass"], {
+        k: v for k, v in out[2].items() if k.startswith("fail_") and v
+    }
+
+
+def test_ngram_fraction_rejects_bad_n(spark):
+    from etl_instagram_spark.operators.cleanup import (
+        dup_ngram_char_fraction,
+        top_ngram_char_fraction,
+    )
+
+    with pytest.raises(ValueError):
+        top_ngram_char_fraction(F.lit("a"), 1)
+    with pytest.raises(ValueError):
+        dup_ngram_char_fraction(F.lit("a"), 0)
