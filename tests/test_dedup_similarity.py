@@ -234,6 +234,71 @@ def test_dedup_components_raises_when_unconverged(spark):
     assert set(comp.values()) == {1}
 
 
+def test_alternating_cc_matches_min_label_on_random_graphs(spark):
+    """dedup_components_alternating must produce the exact labels of the
+    min-label kernel (and of a union-find reference) on seeded random
+    graphs — same contract, different round complexity."""
+    import random
+
+    rng = random.Random(8)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 60))
+        ]
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        # union-find reference
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a2, b2 in edges:
+            if a2 != b2:
+                parent[find(a2)] = find(b2)
+        for a2, b2 in edges:  # self-paired nodes are singletons
+            parent.setdefault(a2, a2), parent.setdefault(b2, b2)
+        want = {
+            x: min(y for y in parent if find(y) == find(x)) for x in parent
+        }
+        got = {
+            r["id"]: r["component"]
+            for r in D.dedup_components_alternating(pairs).collect()
+        }
+        assert got == want, f"trial {trial}"
+        if want:  # min-label agrees (skip if graph was all self-loops)
+            ml = {
+                r["id"]: r["component"]
+                for r in D.dedup_components(pairs, max_iter=50).collect()
+            }
+            assert got == ml, f"trial {trial} vs min-label"
+
+
+def test_alternating_cc_collapses_long_chain_in_log_rounds(spark):
+    """The scale claim: a 64-node path needs ~diameter rounds of
+    min-label propagation but must collapse within a logarithmic round
+    budget under star contraction (max_iter=12 ≪ 63 hops)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in D.dedup_components_alternating(chain, max_iter=12).collect()
+    }
+    assert set(comp.values()) == {1} and len(comp) == 64
+    # a node seen only in self-pairs is its own singleton component
+    selfs = spark.createDataFrame([(5, 5)], "id_a long, id_b long")
+    out = D.dedup_components_alternating(selfs)
+    assert [(r["id"], r["component"]) for r in out.collect()] == [(5, 5)]
+
+
 def test_duplicate_clusters_end_to_end(spark):
     rows = [
         (1, BASE),
