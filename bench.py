@@ -211,6 +211,28 @@ def ann_query_tick_seconds(spark, n_queries: int = 10) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def kmeans_refine_tick_seconds(spark, k: int = 80, n_iter: int = 2) -> float:
+    """Distributed-clustering throughput: ``n_iter`` full-data Lloyd's
+    refinement iterations plus one cost profile over the sf-dir
+    embeddings (operators/clustering.py) — each iteration one scan with
+    map-side-combined per-cell decimal sums, the production path for
+    fitting quantizers when a driver sample isn't representative. The
+    seeded sample init is untimed (it is the same bounded fit the ANN
+    ticks pay)."""
+    from etl_instagram_spark.operators.clustering import (
+        kmeans_cost,
+        refine_centroids,
+    )
+    from etl_instagram_spark.operators.similarity import fit_ivf_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = fit_ivf_centroids(emb, n_clusters=k, seed=42, order_col="vec_id")
+    t0 = time.perf_counter()
+    cur = refine_centroids(emb, cents, n_iter=n_iter)
+    kmeans_cost(emb, cur).collect()
+    return time.perf_counter() - t0
+
+
 def stream_dedup_tick_seconds(
     spark, n_history: int = 20_000, n_batch: int = 20_000, dup_pct: int = 30
 ) -> float:
@@ -399,6 +421,7 @@ def main() -> int:
         ("stream_dedup_tick", stream_dedup_tick_seconds),
         ("stream_hh_tick", stream_hh_tick_seconds),
         ("ann_query_tick", ann_query_tick_seconds),
+        ("kmeans_refine_tick", kmeans_refine_tick_seconds),
     ):
         samples = []
         try:

@@ -36,10 +36,12 @@ iteration with DuckDB doing all the data math.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_instagram_spark.operators.similarity import (
+    _UNROLL_MAX_TERMS,
     fit_ivf_centroids,
     ivf_cell,
     shifted_score_sql,
@@ -170,21 +172,37 @@ def kmeans_cost(
     exact DECIMAL, so the reported SSE is partitioning-independent and
     cross-engine reproducible (same discipline as
     :func:`refine_centroids`); the published column rounds to 4 places.
-    """
 
-    def elem(i: int) -> str:
-        return _elem(vec_col, i)
-
+    Past :data:`similarity._UNROLL_MAX_TERMS` total multiply-adds
+    (k·dim) the unrolled text would blow up janino like the encode
+    paths, so large quantizers switch to one Arrow-batched NumPy
+    pass computing (cell, rounded sse) per row — same decimal
+    aggregation on top; summation order and rounding mode (NumPy
+    half-even vs SQL HALF_UP) may differ from codegen at exact ties,
+    which is why the cross-engine-certified parity entry stays under
+    the limit."""
     dim = len(centroids[0])
-    scores = ", ".join(shifted_score_sql(elem, c) for c in centroids)
-    sumsq = " + ".join(f"{elem(d + 1)} * {elem(d + 1)}" for d in range(dim))
-    sse_row = f"(array_min(array({scores})) + ({sumsq}))"
-    return (
-        df.select(
+    if len(centroids) * dim > _UNROLL_MAX_TERMS:
+        assigned = _cell_sse_vectorized(vec_col, centroids, quant_dp)
+    else:
+
+        def elem(i: int) -> str:
+            return _elem(vec_col, i)
+
+        scores = ", ".join(shifted_score_sql(elem, c) for c in centroids)
+        sumsq = " + ".join(
+            f"{elem(d + 1)} * {elem(d + 1)}" for d in range(dim)
+        )
+        sse_row = f"(array_min(array({scores})) + ({sumsq}))"
+        assigned = F.struct(
             ivf_cell(vec_col, centroids).alias("cell"),
-            F.round(F.expr(sse_row), quant_dp)
-            .cast(f"decimal(38,{quant_dp})")
-            .alias("__sse"),
+            F.round(F.expr(sse_row), quant_dp).alias("sse"),
+        )
+    return (
+        df.select(assigned.alias("__a"))
+        .select(
+            F.col("__a.cell").alias("cell"),
+            F.col("__a.sse").cast(f"decimal(38,{quant_dp})").alias("__sse"),
         )
         .where(F.col("cell").isNotNull())
         .groupBy("cell")
@@ -194,3 +212,45 @@ def kmeans_cost(
         )
         .orderBy("cell")
     )
+
+
+def _cell_sse_vectorized(
+    vec_col: str, centroids: list[list[float]], quant_dp: int
+) -> Column:
+    """(cell, rounded sse) for LARGE quantizers: one NumPy matmul per
+    Arrow batch (see similarity._ivf_cell_vectorized for the dispatch
+    rationale and the NaN≡NULL boundary convention). Malformed rows get
+    a NULL cell and drop out of the aggregate upstream."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    sc2 = (C * C).sum(axis=1)
+    dim = C.shape[1]
+
+    @pandas_udf("cell int, sse double")
+    def score(v: pd.Series) -> pd.DataFrame:
+        mask = v.map(
+            lambda x: x is not None
+            and len(x) >= dim
+            and not any(e is None or e != e for e in x[:dim])
+        )
+        out = pd.DataFrame(
+            {
+                "cell": pd.Series([None] * len(v), dtype="Int32"),
+                "sse": pd.Series([None] * len(v), dtype="float64"),
+            }
+        )
+        if mask.any():
+            m = np.stack(
+                [np.asarray(x[:dim], dtype=np.float64) for x in v[mask]]
+            )
+            scores = sc2[None, :] - 2.0 * (m @ C.T)
+            out.loc[mask.values, "cell"] = np.argmin(scores, axis=1).astype(
+                "int32"
+            )
+            sse = scores.min(axis=1) + (m * m).sum(axis=1)
+            out.loc[mask.values, "sse"] = np.round(sse, quant_dp)
+        return out
+
+    return score(F.col(vec_col))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
 from etl_instagram_spark.operators.clustering import (
     assign_cells,
     kmeans_cost,
@@ -129,3 +130,38 @@ def test_kmeans_fit_beats_init_only(spark, sf_smoke):
 def test_refine_rejects_negative_iterations(spark):
     with pytest.raises(ValueError):
         refine_centroids(_toy(spark), [[0.0, 0.0]], n_iter=-1)
+
+
+def test_kmeans_cost_vectorized_path_matches_codegen(spark, sf_smoke):
+    """Past the unroll limit kmeans_cost must dispatch to the NumPy path
+    and (away from exact ties — real data) report the same per-cell
+    profile the codegen path computes for the same centroids."""
+    from etl_instagram_spark.operators.clustering import (
+        _cell_sse_vectorized,
+        kmeans_cost,
+    )
+    from etl_instagram_spark.operators.similarity import (
+        _UNROLL_MAX_TERMS,
+        fit_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    small = fit_ivf_centroids(emb, n_clusters=8, seed=7, order_col="vec_id")
+    codegen = kmeans_cost(emb, small).collect()
+    vec = (
+        emb.select(_cell_sse_vectorized("embedding", small, 6).alias("a"))
+        .select("a.cell", "a.sse")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .orderBy("cell")
+        .collect()
+    )
+    assert [(r["cell"], r["n"]) for r in codegen] == [
+        (r["cell"], r["n"]) for r in vec
+    ]
+    # a quantizer past the limit must dispatch and finish
+    big = fit_ivf_centroids(emb, n_clusters=80, seed=7, order_col="vec_id")
+    assert 80 * len(big[0]) > _UNROLL_MAX_TERMS
+    rows = kmeans_cost(emb, big).collect()
+    assert sum(r["n"] for r in rows) == emb.where("embedding is not null").count()
+    assert all(r["sse"] >= 0.0 for r in rows)
