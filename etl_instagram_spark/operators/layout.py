@@ -222,3 +222,82 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API — works
+    on any FS the cluster can reach (local, HDFS, object stores), not
+    just the driver's local disk."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    return int(fs.getContentSummary(p).getLength())
+
+
+def write_sized_shards(
+    df: DataFrame,
+    path: str,
+    target_mb: float = 256.0,
+    order_col: str | None = None,
+    salt: str = "shuffle",
+    pilot_rows: int = 5_000,
+) -> int:
+    """Write ``df`` as parquet shards sized to ``target_mb`` each — the
+    release/shard-prep writer for a training corpus, where downstream
+    loaders want uniform ~N-MB files, not whatever task count the last
+    shuffle happened to have.
+
+    Measure, don't guess: a PILOT of ``pilot_rows`` rows is written
+    first and its actual on-disk bytes (post-encoding, post-compression
+    — the only honest estimator for text/binary columns) calibrate
+    bytes-per-row; the shard count is then ``ceil(total_rows ·
+    bytes_per_row / target)``. Costs one bounded pilot write + one
+    count + the final shuffled write — release-time amortized, like
+    bucketing/Z-ordering.
+
+    With ``order_col`` set, rows are laid out in
+    ``sampling.shuffle_key`` order (range-partitioned on the hashed
+    key): every shard is a deterministic pseudo-random slice of the
+    corpus and the global training order is reproducible with NO
+    single-task sort bottleneck. Without it, a plain round-robin
+    repartition balances bytes but fixes no order. Returns the shard
+    count."""
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be > 0, got {target_mb}")
+    spark = df.sparkSession
+    total = df.count()
+    if total == 0:
+        df.write.mode("overwrite").parquet(path)
+        return 1
+    n_pilot = min(pilot_rows, total)
+    pilot_path = path.rstrip("/") + "__pilot"
+    pilot = df.limit(n_pilot) if order_col is None else (
+        df.orderBy(order_col).limit(n_pilot)
+    )
+    pilot.write.mode("overwrite").parquet(pilot_path)
+    try:
+        bytes_per_row = _dir_bytes(spark, pilot_path) / n_pilot
+    finally:
+        try:  # best-effort cleanup through the same FS abstraction
+            jvm = spark.sparkContext._jvm
+            conf = spark.sparkContext._jsc.hadoopConfiguration()
+            p = jvm.org.apache.hadoop.fs.Path(pilot_path)
+            p.getFileSystem(conf).delete(p, True)
+        except Exception:  # noqa: BLE001 — stray pilot dir is harmless
+            pass
+    n_files = max(1, -(-int(total * bytes_per_row) // int(target_mb * 1024 * 1024)))
+    if order_col is not None:
+        from etl_instagram_spark.operators.sampling import shuffle_key
+
+        key = shuffle_key(F.col(order_col), salt)
+        out = (
+            df.withColumn("__sk", key)
+            .repartitionByRange(n_files, "__sk")
+            .sortWithinPartitions("__sk")
+            .drop("__sk")
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(path)
+    return n_files

@@ -219,3 +219,65 @@ def test_write_zordered_three_columns(spark, tmp_path):
     for c, h in hits.items():
         assert h < 16, (c, h)
     assert sum(hits.values()) <= 36  # and prune meaningfully overall
+
+
+def test_write_sized_shards_hits_target_and_preserves_rows(spark, tmp_path, sf_smoke):
+    import glob
+    import os
+
+    from etl_instagram_spark.operators.layout import write_sized_shards
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    total = docs.count()
+    out = str(tmp_path / "shards")
+    n = write_sized_shards(docs, out, target_mb=0.05, pilot_rows=100)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n > 1
+    # each shard within a generous factor of target (pilot calibration
+    # + parquet per-file overhead make exact equality impossible)
+    tgt = 0.05 * 1024 * 1024
+    for f in files:
+        assert os.path.getsize(f) < 4 * tgt, (f, os.path.getsize(f))
+    back = spark.read.parquet(out)
+    assert back.count() == total
+    assert sorted(back.columns) == sorted(docs.columns)
+    # a huge target collapses to one shard
+    out1 = str(tmp_path / "one")
+    assert write_sized_shards(docs, out1, target_mb=1024, pilot_rows=100) == 1
+    assert len(glob.glob(f"{out1}/part-*.parquet")) == 1
+
+
+def test_write_sized_shards_deterministic_shuffle_order(spark, tmp_path, sf_smoke):
+    """With order_col set, shard contents are a pure function of the
+    data (shuffle_key order), not of the input partitioning."""
+    import glob
+
+    from etl_instagram_spark.operators.layout import write_sized_shards
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def shard_sets(out):
+        return sorted(
+            tuple(sorted(r["doc_id"] for r in spark.read.parquet(f).collect()))
+            for f in glob.glob(f"{out}/part-*.parquet")
+        )
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_sized_shards(docs.repartition(1), a, target_mb=0.05, order_col="doc_id")
+    write_sized_shards(docs.repartition(13), b, target_mb=0.05, order_col="doc_id")
+    assert shard_sets(a) == shard_sets(b)
+
+
+def test_write_sized_shards_edge_cases(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_instagram_spark.operators.layout import write_sized_shards
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert write_sized_shards(empty, str(tmp_path / "e"), target_mb=1) == 1
+    assert spark.read.parquet(str(tmp_path / "e")).count() == 0
+    with _pytest.raises(ValueError):
+        write_sized_shards(empty, str(tmp_path / "x"), target_mb=0)
