@@ -704,10 +704,21 @@ def flag_contaminated(
     text_col: str,
     bench_text_col: str | None = None,
     n: int = 13,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Flag corpus docs sharing any word ``n``-gram with a benchmark/eval
     set (the standard 13-gram decontamination rule from public LLM
     training reports). Adds ``contaminated`` and ``n_hit_shingles``.
+
+    ``bloom_fpp`` (e.g. 0.001) inserts a scan-stage Bloom pre-filter
+    built from the benchmark shingle keys (functions/bloom.py): corpus
+    shingles that cannot be benchmark hits — virtually all of them —
+    are discarded inside the scan, before the aggregate/join shuffle
+    ever sees them. Results are IDENTICAL (a Bloom filter has no false
+    negatives; false positives merely survive to the exact join, which
+    drops them as before) — pinned by a test. At 100 TB this is the
+    difference between shuffling every document's shingle set and
+    shuffling ~fpp of it.
 
     Benchmark items SHORTER than ``n`` tokens (an eval question of, say,
     5 words under the 13-gram rule) are matched at their own full length
@@ -773,6 +784,29 @@ def flag_contaminated(
         F.col(id_col).alias("__doc"),
         F.explode(F.array_distinct(doc_shingles)).alias("__s"),
     ).select("__doc", F.md5("__s").alias("__k"))
+    if bloom_fpp is not None:
+        from etl_instagram_spark.functions.bloom import (
+            bloom_frame,
+            bloom_parameters,
+            build_bloom,
+            might_contain,
+        )
+
+        n_bench = bench_keys.count()  # bounded: eval sets are small
+        if n_bench:
+            m_bits, k_probes = bloom_parameters(n_bench, bloom_fpp)
+            words = build_bloom(bench_keys, "__k", m_bits, k_probes)
+            doc_keys = (
+                doc_keys.crossJoin(
+                    F.broadcast(bloom_frame(docs.sparkSession, words))
+                )
+                .where(
+                    might_contain(
+                        F.col("__k"), F.col("__bloom"), m_bits, k_probes
+                    )
+                )
+                .drop("__bloom")
+            )
     hits = (
         doc_keys.join(bench_keys, "__k")
         .groupBy("__doc")

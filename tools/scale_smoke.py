@@ -153,16 +153,29 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             ),
             "params": {"n_clusters": n_clusters, "threshold": 0.95},
         }
+    elif op == "kmeans_refine":
+        # constant k: one distributed Lloyd's iteration is O(n·k·dim),
+        # so at fixed k the honest expectation is time ∝ n (clustering
+        # as deliverable; ANN quantizers that grow k with n are covered
+        # by the semantic_dedup/knn rows' constant-cell-size protocol)
+        from etl_instagram_spark.operators.clustering import refine_centroids
+
+        emb = spark.read.parquet(emb_path).localCheckpoint()
+        cents = fit_ivf_centroids(emb, n_clusters=16, order_col="vec_id")
+        res = {
+            "sec": timed(lambda: refine_centroids(emb, cents, n_iter=1)),
+            "params": {"k": 16, "n_iter": 1},
+        }
     else:
         raise SystemExit(f"unknown op {op}")
     spark.stop()
     return res
 
 
-OPS = ("jaccard_join", "fit_bpe", "knn_self_join", "semantic_dedup")
+OPS = ("jaccard_join", "fit_bpe", "knn_self_join", "semantic_dedup", "kmeans_refine")
 
 
-def run_ops(docs_path: str, emb_path: str, mult: int) -> dict[str, dict]:
+def run_ops(docs_path: str, emb_path: str, mult: int, ops=OPS) -> dict[str, dict]:
     import subprocess
 
     # 16g driver for the measured JVMs: at the 10x point the knn bucket
@@ -172,7 +185,7 @@ def run_ops(docs_path: str, emb_path: str, mult: int) -> dict[str, dict]:
     # more headroom than the 8g default
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="16g")
     out: dict[str, dict] = {}
-    for op in OPS:
+    for op in ops:
         proc = subprocess.run(
             [
                 sys.executable,
@@ -204,6 +217,7 @@ def main() -> int:
     ap.add_argument("--run-op", default=None, help="internal: measure one op and print JSON")
     ap.add_argument("--docs-path", default=None)
     ap.add_argument("--emb-path", default=None)
+    ap.add_argument("--ops", default=None, help="comma list of ops (default: all); with an existing --out, results merge in")
     args = ap.parse_args()
 
     if args.run_op:
@@ -229,8 +243,9 @@ def main() -> int:
     }
     spark.stop()  # free the JVM before the measured subprocesses start
 
-    small = run_ops(f"{BASE_SF}/documents.parquet", f"{BASE_SF}/embeddings.parquet", mult=1)
-    big = run_ops(docs_path, emb_path, mult=args.mult)
+    ops = tuple(args.ops.split(",")) if args.ops else OPS
+    small = run_ops(f"{BASE_SF}/documents.parquet", f"{BASE_SF}/embeddings.parquet", mult=1, ops=ops)
+    big = run_ops(docs_path, emb_path, mult=args.mult, ops=ops)
 
     report = {
         "base_sf_dir": BASE_SF,
@@ -258,6 +273,12 @@ def main() -> int:
             "bucket/cell size constant, as they would in production"
         ),
     }
+    if args.ops and os.path.exists(args.out):
+        with open(args.out) as fh:  # subset run: merge into prior report
+            prior = json.load(fh)
+        prior["ops"].update(report["ops"])
+        prior["rows"] = report["rows"]
+        report = prior
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
         fh.write("\n")
