@@ -1,0 +1,132 @@
+"""Pretraining-corpus curation pipeline: the operator families composed
+end to end, the way a training-data team would actually run them.
+
+The reference's pipelines (hashtags/news/rates) are scrape-shaped; this
+one is the engine-native counterpart for the LLM-data brief — one
+callable that takes a raw documents table and yields a curated, split,
+audited corpus:
+
+    quality rules (Gopher base + n-gram repetition)
+      → exact dedup (content hash)
+      → near dedup (MinHash-LSH + verified Jaccard)
+      → benchmark decontamination (13-gram, Bloom-prefiltered)
+      → PII redaction
+      → deterministic train/val/test split
+
+Every stage is the already-certified operator (each has its own oracle
+or parity entry); what THIS module pins is the composition contract:
+
+- ordering is cheapest-reject-first: per-row codegen rules cut the
+  corpus before any shuffle-bearing dedup stage runs, and the (small)
+  decontamination join sees only survivors;
+- nothing silently vanishes — every rejected row lands in the returned
+  audit frame with the stage that killed it, the
+  keep-the-evidence convention of gopher_filter/split_sentinel_pages;
+- the pipeline is deterministic: same input rows (any partitioning,
+  any order) → identical kept set, identical audit, identical splits
+  (every stage is hash- or min-id-based; pinned by test).
+
+Scale shape (100 TB): stages 1, 4, 5 are scan-stage expressions; stage
+2 is one hash shuffle; stage 3 shuffles only LSH band keys and verified
+candidates; decontamination broadcasts the eval side and Bloom-prunes
+its input inside the scan. No stage collects row data to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.operators.cleanup import (
+    flag_contaminated,
+    gopher_filter,
+    gopher_ngram_filter,
+    redact_pii,
+)
+from etl_instagram_spark.operators.dedup import (
+    exact_dedup,
+    near_dedup_minhash,
+)
+from etl_instagram_spark.operators.sampling import hash_split
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    near_dup_threshold: float = 0.7,
+    decontamination_n: int = 13,
+    bloom_fpp: float | None = 0.001,
+    split_weights: dict[str, float] | None = None,
+    split_salt: str = "split",
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation chain; returns ``(kept, rejected)``.
+
+    ``kept``: the surviving rows with ``text`` PII-redacted and a
+    ``split`` column assigned; original columns preserved.
+    ``rejected``: original rows + ``reject_stage`` ∈ {quality,
+    exact_dup, near_dup, contaminated} — route it to an audit sink.
+
+    ``benchmark=None`` skips decontamination (no eval set, no rule).
+    """
+    base_cols = docs.columns
+    if id_col not in base_cols or text_col not in base_cols:
+        raise ValueError(f"docs must carry {id_col!r} and {text_col!r}")
+
+    def rejected_from(current: DataFrame, survivors: DataFrame, stage: str):
+        return (
+            current.join(
+                survivors.select(id_col), on=id_col, how="left_anti"
+            )
+            .select(*base_cols)
+            .withColumn("reject_stage", F.lit(stage))
+        )
+
+    audits: list[DataFrame] = []
+
+    # 1. per-row quality rules (all codegen, cheapest rejects first)
+    flagged = gopher_ngram_filter(
+        gopher_filter(docs, text_col), text_col
+    )
+    quality = flagged.filter(
+        F.col("gopher_pass") & F.col("gopher_ngram_pass")
+    ).select(*base_cols)
+    audits.append(rejected_from(docs, quality, "quality"))
+
+    # 2. exact dedup — one hash shuffle, keep-smallest-id
+    exact = exact_dedup(quality, text_col, id_col).select(*base_cols)
+    audits.append(rejected_from(quality, exact, "exact_dup"))
+
+    # 3. near dedup — LSH candidates, verified Jaccard, min-id survivor
+    near = near_dedup_minhash(
+        exact, id_col, text_col, threshold=near_dup_threshold
+    ).select(*base_cols)
+    audits.append(rejected_from(exact, near, "near_dup"))
+
+    # 4. benchmark decontamination (optional)
+    if benchmark is not None:
+        deco = flag_contaminated(
+            near,
+            benchmark,
+            id_col,
+            text_col,
+            n=decontamination_n,
+            bloom_fpp=bloom_fpp,
+        )
+        clean = deco.filter(~F.col("contaminated")).select(*base_cols)
+        audits.append(rejected_from(near, clean, "contaminated"))
+    else:
+        clean = near
+
+    # 5. PII redaction + deterministic split on the survivors
+    kept = hash_split(
+        clean.withColumn(text_col, redact_pii(F.col(text_col))),
+        id_col,
+        weights=split_weights,
+        salt=split_salt,
+    )
+    rejected = audits[0]
+    for a in audits[1:]:
+        rejected = rejected.unionByName(a)
+    return kept, rejected

@@ -3168,3 +3168,111 @@ oracle(
     GROUP BY probe_hamming ORDER BY probe_hamming
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (operators/clustering.py) — promoted to the gate in r8
+# (order_gap_days rotated to plans/parity_extras.py)
+# ---------------------------------------------------------------------------
+
+_KMEANS_K, _KMEANS_ITERS = 8, 2
+
+
+@query("emb_kmeans_cells")
+def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means end to end (operators/clustering.py): seeded
+    sample init → 2 full-data Lloyd's iterations → per-cell (n, sse)
+    cost profile. Every stage is a deterministic function of the data
+    (sorted init sample; per-element 6dp rounding + exact DECIMAL sums;
+    driver-side float(sum)/n division), so the DuckDB oracle replays
+    init AND both refinement iterations with its own engine doing all
+    the data math and lands on bit-identical centroids, assignments,
+    and cost — the gate's first certified ITERATIVE algorithm (the
+    other fit-from-data oracles replay one fit, not a convergence
+    loop). Scale: each iteration is one scan whose map-side partial
+    aggregation collapses every partition to ≤ k rows of (count,
+    per-dim decimal sums) before the shuffle."""
+    from etl_instagram_spark.operators.clustering import (
+        kmeans_cost,
+        refine_centroids,
+    )
+    from etl_instagram_spark.operators.similarity import fit_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    init = fit_ivf_centroids(
+        emb, n_clusters=_KMEANS_K, seed=42, order_col="vec_id"
+    )
+    cents = refine_centroids(emb, init, n_iter=_KMEANS_ITERS)
+    return kmeans_cost(emb, cents)
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB mirror of emb_kmeans_cells, built lazily (the centroids
+    are FIT from the gate data). Init reads the same ORDER BY vec_id
+    LIMIT 4096 sample through DuckDB and runs the identical seeded
+    ``lloyd_kmeans``; each refinement iteration computes per-cell counts
+    and exact DECIMAL(38,6) element sums IN DuckDB (assignment via the
+    shared ``shifted_score_sql`` text, so both engines rank
+    bit-identical doubles) with the same Python ``float(exact_sum)/n``
+    update the Spark driver applies; the returned SQL profiles the
+    final centroids' cells with the same rounded-row +
+    exact-decimal-sum SSE the Spark side publishes."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from etl_instagram_spark.operators.clustering import QUANT_DP
+    from etl_instagram_spark.operators.similarity import lloyd_kmeans
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = duckdb.connect()
+    sample = con.sql(
+        f"SELECT embedding::DOUBLE[] FROM '{path}' "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    cur = lloyd_kmeans(
+        np.asarray([r[0] for r in sample], dtype=np.float64),
+        _KMEANS_K,
+        seed=42,
+    )
+    cur = [[float(x) for x in c] for c in cur]
+    dim = len(cur[0])
+    sums = ", ".join(
+        f"sum(CAST(round(CAST(embedding[{d + 1}] AS DOUBLE), {QUANT_DP})"
+        f" AS DECIMAL(38,{QUANT_DP}))) AS s{d}"
+        for d in range(dim)
+    )
+    for _ in range(_KMEANS_ITERS):
+        dists = _sql_centroid_dists(cur)
+        rows = con.sql(
+            f"SELECT (list_position(d, list_min(d)) - 1) AS cell,"
+            f"       count(*) AS n, {sums} "
+            f"FROM (SELECT {dists} AS d, embedding FROM '{path}' "
+            f"      WHERE embedding IS NOT NULL) t "
+            f"GROUP BY cell"
+        ).fetchall()
+        for r in rows:
+            cell, n = int(r[0]), int(r[1])
+            if n:
+                cur[cell] = [float(r[2 + d]) / n for d in range(dim)]
+    con.close()
+    dists = _sql_centroid_dists(cur)
+    sumsq = " + ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE) * CAST(embedding[{d + 1}] AS DOUBLE)"
+        for d in range(dim)
+    )
+    return f"""
+    SELECT cell, count(*) AS n,
+           CAST(round(sum(CAST(round(sse_row, {QUANT_DP})
+                               AS DECIMAL(38,{QUANT_DP}))), 4) AS DOUBLE) AS sse
+    FROM (SELECT (list_position(d, list_min(d)) - 1) AS cell,
+                 (list_min(d) + ({sumsq})) AS sse_row
+          FROM (SELECT {dists} AS d, embedding
+                FROM '{path}' WHERE embedding IS NOT NULL) t) u
+    GROUP BY cell ORDER BY cell
+    """
+
+
+oracle("emb_kmeans_cells", _kmeans_oracle_sql)

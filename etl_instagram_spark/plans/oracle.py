@@ -194,9 +194,9 @@ oracle(
     """,
 )
 
-oracle(
-    "order_gap_days",
-    """
+# (order_gap_days rotated to plans/parity_extras.py in r8, for
+# emb_kmeans_cells)
+SQL_ORDER_GAP_DAYS = """
     SELECT o_custkey, o_orderkey,
            datediff('day',
                     lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
@@ -204,8 +204,7 @@ oracle(
                     CAST(o_orderdate AS DATE)) AS gap_days
     FROM orders WHERE o_custkey < 50
     ORDER BY o_custkey, o_orderkey
-    """,
-)
+    """
 
 # (events_sessionization oracle moved to plans/parity_extras.py with the
 # query's r6 gate rotation)

@@ -55,10 +55,12 @@ packing, end to end), ``orders_profile`` (one-scan column profiler),
 ``orders_above_customer_avg`` (correlated scalar subquery),
 ``customer_rank_distributions`` (percent_rank / cume_dist),
 ``events_gapfill`` (LOCF + linear time-bucket gap filling),
-``events_anomalies`` (rolling z-score profile),
-``emb_kmeans_cells`` (distributed k-means: sample init + full-data
-Lloyd's refinement + per-cell cost, init and every iteration replayed
-through DuckDB).
+``events_anomalies`` (rolling z-score profile).
+
+r8 rotation: ``order_gap_days`` (LAG offset window) moved here to gate
+the distributed-k-means query ``emb_kmeans_cells`` (plans/llm_queries.py
+— sample init + full-data Lloyd's refinement + per-cell cost, init and
+every iteration replayed through DuckDB).
 """
 
 from __future__ import annotations
@@ -1000,101 +1002,14 @@ def _orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_ABOVE_CUST_AVG)
 
 
-# k / refinement iterations for the distributed-k-means parity entry
-_KMEANS_K, _KMEANS_ITERS = 8, 2
+def _order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 rotation (for emb_kmeans_cells): LAG-window date arithmetic —
+    offset windows stay exercised here at driver-grade parity; date
+    arithmetic stays gated via customer_rolling_30d_revenue /
+    events_asof_join."""
+    from etl_instagram_spark.plans.queries import order_gap_days
 
-
-def _emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means end to end (operators/clustering.py): seeded
-    sample init → 2 full-data Lloyd's iterations → per-cell (n, sse)
-    cost profile. Every stage is a deterministic function of the data
-    (sorted init sample; per-element 6dp rounding + exact DECIMAL sums;
-    driver-side float(sum)/n division), so the DuckDB mirror replays
-    init AND both refinement iterations with its own engine doing all
-    the data math and lands on bit-identical centroids, assignments,
-    and cost. Never gate-registered (EXTRAS has no row cap)."""
-    from etl_instagram_spark.operators.clustering import (
-        kmeans_cost,
-        refine_centroids,
-    )
-    from etl_instagram_spark.operators.similarity import fit_ivf_centroids
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    init = fit_ivf_centroids(
-        emb, n_clusters=_KMEANS_K, seed=42, order_col="vec_id"
-    )
-    cents = refine_centroids(emb, init, n_iter=_KMEANS_ITERS)
-    return kmeans_cost(emb, cents)
-
-
-def _sql_kmeans_cells() -> str:
-    """DuckDB mirror of _emb_kmeans_cells, built lazily (the centroids
-    are FIT from the data). Init reads the same ORDER BY vec_id LIMIT
-    4096 sample through DuckDB and runs the identical seeded
-    ``lloyd_kmeans``; each refinement iteration computes per-cell counts
-    and exact DECIMAL(38,6) element sums IN DuckDB (assignment via the
-    shared ``shifted_score_sql`` text, so both engines rank bit-identical
-    doubles) with the same Python ``float(exact_sum)/n`` update the
-    Spark driver applies; the returned SQL profiles the final centroids'
-    cells with the same rounded-row + exact-decimal-sum SSE the Spark
-    side publishes."""
-    import os
-
-    import duckdb
-    import numpy as np
-
-    from etl_instagram_spark.operators.clustering import QUANT_DP
-    from etl_instagram_spark.operators.similarity import lloyd_kmeans
-    from etl_instagram_spark.plans.llm_queries import _sql_centroid_dists
-
-    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    con = duckdb.connect()
-    sample = con.sql(
-        f"SELECT embedding::DOUBLE[] FROM '{path}' "
-        "WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4096"
-    ).fetchall()
-    cur = lloyd_kmeans(
-        np.asarray([r[0] for r in sample], dtype=np.float64),
-        _KMEANS_K,
-        seed=42,
-    )
-    cur = [[float(x) for x in c] for c in cur]
-    dim = len(cur[0])
-    sums = ", ".join(
-        f"sum(CAST(round(CAST(embedding[{d + 1}] AS DOUBLE), {QUANT_DP})"
-        f" AS DECIMAL(38,{QUANT_DP}))) AS s{d}"
-        for d in range(dim)
-    )
-    for _ in range(_KMEANS_ITERS):
-        dists = _sql_centroid_dists(cur)
-        rows = con.sql(
-            f"SELECT (list_position(d, list_min(d)) - 1) AS cell,"
-            f"       count(*) AS n, {sums} "
-            f"FROM (SELECT {dists} AS d, embedding FROM '{path}' "
-            f"      WHERE embedding IS NOT NULL) t "
-            f"GROUP BY cell"
-        ).fetchall()
-        for r in rows:
-            cell, n = int(r[0]), int(r[1])
-            if n:
-                cur[cell] = [float(r[2 + d]) / n for d in range(dim)]
-    con.close()
-    dists = _sql_centroid_dists(cur)
-    sumsq = " + ".join(
-        f"CAST(embedding[{d + 1}] AS DOUBLE) * CAST(embedding[{d + 1}] AS DOUBLE)"
-        for d in range(dim)
-    )
-    return f"""
-    SELECT cell, count(*) AS n,
-           CAST(round(sum(CAST(round(sse_row, {QUANT_DP})
-                               AS DECIMAL(38,{QUANT_DP}))), 4) AS DOUBLE) AS sse
-    FROM (SELECT (list_position(d, list_min(d)) - 1) AS cell,
-                 (list_min(d) + ({sumsq})) AS sse_row
-          FROM (SELECT {dists} AS d, embedding
-                FROM '{path}' WHERE embedding IS NOT NULL) t) u
-    GROUP BY cell ORDER BY cell
-    """
+    return order_gap_days(spark, sf_dir)
 
 
 def _register_rotated() -> None:
@@ -1137,8 +1052,9 @@ def _register_rotated() -> None:
     )
     EXTRAS["events_gapfill"] = (_events_gapfill, _SQL_EVENTS_GAPFILL)
     EXTRAS["events_anomalies"] = (_events_anomalies, _SQL_EVENTS_ANOMALIES)
-    # callable: centroids are fit from the data (plans.oracle lazy pattern)
-    EXTRAS["emb_kmeans_cells"] = (_emb_kmeans_cells, _sql_kmeans_cells)
+    from etl_instagram_spark.plans.oracle import SQL_ORDER_GAP_DAYS
+
+    EXTRAS["order_gap_days"] = (_order_gap_days, SQL_ORDER_GAP_DAYS)
 
 
 _register_rotated()

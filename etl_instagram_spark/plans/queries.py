@@ -335,7 +335,10 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("order_gap_days")
+# (order_gap_days rotated out of the gate in r8 to make room for
+# emb_kmeans_cells — the LAG offset-window surface keeps driver-grade
+# DuckDB parity in plans/parity_extras.py; date arithmetic stays gated
+# via customer_rolling_30d_revenue / events_asof_join)
 def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG window: days since the customer's previous order."""
     od = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)

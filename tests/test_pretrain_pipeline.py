@@ -1,0 +1,91 @@
+"""Composition contract of the pretraining curation pipeline
+(pipelines/pretrain.py): partition of the input, stage attribution,
+determinism across partitionings, and stage wiring (each operator is
+individually certified elsewhere)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.pipelines.pretrain import curate_corpus
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then wanders through "
+    "a long meadow full of distinct interesting words because natural prose "
+    "keeps a healthy mixture of stopwords like the and of while avoiding "
+    "any excessive repetition of phrases so that quality rules accept it "
+    "without complaint and it flows onward for enough words to clear the "
+    "minimum length threshold comfortably in every single configured rule"
+)
+
+
+def _corpus(spark, parts=4):
+    rows = [
+        (1, GOOD + " first variant closing sentence."),
+        (2, GOOD + " first variant closing sentence."),     # exact dup of 1
+        (3, GOOD + " slightly different closing sentence."),  # near dup of 1
+        (4, "buy now " * 60),                                 # quality reject
+        (5, "a completely independent second document sails its own course "
+            "describing quiet harbors and the slow craft of rigging small "
+            "boats before dawn while the crew shares coffee and stories of "
+            "the previous season and plans a careful route between islands "
+            "where the water stays calm and the wind arrives gently from "
+            "the south so contact me at alice@example.com for trip details "
+            "because there is room aboard for two more curious travelers"),
+        (6, "this third unrelated document discusses the history of bread "
+            "baking across several regions noting how flour and water and "
+            "salt combine under patient hands into loaves that differ by "
+            "climate and custom and it also hides the planted benchmark "
+            "sentence for the eval set one two three four five six seven "
+            "eight nine ten eleven twelve thirteen and then continues on "
+            "with a long digression about ovens and stones and embers"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(parts)
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [("benchmark sentence planted verbatim for the eval set one two "
+          "three four five six seven eight nine ten eleven twelve thirteen",)],
+        "text string",
+    )
+
+
+def test_curation_partitions_input_and_attributes_stages(spark):
+    docs = _corpus(spark)
+    kept, rejected = curate_corpus(docs, benchmark=_bench(spark))
+    k = {r["doc_id"] for r in kept.collect()}
+    rej = {r["doc_id"]: r["reject_stage"] for r in rejected.collect()}
+    # partition: every input row is in exactly one of kept/rejected
+    assert k | set(rej) == {1, 2, 3, 4, 5, 6} and not (k & set(rej))
+    assert rej[4] == "quality"
+    assert rej[2] == "exact_dup"       # loses to smaller id 1
+    assert rej[3] == "near_dup"
+    assert rej[6] == "contaminated"
+    assert k == {1, 5}
+    got = kept.filter("doc_id = 5").first()
+    assert "<EMAIL>" in got["text"] and "alice@example.com" not in got["text"]
+    assert got["split"] in {"train", "val", "test"}
+
+
+def test_curation_deterministic_across_partitionings(spark):
+    def snap(parts):
+        kept, rejected = curate_corpus(_corpus(spark, parts), benchmark=_bench(spark))
+        return (
+            sorted((r["doc_id"], r["split"], r["text"]) for r in kept.collect()),
+            sorted((r["doc_id"], r["reject_stage"]) for r in rejected.collect()),
+        )
+
+    assert snap(1) == snap(7)
+
+
+def test_curation_without_benchmark_skips_decontamination(spark):
+    kept, rejected = curate_corpus(_corpus(spark))
+    assert 6 in {r["doc_id"] for r in kept.collect()}
+    assert "contaminated" not in {r["reject_stage"] for r in rejected.collect()}
+
+
+def test_curation_validates_columns(spark):
+    with pytest.raises(ValueError):
+        curate_corpus(_corpus(spark), id_col="nope")
