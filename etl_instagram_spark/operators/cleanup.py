@@ -610,6 +610,160 @@ def gopher_filter(
     return staged.withColumns(named).drop("__gtoks", "__grl", "__gnlns")
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Word ``n``-gram spans occurring ≥ ``min_count`` times across the
+    whole corpus (within- or cross-document), with the deterministic
+    keeper: ``(span_hash, n_occurrences, keep_doc, keep_start)`` where
+    the keeper is the smallest ``(doc_id, start)`` occurrence. The
+    discovery core of :func:`remove_duplicate_spans` — exposed for
+    audits (what passages are duplicated, and how often?).
+
+    Spark shape: one explode of per-doc span hashes (md5 over the
+    lowercased word window — scan-stage expressions), one groupBy on
+    the hash with a min-struct keeper — the same partial-agg shuffle
+    as any word count. O(total words) shuffled rows, fixed-width keys."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    lw = F.transform(words, F.lower)
+    spans = F.when(
+        F.size(lw) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(lw) - (n - 1)),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.md5(F.array_join(F.slice(lw, i, n), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
+    occ = (
+        df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__doc"), F.explode(spans).alias("s"))
+        .select("__doc", F.col("s.start").alias("__start"), F.col("s.h").alias("span_hash"))
+    )
+    return (
+        occ.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("__doc", "__start")).alias("__keep"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .select(
+            "span_hash",
+            "n_occurrences",
+            F.col("__keep.__doc").alias("keep_doc"),
+            F.col("__keep.__start").alias("keep_start"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_count: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """ExactSubstr-style passage dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): every word
+    ``n``-gram span duplicated ≥ ``min_count`` times in the corpus is
+    kept at its FIRST occurrence (smallest ``(doc_id, start)``) and the
+    words covered by every other occurrence are removed — the
+    passage-level sibling of :func:`remove_boilerplate_lines` (which
+    needs duplication to align on line boundaries; a syndicated
+    paragraph pasted mid-line escapes it, and this catches it).
+
+    Contract: adds ``out_col`` (default: replaces ``text_col``) plus
+    ``n_spans_removed``/``n_words_removed``. Docs with no removed span
+    keep their ORIGINAL text byte-for-byte (whitespace preserved); a
+    doc with removals is rebuilt from its surviving whitespace tokens
+    joined by single spaces (the operator works on the token stream,
+    like ExactSubstr works on the byte stream). Overlapping duplicate
+    occurrences remove each covered word once. Row count is preserved;
+    null-id/null-text rows pass through unchanged. Keeper choice and
+    results are a pure function of the data — partitioning-independent.
+
+    One-pass semantics (as in the paper): removal can create NEW
+    adjacencies that a re-run would dedup further; run to a fixed point
+    only if that is what you want.
+
+    Scale: the discovery shuffle is O(total words); the removal join
+    touches only duplicated occurrences (tiny against the corpus, so
+    AQE broadcasts it); coverage testing is per-row expressions over
+    the joined start list — O(w · removed-spans-in-doc) worst case,
+    with the word-count cap bounding w."""
+    out_col = out_col or text_col
+    dup = duplicate_spans(df, id_col, text_col, n, min_count)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    lw = F.transform(words, F.lower)
+    spans = F.when(
+        F.size(lw) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(lw) - (n - 1)),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.md5(F.array_join(F.slice(lw, i, n), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
+    occ = (
+        df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__doc"), F.explode(spans).alias("s"))
+        .select("__doc", F.col("s.start").alias("__start"), F.col("s.h").alias("span_hash"))
+    )
+    removals = (
+        occ.join(dup, "span_hash")
+        .filter(
+            ~(
+                (F.col("__doc") == F.col("keep_doc"))
+                & (F.col("__start") == F.col("keep_start"))
+            )
+        )
+        .groupBy("__doc")
+        .agg(F.collect_list("__start").alias("__starts"))
+    )
+    rebuilt = (
+        df.withColumn("__orig", F.col(text_col))
+        .join(removals, F.col(id_col) == F.col("__doc"), "left")
+    )
+    w = F.split(F.trim(F.col("__orig")), r"\s+")
+    kept = F.filter(
+        w,
+        lambda x, i: ~F.exists(
+            F.col("__starts"),
+            lambda s: (i + 1 >= s) & (i + 1 <= s + F.lit(n - 1)),
+        ),
+    )
+    return (
+        rebuilt.withColumn(
+            out_col,
+            F.when(F.col("__doc").isNull(), F.col("__orig")).otherwise(
+                F.array_join(kept, " ")
+            ),
+        )
+        .withColumn(
+            "n_spans_removed",
+            F.coalesce(F.size("__starts"), F.lit(0)),
+        )
+        .withColumn(
+            "n_words_removed",
+            F.when(F.col("__doc").isNull(), F.lit(0)).otherwise(
+                F.size(w) - F.size(kept)
+            ),
+        )
+        .drop("__doc", "__starts", "__orig")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

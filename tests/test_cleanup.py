@@ -770,3 +770,120 @@ def test_ngram_fraction_rejects_bad_n(spark):
         top_ngram_char_fraction(F.lit("a"), 1)
     with pytest.raises(ValueError):
         dup_ngram_char_fraction(F.lit("a"), 0)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span removal (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+
+def _ref_remove_spans(rows, n, min_count=2):
+    """Python reference: same semantics as remove_duplicate_spans."""
+    toks = {i: (t or "").split() for i, t in rows if i is not None and t is not None}
+    occ = {}
+    for i in sorted(toks):
+        ws = [w.lower() for w in toks[i]]
+        for s in range(len(ws) - n + 1):
+            occ.setdefault(" ".join(ws[s : s + n]), []).append((i, s + 1))
+    removals = {}
+    for _, places in occ.items():
+        if len(places) >= min_count:
+            for d, s in sorted(places)[1:]:
+                removals.setdefault(d, []).append(s)
+    out = {}
+    for i, t in rows:
+        if i not in toks:
+            out[i] = (t, 0, 0)
+            continue
+        starts = removals.get(i)
+        if not starts:
+            out[i] = (t, 0, 0)
+            continue
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + n))
+        kept = [wd for j, wd in enumerate(toks[i], 1) if j not in covered]
+        out[i] = (" ".join(kept), len(starts), len(toks[i]) - len(kept))
+    return out
+
+
+def test_remove_duplicate_spans_hand_case(spark):
+    from etl_instagram_spark.operators.cleanup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    passage = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"intro one two {passage} tail of first"),
+        (2, f"other opening {passage} closing words here"),   # dup of passage
+        (3, "a fully unrelated document with nothing shared"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, "doc_id", "text", n=5).collect()
+    assert any(r["keep_doc"] == 1 for r in spans)  # keeper = smallest doc
+    out = {
+        r["doc_id"]: (r["text"], r["n_spans_removed"], r["n_words_removed"])
+        for r in remove_duplicate_spans(df, "doc_id", "text", n=5).collect()
+    }
+    # doc 1 keeps the passage verbatim (original text untouched)
+    assert out[1] == (rows[0][1], 0, 0)
+    # doc 2 loses exactly the 5 duplicated words
+    assert passage not in out[2][0]
+    assert out[2][0] == "other opening closing words here"
+    assert out[2][1] == 1 and out[2][2] == 5
+    assert out[3] == (rows[2][1], 0, 0)
+    assert out[4] == (None, 0, 0)
+
+
+def test_remove_duplicate_spans_matches_python_reference(spark, sf_smoke):
+    from etl_instagram_spark.operators.cleanup import remove_duplicate_spans
+
+    base = [
+        (int(r["doc_id"]), r["text"])
+        for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .limit(60)
+        .collect()
+    ]
+    # plant cross-doc and within-doc duplication so the rule really fires
+    shared = "the planted shared passage flows across documents verbatim today"
+    rows = base + [
+        (900001, f"lead in {shared} and then some more"),
+        (900002, f"{shared} opens this one"),
+        (900003, f"double {shared} middle {shared} end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    for n in (5, 9):
+        want = _ref_remove_spans(rows, n)
+        got = {
+            r["doc_id"]: (r["text"], r["n_spans_removed"], r["n_words_removed"])
+            for r in remove_duplicate_spans(df, "doc_id", "text", n=n).collect()
+        }
+        assert got == want, n
+
+
+def test_remove_duplicate_spans_partitioning_independent(spark):
+    from etl_instagram_spark.operators.cleanup import remove_duplicate_spans
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [(i, f"doc {i} starts {shared} then diverges into path {i}") for i in range(20)]
+
+    def snap(parts):
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(parts)
+        return sorted(
+            (r["doc_id"], r["text"], r["n_spans_removed"])
+            for r in remove_duplicate_spans(df, "doc_id", "text", n=8).collect()
+        )
+
+    assert snap(1) == snap(13)
+
+
+def test_duplicate_spans_validation(spark):
+    from etl_instagram_spark.operators.cleanup import duplicate_spans
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        duplicate_spans(df, "doc_id", "text", n=1)
+    with pytest.raises(ValueError):
+        duplicate_spans(df, "doc_id", "text", n=5, min_count=1)
