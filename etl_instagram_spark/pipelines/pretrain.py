@@ -58,6 +58,7 @@ def curate_corpus(
     near_dup_threshold: float = 0.7,
     decontamination_n: int = 13,
     bloom_fpp: float | None = 0.001,
+    dedup_spans_n: int | None = None,
     split_weights: dict[str, float] | None = None,
     split_salt: str = "split",
 ) -> tuple[DataFrame, DataFrame]:
@@ -69,7 +70,12 @@ def curate_corpus(
     exact_dup, near_dup, contaminated} — route it to an audit sink.
 
     ``benchmark=None`` skips decontamination (no eval set, no rule).
-    """
+    ``dedup_spans_n`` (e.g. 50) additionally runs ExactSubstr-style
+    duplicate-span removal on the survivors — a text EDIT, not a
+    reject, so it happens after every document-dropping stage (editing
+    first would perturb the near-dup/decontamination shingles) and its
+    word counts land in ``n_spans_removed``/``n_words_removed`` on
+    ``kept``."""
     base_cols = docs.columns
     if id_col not in base_cols or text_col not in base_cols:
         raise ValueError(f"docs must carry {id_col!r} and {text_col!r}")
@@ -119,7 +125,17 @@ def curate_corpus(
     else:
         clean = near
 
-    # 5. PII redaction + deterministic split on the survivors
+    # 5. optional passage-level dedup (edits text, drops nothing)
+    if dedup_spans_n is not None:
+        from etl_instagram_spark.operators.cleanup import (
+            remove_duplicate_spans,
+        )
+
+        clean = remove_duplicate_spans(
+            clean, id_col, text_col, n=dedup_spans_n
+        )
+
+    # 6. PII redaction + deterministic split on the survivors
     kept = hash_split(
         clean.withColumn(text_col, redact_pii(F.col(text_col))),
         id_col,

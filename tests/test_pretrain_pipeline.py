@@ -89,3 +89,30 @@ def test_curation_without_benchmark_skips_decontamination(spark):
 def test_curation_validates_columns(spark):
     with pytest.raises(ValueError):
         curate_corpus(_corpus(spark), id_col="nope")
+
+
+def test_curation_optional_span_dedup_edits_survivors(spark):
+    extra = spark.createDataFrame(
+        [
+            (7, "an entirely different but long enough piece about gardens "
+                "where rows of tomatoes and beans climb their stakes while "
+                "the gardener waters them each morning before the sun gets "
+                "high and the planted shared passage flows across texts "
+                "verbatim today ends this document with some final words "
+                "about compost and patience and the seasons turning over"),
+            (8, "another sufficiently long and distinct essay concerning "
+                "mountain weather and the habits of marmots that whistle "
+                "from the scree while hikers pass and the planted shared "
+                "passage flows across texts verbatim today sits in the "
+                "middle before closing thoughts about maps and thermoses "
+                "of tea and the long walk back to the quiet valley floor"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = _corpus(spark).unionByName(extra)
+    kept, _ = curate_corpus(docs, dedup_spans_n=8)
+    by_id = {r["doc_id"]: r for r in kept.collect()}
+    assert 7 in by_id and 8 in by_id
+    edited = [i for i in (7, 8) if by_id[i]["n_spans_removed"] > 0]
+    assert edited == [8]  # keeper = smaller doc_id stays verbatim
+    assert "n_words_removed" in kept.columns
