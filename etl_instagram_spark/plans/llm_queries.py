@@ -3211,12 +3211,13 @@ def _kmeans_oracle_sql() -> str:
     are FIT from the gate data). Init reads the same ORDER BY vec_id
     LIMIT 4096 sample through DuckDB and runs the identical seeded
     ``lloyd_kmeans``; each refinement iteration computes per-cell counts
-    and exact DECIMAL(38,6) element sums IN DuckDB (assignment via the
-    shared ``shifted_score_sql`` text, so both engines rank
-    bit-identical doubles) with the same Python ``float(exact_sum)/n``
-    update the Spark driver applies; the returned SQL profiles the
-    final centroids' cells with the same rounded-row +
-    exact-decimal-sum SSE the Spark side publishes."""
+    and exact long micro-unit element sums IN DuckDB — the same
+    ``floor(x·10^QUANT_DP)::BIGINT`` quantization (floor stays pure codegen on the Spark side — round(double) allocates a BigDecimal per value) the Spark side
+    aggregates, with assignment via the shared ``shifted_score_sql``
+    text so both engines rank bit-identical doubles — and applies the
+    same Python ``(sum/scale)/n`` update the Spark driver does; the
+    returned SQL profiles the final centroids' cells with the identical
+    micro-unit SSE sum the Spark side publishes."""
     import os
 
     import duckdb
@@ -3225,6 +3226,7 @@ def _kmeans_oracle_sql() -> str:
     from etl_instagram_spark.operators.clustering import QUANT_DP
     from etl_instagram_spark.operators.similarity import lloyd_kmeans
 
+    scale = 10**QUANT_DP
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     path = os.path.join(sf_dir, "embeddings.parquet")
     con = duckdb.connect()
@@ -3240,8 +3242,8 @@ def _kmeans_oracle_sql() -> str:
     cur = [[float(x) for x in c] for c in cur]
     dim = len(cur[0])
     sums = ", ".join(
-        f"sum(CAST(round(CAST(embedding[{d + 1}] AS DOUBLE), {QUANT_DP})"
-        f" AS DECIMAL(38,{QUANT_DP}))) AS s{d}"
+        f"sum(CAST(floor(CAST(embedding[{d + 1}] AS DOUBLE) * {scale}.0)"
+        f" AS BIGINT)) AS s{d}"
         for d in range(dim)
     )
     for _ in range(_KMEANS_ITERS):
@@ -3256,7 +3258,7 @@ def _kmeans_oracle_sql() -> str:
         for r in rows:
             cell, n = int(r[0]), int(r[1])
             if n:
-                cur[cell] = [float(r[2 + d]) / n for d in range(dim)]
+                cur[cell] = [(int(r[2 + d]) / scale) / n for d in range(dim)]
     con.close()
     dists = _sql_centroid_dists(cur)
     sumsq = " + ".join(
@@ -3265,8 +3267,8 @@ def _kmeans_oracle_sql() -> str:
     )
     return f"""
     SELECT cell, count(*) AS n,
-           CAST(round(sum(CAST(round(sse_row, {QUANT_DP})
-                               AS DECIMAL(38,{QUANT_DP}))), 4) AS DOUBLE) AS sse
+           round(CAST(sum(CAST(floor(sse_row * {scale}.0) AS BIGINT))
+                      AS DOUBLE) / {scale}.0, 4) AS sse
     FROM (SELECT (list_position(d, list_min(d)) - 1) AS cell,
                  (list_min(d) + ({sumsq})) AS sse_row
           FROM (SELECT {dists} AS d, embedding
