@@ -297,3 +297,62 @@ def perplexity_filter_bigram(
         (F.col("n_words") > 0) & (F.col("bits_per_word") <= max_bits)
     ).select(id_col)
     return df.join(keep, id_col, "semi")
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    lm: UnigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str | None = None,
+    bucket_col: str = "ppl_bucket",
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC 2020): rank documents by LM bits-per-word and cut the
+    distribution at ``cuts`` — the head (lowest perplexity) is the
+    cleanest slice, the tail the noisiest; training recipes sample the
+    buckets at different rates. ``by`` ranks within a partition column
+    (CCNet buckets per language) instead of globally.
+
+    Adds ``bucket_col`` ∈ {head, middle, tail} plus ``bits_per_word``;
+    wordless docs get a NULL bucket (no LM evidence — CCNet drops them
+    before bucketing, the caller chooses). Ranks use percent_rank over
+    the deterministic (bits_per_word, id) order, so bucket assignment
+    is a pure function of the data — no tie ambiguity, any
+    partitioning.
+
+    Scale: one score pass (broadcast model join, corpus shuffled once
+    by id) plus one window over (by,) — per-language windows
+    parallelize across languages; a GLOBAL three-way cut on 100 TB
+    should prefer approx quantile cutoffs instead of a single total
+    order (documented trade; ``by`` is the scale path)."""
+    from pyspark.sql import Window
+
+    lo, hi = cuts
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    scored = doc_bits_per_word(df, lm, text_col, id_col)
+    joined = df.join(
+        scored.select(id_col, "n_words", "bits_per_word"), id_col
+    )
+    # wordless docs must leave the window BEFORE ranking: their NULL
+    # scores would otherwise sort first and shift every real rank
+    wordy = joined.filter(F.col("n_words") > 0)
+    wordless = joined.filter(~(F.col("n_words") > 0)).withColumn(
+        bucket_col, F.lit(None).cast("string")
+    )
+    part = [by] if by else []
+    w = Window.partitionBy(*part).orderBy("bits_per_word", id_col)
+    ranked = (
+        wordy.withColumn("__pr", F.percent_rank().over(w))
+        .withColumn(
+            bucket_col,
+            F.when(F.col("__pr") <= F.lit(lo), F.lit("head"))
+            .when(F.col("__pr") <= F.lit(hi), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("__pr")
+    )
+    return ranked.unionByName(wordless)

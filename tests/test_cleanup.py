@@ -887,3 +887,42 @@ def test_duplicate_spans_validation(spark):
         duplicate_spans(df, "doc_id", "text", n=1)
     with pytest.raises(ValueError):
         duplicate_spans(df, "doc_id", "text", n=5, min_count=1)
+
+
+def test_perplexity_buckets_head_middle_tail(spark):
+    """CCNet bucketing: deterministic tertiles over bits_per_word, per
+    language when asked; wordless docs get NULL buckets without
+    shifting anyone's rank."""
+    from etl_instagram_spark.operators import lm as L
+
+    fluent = [
+        "the cat sat on the mat", "the cat ran on the mat",
+        "the dog sat on the mat", "the cat sat on the rug",
+        "a cat sat on a mat", "the mat sat on the cat",
+    ]
+    rows = (
+        [(i, t, "en") for i, t in enumerate(fluent)]
+        + [(90, "zq wv jk pq xx yy", "en"), (91, "qq ww ee rr tt uu", "en")]
+        + [(95, "   ", "en")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ulm = L.fit_unigram_lm(df.filter("doc_id < 6"))
+    out = L.perplexity_buckets(df, ulm, by="lang")
+    got = {r["doc_id"]: r["ppl_bucket"] for r in out.collect()}
+    assert got[95] is None
+    # gibberish lands in the tail, fluent sentences fill the head
+    assert got[90] == "tail" and got[91] == "tail"
+    n = sum(1 for v in got.values() if v is not None)
+    heads = [k for k, v in got.items() if v == "head"]
+    assert all(k < 6 for k in heads) and len(heads) >= 2
+    assert {v for v in got.values() if v} == {"head", "middle", "tail"}
+    # partitioning-independent (deterministic rank ties)
+    got2 = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in L.perplexity_buckets(df.repartition(7), ulm, by="lang").collect()
+    }
+    assert got2 == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        L.perplexity_buckets(df, ulm, cuts=(0.5, 0.4))
