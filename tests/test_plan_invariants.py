@@ -314,3 +314,79 @@ def test_pq_stored_codes_scan_never_reads_raw_vectors(spark, tmp_path):
     )
     for scan in _scans(plan):
         assert "embedding" not in _scan_cols(scan), scan
+
+
+def test_bloom_prefilter_sits_in_the_scan_stage(spark):
+    """flag_contaminated(bloom_fpp=...) must test membership BEFORE the
+    hit aggregation's exchange: the Filter carrying the shiftright bit
+    probes has to sit below the Aggregate (scan side), so at scale the
+    shuffle only ever sees shingles that might be benchmark hits."""
+    from etl_instagram_spark.operators.cleanup import flag_contaminated
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    bench = spark.createDataFrame(
+        [("one planted benchmark sentence with thirteen or more words in "
+          "it so shingling produces keys",)],
+        "text string",
+    )
+    plan = (
+        flag_contaminated(docs, bench, "doc_id", "text", bloom_fpp=0.01)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    # the probe may print as a Filter or fuse into the 1-row-broadcast
+    # join's condition; either way the shiftright bit tests must exist
+    probe = [i for i, ln in enumerate(lines) if "shiftright" in ln]
+    assert probe, "bloom membership probe missing from the plan"
+    # plans print root-first: every scan-side operator appears BELOW the
+    # aggregate that consumes it, so the probe's line must come after
+    # the (first) hit-count aggregate — i.e. before it executes
+    aggs = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert aggs and min(aggs) < probe[0]
+
+
+def test_kmeans_refine_aggregation_combines_map_side(spark):
+    """One refinement iteration must partial-aggregate before its ONE
+    exchange: every partition collapses to <= k rows of integer sums, so
+    shuffle volume is O(partitions * k * dim) at any corpus size."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.operators.clustering import _elem
+    from etl_instagram_spark.operators.similarity import ivf_cell
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [[0.0] * 64, [1.0] * 64]
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.floor(F.expr(_elem("embedding", d + 1)) * 1_000_000)).alias(f"s{d}")
+        for d in range(64)
+    ]
+    plan = (
+        emb.select(ivf_cell("embedding", cents).alias("cell"), "embedding")
+        .where(F.col("cell").isNotNull())
+        .groupBy("cell")
+        .agg(*aggs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"HashAggregate", plan)) >= 2  # partial + final
+    assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_duplicate_span_discovery_is_equi_join_free_scan(spark):
+    """remove_duplicate_spans' removal join must be a key equi-join on
+    the span hash (never a cartesian), and the doc-side rebuild joins
+    on the id key."""
+    from etl_instagram_spark.operators.cleanup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    plan = (
+        remove_duplicate_spans(docs, "doc_id", "text", n=13)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
