@@ -830,3 +830,112 @@ def compact_hh_summaries(
     n_merged = merged.count()
     store.overwrite(keep.unionByName(merged.select(*keep.columns)))
     return n_old - n_merged
+
+
+# ---------------------------------------------------------------------------
+# continuous k-means sufficient statistics: incrementally maintained
+# centroid sums under a frozen assignment quantizer
+# ---------------------------------------------------------------------------
+
+
+def apply_kmeans_delta(
+    store: MergeTable,
+    batch_df: DataFrame,
+    epoch_id: int,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    quant_dp: int = 6,
+) -> None:
+    """Fold one micro-batch of vectors into a per-cell sufficient-
+    statistics store: rows keyed (epoch_id, cell) carrying (n, per-dim
+    long micro-unit sums) under a FROZEN assignment quantizer — the
+    exactly-once epoch-keyed-upsert pattern of apply_rollup_delta
+    applied to operators/clustering's integer-sum discipline. A replay
+    upserts the same rows over themselves instead of double-adding.
+
+    Freezing the assignment centroids is what makes the statistics
+    additive across batches (mini-batch k-means re-assigns per batch
+    and its sums are NOT mergeable); refresh the quantizer by reading
+    the accumulated mean (:func:`kmeans_read_centroids`), re-stamping,
+    and starting a new store/checkpoint pair — the same
+    frozen-quantizer contract as stream_ann_index."""
+    from etl_instagram_spark.operators.clustering import _elem
+    from etl_instagram_spark.operators.similarity import ivf_cell
+
+    dim = len(centroids[0])
+    scale = 10**quant_dp
+    delta = (
+        batch_df.select(ivf_cell(vec_col, centroids).alias("cell"), vec_col)
+        .where(F.col("cell").isNotNull())
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.floor(F.expr(_elem(vec_col, d + 1)) * scale)
+                ).alias(f"s{d}")
+                for d in range(dim)
+            ],
+        )
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+    )
+    store.upsert(delta)
+
+
+def kmeans_read_centroids(
+    store: MergeTable,
+    centroids: list[list[float]],
+    quant_dp: int = 6,
+) -> list[list[float]]:
+    """The refined centroids implied by EVERYTHING the store has
+    absorbed: collapse epochs to per-cell totals (exact integer sums —
+    order- and batch-split-independent) and apply the same Python
+    ``(sum/scale)/n`` division refine_centroids uses. Cells that never
+    received a vector keep their frozen centroid. Equivalent to ONE
+    batch Lloyd's iteration over the concatenation of every batch —
+    pinned by test against refine_centroids on the union."""
+    dim = len(centroids[0])
+    scale = 10**quant_dp
+    rows = (
+        store.read()
+        .groupBy("cell")
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"s{d}").alias(f"s{d}") for d in range(dim)],
+        )
+        .collect()
+    )
+    cur = [[float(x) for x in c] for c in centroids]
+    for r in rows:
+        if r["n"]:
+            cur[r["cell"]] = [
+                (r[f"s{d}"] / scale) / r["n"] for d in range(dim)
+            ]
+    return cur
+
+
+def stream_kmeans_stats(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    store: MergeTable,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    quant_dp: int = 6,
+) -> bool:
+    """One AvailableNow tick maintaining the k-means sufficient
+    statistics: drain new vector files and fold each micro-batch's
+    per-cell (n, integer sums) into ``store``. Store and checkpoint are
+    a unit (epoch ids restart under a fresh checkpoint); state is
+    O(epochs · k) rows of k·(dim+1) longs — compact with the same
+    collapse-and-rekey rewrite as compact_rollup_partials if epoch
+    count ever matters."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_kmeans_delta(
+            store, batch_df, epoch_id, centroids, vec_col, quant_dp
+        )
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True

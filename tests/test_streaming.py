@@ -688,3 +688,52 @@ def test_stream_interval_join_streaming_matches_batch(spark, tmp_path):
             key="user_id",
             tolerance="15; DROP TABLE x",
         )
+
+
+def test_stream_kmeans_stats_equals_batch_refine_and_replays(spark, tmp_path):
+    """The continuous k-means statistics must imply EXACTLY the
+    centroids one batch Lloyd's iteration computes over the union of
+    every batch (integer sums merge exactly across any batch split),
+    and re-applying an epoch's delta must change nothing."""
+    from etl_instagram_spark.operators.clustering import refine_centroids
+    from etl_instagram_spark.streaming.incremental import (
+        apply_kmeans_delta,
+        kmeans_read_centroids,
+        stream_kmeans_stats,
+    )
+
+    dim = 4
+    cents = [[0.0] * dim, [5.0] * dim, [-50.0] * dim]  # third stays empty
+
+    def vec(i, base):
+        return [base + (i % 7) * 0.25 + d * 0.5 for d in range(dim)]
+
+    wave1 = [{"vec_id": i, "embedding": vec(i, 0.0)} for i in range(40)]
+    wave2 = [{"vec_id": 100 + i, "embedding": vec(i, 5.0)} for i in range(40)]
+
+    landing = tmp_path / "vecs"
+    store = MergeTable(spark, str(tmp_path / "kstats"), ["epoch_id", "cell"])
+    ckpt = str(tmp_path / "ckpt_km")
+    DDL = "vec_id long, embedding array<double>"
+
+    write_json(landing / "w1.json", wave1)
+    assert stream_kmeans_stats(spark, str(landing), DDL, store, ckpt, cents, quant_dp=6)
+    write_json(landing / "w2.json", wave2)
+    assert stream_kmeans_stats(spark, str(landing), DDL, store, ckpt, cents, quant_dp=6)
+
+    got = kmeans_read_centroids(store, cents)
+    all_rows = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in wave1 + wave2], DDL
+    )
+    want = refine_centroids(all_rows, cents, n_iter=1)
+    assert got == want  # bit-exact, incl. the untouched empty cell
+    assert got[2] == [-50.0] * dim
+
+    # replay: re-applying an already-committed epoch is a no-op
+    before = sorted(map(tuple, store.read().collect()))
+    batch1 = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in wave1], DDL
+    )
+    apply_kmeans_delta(store, batch1, 0, cents, quant_dp=6)
+    assert sorted(map(tuple, store.read().collect())) == before
+    assert kmeans_read_centroids(store, cents) == want
