@@ -215,7 +215,7 @@ def kmeans_refine_tick_seconds(spark, k: int = 80, n_iter: int = 2) -> float:
     """Distributed-clustering throughput: ``n_iter`` full-data Lloyd's
     refinement iterations plus one cost profile over the sf-dir
     embeddings (operators/clustering.py) — each iteration one scan with
-    map-side-combined per-cell decimal sums, the production path for
+    map-side-combined per-cell integer micro-unit sums, the production path for
     fitting quantizers when a driver sample isn't representative. The
     seeded sample init is untimed (it is the same bounded fit the ANN
     ticks pay)."""
