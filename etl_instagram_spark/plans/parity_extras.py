@@ -1002,6 +1002,92 @@ def _orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_ABOVE_CUST_AVG)
 
 
+_SPAN_N = 13
+
+
+def _docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span removal over the real documents
+    table (operators/cleanup.remove_duplicate_spans at n=13): per doc,
+    the md5 of the post-removal text plus the removal counts. The md5
+    pins every surviving byte — untouched docs must round-trip their
+    ORIGINAL text exactly, edited docs must drop exactly the covered
+    words — while keeping the compared frame narrow. Never
+    gate-registered (EXTRAS has no row cap)."""
+    from etl_instagram_spark.operators.cleanup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_duplicate_spans(docs, "doc_id", "text", n=_SPAN_N)
+    return out.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit("<NULL>"))).alias("text_md5"),
+        "n_spans_removed",
+        "n_words_removed",
+    ).orderBy("doc_id")
+
+
+_SQL_SPAN_DEDUP = f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+    ),
+    w AS (  -- (doc, pos, word): 1-based positions over whitespace runs;
+            -- the class is spelled out because Java's \\s (the Spark
+            -- side) includes \\x0B while RE2's does not (text.py note)
+      SELECT doc_id, u.word, u.pos
+      FROM docs,
+           LATERAL unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
+             WITH ORDINALITY AS u(word, pos)
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    counts AS (SELECT doc_id, max(pos) AS n_words FROM w GROUP BY doc_id),
+    sp AS (  -- every n-word window, hashed over lowercased words
+      SELECT w.doc_id, w.pos AS start,
+             md5(string_agg(lower(w2.word), ' ' ORDER BY w2.pos)) AS h
+      FROM w JOIN w w2
+        ON w2.doc_id = w.doc_id AND w2.pos BETWEEN w.pos AND w.pos + {_SPAN_N - 1}
+      JOIN counts c ON c.doc_id = w.doc_id
+      WHERE w.pos <= c.n_words - {_SPAN_N - 1}
+      GROUP BY w.doc_id, w.pos
+    ),
+    ranked AS (
+      SELECT doc_id, start,
+             count(*)     OVER (PARTITION BY h) AS cnt,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+      FROM sp
+    ),
+    removals AS (  -- every occurrence except the smallest (doc, start)
+      SELECT doc_id, start FROM ranked WHERE cnt >= 2 AND rn > 1
+    ),
+    covered AS (  -- word positions inside any removed occurrence
+      SELECT DISTINCT r.doc_id, w.pos
+      FROM removals r JOIN w
+        ON w.doc_id = r.doc_id
+       AND w.pos BETWEEN r.start AND r.start + {_SPAN_N - 1}
+    ),
+    rebuilt AS (
+      SELECT w.doc_id,
+             string_agg(w.word, ' ' ORDER BY w.pos)
+               FILTER (WHERE c.pos IS NULL) AS new_text,
+             count(c.pos) AS n_words_removed
+      FROM w LEFT JOIN covered c
+        ON c.doc_id = w.doc_id AND c.pos = w.pos
+      GROUP BY w.doc_id
+    ),
+    nrem AS (SELECT doc_id, count(*) AS n_spans_removed FROM removals GROUP BY doc_id)
+    SELECT d.doc_id,
+           md5(coalesce(
+             CASE WHEN nrem.doc_id IS NULL THEN d.text
+                  ELSE coalesce(rebuilt.new_text, '') END,
+             '<NULL>')) AS text_md5,
+           coalesce(nrem.n_spans_removed, 0) AS n_spans_removed,
+           CASE WHEN nrem.doc_id IS NULL THEN 0
+                ELSE rebuilt.n_words_removed END AS n_words_removed
+    FROM docs d
+    LEFT JOIN nrem    ON nrem.doc_id = d.doc_id
+    LEFT JOIN rebuilt ON rebuilt.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
 def _order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r8 rotation (for emb_kmeans_cells): LAG-window date arithmetic —
     offset windows stay exercised here at driver-grade parity; date
@@ -1055,6 +1141,7 @@ def _register_rotated() -> None:
     from etl_instagram_spark.plans.oracle import SQL_ORDER_GAP_DAYS
 
     EXTRAS["order_gap_days"] = (_order_gap_days, SQL_ORDER_GAP_DAYS)
+    EXTRAS["docs_span_dedup"] = (_docs_span_dedup, _SQL_SPAN_DEDUP)
 
 
 _register_rotated()
