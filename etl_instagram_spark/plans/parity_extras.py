@@ -1029,14 +1029,16 @@ _SQL_SPAN_DEDUP = f"""
     WITH docs AS (
       SELECT doc_id, text FROM documents
     ),
-    w AS (  -- (doc, pos, word): 1-based positions over whitespace runs;
-            -- the class is spelled out because Java's \\s (the Spark
-            -- side) includes \\x0B while RE2's does not (text.py note)
-      SELECT doc_id, u.word, u.pos
-      FROM docs,
-           LATERAL unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
-             WITH ORDINALITY AS u(word, pos)
-      WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    lists AS (  -- the class is spelled out because Java's \\s (the Spark
+                -- side) includes \\x0B while RE2's does not (text.py note)
+      SELECT doc_id,
+             string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS l
+      FROM docs WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    w AS (  -- (doc, pos, word): 1-based positions via aligned unnest +
+            -- generate_subscripts (DuckDB 1.0.0 lacks WITH ORDINALITY)
+      SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) AS pos
+      FROM lists
     ),
     counts AS (SELECT doc_id, max(pos) AS n_words FROM w GROUP BY doc_id),
     sp AS (  -- every n-word window, hashed over lowercased words
