@@ -15,7 +15,14 @@ top-k — so collect is the action, not a data transfer).
 Each query is run ``SPARK_GRAFT_BENCH_REPS`` times (default 3) and the
 reported per-query number is the MEDIAN, so single-run noise (GC pauses,
 page-cache misses) stops masquerading as regressions. ``queries_min``
-carries the per-query minimum for readers who want the noise floor.
+carries the per-query minimum for readers who want the noise floor, and
+``samples_raw`` carries EVERY rep in run order (with ``started_at_sec``
+offsets from bench start), so a noisy run is diagnosable from the
+artifact alone: machine contention shows up as a time-correlated band of
+inflated reps across unrelated queries, while a genuine plan regression
+inflates all reps of one query uniformly. (Round 8's driver run carried
+3.5x phantom inflation on two entries that only an on-machine re-run
+could disprove — the raw samples make that call readable from the file.)
 """
 
 from __future__ import annotations
@@ -387,12 +394,19 @@ def main() -> int:
         except Exception:  # noqa: BLE001 — missing table is a query-time error
             pass
 
+    bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
+    starts: dict[str, list[float]] = {}
+    run_order: list[str] = []
     for name, fn in queries.items():
+        run_order.append(name)
         samples: list[float] = []
+        rep_starts: list[float] = []
         try:
             for _ in range(REPS):
+                rep_starts.append(round(time.perf_counter() - bench_t0, 2))
                 t0 = time.perf_counter()
                 rows = fn(spark, SF_DIR).collect()
                 _ = len(rows)
@@ -403,6 +417,8 @@ def main() -> int:
             timings[name] = -1.0
             minima[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
+        raw[name] = [round(s, 4) for s in samples]
+        starts[name] = rep_starts
 
     # pipeline ticks (fresh MergeTable state per rep, median kept): the
     # batch-ETL ingest and the incremental streaming near-dedup.
@@ -423,9 +439,12 @@ def main() -> int:
         ("ann_query_tick", ann_query_tick_seconds),
         ("kmeans_refine_tick", kmeans_refine_tick_seconds),
     ):
+        run_order.append(tick_name)
         samples = []
+        rep_starts = []
         try:
             for _ in range(REPS):
+                rep_starts.append(round(time.perf_counter() - bench_t0, 2))
                 samples.append(tick_fn(spark))
             timings[tick_name] = round(statistics.median(samples), 4)
             minima[tick_name] = round(min(samples), 4)
@@ -433,6 +452,8 @@ def main() -> int:
             timings[tick_name] = -1.0
             minima[tick_name] = -1.0
             print(f"# bench error {tick_name}: {exc}", file=sys.stderr)
+        raw[tick_name] = [round(s, 4) for s in samples]
+        starts[tick_name] = rep_starts
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     # Detail (medians + minima per query) goes to a committed FILE, not
@@ -447,6 +468,13 @@ def main() -> int:
             "SPARK_GRAFT_BENCH_DETAIL", os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
         )
         with open(detail_path, "w") as fh:
+            # per-query max/min spread: >~2 on several unrelated queries
+            # at once is the contention signature, not a regression
+            noise = {
+                n: round(max(s) / min(s), 2)
+                for n, s in raw.items()
+                if s and min(s) > 0
+            }
             json.dump(
                 {
                     "sf": sf_from_dir(SF_DIR),
@@ -454,6 +482,13 @@ def main() -> int:
                     "total_median_sec": total,
                     "queries_median": timings,
                     "queries_min": minima,
+                    "samples_raw": raw,
+                    "rep_started_at_sec": starts,
+                    "run_order": run_order,
+                    "noise_ratio": noise,
+                    "max_noise_ratio": round(max(noise.values()), 2)
+                    if noise
+                    else None,
                 },
                 fh,
                 indent=1,
