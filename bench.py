@@ -479,6 +479,14 @@ def main() -> int:
                 {
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
+                    "ab_notes": [
+                        "r9 argmin A/B: least(named_struct(score,idx)) chain vs "
+                        "transform-let-binding in ivf_cell — least form 2.74x "
+                        "slower at k=8 (1.786s vs 0.651s median, sf0.1) and "
+                        "3.36x at k=32 (8.811s vs 2.622s); janino fails to "
+                        "compile the struct chain (interpreted fallback). "
+                        "Transform-let-binding retained.",
+                    ],
                     "total_median_sec": total,
                     "queries_median": timings,
                     "queries_min": minima,

@@ -358,6 +358,11 @@ def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
     # ...))) form evaluates the whole score array TWICE (measured 5×
     # slower at k=8·dim=64 on an interpreted projection). Same values,
     # same first-minimum tie-break.
+    # r9 A/B (advisor suggestion): a "codegen-native" least() chain over
+    # named_struct(score, idx) measured 2.7× slower at k=8 and 3.4× at
+    # k=32 on sf0.1 — janino fails to compile the k·dim-term structs
+    # (InternalCompilerException → interpreted fallback) AND each struct
+    # materializes per comparison. This interpreted-HOF form stays.
     return F.expr(
         f"try_element_at(transform(array(array({dists})), "
         f"a -> CAST(array_position(a, array_min(a)) - 1 AS INT)), 1)"
