@@ -1090,6 +1090,87 @@ _SQL_SPAN_DEDUP = f"""
     """
 
 
+def _docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing certified end-to-end
+    (operators/lm.perplexity_buckets, by="lang"): per document the
+    rounded bits-per-word plus its within-language percent_rank bucket.
+    The mirror re-fits the unigram model from DuckDB's counts (same pure
+    math, identical inlined doubles — the docs_unigram_ppl pattern) and
+    replays the tertile cut as window SQL over the same deterministic
+    (bits_per_word, doc_id) order. Wordless docs keep a NULL bucket.
+    Never gate-registered (EXTRAS has no row cap)."""
+    from etl_instagram_spark.operators.lm import fit_unigram_lm, perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = fit_unigram_lm(docs)
+    out = perplexity_buckets(docs, lm, by="lang")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.round("bits_per_word", 4).alias("bits_per_word"),
+        "ppl_bucket",
+    ).orderBy("doc_id")
+
+
+def _sql_perplexity_buckets() -> str:
+    import os
+
+    import duckdb
+
+    from etl_instagram_spark.operators.lm import (
+        unigram_lm_from_freqs,
+        unigram_model_sql_values,
+    )
+    from etl_instagram_spark.operators.tokenizer import WORD_SPLIT_REGEX
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    split = f"string_split_regex(lower(text), '{WORD_SPLIT_REGEX}')"
+    con = duckdb.connect()
+    freqs = con.sql(
+        f"""
+        SELECT w AS word, count(*) AS freq
+        FROM (SELECT unnest({split}) AS w FROM '{path}' WHERE text IS NOT NULL)
+        WHERE w <> ''
+        GROUP BY w ORDER BY freq DESC, word ASC LIMIT 65536
+        """
+    ).fetchall()
+    con.close()
+    lm = unigram_lm_from_freqs([(w, int(f)) for w, f in freqs])
+    lo, hi = 1 / 3, 2 / 3  # perplexity_buckets' default cuts, same doubles
+    return f"""
+    WITH m(word, logp) AS (VALUES {unigram_model_sql_values(lm)}),
+    dw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest({split}) AS w
+        FROM documents WHERE text IS NOT NULL)
+      WHERE w <> ''),
+    scored AS (
+      SELECT dw.doc_id, count(*) AS n_words,
+             avg(-coalesce(m.logp, {lm.oov_logp!r})) AS bpw
+      FROM dw LEFT JOIN m ON dw.w = m.word GROUP BY dw.doc_id),
+    per_doc AS (
+      SELECT d.doc_id, d.lang, coalesce(s.n_words, 0) AS n_words, s.bpw
+      FROM documents d LEFT JOIN scored s USING (doc_id)),
+    ranked AS (
+      SELECT doc_id, lang, n_words, bpw,
+             percent_rank() OVER (
+               PARTITION BY lang ORDER BY bpw, doc_id) AS pr
+      FROM per_doc WHERE n_words > 0)
+    SELECT doc_id, lang, n_words, round(bpw, 4) AS bits_per_word,
+           CASE WHEN pr <= {lo!r} THEN 'head'
+                WHEN pr <= {hi!r} THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    UNION ALL
+    SELECT doc_id, lang, n_words, CAST(NULL AS DOUBLE) AS bits_per_word,
+           CAST(NULL AS VARCHAR) AS ppl_bucket
+    FROM per_doc WHERE NOT (n_words > 0)
+    ORDER BY doc_id
+    """
+
+
 def _order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r8 rotation (for emb_kmeans_cells): LAG-window date arithmetic —
     offset windows stay exercised here at driver-grade parity; date
@@ -1144,6 +1225,11 @@ def _register_rotated() -> None:
 
     EXTRAS["order_gap_days"] = (_order_gap_days, SQL_ORDER_GAP_DAYS)
     EXTRAS["docs_span_dedup"] = (_docs_span_dedup, _SQL_SPAN_DEDUP)
+    # callable: model literals fit from gate data (see docs_unigram_ppl)
+    EXTRAS["docs_perplexity_buckets"] = (
+        _docs_perplexity_buckets,
+        _sql_perplexity_buckets,
+    )
 
 
 _register_rotated()
