@@ -486,6 +486,16 @@ def main() -> int:
                         "3.36x at k=32 (8.811s vs 2.622s); janino fails to "
                         "compile the struct chain (interpreted fallback). "
                         "Transform-let-binding retained.",
+                        "r9 etl_hashtag_tick profile (re the r8 +17% drift): "
+                        "the users/posts MergeTable upserts carry ~70% of the "
+                        "tick (users upsert materializes the whole fetch->"
+                        "extract->join lineage into cache; posts upsert pays "
+                        "label/topic enrichment + write). Identical-code reps "
+                        "spanned 5.4s-14.6s on this container, so the r7->r8 "
+                        "median delta (4.44->5.23s, +0.8s) is below the noise "
+                        "floor; no plan change found on the tick path (none of "
+                        "hashtags/orchestrator/merge/fetch changed in r8). "
+                        "samples_raw/rep_started_at_sec now expose this per run.",
                     ],
                     "total_median_sec": total,
                     "queries_median": timings,
