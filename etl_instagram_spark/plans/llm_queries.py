@@ -863,7 +863,11 @@ oracle(
 )
 
 
-@query("emb_ann_ivf_recall")
+# (emb_ann_ivf_recall rotated out of the gate in r9 to make room for
+# emb_ann_ivf_stored — the stored-index variant exercises the same
+# quantizer, probe sets, and ranking PLUS the ingest-time cell stamp and
+# partition-pruned scan; the recall formulation keeps driver-grade
+# DuckDB parity in plans/parity_extras.py)
 def emb_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of IVF ANN (seeded NumPy-Lloyd's coarse quantizer,
     probe the 2 nearest of 8 cells) against the exact cosine top-10,
@@ -1044,7 +1048,115 @@ def _ivf_oracle_sql() -> str:
     """
 
 
-oracle("emb_ann_ivf_recall", _ivf_oracle_sql)
+@query("emb_ann_ivf_stored")
+def emb_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a STORED, partition-pruned index — the 100-TB
+    serving path exercised end-to-end at the gate: stamp ``ivf_cell`` at
+    ingest, write the index ``partitionBy("cell")``, then answer 5
+    queries via :func:`ann_ivf_topk` with ``cell_col`` set, so the probe
+    filter is plain partition-column equality and the scan physically
+    reads only the n_probe/n_clusters probed directories (pruning pinned
+    by test_plan_invariants.test_ivf_stored_cell_scan_prunes_partitions).
+    Until r9 this path was certified by pytest only; the recall-shaped
+    gate rows recompute the cell per row and scan everything.
+
+    Oracle-gated: the quantizer replays exactly as in
+    ``_ivf_oracle_sql`` (same seeded fit, same shifted-score text), the
+    probe sets inline as VALUES, and DuckDB re-ranks the probed cells by
+    the same 6-dp cosine — top-10 ids and scores match by construction.
+    Returns (qid, vec_id, cos_sim): 50 rows."""
+    import os
+    import tempfile
+
+    from etl_instagram_spark.operators.similarity import (
+        _nearest_centroids,
+        ann_ivf_topk,
+        fit_ivf_centroids,
+        ivf_cell,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = fit_ivf_centroids(
+        emb, n_clusters=8, seed=42, order_col="vec_id"
+    )
+    # ingest: cell stamped once, index laid out for pruning (overwrite —
+    # the write IS the measured ingest cost, and reruns stay hermetic)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivf_index_{sf_tag}"
+    )
+    (
+        emb.select("vec_id", "embedding")
+        .withColumn("cell", ivf_cell("embedding", centroids))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    index = spark.read.parquet(path)
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )  # 5 query vectors — O(1) driver bytes
+    out = None
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        topk = ann_ivf_topk(
+            index, qv, centroids, k=10, n_probe=2, cell_col="cell"
+        ).withColumn("qid", F.lit(int(r["vec_id"])))
+        out = topk if out is None else out.unionByName(topk)
+    return out.select("qid", "vec_id", "cos_sim").orderBy(
+        "qid", F.col("cos_sim").desc(), "vec_id"
+    )
+
+
+def _ivf_stored_oracle_sql() -> str:
+    """DuckDB mirror of emb_ann_ivf_stored (lazy — centroids fit from
+    the gate data): assign cells with the shared shifted-score text,
+    keep only each query's probed cells, rank by the same rounded
+    cosine. A stored cell equals a computed cell by construction, so the
+    mirror needs no materialized index."""
+    from etl_instagram_spark.operators.similarity import _nearest_centroids
+
+    centroids, con, path = _fit_oracle_centroids(8, seed=42)
+    qrows = con.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM '{path}' "
+        "WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    probes = {
+        int(qid): _nearest_centroids([float(x) for x in qv], centroids, 2)
+        for qid, qv in qrows
+    }
+    dists = _sql_centroid_dists(centroids)
+    qvals = ", ".join(
+        f"({qid}, [{', '.join(str(c) for c in cells)}]::INT[])"
+        for qid, cells in sorted(probes.items())
+    )
+    return f"""
+    WITH cells AS (
+      SELECT vec_id, embedding, (list_position(d, list_min(d)) - 1) AS cell
+      FROM (SELECT vec_id, embedding, {dists} AS d FROM embeddings)),
+    q AS (
+      SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qv, p.qcells
+      FROM (VALUES {qvals}) p(qid, qcells)
+      JOIN embeddings e ON e.vec_id = p.qid),
+    pairs AS (
+      SELECT qid, vec_id,
+             round(list_dot_product(embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+      FROM cells JOIN q ON list_contains(qcells, cell))
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT qid, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, vec_id) AS r
+      FROM pairs)
+    WHERE r <= 10
+    ORDER BY qid, cos_sim DESC, vec_id
+    """
+
+
+oracle("emb_ann_ivf_stored", _ivf_stored_oracle_sql)
 
 
 _PQ_M, _PQ_K = 8, 16  # shared by the Spark query and its oracle builder

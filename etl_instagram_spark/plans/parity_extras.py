@@ -1230,6 +1230,12 @@ def _register_rotated() -> None:
         _docs_perplexity_buckets,
         _sql_perplexity_buckets,
     )
+    # r9 rotation (for emb_ann_ivf_stored): the IVF recall formulation —
+    # oracle callable because its centroid literals are fit from data
+    EXTRAS["emb_ann_ivf_recall"] = (
+        llm_queries.emb_ann_ivf_recall,
+        llm_queries._ivf_oracle_sql,
+    )
 
 
 _register_rotated()

@@ -316,6 +316,55 @@ def test_pq_stored_codes_scan_never_reads_raw_vectors(spark, tmp_path):
         assert "embedding" not in _scan_cols(scan), scan
 
 
+def test_ivf_stored_cell_scan_prunes_partitions(spark, tmp_path):
+    """The stored-cell ANN path (emb_ann_ivf_stored's shape) must turn
+    the probe filter into PARTITION pruning: the index scan's
+    PartitionFilters carry the cell IN-list, no data filter and no
+    recomputed score expression remain, and the executed scan physically
+    reads only the n_probe probed directories — the n_probe/n_clusters
+    scan fraction that IS the stored index's 100-TB payoff."""
+    import os
+
+    from etl_instagram_spark.operators.similarity import (
+        ann_ivf_topk,
+        fit_ivf_centroids,
+        ivf_cell,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = fit_ivf_centroids(emb, n_clusters=8, seed=42, order_col="vec_id")
+    path = str(tmp_path / "ivf_index")
+    (
+        emb.select("vec_id", "embedding")
+        .withColumn("cell", ivf_cell("embedding", cents))
+        .write.partitionBy("cell")
+        .parquet(path)
+    )
+    index = spark.read.parquet(path)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    df = ann_ivf_topk(index, qv, cents, k=10, n_probe=2, cell_col="cell")
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    (scan,) = _scans(plan)
+    assert "PartitionFilters: [cell" in scan, scan
+    assert "DataFilters: []" in scan, scan
+    # the probe must NOT re-run the k*dim cell argmin over the vectors
+    assert "element_at(embedding" not in scan
+
+    # executed: exactly the 2 probed directories' files are read
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    (metrics,) = [
+        leaves.apply(i).metrics()
+        for i in range(leaves.size())
+        if "Scan" in leaves.apply(i).nodeName()
+    ]
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("cell=")])
+    assert n_dirs > 2  # the table genuinely has unprobed partitions
+    assert metrics.apply("numPartitions").value() == 2
+    assert metrics.apply("numFiles").value() < n_dirs
+
+
 def test_bloom_prefilter_sits_in_the_scan_stage(spark):
     """flag_contaminated(bloom_fpp=...) must test membership BEFORE the
     hit aggregation's exchange: the Filter carrying the shiftright bit
