@@ -1171,6 +1171,117 @@ def _sql_perplexity_buckets() -> str:
     """
 
 
+def _docs_gopher_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nine Gopher n-gram repetition rules (cleanup.
+    gopher_ngram_filter at paper-default thresholds) certified
+    cross-engine: per document the 9 violation booleans plus the
+    all-rules pass. The Python differential in test_cleanup pins the
+    span-coverage arithmetic; THIS row replays it in a second engine —
+    DuckDB recomputes every top/dup char fraction from scratch with
+    window SQL + list functions (the fractions are integer/integer
+    divisions, so the > threshold comparisons agree exactly). Never
+    gate-registered."""
+    from etl_instagram_spark.operators.cleanup import gopher_ngram_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_ngram_filter(docs, "text")
+    keep = [c for c in out.columns if c.startswith("fail_")] + [
+        "gopher_ngram_pass"
+    ]
+    return out.select("doc_id", *keep).orderBy("doc_id")
+
+
+def _sql_gopher_ngram_flags() -> str:
+    from etl_instagram_spark.operators.cleanup import (
+        GOPHER_DUP_NGRAM_DEFAULTS,
+        GOPHER_TOP_NGRAM_DEFAULTS,
+    )
+
+    # same whitespace class as the Spark tokenizer (Java \s, spelled out)
+    split = (
+        "list_filter(string_split_regex(trim(lower(coalesce(text, ''))), "
+        "'[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
+    )
+    ctes = [
+        "docs AS (SELECT doc_id, text FROM documents)",
+        f"toks AS (SELECT doc_id, {split} AS l FROM docs)",
+        "w AS (SELECT doc_id, unnest(l) AS word,"
+        " generate_subscripts(l, 1) AS pos FROM toks)",
+        "total AS (SELECT doc_id, sum(length(word)) AS total_chars"
+        " FROM w GROUP BY doc_id)",
+    ]
+    joins, flags = [], []
+    all_ns = sorted(GOPHER_TOP_NGRAM_DEFAULTS) + sorted(GOPHER_DUP_NGRAM_DEFAULTS)
+    for n in sorted(set(all_ns)):
+        # windows j = 1..len-n+1; gram = space-joined n-token slice
+        ctes.append(
+            f"pos{n} AS (SELECT doc_id, l,"
+            f" unnest(range(1, len(l) - {n} + 2)) AS j FROM toks)"
+        )
+        ctes.append(
+            f"ng{n} AS (SELECT doc_id, j,"
+            f" array_to_string(l[j:j + {n - 1}], ' ') AS gram FROM pos{n})"
+        )
+        ctes.append(
+            f"cnt{n} AS (SELECT doc_id, gram, count(*) AS c"
+            f" FROM ng{n} GROUP BY doc_id, gram)"
+        )
+    for n, cap in sorted(GOPHER_TOP_NGRAM_DEFAULTS.items()):
+        # best = max count; arg = lexicographically smallest maximal gram
+        # (== the first maximal equal-run of the Spark sorted-array fold)
+        ctes.append(
+            f"top{n} AS (SELECT doc_id, c AS best, gram AS arg FROM"
+            f" (SELECT doc_id, gram, c, row_number() OVER"
+            f" (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS r"
+            f" FROM cnt{n}) WHERE r = 1)"
+        )
+        ctes.append(
+            f"topfrac{n} AS (SELECT t.doc_id,"
+            f" CAST(p.best * (length(p.arg) - {n - 1}) AS DOUBLE)"
+            f" / t.total_chars AS frac"
+            f" FROM total t JOIN top{n} p USING (doc_id)"
+            f" WHERE t.total_chars > 0)"
+        )
+        joins.append(f"LEFT JOIN topfrac{n} ON topfrac{n}.doc_id = d.doc_id")
+        flags.append(
+            (f"fail_top_{n}gram_chars", f"coalesce(topfrac{n}.frac, 0) > {cap!r}")
+        )
+    for n, cap in sorted(GOPHER_DUP_NGRAM_DEFAULTS.items()):
+        # covered word i <=> some duplicated window j in [i-n+1, i]
+        ctes.append(
+            f"dupw{n} AS (SELECT g.doc_id, g.j FROM ng{n} g"
+            f" JOIN cnt{n} c ON c.doc_id = g.doc_id AND c.gram = g.gram"
+            f" WHERE c.c >= 2)"
+        )
+        ctes.append(
+            f"cov{n} AS (SELECT DISTINCT w.doc_id, w.pos FROM dupw{n} dw"
+            f" JOIN w ON w.doc_id = dw.doc_id"
+            f" AND w.pos BETWEEN dw.j AND dw.j + {n - 1})"
+        )
+        ctes.append(
+            f"dupfrac{n} AS (SELECT c.doc_id,"
+            f" CAST(sum(length(w.word)) AS DOUBLE)"
+            f" / any_value(t.total_chars) AS frac"
+            f" FROM cov{n} c JOIN w ON w.doc_id = c.doc_id AND w.pos = c.pos"
+            f" JOIN total t ON t.doc_id = c.doc_id"
+            f" WHERE t.total_chars > 0 GROUP BY c.doc_id)"
+        )
+        joins.append(f"LEFT JOIN dupfrac{n} ON dupfrac{n}.doc_id = d.doc_id")
+        flags.append(
+            (f"fail_dup_{n}gram_chars", f"coalesce(dupfrac{n}.frac, 0) > {cap!r}")
+        )
+    cols = ",\n           ".join(f"{expr} AS {name}" for name, expr in flags)
+    ok = " AND ".join(f"NOT ({expr})" for _, expr in flags)
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        f"    SELECT d.doc_id,\n           {cols},\n"
+        f"           ({ok}) AS gopher_ngram_pass\n"
+        "    FROM docs d\n    "
+        + "\n    ".join(joins)
+        + "\n    ORDER BY d.doc_id"
+    )
+
+
 def _order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r8 rotation (for emb_kmeans_cells): LAG-window date arithmetic —
     offset windows stay exercised here at driver-grade parity; date
@@ -1235,6 +1346,10 @@ def _register_rotated() -> None:
     EXTRAS["emb_ann_ivf_recall"] = (
         llm_queries.emb_ann_ivf_recall,
         llm_queries._ivf_oracle_sql,
+    )
+    EXTRAS["docs_gopher_ngram_flags"] = (
+        _docs_gopher_ngram_flags,
+        _sql_gopher_ngram_flags(),
     )
 
 
