@@ -166,13 +166,68 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             "sec": timed(lambda: refine_centroids(emb, cents, n_iter=1)),
             "params": {"k": 16, "n_iter": 1},
         }
+    elif op == "span_dedup":
+        # ExactSubstr duplicate-span removal: one O(total-words) hash
+        # shuffle to find repeated n-grams, removal join touches only
+        # duplicate occurrences — honest expectation is time ∝ n (the
+        # disjoint-vocabulary copies replicate the span-dup structure
+        # per copy without cross-copy spans)
+        from etl_instagram_spark.operators.cleanup import remove_duplicate_spans
+
+        docs = spark.read.parquet(docs_path).localCheckpoint()
+        res = {
+            "sec": timed(
+                lambda: remove_duplicate_spans(docs, "doc_id", "text", n=13).count()
+            ),
+            "params": {"n": 13},
+        }
+    elif op == "curate_corpus":
+        # the composed pipeline: quality → exact dedup → near dedup →
+        # decontamination → PII → split → span edit. Benchmark side is
+        # CONSTANT size (first 20 base docs) as in production, where the
+        # eval suite doesn't grow with the corpus.
+        from etl_instagram_spark.pipelines.pretrain import curate_corpus
+
+        docs = spark.read.parquet(docs_path).localCheckpoint()
+        bench = (
+            spark.read.parquet(docs_path)
+            .orderBy("doc_id")
+            .limit(20)
+            .select("text")
+            .localCheckpoint()
+        )
+
+        def _run_curate():
+            kept, rejected = curate_corpus(
+                docs, benchmark=bench, dedup_spans_n=13
+            )
+            kept.count()
+            rejected.count()
+
+        res = {
+            "sec": timed(_run_curate),
+            "params": {
+                "near_dup_threshold": 0.7,
+                "decontamination_n": 13,
+                "dedup_spans_n": 13,
+                "benchmark_rows": 20,
+            },
+        }
     else:
         raise SystemExit(f"unknown op {op}")
     spark.stop()
     return res
 
 
-OPS = ("jaccard_join", "fit_bpe", "knn_self_join", "semantic_dedup", "kmeans_refine")
+OPS = (
+    "jaccard_join",
+    "fit_bpe",
+    "knn_self_join",
+    "semantic_dedup",
+    "kmeans_refine",
+    "span_dedup",
+    "curate_corpus",
+)
 
 
 def run_ops(docs_path: str, emb_path: str, mult: int, ops=OPS) -> dict[str, dict]:
