@@ -1282,6 +1282,95 @@ def _sql_gopher_ngram_flags() -> str:
     )
 
 
+def _docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling certified end-to-end (operators/dsir):
+    fit the hashed-ngram importance-ratio model with the English slice
+    as the target domain, Gumbel-top-25 sample the corpus, return each
+    selected doc's rounded log-weight and sampling key. The mirror
+    re-fits the model from DuckDB's OWN feature counts through the same
+    pure math (identical inlined doubles — the lm.py contract), so the
+    row certifies the engine-neutral feature hashing, the counting, the
+    weight sums, and the deterministic Gumbel coupling at once. Never
+    gate-registered."""
+    from etl_instagram_spark.operators.dsir import fit_dsir, importance_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    model = fit_dsir(docs, target, n_buckets=1024)
+    sel = importance_sample(docs, model, k=25)
+    return sel.select(
+        "doc_id", "lang", "log_weight", "sample_key"
+    ).orderBy("doc_id")
+
+
+def _sql_dsir_selection() -> str:
+    import os
+
+    import duckdb
+
+    from etl_instagram_spark.operators.dsir import dsir_model_from_counts
+
+    n_buckets = 1024
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    split = (
+        "list_filter(string_split_regex(trim(lower(coalesce(text, ''))), "
+        "'[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
+    )
+    feats = f"""
+    WITH toks AS (SELECT doc_id, lang, {split} AS l FROM "{{src}}"),
+    grams AS (
+      SELECT doc_id, unnest(l) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, l[j] || ' ' || l[j + 1] AS g
+      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS j FROM toks)),
+    feats AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % {n_buckets}
+               AS bucket
+      FROM grams)
+    """
+    con = duckdb.connect()
+
+    def counts(where: str) -> dict[int, int]:
+        rows = con.sql(
+            feats.replace("{src}", path)
+            + f"SELECT bucket, count(*) FROM feats "
+            f"WHERE doc_id IN (SELECT doc_id FROM '{path}' {where}) "
+            f"GROUP BY bucket"
+        ).fetchall()
+        return {int(b): int(c) for b, c in rows}
+
+    raw = counts("")
+    tgt = counts("WHERE lang = 'en'")
+    con.close()
+    model = dsir_model_from_counts(raw, tgt, n_buckets)
+    # CAST: a bare decimal literal parses as DECIMAL in DuckDB, which
+    # would sum in decimal arithmetic instead of the engine's doubles
+    mvals = ", ".join(
+        f"({b}, CAST({lr!r} AS DOUBLE))" for b, lr in enumerate(model.log_ratios)
+    )
+    return (
+        feats.replace('"{src}"', "documents")
+        + f""",
+    m(bucket, lr) AS (VALUES {mvals}),
+    w AS (SELECT doc_id, sum(lr) AS log_weight
+          FROM feats JOIN m USING (bucket) GROUP BY doc_id),
+    keyed AS (
+      SELECT doc_id, log_weight,
+             log_weight + -ln(-ln(
+               (('0x' || substr(md5(doc_id::VARCHAR || ':dsir'), 1, 8))::BIGINT
+                + 1) / 4294967297.0)) AS skey
+      FROM w),
+    top AS (SELECT doc_id, log_weight, skey FROM keyed
+            ORDER BY skey DESC, doc_id LIMIT 25)
+    SELECT d.doc_id, d.lang, round(t.log_weight, 6) AS log_weight,
+           round(t.skey, 6) AS sample_key
+    FROM top t JOIN documents d USING (doc_id)
+    ORDER BY d.doc_id
+    """
+    )
+
+
 def _order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r8 rotation (for emb_kmeans_cells): LAG-window date arithmetic —
     offset windows stay exercised here at driver-grade parity; date
@@ -1351,6 +1440,8 @@ def _register_rotated() -> None:
         _docs_gopher_ngram_flags,
         _sql_gopher_ngram_flags(),
     )
+    # callable: model literals fit from gate data (see docs_unigram_ppl)
+    EXTRAS["docs_dsir_selection"] = (_docs_dsir_selection, _sql_dsir_selection)
 
 
 _register_rotated()
