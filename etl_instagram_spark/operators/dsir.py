@@ -76,7 +76,11 @@ def hashed_ngram_features(col: Column, n_buckets: int) -> Column:
     return F.transform(grams, lambda g: hash32(g) % n_buckets)
 
 
-def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int) -> dict[int, int]:
+def bucket_counts(df: DataFrame, text_col: str, n_buckets: int) -> dict[int, int]:
+    """Per-bucket feature-occurrence counts of a corpus, collected as a
+    bounded dict (at most ``n_buckets`` rows reach the driver) — the
+    fit-side counting pass, public so the streaming read face can count
+    a fixed target corpus once (streaming/incremental.dsir_read_model)."""
     rows = (
         df.select(
             F.explode(hashed_ngram_features(F.col(text_col), n_buckets)).alias("b")
@@ -120,8 +124,8 @@ def fit_dsir(
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     return dsir_model_from_counts(
-        _bucket_counts(raw_df, text_col, n_buckets),
-        _bucket_counts(target_df, text_col, n_buckets),
+        bucket_counts(raw_df, text_col, n_buckets),
+        bucket_counts(target_df, text_col, n_buckets),
         n_buckets,
     )
 

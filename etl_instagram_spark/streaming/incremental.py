@@ -914,6 +914,84 @@ def kmeans_read_centroids(
     return cur
 
 
+# ---------------------------------------------------------------------------
+# continuous DSIR: incrementally maintained raw-corpus feature counts
+# ---------------------------------------------------------------------------
+
+
+def apply_dsir_delta(
+    store: MergeTable,
+    batch_df: DataFrame,
+    epoch_id: int,
+    n_buckets: int,
+    text_col: str = "text",
+) -> None:
+    """Fold one micro-batch of raw documents into an epoch-keyed
+    hashed-ngram count store: rows keyed (epoch_id, bucket) carrying the
+    batch's per-bucket feature-occurrence counts — the exactly-once
+    upsert pattern of apply_rollup_delta applied to operators/dsir's
+    feature space. Counts are integers, so epoch rows merge exactly
+    under any batch split; a replay upserts the same rows over
+    themselves. State is O(epochs · n_buckets); collapse old epochs with
+    the compact_rollup_partials rewrite if epoch count ever matters."""
+    from etl_instagram_spark.operators.dsir import hashed_ngram_features
+
+    delta = (
+        batch_df.select(
+            F.explode(
+                hashed_ngram_features(F.col(text_col), n_buckets)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+    )
+    store.upsert(delta)
+
+
+def stream_dsir_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    store: MergeTable,
+    checkpoint_dir: str,
+    n_buckets: int,
+    text_col: str = "text",
+) -> bool:
+    """One AvailableNow tick maintaining the DSIR raw-corpus feature
+    counts: drain newly landed documents and fold each micro-batch's
+    bucket counts into ``store``. Store and checkpoint are a unit (the
+    stream_kmeans_stats contract). At 100 TB this is the point of the
+    surface: the raw-side model follows the corpus continuously without
+    ever rescanning history — only the O(n_buckets) counts persist."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_dsir_delta(store, batch_df, epoch_id, n_buckets, text_col)
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
+def dsir_read_model(
+    store: MergeTable,
+    target_counts: dict[int, int],
+    n_buckets: int,
+):
+    """The importance-ratio model implied by EVERYTHING the store has
+    absorbed: collapse epochs to per-bucket totals (exact integer sums —
+    order- and batch-split-independent; at most ``n_buckets`` rows reach
+    the driver) and run the same pure
+    :func:`~etl_instagram_spark.operators.dsir.dsir_model_from_counts`
+    math against the FIXED target-domain counts. Equivalent to one
+    batch :func:`~etl_instagram_spark.operators.dsir.fit_dsir` over the
+    concatenation of every batch — pinned by test."""
+    from etl_instagram_spark.operators.dsir import dsir_model_from_counts
+
+    rows = store.read().groupBy("bucket").agg(F.sum("n").alias("n")).collect()
+    raw = {int(r["bucket"]): int(r["n"]) for r in rows}
+    return dsir_model_from_counts(raw, target_counts, n_buckets)
+
+
 def stream_kmeans_stats(
     spark: SparkSession,
     landing_dir: str,

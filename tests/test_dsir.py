@@ -134,3 +134,53 @@ def test_bad_params_raise(spark):
         fit_dsir(docs, docs, n_buckets=1)
     with pytest.raises(ValueError):
         importance_sample(docs, DsirModel([0.0] * B, B), k=0)
+
+
+def test_stream_dsir_counts_equals_batch_fit_and_replays(spark, tmp_path):
+    """The continuously maintained raw-corpus counts must imply EXACTLY
+    the model one batch fit computes over the union of every batch
+    (integer counts merge exactly across any split), and re-applying an
+    epoch's delta must change nothing."""
+    import json
+
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.operators.dsir import bucket_counts
+    from etl_instagram_spark.streaming.incremental import (
+        apply_dsir_delta,
+        dsir_read_model,
+        stream_dsir_counts,
+    )
+
+    def write_json(path, rows):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    wave1 = [{"doc_id": i, "text": f"alpha beta doc {i} common words"} for i in range(30)]
+    wave2 = [{"doc_id": 100 + i, "text": f"gamma delta doc {i} common words"} for i in range(30)]
+    landing = tmp_path / "docs"
+    store = MergeTable(spark, str(tmp_path / "dsir_counts"), ["epoch_id", "bucket"])
+    ckpt = str(tmp_path / "ckpt_dsir")
+    DDL = "doc_id long, text string"
+
+    write_json(landing / "w1.json", wave1)
+    assert stream_dsir_counts(spark, str(landing), DDL, store, ckpt, n_buckets=B)
+    write_json(landing / "w2.json", wave2)
+    assert stream_dsir_counts(spark, str(landing), DDL, store, ckpt, n_buckets=B)
+
+    all_rows = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in wave1 + wave2], DDL
+    )
+    target = all_rows.filter(F.col("doc_id") < 100)
+    tgt_counts = bucket_counts(target, "text", B)
+    got = dsir_read_model(store, tgt_counts, B)
+    want = fit_dsir(all_rows, target, n_buckets=B)
+    assert got == want  # bit-exact: identical counts, identical math
+
+    # replay: re-applying an already-committed epoch is a no-op
+    before = sorted(map(tuple, store.read().collect()))
+    batch1 = spark.createDataFrame([(r["doc_id"], r["text"]) for r in wave1], DDL)
+    apply_dsir_delta(store, batch1, 0, B)
+    assert sorted(map(tuple, store.read().collect())) == before
+    assert dsir_read_model(store, tgt_counts, B) == want
