@@ -365,6 +365,56 @@ def test_ivf_stored_cell_scan_prunes_partitions(spark, tmp_path):
     assert metrics.apply("numFiles").value() < n_dirs
 
 
+def test_dsir_scoring_broadcasts_the_model(spark):
+    """DSIR scoring must keep the corpus on the streamed side: the
+    n_buckets-row model joins as a BROADCAST (the exploded feature
+    stream must never shuffle to meet the model), and the shuffle that
+    keys the per-document aggregate carries map-side PARTIAL sums, not
+    raw feature rows — the shape that holds at 100 TB where the model is
+    O(n_buckets) and the feature stream is corpus-sized. (The spine LEFT
+    join is corpus x corpus and may legitimately sort-merge.)"""
+    from etl_instagram_spark.operators.dsir import DsirModel, dsir_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    model = DsirModel([0.1] * 64, 64)
+    plan = (
+        dsir_weights(docs, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the model relation sits under a BroadcastExchange, and the feature
+    # explode feeds the join with NO exchange in between
+    lines = plan.splitlines()
+    (model_scan,) = [i for i, ln in enumerate(lines) if "ExistingRDD[bucket" in ln]
+    assert any(
+        "BroadcastExchange" in ln for ln in lines[max(0, model_scan - 3):model_scan]
+    ), plan
+    (explode,) = [i for i, ln in enumerate(lines) if "explode(transform" in ln]
+    join_above = [
+        i for i, ln in enumerate(lines[:explode]) if "BroadcastHashJoin" in ln
+    ]
+    assert join_above, plan
+    assert not any(
+        "Exchange hashpartitioning" in ln for ln in lines[join_above[-1]:explode]
+    ), "feature stream shuffled before meeting the model"
+    # the per-doc aggregation combines map-side first
+    assert "partial_sum" in plan
+
+    # selection: the global top-k must plan as TakeOrdered (O(k) driver
+    # bytes), never a total sort of the weighted corpus
+    from etl_instagram_spark.operators.dsir import importance_sample
+
+    sel_plan = (
+        importance_sample(docs, model, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in sel_plan
+    assert "SortMergeJoin" not in sel_plan.split("TakeOrderedAndProject")[0]
+
+
 def test_bloom_prefilter_sits_in_the_scan_stage(spark):
     """flag_contaminated(bloom_fpp=...) must test membership BEFORE the
     hit aggregation's exchange: the Filter carrying the shiftright bit

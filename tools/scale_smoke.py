@@ -213,6 +213,25 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
                 "benchmark_rows": 20,
             },
         }
+    elif op == "dsir_select":
+        # fit (two counting passes) + score + Gumbel top-k select. The
+        # model is O(n_buckets) at ANY corpus size (constant by design,
+        # like production); honest expectation is time ∝ n.
+        from pyspark.sql import functions as SF
+
+        from etl_instagram_spark.operators.dsir import fit_dsir, importance_sample
+
+        docs = spark.read.parquet(docs_path).localCheckpoint()
+        target = docs.filter(SF.col("lang") == "en").localCheckpoint()
+
+        def _run_dsir():
+            model = fit_dsir(docs, target, n_buckets=4096)
+            importance_sample(docs, model, k=100).count()
+
+        res = {
+            "sec": timed(_run_dsir),
+            "params": {"n_buckets": 4096, "k": 100},
+        }
     else:
         raise SystemExit(f"unknown op {op}")
     spark.stop()
@@ -227,6 +246,7 @@ OPS = (
     "kmeans_refine",
     "span_dedup",
     "curate_corpus",
+    "dsir_select",
 )
 
 
