@@ -10,6 +10,7 @@ audited corpus:
       → exact dedup (content hash)
       → near dedup (MinHash-LSH + verified Jaccard)
       → benchmark decontamination (13-gram, Bloom-prefiltered)
+      → optional DSIR domain selection (importance-resampled top-k)
       → PII redaction
       → deterministic train/val/test split
 
@@ -59,6 +60,9 @@ def curate_corpus(
     decontamination_n: int = 13,
     bloom_fpp: float | None = 0.001,
     dedup_spans_n: int | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_buckets: int = 4096,
     split_weights: dict[str, float] | None = None,
     split_salt: str = "split",
 ) -> tuple[DataFrame, DataFrame]:
@@ -67,7 +71,8 @@ def curate_corpus(
     ``kept``: the surviving rows with ``text`` PII-redacted and a
     ``split`` column assigned; original columns preserved.
     ``rejected``: original rows + ``reject_stage`` ∈ {quality,
-    exact_dup, near_dup, contaminated} — route it to an audit sink.
+    exact_dup, near_dup, contaminated, not_selected} — route it to an
+    audit sink.
 
     ``benchmark=None`` skips decontamination (no eval set, no rule).
     ``dedup_spans_n`` (e.g. 50) additionally runs ExactSubstr-style
@@ -75,7 +80,14 @@ def curate_corpus(
     reject, so it happens after every document-dropping stage (editing
     first would perturb the near-dup/decontamination shingles) and its
     word counts land in ``n_spans_removed``/``n_words_removed`` on
-    ``kept``."""
+    ``kept``.
+
+    ``dsir_target`` + ``dsir_k`` additionally run DSIR importance
+    resampling (operators/dsir) over the CLEAN survivors — selection
+    sees only deduped, decontaminated text so duplicate mass can't
+    distort the raw-side model, and the fit/score passes run on the
+    smallest possible frame. Docs outside the k-sample (or with no
+    features) audit as ``not_selected``."""
     base_cols = docs.columns
     if id_col not in base_cols or text_col not in base_cols:
         raise ValueError(f"docs must carry {id_col!r} and {text_col!r}")
@@ -125,7 +137,24 @@ def curate_corpus(
     else:
         clean = near
 
-    # 5. optional passage-level dedup (edits text, drops nothing)
+    # 5. optional domain selection (DSIR): fit on the clean survivors,
+    # keep the Gumbel-top-k sample; everything else audits
+    if (dsir_target is None) != (dsir_k is None):
+        raise ValueError("dsir_target and dsir_k must be given together")
+    if dsir_target is not None:
+        from etl_instagram_spark.operators.dsir import (
+            fit_dsir,
+            importance_sample,
+        )
+
+        model = fit_dsir(clean, dsir_target, text_col, n_buckets=dsir_buckets)
+        selected = importance_sample(
+            clean, model, dsir_k, text_col, id_col
+        ).select(*base_cols)
+        audits.append(rejected_from(clean, selected, "not_selected"))
+        clean = selected
+
+    # 6. optional passage-level dedup (edits text, drops nothing)
     if dedup_spans_n is not None:
         from etl_instagram_spark.operators.cleanup import (
             remove_duplicate_spans,
@@ -135,7 +164,7 @@ def curate_corpus(
             clean, id_col, text_col, n=dedup_spans_n
         )
 
-    # 6. PII redaction + deterministic split on the survivors
+    # 7. PII redaction + deterministic split on the survivors
     kept = hash_split(
         clean.withColumn(text_col, redact_pii(F.col(text_col))),
         id_col,

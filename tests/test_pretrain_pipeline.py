@@ -116,3 +116,42 @@ def test_curation_optional_span_dedup_edits_survivors(spark):
     edited = [i for i in (7, 8) if by_id[i]["n_spans_removed"] > 0]
     assert edited == [8]  # keeper = smaller doc_id stays verbatim
     assert "n_words_removed" in kept.columns
+
+
+def test_curation_optional_dsir_selection_audits_the_rest(spark):
+    """With a dsir_target, the clean survivors are importance-resampled
+    to k docs; non-selected clean docs audit as not_selected, prior
+    stage attributions are untouched, and the partition property holds."""
+    docs = _corpus(spark)
+    target = docs.filter(F.col("doc_id") == 5)  # nautical-flavored domain
+    kept, rejected = curate_corpus(
+        docs, benchmark=_bench(spark), dsir_target=target, dsir_k=1,
+        dsir_buckets=512,
+    )
+    k = {r["doc_id"] for r in kept.collect()}
+    rej = {r["doc_id"]: r["reject_stage"] for r in rejected.collect()}
+    assert k | set(rej) == {1, 2, 3, 4, 5, 6} and not (k & set(rej))
+    assert len(k) == 1
+    assert rej[4] == "quality" and rej[2] == "exact_dup"
+    assert rej[3] == "near_dup" and rej[6] == "contaminated"
+    # exactly one of the two clean survivors (1, 5) was selected; the
+    # other audits as not_selected
+    other = ({1, 5} - k).pop()
+    assert rej[other] == "not_selected"
+
+    # determinism across partitionings holds with the stage enabled
+    kept2, rejected2 = curate_corpus(
+        _corpus(spark, 7), benchmark=_bench(spark),
+        dsir_target=_corpus(spark, 2).filter(F.col("doc_id") == 5),
+        dsir_k=1, dsir_buckets=512,
+    )
+    assert {r["doc_id"] for r in kept2.collect()} == k
+    assert {r["doc_id"]: r["reject_stage"] for r in rejected2.collect()} == rej
+
+
+def test_curation_dsir_params_must_pair(spark):
+    docs = _corpus(spark)
+    with pytest.raises(ValueError):
+        curate_corpus(docs, dsir_target=docs)
+    with pytest.raises(ValueError):
+        curate_corpus(docs, dsir_k=5)
