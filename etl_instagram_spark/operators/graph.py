@@ -1,0 +1,219 @@
+"""Distributed graph centrality over entity-relationship edges:
+integer-quantized PageRank.
+
+Why a graph operator in a data-curation engine: large-scale corpus
+builds rank their sources by link/interaction centrality before
+filtering (CommonCrawl publishes harmonic-centrality and PageRank-style
+domain ranks; "quality by popularity" is a standard pre-filter signal
+for web-scale pretraining corpora). The reference has no graph surface
+(its only cross-entity structure is key-equality joins,
+posts-from-hashtags.js) — this is an engine-native scale extension
+(SURVEY §7), in the same family as the connected-components operators
+in operators/dedup.py.
+
+Spark-first design (the classic iterative-join kernel):
+
+- the edge list is ``distinct``-ed, hash-partitioned on ``src`` ONCE and
+  ``localCheckpoint``-pinned — every iteration's ``edges ⋈ ranks`` join
+  reuses that layout, so only the (node-sized) rank frame shuffles per
+  round; at 100 TB the edge list is the big side and moves zero times
+  after setup,
+- each iteration is one equi-join + one ``groupBy(dst).sum`` whose
+  map-side partial aggregation collapses every partition to ≤ |nodes|
+  rows before the shuffle — never an all-pairs or driver-side step,
+- rank frames are ``localCheckpoint``-ed per round, truncating the
+  exponentially deepening lineage (same discipline as
+  dedup.dedup_components),
+- the driver holds only scalar state (node count, round index) — rank
+  vectors never leave the cluster.
+
+Exactness across engines (the property the DuckDB oracle certifies):
+ranks are kept in integer "micro-units" (``scale`` = 10^12 per unit of
+probability mass) and every update is pure int64 arithmetic —
+
+    contrib(u)  = rank_micro(u) div outdeg(u)
+    rank'(v)    = (scale·(den−num)) div (N·den)
+                  + (num · Σ_{u→v} contrib(u)) div den
+
+with damping num/den (default 17/20 = 0.85). Integer sums are
+order-independent, so the result is bit-identical under ANY
+partitioning, executor count, or engine — a fixed-iteration DuckDB CTE
+chain (:func:`pagerank_oracle_sql`) replays every round and lands on
+the same BIGINTs. (Float PageRank cannot make that promise: summation
+order drifts in the 15th digit.) All values are non-negative, so
+Spark's ``div`` (truncate) and DuckDB's ``//`` (floor) agree. Total
+flow per round is ≤ scale ≈ 10^12 and the damping multiply tops out at
+num·scale < 2·10^13 — far inside int64.
+
+Dangling nodes (no out-edges) receive rank but emit none: their mass
+exits the system instead of being redistributed (the "remove dangling
+mass" simplification — documented, and replayed identically by the
+oracle). Rank values are therefore comparable WITHIN a run, which is
+what a ranking needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# rank mass carried as integer micro-units: 10^12 per unit keeps six
+# digits of headroom over a billion-node graph (scale // N ≥ 10^3 of
+# resolution at N = 10^9) while num·scale stays far inside int64
+PAGERANK_SCALE = 10**12
+
+# damping 0.85 as an exact rational so both engines do the same
+# integer multiply-then-divide instead of a float multiply
+PAGERANK_DAMPING = (17, 20)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    scale: int = PAGERANK_SCALE,
+    damping: tuple[int, int] = PAGERANK_DAMPING,
+) -> DataFrame:
+    """PageRank over a directed edge list — returns (id, rank_micro)
+    with ``rank_micro`` the node's stationary-mass estimate after
+    ``n_iter`` power iterations, in integer micro-units of ``scale``.
+
+    ``edges`` rows are (src, dst) long ids; duplicates are collapsed
+    (the walk is over the simple directed graph). Every id appearing as
+    src or dst is ranked. See the module docstring for the exact
+    integer update rule and the scale/partitioning design."""
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .distinct()
+        # pin the big side's layout once; every round's join reuses it
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(deg, "id", "left")  # outdeg NULL ⇔ dangling
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # the driver's only data-dependent scalar
+    if n == 0:
+        return nodes.select("id", F.lit(0).cast("long").alias("rank_micro"))
+    base = (scale * (den - num)) // (n * den)
+    ranks = nodes.select(
+        "id", "outdeg", F.lit(scale // n).cast("long").alias("rank_micro")
+    )
+    for _ in range(n_iter):
+        contrib = ranks.filter(F.col("outdeg").isNotNull()).select(
+            "id", F.expr("rank_micro div outdeg").alias("contrib")
+        )
+        inflow = (
+            e.join(contrib, e.src == contrib.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, "id", "left")
+            .select(
+                "id",
+                "outdeg",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({num} * coalesce(inflow, cast(0 as bigint))) div {den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", "rank_micro")
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 3,
+    scale: int = PAGERANK_SCALE,
+    damping: tuple[int, int] = PAGERANK_DAMPING,
+) -> str:
+    """WITH-clause body replaying :func:`pagerank` in pure SQL — one CTE
+    per iteration, every update the identical int64 arithmetic, so a
+    DuckDB oracle (or any ANSI engine with ``//`` floor division)
+    reproduces the Spark BIGINTs exactly. ``edges_sql`` is a SELECT
+    producing (src, dst); the final CTE is ``r{n_iter}`` with columns
+    (id, outdeg, rank_micro). Oracles interpolate THIS text so the two
+    sides cannot drift (the hash32_sql convention)."""
+    num, den = damping
+    # MATERIALIZED throughout: DuckDB inlines plain CTEs, and each
+    # round references the edge/node/previous-rank CTEs more than once —
+    # inlining would re-expand the whole chain per round (exponential
+    # plans past a handful of iterations); materialization keeps the
+    # replay linear in n_iter, mirroring the Spark side's per-round
+    # localCheckpoint
+    parts = [
+        f"eraw AS ({edges_sql})",
+        "e AS MATERIALIZED"
+        " (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM eraw)",
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)",
+        "nodes AS MATERIALIZED (SELECT n.id, d.outdeg FROM"
+        " (SELECT src AS id FROM e UNION SELECT dst FROM e) n"
+        " LEFT JOIN deg d ON n.id = d.id)",
+        f"r0 AS MATERIALIZED (SELECT id, outdeg,"
+        f" ({scale} // (SELECT count(*) FROM nodes))::BIGINT AS rank_micro"
+        f" FROM nodes)",
+    ]
+    base = f"(SELECT ({scale} * {den - num}) // (count(*) * {den}) FROM nodes)"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT nodes.id, nodes.outdeg,"
+            f" ({base} + ({num} * COALESCE(f.inflow, 0)) // {den})::BIGINT"
+            f" AS rank_micro"
+            f" FROM nodes LEFT JOIN"
+            f" (SELECT e.dst, (sum(r.rank_micro // r.outdeg))::BIGINT AS inflow"
+            f"  FROM e JOIN r{i - 1} r ON e.src = r.id"
+            f"  GROUP BY e.dst) f ON f.dst = nodes.id)"
+        )
+    return ",\n".join(parts)
+
+
+def bipartite_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The customer↔supplier interaction graph: one undirected edge
+    (emitted in both directions) per distinct customer-supplier pairing
+    observed on any order line. Node ids are disjoint by parity —
+    customer c ↦ 2c, supplier s ↦ 2s+1 — so one BIGINT id space carries
+    both entity types (the oracle replays the same encoding).
+
+    Scale: the orders⋈lineitem join is the key-equi shuffle the fact
+    tables already share; ``distinct`` collapses to ≤ |customers|·avg
+    distinct suppliers rows with map-side partial aggregation."""
+    ol = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp"),
+        )
+        .distinct()
+    )
+    return ol.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
+        ol.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+
+
+BIPARTITE_ORDER_EDGES_SQL = """
+    SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    UNION
+    SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""

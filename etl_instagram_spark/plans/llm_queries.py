@@ -1779,10 +1779,14 @@ def docs_near_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-oracle(
-    "docs_near_dedup_summary",
-    f"""
-    WITH t AS (SELECT doc_id, trim(lower(text)) AS norm, {SQL_TOKS} AS toks
+def _sql_verified_pairs() -> str:
+    """WITH-body replaying the MinHash-LSH candidate → exact-Jaccard
+    verify pipeline (operators/dedup.verified_duplicate_pairs) at
+    threshold 0.5 — the final CTE is ``verified`` (ia, ib with ia < ib).
+    Shared by the near-dedup-summary and dup-cluster-reps oracles so the
+    two mirrors can never drift."""
+    return f"""
+    t AS (SELECT doc_id, trim(lower(text)) AS norm, {SQL_TOKS} AS toks
                FROM documents),
          s AS (SELECT doc_id,
                       CASE WHEN len(toks) < 3 THEN [norm]
@@ -1806,7 +1810,13 @@ oracle(
                       JOIN sig sa ON sa.doc_id = ia
                       JOIN sig sb ON sb.doc_id = ib
                       WHERE len(list_intersect(sa.dsh, sb.dsh))::DOUBLE
-                            / len(list_distinct(sa.dsh || sb.dsh)) >= 0.5),
+                            / len(list_distinct(sa.dsh || sb.dsh)) >= 0.5)"""
+
+
+oracle(
+    "docs_near_dedup_summary",
+    f"""
+    WITH {_sql_verified_pairs()},
          losers AS (SELECT DISTINCT ib FROM verified)
     SELECT (SELECT count(*) FROM documents) AS n_docs,
            (SELECT count(*) FROM documents) - (SELECT count(*) FROM losers) AS n_survivors,
@@ -2048,10 +2058,12 @@ oracle(
 # ---------------------------------------------------------------------------
 
 
-@query("nation_customer_listagg")
 def nation_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String aggregation: first five customer names per nation,
-    deterministically sorted then joined — the listagg surface."""
+    deterministically sorted then joined — the listagg surface.
+    (r10 rotation: gate seat given to graph_pagerank_suppliers; this
+    keeps driver-grade DuckDB parity in plans/parity_extras.py, and
+    collect_list/sort_array stays gated via docs_top_terms_by_lang.)"""
     cu = _t(spark, sf_dir, "customer")
     return (
         cu.groupBy("c_nationkey")
@@ -2065,21 +2077,19 @@ def nation_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-oracle(
-    "nation_customer_listagg",
-    """
+SQL_NATION_CUSTOMER_LISTAGG = """
     SELECT c_nationkey,
            count(*) AS n_customers,
            array_to_string((list(c_name ORDER BY c_name))[1:5], ',') AS first_names
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
-    """,
-)
+    """
 
 
-@query("part_metrics_unpivot")
 def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide → long): per-part numeric metrics as (metric, value)
-    rows — Catalyst Expand, one pass, no shuffle."""
+    rows — Catalyst Expand, one pass, no shuffle.
+    (r10 rotation: gate seat given to docs_leakage_safe_split; DuckDB
+    parity retained in plans/parity_extras.py.)"""
     pa = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
     return (
         pa.select(
@@ -2092,9 +2102,7 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-oracle(
-    "part_metrics_unpivot",
-    """
+SQL_PART_METRICS_UNPIVOT = """
     SELECT p_partkey, metric, value
     FROM (SELECT p_partkey,
                  p_retailprice AS retailprice,
@@ -2102,8 +2110,7 @@ oracle(
           FROM part WHERE p_partkey <= 100)
     UNPIVOT (value FOR metric IN (retailprice, size))
     ORDER BY p_partkey, metric
-    """,
-)
+    """
 
 
 @query("nation_customers_suppliers_full")
@@ -3390,3 +3397,264 @@ def _kmeans_oracle_sql() -> str:
 
 
 oracle("emb_kmeans_cells", _kmeans_oracle_sql)
+
+
+# ---------------------------------------------------------------------------
+# graph centrality (operators/graph.py) — promoted to the gate in r10
+# (nation_customer_listagg rotated to plans/parity_extras.py)
+# ---------------------------------------------------------------------------
+
+
+@query("graph_pagerank_suppliers")
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (operators/graph.py) over the
+    customer↔supplier interaction graph: top-20 suppliers by stationary
+    mass after 3 power iterations. Ranks are integer micro-units and
+    every update is pure int64 arithmetic, so the result is
+    partition-order-independent and the oracle — a fixed-iteration CTE
+    chain doing the SAME integer math — replays every round INSIDE
+    DuckDB and lands on bit-identical BIGINTs. Second certified
+    iterative algorithm after emb_kmeans_cells, and the first whose
+    oracle is one standalone SQL statement (no Python-side replay
+    loop). Scale: the edge list shuffles once at setup (pinned layout);
+    each iteration moves only the node-sized rank frame and the
+    groupBy(dst) sum collapses map-side to ≤ |nodes| rows/partition."""
+    from etl_instagram_spark.operators.graph import (
+        bipartite_order_edges,
+        pagerank,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ranks = pagerank(bipartite_order_edges(od, li), n_iter=3)
+    return (
+        ranks.filter(F.col("id") % 2 == 1)
+        .select(F.expr("(id - 1) div 2").alias("s_suppkey"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    from etl_instagram_spark.operators.graph import (
+        BIPARTITE_ORDER_EDGES_SQL,
+        pagerank_oracle_sql,
+    )
+
+    return f"""
+    WITH {pagerank_oracle_sql(BIPARTITE_ORDER_EDGES_SQL, n_iter=3)}
+    SELECT (id - 1) // 2 AS s_suppkey, rank_micro
+    FROM r3 WHERE id % 2 = 1
+    ORDER BY rank_micro DESC, s_suppkey
+    LIMIT 20
+    """
+
+
+oracle("graph_pagerank_suppliers", _pagerank_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters as the product (operators/dedup.duplicate_clusters) —
+# promoted to the gate in r10 (top3_orders_per_customer rotated)
+# ---------------------------------------------------------------------------
+
+# the oracle replays min-label propagation for a FIXED round count; the
+# Spark side iterates to convergence, so equality needs rounds ≥ the
+# dup graph's min-label convergence depth. Dup clusters are hub-shaped
+# (diameter 2-4); 16 is a 4-8× margin, and extra rounds are no-ops
+# (min-label is monotone — the fixed point absorbs)
+_CC_ORACLE_ROUNDS = 16
+
+
+@query("docs_dup_cluster_reps")
+def docs_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS as the deliverable: MinHash-LSH
+    candidates → exact-Jaccard verify → connected components
+    (operators/dedup.duplicate_clusters) → one canonical representative
+    per cluster (longest text, ties to the smallest doc_id — the
+    "keep best" curation policy, vs the survivor rule's "keep
+    smallest id"). The oracle replays the ENTIRE pipeline in one SQL
+    statement, including connected components as _CC_ORACLE_ROUNDS (16)
+    monotone min-label rounds — certifying the CC operator cross-engine
+    for the first time (previously differential-tested against
+    union-find only). Scale: components run O(diameter) key-equi
+    rounds over the O(duplicates) verified-pair list, never the corpus;
+    the reps window partitions by component (bounded groups)."""
+    from pyspark.sql import Window
+
+    from etl_instagram_spark.operators.dedup import duplicate_clusters
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    cl = duplicate_clusters(
+        docs, "doc_id", "text", threshold=0.5, k=MINHASH_K, bands=MINHASH_BANDS
+    )
+    sized = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    reps = (
+        sized.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_chars"),
+        )
+    )
+    agg = sized.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return (
+        agg.join(reps, "component")
+        .select(
+            "component",
+            "cluster_size",
+            "rep_doc_id",
+            "rep_chars",
+            "total_chars",
+        )
+        .orderBy(F.col("cluster_size").desc(), "component")
+    )
+
+
+def _sql_cc_rounds(rounds: int) -> str:
+    """Fixed-round min-label propagation CTEs over ``verified`` pairs:
+    ``edges`` (symmetric), ``l0`` (label = own id), ``l{i}`` = per-node
+    min over self + neighbors' round-(i-1) labels. After convergence
+    every label is the component minimum; extra rounds are no-ops.
+
+    Every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    each round references its predecessor twice — inlining would expand
+    the chain to 2^rounds copies of the base scan (the first run of
+    this oracle died opening ~65k file handles). Materialization makes
+    the replay linear in rounds, which is also what the Spark side's
+    per-round localCheckpoint does."""
+    parts = [
+        "edges AS MATERIALIZED (SELECT ia AS u, ib AS v FROM verified"
+        " UNION SELECT ib, ia FROM verified)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS component FROM edges)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT id, min(component) AS component FROM ("
+            f" SELECT id, component FROM l{i - 1}"
+            f" UNION ALL"
+            f" SELECT e.v AS id, l.component FROM edges e"
+            f" JOIN l{i - 1} l ON e.u = l.id) x GROUP BY id)"
+        )
+    return ",\n".join(parts)
+
+
+oracle(
+    "docs_dup_cluster_reps",
+    f"""
+    WITH {_sql_verified_pairs()},
+    {_sql_cc_rounds(_CC_ORACLE_ROUNDS)},
+    sized AS (SELECT l.id AS doc_id, l.component, d.n_chars
+              FROM l{_CC_ORACLE_ROUNDS} l
+              JOIN documents d ON d.doc_id = l.id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY component
+                          ORDER BY n_chars DESC, doc_id) AS rn
+               FROM sized),
+    agg AS (SELECT component, count(*) AS cluster_size,
+                   (sum(n_chars))::BIGINT AS total_chars
+            FROM sized GROUP BY component)
+    SELECT a.component, a.cluster_size,
+           r.doc_id AS rep_doc_id, r.n_chars AS rep_chars, a.total_chars
+    FROM agg a JOIN ranked r ON r.component = a.component AND r.rn = 1
+    ORDER BY a.cluster_size DESC, a.component
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe corpus splitting — promoted to the gate in r10
+# (part_metrics_unpivot rotated to plans/parity_extras.py)
+# ---------------------------------------------------------------------------
+
+_LEAK_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@query("docs_leakage_safe_split")
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed on CONTENT, not id: the split
+    bucket hashes the normalized text, so byte-identical duplicates
+    land in the same split by construction and can never leak
+    train→test (the standard eval-contamination failure when splitting
+    a deduplicated-later corpus by doc id). Pure scan-stage
+    projections — both the group key and the split are per-row hash
+    expressions, no shuffle until the audit aggregation.
+
+    The result is the audit: per split, doc and distinct-group counts
+    plus the redundant-duplicate count, and two global columns —
+    ``leaked_groups`` (dup groups straddling splits under the
+    content-keyed assignment: provably 0, COMPUTED not asserted) vs
+    ``leaked_groups_docid_split`` (the same count under the naive
+    id-keyed split — the leak this operator exists to prevent)."""
+    from etl_instagram_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "gk", T.hash32(F.trim(F.lower(F.col("text"))))
+    )
+    d = hash_split(docs, "gk", dict(_LEAK_WEIGHTS), salt="leakfree")
+    d = hash_split(
+        d, "doc_id", dict(_LEAK_WEIGHTS), salt="leakfree", split_col="split_docid"
+    )
+    per = d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("gk").alias("n_groups"),
+    )
+    leaked = (
+        d.groupBy("gk")
+        .agg(
+            F.countDistinct("split").alias("ns"),
+            F.countDistinct("split_docid").alias("nsd"),
+        )
+        .agg(
+            F.count(F.when(F.col("ns") > 1, True)).alias("leaked_groups"),
+            F.count(F.when(F.col("nsd") > 1, True)).alias(
+                "leaked_groups_docid_split"
+            ),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(leaked))  # one-row audit side
+        .select(
+            "split",
+            "n_docs",
+            "n_groups",
+            (F.col("n_docs") - F.col("n_groups")).alias("dup_docs"),
+            "leaked_groups",
+            "leaked_groups_docid_split",
+        )
+        .orderBy("split")
+    )
+
+
+def _sql_leakage_safe_split() -> str:
+    from etl_instagram_spark.functions.text import hash32_sql
+    from etl_instagram_spark.operators.sampling import split_sql_case
+
+    gk = hash32_sql("trim(lower(text))")
+    case_gk = split_sql_case(gk, _LEAK_WEIGHTS, salt="leakfree")
+    case_id = split_sql_case("doc_id", _LEAK_WEIGHTS, salt="leakfree")
+    return f"""
+    WITH d AS (SELECT {gk} AS gk, {case_gk} AS split, {case_id} AS split_docid
+               FROM documents),
+    per AS (SELECT split, count(*) AS n_docs,
+                   count(DISTINCT gk) AS n_groups
+            FROM d GROUP BY split),
+    leaked AS (SELECT count(*) FILTER (ns > 1) AS leaked_groups,
+                      count(*) FILTER (nsd > 1) AS leaked_groups_docid_split
+               FROM (SELECT gk, count(DISTINCT split) AS ns,
+                            count(DISTINCT split_docid) AS nsd
+                     FROM d GROUP BY gk))
+    SELECT split, n_docs, n_groups, n_docs - n_groups AS dup_docs,
+           leaked_groups, leaked_groups_docid_split
+    FROM per CROSS JOIN leaked
+    ORDER BY split
+    """
+
+
+oracle("docs_leakage_safe_split", _sql_leakage_safe_split())

@@ -177,9 +177,9 @@ oracle(
 # (customers_without_urgent_orders oracle moved to plans/parity_extras.py
 # with the query's r6 gate rotation)
 
-oracle(
-    "top3_orders_per_customer",
-    """
+# (top3_orders_per_customer rotated to plans/parity_extras.py in r10,
+# for docs_dup_cluster_reps)
+SQL_TOP3_ORDERS_PER_CUSTOMER = """
     SELECT o_custkey, o_orderkey,
            round(o_totalprice, 2) AS o_totalprice,
            rank_in_customer
@@ -191,8 +191,7 @@ oracle(
     )
     WHERE rank_in_customer <= 3
     ORDER BY o_custkey, rank_in_customer
-    """,
-)
+    """
 
 # (order_gap_days rotated to plans/parity_extras.py in r8, for
 # emb_kmeans_cells)

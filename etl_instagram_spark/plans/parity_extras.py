@@ -61,6 +61,15 @@ r8 rotation: ``order_gap_days`` (LAG offset window) moved here to gate
 the distributed-k-means query ``emb_kmeans_cells`` (plans/llm_queries.py
 — sample init + full-data Lloyd's refinement + per-cell cost, init and
 every iteration replayed through DuckDB).
+
+r10 rotations: ``top3_orders_per_customer`` (row_number top-k; shape
+stays gated via customer_revenue_quartiles / docs_bm25_topk),
+``nation_customer_listagg`` (listagg), ``part_metrics_unpivot``
+(unpivot/Expand) — seats given to the integer-quantized PageRank
+(``graph_pagerank_suppliers``), near-dup cluster representatives
+(``docs_dup_cluster_reps``, the first cross-engine-certified
+connected-components row), and the content-keyed leakage-safe split
+(``docs_leakage_safe_split``).
 """
 
 from __future__ import annotations
@@ -1371,6 +1380,30 @@ def _sql_dsir_selection() -> str:
     )
 
 
+def _top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 rotation (for docs_dup_cluster_reps): row_number top-k per
+    group — the shape stays gated via customer_revenue_quartiles and
+    docs_bm25_topk."""
+    from etl_instagram_spark.plans.queries import top3_orders_per_customer
+
+    return top3_orders_per_customer(spark, sf_dir)
+
+
+def _nation_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 rotation (for graph_pagerank_suppliers): listagg — sorted
+    collect_list stays gated via docs_top_terms_by_lang."""
+    from etl_instagram_spark.plans.llm_queries import nation_customer_listagg
+
+    return nation_customer_listagg(spark, sf_dir)
+
+
+def _part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 rotation (for docs_leakage_safe_split): unpivot/Expand."""
+    from etl_instagram_spark.plans.llm_queries import part_metrics_unpivot
+
+    return part_metrics_unpivot(spark, sf_dir)
+
+
 def _order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r8 rotation (for emb_kmeans_cells): LAG-window date arithmetic —
     offset windows stay exercised here at driver-grade parity; date
@@ -1442,6 +1475,22 @@ def _register_rotated() -> None:
     )
     # callable: model literals fit from gate data (see docs_unigram_ppl)
     EXTRAS["docs_dsir_selection"] = (_docs_dsir_selection, _sql_dsir_selection)
+    # r10 rotations (for graph_pagerank_suppliers, docs_dup_cluster_reps,
+    # docs_leakage_safe_split)
+    from etl_instagram_spark.plans.oracle import SQL_TOP3_ORDERS_PER_CUSTOMER
+
+    EXTRAS["top3_orders_per_customer"] = (
+        _top3_orders_per_customer,
+        SQL_TOP3_ORDERS_PER_CUSTOMER,
+    )
+    EXTRAS["nation_customer_listagg"] = (
+        _nation_customer_listagg,
+        llm_queries.SQL_NATION_CUSTOMER_LISTAGG,
+    )
+    EXTRAS["part_metrics_unpivot"] = (
+        _part_metrics_unpivot,
+        llm_queries.SQL_PART_METRICS_UNPIVOT,
+    )
 
 
 _register_rotated()

@@ -316,10 +316,13 @@ def q4_order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("top3_orders_per_customer")
 def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via row_number window (reference A4 top-terms
-    pattern). Partition by custkey → state bounded per key at any scale."""
+    pattern). Partition by custkey → state bounded per key at any scale.
+    (r10 rotation: gate seat given to docs_dup_cluster_reps — the
+    row_number-top-k shape stays gated via customer_revenue_quartiles
+    and docs_bm25_topk; driver-grade DuckDB parity retained in
+    plans/parity_extras.py.)"""
     od = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (

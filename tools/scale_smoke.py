@@ -232,6 +232,41 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             "sec": timed(_run_dsir),
             "params": {"n_buckets": 4096, "k": 100},
         }
+    elif op == "pagerank":
+        # iterative-join kernel: each power iteration is one key-equi
+        # join + one partially-aggregated groupBy over the edge list, so
+        # the honest expectation is time ∝ edges · n_iter. The scaled
+        # graph is `mult` disjoint id-shifted copies of the base
+        # customer↔supplier graph — per-copy structure identical, no
+        # cross-copy edges (same replicate-don't-correlate protocol as
+        # the documents scaling).
+        from etl_instagram_spark.operators.graph import (
+            bipartite_order_edges,
+            pagerank,
+        )
+
+        od = spark.read.parquet(f"{BASE_SF}/orders.parquet")
+        li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+        base_edges = bipartite_order_edges(od, li)
+        copies = [
+            base_edges.select(
+                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
+                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
+            )
+            for c in range(mult)
+        ]
+        edges = copies[0]
+        for cp in copies[1:]:
+            edges = edges.unionByName(cp)
+        edges = edges.localCheckpoint()
+        res = {
+            "sec": timed(
+                lambda: pagerank(edges, n_iter=3)
+                .agg(F.sum("rank_micro"))
+                .collect()
+            ),
+            "params": {"n_iter": 3},
+        }
     else:
         raise SystemExit(f"unknown op {op}")
     spark.stop()
@@ -247,6 +282,7 @@ OPS = (
     "span_dedup",
     "curate_corpus",
     "dsir_select",
+    "pagerank",
 )
 
 
