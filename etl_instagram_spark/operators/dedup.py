@@ -561,6 +561,50 @@ def duplicate_clusters(
     return dedup_components(verified).withColumnRenamed("id", id_col)
 
 
+def near_dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    k: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    prefer: Column | None = None,
+) -> DataFrame:
+    """Near-dedup keeping the BEST doc per duplicate cluster (vs
+    :func:`near_dedup_minhash`'s keep-smallest-id): LSH candidates →
+    exact-Jaccard verify → connected components → per-cluster argmax of
+    ``prefer`` (default: text length), ties to the smallest id. Use it
+    when cluster members differ in quality — the min-id survivor rule
+    keeps whichever duplicate happened to be ingested first; this keeps
+    the one worth training on.
+
+    The survivor set differs from the pairwise rule in shape too: one
+    keeper per TRANSITIVE cluster (a chain a~b, b~c with a≁c keeps
+    exactly one of the three, where the pairwise rule can keep two).
+
+    Scale: the components run over the O(duplicates) verified-pair
+    list, never the corpus; the argmax window partitions by component
+    (bounded groups); docs in no cluster bypass everything via one
+    left-anti join on the id key. The cross-engine certification of
+    the cluster/representative math is the gate row
+    ``docs_dup_cluster_reps`` (plans/llm_queries.py)."""
+    clusters = duplicate_clusters(
+        df, id_col, text_col, threshold, k, bands, shingle_words
+    )
+    pref = prefer if prefer is not None else F.length(F.col(text_col))
+    w = Window.partitionBy("component").orderBy(
+        pref.desc(), F.col(id_col).asc()
+    )
+    losers = (
+        df.join(clusters, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash_candidates(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
 ) -> DataFrame:

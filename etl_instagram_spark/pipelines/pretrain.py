@@ -44,8 +44,10 @@ from etl_instagram_spark.operators.cleanup import (
     gopher_ngram_filter,
     redact_pii,
 )
+from etl_instagram_spark.functions.text import hash32
 from etl_instagram_spark.operators.dedup import (
     exact_dedup,
+    near_dedup_keep_best,
     near_dedup_minhash,
 )
 from etl_instagram_spark.operators.sampling import hash_split
@@ -57,6 +59,7 @@ def curate_corpus(
     text_col: str = "text",
     benchmark: DataFrame | None = None,
     near_dup_threshold: float = 0.7,
+    near_dup_keep: str = "smallest_id",
     decontamination_n: int = 13,
     bloom_fpp: float | None = 0.001,
     dedup_spans_n: int | None = None,
@@ -65,6 +68,7 @@ def curate_corpus(
     dsir_buckets: int = 4096,
     split_weights: dict[str, float] | None = None,
     split_salt: str = "split",
+    split_on: str = "id",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain; returns ``(kept, rejected)``.
 
@@ -87,7 +91,18 @@ def curate_corpus(
     sees only deduped, decontaminated text so duplicate mass can't
     distort the raw-side model, and the fit/score passes run on the
     smallest possible frame. Docs outside the k-sample (or with no
-    features) audit as ``not_selected``."""
+    features) audit as ``not_selected``.
+
+    ``near_dup_keep`` picks the near-dedup survivor policy:
+    ``"smallest_id"`` (default, near_dedup_minhash's pairwise rule) or
+    ``"best"`` (dedup.near_dedup_keep_best — connected components over
+    the verified pairs, keep the longest text per TRANSITIVE cluster).
+
+    ``split_on="content"`` keys the train/val/test assignment on
+    hash32(normalized text) instead of the doc id — the leakage-safe
+    split (gate row docs_leakage_safe_split): any residual byte-equal
+    duplicates co-assign by construction, so eval contamination through
+    the split is impossible even if dedup was skipped upstream."""
     base_cols = docs.columns
     if id_col not in base_cols or text_col not in base_cols:
         raise ValueError(f"docs must carry {id_col!r} and {text_col!r}")
@@ -116,10 +131,20 @@ def curate_corpus(
     exact = exact_dedup(quality, text_col, id_col).select(*base_cols)
     audits.append(rejected_from(quality, exact, "exact_dup"))
 
-    # 3. near dedup — LSH candidates, verified Jaccard, min-id survivor
-    near = near_dedup_minhash(
-        exact, id_col, text_col, threshold=near_dup_threshold
-    ).select(*base_cols)
+    # 3. near dedup — LSH candidates, verified Jaccard; survivor policy
+    # per near_dup_keep (pairwise min-id vs per-cluster best)
+    if near_dup_keep == "smallest_id":
+        near = near_dedup_minhash(
+            exact, id_col, text_col, threshold=near_dup_threshold
+        ).select(*base_cols)
+    elif near_dup_keep == "best":
+        near = near_dedup_keep_best(
+            exact, id_col, text_col, threshold=near_dup_threshold
+        ).select(*base_cols)
+    else:
+        raise ValueError(
+            f"near_dup_keep must be 'smallest_id' or 'best', got {near_dup_keep!r}"
+        )
     audits.append(rejected_from(exact, near, "near_dup"))
 
     # 4. benchmark decontamination (optional)
@@ -165,12 +190,26 @@ def curate_corpus(
         )
 
     # 7. PII redaction + deterministic split on the survivors
-    kept = hash_split(
-        clean.withColumn(text_col, redact_pii(F.col(text_col))),
-        id_col,
-        weights=split_weights,
-        salt=split_salt,
-    )
+    redacted = clean.withColumn(text_col, redact_pii(F.col(text_col)))
+    if split_on == "id":
+        kept = hash_split(
+            redacted, id_col, weights=split_weights, salt=split_salt
+        )
+    elif split_on == "content":
+        # leakage-safe: the split key is the normalized-text hash, so
+        # byte-identical duplicates co-assign (docs_leakage_safe_split)
+        kept = hash_split(
+            redacted.withColumn(
+                "__gk", hash32(F.trim(F.lower(F.col(text_col))))
+            ),
+            "__gk",
+            weights=split_weights,
+            salt=split_salt,
+        ).drop("__gk")
+    else:
+        raise ValueError(
+            f"split_on must be 'id' or 'content', got {split_on!r}"
+        )
     rejected = audits[0]
     for a in audits[1:]:
         rejected = rejected.unionByName(a)

@@ -316,6 +316,43 @@ def test_duplicate_clusters_end_to_end(spark):
     assert 4 not in out  # singleton stays out of the O(duplicates) output
 
 
+def test_near_dedup_keep_best_keeps_longest_per_cluster(spark):
+    """The 'best' survivor policy: one keeper per transitive cluster,
+    argmax text length with ties to the smallest id; docs in no cluster
+    pass through untouched."""
+    rows = [
+        (1, BASE),
+        (2, BASE),                      # exact dup of 1 (tie → id wins)
+        (3, BASE + " extra"),           # superset text → 0.95 Jaccard, longest
+        (4, OTHER),                     # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.near_dedup_keep_best(df, "doc_id", "text", threshold=0.5)
+    assert {r["doc_id"] for r in out.collect()} == {3, 4}
+    # tie on length: drop the longest variant → 1 beats 2 by id
+    df2 = spark.createDataFrame(rows[:2] + [(4, OTHER)], "doc_id long, text string")
+    out2 = D.near_dedup_keep_best(df2, "doc_id", "text", threshold=0.5)
+    assert {r["doc_id"] for r in out2.collect()} == {1, 4}
+
+
+def test_near_dedup_keep_best_invariant_under_partitioning(spark):
+    rows = [(i, BASE) for i in range(1, 6)] + [(9, NEAR), (10, OTHER)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(
+        r["doc_id"]
+        for r in D.near_dedup_keep_best(
+            df.coalesce(1), "doc_id", "text", threshold=0.5
+        ).collect()
+    )
+    many = sorted(
+        r["doc_id"]
+        for r in D.near_dedup_keep_best(
+            df.repartition(7), "doc_id", "text", threshold=0.5
+        ).collect()
+    )
+    assert one == many
+
+
 # ---------------------------------------------------------------------------
 # incremental near-dedup against the signature store
 # ---------------------------------------------------------------------------

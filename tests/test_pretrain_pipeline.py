@@ -86,6 +86,44 @@ def test_curation_without_benchmark_skips_decontamination(spark):
     assert "contaminated" not in {r["reject_stage"] for r in rejected.collect()}
 
 
+def test_curation_keep_best_prefers_longest_near_dup(spark):
+    """near_dup_keep='best': the cluster keeps its longest member (doc 3
+    carries an extra clause vs doc 1) instead of the smallest id."""
+    rows = [
+        (1, GOOD + " first variant closing sentence."),
+        (3, GOOD + " slightly different closing sentence with extra words."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept_min, _ = curate_corpus(docs, near_dup_threshold=0.5)
+    kept_best, rej_best = curate_corpus(
+        docs, near_dup_threshold=0.5, near_dup_keep="best"
+    )
+    assert {r["doc_id"] for r in kept_min.collect()} == {1}
+    assert {r["doc_id"] for r in kept_best.collect()} == {3}
+    assert {(r["doc_id"], r["reject_stage"]) for r in rej_best.collect()} == {
+        (1, "near_dup")
+    }
+    with pytest.raises(ValueError):
+        curate_corpus(docs, near_dup_keep="bogus")
+
+
+def test_curation_content_split_matches_leakage_safe_assignment(spark):
+    """split_on='content': the assignment is a pure function of the
+    redacted normalized text — the same text under a different doc_id
+    (and any partitioning) lands in the same split."""
+    docs = _corpus(spark)
+    kept, _ = curate_corpus(docs, split_on="content")
+    by_id = {r["doc_id"]: (r["split"], r["text"]) for r in kept.collect()}
+    # re-run with every surviving doc re-keyed: splits must follow text
+    rekeyed = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    kept2, _ = curate_corpus(rekeyed, split_on="content")
+    by_id2 = {r["doc_id"] - 1000: r["split"] for r in kept2.collect()}
+    assert {d: s for d, (s, _t) in by_id.items()} == by_id2
+    assert "__gk" not in kept.columns
+    with pytest.raises(ValueError):
+        curate_corpus(docs, split_on="bogus")
+
+
 def test_curation_validates_columns(spark):
     with pytest.raises(ValueError):
         curate_corpus(_corpus(spark), id_col="nope")
