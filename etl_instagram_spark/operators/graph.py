@@ -74,6 +74,7 @@ def pagerank(
     n_iter: int = 3,
     scale: int = PAGERANK_SCALE,
     damping: tuple[int, int] = PAGERANK_DAMPING,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list — returns (id, rank_micro)
     with ``rank_micro`` the node's stationary-mass estimate after
@@ -82,7 +83,18 @@ def pagerank(
     ``edges`` rows are (src, dst) long ids; duplicates are collapsed
     (the walk is over the simple directed graph). Every id appearing as
     src or dst is ranked. See the module docstring for the exact
-    integer update rule and the scale/partitioning design."""
+    integer update rule and the scale/partitioning design.
+
+    ``seeds`` switches to PERSONALIZED PageRank (topic-sensitive,
+    Haveliwala WWW'02): a one-column frame of node ids; the teleport
+    mass (1−d) then flows only to the |S| seed nodes — init becomes
+    scale // |S| on seeds / 0 elsewhere, and the per-round base term
+    (scale·(den−num)) div (|S|·den) is added only to seeds. Ranks
+    become "importance as seen from the seed set" — the curation use
+    is ranking an entity neighborhood from a trusted/target subset
+    (same role the DSIR target corpus plays for text). The integer
+    arithmetic and its bit-exactness guarantees are unchanged; the
+    seed frame is joined once at setup (O(|S|) rows)."""
     num, den = damping
     if not (0 < num < den):
         raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
@@ -104,14 +116,31 @@ def pagerank(
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
         .join(deg, "id", "left")  # outdeg NULL ⇔ dangling
-        .localCheckpoint(eager=True)
     )
-    n = nodes.count()  # the driver's only data-dependent scalar
+    if seeds is not None:
+        seed_ids = seeds.select(
+            F.col(seeds.columns[0]).cast("long").alias("id")
+        ).distinct()
+        nodes = nodes.join(
+            seed_ids.withColumn("is_seed", F.lit(True)), "id", "left"
+        ).withColumn("is_seed", F.coalesce("is_seed", F.lit(False)))
+    else:
+        nodes = nodes.withColumn("is_seed", F.lit(True))
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.filter("is_seed").count()  # teleport-set size
     if n == 0:
-        return nodes.select("id", F.lit(0).cast("long").alias("rank_micro"))
+        raise ValueError(
+            "pagerank: empty graph or no seed id appears in the edge list"
+        )
     base = (scale * (den - num)) // (n * den)
+    init, base_col = F.lit(scale // n), F.lit(base)
+    zero = F.lit(0).cast("long")
     ranks = nodes.select(
-        "id", "outdeg", F.lit(scale // n).cast("long").alias("rank_micro")
+        "id",
+        "outdeg",
+        F.when(F.col("is_seed"), init).otherwise(zero)
+        .cast("long")
+        .alias("rank_micro"),
     )
     for _ in range(n_iter):
         contrib = ranks.filter(F.col("outdeg").isNotNull()).select(
@@ -128,7 +157,7 @@ def pagerank(
                 "id",
                 "outdeg",
                 (
-                    F.lit(base)
+                    F.when(F.col("is_seed"), base_col).otherwise(zero)
                     + F.expr(
                         f"({num} * coalesce(inflow, cast(0 as bigint))) div {den}"
                     )
@@ -146,14 +175,17 @@ def pagerank_oracle_sql(
     n_iter: int = 3,
     scale: int = PAGERANK_SCALE,
     damping: tuple[int, int] = PAGERANK_DAMPING,
+    seeds_sql: str | None = None,
 ) -> str:
     """WITH-clause body replaying :func:`pagerank` in pure SQL — one CTE
     per iteration, every update the identical int64 arithmetic, so a
     DuckDB oracle (or any ANSI engine with ``//`` floor division)
     reproduces the Spark BIGINTs exactly. ``edges_sql`` is a SELECT
-    producing (src, dst); the final CTE is ``r{n_iter}`` with columns
-    (id, outdeg, rank_micro). Oracles interpolate THIS text so the two
-    sides cannot drift (the hash32_sql convention)."""
+    producing (src, dst); ``seeds_sql`` (optional, one id column)
+    mirrors the personalized teleport set; the final CTE is
+    ``r{n_iter}`` with columns (id, outdeg, rank_micro). Oracles
+    interpolate THIS text so the two sides cannot drift (the
+    hash32_sql convention)."""
     num, den = damping
     # MATERIALIZED throughout: DuckDB inlines plain CTEs, and each
     # round references the edge/node/previous-rank CTEs more than once —
@@ -161,22 +193,38 @@ def pagerank_oracle_sql(
     # plans past a handful of iterations); materialization keeps the
     # replay linear in n_iter, mirroring the Spark side's per-round
     # localCheckpoint
+    if seeds_sql is None:
+        is_seed = "TRUE AS is_seed"
+        seed_join = ""
+    else:
+        is_seed = "(s.id IS NOT NULL) AS is_seed"
+        seed_join = (
+            " LEFT JOIN (SELECT DISTINCT id::BIGINT AS id"
+            f" FROM ({seeds_sql}) sq(id)) s ON s.id = n.id"
+        )
     parts = [
         f"eraw AS ({edges_sql})",
         "e AS MATERIALIZED"
         " (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM eraw)",
         "deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)",
-        "nodes AS MATERIALIZED (SELECT n.id, d.outdeg FROM"
+        "nodes AS MATERIALIZED (SELECT n.id, d.outdeg, " + is_seed + " FROM"
         " (SELECT src AS id FROM e UNION SELECT dst FROM e) n"
-        " LEFT JOIN deg d ON n.id = d.id)",
-        f"r0 AS MATERIALIZED (SELECT id, outdeg,"
-        f" ({scale} // (SELECT count(*) FROM nodes))::BIGINT AS rank_micro"
+        " LEFT JOIN deg d ON n.id = d.id" + seed_join + ")",
+        "nseed AS (SELECT count(*) AS n FROM nodes WHERE is_seed)",
+        f"r0 AS MATERIALIZED (SELECT id, outdeg, is_seed,"
+        f" (CASE WHEN is_seed THEN {scale} // (SELECT n FROM nseed)"
+        f"  ELSE 0 END)::BIGINT AS rank_micro"
         f" FROM nodes)",
     ]
-    base = f"(SELECT ({scale} * {den - num}) // (count(*) * {den}) FROM nodes)"
+    base = (
+        f"(CASE WHEN nodes.is_seed THEN"
+        f" (SELECT ({scale} * {den - num}) // (n * {den}) FROM nseed)"
+        f" ELSE 0 END)"
+    )
     for i in range(1, n_iter + 1):
         parts.append(
             f"r{i} AS MATERIALIZED (SELECT nodes.id, nodes.outdeg,"
+            f" nodes.is_seed,"
             f" ({base} + ({num} * COALESCE(f.inflow, 0)) // {den})::BIGINT"
             f" AS rank_micro"
             f" FROM nodes LEFT JOIN"

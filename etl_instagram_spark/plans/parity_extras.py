@@ -1414,6 +1414,56 @@ def _order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_gap_days(spark, sf_dir)
 
 
+def _graph_ppr_building_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r10): PERSONALIZED PageRank — teleport mass confined
+    to BUILDING-segment customers, ranking suppliers as seen from that
+    segment (the seeded-importance shape: rank a neighborhood from a
+    trusted subset). Same int64 kernel as the gate row
+    graph_pagerank_suppliers; the mirror replays seeds, init, and every
+    iteration in one standalone DuckDB statement."""
+    from etl_instagram_spark.operators.graph import (
+        bipartite_order_edges,
+        pagerank,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cu = _t(spark, sf_dir, "customer")
+    seeds = cu.filter(F.col("c_mktsegment") == "BUILDING").select(
+        (F.col("c_custkey") * 2).alias("id")
+    )
+    ranks = pagerank(bipartite_order_edges(od, li), n_iter=3, seeds=seeds)
+    return (
+        ranks.filter(F.col("id") % 2 == 1)
+        .select(F.expr("(id - 1) div 2").alias("s_suppkey"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), "s_suppkey")
+        .limit(15)
+    )
+
+
+def _sql_ppr_building_suppliers() -> str:
+    from etl_instagram_spark.operators.graph import (
+        BIPARTITE_ORDER_EDGES_SQL,
+        pagerank_oracle_sql,
+    )
+
+    ctes = pagerank_oracle_sql(
+        BIPARTITE_ORDER_EDGES_SQL,
+        n_iter=3,
+        seeds_sql=(
+            "SELECT 2 * c_custkey FROM customer"
+            " WHERE c_mktsegment = 'BUILDING'"
+        ),
+    )
+    return f"""
+    WITH {ctes}
+    SELECT (id - 1) // 2 AS s_suppkey, rank_micro
+    FROM r3 WHERE id % 2 = 1
+    ORDER BY rank_micro DESC, s_suppkey
+    LIMIT 15
+    """
+
+
 def _register_rotated() -> None:
     from etl_instagram_spark.plans import llm_queries
     from etl_instagram_spark.plans.oracle import (
@@ -1490,6 +1540,12 @@ def _register_rotated() -> None:
     EXTRAS["part_metrics_unpivot"] = (
         _part_metrics_unpivot,
         llm_queries.SQL_PART_METRICS_UNPIVOT,
+    )
+    # never-gated (r10): personalized PageRank — seeded teleport variant
+    # of the gate's graph_pagerank_suppliers
+    EXTRAS["graph_ppr_building_suppliers"] = (
+        _graph_ppr_building_suppliers,
+        _sql_ppr_building_suppliers(),
     )
 
 

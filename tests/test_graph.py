@@ -31,23 +31,29 @@ from etl_instagram_spark.operators.graph import (
 )
 
 
-def _py_pagerank(edges, n_iter=3, scale=PAGERANK_SCALE, damping=PAGERANK_DAMPING):
+def _py_pagerank(
+    edges, n_iter=3, scale=PAGERANK_SCALE, damping=PAGERANK_DAMPING, seeds=None
+):
     """Independent reference: same integer update rule, plain dicts."""
     num, den = damping
     out = defaultdict(set)
     for s, d in set(edges):
         out[s].add(d)
     nodes = sorted({x for e in edges for x in e})
-    n = len(nodes)
+    seedset = set(nodes) if seeds is None else set(seeds) & set(nodes)
+    n = len(seedset)
     base = (scale * (den - num)) // (n * den)
-    rank = {v: scale // n for v in nodes}
+    rank = {v: (scale // n if v in seedset else 0) for v in nodes}
     for _ in range(n_iter):
         inflow = defaultdict(int)
         for u, ds in out.items():
             c = rank[u] // len(ds)
             for v in ds:
                 inflow[v] += c
-        rank = {v: base + (num * inflow[v]) // den for v in nodes}
+        rank = {
+            v: (base if v in seedset else 0) + (num * inflow[v]) // den
+            for v in nodes
+        }
     return rank
 
 
@@ -122,6 +128,43 @@ def test_pagerank_rejects_bad_params(spark):
         pagerank(df, n_iter=0)
     with pytest.raises(ValueError):
         pagerank(df, damping=(20, 17))
+    # seeds disjoint from the graph: no teleport target — explicit error
+    seeds = spark.createDataFrame([(42,)], "id long")
+    with pytest.raises(ValueError):
+        pagerank(df, seeds=seeds)
+
+
+@pytest.mark.parametrize("shape", ["cycle_with_tail", "star_hub"])
+def test_personalized_pagerank_matches_python_reference(spark, shape):
+    """Seeded teleport: mass concentrates around the seed set; Spark,
+    the Python reference, and the DuckDB CTE replay agree bit-exactly."""
+    edges = GRAPHS[shape]
+    seed_ids = [1, 3]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], "id long")
+    got = {
+        r["id"]: r["rank_micro"]
+        for r in pagerank(df, n_iter=3, seeds=seeds).collect()
+    }
+    want = _py_pagerank(edges, n_iter=3, seeds=seed_ids)
+    assert got == want
+    con = duckdb.connect()
+    values = ",".join(f"({s},{d})" for s, d in edges)
+    svalues = ",".join(f"({s})" for s in seed_ids)
+    ctes = pagerank_oracle_sql(
+        f"SELECT src, dst FROM (VALUES {values}) t(src, dst)",
+        n_iter=3,
+        seeds_sql=f"SELECT id FROM (VALUES {svalues}) s(id)",
+    )
+    duck = {
+        r[0]: r[1]
+        for r in con.sql(f"WITH {ctes} SELECT id, rank_micro FROM r3").fetchall()
+    }
+    con.close()
+    assert duck == want
+    # personalization bites: a non-seed node far from the seeds ranks
+    # below its unpersonalized self relative to total mass
+    assert got != _py_pagerank(edges, n_iter=3)
 
 
 def test_bipartite_edges_shape(spark, sf_smoke):
