@@ -1,0 +1,237 @@
+"""Mergeable distinct-count sketches (HyperLogLog) with CROSS-ENGINE
+exact register state.
+
+Why in this engine: distinct counting is the 100 TB profiling staple
+(users per event type, domains per shard, vocab per language), and the
+mergeable-sketch shape — tiny register state that unions by ``max`` —
+is what makes it maintainable continuously instead of recounted from
+history. Spark's built-in ``approx_count_distinct`` is a fine black
+box, but its register layout is engine-private: no oracle can check
+it, and no second system can merge with it. This module builds HLL
+(Flajolet et al., AofA 2007) from the repo's engine-neutral md5 hash
+kernel so that every register, and the estimate derived from them, is
+REPLAYABLE in DuckDB bit-for-bit (the hash32_sql convention).
+
+Exactness design (the same discipline as clustering.py's integer
+micro-unit sums):
+
+- the value hash is the first 15 hex chars of md5 → a 60-bit integer,
+  identical in Spark (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+  (``('0x'||substr(md5(x),1,15))::BIGINT``);
+- bucket = top ``b`` bits, rest = low ``60-b`` bits; the rank
+  ``rho`` = leading-zeros(rest)+1 is computed as a SUM of integer
+  comparisons ``rest >= 2^k`` (pure codegen, no floats, no log2 —
+  floating log2 is off-by-one-ulp exactly at powers of two);
+- registers merge by ``max`` (idempotent + commutative + associative:
+  replay-safe and batch-split-independent BY ALGEBRA — the property
+  the streaming face leans on);
+- the harmonic sum is kept EXACT: ``sum_scaled = Σ 2^(S − r)`` over
+  all m buckets with S = 61 − b, an int64 (bounded by m·2^(61-b) =
+  2^61 for any b) — absent buckets contribute 2^S each, added as
+  ``(m − buckets_hit)·2^S`` without materializing a bucket spine;
+- the raw HLL estimate is ONE double division of that exact integer:
+  E = alpha_m·m²·2^S / sum_scaled (the constant is folded to a single
+  Python float interpolated into both engines) — so even the float
+  output is deterministic and engine-identical. No small/large-range
+  corrections inside the certified value (they need ``ln``, whose
+  last-ulp behavior is libm-specific); ``hll_estimate_corrected``
+  applies linear counting driver-side for callers who want accuracy
+  at tiny cardinalities over replayability.
+
+Standard error is the usual 1.04/√m (m = 2^b = 4096 at the default
+b=12 → ~1.6 %).
+
+Reference lineage: no sketch surface exists in the reference (its only
+cardinality logic is exact key-existence checks); this is an
+engine-native scale extension (SURVEY §7), sibling to the exact
+Misra-Gries heavy hitters in operators/frequency.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_HASH_BITS = 60  # 15 md5 hex chars; fits int64 with headroom
+HLL_B = 12          # default bucket bits: m=4096, ~1.6 % std error
+
+
+def _alpha(m: int) -> float:
+    """HLL bias constant for m ≥ 128 registers (AofA'07, fig. 3)."""
+    if m < 128:
+        raise ValueError(f"b too small: need m >= 128 registers, got {m}")
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_hash60(col: Column) -> Column:
+    """60-bit engine-neutral value hash (md5 prefix, like text.hash32
+    but 15 hex chars). NULL values hash to NULL and drop out of the
+    sketch — matching COUNT(DISTINCT)'s NULL semantics."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_hash60_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`hll_hash60`."""
+    return f"('0x' || substr(md5(({expr})::VARCHAR), 1, 15))::BIGINT"
+
+
+def _rho_from_rest(rest: Column, rest_bits: int) -> Column:
+    """rho = leading-zeros(rest within rest_bits) + 1, as an integer
+    comparison sum: bitlen(rest) = Σ_k [rest >= 2^k], rho = rest_bits +
+    1 − bitlen. All int64 comparisons — stays in whole-stage codegen."""
+    bitlen = None
+    for k in range(rest_bits):
+        term = (rest >= F.lit(1 << k)).cast("int")
+        bitlen = term if bitlen is None else bitlen + term
+    return (F.lit(rest_bits + 1) - bitlen).cast("int")
+
+
+def rho_sql(rest_expr: str, rest_bits: int) -> str:
+    """DuckDB mirror of :func:`_rho_from_rest` — generated from the
+    same loop so the two engines cannot drift."""
+    terms = " + ".join(
+        f"CASE WHEN ({rest_expr}) >= {1 << k} THEN 1 ELSE 0 END"
+        for k in range(rest_bits)
+    )
+    return f"({rest_bits + 1} - ({terms}))"
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    b: int = HLL_B,
+) -> DataFrame:
+    """Per-group HLL register state: (group…, bucket, r) with r the max
+    rank observed in that bucket — at most m=2^b rows per group, the
+    mergeable summary (union two register sets with groupBy-max and the
+    estimate is the estimate of the union, exactly).
+
+    Scale: one scan computing (bucket, rho) as codegen expressions, one
+    partially-aggregated groupBy — the shuffle moves ≤ groups·m rows
+    regardless of input size."""
+    if not (7 <= b <= 16):
+        raise ValueError(f"b must be in [7, 16], got {b}")
+    rest_bits = HLL_HASH_BITS - b
+    g = list(group_cols or [])
+    h = hll_hash60(F.col(value_col))
+    bucket = F.shiftright(h, rest_bits).cast("int").alias("bucket")
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*g, bucket, _rho_from_rest(rest, rest_bits).alias("r"))
+        .groupBy(*g, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate_expr(b: int = HLL_B) -> tuple[Column, Column, Column]:
+    """The aggregate columns turning register rows into the certified
+    summary — (buckets_hit, sum_scaled, hll_estimate) — for use after a
+    groupBy over :func:`hll_registers` output. ``sum_scaled`` is the
+    EXACT integer Σ 2^(S−r) including every absent bucket's 2^S."""
+    m = 1 << b
+    s = HLL_HASH_BITS - b + 1  # max rho; 2^(S - r) exponent in [0, S]
+    hit = F.count(F.lit(1))
+    # shiftleft's numBits arg is Column-hostile in the Python API — SQL text
+    present = F.sum(F.expr(f"shiftleft(cast(1 as bigint), {s} - r)"))
+    sum_scaled = (
+        present + (F.lit(m).cast("long") - hit) * F.lit(1 << s).cast("long")
+    ).cast("long")
+    const = _alpha(m) * m * m * float(1 << s)  # one folded double literal
+    est = F.round(F.lit(const) / sum_scaled.cast("double"), 4)
+    return (
+        hit.cast("long").alias("buckets_hit"),
+        sum_scaled.alias("sum_scaled"),
+        est.alias("hll_estimate"),
+    )
+
+
+def hll_summary(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    b: int = HLL_B,
+) -> DataFrame:
+    """Approximate distinct ``value_col`` per group: (group…,
+    buckets_hit, sum_scaled, hll_estimate). ``sum_scaled`` is bit-exact
+    cross-engine; ``hll_estimate`` is the raw HLL estimate (no
+    small-range correction — see the module docstring) derived from it
+    by one deterministic double division."""
+    g = list(group_cols or [])
+    regs = hll_registers(df, value_col, g, b)
+    hit, sum_scaled, est = hll_estimate_expr(b)
+    out = regs.groupBy(*g).agg(hit, sum_scaled, est)
+    return out
+
+
+def hll_summary_sql(
+    value_expr: str,
+    from_clause: str,
+    group_exprs: list[str] | None = None,
+    b: int = HLL_B,
+    where: str | None = None,
+) -> str:
+    """Standalone DuckDB statement mirroring :func:`hll_summary` —
+    identical hash, rho chain, exact integer sum, and the same folded
+    estimate constant, so every column value-matches the Spark side."""
+    m = 1 << b
+    s = HLL_HASH_BITS - b + 1
+    rest_bits = HLL_HASH_BITS - b
+    g = list(group_exprs or [])
+    gsel = "".join(f"{e}, " for e in g)
+    gby = ("GROUP BY " + ", ".join(g)) if g else ""
+    const = repr(_alpha(m) * m * m * float(1 << s))
+    h = hll_hash60_sql(value_expr)
+    wh = f"AND ({where})" if where else ""
+    rho = rho_sql("rest", rest_bits)
+    return f"""
+    WITH hashed AS (
+      SELECT {gsel}({h} >> {rest_bits})::INT AS bucket,
+             ({h} & {(1 << rest_bits) - 1}) AS rest
+      FROM {from_clause}
+      WHERE ({value_expr}) IS NOT NULL {wh}),
+    regs AS (
+      SELECT {gsel}bucket, max({rho})::INT AS r
+      FROM hashed GROUP BY {gsel}bucket),
+    summ AS (
+      SELECT {gsel}count(*)::BIGINT AS buckets_hit,
+             (sum((1::BIGINT << ({s} - r)))
+              + ({m}::BIGINT - count(*)) * {1 << s}::BIGINT)::BIGINT
+               AS sum_scaled
+      FROM regs {gby})
+    SELECT {gsel}buckets_hit, sum_scaled,
+           round({const} / sum_scaled::DOUBLE, 4) AS hll_estimate
+    FROM summ
+    """
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge register sets (e.g. per-shard or per-epoch sketches) into
+    one: groupBy-max over (group…, bucket). Max is idempotent,
+    commutative, associative — merging is replay-safe and
+    split-independent by algebra, which is exactly why the streaming
+    face stores registers, not estimates."""
+    g = list(group_cols or [])
+    return registers.groupBy(*g, "bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate_corrected(
+    buckets_hit: int, sum_scaled: int, b: int = HLL_B
+) -> float:
+    """Driver-side small-range correction (linear counting when the raw
+    estimate < 2.5·m and empty buckets exist — AofA'07 fig. 3). Uses
+    ``ln``, so it is NOT part of the cross-engine-certified columns;
+    apply it to the certified integers when accuracy at tiny
+    cardinalities matters more than replayability."""
+    import math
+
+    m = 1 << b
+    s = HLL_HASH_BITS - b + 1
+    raw = _alpha(m) * m * m * float(1 << s) / sum_scaled
+    zeros = m - buckets_hit
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw

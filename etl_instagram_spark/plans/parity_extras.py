@@ -1464,6 +1464,38 @@ def _sql_ppr_building_suppliers() -> str:
     """
 
 
+def _events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r10): HyperLogLog distinct event_ids per event_type
+    (operators/sketches.py) with the exact count as contrast — register
+    state (buckets_hit), the EXACT integer harmonic sum, and the raw
+    estimate all replay bit-for-bit in DuckDB; the sketch uses the
+    engine-neutral md5 hash and an integer-comparison rho chain, so
+    unlike approx_count_distinct it is second-system-checkable."""
+    from etl_instagram_spark.operators.sketches import hll_summary
+
+    ev = _t(spark, sf_dir, "events")
+    sk = hll_summary(ev, "event_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").orderBy("event_type")
+
+
+def _sql_events_hll_distinct() -> str:
+    from etl_instagram_spark.operators.sketches import hll_summary_sql
+
+    inner = hll_summary_sql("event_id", "events", ["event_type"])
+    return f"""
+    WITH sk AS ({inner}),
+    ex AS (SELECT event_type, count(DISTINCT event_id) AS exact_distinct
+           FROM events GROUP BY event_type)
+    SELECT sk.event_type, buckets_hit, sum_scaled, hll_estimate,
+           exact_distinct
+    FROM sk JOIN ex ON sk.event_type = ex.event_type
+    ORDER BY sk.event_type
+    """
+
+
 def _register_rotated() -> None:
     from etl_instagram_spark.plans import llm_queries
     from etl_instagram_spark.plans.oracle import (
@@ -1546,6 +1578,11 @@ def _register_rotated() -> None:
     EXTRAS["graph_ppr_building_suppliers"] = (
         _graph_ppr_building_suppliers,
         _sql_ppr_building_suppliers(),
+    )
+    # never-gated (r10): cross-engine-exact HyperLogLog registers
+    EXTRAS["events_hll_distinct"] = (
+        _events_hll_distinct,
+        _sql_events_hll_distinct(),
     )
 
 

@@ -992,6 +992,74 @@ def dsir_read_model(
     return dsir_model_from_counts(raw, target_counts, n_buckets)
 
 
+def apply_hll_delta(
+    store: MergeTable,
+    batch_df: DataFrame,
+    epoch_id: int,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    b: int = 12,
+) -> None:
+    """Fold one micro-batch into an epoch-keyed HLL register store:
+    rows keyed (epoch_id, group…, bucket) carrying the batch's max rank
+    per bucket (operators/sketches.hll_registers). The register algebra
+    does the exactly-once work: max is idempotent/commutative/
+    associative, so ANY batch split yields the same merged registers
+    and a replay upserts identical rows over themselves — this store
+    needs no delta arithmetic at all, unlike the count-valued rollup/
+    heavy-hitter stores. State is O(epochs · groups · 2^b)."""
+    from etl_instagram_spark.operators.sketches import hll_registers
+
+    delta = hll_registers(batch_df, value_col, group_cols, b).withColumn(
+        "epoch_id", F.lit(int(epoch_id))
+    )
+    store.upsert(delta)
+
+
+def stream_hll_registers(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    store: MergeTable,
+    checkpoint_dir: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    b: int = 12,
+) -> bool:
+    """One AvailableNow tick maintaining continuous distinct-count
+    sketches: drain newly landed rows and fold each micro-batch's HLL
+    registers into ``store``. Store and checkpoint are a unit (the
+    stream_kmeans_stats contract). At 100 TB this is the point: the
+    distinct-cardinality profile follows the corpus continuously with
+    O(groups · 2^b) state and no rescan of history — and the register
+    store stays second-system-checkable (tests replay it in DuckDB)."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_hll_delta(store, batch_df, epoch_id, value_col, group_cols, b)
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
+def hll_read_summary(
+    store: MergeTable, group_cols: list[str] | None = None, b: int = 12
+) -> DataFrame:
+    """The distinct-count summary implied by EVERYTHING the store has
+    absorbed: max-merge registers across epochs, then the same exact
+    integer harmonic sum + folded-constant estimate as the batch
+    operator — equal row-for-row to one batch hll_summary over the
+    concatenation of every batch (pinned by test)."""
+    from etl_instagram_spark.operators.sketches import (
+        hll_estimate_expr,
+        hll_merge,
+    )
+
+    g = list(group_cols or [])
+    merged = hll_merge(store.read().select(*g, "bucket", "r"), g)
+    hit, sum_scaled, est = hll_estimate_expr(b)
+    return merged.groupBy(*g).agg(hit, sum_scaled, est)
+
+
 def stream_kmeans_stats(
     spark: SparkSession,
     landing_dir: str,

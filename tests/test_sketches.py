@@ -1,0 +1,152 @@
+"""operators/sketches.py — cross-engine-exact HyperLogLog.
+
+Certification layers: DuckDB replay of registers + exact harmonic sum +
+estimate (also the EXTRAS row events_hll_distinct), merge algebra
+(split == whole, bit-exact), accuracy envelopes (raw in its valid
+range, corrected at small n), NULL semantics, partitioning invariance,
+and the continuous register store (stream == batch, replay no-op)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.operators.sketches import (
+    hll_estimate_corrected,
+    hll_merge,
+    hll_registers,
+    hll_summary,
+    hll_summary_sql,
+)
+
+
+def test_hll_matches_duckdb_bit_for_bit(spark, sf_smoke):
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    got = sorted(
+        tuple(r)
+        for r in hll_summary(ev, "event_id", ["event_type"], b=9).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        con.sql(
+            hll_summary_sql(
+                "event_id", f"'{sf_smoke}/events.parquet'", ["event_type"], b=9
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_hll_merge_of_halves_equals_whole(spark, sf_smoke):
+    """The mergeable-summary contract: registers of two disjoint halves,
+    max-merged, give EXACTLY the whole's registers (and so the same
+    sum_scaled/estimate) — the property that makes per-shard sketches
+    and continuous maintenance correct by algebra."""
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    lo = hll_registers(ev.filter("event_id % 2 = 0"), "event_id", b=9)
+    hi = hll_registers(ev.filter("event_id % 2 = 1"), "event_id", b=9)
+    merged = sorted(
+        tuple(r) for r in hll_merge(lo.unionByName(hi)).collect()
+    )
+    whole = sorted(
+        tuple(r) for r in hll_registers(ev, "event_id", b=9).collect()
+    )
+    assert merged == whole
+
+
+def test_hll_raw_accuracy_in_valid_range(spark, sf_smoke):
+    """b=9 (m=512): sf0.001 has 6000 distinct event_ids > 2.5m, inside
+    the raw estimator's range; 1.04/sqrt(512) ≈ 4.6 % std error — allow
+    3 sigma."""
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    row = hll_summary(ev, "event_id", b=9).collect()[0]
+    n = ev.select("event_id").distinct().count()
+    assert abs(row["hll_estimate"] - n) / n < 0.14
+
+
+def test_hll_corrected_accuracy_small_cardinality(spark):
+    """Linear-counting correction at n ≪ m: within a few percent."""
+    df = spark.range(100).select(F.col("id").alias("v"))
+    row = hll_summary(df, "v").collect()[0]
+    corr = hll_estimate_corrected(row["buckets_hit"], row["sum_scaled"])
+    assert abs(corr - 100) / 100 < 0.05
+    # raw (uncorrected) at tiny n is known-biased — that's WHY the
+    # corrected form exists; certified columns stay ln-free
+    assert row["hll_estimate"] > 100
+
+
+def test_hll_ignores_nulls_and_validates_b(spark):
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (2,)], "v int"
+    )
+    regs = hll_registers(df, "v")
+    n_hashed = regs.count()
+    assert 1 <= n_hashed <= 2  # 2 distinct non-null values, maybe 1 bucket
+    with pytest.raises(ValueError):
+        hll_registers(df, "v", b=5)
+    with pytest.raises(ValueError):
+        hll_registers(df, "v", b=20)
+
+
+def test_hll_invariant_under_partitioning(spark, sf_smoke):
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    one = sorted(
+        tuple(r)
+        for r in hll_summary(ev.coalesce(1), "user_id", ["event_type"]).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in hll_summary(
+            ev.repartition(13), "user_id", ["event_type"]
+        ).collect()
+    )
+    assert one == many
+
+
+def test_stream_hll_equals_batch_and_replays(spark, tmp_path):
+    """The continuous register store: after two drained waves the read
+    face equals one batch hll_summary over the union, and re-applying a
+    committed epoch changes nothing (max-merge idempotence)."""
+    import json
+
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.streaming.incremental import (
+        apply_hll_delta,
+        hll_read_summary,
+        stream_hll_registers,
+    )
+
+    def write_json(path, rows):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    wave1 = [{"k": "a", "v": i} for i in range(300)]
+    wave2 = [{"k": "a", "v": 150 + i} for i in range(300)] + [
+        {"k": "b", "v": i} for i in range(40)
+    ]
+    landing = tmp_path / "rows"
+    store = MergeTable(spark, str(tmp_path / "hll_regs"), ["epoch_id", "k", "bucket"])
+    ckpt = str(tmp_path / "ckpt_hll")
+    DDL = "k string, v long"
+
+    write_json(landing / "w1.json", wave1)
+    assert stream_hll_registers(spark, str(landing), DDL, store, ckpt, "v", ["k"])
+    write_json(landing / "w2.json", wave2)
+    assert stream_hll_registers(spark, str(landing), DDL, store, ckpt, "v", ["k"])
+
+    all_rows = spark.createDataFrame(
+        [(r["k"], r["v"]) for r in wave1 + wave2], DDL
+    )
+    got = sorted(tuple(r) for r in hll_read_summary(store, ["k"]).collect())
+    want = sorted(tuple(r) for r in hll_summary(all_rows, "v", ["k"]).collect())
+    assert got == want
+
+    before = sorted(map(tuple, store.read().collect()))
+    batch1 = spark.createDataFrame([(r["k"], r["v"]) for r in wave1], DDL)
+    apply_hll_delta(store, batch1, 0, "v", ["k"])
+    assert sorted(map(tuple, store.read().collect())) == before
+    assert sorted(tuple(r) for r in hll_read_summary(store, ["k"]).collect()) == want
