@@ -75,6 +75,7 @@ def pagerank(
     scale: int = PAGERANK_SCALE,
     damping: tuple[int, int] = PAGERANK_DAMPING,
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list — returns (id, rank_micro)
     with ``rank_micro`` the node's stationary-mass estimate after
@@ -94,23 +95,54 @@ def pagerank(
     is ranking an entity neighborhood from a trusted/target subset
     (same role the DSIR target corpus plays for text). The integer
     arithmetic and its bit-exactness guarantees are unchanged; the
-    seed frame is joined once at setup (O(|S|) rows)."""
+    seed frame is joined once at setup (O(|S|) rows).
+
+    ``weight_col`` switches to WEIGHTED PageRank: the walk follows an
+    edge with probability w/W(u) (W(u) = node out-weight), so
+    contrib(u→v) = (rank·w) div W(u), evaluated per edge. Rows with
+    the same (src, dst) sum their weights; weights must be positive
+    ints with max_w ≤ 2^63/scale ≈ 9·10^6 (the rank·w product must fit
+    int64 — validated at setup with one bounded agg). ``weight_col=
+    None`` (binary edges, w = 1 on the distinct edge set) computes
+    exactly the unweighted update."""
     num, den = damping
     if not (0 < num < den):
         raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"),
-            F.col(dst).cast("long").alias("dst"),
+    if weight_col is None:
+        e = (
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            )
+            .distinct()
+            .withColumn("w", F.lit(1).cast("long"))
         )
-        .distinct()
-        # pin the big side's layout once; every round's join reuses it
-        .repartition(F.col("src"))
-        .localCheckpoint(eager=True)
-    )
-    deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    else:
+        e = (
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    # pin the big side's layout once; every round's join reuses it
+    e = e.repartition(F.col("src")).localCheckpoint(eager=True)
+    if weight_col is not None:
+        bounds = e.agg(
+            F.min("w").alias("lo"), F.max("w").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is not None and (
+            bounds["lo"] <= 0 or bounds["hi"] > (2**63 - 1) // scale
+        ):
+            raise ValueError(
+                f"edge weights must be in [1, {(2**63 - 1) // scale}] "
+                f"(rank·w must fit int64), got [{bounds['lo']}, {bounds['hi']}]"
+            )
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("outdeg"))
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -143,12 +175,16 @@ def pagerank(
         .alias("rank_micro"),
     )
     for _ in range(n_iter):
-        contrib = ranks.filter(F.col("outdeg").isNotNull()).select(
-            "id", F.expr("rank_micro div outdeg").alias("contrib")
+        rk = ranks.filter(F.col("outdeg").isNotNull()).select(
+            "id", "outdeg", "rank_micro"
         )
         inflow = (
-            e.join(contrib, e.src == contrib.id)
-            .groupBy(F.col("dst").alias("id"))
+            e.join(rk, e.src == rk.id)
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("(rank_micro * w) div outdeg").alias("contrib"),
+            )
+            .groupBy("id")
             .agg(F.sum("contrib").alias("inflow"))
         )
         ranks = (
@@ -176,16 +212,17 @@ def pagerank_oracle_sql(
     scale: int = PAGERANK_SCALE,
     damping: tuple[int, int] = PAGERANK_DAMPING,
     seeds_sql: str | None = None,
+    weighted: bool = False,
 ) -> str:
     """WITH-clause body replaying :func:`pagerank` in pure SQL — one CTE
     per iteration, every update the identical int64 arithmetic, so a
     DuckDB oracle (or any ANSI engine with ``//`` floor division)
     reproduces the Spark BIGINTs exactly. ``edges_sql`` is a SELECT
-    producing (src, dst); ``seeds_sql`` (optional, one id column)
-    mirrors the personalized teleport set; the final CTE is
-    ``r{n_iter}`` with columns (id, outdeg, rank_micro). Oracles
-    interpolate THIS text so the two sides cannot drift (the
-    hash32_sql convention)."""
+    producing (src, dst) — or (src, dst, w) with ``weighted=True``;
+    ``seeds_sql`` (optional, one id column) mirrors the personalized
+    teleport set; the final CTE is ``r{n_iter}`` with columns (id,
+    outdeg, rank_micro). Oracles interpolate THIS text so the two
+    sides cannot drift (the hash32_sql convention)."""
     num, den = damping
     # MATERIALIZED throughout: DuckDB inlines plain CTEs, and each
     # round references the edge/node/previous-rank CTEs more than once —
@@ -202,11 +239,23 @@ def pagerank_oracle_sql(
             " LEFT JOIN (SELECT DISTINCT id::BIGINT AS id"
             f" FROM ({seeds_sql}) sq(id)) s ON s.id = n.id"
         )
+    if weighted:
+        e_cte = (
+            "e AS MATERIALIZED (SELECT src::BIGINT AS src,"
+            " dst::BIGINT AS dst, (sum(w))::BIGINT AS w"
+            " FROM eraw GROUP BY 1, 2)"
+        )
+    else:
+        e_cte = (
+            "e AS MATERIALIZED (SELECT src, dst, 1::BIGINT AS w FROM"
+            " (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst"
+            "  FROM eraw) d)"
+        )
     parts = [
         f"eraw AS ({edges_sql})",
-        "e AS MATERIALIZED"
-        " (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM eraw)",
-        "deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)",
+        e_cte,
+        "deg AS (SELECT src AS id, (sum(w))::BIGINT AS outdeg"
+        " FROM e GROUP BY src)",
         "nodes AS MATERIALIZED (SELECT n.id, d.outdeg, " + is_seed + " FROM"
         " (SELECT src AS id FROM e UNION SELECT dst FROM e) n"
         " LEFT JOIN deg d ON n.id = d.id" + seed_join + ")",
@@ -228,31 +277,46 @@ def pagerank_oracle_sql(
             f" ({base} + ({num} * COALESCE(f.inflow, 0)) // {den})::BIGINT"
             f" AS rank_micro"
             f" FROM nodes LEFT JOIN"
-            f" (SELECT e.dst, (sum(r.rank_micro // r.outdeg))::BIGINT AS inflow"
+            f" (SELECT e.dst,"
+            f"  (sum((r.rank_micro * e.w) // r.outdeg))::BIGINT AS inflow"
             f"  FROM e JOIN r{i - 1} r ON e.src = r.id"
             f"  GROUP BY e.dst) f ON f.dst = nodes.id)"
         )
     return ",\n".join(parts)
 
 
-def bipartite_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+def bipartite_order_edges(
+    orders: DataFrame, lineitem: DataFrame, weighted: bool = False
+) -> DataFrame:
     """The customer↔supplier interaction graph: one undirected edge
     (emitted in both directions) per distinct customer-supplier pairing
     observed on any order line. Node ids are disjoint by parity —
     customer c ↦ 2c, supplier s ↦ 2s+1 — so one BIGINT id space carries
     both entity types (the oracle replays the same encoding).
+    ``weighted=True`` adds ``w`` = the pair's order-line count (the
+    interaction intensity, for :func:`pagerank`'s ``weight_col``).
 
     Scale: the orders⋈lineitem join is the key-equi shuffle the fact
-    tables already share; ``distinct`` collapses to ≤ |customers|·avg
-    distinct suppliers rows with map-side partial aggregation."""
-    ol = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("cust"),
-            (F.col("l_suppkey") * 2 + 1).alias("supp"),
-        )
-        .distinct()
+    tables already share; distinct/groupBy collapses to ≤ |customers|·
+    avg distinct suppliers rows with map-side partial aggregation."""
+    pairs = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        (F.col("o_custkey") * 2).alias("cust"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp"),
     )
+    if weighted:
+        ol = pairs.groupBy("cust", "supp").agg(
+            F.count(F.lit(1)).alias("w")
+        )
+        return ol.select(
+            F.col("cust").alias("src"), F.col("supp").alias("dst"), "w"
+        ).union(
+            ol.select(
+                F.col("supp").alias("src"), F.col("cust").alias("dst"), "w"
+            )
+        )
+    ol = pairs.distinct()
     return ol.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
         ol.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     )
@@ -264,4 +328,14 @@ BIPARTITE_ORDER_EDGES_SQL = """
     UNION
     SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+BIPARTITE_ORDER_EDGES_WEIGHTED_SQL = """
+    WITH ow AS (SELECT 2 * o_custkey AS cust, 2 * l_suppkey + 1 AS supp,
+                       count(*) AS w
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                GROUP BY 1, 2)
+    SELECT cust AS src, supp AS dst, w FROM ow
+    UNION ALL
+    SELECT supp AS src, cust AS dst, w FROM ow
 """

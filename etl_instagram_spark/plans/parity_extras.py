@@ -1464,6 +1464,47 @@ def _sql_ppr_building_suppliers() -> str:
     """
 
 
+def _graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r10): WEIGHTED PageRank — the walk follows edges in
+    proportion to order-line counts (interaction intensity), so heavy
+    trading pairs pull rank. Same int64 kernel; per-edge contrib
+    (rank·w) div W(u) replayed whole in DuckDB."""
+    from etl_instagram_spark.operators.graph import (
+        bipartite_order_edges,
+        pagerank,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ranks = pagerank(
+        bipartite_order_edges(od, li, weighted=True), n_iter=3, weight_col="w"
+    )
+    return (
+        ranks.filter(F.col("id") % 2 == 1)
+        .select(F.expr("(id - 1) div 2").alias("s_suppkey"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), "s_suppkey")
+        .limit(15)
+    )
+
+
+def _sql_pagerank_weighted() -> str:
+    from etl_instagram_spark.operators.graph import (
+        BIPARTITE_ORDER_EDGES_WEIGHTED_SQL,
+        pagerank_oracle_sql,
+    )
+
+    ctes = pagerank_oracle_sql(
+        BIPARTITE_ORDER_EDGES_WEIGHTED_SQL, n_iter=3, weighted=True
+    )
+    return f"""
+    WITH {ctes}
+    SELECT (id - 1) // 2 AS s_suppkey, rank_micro
+    FROM r3 WHERE id % 2 = 1
+    ORDER BY rank_micro DESC, s_suppkey
+    LIMIT 15
+    """
+
+
 def _events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r10): HyperLogLog distinct event_ids per event_type
     (operators/sketches.py) with the exact count as contrast — register
@@ -1583,6 +1624,11 @@ def _register_rotated() -> None:
     EXTRAS["events_hll_distinct"] = (
         _events_hll_distinct,
         _sql_events_hll_distinct(),
+    )
+    # never-gated (r10): weighted PageRank — interaction-intensity walk
+    EXTRAS["graph_pagerank_weighted"] = (
+        _graph_pagerank_weighted,
+        _sql_pagerank_weighted(),
     )
 
 

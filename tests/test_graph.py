@@ -185,6 +185,89 @@ def test_bipartite_edges_shape(spark, sf_smoke):
     assert 0 < n_cust <= od.select("o_custkey").distinct().count()
 
 
+def _py_pagerank_weighted(
+    wedges, n_iter=3, scale=PAGERANK_SCALE, damping=PAGERANK_DAMPING
+):
+    """Weighted reference: contrib(u→v) = (rank·w) // W(u) per edge."""
+    num, den = damping
+    w = defaultdict(int)
+    for s, d, wt in wedges:
+        w[(s, d)] += wt
+    outw = defaultdict(int)
+    for (s, _d), wt in w.items():
+        outw[s] += wt
+    nodes = sorted({x for s, d, _ in wedges for x in (s, d)})
+    n = len(nodes)
+    base = (scale * (den - num)) // (n * den)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        inflow = defaultdict(int)
+        for (s, d), wt in w.items():
+            inflow[d] += (rank[s] * wt) // outw[s]
+        rank = {v: base + (num * inflow[v]) // den for v in nodes}
+    return rank
+
+
+def test_weighted_pagerank_matches_python_and_duckdb(spark):
+    """Weighted walk: mass follows edge multiplicities; Spark, the
+    Python reference, and the DuckDB CTE replay agree bit-exactly, and
+    the result differs from the unweighted walk on the same topology."""
+    wedges = [(1, 2, 5), (1, 3, 1), (2, 1, 2), (3, 1, 1), (3, 2, 7), (2, 3, 1)]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {
+        r["id"]: r["rank_micro"]
+        for r in pagerank(df, n_iter=3, weight_col="w").collect()
+    }
+    want = _py_pagerank_weighted(wedges, n_iter=3)
+    assert got == want
+    con = duckdb.connect()
+    values = ",".join(f"({s},{d},{w})" for s, d, w in wedges)
+    ctes = pagerank_oracle_sql(
+        f"SELECT src, dst, w FROM (VALUES {values}) t(src, dst, w)",
+        n_iter=3,
+        weighted=True,
+    )
+    duck = {
+        r[0]: r[1]
+        for r in con.sql(f"WITH {ctes} SELECT id, rank_micro FROM r3").fetchall()
+    }
+    con.close()
+    assert duck == want
+    unweighted = _py_pagerank([(s, d) for s, d, _ in wedges], n_iter=3)
+    assert got != unweighted
+
+
+def test_weighted_pagerank_rejects_hostile_weights(spark):
+    bad = spark.createDataFrame([(1, 2, 0), (2, 1, 3)], "src long, dst long, w long")
+    with pytest.raises(ValueError):
+        pagerank(bad, weight_col="w")
+    huge = spark.createDataFrame(
+        [(1, 2, 10**13), (2, 1, 3)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError):
+        pagerank(huge, weight_col="w")
+
+
+def test_weighted_bipartite_edges_sql_mirror(spark, sf_smoke):
+    """bipartite_order_edges(weighted=True) == the SQL constant's edge
+    set, weight-for-weight (DuckDB replay)."""
+    from etl_instagram_spark.operators.graph import (
+        BIPARTITE_ORDER_EDGES_WEIGHTED_SQL,
+    )
+
+    od = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    got = sorted(
+        tuple(r) for r in bipartite_order_edges(od, li, weighted=True).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_smoke}/orders.parquet'")
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf_smoke}/lineitem.parquet'")
+    want = sorted(con.sql(BIPARTITE_ORDER_EDGES_WEIGHTED_SQL).fetchall())
+    con.close()
+    assert got == want
+
+
 def test_pagerank_iteration_aggregation_combines_map_side(spark):
     """The per-iteration inflow sum must carry partial_sum below its
     exchange — at 100 TB the shuffle then moves <= |nodes| rows per
