@@ -31,9 +31,12 @@ Exactness across engines (the property the DuckDB oracle certifies):
 ranks are kept in integer "micro-units" (``scale`` = 10^12 per unit of
 probability mass) and every update is pure int64 arithmetic —
 
-    contrib(u)  = rank_micro(u) div outdeg(u)
-    rank'(v)    = (scale·(den−num)) div (N·den)
-                  + (num · Σ_{u→v} contrib(u)) div den
+    contrib(u→v) = (rank_micro(u) · w(u,v)) div W(u)   [W = out-weight]
+    rank'(v)     = (scale·(den−num)) div (N·den)
+                   + (num · Σ_{u→v} contrib(u→v)) div den
+
+(unweighted graphs run the same kernel at w = 1, where it reduces to
+rank div outdeg per out-edge)
 
 with damping num/den (default 17/20 = 0.85). Integer sums are
 order-independent, so the result is bit-identical under ANY

@@ -304,7 +304,18 @@ class MergeTable:
             raise FileNotFoundError(f"MergeTable at {self.path} has no snapshot yet")
         paths = [os.path.join(self.path, f["path"]) for f in files]
         # mergeSchema: carried-forward files may predate schema evolution
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # stable column-order contract: keys first (declaration order),
+        # then the rest sorted by name. mergeSchema's output order
+        # depends on which file the merge visits first, so an upsert
+        # that rewrites overlapping files could FLIP the order between
+        # two reads (surfaced as a once-in-a-while positional-tuple
+        # mismatch in the streaming replay tests) — columns are
+        # name-addressed everywhere, but the order a reader sees must
+        # still be a function of the table, not of file history
+        keyed = [k for k in self.keys if k in df.columns]
+        rest = sorted(c for c in df.columns if c not in set(keyed))
+        return df.select(*keyed, *rest)
 
     # -- data-file writing with key statistics -----------------------------
     @staticmethod
