@@ -496,6 +496,16 @@ def main() -> int:
                         "floor; no plan change found on the tick path (none of "
                         "hashtags/orchestrator/merge/fetch changed in r8). "
                         "samples_raw/rep_started_at_sec now expose this per run.",
+                        "r10 structural delta: three gate entries promoted "
+                        "(graph_pagerank_suppliers ~3.6s, docs_dup_cluster_reps "
+                        "~2.3s, docs_leakage_safe_split ~0.5s) for three "
+                        "rotated sub-second rows — expect ~+6s of total vs r9 "
+                        "from coverage, not regression. Tick medians this "
+                        "round (etl ~7s, stream_dedup ~7.4s) ran on a "
+                        "noisier container than r9 (identical-code HEAD reps "
+                        "spanned etl 6.5-16.4s across four sessions; "
+                        "MergeTable.read's r10 column-order select was A/B'd "
+                        "inert); minima remain at the r9 floor.",
                     ],
                     "total_median_sec": total,
                     "queries_median": timings,

@@ -1537,6 +1537,45 @@ def _sql_events_hll_distinct() -> str:
     """
 
 
+def _part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r10): entity resolution over part names
+    (operators/entity.py) — block on the name's last token, verify
+    with levenshtein ≤ 3, cluster with connected components, emit the
+    per-entity merge audit. The oracle replays blocking, the edit-
+    distance verify (levenshtein is a built-in with identical integer
+    semantics in both engines), AND the CC rounds in one statement."""
+    from etl_instagram_spark.operators.entity import canonical_entities
+
+    pa = _t(spark, sf_dir, "part")
+    block = F.element_at(F.split(F.trim(F.lower(F.col("p_name"))), " "), -1)
+    return canonical_entities(pa, "p_partkey", "p_name", block, max_dist=3)
+
+
+def _sql_part_entity_resolution() -> str:
+    from etl_instagram_spark.plans.llm_queries import _sql_cc_rounds
+
+    rounds = 16
+    return f"""
+    WITH n AS (SELECT p_partkey AS id, trim(lower(p_name)) AS norm FROM part),
+    b AS (SELECT id, norm, string_split(norm, ' ')[-1] AS blk FROM n
+          WHERE norm IS NOT NULL),
+    verified AS (SELECT a.id AS ia, b2.id AS ib
+                 FROM b a JOIN b b2
+                   ON a.blk = b2.blk AND a.id < b2.id
+                 WHERE levenshtein(a.norm, b2.norm) <= 3),
+    {_sql_cc_rounds(rounds)},
+    named AS (SELECT l.id, l.component AS entity, n.norm
+              FROM l{rounds} l JOIN n ON n.id = l.id),
+    agg AS (SELECT entity, count(*) AS n_members,
+                   count(DISTINCT norm) AS n_name_variants
+            FROM named GROUP BY entity)
+    SELECT a.entity, a.n_members, a.n_name_variants,
+           c.norm AS canonical_name
+    FROM agg a JOIN n c ON c.id = a.entity
+    ORDER BY a.n_members DESC, a.entity
+    """
+
+
 def _register_rotated() -> None:
     from etl_instagram_spark.plans import llm_queries
     from etl_instagram_spark.plans.oracle import (
@@ -1629,6 +1668,11 @@ def _register_rotated() -> None:
     EXTRAS["graph_pagerank_weighted"] = (
         _graph_pagerank_weighted,
         _sql_pagerank_weighted(),
+    )
+    # never-gated (r10): entity resolution (blocking + levenshtein + CC)
+    EXTRAS["part_entity_resolution"] = (
+        _part_entity_resolution,
+        _sql_part_entity_resolution(),
     )
 
 

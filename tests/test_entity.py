@@ -1,0 +1,146 @@
+"""operators/entity.py — blocking + edit-distance + CC entity resolution.
+
+Cross-engine value certification lives in the EXTRAS row
+part_entity_resolution (tests/test_rotated_parity.py); here: a
+union-find Python differential on real part names, hand cases for
+transitivity and blocking misses, parameter validation, and
+partitioning invariance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.operators.entity import (
+    candidate_pairs,
+    canonical_entities,
+    resolve_entities,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _py_resolve(rows, max_dist, block_fn):
+    """Union-find reference with the same block/verify semantics."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # match the operator's normalization: trim+lower only
+    norm = {i: s.strip().lower() for i, s in rows}
+    ids = sorted(norm)
+    for i in ids:
+        parent[i] = i
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if block_fn(norm[a]) != block_fn(norm[b]):
+                continue
+            if _lev(norm[a], norm[b]) <= max_dist:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    # include only ids whose component has >= 2 members (the operator's
+    # O(matches) output convention)
+    comp = {}
+    for i in ids:
+        comp.setdefault(find(i), []).append(i)
+    return {
+        i: root for root, members in comp.items() if len(members) > 1
+        for i in members
+    }
+
+
+def BLOCK():
+    # built lazily: Column construction needs an active SparkContext
+    return F.element_at(F.split(F.trim(F.lower(F.col("name"))), " "), -1)
+
+
+def test_entities_cluster_transitively(spark):
+    # the chain lives inside ONE block (last token 'plata') — blocking
+    # on the last word means first-word edits are the comparable kind
+    rows = [
+        (1, "red plata"),
+        (2, "rad plata"),   # d=1 from 1
+        (3, "rod plata"),   # d=1 from 2, d=2 from 1
+        (4, "blue plata"),  # d=3+ from all of 1-3, same block
+        (5, "red widget"),  # different block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        r["id"]: r["entity"]
+        for r in resolve_entities(df, "id", "name", BLOCK(), max_dist=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_entities_match_python_union_find_on_real_parts(spark, sf_smoke):
+    pa = spark.read.parquet(f"{sf_smoke}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    got = {
+        r["id"]: r["entity"]
+        for r in resolve_entities(df=pa, id_col="id", name_col="name",
+                                  block=BLOCK(), max_dist=3).collect()
+    }
+    rows = [(r["id"], r["name"]) for r in pa.collect()]
+    want = _py_resolve(rows, 3, lambda s: s.split(" ")[-1])
+    assert got == want
+
+
+def test_blocking_bounds_comparisons(spark):
+    """A pair in different blocks is never compared even when the edit
+    distance is tiny — the scale trade blocking makes, stated by test."""
+    rows = [(1, "ax q"), (2, "ax r")]  # d=1, blocks 'q' vs 'r'
+    df = spark.createDataFrame(rows, "id long, name string")
+    assert candidate_pairs(df, "id", "name", BLOCK(), max_dist=2).count() == 0
+
+
+def test_canonical_entities_audit(spark):
+    rows = [
+        (7, "Red Plate"),   # normalizes onto 9
+        (2, "rud plate"),   # d=1 from both
+        (9, "red plate"),
+        (5, "lone gizmo"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = canonical_entities(df, "id", "name", BLOCK(), max_dist=2).collect()
+    assert len(out) == 1
+    row = out[0]
+    # entity label = smallest member id; canonical name is ITS row
+    assert row["entity"] == 2 and row["canonical_name"] == "rud plate"
+    assert row["n_members"] == 3
+    assert row["n_name_variants"] == 2  # 'red plate' (x2 normed) + 'rud plate'
+
+
+def test_entity_params_and_invariance(spark, sf_smoke):
+    df = spark.createDataFrame([(1, "a b")], "id long, name string")
+    with pytest.raises(ValueError):
+        candidate_pairs(df, "id", "name", BLOCK(), max_dist=-1)
+    pa = spark.read.parquet(f"{sf_smoke}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    one = sorted(
+        tuple(r)
+        for r in resolve_entities(pa.coalesce(1), "id", "name", BLOCK(), 3).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in resolve_entities(pa.repartition(11), "id", "name", BLOCK(), 3).collect()
+    )
+    assert one == many
