@@ -1576,6 +1576,94 @@ def _sql_part_entity_resolution() -> str:
     """
 
 
+_FUNNEL_WINDOW_S = 7 * 24 * 3600
+
+
+def _events_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r10): earliest-anchor view→click→purchase funnel
+    within 7 days (operators/funnel.py) — per-level reached/stopped
+    counts and mean seconds-to-depth, all replayed in SQL."""
+    from etl_instagram_spark.operators.funnel import funnel_summary
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_summary(
+        ev,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        within_seconds=_FUNNEL_WINDOW_S,
+    )
+
+
+_SQL_FUNNEL_LEVELS = f"""
+    WITH base AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                         event_type FROM events),
+    l1 AS (SELECT u, min(t) AS t1 FROM base WHERE event_type = 'view' GROUP BY u),
+    l2 AS (SELECT b.u, l1.t1, min(b.t) AS t2
+           FROM base b JOIN l1 ON b.u = l1.u
+           WHERE b.event_type = 'click' AND b.t > l1.t1
+             AND b.t <= l1.t1 + {_FUNNEL_WINDOW_S}
+           GROUP BY b.u, l1.t1),
+    l3 AS (SELECT b.u, l2.t1, min(b.t) AS t3
+           FROM base b JOIN l2 ON b.u = l2.u
+           WHERE b.event_type = 'purchase' AND b.t > l2.t2
+             AND b.t <= l2.t1 + {_FUNNEL_WINDOW_S}
+           GROUP BY b.u, l2.t1),
+    stopped AS (
+      SELECT 1 AS level, l1.t1, l1.t1 AS t_last FROM l1
+      LEFT JOIN l2 ON l1.u = l2.u WHERE l2.u IS NULL
+      UNION ALL
+      SELECT 2, l2.t1, l2.t2 FROM l2
+      LEFT JOIN l3 ON l2.u = l3.u WHERE l3.u IS NULL
+      UNION ALL
+      SELECT 3, t1, t3 FROM l3),
+    by_level AS (
+      SELECT level, count(*) AS n_stopped,
+             round(CAST(sum(t_last - t1) AS DOUBLE) / count(*), 4)
+               AS avg_secs_to_here
+      FROM stopped GROUP BY level)
+    SELECT level,
+           (sum(n_stopped) OVER (ORDER BY level DESC))::BIGINT AS n_reached,
+           n_stopped, avg_secs_to_here
+    FROM by_level ORDER BY level
+    """
+
+
+def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r10): weekly cohort retention — cohort by first-
+    event week, activity by any-event week, offsets 0..8."""
+    from etl_instagram_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", max_offset=8)
+
+
+_SQL_COHORT_RETENTION = """
+    WITH f AS (SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort
+               FROM events GROUP BY u),
+    a AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS wk
+          FROM events),
+    cs AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY cohort),
+    j AS (SELECT f.cohort,
+                 CAST((floor(epoch(a.wk)) - floor(epoch(f.cohort)))
+                      / 604800 AS BIGINT) AS week_offset,
+                 count(DISTINCT a.u) AS n_active
+          FROM a JOIN f ON a.u = f.u
+          WHERE floor(epoch(a.wk)) >= floor(epoch(f.cohort))
+            AND floor(epoch(a.wk)) <= floor(epoch(f.cohort)) + 8 * 604800
+          GROUP BY 1, 2)
+    SELECT strftime(j.cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+           n_active, cohort_size,
+           round(n_active * 100.0 / cohort_size, 4) AS retention_pct
+    FROM j JOIN cs USING (cohort)
+    ORDER BY cohort_week, week_offset
+    """
+
+
 def _register_rotated() -> None:
     from etl_instagram_spark.plans import llm_queries
     from etl_instagram_spark.plans.oracle import (
@@ -1673,6 +1761,12 @@ def _register_rotated() -> None:
     EXTRAS["part_entity_resolution"] = (
         _part_entity_resolution,
         _sql_part_entity_resolution(),
+    )
+    # never-gated (r10): behavioral analytics — funnel + cohort retention
+    EXTRAS["events_funnel_levels"] = (_events_funnel_levels, _SQL_FUNNEL_LEVELS)
+    EXTRAS["events_cohort_retention"] = (
+        _events_cohort_retention,
+        _SQL_COHORT_RETENTION,
     )
 
 
