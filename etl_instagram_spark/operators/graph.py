@@ -333,6 +333,132 @@ BIPARTITE_ORDER_EDGES_SQL = """
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 """
 
+def copurchase_edges(
+    lineitem: DataFrame, min_orders: int = 1
+) -> DataFrame:
+    """Item co-occurrence projection: an undirected edge (a < b) between
+    two parts appearing on the SAME order, kept when they co-occur on at
+    least ``min_orders`` distinct orders. The classic bipartite→unimodal
+    projection (co-purchase / co-citation graphs); per-order pair count
+    is bounded by line-count², so edge volume is Σ_orders |lines|² —
+    bounded by the order-size cap, not the table size.
+
+    One self-join on the order key + one counting groupBy; both key-equi."""
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    ).distinct()
+    b = a.select(F.col("ok"), F.col("pa").alias("pb"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+        .select("src", "dst")
+    )
+
+
+COPURCHASE_EDGES_SQL = """
+    SELECT pa AS src, pb AS dst
+    FROM (SELECT a.pa, b.pb, count(*) AS n_orders
+          FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pa FROM lineitem) a
+          JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pb FROM lineitem) b
+            ON a.ok = b.ok AND a.pa < b.pb
+          GROUP BY a.pa, b.pb)
+    WHERE n_orders >= {min_orders}
+"""
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation over an undirected edge list:
+    (id, n_triangles, degree, clustering_coeff) with clustering_coeff =
+    2·T / (d·(d−1)) rounded to 6dp (NULL when d < 2).
+
+    The standard oriented-wedge algorithm: edges are canonicalized to
+    (lo < hi), wedges (a<b, b<c) are built by ONE self-join on the
+    middle node, and each wedge is closed by probing the edge set for
+    (a, c) — two key-equi joins total, never an all-pairs step. Wedge
+    volume is Σ_v d(v)², the known cost of triangle counting; at scale
+    the mitigation is degree-ordered orientation (edges point low-degree
+    → high-degree), which this implementation inherits for free when
+    the caller pre-filters hub nodes. Every triangle (a<b<c) is found
+    exactly once and credited to all three corners."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # wedges a<b<c via middle join, closed by (a, c) membership
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(
+            e.select(F.col("lo").alias("a"), F.col("hi").alias("c")),
+            ["a", "c"],
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("lo").alias("id"))
+        .union(e.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(per_node, "id", "left").select(
+        "id",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        "degree",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.coalesce("n_triangles", F.lit(0))
+                * 2.0
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        ).alias("clustering_coeff"),
+    )
+
+
+def triangle_counts_sql(edges_sql: str) -> str:
+    """Standalone SQL mirror of :func:`triangle_counts` over an edge
+    SELECT producing (src, dst)."""
+    return f"""
+    WITH eraw AS ({edges_sql}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst)::BIGINT AS lo,
+                      greatest(src, dst)::BIGINT AS hi
+      FROM eraw WHERE src <> dst),
+    tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+            FROM e ab
+            JOIN e bc ON bc.lo = ab.hi
+            JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+    per_node AS (
+      SELECT id, count(*) AS n_triangles
+      FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id),
+    deg AS (
+      SELECT id, count(*) AS degree
+      FROM (SELECT lo AS id FROM e UNION ALL SELECT hi FROM e) GROUP BY id)
+    SELECT deg.id,
+           COALESCE(per_node.n_triangles, 0)::BIGINT AS n_triangles,
+           deg.degree,
+           CASE WHEN deg.degree >= 2 THEN
+             round(COALESCE(per_node.n_triangles, 0) * 2.0
+                   / (deg.degree * (deg.degree - 1)), 6)
+           END AS clustering_coeff
+    FROM deg LEFT JOIN per_node ON per_node.id = deg.id
+    """
+
+
 BIPARTITE_ORDER_EDGES_WEIGHTED_SQL = """
     WITH ow AS (SELECT 2 * o_custkey AS cust, 2 * l_suppkey + 1 AS supp,
                        count(*) AS w

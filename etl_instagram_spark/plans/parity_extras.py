@@ -1576,6 +1576,36 @@ def _sql_part_entity_resolution() -> str:
     """
 
 
+def _part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r10): triangle counting / clustering coefficients
+    over the part co-purchase projection (parts co-occurring on ≥ 3
+    orders). Oriented-wedge algorithm — two key-equi joins, every
+    triangle found once; the oracle replays projection, orientation,
+    wedges, and closure in one statement."""
+    from etl_instagram_spark.operators.graph import (
+        copurchase_edges,
+        triangle_counts,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    stats = triangle_counts(copurchase_edges(li, min_orders=3))
+    return stats.orderBy(F.col("n_triangles").desc(), "id").limit(50)
+
+
+def _sql_part_triangle_stats() -> str:
+    from etl_instagram_spark.operators.graph import (
+        COPURCHASE_EDGES_SQL,
+        triangle_counts_sql,
+    )
+
+    inner = triangle_counts_sql(COPURCHASE_EDGES_SQL.format(min_orders=3))
+    return f"""
+    SELECT * FROM ({inner})
+    ORDER BY n_triangles DESC, id
+    LIMIT 50
+    """
+
+
 _FUNNEL_WINDOW_S = 7 * 24 * 3600
 
 
@@ -1761,6 +1791,11 @@ def _register_rotated() -> None:
     EXTRAS["part_entity_resolution"] = (
         _part_entity_resolution,
         _sql_part_entity_resolution(),
+    )
+    # never-gated (r10): triangles over the co-purchase projection
+    EXTRAS["part_triangle_stats"] = (
+        _part_triangle_stats,
+        _sql_part_triangle_stats(),
     )
     # never-gated (r10): behavioral analytics — funnel + cohort retention
     EXTRAS["events_funnel_levels"] = (_events_funnel_levels, _SQL_FUNNEL_LEVELS)

@@ -268,6 +268,63 @@ def test_weighted_bipartite_edges_sql_mirror(spark, sf_smoke):
     assert got == want
 
 
+def test_triangle_counts_hand_and_differential(spark):
+    """K4 + a pendant: K4 nodes sit in 3 triangles each (coeff 1.0),
+    the pendant in none (degree 1 → NULL coeff); reversed/duplicate
+    edges collapse. Cross-checked against itertools and DuckDB."""
+    import itertools
+
+    from etl_instagram_spark.operators.graph import (
+        triangle_counts,
+        triangle_counts_sql,
+    )
+
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    edges = k4 + [(4, 3), (2, 1), (5, 1)]  # dups reversed + pendant 5
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: tuple(r)[1:] for r in triangle_counts(df).collect()}
+    assert got[1] == (3, 4, 0.5)  # degree 4 (K4 + pendant): 3/(4*3/2)
+    for v in (2, 3, 4):
+        assert got[v] == (3, 3, 1.0)
+    assert got[5] == (0, 1, None)
+    # python reference over the simple graph
+    simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in simple for x in e})
+    tri = {
+        t: sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if t in (a, b, c)
+            and {(a, b), (b, c), (a, c)} <= simple
+        )
+        for t in nodes
+    }
+    assert {i: got[i][0] for i in nodes} == tri
+    con = duckdb.connect()
+    values = ",".join(f"({s},{d})" for s, d in edges)
+    duck = {
+        r[0]: r[1:]
+        for r in con.sql(
+            triangle_counts_sql(
+                f"SELECT src, dst FROM (VALUES {values}) t(src, dst)"
+            )
+        ).fetchall()
+    }
+    con.close()
+    assert duck == got
+
+
+def test_copurchase_edges_projection(spark, sf_smoke):
+    from etl_instagram_spark.operators.graph import copurchase_edges
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    e = copurchase_edges(li, min_orders=2)
+    rows = e.collect()
+    assert all(r["src"] < r["dst"] for r in rows)
+    # threshold monotonicity: raising min_orders can only shrink
+    assert copurchase_edges(li, min_orders=5).count() <= len(rows)
+
+
 def test_pagerank_iteration_aggregation_combines_map_side(spark):
     """The per-iteration inflow sum must carry partial_sum below its
     exchange — at 100 TB the shuffle then moves <= |nodes| rows per
