@@ -128,6 +128,61 @@ def test_canonical_entities_audit(spark):
     assert row["n_name_variants"] == 2  # 'red plate' (x2 normed) + 'rud plate'
 
 
+def test_incremental_resolution_adopts_history_and_replays(spark, tmp_path):
+    """Cross-batch adoption: batch-2 variants link to batch-1 entities
+    through the store alone; a replayed batch converges (same
+    assignment, same store); a batch cluster bridging two historical
+    entities adopts the smaller and surfaces the merge candidate."""
+    from etl_instagram_spark.operators.entity import (
+        incremental_resolve_entities,
+    )
+    from etl_instagram_spark.operators.merge import MergeTable
+
+    store = MergeTable(spark, str(tmp_path / "entities"), ["block", "norm"])
+    b1 = spark.createDataFrame(
+        [(1, "red plata"), (2, "rad plata"), (10, "blue gizmo")],
+        "id long, name string",
+    )
+    a1, m1 = incremental_resolve_entities(b1, store, "id", "name", BLOCK(), 2)
+    got1 = {r["id"]: r["entity"] for r in a1.collect()}
+    assert got1 == {1: 1, 2: 1, 10: 10}
+    assert m1.count() == 0
+
+    # batch 2: a new variant of entity 1, an exact repeat of 'blue
+    # gizmo', an unrelated new name, and a NULL-named row
+    b2 = spark.createDataFrame(
+        [(21, "rod plata"), (22, "blue gizmo"), (23, "lone widget"),
+         (24, None)],
+        "id long, name string",
+    )
+    a2, m2 = incremental_resolve_entities(b2, store, "id", "name", BLOCK(), 2)
+    got2 = {r["id"]: r["entity"] for r in a2.collect()}
+    assert got2 == {21: 1, 22: 10, 23: 23, 24: 24}
+    assert m2.count() == 0
+
+    # replay batch 2: same assignment, store byte-identical
+    before = sorted(map(tuple, store.read().collect()))
+    a2r, _ = incremental_resolve_entities(b2, store, "id", "name", BLOCK(), 2)
+    assert {r["id"]: r["entity"] for r in a2r.collect()} == got2
+    assert sorted(map(tuple, store.read().collect())) == before
+
+    # bridge: one name within distance of entity-1 names AND of a
+    # second 'plata' entity created now — adopt the smaller, audit the
+    # pair. First create a disjoint plata entity far from cluster 1.
+    b3 = spark.createDataFrame([(30, "xyz plata")], "id long, name string")
+    a3, m3 = incremental_resolve_entities(b3, store, "id", "name", BLOCK(), 2)
+    assert {r["id"]: r["entity"] for r in a3.collect()} == {30: 30}
+    assert m3.count() == 0
+    # 'ryz plata': d=2 from 'xyz plata' (entity 30) AND d=2 from
+    # 'rod plata' (entity 1) — one batch row bridging two entities
+    b4 = spark.createDataFrame([(40, "ryz plata")], "id long, name string")
+    a4, m4 = incremental_resolve_entities(b4, store, "id", "name", BLOCK(), 2)
+    assert {r["id"]: r["entity"] for r in a4.collect()} == {40: 1}
+    assert {(r["entity_keep"], r["entity_merge"]) for r in m4.collect()} == {
+        (1, 30)
+    }
+
+
 def test_entity_params_and_invariance(spark, sf_smoke):
     df = spark.createDataFrame([(1, "a b")], "id long, name string")
     with pytest.raises(ValueError):
