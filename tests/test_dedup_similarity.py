@@ -335,6 +335,19 @@ def test_near_dedup_keep_best_keeps_longest_per_cluster(spark):
     assert {r["doc_id"] for r in out2.collect()} == {1, 4}
 
 
+def test_cc_converges_well_inside_the_oracle_round_budget(spark, sf_oracle):
+    """The docs_dup_cluster_reps oracle replays connected components as
+    a FIXED 16 min-label rounds (llm_queries._CC_ORACLE_ROUNDS); its
+    correctness rests on the gate data's dup graph converging within
+    that budget. Pin the margin: the real verified-pair graph at the
+    gate scale factor converges in <= 8 rounds (min-label raises if it
+    doesn't), so 16 carries a >= 2x cushion — and extra rounds are
+    no-ops by monotonicity."""
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    pairs = D.verified_duplicate_pairs(docs, "doc_id", "text", 0.5, 8, 4)
+    D.dedup_components(pairs, max_iter=8)  # raises on non-convergence
+
+
 def test_near_dedup_keep_best_invariant_under_partitioning(spark):
     rows = [(i, BASE) for i in range(1, 6)] + [(9, NEAR), (10, OTHER)]
     df = spark.createDataFrame(rows, "doc_id long, text string")

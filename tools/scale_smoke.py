@@ -267,6 +267,38 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             ),
             "params": {"n_iter": 3},
         }
+    elif op == "triangles":
+        # oriented-wedge triangle counting over the co-purchase
+        # projection: wedge volume is sum(d(v)^2), so with `mult`
+        # disjoint id-shifted copies of the same graph the honest
+        # expectation is time ∝ mult (structure replicates, no
+        # cross-copy wedges)
+        from etl_instagram_spark.operators.graph import (
+            copurchase_edges,
+            triangle_counts,
+        )
+
+        li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+        base_edges = copurchase_edges(li, min_orders=2)
+        copies = [
+            base_edges.select(
+                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
+                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
+            )
+            for c in range(mult)
+        ]
+        edges = copies[0]
+        for cp in copies[1:]:
+            edges = edges.unionByName(cp)
+        edges = edges.localCheckpoint()
+        res = {
+            "sec": timed(
+                lambda: triangle_counts(edges)
+                .agg(F.sum("n_triangles"))
+                .collect()
+            ),
+            "params": {"min_orders": 2},
+        }
     else:
         raise SystemExit(f"unknown op {op}")
     spark.stop()
@@ -283,6 +315,7 @@ OPS = (
     "curate_corpus",
     "dsir_select",
     "pagerank",
+    "triangles",
 )
 
 
