@@ -127,6 +127,11 @@ def test_scans_are_column_pruned(spark):
         "docs_decontamination": ("text", 3),
         # BPE gate: the encode pass reads (source, text) only
         "docs_bpe_tokens": ("text", 2),
+        # r10 gate queries: pagerank's edge build reads only the join
+        # key + entity key per side; the leakage split only (doc_id,
+        # text). pagerank eagerly checkpoints, so its inspected plan is
+        # post-RDD — pin the edge-build stage directly instead.
+        "docs_leakage_safe_split": ("doc_id", 2),
     }
     for name, (marker, max_cols) in cases.items():
         plan = _plan(spark, name)
@@ -134,6 +139,21 @@ def test_scans_are_column_pruned(spark):
         assert marked, f"{name}: no scan reading {marker}"
         widths = [len(_scan_cols(s)) for s in marked]
         assert min(widths) <= max_cols, (name, marker, widths)
+    # pagerank edge build: both fact scans stay at (join key, entity key)
+    from etl_instagram_spark.operators.graph import bipartite_order_edges
+
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    eplan = (
+        bipartite_order_edges(od, li)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("o_custkey", "l_suppkey"):
+        marked = [s for s in _scans(eplan) if marker in s]
+        assert marked, f"edge build: no scan reading {marker}"
+        assert min(len(_scan_cols(s)) for s in marked) <= 2, (marker, eplan)
 
 
 def test_bounded_dimensions_broadcast(spark):
