@@ -1060,6 +1060,50 @@ def hll_read_summary(
     return merged.groupBy(*g).agg(hit, sum_scaled, est)
 
 
+def stream_resolve_entities(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    store: MergeTable,
+    checkpoint_dir: str,
+    id_col: str,
+    name_col: str,
+    block,
+    max_dist: int = 2,
+    assigned_out: MergeTable | None = None,
+    merges_out: MergeTable | None = None,
+) -> bool:
+    """One AvailableNow tick of continuous entity resolution: drain
+    newly landed records and link each micro-batch against the
+    (block, norm, entity) name store via
+    operators/entity.incremental_resolve_entities. ``assigned_out``
+    (keyed by ``id_col``) collects per-record entity assignments;
+    ``merges_out`` (keyed [entity_keep, entity_merge]) accumulates the
+    bridge audit for periodic batch reconciliation. All three sinks are
+    replay-safe: the name store by norm-keyed upsert convergence, the
+    assignment sink because a replayed batch adopts identical entities,
+    the merge sink because its rows ARE its keys (idempotent upsert).
+    ``block`` is the blocking Column (e.g. a phonetic key) — the same
+    expression must be used across every tick, or history probes stop
+    matching; store and checkpoint are a unit (the stream_kmeans_stats
+    contract)."""
+    from etl_instagram_spark.operators.entity import (
+        incremental_resolve_entities,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        assigned, merges = incremental_resolve_entities(
+            batch_df, store, id_col, name_col, block, max_dist
+        )
+        if assigned_out is not None:
+            assigned_out.upsert(assigned)
+        if merges_out is not None:
+            merges_out.upsert(merges)
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
 def stream_kmeans_stats(
     spark: SparkSession,
     landing_dir: str,

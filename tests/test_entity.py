@@ -183,6 +183,79 @@ def test_incremental_resolution_adopts_history_and_replays(spark, tmp_path):
     }
 
 
+def test_stream_entity_resolution_matches_incremental_and_replays(spark, tmp_path):
+    """The streaming face: two drained waves produce the same name
+    store and assignments as sequential incremental calls, and a
+    replayed tick converges (all three sinks unchanged)."""
+    import json
+
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.streaming.incremental import (
+        stream_resolve_entities,
+    )
+
+    def write_json(path, rows):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    landing = tmp_path / "names"
+    store = MergeTable(spark, str(tmp_path / "ent_store"), ["block", "norm"])
+    assigned_out = MergeTable(spark, str(tmp_path / "ent_assigned"), ["id"])
+    merges_out = MergeTable(
+        spark, str(tmp_path / "ent_merges"), ["entity_keep", "entity_merge"]
+    )
+    ckpt = str(tmp_path / "ckpt_ent")
+    DDL = "id long, name string"
+
+    def tick():
+        return stream_resolve_entities(
+            spark, str(landing), DDL, store, ckpt, "id", "name", BLOCK(),
+            max_dist=2, assigned_out=assigned_out, merges_out=merges_out,
+        )
+
+    write_json(landing / "w1.json", [
+        {"id": 1, "name": "red plata"}, {"id": 2, "name": "rad plata"},
+        {"id": 10, "name": "xyz plata"},
+    ])
+    assert tick()
+    write_json(landing / "w2.json", [
+        {"id": 21, "name": "rod plata"},   # adopts entity 1
+        {"id": 22, "name": "ryz plata"},   # bridges 1 and 10 -> keep 1
+    ])
+    assert tick()
+    got = {r["id"]: r["entity"] for r in assigned_out.read().collect()}
+    assert got == {1: 1, 2: 1, 10: 10, 21: 1, 22: 1}
+    assert {
+        (r["entity_keep"], r["entity_merge"]) for r in merges_out.read().collect()
+    } == {(1, 10)}
+
+    # replay: re-deliver wave 2 as the same batch (the crashed-tick
+    # shape — same batch boundary, like the apply_*_delta replays);
+    # every sink must converge to its pre-replay state
+    from etl_instagram_spark.operators.entity import (
+        incremental_resolve_entities,
+    )
+
+    snap = tuple(
+        sorted(map(tuple, t.read().collect()))
+        for t in (store, assigned_out, merges_out)
+    )
+    b2 = spark.createDataFrame(
+        [(21, "rod plata"), (22, "ryz plata")], DDL
+    )
+    a_r, m_r = incremental_resolve_entities(
+        b2, store, "id", "name", BLOCK(), 2
+    )
+    assigned_out.upsert(a_r)
+    merges_out.upsert(m_r)
+    assert snap == tuple(
+        sorted(map(tuple, t.read().collect()))
+        for t in (store, assigned_out, merges_out)
+    )
+
+
 def test_entity_params_and_invariance(spark, sf_smoke):
     df = spark.createDataFrame([(1, "a b")], "id long, name string")
     with pytest.raises(ValueError):
