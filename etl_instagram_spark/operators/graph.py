@@ -429,6 +429,115 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
 
 
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    seed: str = "walk",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic uniform random walks — one walk started at EVERY
+    node, ``walk_len`` steps, the corpus-generation shape under
+    DeepWalk/node2vec (Perozzi KDD'14; p=q=1 unbiased case): the walk
+    sequences are the "sentences" a skip-gram embedding trains on.
+
+    Spark-first and REPLAYABLE-BY-CONSTRUCTION: there is no RNG state —
+    step i from node v follows neighbor index
+    ``hash32(seed ⊕ walk_id ⊕ i) mod outdeg(v)`` over v's SORTED
+    neighbor array, so every step is a pure function of (graph, seed),
+    identical under any partitioning, re-run, or engine (the
+    functions/text.hash32 md5 kernel; DuckDB mirror
+    :func:`random_walks_sql`). A walk that reaches a dangling node
+    (no out-edges) stops there — shorter walks are emitted, not padded.
+
+    Output: (walk_id, step, node) with step 0 = the start node and
+    walk_id = the start node id.
+
+    Scale: adjacency is one groupBy into per-node sorted neighbor
+    arrays (state bounded by max degree — cap hub degrees upstream if
+    the graph has super-nodes); each step is one key-equi join of the
+    O(nodes) frontier against the adjacency table. ``walk_len`` joins
+    total, frontier never grows."""
+    if walk_len < 1:
+        raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    from etl_instagram_spark.functions.text import hash32
+
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    adj = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    frontier = nodes.select(
+        F.col("node").alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col("node"),
+    )
+    out = frontier
+    for i in range(1, walk_len + 1):
+        pick = hash32(
+            F.concat_ws(
+                "\x1f",
+                F.lit(seed),
+                F.col("walk_id").cast("string"),
+                F.lit(str(i)),
+            )
+        )
+        frontier = (
+            frontier.join(adj, "node")
+            .select(
+                "walk_id",
+                F.lit(i).alias("step"),
+                F.element_at(
+                    "nbrs", (pick % F.size("nbrs") + 1).cast("int")
+                ).alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(frontier)
+    return out
+
+
+def random_walks_sql(edges_sql: str, walk_len: int = 4, seed: str = "walk") -> str:
+    """Standalone SQL mirror of :func:`random_walks` (DuckDB) — same
+    md5 step hash, same sorted-adjacency indexing, one CTE per step."""
+    from etl_instagram_spark.functions.text import hash32_sql
+
+    parts = [
+        f"eraw AS ({edges_sql})",
+        "e AS MATERIALIZED"
+        " (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM eraw)",
+        "adj AS MATERIALIZED (SELECT src AS node,"
+        " list_sort(list(dst)) AS nbrs FROM e GROUP BY src)",
+        "w0 AS (SELECT node AS walk_id, 0 AS step, node FROM"
+        " (SELECT src AS node FROM e UNION SELECT dst FROM e))",
+    ]
+    for i in range(1, walk_len + 1):
+        pick = hash32_sql(
+            f"'{seed}' || chr(31) || w.walk_id::VARCHAR || chr(31) || '{i}'"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT w.walk_id, {i} AS step,"
+            f" a.nbrs[(({pick}) % len(a.nbrs) + 1)::INT] AS node"
+            f" FROM w{i - 1} w JOIN adj a ON a.node = w.node)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM w{i}" for i in range(walk_len + 1)
+    )
+    return ",\n".join(parts) + f", walks AS ({union})"
+
+
 def triangle_counts_sql(edges_sql: str) -> str:
     """Standalone SQL mirror of :func:`triangle_counts` over an edge
     SELECT producing (src, dst)."""

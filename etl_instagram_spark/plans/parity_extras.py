@@ -1576,6 +1576,47 @@ def _sql_part_entity_resolution() -> str:
     """
 
 
+def _graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r10): deterministic DeepWalk-style random walks
+    over the customer↔supplier graph — 4 steps from every node, next
+    hop = hash32(seed, walk, step) mod outdeg over sorted neighbors, so
+    the walk corpus is a pure function of (graph, seed). Per-step
+    count / distinct-node / checksum profile replayed in DuckDB."""
+    from etl_instagram_spark.operators.graph import (
+        bipartite_order_edges,
+        random_walks,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    walks = random_walks(bipartite_order_edges(od, li), walk_len=4)
+    return (
+        walks.groupBy("step")
+        .agg(
+            F.count(F.lit(1)).alias("n_visits"),
+            F.countDistinct("node").alias("n_distinct_nodes"),
+            F.sum("node").alias("node_checksum"),
+        )
+        .orderBy("step")
+    )
+
+
+def _sql_graph_random_walks() -> str:
+    from etl_instagram_spark.operators.graph import (
+        BIPARTITE_ORDER_EDGES_SQL,
+        random_walks_sql,
+    )
+
+    ctes = random_walks_sql(BIPARTITE_ORDER_EDGES_SQL, walk_len=4)
+    return f"""
+    WITH {ctes}
+    SELECT step, count(*) AS n_visits,
+           count(DISTINCT node) AS n_distinct_nodes,
+           (sum(node))::BIGINT AS node_checksum
+    FROM walks GROUP BY step ORDER BY step
+    """
+
+
 def _part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r10): triangle counting / clustering coefficients
     over the part co-purchase projection (parts co-occurring on ≥ 3
@@ -1791,6 +1832,11 @@ def _register_rotated() -> None:
     EXTRAS["part_entity_resolution"] = (
         _part_entity_resolution,
         _sql_part_entity_resolution(),
+    )
+    # never-gated (r10): deterministic random-walk corpus profile
+    EXTRAS["graph_random_walks"] = (
+        _graph_random_walks,
+        _sql_graph_random_walks(),
     )
     # never-gated (r10): triangles over the co-purchase projection
     EXTRAS["part_triangle_stats"] = (

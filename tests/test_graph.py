@@ -325,6 +325,61 @@ def test_copurchase_edges_projection(spark, sf_smoke):
     assert copurchase_edges(li, min_orders=5).count() <= len(rows)
 
 
+def test_random_walks_deterministic_and_cross_engine(spark):
+    """Walks are a pure function of (graph, seed): identical under
+    repartitioning AND identical to the DuckDB replay; a dangling node
+    truncates its walk instead of padding."""
+    from etl_instagram_spark.operators.graph import (
+        random_walks,
+        random_walks_sql,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (2, 1), (4, 5)]  # 5 dangles
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        tuple(r) for r in random_walks(df, walk_len=3, seed="t").collect()
+    )
+    again = sorted(
+        tuple(r)
+        for r in random_walks(df.repartition(7), walk_len=3, seed="t").collect()
+    )
+    assert got == again
+    con = duckdb.connect()
+    values = ",".join(f"({s},{d})" for s, d in edges)
+    ctes = random_walks_sql(
+        f"SELECT src, dst FROM (VALUES {values}) t(src, dst)",
+        walk_len=3,
+        seed="t",
+    )
+    duck = sorted(
+        con.sql(f"WITH {ctes} SELECT walk_id, step, node FROM walks").fetchall()
+    )
+    con.close()
+    assert got == duck
+    by_walk = {}
+    for wid, step, node in got:
+        by_walk.setdefault(wid, []).append((step, node))
+    # every step-i node is a real neighbor of the step-(i-1) node
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    for wid, path in by_walk.items():
+        path.sort()
+        assert path[0] == (0, wid)
+        for (s0, n0), (s1, n1) in zip(path, path[1:]):
+            assert s1 == s0 + 1 and n1 in adj[n0]
+    # walk from 5 stops immediately; walk through 4 ends at 5
+    assert len(by_walk[5]) == 1
+    assert by_walk[4] == [(0, 4), (1, 5)]
+    # different seed, different corpus (on this graph)
+    other = sorted(
+        tuple(r) for r in random_walks(df, walk_len=3, seed="u").collect()
+    )
+    assert got != other
+    with pytest.raises(ValueError):
+        random_walks(df, walk_len=0)
+
+
 def test_pagerank_iteration_aggregation_combines_map_side(spark):
     """The per-iteration inflow sum must carry partial_sum below its
     exchange — at 100 TB the shuffle then moves <= |nodes| rows per
