@@ -177,7 +177,7 @@ def pagerank(
         .cast("long")
         .alias("rank_micro"),
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         rk = ranks.filter(F.col("outdeg").isNotNull()).select(
             "id", "outdeg", "rank_micro"
         )
@@ -190,22 +190,23 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = (
-            nodes.join(inflow, "id", "left")
-            .select(
-                "id",
-                "outdeg",
-                (
-                    F.when(F.col("is_seed"), base_col).otherwise(zero)
-                    + F.expr(
-                        f"({num} * coalesce(inflow, cast(0 as bigint))) div {den}"
-                    )
+        ranks = nodes.join(inflow, "id", "left").select(
+            "id",
+            "outdeg",
+            (
+                F.when(F.col("is_seed"), base_col).otherwise(zero)
+                + F.expr(
+                    f"({num} * coalesce(inflow, cast(0 as bigint))) div {den}"
                 )
-                .cast("long")
-                .alias("rank_micro"),
             )
-            .localCheckpoint(eager=True)
+            .cast("long")
+            .alias("rank_micro"),
         )
+        # lineage truncation between rounds; the LAST round's frame is
+        # consumed exactly once by the caller, so materializing it here
+        # would just add a full extra pass
+        if it < n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", "rank_micro")
 
 
