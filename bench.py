@@ -496,6 +496,13 @@ def main() -> int:
                         "floor; no plan change found on the tick path (none of "
                         "hashtags/orchestrator/merge/fetch changed in r8). "
                         "samples_raw/rep_started_at_sec now expose this per run.",
+                        "r10 end-of-round container state: three same-code "
+                        "bench re-runs later in the round measured totals of "
+                        "94.0s / 105.1s / 111.0s with max_noise_ratio 4.8-6.1 "
+                        "against the committed 87.3s (whose minima match the "
+                        "r9 floor) — ambient container degradation, uniform "
+                        "across unrelated entries. Compare per-entry MINIMA "
+                        "before reading any delta as a regression.",
                         "r10 structural delta: three gate entries promoted "
                         "(graph_pagerank_suppliers ~3.6s, docs_dup_cluster_reps "
                         "~2.3s, docs_leakage_safe_split ~0.5s) for three "
