@@ -556,3 +556,86 @@ def rolling_zscore(
         z.alias("z_score"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def ewma_weights(alpha: float, window: int) -> list[float]:
+    """The fixed weight ladder (1−α)^j, j = 0 (current row) … window−1 —
+    Python-computed doubles interpolated as literals into BOTH engines,
+    so the smoother's arithmetic cannot drift (the hash32_sql
+    convention applied to floats)."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    return [(1.0 - alpha) ** j for j in range(window)]
+
+
+def ewma_smooth(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.3,
+    window: int = 8,
+) -> DataFrame:
+    """Bounded-window exponential smoothing per key: each row gains
+    ``ewma`` = Σ_j (1−α)^j·x_{t−j} / Σ_j (1−α)^j over the ``window``
+    most recent observations (current row = j 0), ordered by
+    (ts, id) for a total order. The BOUNDED window is what makes the
+    smoother replayable: the textbook recurrence s_t = αx_t+(1−α)s_{t−1}
+    reaches back to the series start (either a sequential scan or an
+    exp/ln rewrite whose libm last-ulp behavior is engine-specific),
+    while a fixed ladder of literal weights unrolls to one deterministic
+    per-row expression — same additions in the same order in Spark and
+    DuckDB (mirror: :func:`ewma_sql_expr`), truncation bias at the
+    window edge < (1−α)^window (≈ 6 % of a weight at the defaults,
+    0.06 % of the total).
+
+    One window pass partitioned by key (the rolling_zscore scale shape);
+    ``ewma`` is rounded to 6dp. Short heads (fewer than ``window`` rows)
+    renormalize over the weights actually present — the first row's
+    ewma is exactly its own value."""
+    weights = ewma_weights(alpha, window)
+    # NULL values are dropped up front: Spark's collect_list skips
+    # NULLs while DuckDB's list() keeps them, so a NULL mid-series
+    # would silently misalign the two engines' windows
+    df = df.filter(F.col(value_col).isNotNull())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    n = F.size(arr)
+    num = None
+    den = None
+    for j, wt in enumerate(weights):
+        term = F.when(n > j, F.element_at(arr, n - j) * F.lit(wt))
+        dterm = F.when(n > j, F.lit(wt))
+        num = term if num is None else num + F.coalesce(term, F.lit(0.0))
+        den = dterm if den is None else den + F.coalesce(dterm, F.lit(0.0))
+    return df.select(
+        key_col,
+        ts_col,
+        id_col,
+        value_col,
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+def ewma_sql_expr(alpha: float, window: int, arr: str = "arr") -> str:
+    """DuckDB expression mirroring the unrolled ewma over a windowed
+    ``list(value)`` column named ``arr`` — generated from the same
+    :func:`ewma_weights` ladder, additions in the same order."""
+    weights = ewma_weights(alpha, window)
+    num = " + ".join(
+        f"COALESCE(CASE WHEN len({arr}) > {j} THEN"
+        f" {arr}[len({arr}) - {j}] * {w!r} END, 0.0)"
+        for j, w in enumerate(weights)
+    )
+    den = " + ".join(
+        f"COALESCE(CASE WHEN len({arr}) > {j} THEN {w!r} END, 0.0)"
+        for j, w in enumerate(weights)
+    )
+    return f"round(({num}) / ({den}), 6)"

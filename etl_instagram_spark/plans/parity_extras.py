@@ -1647,6 +1647,59 @@ def _sql_part_triangle_stats() -> str:
     """
 
 
+def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r10): bounded-window exponential smoothing
+    (operators/temporal.ewma_smooth) over each event-type series —
+    per-type row count, an order-independent integer checksum of every
+    smoothed value (Σ floor(ewma·10^6)), and the series' final ewma.
+    The checksum certifies EVERY row's smoothed value without emitting
+    6k rows; integer sums make it partition-order-proof."""
+    from etl_instagram_spark.operators.temporal import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    sm = ewma_smooth(ev, alpha=0.3, window=8)
+    w = W.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        sm.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", F.col("ewma").alias("last_ewma"))
+    )
+    agg = sm.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("ewma") * 1e6).cast("long")).alias("ewma_checksum"),
+    )
+    return agg.join(last, "event_type").orderBy("event_type")
+
+
+def _sql_events_ewma() -> str:
+    from etl_instagram_spark.operators.temporal import ewma_sql_expr
+
+    e = ewma_sql_expr(0.3, 8)
+    return f"""
+    WITH sm AS (
+      SELECT event_type, ts, event_id, {e} AS ewma
+      FROM (SELECT event_type, ts, event_id,
+                   list(value::DOUBLE) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+            FROM events WHERE value IS NOT NULL)),
+    last AS (
+      SELECT event_type, ewma AS last_ewma
+      FROM (SELECT event_type, ewma,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM sm) WHERE rn = 1)
+    SELECT sm.event_type, count(*) AS n_rows,
+           (sum(CAST(floor(ewma * 1e6) AS BIGINT)))::BIGINT AS ewma_checksum,
+           any_value(last_ewma) AS last_ewma
+    FROM sm JOIN last ON sm.event_type = last.event_type
+    GROUP BY sm.event_type
+    ORDER BY sm.event_type
+    """
+
+
 _FUNNEL_WINDOW_S = 7 * 24 * 3600
 
 
@@ -1843,6 +1896,8 @@ def _register_rotated() -> None:
         _part_triangle_stats,
         _sql_part_triangle_stats(),
     )
+    # never-gated (r10): bounded-window exponential smoothing
+    EXTRAS["events_ewma"] = (_events_ewma, _sql_events_ewma())
     # never-gated (r10): behavioral analytics — funnel + cohort retention
     EXTRAS["events_funnel_levels"] = (_events_funnel_levels, _SQL_FUNNEL_LEVELS)
     EXTRAS["events_cohort_retention"] = (

@@ -220,3 +220,47 @@ def test_gapfill_pre_1970_buckets_floor_not_truncate(spark):
         (str(r["bucket_ts"]), r["n_obs"]) for r in gapfill(df, bucket="1 hour").collect()
     )
     assert out == [("1969-12-31 23:00:00", 1), ("1970-01-01 00:00:00", 1)]
+
+
+def test_ewma_smooth_hand_and_differential(spark):
+    """Hand case: head rows renormalize over present weights (row 1 ==
+    its own value); a Python reference over a longer series agrees to
+    the 6dp rounding; NULL values drop instead of misaligning."""
+    from datetime import datetime, timedelta
+
+    from etl_instagram_spark.operators.temporal import (
+        ewma_smooth,
+        ewma_weights,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0, 20.0, None, 40.0, 5.0, 5.0, 80.0, 1.0, 2.0, 3.0]
+    rows = [
+        ("k", t0 + timedelta(seconds=i), i, v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_smooth(df, alpha=0.5, window=3).collect()
+    }
+    ws = ewma_weights(0.5, 3)
+    series = [(i, v) for i, v in enumerate(vals) if v is not None]
+    want = {}
+    for pos, (i, _v) in enumerate(series):
+        tail = series[max(0, pos - 2): pos + 1]  # last <=3 incl. self
+        xs = [v for _j, v in tail][::-1]         # j=0 is the current row
+        num = sum(x * ws[j] for j, x in enumerate(xs))
+        den = sum(ws[j] for j in range(len(xs)))
+        want[i] = round(num / den, 6)
+    assert out == want
+    assert out[0] == 10.0  # head renormalization: first row is itself
+    assert 2 not in out    # the NULL row dropped
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ewma_weights(0.0, 3)
+    with _pytest.raises(ValueError):
+        ewma_weights(0.5, 0)
