@@ -10,10 +10,13 @@ re-expressed Spark-first:
                   tombstone delete, anti-join dedup, top-k, dedup family
                   (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
                   cosine), embedding similarity search, temporal joins
-                  (as-of, bucketized range), hypertable rollup (+ HLL
-                  distinct counts), deterministic split/sampling, sequence
-                  packing, and corpus cleanup (boilerplate lines,
-                  repetition signals).
+                  (as-of, bucketized range), hypertable rollup, exponential
+                  smoothing, deterministic split/sampling, sequence
+                  packing, corpus cleanup (boilerplate lines, repetition
+                  signals), graph centrality (integer-quantized PageRank,
+                  triangles, random walks), cross-engine-exact HLL
+                  sketches, entity resolution, and funnel/cohort
+                  analytics.
 - ``functions`` : scalar/text kernels — tokenizer, Porter stemmer (pandas
                   UDF), stopwords, language-ID, quality scoring,
                   minhash/simhash, fingerprinting, sentence split.
