@@ -299,6 +299,21 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             ),
             "params": {"min_orders": 2},
         }
+    elif op == "hll":
+        # cross-engine-exact HyperLogLog: one scan of codegen hash/rho
+        # expressions + a partially-aggregated groupBy bounded at
+        # groups*2^b rows — honest expectation is time ∝ n with a flat
+        # shuffle. (The disjoint-vocabulary copies make scaled TEXT
+        # genuinely distinct, so register saturation also scales.)
+        from etl_instagram_spark.operators.sketches import hll_summary
+
+        docs = spark.read.parquet(docs_path).localCheckpoint()
+        res = {
+            "sec": timed(
+                lambda: hll_summary(docs, "text", ["lang"], b=12).count()
+            ),
+            "params": {"b": 12},
+        }
     else:
         raise SystemExit(f"unknown op {op}")
     spark.stop()
@@ -316,6 +331,7 @@ OPS = (
     "dsir_select",
     "pagerank",
     "triangles",
+    "hll",
 )
 
 
