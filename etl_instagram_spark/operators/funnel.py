@@ -196,3 +196,50 @@ def cohort_retention(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+) -> DataFrame:
+    """First-order Markov transitions over each user's event sequence:
+    (from_state, to_state, n_transitions, prob) with ``prob`` the
+    row-normalized transition probability rounded to 6dp — the
+    behavioral "what happens next" model (and the audit input for
+    sequence-synthesis sanity checks). Consecutive pairs are taken per
+    user under the (ts, id) TOTAL order, so same-timestamp events
+    transition deterministically.
+
+    One lag window partitioned by user + one counting groupBy; the
+    matrix is |states|² rows regardless of input size, and the
+    normalizing sum runs over that tiny frame."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.lag(F.col(type_col)).over(w).alias("from_state"),
+            F.col(type_col).alias("to_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wf = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wf).cast("double"),
+            6,
+        ).alias("prob"),
+    ).orderBy("from_state", "to_state")

@@ -1766,6 +1766,35 @@ def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, "user_id", "ts", max_offset=8)
 
 
+def _events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r10): first-order Markov transition matrix over
+    each user's event sequence under the (ts, event_id) total order —
+    counts + row-normalized probabilities, replayed in SQL."""
+    from etl_instagram_spark.operators.funnel import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
+
+
+_SQL_EVENTS_TRANSITIONS = """
+    WITH pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_state,
+             event_type AS to_state
+      FROM events),
+    counts AS (
+      SELECT from_state, to_state, count(*) AS n_transitions
+      FROM pairs WHERE from_state IS NOT NULL
+      GROUP BY from_state, to_state)
+    SELECT from_state, to_state, n_transitions,
+           round(n_transitions
+                 / (sum(n_transitions) OVER (PARTITION BY from_state))::DOUBLE,
+                 6) AS prob
+    FROM counts
+    ORDER BY from_state, to_state
+    """
+
+
 _SQL_COHORT_RETENTION = """
     WITH f AS (SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort
                FROM events GROUP BY u),
@@ -1904,6 +1933,7 @@ def _register_rotated() -> None:
         _events_cohort_retention,
         _SQL_COHORT_RETENTION,
     )
+    EXTRAS["events_transitions"] = (_events_transitions, _SQL_EVENTS_TRANSITIONS)
 
 
 _register_rotated()

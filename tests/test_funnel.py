@@ -178,3 +178,24 @@ def test_funnel_invariant_under_partitioning(spark, sf_smoke):
         ).collect()
     )
     assert one == many
+
+
+def test_transition_matrix_hand_case(spark):
+    from etl_instagram_spark.operators.funnel import transition_matrix
+
+    rows = [
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 2, "b"),  # ts tie: id order
+        (2, 0, "a"), (2, 5, "b"),
+    ]
+    # event ids = insertion index so the (ts, id) total order is explicit
+    df = spark.createDataFrame(
+        [(u, __import__("datetime").datetime(2024, 1, 1, 0, 0, s), i, t)
+         for i, (u, s, t) in enumerate(rows)],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["prob"])
+        for r in transition_matrix(df, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    # user 1: a->b, b->a, a->b (tie resolved by id); user 2: a->b
+    assert got == {("a", "b"): (3, 1.0), ("b", "a"): (1, 1.0)}
