@@ -314,6 +314,46 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             ),
             "params": {"b": 12},
         }
+    elif op == "entity_resolution":
+        # blocking bounds the pair stage at sum(|block|^2): `mult`
+        # copies with EVERY word prefixed per copy (the documents
+        # protocol) keep blocks disjoint across copies and edit
+        # distances identical within them, so the honest expectation is
+        # pairs (and time) ∝ mult. The block key is (last token,
+        # p_brand) — the composite demonstrates the operator's scale
+        # lever: block-size control IS the knob, exactly as documented.
+        from etl_instagram_spark.operators.entity import resolve_entities
+
+        pa = spark.read.parquet(f"{BASE_SF}/part.parquet")
+        copies = []
+        for c in range(mult):
+            cp = pa.select(
+                (F.col("p_partkey") + F.lit(c * 100_000_000)).alias("id"),
+                (
+                    F.regexp_replace("p_name", r"(\S+)", f"c{c}~$1")
+                    if c
+                    else F.col("p_name")
+                ).alias("name"),
+                F.col("p_brand").alias("brand"),
+            )
+            copies.append(cp)
+        names = copies[0]
+        for cp in copies[1:]:
+            names = names.unionByName(cp)
+        names = names.localCheckpoint()
+        block = F.concat_ws(
+            "\x1f",
+            F.element_at(F.split(F.trim(F.lower(F.col("name"))), " "), -1),
+            F.col("brand"),
+        )
+        res = {
+            "sec": timed(
+                lambda: resolve_entities(
+                    names, "id", "name", block, max_dist=3
+                ).count()
+            ),
+            "params": {"max_dist": 3, "block": "last_token+brand"},
+        }
     else:
         raise SystemExit(f"unknown op {op}")
     spark.stop()
@@ -332,6 +372,7 @@ OPS = (
     "pagerank",
     "triangles",
     "hll",
+    "entity_resolution",
 )
 
 
