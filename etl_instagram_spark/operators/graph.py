@@ -375,15 +375,23 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     (id, n_triangles, degree, clustering_coeff) with clustering_coeff =
     2·T / (d·(d−1)) rounded to 6dp (NULL when d < 2).
 
-    The standard oriented-wedge algorithm: edges are canonicalized to
-    (lo < hi), wedges (a<b, b<c) are built by ONE self-join on the
-    middle node, and each wedge is closed by probing the edge set for
-    (a, c) — two key-equi joins total, never an all-pairs step. Wedge
-    volume is Σ_v d(v)², the known cost of triangle counting; at scale
-    the mitigation is degree-ordered orientation (edges point low-degree
-    → high-degree), which this implementation inherits for free when
-    the caller pre-filters hub nodes. Every triangle (a<b<c) is found
-    exactly once and credited to all three corners."""
+    DEGREE-ORDERED orientation (the compact-forward / node-iterator++
+    algorithm, Schank & Wagner WEA'05; Suri & Vassilvitskii WWW'11 for
+    the MapReduce framing): every canonical edge is oriented from the
+    endpoint that is SMALLER under the total order ≺ = (degree, id) to
+    the larger, wedges are built at the ≺-smallest corner by ONE
+    self-join on that corner, and each wedge (a→b, a→c with b ≺ c) is
+    closed by probing the oriented edge set for (b→c). Two key-equi
+    joins total, never an all-pairs step — and because out-degrees
+    under this orientation are O(√m) amortized, wedge volume is
+    O(m^1.5) on ANY graph, including power-law graphs where the naive
+    id-ordered middle join pays Σ d(v)² on hub middles. A hub of degree
+    d contributes d² wedges under id-orientation but only min(d, √m)²
+    here: the hub is almost always the ≺-LARGEST corner, so no wedge is
+    built at it. Every triangle (a ≺ b ≺ c) is found exactly once and
+    credited to all three corners; results are identical to any exact
+    algorithm (triangle counts are graph invariants), and the DuckDB
+    mirror :func:`triangle_counts_sql` replays the same orientation."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).cast("long").alias("lo"),
@@ -391,28 +399,53 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
+    )
+    # degree over the simple graph; reused by the orientation joins and
+    # the final per-node stats, so pin it once
+    deg = (
+        e.select(F.col("lo").alias("id"))
+        .union(e.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
         .localCheckpoint(eager=True)
     )
-    # wedges a<b<c via middle join, closed by (a, c) membership
-    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    # orient lo↔hi by (degree, id); lo < hi always, so degree ties keep lo→hi
+    fwd = F.col("dlo") <= F.col("dhi")
+    oriented = (
+        e.join(deg.select(F.col("id").alias("lo"), F.col("degree").alias("dlo")), "lo")
+        .join(deg.select(F.col("id").alias("hi"), F.col("degree").alias("dhi")), "hi")
+        .select(
+            F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+            F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+            # dst's ≺-rank rides along so the wedge self-join can order
+            # its two spokes without re-joining degrees
+            F.when(fwd, F.col("dhi")).otherwise(F.col("dlo")).alias("ddst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # wedges at the ≺-smallest corner a, spokes ordered b ≺ c; closed by
+    # the oriented edge (b→c) — b ≺ c guarantees that is its stored form
+    x = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddst").alias("db")
+    )
+    y = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("ddst").alias("dc")
+    )
     tri = (
-        ab.join(bc, "b")
+        x.join(y, "a")
+        .filter(
+            (F.col("db") < F.col("dc"))
+            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+        )
         .join(
-            e.select(F.col("lo").alias("a"), F.col("hi").alias("c")),
-            ["a", "c"],
+            oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            ["b", "c"],
         )
     )
     per_node = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    deg = (
-        e.select(F.col("lo").alias("id"))
-        .union(e.select(F.col("hi").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.join(per_node, "id", "left").select(
         "id",
@@ -436,6 +469,7 @@ def random_walks(
     seed: str = "walk",
     src: str = "src",
     dst: str = "dst",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Deterministic uniform random walks — one walk started at EVERY
     node, ``walk_len`` steps, the corpus-generation shape under
@@ -455,12 +489,22 @@ def random_walks(
     walk_id = the start node id.
 
     Scale: adjacency is one groupBy into per-node sorted neighbor
-    arrays (state bounded by max degree — cap hub degrees upstream if
-    the graph has super-nodes); each step is one key-equi join of the
-    O(nodes) frontier against the adjacency table. ``walk_len`` joins
-    total, frontier never grows."""
+    arrays; each step is one key-equi join of the O(nodes) frontier
+    against the adjacency table. ``walk_len`` joins total, frontier
+    never grows. ``max_degree`` is the ENFORCED hub cap: each node's
+    sorted neighbor array is truncated to its first ``max_degree``
+    entries (the deterministic sorted prefix, so truncation is a pure
+    function of the graph — identical under any partitioning and
+    mirrored verbatim by :func:`random_walks_sql`). Without a cap a
+    super-node's ``collect_list`` row is bounded only by its degree —
+    on power-law graphs set ``max_degree`` to keep per-row adjacency
+    state O(cap). Capping biases walks at capped hubs toward their
+    smallest-id neighbors (documented, deterministic); leave ``None``
+    only when the caller knows degrees are bounded."""
     if walk_len < 1:
         raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    if max_degree is not None and max_degree < 1:
+        raise ValueError(f"max_degree must be >= 1, got {max_degree}")
     from etl_instagram_spark.functions.text import hash32
 
     e = (
@@ -470,8 +514,23 @@ def random_walks(
         )
         .distinct()
     )
+    ecap = e
+    if max_degree is not None:
+        # cap BEFORE collecting: row_number streams through the sorted
+        # partition, so no aggregation buffer ever holds a hub's full
+        # neighbor list (slice-after-collect_list would). The walk START
+        # set below stays the UNCAPPED node set — capping only thins
+        # out-edges, it must not delete walk starts.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("src").orderBy("dst")
+        ecap = (
+            e.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_degree)
+            .drop("__rn")
+        )
     adj = (
-        e.groupBy(F.col("src").alias("node"))
+        ecap.groupBy(F.col("src").alias("node"))
         .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
         .localCheckpoint(eager=True)
     )
@@ -510,17 +569,33 @@ def random_walks(
     return out
 
 
-def random_walks_sql(edges_sql: str, walk_len: int = 4, seed: str = "walk") -> str:
+def random_walks_sql(
+    edges_sql: str,
+    walk_len: int = 4,
+    seed: str = "walk",
+    max_degree: int | None = None,
+) -> str:
     """Standalone SQL mirror of :func:`random_walks` (DuckDB) — same
-    md5 step hash, same sorted-adjacency indexing, one CTE per step."""
+    md5 step hash, same sorted-adjacency indexing (and the same
+    sorted-prefix ``max_degree`` truncation), one CTE per step."""
     from etl_instagram_spark.functions.text import hash32_sql
 
+    if max_degree is not None:
+        cap_cte = (
+            "ecap AS (SELECT src, dst FROM"
+            " (SELECT src, dst, row_number() OVER"
+            "  (PARTITION BY src ORDER BY dst) AS rn FROM e)"
+            f" WHERE rn <= {int(max_degree)})"
+        )
+    else:
+        cap_cte = "ecap AS (SELECT src, dst FROM e)"
     parts = [
         f"eraw AS ({edges_sql})",
         "e AS MATERIALIZED"
         " (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM eraw)",
+        cap_cte,
         "adj AS MATERIALIZED (SELECT src AS node,"
-        " list_sort(list(dst)) AS nbrs FROM e GROUP BY src)",
+        " list_sort(list(dst)) AS nbrs FROM ecap GROUP BY src)",
         "w0 AS (SELECT node AS walk_id, 0 AS step, node FROM"
         " (SELECT src AS node FROM e UNION SELECT dst FROM e))",
     ]
@@ -541,23 +616,35 @@ def random_walks_sql(edges_sql: str, walk_len: int = 4, seed: str = "walk") -> s
 
 def triangle_counts_sql(edges_sql: str) -> str:
     """Standalone SQL mirror of :func:`triangle_counts` over an edge
-    SELECT producing (src, dst)."""
+    SELECT producing (src, dst) — same degree-ordered orientation, same
+    wedge-at-smallest-corner join shape."""
     return f"""
     WITH eraw AS ({edges_sql}),
     e AS MATERIALIZED (
       SELECT DISTINCT least(src, dst)::BIGINT AS lo,
                       greatest(src, dst)::BIGINT AS hi
       FROM eraw WHERE src <> dst),
-    tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
-            FROM e ab
-            JOIN e bc ON bc.lo = ab.hi
-            JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+    deg AS MATERIALIZED (
+      SELECT id, count(*) AS degree
+      FROM (SELECT lo AS id FROM e UNION ALL SELECT hi FROM e) GROUP BY id),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN fwd THEN lo ELSE hi END AS src,
+             CASE WHEN fwd THEN hi ELSE lo END AS dst,
+             CASE WHEN fwd THEN dhi ELSE dlo END AS ddst
+      FROM (SELECT e.lo, e.hi, dl.degree AS dlo, dh.degree AS dhi,
+                   (dl.degree <= dh.degree) AS fwd
+            FROM e
+            JOIN deg dl ON dl.id = e.lo
+            JOIN deg dh ON dh.id = e.hi)),
+    tri AS (SELECT x.a, x.b, y.c
+            FROM (SELECT src AS a, dst AS b, ddst AS db FROM o) x
+            JOIN (SELECT src AS a, dst AS c, ddst AS dc FROM o) y
+              ON x.a = y.a
+             AND (x.db < y.dc OR (x.db = y.dc AND x.b < y.c))
+            JOIN o z ON z.src = x.b AND z.dst = y.c),
     per_node AS (
       SELECT id, count(*) AS n_triangles
-      FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id),
-    deg AS (
-      SELECT id, count(*) AS degree
-      FROM (SELECT lo AS id FROM e UNION ALL SELECT hi FROM e) GROUP BY id)
+      FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id)
     SELECT deg.id,
            COALESCE(per_node.n_triangles, 0)::BIGINT AS n_triangles,
            deg.degree,

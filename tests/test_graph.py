@@ -402,3 +402,123 @@ def test_pagerank_iteration_aggregation_combines_map_side(spark):
     )
     splan = step._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in splan or "partial_count" in splan, splan
+
+
+def test_triangle_counts_hub_skew_and_partition_invariance(spark):
+    """A hub graph (star center in most edges) plus random chords: the
+    degree-ordered orientation must still produce exact counts — checked
+    against an itertools reference — and be invariant under
+    repartitioning. This is the correctness face of the O(m^1.5) wedge
+    bound; the cost face is tools/scale_smoke.py's hub-skew entry."""
+    import itertools
+    import random
+
+    from etl_instagram_spark.operators.graph import (
+        triangle_counts,
+        triangle_counts_sql,
+    )
+
+    rng = random.Random(7)
+    n = 40
+    edges = [(0, v) for v in range(1, n)]  # hub 0 in every edge
+    edges += [
+        (rng.randrange(1, n), rng.randrange(1, n)) for _ in range(120)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: tuple(r)[1:] for r in triangle_counts(df).collect()}
+    again = {
+        r["id"]: tuple(r)[1:]
+        for r in triangle_counts(df.repartition(13)).collect()
+    }
+    assert got == again
+    simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in simple for x in e})
+    want_tri = {
+        t: sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if t in (a, b, c) and {(a, b), (b, c), (a, c)} <= simple
+        )
+        for t in nodes
+    }
+    assert {i: got[i][0] for i in nodes} == want_tri
+    # hub degree must match too (orientation must not lose edges)
+    assert got[0][1] == len({e for e in simple if 0 in e})
+    import duckdb
+
+    con = duckdb.connect()
+    values = ",".join(f"({s},{d})" for s, d in edges)
+    duck = {
+        r[0]: r[1:]
+        for r in con.sql(
+            triangle_counts_sql(
+                f"SELECT src, dst FROM (VALUES {values}) t(src, dst)"
+            )
+        ).fetchall()
+    }
+    con.close()
+    assert duck == got
+
+
+def test_random_walks_max_degree_cap(spark):
+    """The enforced hub cap: adjacency truncates to the sorted prefix,
+    so every capped step lands in the node's max_degree SMALLEST
+    neighbors; walks stay deterministic under repartitioning, the
+    DuckDB mirror replays the capped walks exactly, and walk starts
+    are NOT lost when a node's only in-edges are truncated away."""
+    import duckdb
+
+    from etl_instagram_spark.operators.graph import (
+        random_walks,
+        random_walks_sql,
+    )
+
+    # hub 1 → 2..9; nodes 2..9 → 1 (cycle back); node 9 reachable only
+    # through the hub's truncated tail
+    edges = [(1, v) for v in range(2, 10)] + [(v, 1) for v in range(2, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        tuple(r)
+        for r in random_walks(df, walk_len=3, seed="c", max_degree=3).collect()
+    )
+    again = sorted(
+        tuple(r)
+        for r in random_walks(
+            df.repartition(5), walk_len=3, seed="c", max_degree=3
+        ).collect()
+    )
+    assert got == again
+    # every step out of hub 1 lands in its 3 smallest neighbors {2,3,4}
+    hub_steps = {
+        node
+        for wid, step, node in got
+        if step >= 1
+        and any(
+            (w2, s2, n2) == (wid, step - 1, 1) for (w2, s2, n2) in got
+        )
+    }
+    assert hub_steps <= {2, 3, 4}
+    # node 9 still starts a walk (start set is uncapped)
+    assert (9, 0, 9) in got
+    # cap >= max degree is a no-op
+    uncapped = sorted(
+        tuple(r) for r in random_walks(df, walk_len=3, seed="c").collect()
+    )
+    wide = sorted(
+        tuple(r)
+        for r in random_walks(df, walk_len=3, seed="c", max_degree=99).collect()
+    )
+    assert uncapped == wide
+    con = duckdb.connect()
+    values = ",".join(f"({s},{d})" for s, d in edges)
+    ctes = random_walks_sql(
+        f"SELECT src, dst FROM (VALUES {values}) t(src, dst)",
+        walk_len=3,
+        seed="c",
+        max_degree=3,
+    )
+    duck = sorted(
+        con.sql(f"WITH {ctes} SELECT walk_id, step, node FROM walks").fetchall()
+    )
+    con.close()
+    assert got == duck
