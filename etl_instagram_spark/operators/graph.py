@@ -79,6 +79,7 @@ def pagerank(
     damping: tuple[int, int] = PAGERANK_DAMPING,
     seeds: DataFrame | None = None,
     weight_col: str | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list — returns (id, rank_micro)
     with ``rank_micro`` the node's stationary-mass estimate after
@@ -105,9 +106,23 @@ def pagerank(
     contrib(u→v) = (rank·w) div W(u), evaluated per edge. Rows with
     the same (src, dst) sum their weights; weights must be positive
     ints with max_w ≤ 2^63/scale ≈ 9·10^6 (the rank·w product must fit
-    int64 — validated at setup with one bounded agg). ``weight_col=
-    None`` (binary edges, w = 1 on the distinct edge set) computes
-    exactly the unweighted update."""
+    int64 — validated at setup with one bounded agg; NULL weights are
+    rejected there too, since a NULL would silently drop its edge's
+    contribution from the inflow sum). ``weight_col=None`` (binary
+    edges, w = 1 on the distinct edge set) computes exactly the
+    unweighted update.
+
+    ``redistribute_dangling=True`` switches to the STANDARD
+    redistribute formulation: each round the dangling nodes' total
+    rank D (one bounded agg, broadcast back as a 1-row frame) is
+    shared uniformly over the teleport set before damping —
+    rank'(v) = base(v) + (num·(inflow(v) + [v∈S]·(D div |S|))) div den
+    — so total mass is conserved up to integer-floor dust and ranks
+    are comparable ACROSS graphs, not just within a run. Still pure
+    int64 (D ≤ scale, so inflow + D div |S| ≤ 2·scale ≪ 2^63/num);
+    the oracle replays the per-round dangling sum as a scalar
+    subquery. Default False keeps the documented exit-mass
+    simplification (cheaper: no per-round dangling agg)."""
     num, den = damping
     if not (0 < num < den):
         raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
@@ -130,14 +145,30 @@ def pagerank(
                 F.col(weight_col).cast("long").alias("w"),
             )
             .groupBy("src", "dst")
-            .agg(F.sum("w").alias("w"))
+            .agg(
+                F.sum("w").alias("w"),
+                # count NULL input weights per pair so the bounds agg can
+                # reject them: min/max ignore NULLs, and a NULL weight's
+                # edge would otherwise silently contribute nothing
+                F.sum(
+                    F.when(F.col("w").isNull(), F.lit(1)).otherwise(F.lit(0))
+                ).alias("__nulls"),
+            )
         )
     # pin the big side's layout once; every round's join reuses it
     e = e.repartition(F.col("src")).localCheckpoint(eager=True)
     if weight_col is not None:
         bounds = e.agg(
-            F.min("w").alias("lo"), F.max("w").alias("hi")
+            F.min("w").alias("lo"),
+            F.max("w").alias("hi"),
+            F.sum("__nulls").alias("nulls"),
         ).collect()[0]
+        if bounds["nulls"] is not None and bounds["nulls"] > 0:
+            raise ValueError(
+                f"pagerank: {bounds['nulls']} edge row(s) have NULL "
+                f"{weight_col!r} — NULL weights would silently drop their "
+                "edges' contributions; filter or fill them explicitly"
+            )
         if bounds["lo"] is not None and (
             bounds["lo"] <= 0 or bounds["hi"] > (2**63 - 1) // scale
         ):
@@ -145,6 +176,7 @@ def pagerank(
                 f"edge weights must be in [1, {(2**63 - 1) // scale}] "
                 f"(rank·w must fit int64), got [{bounds['lo']}, {bounds['hi']}]"
             )
+        e = e.drop("__nulls")
     deg = e.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("outdeg"))
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -190,15 +222,30 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = nodes.join(inflow, "id", "left").select(
+        joined = nodes.join(inflow, "id", "left")
+        if redistribute_dangling:
+            # one bounded agg → 1-row broadcast; every node's update adds
+            # its uniform share of the danglers' round-(it) mass. Lazy
+            # cross-join keeps this inside the round's single job.
+            dang = ranks.filter(F.col("outdeg").isNull()).agg(
+                F.coalesce(F.sum("rank_micro"), F.lit(0))
+                .cast("long")
+                .alias("__dang")
+            )
+            joined = joined.crossJoin(F.broadcast(dang))
+            gain = F.expr(
+                f"({num} * (coalesce(inflow, cast(0 as bigint))"
+                f" + (case when is_seed then __dang div {n}"
+                f" else cast(0 as bigint) end))) div {den}"
+            )
+        else:
+            gain = F.expr(
+                f"({num} * coalesce(inflow, cast(0 as bigint))) div {den}"
+            )
+        ranks = joined.select(
             "id",
             "outdeg",
-            (
-                F.when(F.col("is_seed"), base_col).otherwise(zero)
-                + F.expr(
-                    f"({num} * coalesce(inflow, cast(0 as bigint))) div {den}"
-                )
-            )
+            (F.when(F.col("is_seed"), base_col).otherwise(zero) + gain)
             .cast("long")
             .alias("rank_micro"),
         )
@@ -217,6 +264,7 @@ def pagerank_oracle_sql(
     damping: tuple[int, int] = PAGERANK_DAMPING,
     seeds_sql: str | None = None,
     weighted: bool = False,
+    redistribute_dangling: bool = False,
 ) -> str:
     """WITH-clause body replaying :func:`pagerank` in pure SQL — one CTE
     per iteration, every update the identical int64 arithmetic, so a
@@ -275,10 +323,23 @@ def pagerank_oracle_sql(
         f" ELSE 0 END)"
     )
     for i in range(1, n_iter + 1):
+        if redistribute_dangling:
+            parts.append(
+                f"d{i} AS (SELECT (COALESCE(sum(rank_micro), 0))::BIGINT"
+                f" AS dang FROM r{i - 1} WHERE outdeg IS NULL)"
+            )
+            gain = (
+                f"({num} * (COALESCE(f.inflow, 0)"
+                f" + CASE WHEN nodes.is_seed THEN"
+                f" (SELECT dang FROM d{i}) // (SELECT n FROM nseed)"
+                f" ELSE 0 END)) // {den}"
+            )
+        else:
+            gain = f"({num} * COALESCE(f.inflow, 0)) // {den}"
         parts.append(
             f"r{i} AS MATERIALIZED (SELECT nodes.id, nodes.outdeg,"
             f" nodes.is_seed,"
-            f" ({base} + ({num} * COALESCE(f.inflow, 0)) // {den})::BIGINT"
+            f" ({base} + {gain})::BIGINT"
             f" AS rank_micro"
             f" FROM nodes LEFT JOIN"
             f" (SELECT e.dst,"

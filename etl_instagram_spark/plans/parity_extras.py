@@ -1537,6 +1537,49 @@ def _sql_events_hll_distinct() -> str:
     """
 
 
+def _graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r11): redistribute-dangling PageRank over the
+    DIRECTED customer→supplier order graph — every supplier is a
+    dangling sink, so this row exercises the standard-formulation
+    per-round dangling-mass redistribution end to end (int64 share =
+    D div N, replayed as a scalar-subquery CTE per round in DuckDB).
+    Ranks customers by how much supplier-bounced mass flows back to
+    them via the uniform share."""
+    from etl_instagram_spark.operators.graph import pagerank
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = od.join(li, od.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    ranks = pagerank(edges, n_iter=3, redistribute_dangling=True)
+    return (
+        ranks.filter(F.col("id") % 2 == 0)
+        .select(F.expr("id div 2").alias("c_custkey"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), "c_custkey")
+        .limit(15)
+    )
+
+
+def _sql_graph_pagerank_dangling() -> str:
+    from etl_instagram_spark.operators.graph import pagerank_oracle_sql
+
+    ctes = pagerank_oracle_sql(
+        "SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey",
+        n_iter=3,
+        redistribute_dangling=True,
+    )
+    return f"""
+    WITH {ctes}
+    SELECT id // 2 AS c_custkey, rank_micro
+    FROM r3 WHERE id % 2 = 0
+    ORDER BY rank_micro DESC, c_custkey
+    LIMIT 15
+    """
+
+
 def _part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r10): entity resolution over part names
     (operators/entity.py) — block on the name's last token, verify
@@ -1909,6 +1952,12 @@ def _register_rotated() -> None:
     EXTRAS["graph_pagerank_weighted"] = (
         _graph_pagerank_weighted,
         _sql_pagerank_weighted(),
+    )
+    # never-gated (r11): redistribute-dangling PageRank (standard
+    # formulation; the directed graph makes every supplier a sink)
+    EXTRAS["graph_pagerank_dangling"] = (
+        _graph_pagerank_dangling,
+        _sql_graph_pagerank_dangling(),
     )
     # never-gated (r10): entity resolution (blocking + levenshtein + CC)
     EXTRAS["part_entity_resolution"] = (

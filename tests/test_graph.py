@@ -522,3 +522,81 @@ def test_random_walks_max_degree_cap(spark):
     )
     con.close()
     assert got == duck
+
+
+def _py_pagerank_redistribute(
+    edges, n_iter=3, scale=PAGERANK_SCALE, damping=PAGERANK_DAMPING
+):
+    """Reference for the redistribute-dangling formulation: same integer
+    rule plus each round's dangling mass shared div-uniformly."""
+    from collections import defaultdict as dd
+
+    num, den = damping
+    out = dd(set)
+    for s, d in set(edges):
+        out[s].add(d)
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    base = (scale * (den - num)) // (n * den)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        dang = sum(rank[v] for v in nodes if v not in out)
+        share = dang // n
+        inflow = dd(int)
+        for u, ds in out.items():
+            c = rank[u] // len(ds)
+            for v in ds:
+                inflow[v] += c
+        rank = {v: base + (num * (inflow[v] + share)) // den for v in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("shape", ["dangling_sink", "star_hub", "two_components"])
+def test_pagerank_redistribute_dangling(spark, shape):
+    """The standard redistribute formulation: Spark, the Python
+    reference, and the DuckDB CTE replay agree bit-exactly; total mass
+    is conserved up to floor dust even WITH dangling sinks (the
+    exit-mass default leaks it); invariant under repartitioning."""
+    edges = GRAPHS[shape]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["rank_micro"]
+        for r in pagerank(df, n_iter=3, redistribute_dangling=True).collect()
+    }
+    want = _py_pagerank_redistribute(edges, n_iter=3)
+    assert got == want
+    again = {
+        r["id"]: r["rank_micro"]
+        for r in pagerank(
+            df.repartition(7), n_iter=3, redistribute_dangling=True
+        ).collect()
+    }
+    assert again == got
+    n = len(want)
+    total = sum(got.values())
+    assert PAGERANK_SCALE - total < 10 * n * 3
+    assert total <= PAGERANK_SCALE
+    con = duckdb.connect()
+    values = ",".join(f"({s},{d})" for s, d in edges)
+    ctes = pagerank_oracle_sql(
+        f"SELECT src, dst FROM (VALUES {values}) t(src, dst)",
+        n_iter=3,
+        redistribute_dangling=True,
+    )
+    duck = {
+        r[0]: r[1]
+        for r in con.sql(f"WITH {ctes} SELECT id, rank_micro FROM r3").fetchall()
+    }
+    con.close()
+    assert duck == got
+
+
+def test_weighted_pagerank_rejects_null_weights(spark):
+    """NULL weights would silently drop their edges' inflow (sum skips
+    NULLs); the setup bounds agg rejects them loudly instead."""
+    df = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, None), (1, 3, 2)],
+        "src long, dst long, w long",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pagerank(df, weight_col="w")
