@@ -3523,6 +3523,12 @@ def _sql_cc_rounds(rounds: int) -> str:
     ``edges`` (symmetric), ``l0`` (label = own id), ``l{i}`` = per-node
     min over self + neighbors' round-(i-1) labels. After convergence
     every label is the component minimum; extra rounds are no-ops.
+    The final CTE is ``lcc``: round-``rounds`` labels gated by a LOUD
+    convergence assertion — labels are monotone non-increasing, so
+    sum(component) equal across the last two rounds ⇔ converged; if a
+    deeper-than-budget chain ever appears in the data, DuckDB raises
+    ``error('cc oracle: ...')`` instead of silently certifying
+    non-minimal labels. Consumers must read ``lcc``, not ``l{rounds}``.
 
     Every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
     each round references its predecessor twice — inlining would expand
@@ -3543,6 +3549,14 @@ def _sql_cc_rounds(rounds: int) -> str:
             f" SELECT e.v AS id, l.component FROM edges e"
             f" JOIN l{i - 1} l ON e.u = l.id) x GROUP BY id)"
         )
+    parts.append(
+        f"lcc AS MATERIALIZED (SELECT id, CASE WHEN"
+        f" COALESCE((SELECT sum(component) FROM l{rounds}), 0)"
+        f" = COALESCE((SELECT sum(component) FROM l{rounds - 1}), 0)"
+        f" THEN component ELSE error('cc oracle: label propagation not"
+        f" converged within {rounds} rounds — raise the budget')"
+        f" END AS component FROM l{rounds})"
+    )
     return ",\n".join(parts)
 
 
@@ -3552,7 +3566,7 @@ oracle(
     WITH {_sql_verified_pairs()},
     {_sql_cc_rounds(_CC_ORACLE_ROUNDS)},
     sized AS (SELECT l.id AS doc_id, l.component, d.n_chars
-              FROM l{_CC_ORACLE_ROUNDS} l
+              FROM lcc l
               JOIN documents d ON d.doc_id = l.id),
     ranked AS (SELECT *, row_number() OVER (PARTITION BY component
                           ORDER BY n_chars DESC, doc_id) AS rn

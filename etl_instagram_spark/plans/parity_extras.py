@@ -1608,7 +1608,7 @@ def _sql_part_entity_resolution() -> str:
                  WHERE levenshtein(a.norm, b2.norm) <= 3),
     {_sql_cc_rounds(rounds)},
     named AS (SELECT l.id, l.component AS entity, n.norm
-              FROM l{rounds} l JOIN n ON n.id = l.id),
+              FROM lcc l JOIN n ON n.id = l.id),
     agg AS (SELECT entity, count(*) AS n_members,
                    count(DISTINCT norm) AS n_name_variants
             FROM named GROUP BY entity)

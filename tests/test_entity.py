@@ -272,3 +272,74 @@ def test_entity_params_and_invariance(spark, sf_smoke):
         for r in resolve_entities(pa.repartition(11), "id", "name", BLOCK(), 3).collect()
     )
     assert one == many
+
+
+def test_hot_block_guard_and_audit(spark):
+    """max_block_size excludes oversized blocks from pair generation
+    (their rows resolve as singletons), the audit reports the dropped
+    size class as oversized, and the guard is deterministic under
+    repartitioning. One degenerate block ('x') holds 6 near-identical
+    names; a healthy block ('ok') holds a real pair."""
+    from etl_instagram_spark.operators.entity import block_size_audit
+
+    rows = [(i, f"name{i} x") for i in range(1, 7)]  # hot block 'x'
+    rows += [(10, "alpha ok"), (11, "alphb ok")]  # healthy pair
+    df = spark.createDataFrame(rows, "id long, name string")
+    blk = F.element_at(F.split(F.trim(F.lower(F.col("name"))), " "), -1)
+
+    unguarded = candidate_pairs(df, "id", "name", blk, max_dist=2)
+    assert unguarded.count() == 15 + 1  # C(6,2) hot + 1 healthy
+    guarded = candidate_pairs(
+        df, "id", "name", blk, max_dist=2, max_block_size=5
+    )
+    got = sorted(tuple(r) for r in guarded.collect())
+    assert got == [(10, 11)]  # hot block fully excluded
+    again = sorted(
+        tuple(r)
+        for r in candidate_pairs(
+            df.repartition(7), "id", "name", blk, max_dist=2, max_block_size=5
+        ).collect()
+    )
+    assert again == got
+    # resolution: hot-block rows come out as singletons (absent from
+    # the O(matches) output), the healthy pair still clusters
+    ents = resolve_entities(
+        df, "id", "name", blk, max_dist=2, max_block_size=5
+    )
+    assert {(r["id"], r["entity"]) for r in ents.collect()} == {
+        (10, 10),
+        (11, 10),
+    }
+    audit = {
+        r["block_size"]: (r["n_blocks"], r["n_rows"], r["n_pairs"], r["oversized"])
+        for r in block_size_audit(df, "name", blk, max_block_size=5).collect()
+    }
+    assert audit[6] == (1, 6, 15, True)
+    assert audit[2] == (1, 2, 1, False)
+    with pytest.raises(ValueError):
+        candidate_pairs(df, "id", "name", blk, max_block_size=1)
+
+
+def test_cc_oracle_convergence_assert_fires():
+    """The oracle's fixed-round CC budget fails LOUDLY when the graph
+    needs more rounds: a path deeper than the budget raises DuckDB
+    error() instead of silently certifying non-minimal labels; a
+    sufficient budget returns minimal labels."""
+    import duckdb
+
+    from etl_instagram_spark.plans.llm_queries import _sql_cc_rounds
+
+    chain = ",".join(f"({i},{i+1})" for i in range(1, 9))  # path 1..9
+    base = f"verified AS (SELECT ia, ib FROM (VALUES {chain}) t(ia, ib))"
+    con = duckdb.connect()
+    ok = con.sql(
+        f"WITH {base}, {_sql_cc_rounds(9)} SELECT DISTINCT component FROM lcc"
+    ).fetchall()
+    assert ok == [(1,)]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not converged"):
+        con.sql(
+            f"WITH {base}, {_sql_cc_rounds(3)} SELECT * FROM lcc"
+        ).fetchall()
+    con.close()

@@ -314,6 +314,103 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             ),
             "params": {"b": 12},
         }
+    elif op == "triangles_hubskew":
+        # degree-ordered orientation under hub skew: copies SHARE node 0
+        # (only non-hub ids shift per copy), and node 0 sits in ~30% of
+        # base edges — so the hub's degree grows ∝ mult. Under the old
+        # id-ordered middle join the hub's wedge volume is d(0)², i.e.
+        # mult² growth; degree-ordered orientation builds no wedges at
+        # the hub (it is the ≺-largest corner almost everywhere), so the
+        # honest expectation is time ∝ mult.
+        from etl_instagram_spark.operators.graph import triangle_counts
+
+        li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+        peers = (
+            li.select(F.col("l_partkey").alias("v"))
+            .distinct()
+            .withColumn("__h", F.abs(F.hash("v")))
+        )
+        # ~3 deterministic chord partners per peer + one hub edge per
+        # ~3.3 peers → hub in ~30% of edges
+        hub = peers.filter(F.col("__h") % 10 < 3).select(
+            F.lit(0).cast("long").alias("src"), F.col("v").cast("long").alias("dst")
+        )
+        chords = (
+            peers.alias("a")
+            .join(
+                peers.alias("b"),
+                (F.col("a.__h") % 997) == (F.col("b.__h") % 997),
+            )
+            .filter(F.col("a.v") < F.col("b.v"))
+            .select(
+                F.col("a.v").cast("long").alias("src"),
+                F.col("b.v").cast("long").alias("dst"),
+            )
+        )
+        base_edges = hub.unionByName(chords)
+        copies = [
+            base_edges.select(
+                F.when(F.col("src") == 0, F.lit(0).cast("long"))
+                .otherwise(F.col("src") + F.lit(c * 100_000_000))
+                .alias("src"),
+                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
+            )
+            for c in range(mult)
+        ]
+        edges = copies[0]
+        for cp in copies[1:]:
+            edges = edges.unionByName(cp)
+        edges = edges.localCheckpoint()
+        n_edges = edges.count()
+        res = {
+            "sec": timed(
+                lambda: triangle_counts(edges)
+                .agg(F.sum("n_triangles"))
+                .collect()
+            ),
+            "params": {"hub_edge_frac": 0.3, "n_edges": n_edges},
+        }
+    elif op == "entity_hotblock_guarded":
+        # the hot-block guard under an adversarial key: ~30% of all
+        # rows land in ONE block shared ACROSS copies (the stopword-key
+        # degenerate case), so unguarded pair volume grows ∝ mult² —
+        # max_block_size=64 excludes the hot block deterministically,
+        # and the honest expectation for the guarded run is time ∝ mult.
+        from etl_instagram_spark.operators.entity import resolve_entities
+
+        pa = spark.read.parquet(f"{BASE_SF}/part.parquet")
+        copies = []
+        for c in range(mult):
+            cp = pa.select(
+                (F.col("p_partkey") + F.lit(c * 100_000_000)).alias("id"),
+                (
+                    F.regexp_replace("p_name", r"(\S+)", f"c{c}~$1")
+                    if c
+                    else F.col("p_name")
+                ).alias("name"),
+            )
+            copies.append(cp)
+        names = copies[0]
+        for cp in copies[1:]:
+            names = names.unionByName(cp)
+        names = names.localCheckpoint()
+        block = F.when(
+            F.abs(F.hash(F.col("id"))) % 10 < 3, F.lit("HOT")
+        ).otherwise(
+            F.element_at(F.split(F.trim(F.lower(F.col("name"))), " "), -1)
+        )
+        res = {
+            "sec": timed(
+                lambda: resolve_entities(
+                    names, "id", "name", block, max_dist=3, max_block_size=64
+                ).count()
+            ),
+            "params": {
+                "max_dist": 3,
+                "block": "30%-HOT + last_token",
+                "max_block_size": 64,
+            },
+        }
     elif op == "entity_resolution":
         # blocking bounds the pair stage at sum(|block|^2): `mult`
         # copies with EVERY word prefixed per copy (the documents
@@ -371,8 +468,10 @@ OPS = (
     "dsir_select",
     "pagerank",
     "triangles",
+    "triangles_hubskew",
     "hll",
     "entity_resolution",
+    "entity_hotblock_guarded",
 )
 
 
