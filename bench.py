@@ -456,6 +456,11 @@ def main() -> int:
         starts[tick_name] = rep_starts
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # min-sum: the container-noise-resistant total — in a degraded
+    # container (r10: same-code re-runs spanned 94–111 s) per-entry
+    # MINIMA stay at the reproducible floor while medians inflate, so
+    # round-over-round comparisons should read total_min_sec first
+    total_min = round(sum(t for t in minima.values() if t >= 0), 4)
     # Detail (medians + minima per query) goes to a committed FILE, not
     # stdout: round 5's single stdout line outgrew the driver's
     # tail-capture window and killed the headline (`parsed: null`);
@@ -480,6 +485,23 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r11 etl_hashtag_tick A/B (the 'halve the tick' "
+                        "hypothesis): eager localCheckpoint of the enriched "
+                        "batch before the two upserts measured 7.5-7.9s "
+                        "floors vs 5.7-6.6 for the cache design — SLOWER: "
+                        "the bench tick runs on fresh tables, so upserts "
+                        "take the no-checkpoint create path and the old "
+                        "cache already made the lineage run once; the "
+                        "checkpoint only added a full-frame block write. "
+                        "Kept: cache moved AFTER enrichment (floor 5.2-6.0, "
+                        "~8% better — saves a duplicate broadcast-location "
+                        "join), plus MergeTable.upsert(assume_pinned=) for "
+                        "callers that fan one pinned batch into several "
+                        "tables on the merge path. Phase profile: warm "
+                        "sequential fetch+checkpoint 0.8s; the rest is "
+                        "extract UDTF + topics/labels enrichment + 2 "
+                        "writes — no reclaimable double-materialization "
+                        "remains.",
                         "r9 argmin A/B: least(named_struct(score,idx)) chain vs "
                         "transform-let-binding in ivf_cell — least form 2.74x "
                         "slower at k=8 (1.786s vs 0.651s median, sf0.1) and "
@@ -515,6 +537,7 @@ def main() -> int:
                         "inert); minima remain at the r9 floor.",
                     ],
                     "total_median_sec": total,
+                    "total_min_sec": total_min,
                     "queries_median": timings,
                     "queries_min": minima,
                     "samples_raw": raw,
@@ -537,6 +560,7 @@ def main() -> int:
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
+                "total_min_sec": total_min,
                 "unit": "sec",
                 "queries": timings,
                 "reps": REPS,

@@ -487,7 +487,11 @@ class MergeTable:
         self._commit_manifest(self._manifest_files() + self._write_data(df))
 
     def _merge_commit(
-        self, incoming: DataFrame, merge_fn, batch_ts: datetime | None = None
+        self,
+        incoming: DataFrame,
+        merge_fn,
+        batch_ts: datetime | None = None,
+        assume_pinned: bool = False,
     ) -> None:
         # Pin the batch before probing: the overlap probe and the merge
         # write must see IDENTICAL rows — a non-deterministic source
@@ -495,7 +499,12 @@ class MergeTable:
         # and duplicate a key carried forward. localCheckpoint(eager)
         # materializes once and truncates the lineage, so re-evaluation
         # is impossible (not merely unlikely, as with persist()).
-        incoming = incoming.localCheckpoint(eager=True)
+        # ``assume_pinned`` skips this when the CALLER already pinned
+        # the batch (or a frame it deterministically derives from) —
+        # a pipeline writing one materialized batch into several tables
+        # would otherwise pay a full extra checkpoint per table.
+        if not assume_pinned:
+            incoming = incoming.localCheckpoint(eager=True)
         overlapping, carried = self._split_overlap(incoming)
         if overlapping:
             old = self._read_files(overlapping)
@@ -511,9 +520,21 @@ class MergeTable:
             merged = dedup_latest(incoming, self.keys, self.order_by)
         self._commit_manifest(carried + self._write_data(merged))
 
-    def upsert(self, incoming: DataFrame, batch_ts: datetime | None = None) -> None:
+    def upsert(
+        self,
+        incoming: DataFrame,
+        batch_ts: datetime | None = None,
+        assume_pinned: bool = False,
+    ) -> None:
         """Idempotent: applying the same batch twice == once. Pass
-        ``batch_ts`` to maintain created_at/updated_at (F13)."""
+        ``batch_ts`` to maintain created_at/updated_at (F13).
+        ``assume_pinned=True`` is the caller's PROMISE that ``incoming``
+        is a deterministic derivation of an already-materialized frame
+        (localCheckpoint'd or fully-cached): the internal re-evaluation
+        pin is skipped, saving a full checkpoint write per table when
+        one batch fans out into several upserts. Passing an unpinned
+        non-deterministic frame here re-opens the probe/write
+        duplicate-key hazard the pin exists to close — don't."""
         if not self.exists():
             if batch_ts is not None:
                 incoming = stamp_timestamps(incoming, None, self.keys, batch_ts)
@@ -523,6 +544,7 @@ class MergeTable:
             incoming,
             lambda old, inc: upsert(old, inc, self.keys, self.order_by),
             batch_ts=batch_ts,
+            assume_pinned=assume_pinned,
         )
 
     def upsert_coalesce(self, incoming: DataFrame) -> None:

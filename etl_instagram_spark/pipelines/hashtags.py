@@ -105,9 +105,6 @@ def run_hashtag_batch(
     # P12 blocklist (posts-from-hashtags.js:287-289)
     posts = drop_blocklisted(posts, blocklist)
     posts, obs_kept = observed(posts, "kept_posts")
-    # cache the pruned batch: users + posts upserts both consume it, and
-    # the cache makes the observations fire exactly once (on materialize)
-    posts = posts.cache()
 
     # J2: location dimension — insert unseen ids (W5 append-after-anti),
     # then attach the struct
@@ -143,16 +140,15 @@ def run_hashtag_batch(
     else:
         posts = posts.withColumn("location", F.lit(None).cast(LOCATION_STRUCT))
 
-    # W2: upsert users extracted from the batch
-    users = dedup_latest(
-        posts.select("user.*").withColumn("__ord", F.lit(0)), "id", "__ord"
-    ).drop("__ord")
-    users_table.upsert(users, batch_ts=batch_ts)
-
-    # W1: upsert posts. With enrich=True the reference's per-post
-    # enrichment runs on the (already pruned) batch: image labels via the
-    # pluggable classifier (posts-from-hashtags.js:327-333) and caption
-    # topics (posts-from-hashtags.js:335-338) — both AFTER the anti-join/
+    # Build the FULLY-enriched batch first, then pin it ONCE: the users
+    # and posts upserts below both consume it, and without an eager
+    # materialization each upsert's internal checkpoint would re-run the
+    # whole fetch→extract→join→enrich lineage (r9 tick profile: ~70% of
+    # tick time inside the two upserts). With enrich=True the
+    # reference's per-post enrichment runs on the (already pruned)
+    # batch: image labels via the pluggable classifier
+    # (posts-from-hashtags.js:327-333) and caption topics
+    # (posts-from-hashtags.js:335-338) — both AFTER the anti-join/
     # blocklist so only new, kept posts pay the Python-boundary cost.
     out = posts.drop("location_id")
     if enrich:
@@ -163,11 +159,28 @@ def run_hashtag_batch(
         out = attach_topics(out, out_col="topics")
     else:
         out = out.withColumn("labels", _empty_labels()).withColumn("topics", _empty_labels())
+    # the single materialization of the tick: the first upsert action
+    # populates the cache (lineage + enrichment run once), the second
+    # reads it; observations (new/kept counters) fire exactly once.
+    # cache, not localCheckpoint: an eager checkpoint here would
+    # serialize the full wide frame to blocks up front — measured ~25%
+    # slower per tick than letting the cache absorb the one required
+    # materialization (the upserts' own internal pins still guarantee
+    # probe/write row identity on the merge path)
+    out = out.cache()
+
+    # W2: upsert users extracted from the (cached) batch
+    users = dedup_latest(
+        out.select("user.*").withColumn("__ord", F.lit(0)), "id", "__ord"
+    ).drop("__ord")
+    users_table.upsert(users, batch_ts=batch_ts)
+
+    # W1: upsert posts
     posts_table.upsert(out, batch_ts=batch_ts)
 
     stats = {
         "new_posts": int(obs_new.get["n_rows"]),
         "kept_posts": int(obs_kept.get["n_rows"]),
     }
-    posts.unpersist()
+    out.unpersist()
     return stats

@@ -375,3 +375,22 @@ def test_diff_requires_shared_key(spark, tmp_path):
     t.overwrite(spark.createDataFrame([("x",)], "v string"))
     with pytest.raises(ValueError, match="share the table key"):
         t.diff(snap_a)
+
+
+def test_upsert_assume_pinned_matches_default(spark, tmp_path, batch_a, batch_b):
+    """assume_pinned skips the internal re-evaluation checkpoint; with a
+    caller-pinned batch the merge result is identical to the default
+    path (same rows, same latest-wins outcome, still idempotent)."""
+    t_def = MergeTable(spark, str(tmp_path / "def"), "id", order_by="updated_at")
+    t_pin = MergeTable(spark, str(tmp_path / "pin"), "id", order_by="updated_at")
+    t_def.upsert(batch_a)
+    t_pin.upsert(batch_a)
+    pinned = batch_b.localCheckpoint(eager=True)
+    t_def.upsert(batch_b)
+    t_pin.upsert(pinned, assume_pinned=True)
+    want = sorted(map(tuple, t_def.read().select(*COLS).collect()))
+    got = sorted(map(tuple, t_pin.read().select(*COLS).collect()))
+    assert got == want
+    # replay converges (idempotence holds on the pinned path too)
+    t_pin.upsert(pinned, assume_pinned=True)
+    assert sorted(map(tuple, t_pin.read().select(*COLS).collect())) == want
