@@ -168,13 +168,13 @@ def cohort_retention(
     joined = (
         active.join(firsts, "__u")
         .withColumn(
+            # datediff on the DATE parts: week boundaries are exact
+            # multiples of 7 days apart in the session calendar, so this
+            # is timezone-robust (epoch-second division would be off by
+            # one across a DST transition under a non-UTC session)
             "week_offset",
-            (
-                (
-                    F.floor(F.unix_timestamp("__week"))
-                    - F.floor(F.unix_timestamp("__cohort"))
-                )
-                / F.lit(7 * 24 * 3600)
+            F.floor(
+                F.datediff(F.to_date("__week"), F.to_date("__cohort")) / 7
             ).cast("long"),
         )
         .filter(
