@@ -2193,7 +2193,11 @@ oracle(
 )
 
 
-@query("customer_revenue_quartiles")
+# (customer_revenue_quartiles rotated out of the gate in r11 to make room
+# for part_entity_resolution — the percentile-boundary-broadcast shape
+# stays gated via events_value_percentiles, and bucketed top-k via
+# docs_bm25_topk; still cross-engine-checked every round through
+# plans/parity_extras.py)
 def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue quartiles the scale-correct way: percentile BOUNDARIES
     (one tiny aggregate) broadcast into a CASE bucket assignment — no
@@ -2227,8 +2231,7 @@ def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-oracle(
-    "customer_revenue_quartiles",
+SQL_CUSTOMER_REVENUE_QUARTILES = (
     """
     WITH per_cust AS (
       SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
@@ -2249,7 +2252,7 @@ oracle(
            round(min(revenue), 2) AS min_revenue,
            round(max(revenue), 2) AS max_revenue
     FROM bucketed GROUP BY quartile ORDER BY quartile
-    """,
+    """
 )
 
 
@@ -3580,6 +3583,49 @@ oracle(
     ORDER BY a.cluster_size DESC, a.component
     """,
 )
+
+
+@query("part_entity_resolution")
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names (operators/entity.py) — block
+    on the name's last token, verify with levenshtein ≤ 3, cluster with
+    connected components, emit the per-entity merge audit. Promoted
+    from EXTRAS to the gate in r11 so the driver certifies the ER
+    family directly; the oracle replays blocking, the edit-distance
+    verify (levenshtein is a built-in with identical integer semantics
+    in both engines), AND the convergence-asserted CC rounds in one
+    DuckDB statement."""
+    from etl_instagram_spark.operators.entity import canonical_entities
+
+    pa = _t(spark, sf_dir, "part")
+    block = F.element_at(F.split(F.trim(F.lower(F.col("p_name"))), " "), -1)
+    return canonical_entities(pa, "p_partkey", "p_name", block, max_dist=3)
+
+
+def _sql_part_entity_resolution() -> str:
+    return f"""
+    WITH n AS (SELECT p_partkey AS id, trim(lower(p_name)) AS norm FROM part),
+    b AS (SELECT id, norm, string_split(norm, ' ')[-1] AS blk FROM n
+          WHERE norm IS NOT NULL),
+    verified AS (SELECT a.id AS ia, b2.id AS ib
+                 FROM b a JOIN b b2
+                   ON a.blk = b2.blk AND a.id < b2.id
+                 WHERE levenshtein(a.norm, b2.norm) <= 3),
+    {_sql_cc_rounds(16)},
+    named AS (SELECT l.id, l.component AS entity, n.norm
+              FROM lcc l JOIN n ON n.id = l.id),
+    agg AS (SELECT entity, count(*) AS n_members,
+                   count(DISTINCT norm) AS n_name_variants
+            FROM named GROUP BY entity)
+    SELECT a.entity, a.n_members, a.n_name_variants,
+           c.norm AS canonical_name
+    FROM agg a JOIN n c ON c.id = a.entity
+    ORDER BY a.n_members DESC, a.entity
+    """
+
+
+oracle("part_entity_resolution", _sql_part_entity_resolution())
+
 
 
 # ---------------------------------------------------------------------------

@@ -1580,43 +1580,16 @@ def _sql_graph_pagerank_dangling() -> str:
     """
 
 
-def _part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Never-gated (r10): entity resolution over part names
-    (operators/entity.py) — block on the name's last token, verify
-    with levenshtein ≤ 3, cluster with connected components, emit the
-    per-entity merge audit. The oracle replays blocking, the edit-
-    distance verify (levenshtein is a built-in with identical integer
-    semantics in both engines), AND the CC rounds in one statement."""
-    from etl_instagram_spark.operators.entity import canonical_entities
+def _customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 rotation (gate seat given to part_entity_resolution — the
+    driver now certifies the ER family directly): percentile-boundary
+    broadcast bucketing; the shape stays gated via
+    events_value_percentiles and docs_bm25_topk."""
+    from etl_instagram_spark.plans.llm_queries import (
+        customer_revenue_quartiles,
+    )
 
-    pa = _t(spark, sf_dir, "part")
-    block = F.element_at(F.split(F.trim(F.lower(F.col("p_name"))), " "), -1)
-    return canonical_entities(pa, "p_partkey", "p_name", block, max_dist=3)
-
-
-def _sql_part_entity_resolution() -> str:
-    from etl_instagram_spark.plans.llm_queries import _sql_cc_rounds
-
-    rounds = 16
-    return f"""
-    WITH n AS (SELECT p_partkey AS id, trim(lower(p_name)) AS norm FROM part),
-    b AS (SELECT id, norm, string_split(norm, ' ')[-1] AS blk FROM n
-          WHERE norm IS NOT NULL),
-    verified AS (SELECT a.id AS ia, b2.id AS ib
-                 FROM b a JOIN b b2
-                   ON a.blk = b2.blk AND a.id < b2.id
-                 WHERE levenshtein(a.norm, b2.norm) <= 3),
-    {_sql_cc_rounds(rounds)},
-    named AS (SELECT l.id, l.component AS entity, n.norm
-              FROM lcc l JOIN n ON n.id = l.id),
-    agg AS (SELECT entity, count(*) AS n_members,
-                   count(DISTINCT norm) AS n_name_variants
-            FROM named GROUP BY entity)
-    SELECT a.entity, a.n_members, a.n_name_variants,
-           c.norm AS canonical_name
-    FROM agg a JOIN n c ON c.id = a.entity
-    ORDER BY a.n_members DESC, a.entity
-    """
+    return customer_revenue_quartiles(spark, sf_dir)
 
 
 def _graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1959,10 +1932,10 @@ def _register_rotated() -> None:
         _graph_pagerank_dangling,
         _sql_graph_pagerank_dangling(),
     )
-    # never-gated (r10): entity resolution (blocking + levenshtein + CC)
-    EXTRAS["part_entity_resolution"] = (
-        _part_entity_resolution,
-        _sql_part_entity_resolution(),
+    # r11 rotation: quartile bucketing (seat given to part_entity_resolution)
+    EXTRAS["customer_revenue_quartiles"] = (
+        _customer_revenue_quartiles,
+        llm_queries.SQL_CUSTOMER_REVENUE_QUARTILES,
     )
     # never-gated (r10): deterministic random-walk corpus profile
     EXTRAS["graph_random_walks"] = (

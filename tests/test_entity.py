@@ -1,7 +1,7 @@
 """operators/entity.py — blocking + edit-distance + CC entity resolution.
 
-Cross-engine value certification lives in the EXTRAS row
-part_entity_resolution (tests/test_rotated_parity.py); here: a
+Cross-engine value certification lives in the GATE row
+part_entity_resolution (promoted r11; driver-checked every round); here: a
 union-find Python differential on real part names, hand cases for
 transitivity and blocking misses, parameter validation, and
 partitioning invariance."""
