@@ -1592,6 +1592,55 @@ def _customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_revenue_quartiles(spark, sf_dir)
 
 
+def _part_entity_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r11): SORTED-NEIGHBORHOOD entity blocking
+    (operators/entity.sorted_neighborhood_pairs) — pair volume exactly
+    n·(window−1) by construction, the hot-block-proof alternative to
+    key blocking. The oracle replays the GLOBAL rank (bucket-offset on
+    the Spark side, plain row_number in DuckDB), the rank-shifted
+    window pairing, and the levenshtein verify, certified by
+    order-independent checksums over the full verified pair set (the
+    events_ewma convention — every pair contributes, no row emission).
+    CC clustering over SNM pairs is deliberately NOT replayed here:
+    sorted-name chains form deep graphs beyond any fixed CTE round
+    budget (the lcc convergence assert fires, loudly, as designed);
+    the engine side uses the O(log n) alternating-star CC, and the CC
+    kernel itself is gate-certified via part_entity_resolution /
+    docs_dup_cluster_reps."""
+    from etl_instagram_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    pa = _t(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(
+        pa, "p_partkey", "p_name", window=4, max_dist=3
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("id_a").alias("a_checksum"),
+        F.sum("id_b").alias("b_checksum"),
+        F.countDistinct("id_a").alias("n_distinct_a"),
+        F.countDistinct("id_b").alias("n_distinct_b"),
+    )
+
+
+def _sql_part_entity_snm() -> str:
+    from etl_instagram_spark.operators.entity import sorted_neighborhood_sql
+
+    snm = sorted_neighborhood_sql(
+        "SELECT p_partkey, p_name FROM part", window=4, max_dist=3
+    )
+    return f"""
+    WITH {snm}
+    SELECT count(*) AS n_pairs,
+           (sum(ia))::BIGINT AS a_checksum,
+           (sum(ib))::BIGINT AS b_checksum,
+           count(DISTINCT ia) AS n_distinct_a,
+           count(DISTINCT ib) AS n_distinct_b
+    FROM verified
+    """
+
+
 def _graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r10): deterministic DeepWalk-style random walks
     over the customer↔supplier graph — 4 steps from every node, next
@@ -1936,6 +1985,11 @@ def _register_rotated() -> None:
     EXTRAS["customer_revenue_quartiles"] = (
         _customer_revenue_quartiles,
         llm_queries.SQL_CUSTOMER_REVENUE_QUARTILES,
+    )
+    # never-gated (r11): sorted-neighborhood entity resolution
+    EXTRAS["part_entity_snm"] = (
+        _part_entity_snm,
+        _sql_part_entity_snm(),
     )
     # never-gated (r10): deterministic random-walk corpus profile
     EXTRAS["graph_random_walks"] = (

@@ -343,3 +343,105 @@ def test_cc_oracle_convergence_assert_fires():
             f"WITH {base}, {_sql_cc_rounds(3)} SELECT * FROM lcc"
         ).fetchall()
     con.close()
+
+
+def test_sorted_neighborhood_pairs_reference_and_cross_engine(spark):
+    """SNM pair generation: equals a naive Python sorted-window
+    reference on real part names, is invariant under repartitioning and
+    bucket choice, matches the DuckDB mirror, and keeps matching on a
+    degenerate shared token where the block-size guard would drop rows."""
+    import duckdb
+
+    from etl_instagram_spark.operators.entity import (
+        resolve_entities_snm,
+        sorted_neighborhood_pairs,
+        sorted_neighborhood_sql,
+    )
+
+    rows = [
+        (1, "alpha widget"),
+        (2, "alphb widget"),
+        (3, "alpha widgot"),
+        (10, "zeta gizmo"),
+        (11, "zetb gizmo"),
+        (20, "midline thing"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", window=3, max_dist=2
+        ).collect()
+    )
+    # python reference: sort by (norm, id), window of 2 followers
+    ordered = sorted((nm.strip().lower(), i) for i, nm in rows)
+    want = set()
+    for x in range(len(ordered)):
+        for y in range(x + 1, min(x + 3, len(ordered))):
+            if _lev(ordered[x][0], ordered[y][0]) <= 2:
+                a, b = ordered[x][1], ordered[y][1]
+                want.add((min(a, b), max(a, b)))
+    assert got == sorted(want)
+    again = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            df.repartition(7), "id", "name", window=3, max_dist=2
+        ).collect()
+    )
+    assert again == got
+    # wider bucket (constant) must give the identical global rank order
+    const_bucket = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", window=3, max_dist=2, bucket=F.lit("x")
+        ).collect()
+    )
+    assert const_bucket == got
+    con = duckdb.connect()
+    values = ",".join(f"({i},'{nm}')" for i, nm in rows)
+    ctes = sorted_neighborhood_sql(
+        f"SELECT * FROM (VALUES {values})", window=3, max_dist=2
+    )
+    duck = sorted(con.sql(f"WITH {ctes} SELECT ia, ib FROM verified").fetchall())
+    con.close()
+    assert duck == got
+    # resolution face: transitive entity over the SNM pairs
+    ents = {
+        (r["id"], r["entity"])
+        for r in resolve_entities_snm(
+            df, "id", "name", window=3, max_dist=2
+        ).collect()
+    }
+    assert ents == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", "name", window=1)
+
+
+def test_snm_on_real_parts_matches_python(spark, sf_smoke):
+    """Real-data differential: SNM pairs over sf part names equal the
+    Python sorted-window reference, and pair volume is exactly bounded
+    by n*(window-1)."""
+    from etl_instagram_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    pa = spark.read.parquet(f"{sf_smoke}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    window, dist = 4, 3
+    got = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            pa, "id", "name", window=window, max_dist=dist
+        ).collect()
+    )
+    rows = [(r["id"], r["name"]) for r in pa.collect()]
+    ordered = sorted((nm.strip().lower(), i) for i, nm in rows)
+    want = set()
+    for x in range(len(ordered)):
+        for y in range(x + 1, min(x + window, len(ordered))):
+            if _lev(ordered[x][0], ordered[y][0]) <= dist:
+                a, b = ordered[x][1], ordered[y][1]
+                want.add((min(a, b), max(a, b)))
+    assert got == sorted(want)
+    assert len(got) <= len(rows) * (window - 1)

@@ -314,6 +314,66 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             ),
             "params": {"b": 12},
         }
+    elif op == "pagerank_hubskew":
+        # the pinned-edge-layout design under hub skew: copies SHARE the
+        # hub (node 0 in ~30% of edges, both directions), so the hub's
+        # in/out degree grows ∝ mult. Per round the hub's inflow is one
+        # partially-aggregated groupBy key (map-side combine collapses
+        # its contributions per partition before the shuffle) and its
+        # outflow is rank div outdeg per edge — both ∝ edges, so the
+        # honest expectation is time ∝ mult with no skew blow-up.
+        from etl_instagram_spark.operators.graph import pagerank
+
+        li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+        peers = (
+            li.select(F.col("l_partkey").alias("v"))
+            .distinct()
+            .withColumn("__h", F.abs(F.hash("v")))
+        )
+        hub = peers.filter(F.col("__h") % 10 < 3).select(
+            F.lit(0).cast("long").alias("src"),
+            F.col("v").cast("long").alias("dst"),
+        )
+        chords = (
+            peers.alias("a")
+            .join(
+                peers.alias("b"),
+                (F.col("a.__h") % 997) == (F.col("b.__h") % 997),
+            )
+            .filter(F.col("a.v") != F.col("b.v"))
+            .select(
+                F.col("a.v").cast("long").alias("src"),
+                F.col("b.v").cast("long").alias("dst"),
+            )
+        )
+        base_edges = (
+            hub.unionByName(hub.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .unionByName(chords)
+        )
+        copies = [
+            base_edges.select(
+                F.when(F.col("src") == 0, F.lit(0).cast("long"))
+                .otherwise(F.col("src") + F.lit(c * 100_000_000))
+                .alias("src"),
+                F.when(F.col("dst") == 0, F.lit(0).cast("long"))
+                .otherwise(F.col("dst") + F.lit(c * 100_000_000))
+                .alias("dst"),
+            )
+            for c in range(mult)
+        ]
+        edges = copies[0]
+        for cp in copies[1:]:
+            edges = edges.unionByName(cp)
+        edges = edges.localCheckpoint()
+        n_edges = edges.count()
+        res = {
+            "sec": timed(
+                lambda: pagerank(edges, n_iter=3)
+                .agg(F.sum("rank_micro"))
+                .collect()
+            ),
+            "params": {"n_iter": 3, "hub_edge_frac": 0.3, "n_edges": n_edges},
+        }
     elif op == "triangles_hubskew":
         # degree-ordered orientation under hub skew: copies SHARE node 0
         # (only non-hub ids shift per copy), and node 0 sits in ~30% of
@@ -467,6 +527,7 @@ OPS = (
     "curate_corpus",
     "dsir_select",
     "pagerank",
+    "pagerank_hubskew",
     "triangles",
     "triangles_hubskew",
     "hll",
