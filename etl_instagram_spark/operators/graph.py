@@ -726,3 +726,96 @@ BIPARTITE_ORDER_EDGES_WEIGHTED_SQL = """
     UNION ALL
     SELECT supp AS src, cust AS dst, w FROM ow
 """
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst") -> DataFrame:
+    """The k-CORE of an undirected graph: the maximal subgraph where
+    every node has degree ≥ k (Seidman 1983; Batagelj-Zaveršnik gives
+    the sequential peel, this is the synchronous distributed peel —
+    Montresor et al. "Distributed k-core decomposition", PODC'11).
+    Returns (id, core_degree): the surviving nodes with their degree
+    INSIDE the core. The corpus-curation use is graph denoising — keep
+    the densely-connected entity/co-occurrence backbone, drop tendrils
+    (degree-1 chains) that one noisy record can attach anywhere.
+
+    Spark shape: iterate (degree groupBy → keep ids deg ≥ k →
+    semi-join edges on BOTH endpoints) until the edge count stops
+    changing. Every step is a key-equi shuffle over the CURRENT edge
+    set, which only shrinks; the per-round localCheckpoint truncates
+    lineage and the driver holds one count per round. Synchronous
+    peeling removes all sub-k nodes per round, so rounds ≤ longest
+    peel chain (≤ diameter, log-ish on real graphs) — NOT n rounds.
+    The DuckDB mirror (:func:`k_core_sql`) replays the same peel with
+    a loud convergence assert on its fixed round budget."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    while True:
+        deg = (
+            e.select(F.col("lo").alias("id"))
+            .union(e.select(F.col("hi").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("id")
+        e2 = (
+            e.join(keep.withColumnRenamed("id", "lo"), "lo", "leftsemi")
+            .join(keep.withColumnRenamed("id", "hi"), "hi", "leftsemi")
+            .select("lo", "hi")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    return (
+        e.select(F.col("lo").alias("id"))
+        .union(e.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
+def k_core_sql(edges_sql: str, k: int, rounds: int = 16) -> str:
+    """Standalone SQL mirror of :func:`k_core` (DuckDB): ``rounds``
+    synchronous peel rounds as MATERIALIZED CTEs, ending in a ``core``
+    CTE whose edge set is convergence-ASSERTED (last two rounds equal,
+    else ``error(...)`` — the _sql_cc_rounds discipline: a too-shallow
+    budget fails loudly, never silently certifies a half-peeled
+    graph)."""
+    parts = [
+        f"eraw AS ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst)::BIGINT AS lo,"
+        " greatest(src, dst)::BIGINT AS hi FROM eraw WHERE src <> dst)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT id FROM ("
+            f" SELECT id, count(*) AS degree FROM ("
+            f"  SELECT lo AS id FROM e{i - 1}"
+            f"  UNION ALL SELECT hi FROM e{i - 1}) u GROUP BY id)"
+            f" WHERE degree >= {int(k)})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT lo, hi FROM e{i - 1}"
+            f" WHERE lo IN (SELECT id FROM k{i})"
+            f" AND hi IN (SELECT id FROM k{i}))"
+        )
+    parts.append(
+        f"core AS MATERIALIZED (SELECT lo, CASE WHEN"
+        f" (SELECT count(*) FROM e{rounds})"
+        f" = (SELECT count(*) FROM e{rounds - 1})"
+        f" THEN hi ELSE error('k_core oracle: peel not converged within"
+        f" {rounds} rounds — raise the budget') END AS hi"
+        f" FROM e{rounds})"
+    )
+    return ",\n".join(parts)

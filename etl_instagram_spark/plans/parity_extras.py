@@ -1641,6 +1641,37 @@ def _sql_part_entity_snm() -> str:
     """
 
 
+def _part_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r11): k-core decomposition (operators/graph.k_core)
+    — the dense co-purchase backbone after synchronously peeling
+    sub-k-degree nodes to a fixpoint. The oracle replays the same peel
+    as fixed-round MATERIALIZED CTEs with a LOUD convergence assert
+    (too-shallow budgets error out, never silently certify a
+    half-peeled graph)."""
+    from etl_instagram_spark.operators.graph import copurchase_edges, k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    core = k_core(copurchase_edges(li, min_orders=2), k=3)
+    return core.orderBy(F.col("core_degree").desc(), "id").limit(50)
+
+
+def _sql_part_k_core() -> str:
+    from etl_instagram_spark.operators.graph import (
+        COPURCHASE_EDGES_SQL,
+        k_core_sql,
+    )
+
+    ctes = k_core_sql(COPURCHASE_EDGES_SQL.format(min_orders=2), k=3, rounds=16)
+    return f"""
+    WITH {ctes}
+    SELECT id, count(*) AS core_degree
+    FROM (SELECT lo AS id FROM core UNION ALL SELECT hi FROM core)
+    GROUP BY id
+    ORDER BY core_degree DESC, id
+    LIMIT 50
+    """
+
+
 def _graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r10): deterministic DeepWalk-style random walks
     over the customer↔supplier graph — 4 steps from every node, next
@@ -1986,6 +2017,8 @@ def _register_rotated() -> None:
         _customer_revenue_quartiles,
         llm_queries.SQL_CUSTOMER_REVENUE_QUARTILES,
     )
+    # never-gated (r11): k-core graph denoising
+    EXTRAS["part_k_core"] = (_part_k_core, _sql_part_k_core())
     # never-gated (r11): sorted-neighborhood entity resolution
     EXTRAS["part_entity_snm"] = (
         _part_entity_snm,

@@ -600,3 +600,88 @@ def test_weighted_pagerank_rejects_null_weights(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         pagerank(df, weight_col="w")
+
+
+def _py_k_core(edges, k):
+    """Reference: peel nodes with degree < k to a fixpoint."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        es2 = {(a, b) for a, b in es if a in keep and b in keep}
+        if es2 == es:
+            break
+        es = es2
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def test_k_core_hand_reference_and_cross_engine(spark):
+    """K4 with a tail chain: the 3-core is exactly K4 (peeling the
+    chain cascades); matches the Python reference, the DuckDB mirror,
+    and is invariant under repartitioning. The oracle's fixed round
+    budget fails loudly when too shallow for a long peel cascade."""
+    import itertools
+
+    import duckdb
+
+    from etl_instagram_spark.operators.graph import k_core, k_core_sql
+
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    # tail 4-5-6-7 peels one hop per synchronous round
+    edges = k4 + [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["core_degree"] for r in k_core(df, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert got == _py_k_core(edges, 3)
+    assert {
+        r["id"]: r["core_degree"]
+        for r in k_core(df.repartition(7), k=3).collect()
+    } == got
+    # 2-core keeps K4 only as well (the chain has degree-1 ends)
+    assert _py_k_core(edges, 2) == {
+        r["id"]: r["core_degree"] for r in k_core(df, k=2).collect()
+    }
+    con = duckdb.connect()
+    values = ",".join(f"({s},{d})" for s, d in edges)
+    ctes = k_core_sql(
+        f"SELECT src, dst FROM (VALUES {values}) t(src, dst)", k=3, rounds=8
+    )
+    duck = dict(
+        con.sql(
+            f"WITH {ctes} SELECT id, count(*) FROM"
+            " (SELECT lo AS id FROM core UNION ALL SELECT hi FROM core)"
+            " GROUP BY id"
+        ).fetchall()
+    )
+    assert duck == got
+    # loud non-convergence: a long chain at k=2 peels one end pair per
+    # round; rounds=2 cannot finish
+    chain = ",".join(f"({i},{i+1})" for i in range(1, 12))
+    shallow = k_core_sql(
+        f"SELECT src, dst FROM (VALUES {chain}) t(src, dst)", k=2, rounds=2
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not converged"):
+        con.sql(f"WITH {shallow} SELECT count(*) FROM core").fetchall()
+    con.close()
+
+
+def test_k_core_on_real_copurchase_graph(spark, sf_smoke):
+    """Real-data differential: k-core of the co-purchase projection
+    equals the Python peel, and core degrees are all >= k."""
+    from etl_instagram_spark.operators.graph import copurchase_edges, k_core
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    e = copurchase_edges(li, min_orders=2)
+    got = {r["id"]: r["core_degree"] for r in k_core(e, k=3).collect()}
+    edges = [(r["src"], r["dst"]) for r in e.collect()]
+    assert got == _py_k_core(edges, 3)
+    assert all(d >= 3 for d in got.values())
