@@ -417,3 +417,120 @@ def temperature_weights(
     raw = {s: float(n) ** alpha for s, n in available.items()}
     total = sum(raw.values())
     return {s: v / total for s, v in raw.items()}
+
+
+def pps_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "pps",
+) -> DataFrame:
+    """Systematic PPS sampling (probability-proportional-to-size
+    WITHOUT replacement — Madow 1949, the survey-sampling workhorse):
+    lay the rows along a line in units of their integer weights, in the
+    deterministic hash-shuffled order hash32(salt, id), and take every
+    (W/n)-th point of the line. Returns the input rows plus
+    ``n_copies`` ≥ 1 — how many grid points landed inside the row's
+    weight interval (a row with w > W/n is hit multiple times; callers
+    wanting strict without-replacement semantics treat n_copies as
+    membership, callers building mixtures use it as a repeat count).
+    Σ n_copies == n EXACTLY, every row's inclusion count is within ±1
+    of n·w/W, and the whole selection is pure int64 —
+
+        pick(i) = floor(cum_i · n / W) − floor(cum_{i−1} · n / W)
+
+    — so the sample is bit-identical under any partitioning or engine
+    (:func:`pps_sample_sql`). The corpus-curation use: draw a fixed
+    token/byte budget from a weighted pool (quality scores, source
+    priors) reproducibly, without the float-comparison boundary drift
+    an exponential-keys (A-ES) sample would inherit from libm.
+
+    Scale shape: the global cumulative sum never funnels rows through
+    one partition — the hash order's high bits bucket the line, a tiny
+    per-bucket count frame cumsums into broadcast offsets, and the
+    within-bucket window does the rest (the sorted-neighborhood rank
+    pattern). Validated: weights must be positive ints with
+    W·n < 2^63."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    rows = df.withColumn(
+        "__w", F.col(weight_col).cast("long")
+    ).withColumn(
+        "__hk",
+        hash32(
+            F.concat(
+                F.lit(salt), F.lit("\x1f"), F.col(id_col).cast("string")
+            )
+        ),
+    ).filter(F.col("__hk").isNotNull())
+    bad = rows.agg(
+        F.sum(F.when(F.col("__w").isNull() | (F.col("__w") <= 0), 1).otherwise(0)).alias("bad"),
+        F.coalesce(F.sum("__w"), F.lit(0)).alias("W"),
+    ).collect()[0]
+    if bad["bad"]:
+        raise ValueError(
+            f"pps_sample: {bad['bad']} row(s) have NULL or non-positive "
+            f"{weight_col!r} — weights must be positive integers"
+        )
+    total_w = int(bad["W"])
+    if total_w == 0:
+        return df.withColumn("n_copies", F.lit(0).cast("long")).limit(0)
+    if total_w * n >= 2**63:
+        raise ValueError(
+            f"pps_sample: W·n = {total_w}·{n} overflows int64 — rescale weights"
+        )
+    # global cumulative weight along (hash, id): bucket by the hash's
+    # high bits (monotone in the sort key), offset by the broadcast
+    # exclusive prefix sum of per-bucket totals
+    rows = rows.withColumn("__bkt", (F.col("__hk") / F.lit(2**24)).cast("int"))
+    totals = rows.groupBy("__bkt").agg(F.sum("__w").alias("__bw"))
+    off_w = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "__bkt", (F.sum("__bw").over(off_w) - F.col("__bw")).alias("__off")
+    )
+    cum_w = Window.partitionBy("__bkt").orderBy("__hk", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    picked = (
+        rows.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__cum", F.sum("__w").over(cum_w) + F.col("__off"))
+        .withColumn(
+            "n_copies",
+            F.expr(f"(__cum * {n}) div {total_w}")
+            - F.expr(f"((__cum - __w) * {n}) div {total_w}"),
+        )
+        .filter(F.col("n_copies") >= 1)
+        .drop("__w", "__hk", "__bkt", "__off", "__cum")
+    )
+    return picked
+
+
+def pps_sample_sql(
+    table_sql: str, id_expr: str, weight_expr: str, n: int, salt: str = "pps"
+) -> str:
+    """CTE body mirroring :func:`pps_sample` in DuckDB over
+    ``table_sql``: ends in ``pps`` with columns (id, n_copies). The
+    mirror uses a plain global window (fine at oracle scale); the
+    arithmetic is the identical int64 grid walk."""
+    hk = hash32_sql(f"'{salt}' || chr(31) || ({id_expr})::VARCHAR")
+    return f"""
+    pin AS (SELECT ({id_expr}) AS id, ({weight_expr})::BIGINT AS w,
+                   {hk} AS hk
+            FROM ({table_sql})),
+    ptot AS (SELECT (sum(w))::BIGINT AS W FROM pin),
+    pcum AS (SELECT id, w,
+                    (sum(w) OVER (ORDER BY hk, id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                    AS cum
+             FROM pin),
+    pps AS (SELECT id,
+                   ((cum * {int(n)}) // (SELECT W FROM ptot)
+                    - ((cum - w) * {int(n)}) // (SELECT W FROM ptot))::BIGINT
+                   AS n_copies
+            FROM pcum
+            WHERE (cum * {int(n)}) // (SELECT W FROM ptot)
+                  > ((cum - w) * {int(n)}) // (SELECT W FROM ptot))
+    """

@@ -1641,6 +1641,37 @@ def _sql_part_entity_snm() -> str:
     """
 
 
+def _docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r11): systematic PPS sampling
+    (operators/sampling.pps_sample) — a fixed budget of 300 draws from
+    the documents pool weighted by n_chars, selection a pure int64
+    grid walk over the hash-shuffled cumulative-weight line; the whole
+    sample (ids AND multiplicities) replays bit-for-bit in DuckDB."""
+    from etl_instagram_spark.operators.sampling import pps_sample
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return (
+        pps_sample(docs, "doc_id", "n_chars", n=300)
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_docs_pps_sample() -> str:
+    from etl_instagram_spark.operators.sampling import pps_sample_sql
+
+    ctes = pps_sample_sql(
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars > 0",
+        "doc_id",
+        "n_chars",
+        n=300,
+    )
+    return f"""
+    WITH {ctes}
+    SELECT id AS doc_id, n_copies FROM pps ORDER BY doc_id
+    """
+
+
 def _part_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r11): k-core decomposition (operators/graph.k_core)
     — the dense co-purchase backbone after synchronously peeling
@@ -2017,6 +2048,8 @@ def _register_rotated() -> None:
         _customer_revenue_quartiles,
         llm_queries.SQL_CUSTOMER_REVENUE_QUARTILES,
     )
+    # never-gated (r11): systematic PPS weighted sampling
+    EXTRAS["docs_pps_sample"] = (_docs_pps_sample, _sql_docs_pps_sample())
     # never-gated (r11): k-core graph denoising
     EXTRAS["part_k_core"] = (_part_k_core, _sql_part_k_core())
     # never-gated (r11): sorted-neighborhood entity resolution
