@@ -235,3 +235,182 @@ def hll_estimate_corrected(
     if raw <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable point-FREQUENCY estimates (Cormode &
+# Muthukrishnan, J. Algorithms 2005) — the counting sibling of the HLL
+# distinct sketch above. d hash rows × w counters of pure int64 sums:
+# est(x) = min_j counter[j][h_j(x)] ≥ true(x), and ≤ true(x) + εN with
+# probability 1−δ at w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. Counters merge by SUM
+# (sketch of a union = sum of sketches — mergeable by algebra, but NOT
+# idempotent, so the continuous face must be epoch-keyed like the
+# rollup/k-means stores, unlike HLL's max-merge). Hashes ride the
+# engine-neutral hash32 kernel, so registers, merges, and estimates all
+# replay in DuckDB bit-for-bit. Where the exact Misra-Gries heavy
+# hitters (operators/frequency.py) answer "which keys are frequent",
+# the CM sketch answers "how often is THIS key" for any key, with
+# O(d·w) state per group.
+# ---------------------------------------------------------------------------
+
+CM_W = 1024  # default width: ε ≈ e/1024 ≈ 0.27 % of the stream length
+CM_D = 4     # default depth: δ = e^-4 ≈ 1.8 %
+
+
+def cm_hash(col: Column, j: int, w: int) -> Column:
+    """Row-j counter index for a value: hash32("cm{j}" ⟂ value) mod w —
+    independent rows by salt, NULL values drop (NULL propagates)."""
+    from etl_instagram_spark.functions.text import hash32
+
+    return (
+        hash32(F.concat(F.lit(f"cm{j}"), F.lit("\x1f"), col.cast("string")))
+        % w
+    )
+
+
+def cm_hash_sql(expr: str, j: int, w: int) -> str:
+    """DuckDB mirror of :func:`cm_hash`."""
+    from etl_instagram_spark.functions.text import hash32_sql
+
+    salted = f"'cm{j}' || chr(31) || ({expr})::VARCHAR"
+    return f"({hash32_sql(salted)} % {w})"
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    w: int = CM_W,
+    d: int = CM_D,
+) -> DataFrame:
+    """Per-group CM register state: (group…, j, col, cnt) — at most d·w
+    rows per group, cnt the int64 number of stream items whose row-j
+    hash landed in counter ``col``. One explode of d (j, col) pairs per
+    row + one partially-aggregated counting groupBy; untouched counters
+    are implicit zeros (never materialized)."""
+    if w < 2:
+        raise ValueError(f"w must be >= 2, got {w}")
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    g = list(group_cols or [])
+    v = F.col(value_col)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), cm_hash(v, j, w).alias("col"))
+            for j in range(d)
+        ]
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*g, F.explode(pairs).alias("__p"))
+        .select(*g, F.col("__p.j").alias("j"), F.col("__p.col").alias("col"))
+        .groupBy(*g, "j", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cm_sketch_sql(
+    value_expr: str,
+    from_clause: str,
+    group_exprs: list[str] | None = None,
+    w: int = CM_W,
+    d: int = CM_D,
+    where: str | None = None,
+) -> str:
+    """Standalone DuckDB statement mirroring :func:`cm_sketch` —
+    identical salted hashes, identical integer counters."""
+    g = list(group_exprs or [])
+    gsel = "".join(f"{e}, " for e in g)
+    wh = f"AND ({where})" if where else ""
+    branches = " UNION ALL ".join(
+        f"SELECT {gsel}{j} AS j, {cm_hash_sql(value_expr, j, w)} AS col"
+        f" FROM {from_clause}"
+        f" WHERE ({value_expr}) IS NOT NULL {wh}"
+        for j in range(d)
+    )
+    return f"""
+    SELECT {gsel}j, col, count(*)::BIGINT AS cnt
+    FROM ({branches}) cmrows
+    GROUP BY {gsel}j, col
+    """
+
+
+def cm_merge(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge CM register sets (per-shard / per-epoch) into one:
+    groupBy-SUM over (group…, j, col). Sum is commutative/associative —
+    split-independent — but NOT idempotent: never merge the same
+    batch's registers twice (the continuous face keys by epoch for
+    exactly this reason)."""
+    g = list(group_cols or [])
+    return registers.groupBy(*g, "j", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_lookup(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    w: int = CM_W,
+    d: int = CM_D,
+) -> DataFrame:
+    """Point-frequency estimates: for every (group…, value) row of
+    ``queries``, est = min over the d counters the value hashes to —
+    ≥ the true count always (counters only over-count), exact when no
+    other key collided on some row. Missing counters read as 0. One
+    explode + one key-equi LEFT join + one min-groupBy; the sketch side
+    is tiny (≤ d·w rows per group)."""
+    g = list(group_cols or [])
+    v = F.col(value_col)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), cm_hash(v, j, w).alias("col"))
+            for j in range(d)
+        ]
+    )
+    expanded = (
+        queries.filter(v.isNotNull())
+        .select(*g, value_col, F.explode(pairs).alias("__p"))
+        .select(
+            *g,
+            value_col,
+            F.col("__p.j").alias("j"),
+            F.col("__p.col").alias("col"),
+        )
+    )
+    return (
+        expanded.join(sketch, [*g, "j", "col"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .groupBy(*g, value_col)
+        .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+    )
+
+
+def cm_lookup_sql(
+    sketch_sql: str,
+    queries_sql: str,
+    value_expr: str = "value",
+    group_exprs: list[str] | None = None,
+    w: int = CM_W,
+    d: int = CM_D,
+) -> str:
+    """DuckDB mirror of :func:`cm_lookup`: ``sketch_sql`` produces the
+    register rows, ``queries_sql`` the (group…, value) probes; output
+    (group…, value, cm_estimate)."""
+    g = list(group_exprs or [])
+    gsel = "".join(f"{e}, " for e in g)
+    gjoin = " AND ".join([f"s.{e} = q.{e}" for e in g] + ["s.j = q.j", "s.col = q.col"])
+    branches = " UNION ALL ".join(
+        f"SELECT {gsel}{value_expr} AS value, {j} AS j,"
+        f" {cm_hash_sql(value_expr, j, w)} AS col"
+        f" FROM ({queries_sql}) WHERE ({value_expr}) IS NOT NULL"
+        for j in range(d)
+    )
+    qg = "".join(f"q.{e}, " for e in g)
+    return f"""
+    SELECT {qg}q.value, (min(COALESCE(s.cnt, 0)))::BIGINT AS cm_estimate
+    FROM ({branches}) q
+    LEFT JOIN ({sketch_sql}) s ON {gjoin}
+    GROUP BY {qg}q.value
+    """

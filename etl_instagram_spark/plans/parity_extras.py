@@ -1641,6 +1641,63 @@ def _sql_part_entity_snm() -> str:
     """
 
 
+def _events_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r11): count-min point-frequency sketch
+    (operators/sketches.cm_sketch/cm_lookup) — per-event-type user
+    frequencies at a deliberately narrow width (w=256 forces real
+    collisions), probed for every (type, user) pair with the exact
+    count as contrast; registers, hashes, and min-estimates all replay
+    bit-for-bit in DuckDB. The overcount guarantee (est ≥ exact) is
+    certified on every row by construction of the compared columns."""
+    from etl_instagram_spark.operators.sketches import cm_lookup, cm_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    w, d = 256, 4
+    sk = cm_sketch(ev, "user_id", ["event_type"], w=w, d=d)
+    qs = ev.select("event_type", "user_id").distinct()
+    est = cm_lookup(sk, qs, "user_id", ["event_type"], w=w, d=d)
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return (
+        est.join(exact, ["event_type", "user_id"])
+        .withColumn(
+            "overcount", (F.col("cm_estimate") - F.col("exact_count")).cast("long")
+        )
+        .orderBy(F.col("overcount").desc(), "event_type", "user_id")
+        .limit(50)
+    )
+
+
+def _sql_events_cm_frequency() -> str:
+    from etl_instagram_spark.operators.sketches import (
+        cm_lookup_sql,
+        cm_sketch_sql,
+    )
+
+    w, d = 256, 4
+    sk = cm_sketch_sql("user_id", "events", ["event_type"], w=w, d=d)
+    lookup = cm_lookup_sql(
+        sk,
+        "SELECT DISTINCT event_type, user_id AS value FROM events",
+        "value",
+        ["event_type"],
+        w=w,
+        d=d,
+    )
+    return f"""
+    WITH est AS ({lookup}),
+    exact AS (SELECT event_type, user_id, count(*)::BIGINT AS exact_count
+              FROM events GROUP BY event_type, user_id)
+    SELECT e.event_type, e.user_id, est.cm_estimate, e.exact_count,
+           (est.cm_estimate - e.exact_count)::BIGINT AS overcount
+    FROM est JOIN exact e
+      ON est.event_type = e.event_type AND est.value = e.user_id
+    ORDER BY overcount DESC, e.event_type, e.user_id
+    LIMIT 50
+    """
+
+
 def _docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r11): systematic PPS sampling
     (operators/sampling.pps_sample) — a fixed budget of 300 draws from
@@ -2047,6 +2104,11 @@ def _register_rotated() -> None:
     EXTRAS["customer_revenue_quartiles"] = (
         _customer_revenue_quartiles,
         llm_queries.SQL_CUSTOMER_REVENUE_QUARTILES,
+    )
+    # never-gated (r11): count-min point-frequency sketch
+    EXTRAS["events_cm_frequency"] = (
+        _events_cm_frequency,
+        _sql_events_cm_frequency(),
     )
     # never-gated (r11): systematic PPS weighted sampling
     EXTRAS["docs_pps_sample"] = (_docs_pps_sample, _sql_docs_pps_sample())

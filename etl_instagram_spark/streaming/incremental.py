@@ -1016,6 +1016,43 @@ def apply_hll_delta(
     store.upsert(delta)
 
 
+def apply_cm_delta(
+    store: MergeTable,
+    batch_df: DataFrame,
+    epoch_id: int,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    w: int = 1024,
+    d: int = 4,
+) -> None:
+    """Fold one micro-batch into an epoch-keyed count-min register
+    store: rows keyed (epoch_id, group…, j, col) carrying the BATCH'S
+    counter values (operators/sketches.cm_sketch). Sum-merge is not
+    idempotent, so exactly-once rides the epoch key — a replayed epoch
+    recomputes the identical counters and upserts them over themselves
+    (the rollup-delta pattern, unlike HLL's max-algebra store). State
+    is O(epochs · groups · d·w); compact with the collapse-and-rekey
+    rewrite if epoch count ever matters."""
+    from etl_instagram_spark.operators.sketches import cm_sketch
+
+    delta = cm_sketch(batch_df, value_col, group_cols, w, d).withColumn(
+        "epoch_id", F.lit(int(epoch_id))
+    )
+    store.upsert(delta)
+
+
+def cm_read_registers(
+    store: MergeTable, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Collapse the epoch-keyed CM store to ONE register set (sum over
+    epochs per counter) — the frame operators/sketches.cm_lookup
+    expects. Pure algebra: the collapsed sketch equals the sketch of
+    the full stream, for any batch split."""
+    from etl_instagram_spark.operators.sketches import cm_merge
+
+    return cm_merge(store.read(), group_cols)
+
+
 def stream_hll_registers(
     spark: SparkSession,
     landing_dir: str,

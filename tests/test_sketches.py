@@ -150,3 +150,159 @@ def test_stream_hll_equals_batch_and_replays(spark, tmp_path):
     apply_hll_delta(store, batch1, 0, "v", ["k"])
     assert sorted(map(tuple, store.read().collect())) == before
     assert sorted(tuple(r) for r in hll_read_summary(store, ["k"]).collect()) == want
+
+
+def test_cm_sketch_overcount_guarantee_and_cross_engine(spark):
+    """CM estimates: ≥ true count always, exact at collision-free
+    width, merge(sketch(A), sketch(B)) == sketch(A∪B), bit-identical
+    under repartitioning, and the full register set + lookups replay
+    in DuckDB."""
+    import duckdb
+
+    from etl_instagram_spark.operators.sketches import (
+        cm_lookup,
+        cm_lookup_sql,
+        cm_merge,
+        cm_sketch,
+        cm_sketch_sql,
+    )
+
+    rows = [(f"k{i % 17}",) for i in range(500)] + [("hot",)] * 100
+    df = spark.createDataFrame(rows, "v string")
+    true = {}
+    for (x,) in rows:
+        true[x] = true.get(x, 0) + 1
+    w, d = 64, 4
+    sk = cm_sketch(df, "v", w=w, d=d)
+    qs = spark.createDataFrame([(k,) for k in true], "v string")
+    est = {
+        r["v"]: r["cm_estimate"]
+        for r in cm_lookup(sk, qs, "v", w=w, d=d).collect()
+    }
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t
+    # absent key: estimate may be > 0 (collisions) but never negative,
+    # and at huge width it is exactly 0 and every key is exact
+    wide = cm_sketch(df, "v", w=2**20, d=d)
+    exact = {
+        r["v"]: r["cm_estimate"]
+        for r in cm_lookup(wide, qs, "v", w=2**20, d=d).collect()
+    }
+    assert exact == true
+    miss = cm_lookup(
+        wide,
+        spark.createDataFrame([("never-seen",)], "v string"),
+        "v",
+        w=2**20,
+        d=d,
+    ).collect()[0]["cm_estimate"]
+    assert miss == 0
+    # mergeability: sum of half-sketches == whole sketch
+    a = spark.createDataFrame(rows[:300], "v string")
+    b = spark.createDataFrame(rows[300:], "v string")
+    merged = cm_merge(
+        cm_sketch(a, "v", w=w, d=d).unionByName(cm_sketch(b, "v", w=w, d=d))
+    )
+    whole = sorted(tuple(r) for r in sk.collect())
+    assert sorted(tuple(r) for r in merged.collect()) == whole
+    assert (
+        sorted(tuple(r) for r in cm_sketch(df.repartition(9), "v", w=w, d=d).collect())
+        == whole
+    )
+    # cross-engine: registers and lookups replay in DuckDB
+    con = duckdb.connect()
+    values = ",".join("('" + x + "')" for (x,) in rows)
+    duck_sk = sorted(
+        con.sql(
+            cm_sketch_sql("v", f"(SELECT * FROM (VALUES {values}) t(v))", w=w, d=d)
+        ).fetchall()
+    )
+    assert duck_sk == whole
+    qvalues = ",".join("('" + k + "')" for k in true)
+    duck_est = dict(
+        con.sql(
+            cm_lookup_sql(
+                cm_sketch_sql(
+                    "v", f"(SELECT * FROM (VALUES {values}) t(v))", w=w, d=d
+                ),
+                f"SELECT v FROM (VALUES {qvalues}) t(v)",
+                "v",
+                w=w,
+                d=d,
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert duck_est == est
+
+
+def test_cm_sketch_validation_and_groups(spark):
+    import pytest
+
+    from etl_instagram_spark.operators.sketches import cm_lookup, cm_sketch
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"), ("b", None)],
+        "g string, v string",
+    )
+    with pytest.raises(ValueError):
+        cm_sketch(df, "v", w=1)
+    with pytest.raises(ValueError):
+        cm_sketch(df, "v", d=0)
+    sk = cm_sketch(df, "v", ["g"], w=32, d=3)
+    qs = df.select("g", "v").distinct().filter(F.col("v").isNotNull())
+    est = {
+        (r["g"], r["v"]): r["cm_estimate"]
+        for r in cm_lookup(sk, qs, "v", ["g"], w=32, d=3).collect()
+    }
+    # per-group counters are independent: 'x' in g=b is 1, not 3
+    assert est[("a", "x")] >= 2 and est[("b", "x")] >= 1
+    # NULL values dropped from the sketch (no crash, no NULL counters)
+    assert all(r["col"] is not None for r in sk.collect())
+
+
+def test_cm_epoch_store_exactly_once_and_split_independent(spark, tmp_path):
+    """The continuous CM face: any batch split collapses to the same
+    registers as one batch, and a replayed epoch upserts identical rows
+    (exactly-once by the epoch key, the rollup-delta pattern)."""
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.operators.sketches import cm_lookup, cm_sketch
+    from etl_instagram_spark.streaming.incremental import (
+        apply_cm_delta,
+        cm_read_registers,
+    )
+
+    rows = [(f"k{i % 11}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "v string")
+    store = MergeTable(
+        spark, str(tmp_path / "cm"), ["epoch_id", "j", "col"]
+    )
+    w, d = 64, 3
+    thirds = [rows[:100], rows[100:180], rows[180:]]
+    for e, chunk in enumerate(thirds):
+        apply_cm_delta(
+            store, spark.createDataFrame(chunk, "v string"), e, "v", w=w, d=d
+        )
+    before = sorted(map(tuple, store.read().collect()))
+    # replay epoch 1: identical rows upserted over themselves
+    apply_cm_delta(
+        store, spark.createDataFrame(thirds[1], "v string"), 1, "v", w=w, d=d
+    )
+    assert sorted(map(tuple, store.read().collect())) == before
+    collapsed = sorted(
+        tuple(r) for r in cm_read_registers(store).collect()
+    )
+    whole = sorted(
+        tuple(r) for r in cm_sketch(df, "v", w=w, d=d).collect()
+    )
+    assert collapsed == whole
+    qs = spark.createDataFrame([(f"k{i}",) for i in range(11)], "v string")
+    est = {
+        r["v"]: r["cm_estimate"]
+        for r in cm_lookup(cm_read_registers(store), qs, "v", w=w, d=d).collect()
+    }
+    true = {}
+    for (x,) in rows:
+        true[x] = true.get(x, 0) + 1
+    assert all(est[k] >= t for k, t in true.items())

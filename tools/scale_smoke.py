@@ -471,6 +471,71 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
                 "max_block_size": 64,
             },
         }
+    elif op == "entity_snm":
+        # sorted-neighborhood blocking: pair volume is EXACTLY
+        # n·(window−1) whatever the key distribution, so the honest
+        # expectation is time ∝ mult even with the 30%-hot shared
+        # token that breaks key blocking (names get per-copy prefixes,
+        # the sort order interleaves copies — no structural shortcut)
+        from etl_instagram_spark.operators.entity import (
+            sorted_neighborhood_pairs,
+        )
+
+        pa = spark.read.parquet(f"{BASE_SF}/part.parquet")
+        copies = []
+        for c in range(mult):
+            cp = pa.select(
+                (F.col("p_partkey") + F.lit(c * 100_000_000)).alias("id"),
+                (
+                    F.regexp_replace("p_name", r"(\S+)", f"c{c}~$1")
+                    if c
+                    else F.col("p_name")
+                ).alias("name"),
+            )
+            copies.append(cp)
+        names = copies[0]
+        for cp in copies[1:]:
+            names = names.unionByName(cp)
+        names = names.localCheckpoint()
+        res = {
+            "sec": timed(
+                lambda: sorted_neighborhood_pairs(
+                    names, "id", "name", window=4, max_dist=3
+                ).count()
+            ),
+            "params": {"window": 4, "max_dist": 3},
+        }
+    elif op == "k_core":
+        # synchronous peel: per round one degree groupBy + two
+        # semi-joins over a shrinking edge set; disjoint id-shifted
+        # copies replicate the peel structure, so rounds stay constant
+        # and the honest expectation is time ∝ mult
+        from etl_instagram_spark.operators.graph import (
+            copurchase_edges,
+            k_core,
+        )
+
+        li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+        base_edges = copurchase_edges(li, min_orders=2)
+        copies = [
+            base_edges.select(
+                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
+                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
+            )
+            for c in range(mult)
+        ]
+        edges = copies[0]
+        for cp in copies[1:]:
+            edges = edges.unionByName(cp)
+        edges = edges.localCheckpoint()
+        res = {
+            "sec": timed(
+                lambda: k_core(edges, k=3)
+                .agg(F.sum("core_degree"))
+                .collect()
+            ),
+            "params": {"k": 3},
+        }
     elif op == "entity_resolution":
         # blocking bounds the pair stage at sum(|block|^2): `mult`
         # copies with EVERY word prefixed per copy (the documents
@@ -533,6 +598,8 @@ OPS = (
     "hll",
     "entity_resolution",
     "entity_hotblock_guarded",
+    "entity_snm",
+    "k_core",
 )
 
 
