@@ -485,6 +485,15 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r11 structural delta: gate rotation promoted "
+                        "part_entity_resolution (~6.6s warm at sf0.1: 8.6M "
+                        "in-block levenshtein pairs + CC over the match "
+                        "graph) for customer_revenue_quartiles (~0.5s) — "
+                        "expect ~+6s of total vs r10 from coverage, not "
+                        "regression. The row's first cut blocked on last "
+                        "token alone (~2*10^8 pairs, 60s at sf0.1); the "
+                        "composite (last token, brand) block is the "
+                        "documented block-key scale lever applied.",
                         "r11 etl_hashtag_tick A/B (the 'halve the tick' "
                         "hypothesis): eager localCheckpoint of the enriched "
                         "batch before the two upserts measured 7.5-7.9s "

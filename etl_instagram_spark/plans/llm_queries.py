@@ -3598,15 +3598,28 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_instagram_spark.operators.entity import canonical_entities
 
     pa = _t(spark, sf_dir, "part")
-    block = F.element_at(F.split(F.trim(F.lower(F.col("p_name"))), " "), -1)
+    # composite (last token, brand) block: the block key IS the scale
+    # lever (candidate_pairs docstring) — last-token alone leaves ~2k-row
+    # blocks at sf0.1 (~2·10^8 levenshtein pairs); the brand facet cuts
+    # pair volume ~25× while still exercising cross-block non-matches
+    # concat, not concat_ws: a NULL brand must propagate to a NULL
+    # block (row leaves resolution) exactly like the oracle's ``||``
+    # (the sampling._bucket convention)
+    block = F.concat(
+        F.element_at(F.split(F.trim(F.lower(F.col("p_name"))), " "), -1),
+        F.lit("\x1f"),
+        F.col("p_brand"),
+    )
     return canonical_entities(pa, "p_partkey", "p_name", block, max_dist=3)
 
 
 def _sql_part_entity_resolution() -> str:
     return f"""
-    WITH n AS (SELECT p_partkey AS id, trim(lower(p_name)) AS norm FROM part),
-    b AS (SELECT id, norm, string_split(norm, ' ')[-1] AS blk FROM n
-          WHERE norm IS NOT NULL),
+    WITH n AS (SELECT p_partkey AS id, trim(lower(p_name)) AS norm,
+                      p_brand FROM part),
+    b AS (SELECT id, norm,
+                 string_split(norm, ' ')[-1] || chr(31) || p_brand AS blk
+          FROM n WHERE norm IS NOT NULL AND p_brand IS NOT NULL),
     verified AS (SELECT a.id AS ia, b2.id AS ib
                  FROM b a JOIN b b2
                    ON a.blk = b2.blk AND a.id < b2.id

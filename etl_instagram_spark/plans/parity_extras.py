@@ -63,7 +63,7 @@ the distributed-k-means query ``emb_kmeans_cells`` (plans/llm_queries.py
 every iteration replayed through DuckDB).
 
 r10 rotations: ``top3_orders_per_customer`` (row_number top-k; shape
-stays gated via customer_revenue_quartiles / docs_bm25_topk),
+stays gated via docs_bm25_topk),
 ``nation_customer_listagg`` (listagg), ``part_metrics_unpivot``
 (unpivot/Expand) — seats given to the integer-quantized PageRank
 (``graph_pagerank_suppliers``), near-dup cluster representatives
@@ -1382,8 +1382,9 @@ def _sql_dsir_selection() -> str:
 
 def _top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10 rotation (for docs_dup_cluster_reps): row_number top-k per
-    group — the shape stays gated via customer_revenue_quartiles and
-    docs_bm25_topk."""
+    group — the shape stays gated via docs_bm25_topk (and
+    customer_revenue_quartiles until its own r11 rotation; both remain
+    EXTRAS-checked)."""
     from etl_instagram_spark.plans.queries import top3_orders_per_customer
 
     return top3_orders_per_customer(spark, sf_dir)
