@@ -531,6 +531,7 @@ def random_walks(
     src: str = "src",
     dst: str = "dst",
     max_degree: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministic uniform random walks — one walk started at EVERY
     node, ``walk_len`` steps, the corpus-generation shape under
@@ -561,20 +562,63 @@ def random_walks(
     on power-law graphs set ``max_degree`` to keep per-row adjacency
     state O(cap). Capping biases walks at capped hubs toward their
     smallest-id neighbors (documented, deterministic); leave ``None``
-    only when the caller knows degrees are bounded."""
+    only when the caller knows degrees are bounded.
+
+    ``weight_col`` switches to WEIGHTED walks (node2vec-style intensity
+    bias at p=q=1): step i from v picks r = hash32(…) mod W(v) and
+    follows the neighbor whose cumulative-weight interval contains r —
+    P(v→u) = w(v,u)/W(v), still a pure function of (graph, seed).
+    Duplicate (src, dst) rows sum their weights; weights must be
+    positive ints (validated with one bounded agg, NULLs rejected).
+    The adjacency row carries the dst-ordered prefix-sum array, built
+    with an O(k²) in-array aggregate — bounded by ``max_degree``, which
+    matters more here (set it). Unweighted walks (w = 1 everywhere)
+    are the special case where the interval walk reduces to
+    ``pick mod outdeg`` — the exact unweighted formula."""
     if walk_len < 1:
         raise ValueError(f"walk_len must be >= 1, got {walk_len}")
     if max_degree is not None and max_degree < 1:
         raise ValueError(f"max_degree must be >= 1, got {max_degree}")
     from etl_instagram_spark.functions.text import hash32
 
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"),
-            F.col(dst).cast("long").alias("dst"),
+    if weight_col is None:
+        e = (
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        e = (
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(
+                F.sum("w").alias("w"),
+                F.sum(
+                    F.when(F.col("w").isNull(), F.lit(1)).otherwise(F.lit(0))
+                ).alias("__nulls"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        bounds = e.agg(
+            F.min("w").alias("lo"), F.sum("__nulls").alias("nulls")
+        ).collect()[0]
+        if bounds["nulls"] is not None and bounds["nulls"] > 0:
+            raise ValueError(
+                f"random_walks: {bounds['nulls']} edge row(s) have NULL "
+                f"{weight_col!r} — filter or fill them explicitly"
+            )
+        if bounds["lo"] is not None and bounds["lo"] <= 0:
+            raise ValueError(
+                f"random_walks: weights must be positive ints, got min "
+                f"{bounds['lo']}"
+            )
+        e = e.drop("__nulls")
     ecap = e
     if max_degree is not None:
         # cap BEFORE collecting: row_number streams through the sorted
@@ -590,11 +634,34 @@ def random_walks(
             .filter(F.col("__rn") <= max_degree)
             .drop("__rn")
         )
-    adj = (
-        ecap.groupBy(F.col("src").alias("node"))
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .localCheckpoint(eager=True)
-    )
+    if weight_col is None:
+        adj = (
+            ecap.groupBy(F.col("src").alias("node"))
+            .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        # dst-ordered parallel arrays + inclusive prefix sums: the
+        # interval walk reads cumw like a CDF. struct sort orders by
+        # the first field (dst), keeping nbrs/ws aligned.
+        adj = (
+            ecap.groupBy(F.col("src").alias("node"))
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("dst", "w"))
+                ).alias("__a")
+            )
+            .select(
+                "node",
+                F.expr("transform(__a, x -> x.dst)").alias("nbrs"),
+                F.expr(
+                    "transform(__a, (x, i) -> aggregate("
+                    " slice(__a, 1, i + 1), cast(0 as bigint),"
+                    " (acc, y) -> acc + y.w))"
+                ).alias("cumw"),
+            )
+            .localCheckpoint(eager=True)
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -615,15 +682,21 @@ def random_walks(
                 F.lit(str(i)),
             )
         )
+        if weight_col is None:
+            nxt = F.element_at(
+                "nbrs", (pick % F.size("nbrs") + 1).cast("int")
+            )
+        else:
+            r = pick % F.element_at("cumw", -1)
+            nxt = F.element_at(
+                "nbrs",
+                (
+                    F.size(F.filter("cumw", lambda c: c <= r)) + 1
+                ).cast("int"),
+            )
         frontier = (
             frontier.join(adj, "node")
-            .select(
-                "walk_id",
-                F.lit(i).alias("step"),
-                F.element_at(
-                    "nbrs", (pick % F.size("nbrs") + 1).cast("int")
-                ).alias("node"),
-            )
+            .select("walk_id", F.lit(i).alias("step"), nxt.alias("node"))
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(frontier)
@@ -635,28 +708,53 @@ def random_walks_sql(
     walk_len: int = 4,
     seed: str = "walk",
     max_degree: int | None = None,
+    weighted: bool = False,
 ) -> str:
     """Standalone SQL mirror of :func:`random_walks` (DuckDB) — same
     md5 step hash, same sorted-adjacency indexing (and the same
-    sorted-prefix ``max_degree`` truncation), one CTE per step."""
+    sorted-prefix ``max_degree`` truncation), one CTE per step.
+    ``weighted=True`` expects ``edges_sql`` to produce (src, dst, w)
+    and replays the cumulative-weight interval walk."""
     from etl_instagram_spark.functions.text import hash32_sql
 
+    wsel = ", w" if weighted else ""
     if max_degree is not None:
         cap_cte = (
-            "ecap AS (SELECT src, dst FROM"
-            " (SELECT src, dst, row_number() OVER"
+            f"ecap AS (SELECT src, dst{wsel} FROM"
+            " (SELECT *, row_number() OVER"
             "  (PARTITION BY src ORDER BY dst) AS rn FROM e)"
             f" WHERE rn <= {int(max_degree)})"
         )
     else:
-        cap_cte = "ecap AS (SELECT src, dst FROM e)"
+        cap_cte = f"ecap AS (SELECT src, dst{wsel} FROM e)"
+    if weighted:
+        e_cte = (
+            "e AS MATERIALIZED (SELECT src::BIGINT AS src,"
+            " dst::BIGINT AS dst, (sum(w))::BIGINT AS w"
+            " FROM eraw GROUP BY 1, 2)"
+        )
+        adj_cte = (
+            "adjraw AS (SELECT src AS node,"
+            " list(dst ORDER BY dst) AS nbrs,"
+            " list(w ORDER BY dst) AS ws FROM ecap GROUP BY src),"
+            " adj AS MATERIALIZED (SELECT node, nbrs,"
+            " list_transform(range(1, len(ws) + 1),"
+            " i -> (list_sum(ws[1:i]))::BIGINT) AS cumw FROM adjraw)"
+        )
+    else:
+        e_cte = (
+            "e AS MATERIALIZED"
+            " (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM eraw)"
+        )
+        adj_cte = (
+            "adj AS MATERIALIZED (SELECT src AS node,"
+            " list_sort(list(dst)) AS nbrs FROM ecap GROUP BY src)"
+        )
     parts = [
         f"eraw AS ({edges_sql})",
-        "e AS MATERIALIZED"
-        " (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM eraw)",
+        e_cte,
         cap_cte,
-        "adj AS MATERIALIZED (SELECT src AS node,"
-        " list_sort(list(dst)) AS nbrs FROM ecap GROUP BY src)",
+        adj_cte,
         "w0 AS (SELECT node AS walk_id, 0 AS step, node FROM"
         " (SELECT src AS node FROM e UNION SELECT dst FROM e))",
     ]
@@ -664,9 +762,16 @@ def random_walks_sql(
         pick = hash32_sql(
             f"'{seed}' || chr(31) || w.walk_id::VARCHAR || chr(31) || '{i}'"
         )
+        if weighted:
+            nxt = (
+                f"a.nbrs[(len(list_filter(a.cumw,"
+                f" c -> c <= ({pick}) % a.cumw[-1])) + 1)::INT]"
+            )
+        else:
+            nxt = f"a.nbrs[(({pick}) % len(a.nbrs) + 1)::INT]"
         parts.append(
             f"w{i} AS MATERIALIZED (SELECT w.walk_id, {i} AS step,"
-            f" a.nbrs[(({pick}) % len(a.nbrs) + 1)::INT] AS node"
+            f" {nxt} AS node"
             f" FROM w{i - 1} w JOIN adj a ON a.node = w.node)"
         )
     union = " UNION ALL ".join(

@@ -1802,6 +1802,59 @@ def _sql_graph_random_walks() -> str:
     """
 
 
+def _graph_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r11): WEIGHTED deterministic walks — the interval
+    pick follows edges ∝ order-line count (P(v→u) = w/W(v)) over the
+    customer↔supplier graph, with the max_degree hub cap engaged so
+    the cap + cumulative-weight machinery certify together. Per-step
+    visit/distinct/checksum profile replayed in DuckDB."""
+    from etl_instagram_spark.operators.graph import (
+        bipartite_order_edges,
+        random_walks,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    walks = random_walks(
+        bipartite_order_edges(od, li, weighted=True),
+        walk_len=4,
+        seed="ww",
+        weight_col="w",
+        max_degree=32,
+    )
+    return (
+        walks.groupBy("step")
+        .agg(
+            F.count(F.lit(1)).alias("n_visits"),
+            F.countDistinct("node").alias("n_distinct_nodes"),
+            F.sum("node").alias("node_checksum"),
+        )
+        .orderBy("step")
+    )
+
+
+def _sql_graph_weighted_walks() -> str:
+    from etl_instagram_spark.operators.graph import (
+        BIPARTITE_ORDER_EDGES_WEIGHTED_SQL,
+        random_walks_sql,
+    )
+
+    ctes = random_walks_sql(
+        BIPARTITE_ORDER_EDGES_WEIGHTED_SQL,
+        walk_len=4,
+        seed="ww",
+        weighted=True,
+        max_degree=32,
+    )
+    return f"""
+    WITH {ctes}
+    SELECT step, count(*) AS n_visits,
+           count(DISTINCT node) AS n_distinct_nodes,
+           (sum(node))::BIGINT AS node_checksum
+    FROM walks GROUP BY step ORDER BY step
+    """
+
+
 def _part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r10): triangle counting / clustering coefficients
     over the part co-purchase projection (parts co-occurring on ≥ 3
@@ -2124,6 +2177,11 @@ def _register_rotated() -> None:
     EXTRAS["graph_random_walks"] = (
         _graph_random_walks,
         _sql_graph_random_walks(),
+    )
+    # never-gated (r11): weighted walks with the hub cap engaged
+    EXTRAS["graph_weighted_walks"] = (
+        _graph_weighted_walks,
+        _sql_graph_weighted_walks(),
     )
     # never-gated (r10): triangles over the co-purchase projection
     EXTRAS["part_triangle_stats"] = (

@@ -685,3 +685,83 @@ def test_k_core_on_real_copurchase_graph(spark, sf_smoke):
     edges = [(r["src"], r["dst"]) for r in e.collect()]
     assert got == _py_k_core(edges, 3)
     assert all(d >= 3 for d in got.values())
+
+
+def test_weighted_random_walks_cross_engine_and_bias(spark):
+    """Weighted walks: the interval pick follows P(v→u) = w/W(v) — a
+    dominant weight attracts most steps; w=1 everywhere reduces to the
+    unweighted walk exactly; deterministic under repartitioning and
+    replayed by the DuckDB mirror; NULL/non-positive weights rejected."""
+    import duckdb
+
+    from etl_instagram_spark.operators.graph import (
+        random_walks,
+        random_walks_sql,
+    )
+
+    # node 1 → {2 (w=97), 3 (w=1), 4 (w=2)}; all return to 1
+    edges = [(1, 2, 97), (1, 3, 1), (1, 4, 2), (2, 1, 1), (3, 1, 1), (4, 1, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = sorted(
+        tuple(r)
+        for r in random_walks(
+            df, walk_len=6, seed="wb", weight_col="w"
+        ).collect()
+    )
+    again = sorted(
+        tuple(r)
+        for r in random_walks(
+            df.repartition(5), walk_len=6, seed="wb", weight_col="w"
+        ).collect()
+    )
+    assert got == again
+    # steps out of node 1 should overwhelmingly land on 2
+    from_one = [
+        n2
+        for (w1, s1, n1) in got
+        for (w2, s2, n2) in got
+        if w1 == w2 and s2 == s1 + 1 and n1 == 1
+    ]
+    assert from_one and from_one.count(2) / len(from_one) > 0.7
+    con = duckdb.connect()
+    values = ",".join(f"({a},{b},{w})" for a, b, w in edges)
+    ctes = random_walks_sql(
+        f"SELECT src, dst, w FROM (VALUES {values}) t(src, dst, w)",
+        walk_len=6,
+        seed="wb",
+        weighted=True,
+    )
+    duck = sorted(
+        con.sql(f"WITH {ctes} SELECT walk_id, step, node FROM walks").fetchall()
+    )
+    con.close()
+    assert duck == got
+    # w = 1 everywhere == the unweighted walk, bit for bit
+    ones = spark.createDataFrame(
+        [(a, b, 1) for a, b, _ in edges], "src long, dst long, w long"
+    )
+    ww = sorted(
+        tuple(r)
+        for r in random_walks(
+            ones, walk_len=4, seed="eq", weight_col="w"
+        ).collect()
+    )
+    uw = sorted(
+        tuple(r)
+        for r in random_walks(
+            ones.select("src", "dst"), walk_len=4, seed="eq"
+        ).collect()
+    )
+    assert ww == uw
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, 2, 0), (2, 1, 1)], "src long, dst long, w long"
+    )
+    with _pytest.raises(ValueError, match="positive"):
+        random_walks(bad, weight_col="w")
+    nul = spark.createDataFrame(
+        [(1, 2, None), (2, 1, 1)], "src long, dst long, w long"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        random_walks(nul, weight_col="w")
