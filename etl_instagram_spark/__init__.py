@@ -13,10 +13,14 @@ re-expressed Spark-first:
                   (as-of, bucketized range), hypertable rollup, exponential
                   smoothing, deterministic split/sampling, sequence
                   packing, corpus cleanup (boilerplate lines, repetition
-                  signals), graph centrality (integer-quantized PageRank,
-                  triangles, random walks), cross-engine-exact HLL
-                  sketches, entity resolution, and funnel/cohort
-                  analytics.
+                  signals), graph analytics (integer-quantized PageRank
+                  incl. personalized/weighted/redistribute-dangling,
+                  degree-ordered triangles, k-core, uniform + weighted
+                  deterministic random walks), cross-engine-exact
+                  sketches (HLL distincts, count-min frequencies),
+                  entity resolution (key blocking with hot-block guard
+                  + sorted-neighborhood), PPS weighted sampling, and
+                  funnel/cohort analytics.
 - ``functions`` : scalar/text kernels — tokenizer, Porter stemmer (pandas
                   UDF), stopwords, language-ID, quality scoring,
                   minhash/simhash, fingerprinting, sentence split.
