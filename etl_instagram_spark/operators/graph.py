@@ -80,6 +80,7 @@ def pagerank(
     seeds: DataFrame | None = None,
     weight_col: str | None = None,
     redistribute_dangling: bool = False,
+    hot_src_threshold: int | None = 1 << 17,
 ) -> DataFrame:
     """PageRank over a directed edge list — returns (id, rank_micro)
     with ``rank_micro`` the node's stationary-mass estimate after
@@ -122,7 +123,23 @@ def pagerank(
     int64 (D ≤ scale, so inflow + D div |S| ≤ 2·scale ≪ 2^63/num);
     the oracle replays the per-round dangling sum as a scalar
     subquery. Default False keeps the documented exit-mass
-    simplification (cheaper: no per-round dangling agg)."""
+    simplification (cheaper: no per-round dangling agg).
+
+    ``hot_src_threshold`` is the power-law skew guard: any source whose
+    out-edge count exceeds it has its adjacency SALTED into
+    ceil(count/threshold) sub-partitions by a deterministic hash of
+    ``dst``, and each iteration replicates that node's rank row once
+    per salt (a broadcast explode on the node-sized frame) so the
+    contrib join fans the hub's edges across k tasks instead of one.
+    Per-edge contribs are unchanged and int64 sums are
+    order-independent, so results stay bit-identical — the salt is
+    partitioning metadata only, invisible to the oracle. Detection is
+    one map-side count over the pinned edge frame; when no source
+    crosses the threshold (the common case) the plan is exactly the
+    unsalted one. At 100 TB set it to roughly your target
+    edges-per-partition; ``None`` disables the guard. The hot-source
+    count is bounded by |E|/threshold by construction, so the hot map
+    stays a legitimate broadcast."""
     num, den = damping
     if not (0 < num < den):
         raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
@@ -177,6 +194,39 @@ def pagerank(
                 f"(rank·w must fit int64), got [{bounds['lo']}, {bounds['hi']}]"
             )
         e = e.drop("__nulls")
+    # power-law guard: find sources whose adjacency exceeds the salt
+    # threshold (one map-side count over the pinned frame — the hot
+    # frame has ≤ |E|/threshold rows, so it broadcasts). Only when a
+    # hot source exists does the edge list get re-salted + re-pinned.
+    hot = None
+    if hot_src_threshold is not None:
+        hot = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") > hot_src_threshold)
+            .select(
+                "src",
+                F.ceil(F.col("__cnt") / F.lit(hot_src_threshold))
+                .cast("int")
+                .alias("__k"),
+            )
+        )
+        if hot.limit(1).count() == 0:
+            hot = None
+        else:
+            hot = hot.localCheckpoint(eager=True)
+            e = (
+                e.join(F.broadcast(hot), "src", "left")
+                .withColumn(
+                    "__salt",
+                    F.when(F.col("__k").isNull(), F.lit(0))
+                    .otherwise(F.pmod(F.hash("dst"), F.col("__k")))
+                    .cast("int"),
+                )
+                .drop("__k")
+                .repartition(F.col("src"), F.col("__salt"))
+                .localCheckpoint(eager=True)
+            )
     deg = e.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("outdeg"))
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -213,8 +263,35 @@ def pagerank(
         rk = ranks.filter(F.col("outdeg").isNotNull()).select(
             "id", "outdeg", "rank_micro"
         )
+        if hot is None:
+            joined_edges = e.join(rk, e.src == rk.id)
+        else:
+            # replicate each hot source's rank row once per salt so the
+            # (src, salt) join fans its adjacency across k tasks; cold
+            # sources keep a single salt-0 row (sequence(0, 0))
+            rk = (
+                rk.join(
+                    F.broadcast(
+                        hot.select(F.col("src").alias("id"), "__k")
+                    ),
+                    "id",
+                    "left",
+                )
+                .withColumn(
+                    "__rs",
+                    F.explode(
+                        F.sequence(
+                            F.lit(0), F.coalesce(F.col("__k"), F.lit(1)) - 1
+                        )
+                    ),
+                )
+                .drop("__k")
+            )
+            joined_edges = e.join(
+                rk, (e.src == rk.id) & (e["__salt"] == rk["__rs"])
+            )
         inflow = (
-            e.join(rk, e.src == rk.id)
+            joined_edges
             .select(
                 F.col("dst").alias("id"),
                 F.expr("(rank_micro * w) div outdeg").alias("contrib"),
@@ -605,9 +682,24 @@ def random_walks(
             )
             .localCheckpoint(eager=True)
         )
-        bounds = e.agg(
-            F.min("w").alias("lo"), F.sum("__nulls").alias("nulls")
-        ).collect()[0]
+        # one two-stage agg: per-src degree/extremes, then global — the
+        # degree bound feeds the int64 check below
+        bounds = (
+            e.groupBy("src")
+            .agg(
+                F.count(F.lit(1)).alias("d"),
+                F.min("w").alias("lo"),
+                F.max("w").alias("hi"),
+                F.sum("__nulls").alias("nulls"),
+            )
+            .agg(
+                F.max("d").alias("deg"),
+                F.min("lo").alias("lo"),
+                F.max("hi").alias("hi"),
+                F.sum("nulls").alias("nulls"),
+            )
+            .collect()[0]
+        )
         if bounds["nulls"] is not None and bounds["nulls"] > 0:
             raise ValueError(
                 f"random_walks: {bounds['nulls']} edge row(s) have NULL "
@@ -618,6 +710,24 @@ def random_walks(
                 f"random_walks: weights must be positive ints, got min "
                 f"{bounds['lo']}"
             )
+        # the interval pick sums weights per node (cumw[-1]); a silent
+        # int64 overflow on the Spark side would desync from the DuckDB
+        # mirror (whose ::BIGINT cast errors instead). Bound it the way
+        # pagerank bounds rank·w: max capped degree × max weight must
+        # fit int64 — conservative, checked in exact Python ints.
+        if bounds["deg"] is not None and bounds["hi"] is not None:
+            eff_deg = (
+                min(int(bounds["deg"]), max_degree)
+                if max_degree is not None
+                else int(bounds["deg"])
+            )
+            if eff_deg * int(bounds["hi"]) > 2**63 - 1:
+                raise ValueError(
+                    "random_walks: per-node cumulative weight could "
+                    f"overflow int64 (max out-degree {eff_deg} × max "
+                    f"weight {bounds['hi']}) — cap max_degree or "
+                    "rescale weights"
+                )
         e = e.drop("__nulls")
     ecap = e
     if max_degree is not None:

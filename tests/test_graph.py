@@ -765,3 +765,87 @@ def test_weighted_random_walks_cross_engine_and_bias(spark):
     )
     with _pytest.raises(ValueError, match="NULL"):
         random_walks(nul, weight_col="w")
+
+
+def test_pagerank_hot_src_salting_bit_identical(spark):
+    """The power-law skew guard (hot_src_threshold) is partitioning
+    metadata only: forcing every source to salt (threshold=2) must
+    reproduce the unsalted ranks bit for bit on every variant — plain,
+    weighted, personalized, and redistribute-dangling — because the
+    per-edge contribs are unchanged and int64 sums are
+    order-independent."""
+    # hub 0 → 1..12 (out-degree 12 ≫ threshold), chords + a dangler
+    edges = (
+        [(0, i) for i in range(1, 13)]
+        + [(i, 0) for i in range(1, 7)]
+        + [(1, 2), (2, 3), (3, 4), (4, 5), (12, 13)]  # 13 dangles
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    plain = sorted(tuple(r) for r in pagerank(df, n_iter=3, hot_src_threshold=None).collect())
+    salted = sorted(tuple(r) for r in pagerank(df, n_iter=3, hot_src_threshold=2).collect())
+    assert plain == salted
+    # the guard must not drift from the independent reference either
+    assert {i: r for i, r in salted} == _py_pagerank(edges, n_iter=3)
+
+    seeds = spark.createDataFrame([(1,), (5,)], "id long")
+    p_seed = sorted(
+        tuple(r)
+        for r in pagerank(df, n_iter=3, seeds=seeds, hot_src_threshold=None).collect()
+    )
+    s_seed = sorted(
+        tuple(r)
+        for r in pagerank(df, n_iter=3, seeds=seeds, hot_src_threshold=2).collect()
+    )
+    assert p_seed == s_seed
+
+    p_red = sorted(
+        tuple(r)
+        for r in pagerank(
+            df, n_iter=3, redistribute_dangling=True, hot_src_threshold=None
+        ).collect()
+    )
+    s_red = sorted(
+        tuple(r)
+        for r in pagerank(
+            df, n_iter=3, redistribute_dangling=True, hot_src_threshold=2
+        ).collect()
+    )
+    assert p_red == s_red
+
+    wdf = spark.createDataFrame(
+        [(s, d, (s + d) % 5 + 1) for s, d in edges], "src long, dst long, w long"
+    )
+    p_w = sorted(
+        tuple(r)
+        for r in pagerank(wdf, n_iter=3, weight_col="w", hot_src_threshold=None).collect()
+    )
+    s_w = sorted(
+        tuple(r)
+        for r in pagerank(wdf, n_iter=3, weight_col="w", hot_src_threshold=2).collect()
+    )
+    assert p_w == s_w
+
+
+def test_weighted_random_walks_rejects_int64_overflow_weights(spark):
+    """ADVICE r11: the interval pick's per-node cumulative sum must fit
+    int64 — validated at setup (max capped out-degree × max weight,
+    exact Python ints), mirroring pagerank's rank·w bound, so Spark
+    cannot silently wrap where the DuckDB mirror's ::BIGINT errors."""
+    from etl_instagram_spark.operators.graph import random_walks
+
+    big = 2**62
+    df = spark.createDataFrame(
+        [(1, 2, big), (1, 3, big), (2, 1, 1), (3, 1, 1)],
+        "src long, dst long, w long",
+    )
+    with pytest.raises(ValueError, match="overflow int64"):
+        random_walks(df, walk_len=2, weight_col="w")
+    # the same weights under a degree cap of 1 are safe — the bound
+    # must use the CAPPED degree
+    ok = random_walks(df, walk_len=2, weight_col="w", max_degree=1)
+    assert ok.count() > 0
+    # a single huge-but-safe weight also passes
+    safe = spark.createDataFrame(
+        [(1, 2, big), (2, 1, 1)], "src long, dst long, w long"
+    )
+    assert random_walks(safe, walk_len=2, weight_col="w").count() > 0

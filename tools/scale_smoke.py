@@ -430,6 +430,51 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             ),
             "params": {"hub_edge_frac": 0.3, "n_edges": n_edges},
         }
+    elif op == "pagerank_srchub":
+        # src-side power-law guard: ONE hub is the SOURCE of ~23% of
+        # all edges — the case repartition(src) cannot spread (every
+        # hub edge hashes to the same partition, unlike
+        # pagerank_hubskew where the shared hub's as-src share stays
+        # ~1.5%). hot_src_threshold=16384 is the constant per-task
+        # adjacency target (the smoke convention: index parameters
+        # hold expected bucket size constant), so the salt count k =
+        # ceil(out/16384) adapts — 2 at base, 13 at 10x — and the
+        # honest expectation is time ∝ mult with the hub's join fan-out
+        # bounded at threshold edges per task regardless of mult.
+        from etl_instagram_spark.operators.graph import pagerank
+
+        n_nodes = 20_000 * mult
+        nv = spark.range(1, n_nodes + 1).select(
+            F.col("id").cast("long").alias("v")
+        )
+        chords = None
+        for a in (7013, 104729, 1299721):  # 3 fixed-stride chords/node
+            part = nv.select(
+                F.col("v").alias("src"),
+                (F.col("v") * a % n_nodes + 1).cast("long").alias("dst"),
+            ).filter(F.col("src") != F.col("dst"))
+            chords = part if chords is None else chords.unionByName(part)
+        hub_out = nv.select(
+            F.lit(0).cast("long").alias("src"), F.col("v").alias("dst")
+        )
+        hub_in = nv.filter(F.col("v") % 10 == 0).select(
+            F.col("v").alias("src"), F.lit(0).cast("long").alias("dst")
+        )
+        edges = chords.unionByName(hub_out).unionByName(hub_in).localCheckpoint()
+        n_edges = edges.count()
+        res = {
+            "sec": timed(
+                lambda: pagerank(edges, n_iter=3, hot_src_threshold=16384)
+                .agg(F.sum("rank_micro"))
+                .collect()
+            ),
+            "params": {
+                "n_iter": 3,
+                "hub_out_edges": n_nodes,
+                "n_edges": n_edges,
+                "hot_src_threshold": 16384,
+            },
+        }
     elif op == "entity_hotblock_guarded":
         # the hot-block guard under an adversarial key: ~30% of all
         # rows land in ONE block shared ACROSS copies (the stopword-key
@@ -593,6 +638,7 @@ OPS = (
     "dsir_select",
     "pagerank",
     "pagerank_hubskew",
+    "pagerank_srchub",
     "triangles",
     "triangles_hubskew",
     "hll",
