@@ -485,6 +485,19 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r12 emb_pq_recall floor-drift A/B (VERDICT r11 "
+                        "task #2: minima 1.79->2.50->3.59s across r8->r10->"
+                        "r11 while PQ code changed only in r9): HEAD vs "
+                        "pre-r9 similarity.py (f186c54, before the encode "
+                        "unroll guard b23e2da and argmin let-binding "
+                        "a2ac1a4), 5 warm reps each back-to-back in one "
+                        "session at sf0.1 — HEAD floor 2.265s, pre-r9 "
+                        "floor 2.768s. HEAD is FASTER than pre-r9, so the "
+                        "r9 changes are exonerated; both floors sit well "
+                        "under the r11-recorded 3.59, attributing the "
+                        "cross-round movement to container state, not "
+                        "code. (Same verdict pattern as pagerank_hubskew: "
+                        "r11's 7.45x re-measured at 1.33x at r12 start.)",
                         "r11 structural delta: gate rotation promoted "
                         "part_entity_resolution (~6.6s warm at sf0.1: 8.6M "
                         "in-block levenshtein pairs + CC over the match "

@@ -414,3 +414,389 @@ def cm_lookup_sql(
     LEFT JOIN ({sketch_sql}) s ON {gjoin}
     GROUP BY {qg}q.value
     """
+
+
+# ---------------------------------------------------------------------------
+# Dyadic count-min QUANTILE sketch (Cormode & Muthukrishnan, J. Algorithms
+# 2005 §4.2: range sums / quantiles by dyadic decomposition over CM rows).
+#
+# Why this shape and not KLL/t-digest: KLL's compactor is SEQUENTIAL — which
+# items survive depends on arrival order within a buffer, so two engines (or
+# two partitionings) produce different, equally-valid states; t-digest
+# centroids are float means. Neither can be certified bit-for-bit across
+# engines. The dyadic-CM construction is pure COUNTING: one CM sketch per
+# dyadic level ℓ counting the keys (value >> ℓ); registers merge by SUM
+# (commutative/associative — batch-split-independent BY ALGEBRA, the same
+# property the epoch-keyed continuous faces lean on), every register is an
+# int64, and both the rank estimate and the quantile bit-descent are integer
+# arithmetic a DuckDB CTE chain replays exactly.
+#
+# Guarantees: counters only over-count, so rank_est(x) ≥ true rank(x)
+# always, with E[overcount] ≤ (b·e/w)·n per probe (union over ≤ b dyadic
+# nodes, each a CM row of width w); quantile answers are exact order
+# statistics whenever no collision lands on the probed nodes. State is
+# ≤ d·w·b rows per group regardless of input size.
+#
+# Values must be integers in [0, 2^b): quantize continuous columns onto a
+# fixed grid first (e.g. cents = floor(value·100) — IEEE double multiply
+# and floor are bit-identical across engines; only libm pow/ln are not).
+# Out-of-range values fail LOUDLY in both engines (raise_error / error()),
+# never silently alias; NULLs drop, matching percentile semantics.
+# ---------------------------------------------------------------------------
+
+DCM_W = 512  # counters per (level, row): rank overcount ~ (b·e/w)·n
+DCM_D = 3    # independent rows per level
+DCM_B = 16   # domain bits: values in [0, 65536)
+
+
+def dcm_hash(prefix: Column, lvl: Column, j: Column, w: int) -> Column:
+    """Counter index for a dyadic node: hash32("dq{lvl}.{j}" ⟂ prefix)
+    mod w — the salt is built from COLUMNS so sketch, rank, and the
+    quantile descent share one expression in both engines."""
+    from etl_instagram_spark.functions.text import hash32
+
+    return (
+        hash32(
+            F.concat(
+                F.lit("dq"),
+                lvl.cast("string"),
+                F.lit("."),
+                j.cast("string"),
+                F.lit("\x1f"),
+                prefix.cast("string"),
+            )
+        )
+        % w
+    )
+
+
+def dcm_hash_sql(prefix_expr: str, lvl_expr: str, j_expr: str, w: int) -> str:
+    """DuckDB mirror of :func:`dcm_hash`."""
+    from etl_instagram_spark.functions.text import hash32_sql
+
+    salted = (
+        f"'dq' || ({lvl_expr})::VARCHAR || '.' || ({j_expr})::VARCHAR"
+        f" || chr(31) || ({prefix_expr})::VARCHAR"
+    )
+    return f"({hash32_sql(salted)} % {w})"
+
+
+def dcm_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    w: int = DCM_W,
+    d: int = DCM_D,
+    b: int = DCM_B,
+) -> DataFrame:
+    """Per-group dyadic-CM register state: (group…, lvl, j, col, cnt) —
+    at most d·w·b rows per group; level-ℓ rows count the dyadic keys
+    (value >> ℓ). One b·d explode + one partially-aggregated counting
+    groupBy; the shuffle moves ≤ groups·d·w·b rows regardless of input
+    size. Out-of-range values raise INSIDE the scan (no extra
+    validation pass — the loud-assert convention)."""
+    if not (2 <= b <= 40):
+        raise ValueError(f"b must be in [2, 40], got {b}")
+    if w < 2:
+        raise ValueError(f"w must be >= 2, got {w}")
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    g = list(group_cols or [])
+    v = F.col(value_col).cast("long")
+    guarded = F.when(
+        (v < 0) | (v >= F.lit(1 << b)),
+        F.raise_error(
+            F.concat(
+                F.lit(f"dcm_sketch: value out of [0, {1 << b}): "),
+                v.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(v)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(lv).alias("lvl"), F.lit(j).alias("j"))
+            for lv in range(b)
+            for j in range(d)
+        ]
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*g, guarded.alias("__v"))
+        .select(*g, "__v", F.explode(pairs).alias("__p"))
+        .select(
+            *g,
+            F.col("__p.lvl").alias("lvl"),
+            F.col("__p.j").alias("j"),
+            F.expr("shiftright(__v, __p.lvl)").alias("__pref"),
+        )
+        .select(
+            *g,
+            "lvl",
+            "j",
+            dcm_hash(F.col("__pref"), F.col("lvl"), F.col("j"), w).alias(
+                "col"
+            ),
+        )
+        .groupBy(*g, "lvl", "j", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def dcm_sketch_sql(
+    value_expr: str,
+    from_clause: str,
+    group_exprs: list[str] | None = None,
+    w: int = DCM_W,
+    d: int = DCM_D,
+    b: int = DCM_B,
+    where: str | None = None,
+) -> str:
+    """Standalone DuckDB statement mirroring :func:`dcm_sketch` —
+    identical dynamic-salt hashes, identical integer counters, and the
+    same loud out-of-range error()."""
+    g = list(group_exprs or [])
+    gsel = "".join(f"{e}, " for e in g)
+    wh = f"AND ({where})" if where else ""
+    guard = (
+        f"CASE WHEN ({value_expr}) < 0 OR ({value_expr}) >= {1 << b}"
+        f" THEN error('dcm_sketch: value out of range')"
+        f" ELSE ({value_expr})::BIGINT END"
+    )
+    col = dcm_hash_sql("(v >> lvl)", "lvl", "j", w)
+    return f"""
+    SELECT {gsel}lvl, j, {col} AS col, count(*)::BIGINT AS cnt
+    FROM (SELECT {gsel}{guard} AS v FROM {from_clause}
+          WHERE ({value_expr}) IS NOT NULL {wh}) src
+    CROSS JOIN (SELECT unnest(range({b}))::INT AS lvl) lv
+    CROSS JOIN (SELECT unnest(range({d}))::INT AS j) jj
+    GROUP BY {gsel}lvl, j, col
+    """
+
+
+def dcm_merge(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge dyadic-CM register sets (per-shard / per-epoch):
+    groupBy-SUM over (group…, lvl, j, col). Split-independent but not
+    idempotent — the continuous face keys by epoch, exactly like
+    :func:`cm_merge`."""
+    g = list(group_cols or [])
+    return registers.groupBy(*g, "lvl", "j", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def dcm_total(
+    sketch: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Exact item count per group, read back out of the sketch: every
+    non-NULL item lands in exactly one counter of the (lvl=0, j=0)
+    family, so its column sum is n — no side channel to keep in sync."""
+    g = list(group_cols or [])
+    return (
+        sketch.filter((F.col("lvl") == 0) & (F.col("j") == 0))
+        .groupBy(*g)
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+
+
+def dcm_rank(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    w: int = DCM_W,
+    d: int = DCM_D,
+    b: int = DCM_B,
+) -> DataFrame:
+    """Rank estimates: one row per distinct (group…, value) probe with
+    ``rank_est`` = estimated #items strictly below the value — the sum
+    of CM estimates over the ≤ b dyadic nodes decomposing [0, value),
+    each the min over d counters. Always ≥ the true rank (counters only
+    over-count). One explode + one key-equi LEFT join against the tiny
+    register frame + two groupBys."""
+    g = list(group_cols or [])
+    x = F.col(value_col).cast("long")
+    base = probes.filter(x.isNotNull()).select(*g, x.alias("__x")).distinct()
+    pairs = F.array(
+        *[
+            F.struct(F.lit(lv).alias("lvl"), F.lit(j).alias("j"))
+            for lv in range(b)
+            for j in range(d)
+        ]
+    )
+    ex = (
+        base.select(*g, "__x", F.explode(pairs).alias("__p"))
+        .select(
+            *g,
+            "__x",
+            F.col("__p.lvl").alias("lvl"),
+            F.col("__p.j").alias("j"),
+        )
+        # level ℓ contributes iff bit ℓ of x is set; its node is the
+        # length-2^ℓ dyadic interval ending at x's bit-ℓ boundary
+        .filter(F.expr("(shiftright(__x, lvl) & 1) = 1"))
+        .withColumn(
+            "__pref", F.expr("shiftleft(shiftright(__x, lvl + 1), 1)")
+        )
+        .withColumn(
+            "col", dcm_hash(F.col("__pref"), F.col("lvl"), F.col("j"), w)
+        )
+    )
+    per_node = (
+        ex.join(sketch, [*g, "lvl", "j", "col"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .groupBy(*g, "__x", "lvl")
+        .agg(F.min("cnt").alias("__est"))
+    )
+    summed = per_node.groupBy(*g, "__x").agg(
+        F.sum("__est").cast("long").alias("rank_est")
+    )
+    return (
+        base.join(summed, [*g, "__x"], "left")
+        .withColumn(
+            "rank_est", F.coalesce("rank_est", F.lit(0)).cast("long")
+        )
+        .withColumnRenamed("__x", value_col)
+    )
+
+
+def dcm_quantiles(
+    sketch: DataFrame,
+    quantiles: list[tuple[int, int]],
+    group_cols: list[str] | None = None,
+    w: int = DCM_W,
+    d: int = DCM_D,
+    b: int = DCM_B,
+) -> DataFrame:
+    """Quantile answers from the registers alone: for each (num, den)
+    rational φ, per group, the largest domain value x with
+    rank_est(x) < target, target = ceil(φ·n) — the φ-quantile up to the
+    sketch's rank error, EXACTLY percentile_disc when no collision
+    touches the probed nodes. Output (group…, q_num, q_den, n, target,
+    q_value).
+
+    The descent fixes one bit per round, high to low: b fixed rounds
+    over a groups×quantiles-sized frame, each one rank probe against
+    the pinned register frame — all integer comparisons, so a DuckDB
+    CTE chain (:func:`dcm_quantiles_sql`) replays the identical walk."""
+    for nu, de in quantiles:
+        if not (0 < nu <= de):
+            raise ValueError(f"quantile must satisfy 0 < num <= den: {nu}/{de}")
+    g = list(group_cols or [])
+    sk = sketch.localCheckpoint(eager=True)  # probed b times
+    qlist = F.array(
+        *[
+            F.struct(
+                F.lit(int(nu)).alias("q_num"), F.lit(int(de)).alias("q_den")
+            )
+            for nu, de in quantiles
+        ]
+    )
+    cur = (
+        dcm_total(sk, g)
+        .select(*g, "n", F.explode(qlist).alias("__q"))
+        .select(*g, "n", F.col("__q.q_num").alias("q_num"), F.col("__q.q_den").alias("q_den"))
+        .withColumn("target", F.expr("(q_num * n + q_den - 1) div q_den"))
+        .withColumn("x", F.lit(0).cast("long"))
+    )
+    for i, k in enumerate(range(b - 1, -1, -1)):
+        cand = cur.withColumn("__cand", F.col("x") + F.lit(1 << k))
+        rk = dcm_rank(
+            sk, cand.select(*g, "__cand"), "__cand", g, w=w, d=d, b=b
+        )
+        cur = (
+            cand.join(rk, [*g, "__cand"], "left")
+            .withColumn(
+                "x",
+                F.when(
+                    F.coalesce("rank_est", F.lit(0)) < F.col("target"),
+                    F.col("__cand"),
+                ).otherwise(F.col("x")),
+            )
+            .drop("__cand", "rank_est")
+        )
+        # truncate the per-round join lineage a few times across the
+        # descent — frames are tiny, plans are what grow
+        if i % 4 == 3 and k > 0:
+            cur = cur.localCheckpoint(eager=True)
+    return cur.select(
+        *g, "q_num", "q_den", "n", "target", F.col("x").alias("q_value")
+    )
+
+
+def dcm_quantiles_sql(
+    sketch_sql: str,
+    quantiles: list[tuple[int, int]],
+    group_exprs: list[str] | None = None,
+    w: int = DCM_W,
+    d: int = DCM_D,
+    b: int = DCM_B,
+) -> str:
+    """WITH-clause body replaying :func:`dcm_quantiles` in DuckDB — the
+    registers once (MATERIALIZED), then one CTE per descent round with
+    the identical integer rank probe; final CTE ``qout`` has columns
+    (group…, q_num, q_den, n, target, q_value)."""
+    g = list(group_exprs or [])
+    gsel = "".join(f"{e}, " for e in g)
+    con_and = lambda a, b2: " AND ".join(  # noqa: E731 — local glue
+        [f"{a}.{e} = {b2}.{e}" for e in g]
+    )
+    qvals = ", ".join(f"({nu}, {de})" for nu, de in quantiles)
+    gq = "".join(f"c.{e}, " for e in g)
+    parts = [
+        f"regs AS MATERIALIZED ({sketch_sql})",
+        f"ntot AS (SELECT {gsel}(sum(cnt))::BIGINT AS n FROM regs"
+        f" WHERE lvl = 0 AND j = 0"
+        + (f" GROUP BY {', '.join(g)}" if g else "")
+        + ")",
+        f"s0 AS (SELECT {gsel}q.q_num, q.q_den, n,"
+        f" ((q.q_num * n + q.q_den - 1) // q.q_den)::BIGINT AS target,"
+        f" 0::BIGINT AS x"
+        f" FROM ntot CROSS JOIN (VALUES {qvals}) q(q_num, q_den))",
+    ]
+    for i, k in enumerate(range(b - 1, -1, -1)):
+        step = 1 << k
+        pref = "((c.cand >> (lv.lvl + 1)) << 1)"
+        col = dcm_hash_sql(pref, "lv.lvl", "jj.j", w)
+        gjoin = " AND ".join(
+            [f"regs.{e} = p.{e}" for e in g]
+            + ["regs.lvl = p.lvl", "regs.j = p.j", "regs.col = p.col"]
+        )
+        parts.append(
+            f"c{i} AS (SELECT *, (x + {step})::BIGINT AS cand FROM s{i})"
+        )
+        parts.append(
+            f"p{i} AS (SELECT {gq}c.q_num, c.q_den, c.cand,"
+            f" lv.lvl, jj.j, {col} AS col"
+            f" FROM c{i} c"
+            f" CROSS JOIN (SELECT unnest(range({b}))::INT AS lvl) lv"
+            f" CROSS JOIN (SELECT unnest(range({d}))::INT AS j) jj"
+            f" WHERE ((c.cand >> lv.lvl) & 1) = 1)"
+        )
+        pg = "".join(f"p.{e}, " for e in g)
+        parts.append(
+            f"r{i} AS (SELECT {gsel}q_num, q_den, cand,"
+            f" (sum(est))::BIGINT AS rank_est FROM"
+            f" (SELECT {pg}p.q_num, p.q_den, p.cand, p.lvl,"
+            f"  (min(COALESCE(regs.cnt, 0)))::BIGINT AS est"
+            f"  FROM p{i} p LEFT JOIN regs ON {gjoin}"
+            f"  GROUP BY {pg}p.q_num, p.q_den, p.cand, p.lvl) node"
+            f" GROUP BY {gsel}q_num, q_den, cand)"
+        )
+        rjoin = " AND ".join(
+            [f"r.{e} = c.{e}" for e in g]
+            + ["r.q_num = c.q_num", "r.q_den = c.q_den"]
+        )
+        parts.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT {gq}c.q_num, c.q_den, c.n,"
+            f" c.target,"
+            f" (CASE WHEN COALESCE(r.rank_est, 0) < c.target THEN c.cand"
+            f" ELSE c.x END)::BIGINT AS x"
+            f" FROM c{i} c LEFT JOIN r{i} r ON {rjoin})"
+        )
+    parts.append(
+        f"qout AS (SELECT {gsel}q_num, q_den, n, target,"
+        f" x AS q_value FROM s{b})"
+    )
+    return ",\n".join(parts)

@@ -1053,6 +1053,41 @@ def cm_read_registers(
     return cm_merge(store.read(), group_cols)
 
 
+def apply_dcm_delta(
+    store: MergeTable,
+    batch_df: DataFrame,
+    epoch_id: int,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    w: int = 512,
+    d: int = 3,
+    b: int = 16,
+) -> None:
+    """Fold one micro-batch into an epoch-keyed DYADIC-CM quantile
+    register store (operators/sketches.dcm_sketch): rows keyed
+    (epoch_id, group…, lvl, j, col) carrying the batch's counters.
+    Identical exactly-once shape to :func:`apply_cm_delta` (sum-merge
+    is not idempotent → replay rides the epoch key); the collapsed
+    store answers rank/quantile probes over the WHOLE stream so far —
+    continuous percentile monitoring without re-sorting history."""
+    from etl_instagram_spark.operators.sketches import dcm_sketch
+
+    delta = dcm_sketch(batch_df, value_col, group_cols, w, d, b).withColumn(
+        "epoch_id", F.lit(int(epoch_id))
+    )
+    store.upsert(delta)
+
+
+def dcm_read_registers(
+    store: MergeTable, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Collapse the epoch-keyed dyadic-CM store to one register set —
+    the frame operators/sketches.dcm_rank / dcm_quantiles expect."""
+    from etl_instagram_spark.operators.sketches import dcm_merge
+
+    return dcm_merge(store.read(), group_cols)
+
+
 def stream_hll_registers(
     spark: SparkSession,
     landing_dir: str,

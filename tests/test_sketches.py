@@ -306,3 +306,219 @@ def test_cm_epoch_store_exactly_once_and_split_independent(spark, tmp_path):
     for (x,) in rows:
         true[x] = true.get(x, 0) + 1
     assert all(est[k] >= t for k, t in true.items())
+
+
+# ---------------------------------------------------------------------------
+# Dyadic-CM quantile sketch (the r12 mergeable-quantile family)
+# ---------------------------------------------------------------------------
+
+
+def _dcm_vals():
+    # deterministic multimodal-ish integer stream over two groups
+    return [("a" if i % 3 else "b", (i * 37) % 1000) for i in range(2000)]
+
+
+def test_dcm_registers_and_quantiles_match_duckdb_bit_for_bit(spark):
+    """Full cross-engine replay: the register rows AND the b-round
+    quantile bit-descent land on identical integers in DuckDB — the
+    property KLL's order-dependent compaction cannot offer (module
+    docstring), and the reason this engine's quantile sketch is
+    dyadic-CM."""
+    from etl_instagram_spark.operators.sketches import (
+        dcm_quantiles,
+        dcm_quantiles_sql,
+        dcm_sketch,
+        dcm_sketch_sql,
+    )
+
+    vals = _dcm_vals()
+    df = spark.createDataFrame(vals, "grp string, v long")
+    w, d, b = 256, 3, 10
+    got_regs = sorted(
+        tuple(r) for r in dcm_sketch(df, "v", ["grp"], w=w, d=d, b=b).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(grp VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", vals)
+    duck_regs = sorted(
+        (r[0], int(r[1]), int(r[2]), int(r[3]), int(r[4]))
+        for r in con.sql(
+            dcm_sketch_sql("v", "t", ["grp"], w=w, d=d, b=b)
+        ).fetchall()
+    )
+    assert duck_regs == [(g, int(l), int(j), int(c), int(n)) for g, l, j, c, n in got_regs]
+
+    qs = [(1, 4), (1, 2), (3, 4), (9, 10)]
+    sk = dcm_sketch(df, "v", ["grp"], w=w, d=d, b=b)
+    got_q = sorted(
+        tuple(r)
+        for r in dcm_quantiles(sk, qs, ["grp"], w=w, d=d, b=b).collect()
+    )
+    ctes = dcm_quantiles_sql(
+        dcm_sketch_sql("v", "t", ["grp"], w=w, d=d, b=b),
+        qs,
+        ["grp"],
+        w=w,
+        d=d,
+        b=b,
+    )
+    duck_q = sorted(
+        (r[0], *(int(x) for x in r[1:]))
+        for r in con.sql(f"WITH {ctes} SELECT * FROM qout").fetchall()
+    )
+    con.close()
+    assert duck_q == [(g, *(int(x) for x in rest)) for g, *rest in got_q]
+
+
+def test_dcm_quantile_accuracy_and_rank_overestimate(spark):
+    """Counters only over-count → rank_est(x) ≥ true rank(x) for EVERY
+    probe; at a generous width the descent answers are the exact
+    order statistics."""
+    from etl_instagram_spark.operators.sketches import (
+        dcm_quantiles,
+        dcm_rank,
+        dcm_sketch,
+    )
+
+    vals = _dcm_vals()
+    df = spark.createDataFrame(vals, "grp string, v long")
+    w, d, b = 2048, 4, 10
+    sk = dcm_sketch(df, "v", ["grp"], w=w, d=d, b=b)
+    ranks = dcm_rank(sk, df, "v", ["grp"], w=w, d=d, b=b).collect()
+    by_grp: dict[str, list[int]] = {}
+    for g, v in vals:
+        by_grp.setdefault(g, []).append(v)
+    for r in ranks:
+        true = sum(1 for x in by_grp[r["grp"]] if x < r["v"])
+        assert r["rank_est"] >= true
+    got = {
+        (r["grp"], r["q_num"], r["q_den"]): (r["q_value"], r["target"], r["n"])
+        for r in dcm_quantiles(
+            sk, [(1, 4), (1, 2), (3, 4)], ["grp"], w=w, d=d, b=b
+        ).collect()
+    }
+    for g, xs in by_grp.items():
+        xs = sorted(xs)
+        for nu, de in [(1, 4), (1, 2), (3, 4)]:
+            q_value, target, n = got[(g, nu, de)]
+            assert n == len(xs)
+            assert target == (nu * n + de - 1) // de
+            exact = xs[target - 1]
+            # rank error at w=2048 over ~1.3k items: allow a whisker
+            lo = sum(1 for x in xs if x < q_value)
+            hi = sum(1 for x in xs if x <= q_value)
+            assert lo < target <= hi or abs(q_value - exact) <= 2
+
+
+def test_dcm_merge_of_halves_equals_whole_and_validation(spark):
+    from etl_instagram_spark.operators.sketches import (
+        dcm_merge,
+        dcm_sketch,
+        dcm_total,
+    )
+
+    vals = _dcm_vals()
+    df = spark.createDataFrame(vals, "grp string, v long")
+    w, d, b = 128, 3, 10
+    whole = sorted(
+        tuple(r) for r in dcm_sketch(df, "v", ["grp"], w=w, d=d, b=b).collect()
+    )
+    halves = dcm_sketch(
+        df.filter("v % 2 = 0"), "v", ["grp"], w=w, d=d, b=b
+    ).unionByName(
+        dcm_sketch(df.filter("v % 2 = 1"), "v", ["grp"], w=w, d=d, b=b)
+    )
+    merged = sorted(
+        tuple(r) for r in dcm_merge(halves, ["grp"]).collect()
+    )
+    assert merged == whole
+    totals = {
+        r["grp"]: r["n"]
+        for r in dcm_total(
+            dcm_sketch(df, "v", ["grp"], w=w, d=d, b=b), ["grp"]
+        ).collect()
+    }
+    from collections import Counter
+
+    assert totals == Counter(g for g, _ in vals)
+    # loud out-of-range guard (both engines), NULLs drop
+    import pyspark.sql.utils  # noqa: F401
+
+    bad = spark.createDataFrame([(1 << 12,)], "v long")
+    with pytest.raises(Exception, match="out of"):
+        dcm_sketch(bad, "v", b=10).collect()
+    con = duckdb.connect()
+    from etl_instagram_spark.operators.sketches import dcm_sketch_sql
+
+    con.execute("CREATE TABLE bad(v BIGINT); INSERT INTO bad VALUES (4096)")
+    with pytest.raises(Exception, match="out of range"):
+        con.sql(dcm_sketch_sql("v", "bad", b=10)).fetchall()
+    con.close()
+    nulls = spark.createDataFrame([(None,), (5,)], "v long")
+    from etl_instagram_spark.operators.sketches import dcm_total as _tot
+
+    got_n = _tot(dcm_sketch(nulls, "v", b=10)).collect()[0]["n"]
+    assert got_n == 1
+    with pytest.raises(ValueError):
+        dcm_sketch(df, "v", b=50)
+    from etl_instagram_spark.operators.sketches import dcm_quantiles
+
+    with pytest.raises(ValueError):
+        dcm_quantiles(dcm_sketch(df, "v", b=10), [(3, 2)], b=10)
+
+
+def test_dcm_epoch_store_stream_equals_batch_and_replays(spark, tmp_path):
+    """Continuous quantile face: epoch-keyed register deltas collapse
+    to the whole-stream sketch for any batch split, and a replayed
+    epoch is a no-op (identical rows upserted over themselves) — so
+    quantile answers from the store equal the batch answers exactly."""
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.operators.sketches import (
+        dcm_quantiles,
+        dcm_sketch,
+    )
+    from etl_instagram_spark.streaming.incremental import (
+        apply_dcm_delta,
+        dcm_read_registers,
+    )
+
+    vals = [( (i * 53) % 512,) for i in range(900)]
+    df = spark.createDataFrame(vals, "v long")
+    w, d, b = 128, 3, 9
+    store = MergeTable(
+        spark, str(tmp_path / "dcm"), ["epoch_id", "lvl", "j", "col"]
+    )
+    thirds = [vals[:300], vals[300:600], vals[600:]]
+    for e, chunk in enumerate(thirds):
+        apply_dcm_delta(
+            store,
+            spark.createDataFrame(chunk, "v long"),
+            e,
+            "v",
+            w=w,
+            d=d,
+            b=b,
+        )
+    before = sorted(map(tuple, store.read().collect()))
+    apply_dcm_delta(
+        store,
+        spark.createDataFrame(thirds[1], "v long"),
+        1,
+        "v",
+        w=w,
+        d=d,
+        b=b,
+    )
+    assert sorted(map(tuple, store.read().collect())) == before
+    collapsed = dcm_read_registers(store)
+    stream_q = sorted(
+        tuple(r)
+        for r in dcm_quantiles(collapsed, [(1, 2), (9, 10)], w=w, d=d, b=b).collect()
+    )
+    batch_q = sorted(
+        tuple(r)
+        for r in dcm_quantiles(
+            dcm_sketch(df, "v", w=w, d=d, b=b), [(1, 2), (9, 10)], w=w, d=d, b=b
+        ).collect()
+    )
+    assert stream_q == batch_q
