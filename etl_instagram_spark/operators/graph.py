@@ -133,10 +133,12 @@ def pagerank(
     contrib join fans the hub's edges across k tasks instead of one.
     Per-edge contribs are unchanged and int64 sums are
     order-independent, so results stay bit-identical — the salt is
-    partitioning metadata only, invisible to the oracle. Detection is
-    one map-side count over the pinned edge frame; when no source
+    partitioning metadata only, invisible to the oracle. When no source
     crosses the threshold (the common case) the plan is exactly the
-    unsalted one. At 100 TB set it to roughly your target
+    unsalted one. Detection cost: one partially-aggregated
+    groupBy('src') count over the pinned edge frame (map-side combine,
+    then a per-src shuffle of partial counts), materialized once — the
+    probe reads the checkpointed hot frame. At 100 TB set it to roughly your target
     edges-per-partition; ``None`` disables the guard. The hot-source
     count is bounded by |E|/threshold by construction, so the hot map
     stays a legitimate broadcast."""
@@ -145,6 +147,12 @@ def pagerank(
         raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if hot_src_threshold is not None and hot_src_threshold < 1:
+        # 0 would divide __cnt to Infinity and saturate __k at 2^31-1 —
+        # a catastrophic per-iteration explode instead of a loud error
+        raise ValueError(
+            f"hot_src_threshold must be >= 1 or None, got {hot_src_threshold}"
+        )
     if weight_col is None:
         e = (
             edges.select(
@@ -211,10 +219,12 @@ def pagerank(
                 .alias("__k"),
             )
         )
+        # checkpoint first, probe the checkpointed frame: the count
+        # aggregation runs exactly once either way
+        hot = hot.localCheckpoint(eager=True)
         if hot.limit(1).count() == 0:
             hot = None
         else:
-            hot = hot.localCheckpoint(eager=True)
             e = (
                 e.join(F.broadcast(hot), "src", "left")
                 .withColumn(

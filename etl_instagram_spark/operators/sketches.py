@@ -739,9 +739,6 @@ def dcm_quantiles_sql(
     (group…, q_num, q_den, n, target, q_value)."""
     g = list(group_exprs or [])
     gsel = "".join(f"{e}, " for e in g)
-    con_and = lambda a, b2: " AND ".join(  # noqa: E731 — local glue
-        [f"{a}.{e} = {b2}.{e}" for e in g]
-    )
     qvals = ", ".join(f"({nu}, {de})" for nu, de in quantiles)
     gq = "".join(f"c.{e}, " for e in g)
     parts = [

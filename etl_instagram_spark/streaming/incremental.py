@@ -1059,9 +1059,9 @@ def apply_dcm_delta(
     epoch_id: int,
     value_col: str,
     group_cols: list[str] | None = None,
-    w: int = 512,
-    d: int = 3,
-    b: int = 16,
+    w: int | None = None,
+    d: int | None = None,
+    b: int | None = None,
 ) -> None:
     """Fold one micro-batch into an epoch-keyed DYADIC-CM quantile
     register store (operators/sketches.dcm_sketch): rows keyed
@@ -1069,9 +1069,21 @@ def apply_dcm_delta(
     Identical exactly-once shape to :func:`apply_cm_delta` (sum-merge
     is not idempotent → replay rides the epoch key); the collapsed
     store answers rank/quantile probes over the WHOLE stream so far —
-    continuous percentile monitoring without re-sorting history."""
-    from etl_instagram_spark.operators.sketches import dcm_sketch
+    continuous percentile monitoring without re-sorting history.
 
+    Defaults come from the canonical DCM_W/DCM_D/DCM_B constants (not
+    re-hardcoded literals) so a constants change can never silently
+    build stream registers incompatible with batch-built sketches."""
+    from etl_instagram_spark.operators.sketches import (
+        DCM_B,
+        DCM_D,
+        DCM_W,
+        dcm_sketch,
+    )
+
+    w = DCM_W if w is None else w
+    d = DCM_D if d is None else d
+    b = DCM_B if b is None else b
     delta = dcm_sketch(batch_df, value_col, group_cols, w, d, b).withColumn(
         "epoch_id", F.lit(int(epoch_id))
     )

@@ -128,6 +128,11 @@ def test_pagerank_rejects_bad_params(spark):
         pagerank(df, n_iter=0)
     with pytest.raises(ValueError):
         pagerank(df, damping=(20, 17))
+    # 0/negative thresholds would saturate __k at 2^31-1 (r12 ADVICE)
+    with pytest.raises(ValueError, match="hot_src_threshold"):
+        pagerank(df, hot_src_threshold=0)
+    with pytest.raises(ValueError, match="hot_src_threshold"):
+        pagerank(df, hot_src_threshold=-5)
     # seeds disjoint from the graph: no teleport target — explicit error
     seeds = spark.createDataFrame([(42,)], "id long")
     with pytest.raises(ValueError):

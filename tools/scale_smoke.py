@@ -314,6 +314,34 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             ),
             "params": {"b": 12},
         }
+    elif op == "dcm_quantiles":
+        # dyadic count-min quantile sketch: one scan exploding each
+        # value into ≤ d·b register rows + a counting groupBy bounded
+        # at groups·d·w·b rows REGARDLESS of input size; the b-round
+        # bit descent then probes a groups×quantiles frame against the
+        # pinned tiny register frame — honest expectation is time ∝ n
+        # for the sketch and FLAT for the descent.
+        from etl_instagram_spark.operators.sketches import (
+            dcm_quantiles,
+            dcm_sketch,
+        )
+
+        docs = (
+            spark.read.parquet(docs_path)
+            .select("lang", F.col("n_chars").alias("v"))
+            .localCheckpoint()
+        )
+
+        def _run_dcm():
+            sk = dcm_sketch(docs, "v", ["lang"])
+            dcm_quantiles(
+                sk, [(1, 4), (1, 2), (3, 4), (19, 20)], ["lang"]
+            ).count()
+
+        res = {
+            "sec": timed(_run_dcm),
+            "params": {"quantiles": 4},
+        }
     elif op == "pagerank_hubskew":
         # the pinned-edge-layout design under hub skew: copies SHARE the
         # hub (node 0 in ~30% of edges, both directions), so the hub's
@@ -642,6 +670,7 @@ OPS = (
     "triangles",
     "triangles_hubskew",
     "hll",
+    "dcm_quantiles",
     "entity_resolution",
     "entity_hotblock_guarded",
     "entity_snm",
