@@ -485,6 +485,12 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r13 structural delta: gate rotation promoted "
+                        "events_cm_frequency (~1.1s warm at sf0.1) and "
+                        "events_funnel_levels (~1.1s) for docs_simhash "
+                        "(~0.7s) and emb_ann_recall (~1.4s) — same-session "
+                        "warm floors, net ~+0.1s of total; any larger "
+                        "movement is noise, not the rotation.",
                         "r12 emb_pq_recall floor-drift A/B (VERDICT r11 "
                         "task #2: minima 1.79->2.50->3.59s across r8->r10->"
                         "r11 while PQ code changed only in r9): HEAD vs "

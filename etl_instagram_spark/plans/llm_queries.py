@@ -771,7 +771,12 @@ def _recall_pairs(emb: DataFrame, q: DataFrame, extra: dict[str, Column]) -> Dat
     )
 
 
-@query("emb_ann_recall")
+# (emb_ann_recall rotated out of the gate in r13 to make room for
+# events_funnel_levels — the ANN family stays gated via
+# emb_ann_ivf_stored, emb_pq_recall, and emb_knn_join_recall, which
+# cover the same hyperplane/quantizer kernels, recall scoring, and
+# window-ranked ground truth; still cross-engine-checked every round
+# through plans/parity_extras.py)
 def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of multi-probe hyperplane-LSH ANN against the exact
     cosine top-10, for 5 query vectors × probe radii Hamming ≤ {1, 2} at
@@ -831,9 +836,7 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-oracle(
-    "emb_ann_recall",
-    f"""
+SQL_EMB_ANN_RECALL = f"""
     WITH b AS (SELECT vec_id, embedding, {_sql_bucket()} AS bucket FROM embeddings),
          q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, bucket AS qbucket
                FROM b WHERE vec_id < 5),
@@ -859,8 +862,7 @@ oracle(
     SELECT qid, probe_hamming, round(sum(coalesce(hit, 0)) / 10.0, 2) AS recall_at_10
     FROM gt LEFT JOIN ann USING (qid, probe_hamming, vec_id)
     GROUP BY qid, probe_hamming ORDER BY qid, probe_hamming
-    """,
-)
+    """
 
 
 # (emb_ann_ivf_recall rotated out of the gate in r9 to make room for
@@ -1879,7 +1881,11 @@ def _sql_simhash32(hs_expr: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-@query("docs_simhash")
+# (docs_simhash rotated out of the gate in r13 to make room for
+# events_cm_frequency — the near-dup family stays gated via
+# docs_near_dedup_summary, docs_ngram_jaccard, and emb_near_dedup, and
+# the per-row hash-expression shape via docs_fingerprint_profile; still
+# cross-engine-checked every round through plans/parity_extras.py)
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash values for the first 100 docs — near-identical docs differ
     in few bits (docs_minhash_bands' sibling signal; pairing strategy
@@ -1894,9 +1900,7 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-oracle(
-    "docs_simhash",
-    f"""
+SQL_DOCS_SIMHASH = f"""
     WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks
                FROM documents WHERE doc_id < 100),
          h AS (SELECT doc_id,
@@ -1907,8 +1911,7 @@ oracle(
            {_sql_simhash32('lo_h')} AS sim_lo,
            {_sql_simhash32('hi_h')} AS sim_hi
     FROM h ORDER BY doc_id
-    """,
-)
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -3731,3 +3734,134 @@ def _sql_leakage_safe_split() -> str:
 
 
 oracle("docs_leakage_safe_split", _sql_leakage_safe_split())
+
+
+# ---------------------------------------------------------------------------
+# r13 gate promotions: the driver now certifies the sketch and behavioral
+# families directly (seats from docs_simhash and emb_ann_recall, both of
+# which keep full parity in plans/parity_extras.py)
+# ---------------------------------------------------------------------------
+
+
+@query("events_cm_frequency")
+def events_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated r13 (EXTRAS since r11): count-min point-frequency sketch
+    (operators/sketches.cm_sketch/cm_lookup) — per-event-type user
+    frequencies at a deliberately narrow width (w=256 forces real
+    collisions), probed for every (type, user) pair with the exact
+    count as contrast; registers, hashes, and min-estimates all replay
+    bit-for-bit in DuckDB. The overcount guarantee (est ≥ exact) is
+    certified on every row by construction of the compared columns."""
+    from etl_instagram_spark.operators.sketches import cm_lookup, cm_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    w, d = 256, 4
+    sk = cm_sketch(ev, "user_id", ["event_type"], w=w, d=d)
+    qs = ev.select("event_type", "user_id").distinct()
+    est = cm_lookup(sk, qs, "user_id", ["event_type"], w=w, d=d)
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return (
+        est.join(exact, ["event_type", "user_id"])
+        .withColumn(
+            "overcount", (F.col("cm_estimate") - F.col("exact_count")).cast("long")
+        )
+        .orderBy(F.col("overcount").desc(), "event_type", "user_id")
+        .limit(50)
+    )
+
+
+def _sql_events_cm_frequency() -> str:
+    from etl_instagram_spark.operators.sketches import (
+        cm_lookup_sql,
+        cm_sketch_sql,
+    )
+
+    w, d = 256, 4
+    sk = cm_sketch_sql("user_id", "events", ["event_type"], w=w, d=d)
+    lookup = cm_lookup_sql(
+        sk,
+        "SELECT DISTINCT event_type, user_id AS value FROM events",
+        "value",
+        ["event_type"],
+        w=w,
+        d=d,
+    )
+    return f"""
+    WITH est AS ({lookup}),
+    exact AS (SELECT event_type, user_id, count(*)::BIGINT AS exact_count
+              FROM events GROUP BY event_type, user_id)
+    SELECT e.event_type, e.user_id, est.cm_estimate, e.exact_count,
+           (est.cm_estimate - e.exact_count)::BIGINT AS overcount
+    FROM est JOIN exact e
+      ON est.event_type = e.event_type AND est.value = e.user_id
+    ORDER BY overcount DESC, e.event_type, e.user_id
+    LIMIT 50
+    """
+
+
+oracle("events_cm_frequency", _sql_events_cm_frequency())
+
+
+FUNNEL_WINDOW_S = 7 * 24 * 3600
+
+
+@query("events_funnel_levels")
+def events_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated r13 (EXTRAS since r10): earliest-anchor view→click→purchase
+    funnel within 7 days (operators/funnel.py) — per-level
+    reached/stopped counts and mean seconds-to-depth, all replayed in
+    SQL. Semantics pinned precisely because engines disagree
+    (ClickHouse windowFunnel makes the same earliest-anchor trade)."""
+    from etl_instagram_spark.operators.funnel import funnel_summary
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_summary(
+        ev,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        within_seconds=FUNNEL_WINDOW_S,
+    )
+
+
+SQL_FUNNEL_LEVELS = f"""
+    WITH base AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                         event_type FROM events),
+    l1 AS (SELECT u, min(t) AS t1 FROM base WHERE event_type = 'view' GROUP BY u),
+    l2 AS (SELECT b.u, l1.t1, min(b.t) AS t2
+           FROM base b JOIN l1 ON b.u = l1.u
+           WHERE b.event_type = 'click' AND b.t > l1.t1
+             AND b.t <= l1.t1 + {FUNNEL_WINDOW_S}
+           GROUP BY b.u, l1.t1),
+    l3 AS (SELECT b.u, l2.t1, min(b.t) AS t3
+           FROM base b JOIN l2 ON b.u = l2.u
+           WHERE b.event_type = 'purchase' AND b.t > l2.t2
+             AND b.t <= l2.t1 + {FUNNEL_WINDOW_S}
+           GROUP BY b.u, l2.t1),
+    stopped AS (
+      SELECT 1 AS level, l1.t1, l1.t1 AS t_last FROM l1
+      LEFT JOIN l2 ON l1.u = l2.u WHERE l2.u IS NULL
+      UNION ALL
+      SELECT 2, l2.t1, l2.t2 FROM l2
+      LEFT JOIN l3 ON l2.u = l3.u WHERE l3.u IS NULL
+      UNION ALL
+      SELECT 3, t1, t3 FROM l3),
+    by_level AS (
+      SELECT level, count(*) AS n_stopped,
+             round(CAST(sum(t_last - t1) AS DOUBLE) / count(*), 4)
+               AS avg_secs_to_here
+      FROM stopped GROUP BY level)
+    SELECT level,
+           (sum(n_stopped) OVER (ORDER BY level DESC))::BIGINT AS n_reached,
+           n_stopped, avg_secs_to_here
+    FROM by_level ORDER BY level
+    """
+
+
+oracle("events_funnel_levels", SQL_FUNNEL_LEVELS)

@@ -1642,63 +1642,6 @@ def _sql_part_entity_snm() -> str:
     """
 
 
-def _events_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Never-gated (r11): count-min point-frequency sketch
-    (operators/sketches.cm_sketch/cm_lookup) — per-event-type user
-    frequencies at a deliberately narrow width (w=256 forces real
-    collisions), probed for every (type, user) pair with the exact
-    count as contrast; registers, hashes, and min-estimates all replay
-    bit-for-bit in DuckDB. The overcount guarantee (est ≥ exact) is
-    certified on every row by construction of the compared columns."""
-    from etl_instagram_spark.operators.sketches import cm_lookup, cm_sketch
-
-    ev = _t(spark, sf_dir, "events")
-    w, d = 256, 4
-    sk = cm_sketch(ev, "user_id", ["event_type"], w=w, d=d)
-    qs = ev.select("event_type", "user_id").distinct()
-    est = cm_lookup(sk, qs, "user_id", ["event_type"], w=w, d=d)
-    exact = ev.groupBy("event_type", "user_id").agg(
-        F.count(F.lit(1)).alias("exact_count")
-    )
-    return (
-        est.join(exact, ["event_type", "user_id"])
-        .withColumn(
-            "overcount", (F.col("cm_estimate") - F.col("exact_count")).cast("long")
-        )
-        .orderBy(F.col("overcount").desc(), "event_type", "user_id")
-        .limit(50)
-    )
-
-
-def _sql_events_cm_frequency() -> str:
-    from etl_instagram_spark.operators.sketches import (
-        cm_lookup_sql,
-        cm_sketch_sql,
-    )
-
-    w, d = 256, 4
-    sk = cm_sketch_sql("user_id", "events", ["event_type"], w=w, d=d)
-    lookup = cm_lookup_sql(
-        sk,
-        "SELECT DISTINCT event_type, user_id AS value FROM events",
-        "value",
-        ["event_type"],
-        w=w,
-        d=d,
-    )
-    return f"""
-    WITH est AS ({lookup}),
-    exact AS (SELECT event_type, user_id, count(*)::BIGINT AS exact_count
-              FROM events GROUP BY event_type, user_id)
-    SELECT e.event_type, e.user_id, est.cm_estimate, e.exact_count,
-           (est.cm_estimate - e.exact_count)::BIGINT AS overcount
-    FROM est JOIN exact e
-      ON est.event_type = e.event_type AND est.value = e.user_id
-    ORDER BY overcount DESC, e.event_type, e.user_id
-    LIMIT 50
-    """
-
-
 def _events_dcm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r13): dyadic count-min QUANTILE sketch
     (operators/sketches.dcm_sketch/dcm_quantiles, the r12 addition) —
@@ -2023,63 +1966,6 @@ def _sql_events_ewma() -> str:
     """
 
 
-_FUNNEL_WINDOW_S = 7 * 24 * 3600
-
-
-def _events_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Never-gated (r10): earliest-anchor view→click→purchase funnel
-    within 7 days (operators/funnel.py) — per-level reached/stopped
-    counts and mean seconds-to-depth, all replayed in SQL."""
-    from etl_instagram_spark.operators.funnel import funnel_summary
-
-    ev = _t(spark, sf_dir, "events")
-    return funnel_summary(
-        ev,
-        "user_id",
-        "ts",
-        [
-            F.col("event_type") == "view",
-            F.col("event_type") == "click",
-            F.col("event_type") == "purchase",
-        ],
-        within_seconds=_FUNNEL_WINDOW_S,
-    )
-
-
-_SQL_FUNNEL_LEVELS = f"""
-    WITH base AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
-                         event_type FROM events),
-    l1 AS (SELECT u, min(t) AS t1 FROM base WHERE event_type = 'view' GROUP BY u),
-    l2 AS (SELECT b.u, l1.t1, min(b.t) AS t2
-           FROM base b JOIN l1 ON b.u = l1.u
-           WHERE b.event_type = 'click' AND b.t > l1.t1
-             AND b.t <= l1.t1 + {_FUNNEL_WINDOW_S}
-           GROUP BY b.u, l1.t1),
-    l3 AS (SELECT b.u, l2.t1, min(b.t) AS t3
-           FROM base b JOIN l2 ON b.u = l2.u
-           WHERE b.event_type = 'purchase' AND b.t > l2.t2
-             AND b.t <= l2.t1 + {_FUNNEL_WINDOW_S}
-           GROUP BY b.u, l2.t1),
-    stopped AS (
-      SELECT 1 AS level, l1.t1, l1.t1 AS t_last FROM l1
-      LEFT JOIN l2 ON l1.u = l2.u WHERE l2.u IS NULL
-      UNION ALL
-      SELECT 2, l2.t1, l2.t2 FROM l2
-      LEFT JOIN l3 ON l2.u = l3.u WHERE l3.u IS NULL
-      UNION ALL
-      SELECT 3, t1, t3 FROM l3),
-    by_level AS (
-      SELECT level, count(*) AS n_stopped,
-             round(CAST(sum(t_last - t1) AS DOUBLE) / count(*), 4)
-               AS avg_secs_to_here
-      FROM stopped GROUP BY level)
-    SELECT level,
-           (sum(n_stopped) OVER (ORDER BY level DESC))::BIGINT AS n_reached,
-           n_stopped, avg_secs_to_here
-    FROM by_level ORDER BY level
-    """
-
-
 def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r10): weekly cohort retention — cohort by first-
     event week, activity by any-event week, offsets 0..8."""
@@ -2244,10 +2130,21 @@ def _register_rotated() -> None:
         _customer_revenue_quartiles,
         llm_queries.SQL_CUSTOMER_REVENUE_QUARTILES,
     )
-    # never-gated (r11): count-min point-frequency sketch
-    EXTRAS["events_cm_frequency"] = (
-        _events_cm_frequency,
-        _sql_events_cm_frequency(),
+    # r13 rotation: SimHash per-row expression (seat given to
+    # events_cm_frequency — the driver gate now certifies the sketch
+    # family directly; the near-dup family stays gated via
+    # docs_near_dedup_summary / docs_ngram_jaccard / emb_near_dedup)
+    EXTRAS["docs_simhash"] = (
+        llm_queries.docs_simhash,
+        llm_queries.SQL_DOCS_SIMHASH,
+    )
+    # r13 rotation: multi-probe LSH recall (seat given to
+    # events_funnel_levels — the driver gate now certifies the
+    # behavioral family directly; the ANN family stays gated via
+    # emb_ann_ivf_stored / emb_pq_recall / emb_knn_join_recall)
+    EXTRAS["emb_ann_recall"] = (
+        llm_queries.emb_ann_recall,
+        llm_queries.SQL_EMB_ANN_RECALL,
     )
     # never-gated (r13): dyadic-CM quantile sketch (the r12 operator,
     # ledgered per r12 VERDICT task #1)
@@ -2282,7 +2179,6 @@ def _register_rotated() -> None:
     # never-gated (r10): bounded-window exponential smoothing
     EXTRAS["events_ewma"] = (_events_ewma, _sql_events_ewma())
     # never-gated (r10): behavioral analytics — funnel + cohort retention
-    EXTRAS["events_funnel_levels"] = (_events_funnel_levels, _SQL_FUNNEL_LEVELS)
     EXTRAS["events_cohort_retention"] = (
         _events_cohort_retention,
         _SQL_COHORT_RETENTION,

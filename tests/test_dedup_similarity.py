@@ -189,14 +189,15 @@ def test_ann_recall_gates_on_real_embeddings(spark):
     LSH-at-3.5%-scan cannot. Isotropic synthetic vectors are LSH's worst
     case, so only shape is asserted for it; the exact values are pinned
     by the DuckDB oracle."""
-    from etl_instagram_spark.plans.llm_queries import emb_ann_ivf_recall
-    from etl_instagram_spark.plans.queries import all_queries
+    from etl_instagram_spark.plans.llm_queries import (
+        emb_ann_ivf_recall,
+        emb_ann_recall,
+    )
 
-    qs = all_queries()
     sf = "/root/testdata/sf0.001"
-    lsh = qs["emb_ann_recall"](spark, sf).collect()
-    # rotated out of the gate in r9 (emb_ann_ivf_stored took the row);
-    # the recall floor stays pinned here and parity in parity_extras
+    # both rotated out of the gate (ivf_recall r9, ann_recall r13); the
+    # recall floors stay pinned here and parity in parity_extras
+    lsh = emb_ann_recall(spark, sf).collect()
     ivf = emb_ann_ivf_recall(spark, sf).collect()
     assert [(r["qid"], r["probe_hamming"]) for r in lsh] == [
         (q, h) for q in range(5) for h in (1, 2)
