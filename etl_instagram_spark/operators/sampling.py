@@ -451,7 +451,10 @@ def pps_sample(
     per-bucket count frame cumsums into broadcast offsets, and the
     within-bucket window does the rest (the sorted-neighborhood rank
     pattern). Validated: weights must be positive ints with
-    W·n < 2^63."""
+    W·n < 2^63, and ids must be non-NULL (both rejected loudly, in
+    BOTH engines — the SQL mirror raises via an assert CTE — because
+    silently dropping a NULL-id row would shrink the frame and W on
+    one engine only)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     rows = df.withColumn(
@@ -463,15 +466,25 @@ def pps_sample(
                 F.lit(salt), F.lit("\x1f"), F.col(id_col).cast("string")
             )
         ),
-    ).filter(F.col("__hk").isNotNull())
+    )
     bad = rows.agg(
         F.sum(F.when(F.col("__w").isNull() | (F.col("__w") <= 0), 1).otherwise(0)).alias("bad"),
+        F.sum(F.when(F.col("__hk").isNull(), 1).otherwise(0)).alias("bad_id"),
         F.coalesce(F.sum("__w"), F.lit(0)).alias("W"),
     ).collect()[0]
     if bad["bad"]:
         raise ValueError(
             f"pps_sample: {bad['bad']} row(s) have NULL or non-positive "
             f"{weight_col!r} — weights must be positive integers"
+        )
+    if bad["bad_id"]:
+        # reject loudly rather than silently drop: a dropped NULL-id
+        # row would shrink the sampling frame AND exclude its weight
+        # from W while the SQL mirror kept it — a silent cross-engine
+        # divergence (the mirror raises identically via its assert CTE)
+        raise ValueError(
+            f"pps_sample: {bad['bad_id']} row(s) have NULL {id_col!r} — "
+            f"ids must be non-NULL (they key the deterministic hash order)"
         )
     total_w = int(bad["W"])
     if total_w == 0:
@@ -520,7 +533,10 @@ def pps_sample_sql(
     pin AS (SELECT ({id_expr}) AS id, ({weight_expr})::BIGINT AS w,
                    {hk} AS hk
             FROM ({table_sql})),
-    ptot AS (SELECT (sum(w))::BIGINT AS W FROM pin),
+    ptot AS (SELECT CASE WHEN count(*) FILTER (hk IS NULL) > 0
+                         THEN error('pps_sample: NULL id in sampling frame')
+                         ELSE (sum(w))::BIGINT END AS W
+             FROM pin),
     pcum AS (SELECT id, w,
                     (sum(w) OVER (ORDER BY hk, id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT

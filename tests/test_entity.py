@@ -445,3 +445,138 @@ def test_snm_on_real_parts_matches_python(spark, sf_smoke):
                 want.add((min(a, b), max(a, b)))
     assert got == sorted(want)
     assert len(got) <= len(rows) * (window - 1)
+
+
+def test_incremental_history_probe_hot_block_guard(spark, tmp_path):
+    """max_block_size bounds the HISTORY PROBE too (r12 ADVICE #1): a
+    store block that accumulated more than cap norms is excluded from
+    the probe join — batch rows in it start new entities instead of
+    paying |batch-rows| × |store-norms| edit distances per tick — while
+    healthy blocks still adopt, and a guarded replay converges. Without
+    the cap the same batch adopts through the hot block, proving the
+    guard (not the data) made the difference."""
+    from etl_instagram_spark.operators.entity import (
+        incremental_resolve_entities,
+    )
+    from etl_instagram_spark.operators.merge import MergeTable
+
+    # seed: 6 mutually-distant norms in block 'hot' (> cap of 5), one
+    # name in healthy block 'ok'
+    hot_names = ["aaaa", "bbbb", "cccc", "dddd", "eeee", "ffff"]
+    rows = [(i, f"{nm} hot") for i, nm in enumerate(hot_names, 1)]
+    rows.append((10, "alpha ok"))
+    store = MergeTable(spark, str(tmp_path / "ents"), ["block", "norm"])
+    b1 = spark.createDataFrame(rows, "id long, name string")
+    a1, _ = incremental_resolve_entities(b1, store, "id", "name", BLOCK(), 2)
+    assert {r["id"]: r["entity"] for r in a1.collect()} == {
+        i: i for i in [1, 2, 3, 4, 5, 6, 10]
+    }
+
+    # batch 2: 'aaab hot' is d=1 from stored 'aaaa hot'; 'alphb ok' is
+    # d=1 from stored 'alpha ok'
+    b2 = spark.createDataFrame(
+        [(31, "aaab hot"), (32, "alphb ok")], "id long, name string"
+    )
+    guarded, _ = incremental_resolve_entities(
+        b2, store, "id", "name", BLOCK(), 2, max_block_size=5
+    )
+    got = {r["id"]: r["entity"] for r in guarded.collect()}
+    # hot store block (6 norms > 5) excluded from the probe: 31 starts
+    # a new entity; healthy block still adopts
+    assert got == {31: 31, 32: 10}
+    # guarded replay converges (the replayed names find their own rows)
+    replay, _ = incremental_resolve_entities(
+        b2, store, "id", "name", BLOCK(), 2, max_block_size=5
+    )
+    assert {r["id"]: r["entity"] for r in replay.collect()} == got
+
+    # control: the same probe WITHOUT the cap adopts through the hot
+    # block (store2 seeded identically, batch ids disjoint from store)
+    store2 = MergeTable(spark, str(tmp_path / "ents2"), ["block", "norm"])
+    incremental_resolve_entities(b1, store2, "id", "name", BLOCK(), 2)
+    b2b = spark.createDataFrame(
+        [(41, "aaab hot"), (42, "alphb ok")], "id long, name string"
+    )
+    unguarded, _ = incremental_resolve_entities(
+        b2b, store2, "id", "name", BLOCK(), 2
+    )
+    assert {r["id"]: r["entity"] for r in unguarded.collect()} == {
+        41: 1,
+        42: 10,
+    }
+
+
+def test_exact_pair_count_past_2_53(spark):
+    """block_size_audit's n_pairs stays exact past double's 53-bit
+    mantissa (r12 ADVICE #4): at block_size = 2^27+3 the true
+    s·(s−1)/2 needs 54 significant bits, so the old double division
+    rounded it — the BIGINT div expression reproduces the exact Python
+    integer. Unit-tested on a literal sizes frame (an actual 2^27-row
+    block is out of test scope; the expression is the same one the
+    audit selects)."""
+    from etl_instagram_spark.operators.entity import exact_pair_count
+
+    s = 2**27 + 3
+    df = spark.createDataFrame(
+        [(s, 3), (6, 1)], "block_size long, n_blocks long"
+    )
+    got = {
+        r["block_size"]: r["n_pairs"]
+        for r in df.select(
+            "block_size", exact_pair_count().alias("n_pairs")
+        ).collect()
+    }
+    exact = 3 * (s * (s - 1) // 2)
+    assert got == {s: exact, 6: 15}
+    # the double path provably differs at this size — the reason for
+    # the integer rewrite
+    assert int(float(s * (s - 1)) / 2) * 3 != exact
+
+
+def test_snm_default_bucket_balances_skewed_first_letter(spark):
+    """First-letter-skewed corpora (every name starts 'r…') spread
+    across the 3-char default buckets instead of concentrating one
+    bucket's row_number window in a single task (r11 What's-wrong #3),
+    and the pair set is invariant to the bucket choice — 1-char,
+    default, and 4-char prefixes all produce the identical verified
+    pairs, so the bucket is purely a balance lever."""
+    from etl_instagram_spark.operators.entity import (
+        normalized_name,
+        sorted_neighborhood_pairs,
+    )
+
+    stems = ["resto", "rincon", "rodeo", "rubio", "ranch", "rive"]
+    rows = [
+        (i * 10 + j, f"{stem}{j} grill")
+        for i, stem in enumerate(stems)
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    def pairs(bucket):
+        return sorted(
+            tuple(r)
+            for r in sorted_neighborhood_pairs(
+                df, "id", "name", window=3, max_dist=2, bucket=bucket
+            ).collect()
+        )
+
+    default = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", window=3, max_dist=2
+        ).collect()
+    )
+    assert default == pairs(F.substring(F.col("__key"), 1, 1))
+    assert default == pairs(F.substring(F.col("__key"), 1, 4))
+    assert len(default) > 0
+    # the balance property the default exists for: >1 bucket, and no
+    # bucket holds a majority of a first-letter-skewed corpus
+    counts = (
+        df.select(F.substring(normalized_name(F.col("name")), 1, 3).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert len(counts) > 1
+    assert max(r["count"] for r in counts) < len(rows) / 2

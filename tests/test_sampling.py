@@ -69,3 +69,37 @@ def test_pps_sample_validation(spark):
         pps_sample(ok, "id", "w", 2**25)
     with pytest.raises(ValueError, match="n must be"):
         pps_sample(ok, "id", "w", 0)
+
+
+def test_pps_sample_rejects_null_ids_both_engines(spark):
+    """NULL ids are rejected LOUDLY on both engines (r12 ADVICE #2):
+    Spark's hash32 propagates NULL, and silently dropping those rows
+    would shrink the sampling frame and W while the SQL mirror kept
+    them in ptot/pcum — a latent cross-engine divergence. Both faces
+    now raise instead."""
+    import duckdb
+    import pytest
+
+    from etl_instagram_spark.operators.sampling import (
+        pps_sample,
+        pps_sample_sql,
+    )
+
+    df = spark.createDataFrame([(1, 5), (None, 7)], "id long, w long")
+    with pytest.raises(ValueError, match="NULL 'id'"):
+        pps_sample(df, "id", "w", 3)
+    ctes = pps_sample_sql(
+        "SELECT * FROM (VALUES (1, 5), (NULL, 7)) t(id, w)", "id", "w", 3
+    )
+    con = duckdb.connect()
+    with pytest.raises(Exception, match="NULL id"):
+        con.sql(f"WITH {ctes} SELECT * FROM pps").fetchall()
+    # NULL-free frames are untouched: Spark and DuckDB still agree
+    ok = spark.createDataFrame([(1, 5), (2, 7)], "id long, w long")
+    got = {r["id"]: r["n_copies"] for r in pps_sample(ok, "id", "w", 3).collect()}
+    ctes_ok = pps_sample_sql(
+        "SELECT * FROM (VALUES (1, 5), (2, 7)) t(id, w)", "id", "w", 3
+    )
+    oracle = dict(con.sql(f"WITH {ctes_ok} SELECT id, n_copies FROM pps").fetchall())
+    con.close()
+    assert got == oracle and sum(got.values()) == 3
