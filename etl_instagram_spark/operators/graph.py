@@ -483,7 +483,7 @@ BIPARTITE_ORDER_EDGES_SQL = """
 """
 
 def copurchase_edges(
-    lineitem: DataFrame, min_orders: int = 1
+    lineitem: DataFrame, min_orders: int = 1, weights: bool = False
 ) -> DataFrame:
     """Item co-occurrence projection: an undirected edge (a < b) between
     two parts appearing on the SAME order, kept when they co-occur on at
@@ -492,19 +492,23 @@ def copurchase_edges(
     is bounded by line-count², so edge volume is Σ_orders |lines|² —
     bounded by the order-size cap, not the table size.
 
+    ``weights=True`` keeps the co-occurrence count as ``n_orders`` —
+    the natural edge intensity for weighted PageRank / weighted walks
+    over the projection (the graph-family composition chain).
+
     One self-join on the order key + one counting groupBy; both key-equi."""
     a = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
     ).distinct()
     b = a.select(F.col("ok"), F.col("pa").alias("pb"))
-    return (
+    out = (
         a.join(b, "ok")
         .filter(F.col("pa") < F.col("pb"))
         .groupBy(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= min_orders)
-        .select("src", "dst")
     )
+    return out if weights else out.select("src", "dst")
 
 
 COPURCHASE_EDGES_SQL = """
@@ -953,7 +957,13 @@ BIPARTITE_ORDER_EDGES_WEIGHTED_SQL = """
 """
 
 
-def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst") -> DataFrame:
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int | None = None,
+) -> DataFrame:
     """The k-CORE of an undirected graph: the maximal subgraph where
     every node has degree ≥ k (Seidman 1983; Batagelj-Zaveršnik gives
     the sequential peel, this is the synchronous distributed peel —
@@ -971,9 +981,18 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst") -> Data
     peeling removes all sub-k nodes per round, so rounds ≤ longest
     peel chain (≤ diameter, log-ish on real graphs) — NOT n rounds.
     The DuckDB mirror (:func:`k_core_sql`) replays the same peel with
-    a loud convergence assert on its fixed round budget."""
+    a loud convergence assert on its fixed round budget.
+
+    ``max_rounds`` is the Spark-side twin of that assert (the
+    dedup_components ``max_iter`` discipline): when set, a peel that
+    has not reached its fixpoint within the budget raises instead of
+    looping on — used to PIN the margin between real data's peel depth
+    and the oracle's fixed budget. ``None`` (default) peels to the
+    fixpoint unconditionally."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds is not None and max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1 or None, got {max_rounds}")
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).cast("long").alias("lo"),
@@ -984,7 +1003,13 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst") -> Data
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
+    rounds = 0
     while True:
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"k_core: peel not converged within {max_rounds} rounds — "
+                f"raise the budget (and the SQL mirror's) for this graph"
+            )
         deg = (
             e.select(F.col("lo").alias("id"))
             .union(e.select(F.col("hi").alias("id")))
@@ -999,6 +1024,7 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst") -> Data
             .localCheckpoint(eager=True)
         )
         n2 = e2.count()
+        rounds += 1
         if n2 == n_edges:
             break
         e, n_edges = e2, n2

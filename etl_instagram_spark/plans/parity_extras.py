@@ -1778,7 +1778,10 @@ def _sql_part_k_core() -> str:
         k_core_sql,
     )
 
-    ctes = k_core_sql(COPURCHASE_EDGES_SQL.format(min_orders=2), k=3, rounds=16)
+    # budget 24 = 2x the measured sf0.01 peel depth of 11 (pinned by
+    # tests/test_graph.py::test_k_core_peel_depth_within_half_the_oracle_budget
+    # — the CC oracle's margin discipline); converged rounds are no-ops
+    ctes = k_core_sql(COPURCHASE_EDGES_SQL.format(min_orders=2), k=3, rounds=24)
     return f"""
     WITH {ctes}
     SELECT id, count(*) AS core_degree

@@ -854,3 +854,93 @@ def test_weighted_random_walks_rejects_int64_overflow_weights(spark):
         [(1, 2, big), (2, 1, 1)], "src long, dst long, w long"
     )
     assert random_walks(safe, walk_len=2, weight_col="w").count() > 0
+
+
+def test_k_core_peel_depth_within_half_the_oracle_budget(spark, sf_oracle):
+    """The part_k_core oracle replays the peel as a FIXED 24-round CTE
+    chain with a loud convergence assert; pin the margin the same way
+    the CC oracle's is pinned: the real co-purchase graph at the gate
+    scale factor AND at sf0.1 must reach its fixpoint within
+    rounds/2 = 12 synchronous rounds (k_core's max_rounds budget raises
+    if not; measured depth is 11 at sf0.01, 3 at sf0.1), so the oracle
+    budget carries a >= 2x cushion — and extra CTE rounds are no-ops
+    once the edge set is stable."""
+    from etl_instagram_spark.operators.graph import copurchase_edges, k_core
+
+    for sf_dir in (sf_oracle, "/root/testdata/sf0.1"):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        core = k_core(copurchase_edges(li, min_orders=2), k=3, max_rounds=12)
+        assert core.count() >= 0  # materialize: the budget is the assert
+    # the budget itself fails loudly: a chain at k=2 peels one end
+    # pair per round — 2 rounds cannot finish an 11-edge path
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        k_core(chain, k=2, max_rounds=2)
+    with pytest.raises(ValueError, match="max_rounds"):
+        k_core(chain, k=2, max_rounds=0)
+
+
+def test_graph_family_composition_copurchase_core_walks(spark, sf_smoke):
+    """The graph family composes end-to-end (SURVEY §8 composition
+    example): co-purchase projection (with n_orders weights) → k-core
+    denoise (keep the densely-connected backbone, drop tendrils) →
+    weighted hub-capped deterministic walks over the core → a walk
+    corpus. Asserts the chain's invariants: core restriction actually
+    shrinks the graph, every walk starts at a core node and never
+    leaves the core, and the corpus is a pure function of
+    (graph, seed) — a replay is row-identical."""
+    from etl_instagram_spark.operators.graph import (
+        copurchase_edges,
+        k_core,
+        random_walks,
+    )
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    e = copurchase_edges(li, min_orders=3, weights=True).localCheckpoint(
+        eager=True
+    )
+    core = k_core(e, k=3, max_rounds=12).localCheckpoint(eager=True)
+    core_ids = {r["id"] for r in core.collect()}
+    assert 0 < len(core_ids)
+    all_ids = {
+        r["id"]
+        for r in e.selectExpr("src AS id")
+        .union(e.selectExpr("dst AS id"))
+        .distinct()
+        .collect()
+    }
+    assert core_ids < all_ids  # the denoise dropped tendril nodes
+    # restrict edges to the core, symmetrize for walking
+    ids = core.select("id")
+    ce = (
+        e.join(ids.withColumnRenamed("id", "src"), "src", "leftsemi")
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+        .select("src", "dst", "n_orders")
+    )
+    sym = ce.unionByName(
+        ce.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "n_orders",
+        )
+    ).localCheckpoint(eager=True)
+    corpus = random_walks(
+        sym, walk_len=4, seed="compose", max_degree=8, weight_col="n_orders"
+    )
+    rows = corpus.collect()
+    assert rows
+    # every visited node is a core node; every core node starts a walk
+    assert {r["node"] for r in rows} <= core_ids
+    assert {r["walk_id"] for r in rows if r["step"] == 0} == core_ids
+    # symmetrized core has no dangling nodes -> full-length walks
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], []).append(r["step"])
+    assert all(sorted(v) == [0, 1, 2, 3, 4] for v in by_walk.values())
+    # deterministic corpus: replay is row-identical
+    replay = random_walks(
+        sym, walk_len=4, seed="compose", max_degree=8, weight_col="n_orders"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, replay))

@@ -503,14 +503,20 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
                 "hot_src_threshold": 16384,
             },
         }
-    elif op == "entity_hotblock_guarded":
+    elif op in ("entity_hotblock_guarded", "entity_hotblock_guarded_30x"):
         # the hot-block guard under an adversarial key: ~30% of all
         # rows land in ONE block shared ACROSS copies (the stopword-key
         # degenerate case), so unguarded pair volume grows ∝ mult² —
         # max_block_size=64 excludes the hot block deterministically,
         # and the honest expectation for the guarded run is time ∝ mult.
+        # The _30x variant pins mult=30 with the SAME constant cap: the
+        # hot block alone would cost ~(0.3·n·30)²/2 ≈ 1.5·10^10 pair
+        # comparisons unguarded (~900× the 1× point); guarded, the
+        # whole stage stays rows·cap-bounded.
         from etl_instagram_spark.operators.entity import resolve_entities
 
+        if op.endswith("_30x") and mult != 1:
+            mult = 30
         pa = spark.read.parquet(f"{BASE_SF}/part.parquet")
         copies = []
         for c in range(mult):
@@ -542,6 +548,7 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
                 "max_dist": 3,
                 "block": "30%-HOT + last_token",
                 "max_block_size": 64,
+                "mult": mult,
             },
         }
     elif op == "entity_snm":
@@ -673,6 +680,7 @@ OPS = (
     "dcm_quantiles",
     "entity_resolution",
     "entity_hotblock_guarded",
+    "entity_hotblock_guarded_30x",
     "entity_snm",
     "k_core",
 )
