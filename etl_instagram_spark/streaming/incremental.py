@@ -424,6 +424,9 @@ def stream_profile_drift(
     cols: list[str] | None = None,
     max_null_frac_delta: float = 0.2,
     on_alert: Callable[[str], None] | None = None,
+    shape_col: str | None = None,
+    dcm_store: MergeTable | None = None,
+    max_median_rel_delta: float = 0.5,
 ) -> bool:
     """Continuous data-quality monitoring: profile each micro-batch
     (operators/profiling.profile_columns — one scan, O(columns) rows),
@@ -436,7 +439,21 @@ def stream_profile_drift(
     the same batch is deterministic, the keyed upsert is idempotent, and
     alert delivery rides the breaker's incident store (W9 semantics,
     E2) — a replayed drift fires ``alert_once`` with the same incident
-    key and is swallowed."""
+    key and is swallowed.
+
+    DISTRIBUTION-SHAPE drift (r13, the dyadic-CM continuous face):
+    pass ``shape_col`` (an integer column in the sketch's [0, 2^b)
+    domain — scale to cents/millis first, the events_dcm_quantiles
+    convention) plus an epoch-keyed ``dcm_store``. Each tick folds the
+    batch's quantile registers via :func:`apply_dcm_delta`, then
+    compares the cumulative stream MEDIAN including this epoch against
+    the median EXCLUDING it (an epoch-key filter, so a replayed epoch
+    sees the identical before/after pair and re-raises the same
+    swallowed incident key): a relative jump beyond
+    ``max_median_rel_delta`` alerts once per column. Null-fraction
+    drift sees only batch-vs-previous-batch; the register store sees
+    the whole history in O(d·w·b) rows — a slow distribution slide
+    that never moves one batch's null profile still trips the median."""
     from etl_instagram_spark.operators.profiling import profile_columns, profile_drift
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
@@ -449,6 +466,34 @@ def stream_profile_drift(
             for r in breaches:
                 breaker.alert_once(f"null_drift:{r['column']}", on_alert)
         profile_table.upsert(prof.withColumn("epoch_id", F.lit(epoch_id)))
+        if shape_col is not None and dcm_store is not None:
+            from etl_instagram_spark.operators.sketches import (
+                dcm_merge,
+                dcm_quantiles,
+            )
+
+            apply_dcm_delta(dcm_store, batch_df, epoch_id, shape_col)
+            regs = dcm_store.read().localCheckpoint(eager=True)
+            # before/after as one GROUPED descent (a "__which" tag)
+            # instead of two sequential 16-round descents
+            both = dcm_merge(
+                regs.filter(F.col("epoch_id") != epoch_id)
+                .withColumn("__which", F.lit("before"))
+                .unionByName(regs.withColumn("__which", F.lit("after"))),
+                ["__which"],
+            )
+            meds = {
+                r["__which"]: int(r["q_value"])
+                for r in dcm_quantiles(both, [(1, 2)], ["__which"]).collect()
+                if r["n"]  # an empty side yields an n=0/NULL row
+            }
+            before, after = meds.get("before"), meds.get("after")
+            if (
+                before is not None
+                and after is not None
+                and abs(after - before) > max_median_rel_delta * max(before, 1)
+            ):
+                breaker.alert_once(f"shape_drift:{shape_col}", on_alert)
 
     _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
     return True

@@ -737,3 +737,75 @@ def test_stream_kmeans_stats_equals_batch_refine_and_replays(spark, tmp_path):
     apply_kmeans_delta(store, batch1, 0, cents, quant_dp=6)
     assert sorted(map(tuple, store.read().collect())) == before
     assert kmeans_read_centroids(store, cents) == want
+
+
+def test_stream_profile_drift_shape_median_alerts_once_and_replays(spark, tmp_path):
+    """The dcm-backed distribution-shape face (r13): wave 2 plants a
+    median shift (values ~10 -> ~400) that never touches the null
+    profile — the cumulative-median monitor must raise exactly ONE
+    shape alert, a stable wave 3 must add none, and a full re-drain
+    with a fresh checkpoint re-fires nothing (the before/after medians
+    are epoch-key filters, so a replayed epoch reproduces the same
+    swallowed incident)."""
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.streaming.incremental import (
+        CircuitBreaker,
+        stream_profile_drift,
+    )
+
+    landing = tmp_path / "rows"
+    store = MergeTable(spark, str(tmp_path / "profiles"), "column")
+    dcm = MergeTable(
+        spark,
+        str(tmp_path / "dcm"),
+        ["epoch_id", "lvl", "j", "col"],
+    )
+    breaker = CircuitBreaker(str(tmp_path / "breaker"))
+    alerts: list[str] = []
+    DDL = "k LONG, v LONG"
+    kw = dict(
+        breaker=breaker,
+        on_alert=alerts.append,
+        shape_col="v",
+        dcm_store=dcm,
+        max_median_rel_delta=0.5,
+    )
+
+    write_json(landing / "w1.json", [{"k": i, "v": 10 + i} for i in range(20)])
+    assert stream_profile_drift(
+        spark, str(landing), DDL, store, str(tmp_path / "ck1"), **kw
+    )
+    assert alerts == []  # first epoch: no 'before' median to drift from
+
+    # the shift: same null profile, wildly different value distribution
+    write_json(
+        landing / "w2.json", [{"k": i, "v": 400 + i} for i in range(60)]
+    )
+    assert stream_profile_drift(
+        spark, str(landing), DDL, store, str(tmp_path / "ck1"), **kw
+    )
+    assert alerts == ["shape_drift:v"]
+
+    # a stable wave: cumulative median barely moves, nothing new fires
+    write_json(
+        landing / "w3.json", [{"k": i, "v": 400 + i} for i in range(10)]
+    )
+    assert stream_profile_drift(
+        spark, str(landing), DDL, store, str(tmp_path / "ck1"), **kw
+    )
+    assert alerts == ["shape_drift:v"]
+
+    # relocation worst case: the epoch-keyed register store and its
+    # checkpoint move TOGETHER (the apply_rollup_delta contract), so a
+    # full rebuild re-detects the same drift — and the breaker's
+    # incident store swallows the duplicate alert (W9 at-most-once)
+    kw2 = dict(
+        kw,
+        dcm_store=MergeTable(
+            spark, str(tmp_path / "dcm2"), ["epoch_id", "lvl", "j", "col"]
+        ),
+    )
+    assert stream_profile_drift(
+        spark, str(landing), DDL, store, str(tmp_path / "ck2"), **kw2
+    )
+    assert alerts == ["shape_drift:v"]
