@@ -1003,9 +1003,10 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
-    rounds = 0
+    rounds = 0  # SHRINKING rounds only: the fixpoint-confirming no-op
+    # round is free, so a peel of depth exactly max_rounds passes
     while True:
-        if max_rounds is not None and rounds >= max_rounds:
+        if max_rounds is not None and rounds > max_rounds:
             raise RuntimeError(
                 f"k_core: peel not converged within {max_rounds} rounds — "
                 f"raise the budget (and the SQL mirror's) for this graph"
@@ -1024,9 +1025,9 @@ def k_core(
             .localCheckpoint(eager=True)
         )
         n2 = e2.count()
-        rounds += 1
         if n2 == n_edges:
             break
+        rounds += 1
         e, n_edges = e2, n2
     return (
         e.select(F.col("lo").alias("id"))

@@ -446,14 +446,17 @@ def stream_profile_drift(
     domain — scale to cents/millis first, the events_dcm_quantiles
     convention) plus an epoch-keyed ``dcm_store``. Each tick folds the
     batch's quantile registers via :func:`apply_dcm_delta`, then
-    compares the cumulative stream MEDIAN including this epoch against
-    the median EXCLUDING it (an epoch-key filter, so a replayed epoch
-    sees the identical before/after pair and re-raises the same
-    swallowed incident key): a relative jump beyond
-    ``max_median_rel_delta`` alerts once per column. Null-fraction
-    drift sees only batch-vs-previous-batch; the register store sees
-    the whole history in O(d·w·b) rows — a slow distribution slide
-    that never moves one batch's null profile still trips the median."""
+    compares THIS EPOCH's median (its own register rows) against the
+    HISTORICAL median (every other epoch's rows) — both are epoch-key
+    filters over the store, so a replayed epoch sees the identical
+    pair and re-raises the same swallowed incident key. A relative gap
+    beyond ``max_median_rel_delta`` alerts once per column. The
+    batch-vs-history comparison keeps its sensitivity as the stream
+    ages (a cumulative-including-vs-excluding diff would attenuate
+    with history mass and could never trip on a long stream); the
+    history side needs no re-sort — it is answered from register state
+    alone. Run :func:`compact_dcm_store` periodically to collapse old
+    epochs; the history median is invariant under the compaction."""
     from etl_instagram_spark.operators.profiling import profile_columns, profile_drift
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
@@ -474,12 +477,15 @@ def stream_profile_drift(
 
             apply_dcm_delta(dcm_store, batch_df, epoch_id, shape_col)
             regs = dcm_store.read().localCheckpoint(eager=True)
-            # before/after as one GROUPED descent (a "__which" tag)
-            # instead of two sequential 16-round descents
+            # history/batch medians as one GROUPED descent (a "__which"
+            # tag) instead of two sequential 16-round descents
             both = dcm_merge(
-                regs.filter(F.col("epoch_id") != epoch_id)
-                .withColumn("__which", F.lit("before"))
-                .unionByName(regs.withColumn("__which", F.lit("after"))),
+                regs.withColumn(
+                    "__which",
+                    F.when(
+                        F.col("epoch_id") == epoch_id, F.lit("batch")
+                    ).otherwise(F.lit("history")),
+                ),
                 ["__which"],
             )
             meds = {
@@ -487,11 +493,12 @@ def stream_profile_drift(
                 for r in dcm_quantiles(both, [(1, 2)], ["__which"]).collect()
                 if r["n"]  # an empty side yields an n=0/NULL row
             }
-            before, after = meds.get("before"), meds.get("after")
+            hist_med, batch_med = meds.get("history"), meds.get("batch")
             if (
-                before is not None
-                and after is not None
-                and abs(after - before) > max_median_rel_delta * max(before, 1)
+                hist_med is not None
+                and batch_med is not None
+                and abs(batch_med - hist_med)
+                > max_median_rel_delta * max(hist_med, 1)
             ):
                 breaker.alert_once(f"shape_drift:{shape_col}", on_alert)
 
@@ -1114,7 +1121,11 @@ def apply_dcm_delta(
     Identical exactly-once shape to :func:`apply_cm_delta` (sum-merge
     is not idempotent → replay rides the epoch key); the collapsed
     store answers rank/quantile probes over the WHOLE stream so far —
-    continuous percentile monitoring without re-sorting history.
+    continuous percentile monitoring without re-sorting history. The
+    store grows one register set per epoch (O(epochs · d·w·b) rows);
+    run :func:`compact_dcm_store` periodically to fold committed
+    epochs back to O(d·w·b) — sum-merge makes every read invariant
+    under it.
 
     Defaults come from the canonical DCM_W/DCM_D/DCM_B constants (not
     re-hardcoded literals) so a constants change can never silently
@@ -1133,6 +1144,46 @@ def apply_dcm_delta(
         "epoch_id", F.lit(int(epoch_id))
     )
     store.upsert(delta)
+
+
+def compact_dcm_store(
+    store: MergeTable,
+    through_epoch: int,
+    group_cols: list[str] | None = None,
+) -> int:
+    """Collapse every dcm register row with ``epoch_id <=
+    through_epoch`` into one register set re-keyed at
+    ``through_epoch`` — the :func:`compact_rollup_partials` contract,
+    verbatim: without compaction the epoch-keyed store grows
+    O(epochs · d·w·b) and every read re-collapses all of it; after,
+    history is O(d·w·b) per group and reads fold only the recent
+    tail. Same safety argument (``through_epoch`` strictly below the
+    newest epoch — enforced — so no compacted epoch can re-fire; one
+    atomic overwrite; re-runnable at a higher watermark), and every
+    read face (:func:`dcm_read_registers`, the
+    :func:`stream_profile_drift` history median) is invariant under
+    it because counters merge by SUM. Returns rows eliminated."""
+    from etl_instagram_spark.operators.sketches import dcm_merge
+
+    g = list(group_cols or [])
+    stored = store.read()
+    mx = stored.agg(F.max("epoch_id").alias("m")).first()["m"]
+    if mx is None or through_epoch >= mx:
+        raise ValueError(
+            f"through_epoch must be < the newest epoch present ({mx}); "
+            f"got {through_epoch} — the latest epoch may still re-fire"
+        )
+    old = stored.filter(F.col("epoch_id") <= through_epoch)
+    n_old = old.count()
+    if n_old == 0:
+        return 0
+    merged = dcm_merge(old, g).withColumn(
+        "epoch_id", F.lit(int(through_epoch))
+    )
+    keep = stored.filter(F.col("epoch_id") > through_epoch)
+    n_merged = merged.count()
+    store.overwrite(keep.unionByName(merged.select(*keep.columns)))
+    return n_old - n_merged
 
 
 def dcm_read_registers(

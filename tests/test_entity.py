@@ -580,3 +580,41 @@ def test_snm_default_bucket_balances_skewed_first_letter(spark):
     )
     assert len(counts) > 1
     assert max(r["count"] for r in counts) < len(rows) / 2
+
+
+def test_incremental_probe_guard_replay_stable_at_cap_boundary(spark, tmp_path):
+    """The probe guard's hotness predicate must not flip between a
+    crashed tick and its replay when the BATCH ITSELF pushes a store
+    block across the cap: the count excludes the batch's own
+    (block, norm) keys, so with exactly cap norms in history the first
+    run (store at cap) and the replay (store at cap+1, minus the
+    batch's own key) see the same not-hot block — same adoption, same
+    store rows."""
+    from etl_instagram_spark.operators.entity import (
+        incremental_resolve_entities,
+    )
+    from etl_instagram_spark.operators.merge import MergeTable
+
+    cap = 5
+    hot_names = ["aaaa", "bbbb", "cccc", "dddd", "eeee"]  # exactly cap
+    store = MergeTable(spark, str(tmp_path / "ents"), ["block", "norm"])
+    b1 = spark.createDataFrame(
+        [(i, f"{nm} hot") for i, nm in enumerate(hot_names, 1)],
+        "id long, name string",
+    )
+    incremental_resolve_entities(b1, store, "id", "name", BLOCK(), 2)
+
+    # the boundary batch: a 6th norm, d=1 from 'aaaa hot'
+    b2 = spark.createDataFrame([(31, "aaab hot")], "id long, name string")
+    first, _ = incremental_resolve_entities(
+        b2, store, "id", "name", BLOCK(), 2, max_block_size=cap
+    )
+    assert {r["id"]: r["entity"] for r in first.collect()} == {31: 1}
+    snapshot = sorted(map(tuple, store.read().collect()))
+    # crashed-tick replay: the store now holds cap+1 norms, but the
+    # batch's own key is excluded from the count — predicate unchanged
+    replay, _ = incremental_resolve_entities(
+        b2, store, "id", "name", BLOCK(), 2, max_block_size=cap
+    )
+    assert {r["id"]: r["entity"] for r in replay.collect()} == {31: 1}
+    assert sorted(map(tuple, store.read().collect())) == snapshot

@@ -861,10 +861,11 @@ def test_k_core_peel_depth_within_half_the_oracle_budget(spark, sf_oracle):
     chain with a loud convergence assert; pin the margin the same way
     the CC oracle's is pinned: the real co-purchase graph at the gate
     scale factor AND at sf0.1 must reach its fixpoint within
-    rounds/2 = 12 synchronous rounds (k_core's max_rounds budget raises
-    if not; measured depth is 11 at sf0.01, 3 at sf0.1), so the oracle
-    budget carries a >= 2x cushion — and extra CTE rounds are no-ops
-    once the edge set is stable."""
+    rounds/2 = 12 synchronous SHRINKING rounds (k_core's max_rounds
+    budget raises if not; the fixpoint-confirming no-op round is free;
+    measured shrinking depth is 10 at sf0.01, 2 at sf0.1), so the
+    oracle budget carries a >= 2x cushion — and extra CTE rounds are
+    no-ops once the edge set is stable."""
     from etl_instagram_spark.operators.graph import copurchase_edges, k_core
 
     for sf_dir in (sf_oracle, "/root/testdata/sf0.1"):

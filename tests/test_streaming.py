@@ -809,3 +809,61 @@ def test_stream_profile_drift_shape_median_alerts_once_and_replays(spark, tmp_pa
         spark, str(landing), DDL, store, str(tmp_path / "ck2"), **kw2
     )
     assert alerts == ["shape_drift:v"]
+
+
+def test_compact_dcm_store_invariant_and_guarded(spark, tmp_path):
+    """compact_dcm_store folds committed epochs to one register set:
+    quantile answers and dcm_read_registers are bit-identical before
+    and after (sum-merge invariance), row count drops, the newest
+    epoch survives for replay, and compacting at-or-above the newest
+    epoch is rejected loudly (the compact_rollup_partials contract)."""
+    import pytest as _pytest
+
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.operators.sketches import dcm_quantiles
+    from etl_instagram_spark.streaming.incremental import (
+        apply_dcm_delta,
+        compact_dcm_store,
+        dcm_read_registers,
+    )
+
+    store = MergeTable(
+        spark, str(tmp_path / "dcm"), ["epoch_id", "lvl", "j", "col"]
+    )
+    for ep, lo in ((0, 0), (1, 100), (2, 300)):
+        batch = spark.createDataFrame(
+            [(lo + i,) for i in range(40)], "v long"
+        )
+        apply_dcm_delta(store, batch, ep, "v")
+    before_regs = sorted(
+        map(tuple, dcm_read_registers(store).collect())
+    )
+    before_q = sorted(
+        map(
+            tuple,
+            dcm_quantiles(
+                dcm_read_registers(store), [(1, 4), (1, 2), (3, 4)]
+            ).collect(),
+        )
+    )
+    n_before = store.read().count()
+    eliminated = compact_dcm_store(store, through_epoch=1)
+    assert eliminated > 0
+    assert store.read().count() == n_before - eliminated
+    # the newest epoch's rows survive un-rekeyed for replay safety
+    assert (
+        store.read().filter(F.col("epoch_id") == 2).count() > 0
+    )
+    assert sorted(map(tuple, dcm_read_registers(store).collect())) == before_regs
+    after_q = sorted(
+        map(
+            tuple,
+            dcm_quantiles(
+                dcm_read_registers(store), [(1, 4), (1, 2), (3, 4)]
+            ).collect(),
+        )
+    )
+    assert after_q == before_q
+    # re-runnable at a higher watermark; the newest epoch is protected
+    with _pytest.raises(ValueError, match="newest epoch"):
+        compact_dcm_store(store, through_epoch=2)

@@ -515,7 +515,8 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
         # whole stage stays rows·cap-bounded.
         from etl_instagram_spark.operators.entity import resolve_entities
 
-        if op.endswith("_30x") and mult != 1:
+        fixed_30x = op.endswith("_30x")
+        if fixed_30x and mult != 1:
             mult = 30
         pa = spark.read.parquet(f"{BASE_SF}/part.parquet")
         copies = []
@@ -549,6 +550,16 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
                 "block": "30%-HOT + last_token",
                 "max_block_size": 64,
                 "mult": mult,
+                **(
+                    {
+                        "note": (
+                            "mult pinned to 30 regardless of --mult/"
+                            "data_mult — time_ratio here is 30x/1x"
+                        )
+                    }
+                    if fixed_30x
+                    else {}
+                ),
             },
         }
     elif op == "entity_snm":
