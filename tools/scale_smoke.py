@@ -342,6 +342,59 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             "sec": timed(_run_dcm),
             "params": {"quantiles": 4},
         }
+    elif op in ("cm_frequency", "funnel"):
+        # the two r13 gate promotions, measured like every other gated
+        # family. Disjoint-user copies of the events table: both ops
+        # are per-(type,user) / per-user, so the protocol replicates
+        # the structure without cross-copy interaction.
+        # cm_frequency: one explode+counting groupBy whose output is
+        # bounded at d·w rows per event_type REGARDLESS of input — the
+        # honest expectation is time ∝ n with a flat register shuffle.
+        # funnel: k−1 SHRINKING key-equi joins (level frames only lose
+        # users), no window over the raw stream — time ∝ n.
+        ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
+        copies = [
+            ev.select(
+                (F.col("user_id") + F.lit(c * 100_000_000)).alias("user_id"),
+                "event_type",
+                "ts",
+            )
+            for c in range(mult)
+        ]
+        big = copies[0]
+        for cp in copies[1:]:
+            big = big.unionByName(cp)
+        big = big.localCheckpoint()
+        if op == "cm_frequency":
+            from etl_instagram_spark.operators.sketches import cm_sketch
+
+            res = {
+                "sec": timed(
+                    lambda: cm_sketch(
+                        big, "user_id", ["event_type"], w=256, d=4
+                    ).count()
+                ),
+                "params": {"w": 256, "d": 4},
+            }
+        else:
+            from etl_instagram_spark.operators.funnel import funnel_summary
+
+            res = {
+                "sec": timed(
+                    lambda: funnel_summary(
+                        big,
+                        "user_id",
+                        "ts",
+                        [
+                            F.col("event_type") == "view",
+                            F.col("event_type") == "click",
+                            F.col("event_type") == "purchase",
+                        ],
+                        within_seconds=7 * 24 * 3600,
+                    ).count()
+                ),
+                "params": {"levels": 3, "within_days": 7},
+            }
     elif op == "pagerank_hubskew":
         # the pinned-edge-layout design under hub skew: copies SHARE the
         # hub (node 0 in ~30% of edges, both directions), so the hub's
@@ -689,6 +742,8 @@ OPS = (
     "triangles_hubskew",
     "hll",
     "dcm_quantiles",
+    "cm_frequency",
+    "funnel",
     "entity_resolution",
     "entity_hotblock_guarded",
     "entity_hotblock_guarded_30x",
