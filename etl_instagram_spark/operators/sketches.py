@@ -797,3 +797,89 @@ def dcm_quantiles_sql(
         f" x AS q_value FROM s{b})"
     )
     return ",\n".join(parts)
+
+
+def _dcm_hash_py(prefix: int, lvl: int, j: int, w: int) -> int:
+    """Pure-Python mirror of :func:`dcm_hash` — int(md5 hex[:8], 16)
+    of the same salted string both engines hash (functions.text.hash32
+    kernel)."""
+    import hashlib
+
+    s = f"dq{lvl}.{j}\x1f{prefix}"
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % w
+
+
+def dcm_quantiles_driver(
+    sketch: DataFrame,
+    quantiles: list[tuple[int, int]],
+    group_cols: list[str] | None = None,
+    w: int = DCM_W,
+    d: int = DCM_D,
+    b: int = DCM_B,
+    max_collect_rows: int = 2_000_000,
+) -> list[dict]:
+    """:func:`dcm_quantiles` answered DRIVER-SIDE: collect the register
+    frame (bounded at d·w·b rows PER GROUP by construction — a model-
+    sized object like k-means centroids, independent of data volume;
+    ``max_collect_rows`` rejects a group explosion loudly) and run the
+    identical integer bit descent in Python — the walk is pure int64
+    arithmetic over the md5 hash32 kernel, so the answers are equal
+    row-for-row to the distributed descent (pinned by test). One Spark
+    action instead of b sequential probe rounds: this is the LATENCY
+    face for per-tick streaming probes (stream_profile_drift); the
+    distributed :func:`dcm_quantiles` remains the many-groups batch
+    face and the cross-engine-certified one (dcm_quantiles_sql).
+
+    Returns one dict per (group…, quantile): {group cols…, q_num,
+    q_den, n, target, q_value} — same fields as dcm_quantiles rows."""
+    for nu, de in quantiles:
+        if not (0 < nu <= de):
+            raise ValueError(f"quantile must satisfy 0 < num <= den: {nu}/{de}")
+    g = list(group_cols or [])
+    limited = sketch.limit(max_collect_rows + 1).collect()
+    if len(limited) > max_collect_rows:
+        raise ValueError(
+            f"dcm_quantiles_driver: register frame exceeds "
+            f"max_collect_rows={max_collect_rows} — too many groups for "
+            f"a driver-side descent; use dcm_quantiles"
+        )
+    counters: dict[tuple, int] = {}
+    totals: dict[tuple, int] = {}
+    for r in limited:
+        key = tuple(r[c] for c in g)
+        counters[(key, r["lvl"], r["j"], r["col"])] = (
+            counters.get((key, r["lvl"], r["j"], r["col"]), 0) + r["cnt"]
+        )
+        if r["lvl"] == 0 and r["j"] == 0:
+            totals[key] = totals.get(key, 0) + r["cnt"]
+
+    def rank(key: tuple, x: int) -> int:
+        # mirror of dcm_rank: for each set bit ℓ of x, the level-ℓ
+        # node ending at x's bit boundary, est = min over the d rows
+        total = 0
+        for lvl in range(b):
+            if (x >> lvl) & 1:
+                pref = (x >> (lvl + 1)) << 1
+                total += min(
+                    counters.get(
+                        (key, lvl, j, _dcm_hash_py(pref, lvl, j, w)), 0
+                    )
+                    for j in range(d)
+                )
+        return total
+
+    out: list[dict] = []
+    for key, n in sorted(totals.items()):
+        for nu, de in quantiles:
+            target = (nu * n + de - 1) // de
+            x = 0
+            for k in range(b - 1, -1, -1):
+                cand = x + (1 << k)
+                if rank(key, cand) < target:
+                    x = cand
+            row = dict(zip(g, key))
+            row.update(
+                q_num=nu, q_den=de, n=n, target=target, q_value=x
+            )
+            out.append(row)
+    return out

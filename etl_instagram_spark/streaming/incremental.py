@@ -472,15 +472,17 @@ def stream_profile_drift(
         if shape_col is not None and dcm_store is not None:
             from etl_instagram_spark.operators.sketches import (
                 dcm_merge,
-                dcm_quantiles,
+                dcm_quantiles_driver,
             )
 
             apply_dcm_delta(dcm_store, batch_df, epoch_id, shape_col)
-            regs = dcm_store.read().localCheckpoint(eager=True)
-            # history/batch medians as one GROUPED descent (a "__which"
-            # tag) instead of two sequential 16-round descents
+            # history/batch medians via the driver-side descent: ONE
+            # collect of the merged register frame (bounded at
+            # 2·d·w·b rows by construction) instead of b sequential
+            # distributed probe rounds per tick — same integers,
+            # pinned equal to the distributed descent by test
             both = dcm_merge(
-                regs.withColumn(
+                dcm_store.read().withColumn(
                     "__which",
                     F.when(
                         F.col("epoch_id") == epoch_id, F.lit("batch")
@@ -490,8 +492,8 @@ def stream_profile_drift(
             )
             meds = {
                 r["__which"]: int(r["q_value"])
-                for r in dcm_quantiles(both, [(1, 2)], ["__which"]).collect()
-                if r["n"]  # an empty side yields an n=0/NULL row
+                for r in dcm_quantiles_driver(both, [(1, 2)], ["__which"])
+                if r["n"]
             }
             hist_med, batch_med = meds.get("history"), meds.get("batch")
             if (

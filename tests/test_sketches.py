@@ -522,3 +522,48 @@ def test_dcm_epoch_store_stream_equals_batch_and_replays(spark, tmp_path):
         ).collect()
     )
     assert stream_q == batch_q
+
+
+def test_dcm_quantiles_driver_equals_distributed(spark):
+    """The driver-side bit descent (dcm_quantiles_driver — one collect
+    of the bounded register frame + pure-Python int64 walk over the
+    same md5 kernel) answers EXACTLY what the distributed descent
+    answers, grouped and ungrouped, on real event values — and the
+    collect guard rejects register frames past max_collect_rows
+    loudly instead of pulling them to the driver."""
+    import pytest as _pytest
+
+    from etl_instagram_spark.operators.sketches import (
+        dcm_quantiles,
+        dcm_quantiles_driver,
+        dcm_sketch,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
+    )
+    qs = [(1, 4), (1, 2), (3, 4), (19, 20)]
+
+    sk = dcm_sketch(ev, "v", ["event_type"]).localCheckpoint(eager=True)
+    dist = sorted(
+        map(tuple, dcm_quantiles(sk, qs, ["event_type"]).collect())
+    )
+    drv = sorted(
+        (r["event_type"], r["q_num"], r["q_den"], r["n"], r["target"], r["q_value"])
+        for r in dcm_quantiles_driver(sk, qs, ["event_type"])
+    )
+    assert drv == dist
+
+    sk0 = dcm_sketch(ev, "v").localCheckpoint(eager=True)
+    dist0 = sorted(map(tuple, dcm_quantiles(sk0, qs).collect()))
+    drv0 = sorted(
+        (r["q_num"], r["q_den"], r["n"], r["target"], r["q_value"])
+        for r in dcm_quantiles_driver(sk0, qs)
+    )
+    assert drv0 == dist0
+
+    with _pytest.raises(ValueError, match="max_collect_rows"):
+        dcm_quantiles_driver(sk, qs, ["event_type"], max_collect_rows=10)
+    with _pytest.raises(ValueError, match="quantile"):
+        dcm_quantiles_driver(sk, [(3, 2)], ["event_type"])
