@@ -95,6 +95,15 @@ def hash32_sql(expr: str) -> str:
     return SQL_HASH32.format(v=expr)
 
 
+def hash32_py(s: str) -> int:
+    """Pure-Python mirror of :func:`hash32` — for driver-side replays
+    of kernel-hashed walks (e.g. the dcm quantile descent) and test
+    differentials."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
 def affine_hash(x: Column, a: int, b: int, p: int = HASH_PRIME) -> Column:
     """Universal-hash family h(x) = (a * (x % p) + b) % p, overflow-safe
     for a,b < 2^31 (product < 2^62 < int64 max). Used to derive the k

@@ -800,13 +800,11 @@ def dcm_quantiles_sql(
 
 
 def _dcm_hash_py(prefix: int, lvl: int, j: int, w: int) -> int:
-    """Pure-Python mirror of :func:`dcm_hash` — int(md5 hex[:8], 16)
-    of the same salted string both engines hash (functions.text.hash32
-    kernel)."""
-    import hashlib
+    """Pure-Python mirror of :func:`dcm_hash`, on the shared
+    functions.text.hash32_py kernel mirror."""
+    from etl_instagram_spark.functions.text import hash32_py
 
-    s = f"dq{lvl}.{j}\x1f{prefix}"
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % w
+    return hash32_py(f"dq{lvl}.{j}\x1f{prefix}") % w
 
 
 def dcm_quantiles_driver(
