@@ -509,3 +509,29 @@ def test_duplicate_span_discovery_is_equi_join_free_scan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dcm_sketch_aggregation_combines_map_side(spark):
+    """The dyadic-CM register build must partial-aggregate below its
+    ONE exchange: every partition collapses to <= groups*d*w*b counter
+    rows before the shuffle, so shuffle volume is bounded by the
+    register size at any input scale — the property that makes the
+    sketch a 100 TB operator."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.operators.sketches import dcm_sketch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
+    )
+    plan = (
+        dcm_sketch(ev, "v", ["event_type"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"partial_count", plan)
+    assert len(re.findall(r"HashAggregate", plan)) >= 2  # partial + final
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert "CartesianProduct" not in plan
