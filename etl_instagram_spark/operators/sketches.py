@@ -488,13 +488,25 @@ def dcm_sketch(
     w: int = DCM_W,
     d: int = DCM_D,
     b: int = DCM_B,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group dyadic-CM register state: (group…, lvl, j, col, cnt) —
     at most d·w·b rows per group; level-ℓ rows count the dyadic keys
     (value >> ℓ). One b·d explode + one partially-aggregated counting
     groupBy; the shuffle moves ≤ groups·d·w·b rows regardless of input
     size. Out-of-range values raise INSIDE the scan (no extra
-    validation pass — the loud-assert convention)."""
+    validation pass — the loud-assert convention).
+
+    ``weight_col`` switches to WEIGHTED registers: each row contributes
+    its positive-int64 weight instead of 1, so every downstream face —
+    rank, quantiles, driver descent, merge, SQL replay — answers
+    weighted ranks/quantiles with no change (the descent is pure
+    counting algebra; a weight-w row is indistinguishable from w
+    unit rows, which is exactly the pinned differential). The
+    token-weighted percentile use: "the doc-length value below which
+    half the CORPUS TOKENS sit", not half the documents. Weights must
+    be positive (NULL/zero/negative raise inside the scan — a silently
+    skipped weight would desynchronize the engines)."""
     if not (2 <= b <= 40):
         raise ValueError(f"b must be in [2, 40], got {b}")
     if w < 2:
@@ -512,6 +524,19 @@ def dcm_sketch(
             )
         ).cast("long"),
     ).otherwise(v)
+    if weight_col is None:
+        wt = F.lit(1).cast("long")
+    else:
+        wv = F.col(weight_col).cast("long")
+        wt = F.when(
+            wv.isNull() | (wv <= 0),
+            F.raise_error(
+                F.concat(
+                    F.lit("dcm_sketch: weight must be a positive int64, got "),
+                    F.coalesce(wv.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(wv)
     pairs = F.array(
         *[
             F.struct(F.lit(lv).alias("lvl"), F.lit(j).alias("j"))
@@ -521,16 +546,18 @@ def dcm_sketch(
     )
     return (
         df.filter(v.isNotNull())
-        .select(*g, guarded.alias("__v"))
-        .select(*g, "__v", F.explode(pairs).alias("__p"))
+        .select(*g, guarded.alias("__v"), wt.alias("__wt"))
+        .select(*g, "__v", "__wt", F.explode(pairs).alias("__p"))
         .select(
             *g,
+            "__wt",
             F.col("__p.lvl").alias("lvl"),
             F.col("__p.j").alias("j"),
             F.expr("shiftright(__v, __p.lvl)").alias("__pref"),
         )
         .select(
             *g,
+            "__wt",
             "lvl",
             "j",
             dcm_hash(F.col("__pref"), F.col("lvl"), F.col("j"), w).alias(
@@ -538,7 +565,7 @@ def dcm_sketch(
             ),
         )
         .groupBy(*g, "lvl", "j", "col")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("__wt").cast("long").alias("cnt"))
     )
 
 
@@ -550,10 +577,11 @@ def dcm_sketch_sql(
     d: int = DCM_D,
     b: int = DCM_B,
     where: str | None = None,
+    weight_expr: str | None = None,
 ) -> str:
     """Standalone DuckDB statement mirroring :func:`dcm_sketch` —
     identical dynamic-salt hashes, identical integer counters, and the
-    same loud out-of-range error()."""
+    same loud out-of-range / bad-weight error()s."""
     g = list(group_exprs or [])
     gsel = "".join(f"{e}, " for e in g)
     wh = f"AND ({where})" if where else ""
@@ -562,10 +590,19 @@ def dcm_sketch_sql(
         f" THEN error('dcm_sketch: value out of range')"
         f" ELSE ({value_expr})::BIGINT END"
     )
+    if weight_expr is None:
+        wsel, agg = "1::BIGINT AS wt", "sum(wt)"
+    else:
+        wsel = (
+            f"CASE WHEN ({weight_expr}) IS NULL OR ({weight_expr}) <= 0"
+            f" THEN error('dcm_sketch: weight must be a positive int64')"
+            f" ELSE ({weight_expr})::BIGINT END AS wt"
+        )
+        agg = "sum(wt)"
     col = dcm_hash_sql("(v >> lvl)", "lvl", "j", w)
     return f"""
-    SELECT {gsel}lvl, j, {col} AS col, count(*)::BIGINT AS cnt
-    FROM (SELECT {gsel}{guard} AS v FROM {from_clause}
+    SELECT {gsel}lvl, j, {col} AS col, ({agg})::BIGINT AS cnt
+    FROM (SELECT {gsel}{guard} AS v, {wsel} FROM {from_clause}
           WHERE ({value_expr}) IS NOT NULL {wh}) src
     CROSS JOIN (SELECT unnest(range({b}))::INT AS lvl) lv
     CROSS JOIN (SELECT unnest(range({d}))::INT AS j) jj

@@ -531,7 +531,9 @@ def test_dcm_sketch_aggregation_combines_map_side(spark):
         .executedPlan()
         .toString()
     )
-    assert re.search(r"partial_count", plan)
+    # registers count via sum(1) so weighted/unweighted share one
+    # aggregate shape: the partial marker is partial_sum
+    assert re.search(r"partial_sum", plan)
     assert len(re.findall(r"HashAggregate", plan)) >= 2  # partial + final
     assert len(re.findall(r"Exchange", plan)) == 1
     assert "CartesianProduct" not in plan

@@ -567,3 +567,67 @@ def test_dcm_quantiles_driver_equals_distributed(spark):
         dcm_quantiles_driver(sk, qs, ["event_type"], max_collect_rows=10)
     with _pytest.raises(ValueError, match="quantile"):
         dcm_quantiles_driver(sk, [(3, 2)], ["event_type"])
+
+
+def test_dcm_weighted_registers_equal_exploded_units_and_duckdb(spark):
+    """Weighted dcm registers are BIT-IDENTICAL to unweighted registers
+    over weight-many unit rows (a weight-w row is w unit rows to pure
+    counting algebra), the DuckDB weighted mirror lands on the same
+    counters, weighted quantiles answer token-weighted medians through
+    the unchanged descent, and bad weights raise loudly in BOTH
+    engines."""
+    import duckdb
+    import pytest as _pytest
+
+    from etl_instagram_spark.operators.sketches import (
+        dcm_quantiles,
+        dcm_quantiles_driver,
+        dcm_sketch,
+        dcm_sketch_sql,
+    )
+
+    rows = [(1, "a", 3), (5, "a", 1), (9, "a", 6), (2, "b", 10), (7, "b", 2)]
+    df = spark.createDataFrame(rows, "v long, g string, wt long")
+    weighted = sorted(
+        map(tuple, dcm_sketch(df, "v", ["g"], b=4, weight_col="wt").collect())
+    )
+    exploded = df.withColumn(
+        "__i", F.explode(F.sequence(F.lit(1), F.col("wt")))
+    ).select("v", "g")
+    unit = sorted(map(tuple, dcm_sketch(exploded, "v", ["g"], b=4).collect()))
+    assert weighted == unit
+
+    values = ",".join(f"({v},'{g}',{wt})" for v, g, wt in rows)
+    sql = dcm_sketch_sql(
+        "v", f"(SELECT * FROM (VALUES {values}) t(v, g, wt))", ["g"],
+        b=4, weight_expr="wt",
+    )
+    con = duckdb.connect()
+    duck = sorted(con.sql(sql).fetchall())
+    assert duck == weighted
+
+    # token-weighted median: group a holds weights 3@1, 1@5, 6@9 — half
+    # of the 10 units sit at value 9, so the weighted median is 9 while
+    # the unweighted row median is 5
+    sk = dcm_sketch(df, "v", ["g"], b=4, weight_col="wt")
+    med = {
+        r["g"]: r["q_value"]
+        for r in dcm_quantiles(sk, [(1, 2)], ["g"], b=4).collect()
+    }
+    assert med == {"a": 9, "b": 2}
+    drv = {
+        r["g"]: r["q_value"]
+        for r in dcm_quantiles_driver(sk, [(1, 2)], ["g"], b=4)
+    }
+    assert drv == med
+
+    bad = spark.createDataFrame([(1, "a", 0)], "v long, g string, wt long")
+    with _pytest.raises(Exception, match="positive int64"):
+        dcm_sketch(bad, "v", ["g"], b=4, weight_col="wt").collect()
+    bad_sql = dcm_sketch_sql(
+        "v", "(SELECT 1 AS v, 'a' AS g, 0 AS wt)", ["g"], b=4,
+        weight_expr="wt",
+    )
+    with _pytest.raises(Exception, match="positive int64"):
+        con.sql(bad_sql).fetchall()
+    con.close()
