@@ -1727,6 +1727,86 @@ def _sql_events_dcm_quantiles() -> str:
     """
 
 
+def _docs_token_weighted_length_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Never-gated (r13): WEIGHTED dyadic-CM quantiles
+    (operators/sketches.dcm_sketch weight_col, the r13 face) — per-lang
+    doc-length quantiles weighted by TOKEN MASS: "the length below
+    which a quarter/half/three-quarters of the corpus TOKENS sit", the
+    packing/budgeting statistic, not the per-document median. Weights
+    ride the shared token kernel (functions.text.tokens ↔ SQL_TOKS, the
+    same certified pair the token-stats gate row uses), registers and
+    the full descent replay bit-for-bit in DuckDB, and
+    ``exact_wt_below`` contrasts each answer with the true token mass
+    strictly below it — certifying the weighted quantile against the
+    DATA. Scale: same register-bounded shuffle as the unweighted
+    sketch; the contrast join broadcasts the tiny quantile frame."""
+    from etl_instagram_spark.functions.text import token_count
+    from etl_instagram_spark.operators.sketches import (
+        dcm_quantiles,
+        dcm_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("long").alias("v"),
+        token_count(F.col("text")).cast("long").alias("wt"),
+    )
+    sk = dcm_sketch(docs, "v", ["lang"], weight_col="wt")
+    qs = dcm_quantiles(
+        sk, [(1, 4), (1, 2), (3, 4)], ["lang"]
+    ).localCheckpoint(eager=True)  # reused: output + contrast probe
+    exact = (
+        F.broadcast(qs.select("lang", "q_num", "q_den", "q_value"))
+        .join(docs, "lang")
+        .filter(F.col("v") < F.col("q_value"))
+        .groupBy("lang", "q_num", "q_den")
+        .agg(F.sum("wt").cast("long").alias("exact_wt_below"))
+    )
+    return (
+        qs.join(exact, ["lang", "q_num", "q_den"], "left")
+        .withColumn(
+            "exact_wt_below",
+            F.coalesce("exact_wt_below", F.lit(0)).cast("long"),
+        )
+        .select(
+            "lang", "q_num", "q_den", "n", "target", "q_value",
+            "exact_wt_below",
+        )
+        .orderBy("lang", "q_den", "q_num")
+    )
+
+
+def _sql_docs_token_weighted_length_quantiles() -> str:
+    from etl_instagram_spark.operators.sketches import (
+        dcm_quantiles_sql,
+        dcm_sketch_sql,
+    )
+    from etl_instagram_spark.plans.llm_queries import SQL_TOKS
+
+    wt = f"len({SQL_TOKS})"
+    sk = dcm_sketch_sql(
+        "n_chars", "documents", ["lang"], weight_expr=wt
+    )
+    ctes = dcm_quantiles_sql(sk, [(1, 4), (1, 2), (3, 4)], ["lang"])
+    return f"""
+    WITH {ctes},
+    dv AS (SELECT lang, n_chars::BIGINT AS v, ({wt})::BIGINT AS wt
+           FROM documents WHERE n_chars IS NOT NULL),
+    exact AS (SELECT q.lang, q.q_num, q.q_den,
+                     (sum(d.wt) FILTER (d.v < q.q_value))::BIGINT
+                       AS exact_wt_below
+              FROM qout q JOIN dv d ON d.lang = q.lang
+              GROUP BY q.lang, q.q_num, q.q_den)
+    SELECT q.lang, q.q_num, q.q_den, q.n, q.target, q.q_value,
+           COALESCE(x.exact_wt_below, 0)::BIGINT AS exact_wt_below
+    FROM qout q LEFT JOIN exact x
+      ON x.lang = q.lang AND x.q_num = q.q_num AND x.q_den = q.q_den
+    ORDER BY q.lang, q.q_den, q.q_num
+    """
+
+
 def _docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r11): systematic PPS sampling
     (operators/sampling.pps_sample) — a fixed budget of 300 draws from
@@ -2154,6 +2234,12 @@ def _register_rotated() -> None:
     EXTRAS["events_dcm_quantiles"] = (
         _events_dcm_quantiles,
         _sql_events_dcm_quantiles(),
+    )
+    # never-gated (r13): WEIGHTED dcm quantiles (token-mass-weighted
+    # doc-length percentiles on the shared token kernel)
+    EXTRAS["docs_token_weighted_length_quantiles"] = (
+        _docs_token_weighted_length_quantiles,
+        _sql_docs_token_weighted_length_quantiles(),
     )
     # never-gated (r11): systematic PPS weighted sampling
     EXTRAS["docs_pps_sample"] = (_docs_pps_sample, _sql_docs_pps_sample())
