@@ -282,18 +282,42 @@ def cm_sketch(
     group_cols: list[str] | None = None,
     w: int = CM_W,
     d: int = CM_D,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group CM register state: (group…, j, col, cnt) — at most d·w
     rows per group, cnt the int64 number of stream items whose row-j
     hash landed in counter ``col``. One explode of d (j, col) pairs per
     row + one partially-aggregated counting groupBy; untouched counters
-    are implicit zeros (never materialized)."""
+    are implicit zeros (never materialized).
+
+    ``weight_col`` switches to WEIGHTED counters: each row contributes
+    its positive-int64 weight instead of 1, so :func:`cm_lookup`
+    answers approximate per-key TOTALS (tokens per domain, spend per
+    user) under the same d·w memory bound and the same one-sided
+    guarantee (est ≥ true total; the Cormode-Muthukrishnan analysis is
+    weight-agnostic — a weight-w item is w unit items to counting
+    algebra, the pinned differential). Weights must be positive
+    (NULL/zero/negative raise inside the scan — a silently skipped
+    weight would desynchronize the engines)."""
     if w < 2:
         raise ValueError(f"w must be >= 2, got {w}")
     if d < 1:
         raise ValueError(f"d must be >= 1, got {d}")
     g = list(group_cols or [])
     v = F.col(value_col)
+    if weight_col is None:
+        wt = F.lit(1).cast("long")
+    else:
+        wv = F.col(weight_col).cast("long")
+        wt = F.when(
+            wv.isNull() | (wv <= 0),
+            F.raise_error(
+                F.concat(
+                    F.lit("cm_sketch: weight must be a positive int64, got "),
+                    F.coalesce(wv.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(wv)
     pairs = F.array(
         *[
             F.struct(F.lit(j).alias("j"), cm_hash(v, j, w).alias("col"))
@@ -302,10 +326,15 @@ def cm_sketch(
     )
     return (
         df.filter(v.isNotNull())
-        .select(*g, F.explode(pairs).alias("__p"))
-        .select(*g, F.col("__p.j").alias("j"), F.col("__p.col").alias("col"))
+        .select(*g, wt.alias("__wt"), F.explode(pairs).alias("__p"))
+        .select(
+            *g,
+            "__wt",
+            F.col("__p.j").alias("j"),
+            F.col("__p.col").alias("col"),
+        )
         .groupBy(*g, "j", "col")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("__wt").cast("long").alias("cnt"))
     )
 
 
@@ -316,20 +345,30 @@ def cm_sketch_sql(
     w: int = CM_W,
     d: int = CM_D,
     where: str | None = None,
+    weight_expr: str | None = None,
 ) -> str:
     """Standalone DuckDB statement mirroring :func:`cm_sketch` —
-    identical salted hashes, identical integer counters."""
+    identical salted hashes, identical integer counters, and the same
+    loud bad-weight error() when ``weight_expr`` is given."""
     g = list(group_exprs or [])
     gsel = "".join(f"{e}, " for e in g)
     wh = f"AND ({where})" if where else ""
+    if weight_expr is None:
+        wsel = "1::BIGINT AS wt"
+    else:
+        wsel = (
+            f"CASE WHEN ({weight_expr}) IS NULL OR ({weight_expr}) <= 0"
+            f" THEN error('cm_sketch: weight must be a positive int64')"
+            f" ELSE ({weight_expr})::BIGINT END AS wt"
+        )
     branches = " UNION ALL ".join(
-        f"SELECT {gsel}{j} AS j, {cm_hash_sql(value_expr, j, w)} AS col"
+        f"SELECT {gsel}{wsel}, {j} AS j, {cm_hash_sql(value_expr, j, w)} AS col"
         f" FROM {from_clause}"
         f" WHERE ({value_expr}) IS NOT NULL {wh}"
         for j in range(d)
     )
     return f"""
-    SELECT {gsel}j, col, count(*)::BIGINT AS cnt
+    SELECT {gsel}j, col, (sum(wt))::BIGINT AS cnt
     FROM ({branches}) cmrows
     GROUP BY {gsel}j, col
     """

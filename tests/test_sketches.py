@@ -631,3 +631,59 @@ def test_dcm_weighted_registers_equal_exploded_units_and_duckdb(spark):
     with _pytest.raises(Exception, match="positive int64"):
         con.sql(bad_sql).fetchall()
     con.close()
+
+
+def test_cm_weighted_registers_equal_exploded_units_and_duckdb(spark):
+    """Weighted CM counters are BIT-IDENTICAL to unweighted counters
+    over weight-many unit rows, the DuckDB weighted mirror matches,
+    cm_lookup answers per-key TOTALS with the one-sided est >= true
+    guarantee intact, and bad weights raise loudly in both engines."""
+    import duckdb
+    import pytest as _pytest
+
+    from etl_instagram_spark.operators.sketches import (
+        cm_lookup,
+        cm_sketch,
+        cm_sketch_sql,
+    )
+
+    rows = [("u1", "a", 7), ("u2", "a", 3), ("u1", "a", 5), ("u3", "b", 11)]
+    df = spark.createDataFrame(rows, "k string, g string, wt long")
+    weighted = sorted(
+        map(tuple, cm_sketch(df, "k", ["g"], w=64, d=3, weight_col="wt").collect())
+    )
+    exploded = df.withColumn(
+        "__i", F.explode(F.sequence(F.lit(1), F.col("wt")))
+    ).select("k", "g")
+    unit = sorted(map(tuple, cm_sketch(exploded, "k", ["g"], w=64, d=3).collect()))
+    assert weighted == unit
+
+    values = ",".join(f"('{k}','{g}',{wt})" for k, g, wt in rows)
+    sql = cm_sketch_sql(
+        "k", f"(SELECT * FROM (VALUES {values}) t(k, g, wt))", ["g"],
+        w=64, d=3, weight_expr="wt",
+    )
+    con = duckdb.connect()
+    assert sorted(con.sql(sql).fetchall()) == weighted
+
+    # totals with the one-sided guarantee: est >= true per-key total
+    sk = cm_sketch(df, "k", ["g"], w=64, d=3, weight_col="wt")
+    qs = df.select("g", "k").distinct()
+    est = {
+        (r["g"], r["k"]): r["cm_estimate"]
+        for r in cm_lookup(sk, qs, "k", ["g"], w=64, d=3).collect()
+    }
+    true = {("a", "u1"): 12, ("a", "u2"): 3, ("b", "u3"): 11}
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)
+
+    bad = spark.createDataFrame([("u1", "a", -1)], "k string, g string, wt long")
+    with _pytest.raises(Exception, match="positive int64"):
+        cm_sketch(bad, "k", ["g"], w=64, d=3, weight_col="wt").collect()
+    bad_sql = cm_sketch_sql(
+        "k", "(SELECT 'u1' AS k, 'a' AS g, 0 AS wt)", ["g"],
+        w=64, d=3, weight_expr="wt",
+    )
+    with _pytest.raises(Exception, match="positive int64"):
+        con.sql(bad_sql).fetchall()
+    con.close()
