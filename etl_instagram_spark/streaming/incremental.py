@@ -1078,6 +1078,7 @@ def apply_cm_delta(
     group_cols: list[str] | None = None,
     w: int = 1024,
     d: int = 4,
+    weight_col: str | None = None,
 ) -> None:
     """Fold one micro-batch into an epoch-keyed count-min register
     store: rows keyed (epoch_id, group…, j, col) carrying the BATCH'S
@@ -1086,12 +1087,15 @@ def apply_cm_delta(
     recomputes the identical counters and upserts them over themselves
     (the rollup-delta pattern, unlike HLL's max-algebra store). State
     is O(epochs · groups · d·w); compact with the collapse-and-rekey
-    rewrite if epoch count ever matters."""
+    rewrite if epoch count ever matters. ``weight_col`` folds WEIGHTED
+    counters (continuous per-key totals) — same exactly-once shape,
+    since weighted registers are as deterministic per batch as
+    unweighted ones."""
     from etl_instagram_spark.operators.sketches import cm_sketch
 
-    delta = cm_sketch(batch_df, value_col, group_cols, w, d).withColumn(
-        "epoch_id", F.lit(int(epoch_id))
-    )
+    delta = cm_sketch(
+        batch_df, value_col, group_cols, w, d, weight_col=weight_col
+    ).withColumn("epoch_id", F.lit(int(epoch_id)))
     store.upsert(delta)
 
 
@@ -1116,6 +1120,7 @@ def apply_dcm_delta(
     w: int | None = None,
     d: int | None = None,
     b: int | None = None,
+    weight_col: str | None = None,
 ) -> None:
     """Fold one micro-batch into an epoch-keyed DYADIC-CM quantile
     register store (operators/sketches.dcm_sketch): rows keyed
@@ -1142,9 +1147,9 @@ def apply_dcm_delta(
     w = DCM_W if w is None else w
     d = DCM_D if d is None else d
     b = DCM_B if b is None else b
-    delta = dcm_sketch(batch_df, value_col, group_cols, w, d, b).withColumn(
-        "epoch_id", F.lit(int(epoch_id))
-    )
+    delta = dcm_sketch(
+        batch_df, value_col, group_cols, w, d, b, weight_col=weight_col
+    ).withColumn("epoch_id", F.lit(int(epoch_id)))
     store.upsert(delta)
 
 
