@@ -74,7 +74,12 @@ def _mg_absorb(counters: dict[str, int], vc: "pd.Series", capacity: int) -> dict
     return counters
 
 
-def mg_summary(terms: DataFrame, term_col: str, capacity: int) -> DataFrame:
+def mg_summary(
+    terms: DataFrame,
+    term_col: str,
+    capacity: int,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Pass 1: per-partition Misra-Gries summaries.
 
     Returns a SMALL frame (≤ capacity candidate rows + 1 total row per
@@ -83,13 +88,27 @@ def mg_summary(terms: DataFrame, term_col: str, capacity: int) -> DataFrame:
     caller gets n without a third scan of the input). NULL terms are
     ignored (they are not countable values, matching the oracle's
     ``WHERE term IS NOT NULL``).
-    """
+
+    ``weight_col`` switches to WEIGHTED summaries: each row contributes
+    its positive-int64 weight — the averaging argument is
+    weight-agnostic (a weight-w item is w unit items), so the
+    no-false-negative candidate guarantee holds against weight shares.
+    Bad weights on a non-null term raise loudly inside the scan."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         n = 0
         for pdf in batches:
-            vc = pdf[term_col].dropna().value_counts()
+            if weight_col is None:
+                vc = pdf[term_col].dropna().value_counts()
+            else:
+                sub = pdf[[term_col, weight_col]].dropna(subset=[term_col])
+                wts = sub[weight_col]
+                if wts.isna().any() or (wts <= 0).any():
+                    raise ValueError(
+                        "mg_summary: weight must be a positive int64"
+                    )
+                vc = sub.groupby(term_col, sort=False)[weight_col].sum()
             n += int(vc.sum())
             counters = _mg_absorb(counters, vc, capacity)
         out: list[dict[str, Any]] = [
@@ -98,7 +117,10 @@ def mg_summary(terms: DataFrame, term_col: str, capacity: int) -> DataFrame:
         out.append({"term": None, "weight": None, "n_part": n})
         yield pd.DataFrame(out, columns=["term", "weight", "n_part"])
 
-    return terms.select(F.col(term_col)).mapInPandas(run, _SUMMARY_SCHEMA)
+    cols = [F.col(term_col)] + (
+        [] if weight_col is None else [F.col(weight_col).cast("long")]
+    )
+    return terms.select(*cols).mapInPandas(run, _SUMMARY_SCHEMA)
 
 
 def heavy_hitters(
@@ -107,6 +129,7 @@ def heavy_hitters(
     support_num: int,
     support_den: int,
     out_count_col: str = "n_occ",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT terms with frequency ≥ (num/den) of all non-null terms.
 
@@ -115,7 +138,12 @@ def heavy_hitters(
     ``groupBy`` over the term domain. The threshold compare is the
     integer predicate ``count * den >= n * num`` (no float, no ceil), so
     the output is a pure function of the multiset of terms.
-    """
+
+    ``weight_col`` switches BOTH passes to weights: candidates from the
+    weighted MG summaries (no-false-negative vs weight shares), exact
+    verify by ``sum(weight)``, threshold against total weight W — "which
+    domains hold ≥ num/den of all TOKENS", exact and bit-identical
+    across engines (the oracle is GROUP BY HAVING sum(w)·den ≥ W·num)."""
     if support_num <= 0 or support_den <= 0:
         raise ValueError("support must be a positive rational num/den")
     if support_num > support_den:
@@ -125,12 +153,19 @@ def heavy_hitters(
     # pin pass 1: the summary feeds two consumers (the n aggregate and
     # the pass-2 semi-join); without the checkpoint each would re-scan
     # the full input
-    summary = mg_summary(terms, term_col, capacity).localCheckpoint(eager=True)
+    summary = mg_summary(
+        terms, term_col, capacity, weight_col
+    ).localCheckpoint(eager=True)
     n = summary.agg(F.sum("n_part")).collect()[0][0] or 0
     candidates = (
         summary.filter(F.col("term").isNotNull())
         .select(F.col("term").alias("__hh_term"))
         .distinct()
+    )
+    measure = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
     )
 
     return (
@@ -141,7 +176,7 @@ def heavy_hitters(
             "left_semi",
         )
         .groupBy(term_col)
-        .agg(F.count(F.lit(1)).alias(out_count_col))
+        .agg(measure.cast("long").alias(out_count_col))
         .filter(F.col(out_count_col) * support_den >= F.lit(n) * support_num)
     )
 

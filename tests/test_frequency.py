@@ -297,3 +297,50 @@ def test_stream_heavy_hitters_second_drain_new_epoch(spark, tmp_path):
     got = {r["term"] for r in heavy_hitters_read(store, 25, 1, 10).collect()}
     # 'and' is heavy only in batch 1; 'the' in both — both must surface
     assert {"the", "and"} <= got
+
+
+def test_weighted_heavy_hitters_exact_and_matches_duckdb(spark):
+    """Weighted heavy hitters ("which domains hold >= num/den of all
+    tokens"): exact equality with (a) the unit-row-exploded unweighted
+    run (the averaging argument is weight-agnostic), (b) a DuckDB
+    GROUP BY HAVING sum(w)*den >= W*num oracle, under adversarial
+    partitioning; bad weights raise loudly."""
+    import duckdb
+    import pytest as _pytest
+
+    from etl_instagram_spark.operators.frequency import heavy_hitters
+
+    # domain 'big' holds 60 of 101 tokens across few rows; 'mid' 25;
+    # the rest are small
+    rows = [("big", 30), ("big", 30), ("mid", 25), ("s1", 7), ("s2", 9)]
+    df = spark.createDataFrame(rows, "term string, wt long")
+    got = sorted(
+        map(
+            tuple,
+            heavy_hitters(
+                df.repartition(7), "term", 1, 5, weight_col="wt"
+            ).collect(),
+        )
+    )
+    exploded = df.withColumn(
+        "__i", F.explode(F.sequence(F.lit(1), F.col("wt")))
+    ).select("term")
+    unit = sorted(
+        map(tuple, heavy_hitters(exploded, "term", 1, 5).collect())
+    )
+    assert got == unit
+    values = ",".join(f"('{t}',{w})" for t, w in rows)
+    oracle = sorted(
+        duckdb.sql(
+            f"SELECT term, (sum(wt))::BIGINT AS n_occ"
+            f" FROM (VALUES {values}) t(term, wt)"
+            f" GROUP BY term"
+            f" HAVING sum(wt) * 5 >= (SELECT sum(wt) FROM (VALUES {values}) s(term, wt)) * 1"
+        ).fetchall()
+    )
+    assert got == oracle
+    assert {t for t, _ in got} == {"big", "mid"}
+
+    bad = spark.createDataFrame([("x", 0)], "term string, wt long")
+    with _pytest.raises(Exception, match="positive int64"):
+        heavy_hitters(bad, "term", 1, 5, weight_col="wt").collect()
