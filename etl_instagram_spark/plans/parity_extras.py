@@ -1807,6 +1807,46 @@ def _sql_docs_token_weighted_length_quantiles() -> str:
     """
 
 
+def _docs_token_weighted_domain_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Never-gated (r13): WEIGHTED exact heavy hitters
+    (operators/frequency.heavy_hitters weight_col, the r13 mode) —
+    sources holding ≥ 1/21 of the corpus's TOKEN MASS, not 1/21 of its
+    documents: the corpus-concentration audit a mixture designer runs
+    before capping. At sf0.01 the 20 uniform-ish sources straddle the
+    4.76 % line (16 pass, 4 fail), so the integer threshold
+    ``sum(w)·den ≥ W·num`` is exercised at the boundary, where a float
+    compare would drift. Weights ride the shared token kernel
+    (functions.text.token_count ↔ len(SQL_TOKS)). Scale: two scans +
+    one ≤ capacity·partitions-row summary — the term domain is never
+    shuffled; weighted-MG candidates keep the no-false-negative
+    guarantee against weight shares (averaging argument is
+    weight-agnostic)."""
+    from etl_instagram_spark.functions.text import token_count
+    from etl_instagram_spark.operators.frequency import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).cast("long").alias("__wt")
+    )
+    return heavy_hitters(
+        docs, "source", 1, 21, out_count_col="n_tokens", weight_col="__wt"
+    ).orderBy(F.col("n_tokens").desc(), "source")
+
+
+def _sql_docs_token_weighted_domain_hitters() -> str:
+    from etl_instagram_spark.plans.llm_queries import SQL_TOKS
+
+    wt = f"len({SQL_TOKS})"
+    return f"""
+    WITH d AS (SELECT source, ({wt})::BIGINT AS wt FROM documents)
+    SELECT source, (sum(wt))::BIGINT AS n_tokens
+    FROM d GROUP BY source
+    HAVING sum(wt) * 21 >= (SELECT sum(wt) FROM d) * 1
+    ORDER BY n_tokens DESC, source
+    """
+
+
 def _docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r11): systematic PPS sampling
     (operators/sampling.pps_sample) — a fixed budget of 300 draws from
@@ -2240,6 +2280,12 @@ def _register_rotated() -> None:
     EXTRAS["docs_token_weighted_length_quantiles"] = (
         _docs_token_weighted_length_quantiles,
         _sql_docs_token_weighted_length_quantiles(),
+    )
+    # never-gated (r13): WEIGHTED heavy hitters (token-mass domain
+    # concentration at a live integer threshold boundary)
+    EXTRAS["docs_token_weighted_domain_hitters"] = (
+        _docs_token_weighted_domain_hitters,
+        _sql_docs_token_weighted_domain_hitters(),
     )
     # never-gated (r11): systematic PPS weighted sampling
     EXTRAS["docs_pps_sample"] = (_docs_pps_sample, _sql_docs_pps_sample())
