@@ -143,7 +143,12 @@ def heavy_hitters(
     weighted MG summaries (no-false-negative vs weight shares), exact
     verify by ``sum(weight)``, threshold against total weight W — "which
     domains hold ≥ num/den of all TOKENS", exact and bit-identical
-    across engines (the oracle is GROUP BY HAVING sum(w)·den ≥ W·num)."""
+    across engines (the oracle is GROUP BY HAVING sum(w)·den ≥ W·num).
+
+    Precondition (checked loudly, mirroring pps_sample's W·n bound):
+    ``W · max(num, den) < 2^63`` — both sides of the integer threshold
+    multiply totals bounded by W by the support rational, and non-ANSI
+    Spark would silently wrap where DuckDB errors."""
     if support_num <= 0 or support_den <= 0:
         raise ValueError("support must be a positive rational num/den")
     if support_num > support_den:
@@ -157,6 +162,13 @@ def heavy_hitters(
         terms, term_col, capacity, weight_col
     ).localCheckpoint(eager=True)
     n = summary.agg(F.sum("n_part")).collect()[0][0] or 0
+    if n * max(support_num, support_den) >= 2**63:
+        raise ValueError(
+            "heavy_hitters: total weight W * max(num, den) overflows "
+            f"int64 (W={n}, num={support_num}, den={support_den}); the "
+            "integer threshold W*num and count*den must both fit in "
+            "BIGINT for cross-engine exactness"
+        )
     candidates = (
         summary.filter(F.col("term").isNotNull())
         .select(F.col("term").alias("__hh_term"))

@@ -1838,8 +1838,13 @@ def _sql_docs_token_weighted_domain_hitters() -> str:
     from etl_instagram_spark.plans.llm_queries import SQL_TOKS
 
     wt = f"len({SQL_TOKS})"
+    # source IS NOT NULL mirrors the Spark operator's null-term
+    # semantics: mg_summary drops null terms from both the candidate
+    # set and the total weight W, so NULL-source token mass must not
+    # inflate the SQL side's W either (r13 ADVICE).
     return f"""
-    WITH d AS (SELECT source, ({wt})::BIGINT AS wt FROM documents)
+    WITH d AS (SELECT source, ({wt})::BIGINT AS wt FROM documents
+               WHERE source IS NOT NULL)
     SELECT source, (sum(wt))::BIGINT AS n_tokens
     FROM d GROUP BY source
     HAVING sum(wt) * 21 >= (SELECT sum(wt) FROM d) * 1
@@ -1898,7 +1903,7 @@ def _sql_part_k_core() -> str:
         k_core_sql,
     )
 
-    # budget 24 = 2x the measured sf0.01 peel depth of 11 (pinned by
+    # budget 24 >= 2x the measured sf0.01 peel depth of 10 (pinned by
     # tests/test_graph.py::test_k_core_peel_depth_within_half_the_oracle_budget
     # — the CC oracle's margin discipline); converged rounds are no-ops
     ctes = k_core_sql(COPURCHASE_EDGES_SQL.format(min_orders=2), k=3, rounds=24)

@@ -506,6 +506,54 @@ def test_incremental_history_probe_hot_block_guard(spark, tmp_path):
     }
 
 
+def test_incremental_probe_guard_exact_key_carve_out(spark, tmp_path):
+    """A batch name whose EXACT (block, norm) key already exists in a
+    store-hot block adopts its stored entity via the full-key equi-join
+    carve-out (r13 ADVICE #2) instead of being silently re-homed to a
+    fresh batch entity — which would split the stored entity on the
+    subsequent upsert. Fuzzy (d=1) names in the same hot block still
+    start new entities (the edit-distance probe stays excluded), and a
+    crashed-tick replay converges because the adopted entity is written
+    back unchanged."""
+    from etl_instagram_spark.operators.entity import (
+        incremental_resolve_entities,
+    )
+    from etl_instagram_spark.operators.merge import MergeTable
+
+    # seed: 7 mutually-distant norms in block 'hot' — still > cap of 5
+    # after the batch's own exact key ('cccc hot') is excluded from
+    # the hotness count (6 non-batch norms > 5)
+    hot_names = ["aaaa", "bbbb", "cccc", "dddd", "eeee", "ffff", "gggg"]
+    store = MergeTable(spark, str(tmp_path / "ents"), ["block", "norm"])
+    b1 = spark.createDataFrame(
+        [(i, f"{nm} hot") for i, nm in enumerate(hot_names, 1)],
+        "id long, name string",
+    )
+    incremental_resolve_entities(b1, store, "id", "name", BLOCK(), 2)
+
+    # batch 2: id 51 is an EXACT key match ('cccc hot' == stored norm),
+    # id 52 is only d=1 from 'aaaa hot' (fuzzy — stays excluded)
+    b2 = spark.createDataFrame(
+        [(51, "cccc hot"), (52, "aaab hot")], "id long, name string"
+    )
+    got, _ = incremental_resolve_entities(
+        b2, store, "id", "name", BLOCK(), 2, max_block_size=5
+    )
+    assert {r["id"]: r["entity"] for r in got.collect()} == {51: 3, 52: 52}
+    # the store keeps 'cccc hot' homed at entity 3 — no split
+    kept = {
+        (r["block"], r["norm"]): r["entity"] for r in store.read().collect()
+    }
+    assert kept[("hot", "cccc hot")] == 3
+    # replay converges bit-for-bit
+    snapshot = sorted(map(tuple, store.read().collect()))
+    replay, _ = incremental_resolve_entities(
+        b2, store, "id", "name", BLOCK(), 2, max_block_size=5
+    )
+    assert {r["id"]: r["entity"] for r in replay.collect()} == {51: 3, 52: 52}
+    assert sorted(map(tuple, store.read().collect())) == snapshot
+
+
 def test_exact_pair_count_past_2_53(spark):
     """block_size_audit's n_pairs stays exact past double's 53-bit
     mantissa (r12 ADVICE #4): at block_size = 2^27+3 the true

@@ -344,3 +344,21 @@ def test_weighted_heavy_hitters_exact_and_matches_duckdb(spark):
     bad = spark.createDataFrame([("x", 0)], "term string, wt long")
     with _pytest.raises(Exception, match="positive int64"):
         heavy_hitters(bad, "term", 1, 5, weight_col="wt").collect()
+
+
+def test_weighted_heavy_hitters_overflow_guard(spark):
+    """The integer threshold multiplies totals bounded by W by the
+    support rational in int64; W*max(num, den) >= 2^63 must raise
+    loudly (r13 ADVICE #3) instead of silently wrapping in non-ANSI
+    Spark where DuckDB would error — mirroring pps_sample's W*n bound.
+    A safe W at the same support passes."""
+    import pytest as _pytest
+
+    from etl_instagram_spark.operators.frequency import heavy_hitters
+
+    huge = spark.createDataFrame([("x", 2**62)], "term string, wt long")
+    with _pytest.raises(ValueError, match="overflows"):
+        heavy_hitters(huge, "term", 1, 4, weight_col="wt")
+    safe = spark.createDataFrame([("x", 2**60)], "term string, wt long")
+    got = heavy_hitters(safe, "term", 1, 4, weight_col="wt").collect()
+    assert [(r["term"], r["n_occ"]) for r in got] == [("x", 2**60)]
