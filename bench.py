@@ -485,6 +485,13 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r14 structural delta: gate rotation promoted "
+                        "events_dcm_quantiles (~1.6s warm at sf0.1: "
+                        "register build + 16-round descent + exact_below "
+                        "contrast scan) for docs_ngram_jaccard (~2.7s "
+                        "floor: prefix-filtered all-pairs verify) — "
+                        "expect ~-1s of total from the rotation, not a "
+                        "code speedup.",
                         "r14 early-segment floor-drift A/B (VERDICT r13 "
                         "what's-wrong #1: docs_token_stats min 0.50->1.20s "
                         "plus 1.4-1.6x drift on docs_language_mix/"

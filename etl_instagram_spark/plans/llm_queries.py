@@ -1883,9 +1883,10 @@ def _sql_simhash32(hs_expr: str) -> str:
 
 # (docs_simhash rotated out of the gate in r13 to make room for
 # events_cm_frequency — the near-dup family stays gated via
-# docs_near_dedup_summary, docs_ngram_jaccard, and emb_near_dedup, and
-# the per-row hash-expression shape via docs_fingerprint_profile; still
-# cross-engine-checked every round through plans/parity_extras.py)
+# docs_near_dedup_summary and emb_near_dedup (docs_ngram_jaccard until
+# its own r14 rotation), and the per-row hash-expression shape via
+# docs_fingerprint_profile; still cross-engine-checked every round
+# through plans/parity_extras.py)
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash values for the first 100 docs — near-identical docs differ
     in few bits (docs_minhash_bands' sibling signal; pairing strategy
@@ -3092,7 +3093,12 @@ oracle(
 # ---------------------------------------------------------------------------
 
 
-@query("docs_ngram_jaccard")
+# (docs_ngram_jaccard rotated out of the gate in r14 to make room for
+# events_dcm_quantiles — the near-dup family stays gated via
+# docs_near_dedup_summary and emb_near_dedup, which cover the banding,
+# signature, and survivor kernels; the prefix-filtered exact-Jaccard
+# join stays cross-engine-checked every round through
+# plans/parity_extras.py)
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/dedup.jaccard_join at τ=0.5: every document pair with
     exact 3-gram Jaccard ≥ 0.5, with the similarity value. The Spark side
@@ -3109,9 +3115,7 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-oracle(
-    "docs_ngram_jaccard",
-    f"""
+SQL_DOCS_NGRAM_JACCARD = f"""
     WITH t AS (SELECT doc_id, trim(lower(text)) AS norm, {SQL_TOKS} AS toks
                FROM documents),
          s AS (SELECT doc_id,
@@ -3127,8 +3131,7 @@ oracle(
     SELECT id_a, id_b, round(j, 4) AS jaccard
     FROM pairs WHERE j >= 0.5
     ORDER BY id_a, id_b
-    """,
-)
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -3865,3 +3868,99 @@ SQL_FUNNEL_LEVELS = f"""
 
 
 oracle("events_funnel_levels", SQL_FUNNEL_LEVELS)
+
+
+# ---------------------------------------------------------------------------
+# r14 gate promotion: the driver now certifies the QUANTILE face of the
+# sketch family directly (seat from docs_ngram_jaccard, which keeps full
+# parity in plans/parity_extras.py)
+# ---------------------------------------------------------------------------
+
+
+@query("events_dcm_quantiles")
+def events_dcm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated r14 (EXTRAS since r13): dyadic count-min QUANTILE sketch
+    (operators/sketches.dcm_sketch/dcm_quantiles, the r12 addition) —
+    per-event-type value quantiles (p25/p50/p75/p95) answered from the
+    ≤ d·w·b-row register state alone via the b-round integer bit
+    descent; registers AND every descent round replay bit-for-bit in
+    DuckDB (dcm_quantiles_sql CTE chain). ``exact_below`` contrasts
+    each answer with the true strictly-below count — certifying the
+    quantile against the DATA, not just the twin engine.
+
+    Values are cents: ``floor(value*100)`` — floor-then-cast because
+    DuckDB's double→BIGINT cast ROUNDS while Spark's truncates; floor
+    is an exactly-rounded IEEE op so both engines see the same
+    integer. Domain [1, 49003) fits the default b=16 bits.
+
+    Scale: the sketch is one explode+counting groupBy (shuffle ≤
+    groups·d·w·b rows regardless of input); the descent probes a
+    groups×quantiles frame b times against the pinned tiny register
+    frame; the contrast join broadcasts the 20-row quantile frame over
+    one events scan. Reference analogue: the rates time-series
+    percentile surface (eldolar.js:17-36 → SURVEY §2.9)."""
+    from etl_instagram_spark.operators.sketches import (
+        dcm_quantiles,
+        dcm_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
+    )
+    sk = dcm_sketch(ev, "v", ["event_type"])
+    qs = dcm_quantiles(
+        sk, [(1, 4), (1, 2), (3, 4), (19, 20)], ["event_type"]
+    ).localCheckpoint(eager=True)  # reused: output + contrast probe
+    exact = (
+        F.broadcast(qs.select("event_type", "q_num", "q_den", "q_value"))
+        .join(ev, "event_type")
+        .filter(F.col("v") < F.col("q_value"))
+        .groupBy("event_type", "q_num", "q_den")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_below"))
+    )
+    return (
+        qs.join(exact, ["event_type", "q_num", "q_den"], "left")
+        .withColumn(
+            "exact_below",
+            F.coalesce("exact_below", F.lit(0)).cast("long"),
+        )
+        .select(
+            "event_type",
+            "q_num",
+            "q_den",
+            "n",
+            "target",
+            "q_value",
+            "exact_below",
+        )
+        .orderBy("event_type", "q_den", "q_num")
+    )
+
+
+def _sql_events_dcm_quantiles() -> str:
+    from etl_instagram_spark.operators.sketches import (
+        dcm_quantiles_sql,
+        dcm_sketch_sql,
+    )
+
+    sk = dcm_sketch_sql("CAST(floor(value * 100) AS BIGINT)", "events", ["event_type"])
+    ctes = dcm_quantiles_sql(sk, [(1, 4), (1, 2), (3, 4), (19, 20)], ["event_type"])
+    return f"""
+    WITH {ctes},
+    ev AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+    exact AS (SELECT q.event_type, q.q_num, q.q_den,
+                     (count(*) FILTER (WHERE e.v < q.q_value))::BIGINT AS exact_below
+              FROM qout q JOIN ev e ON e.event_type = q.event_type
+              GROUP BY q.event_type, q.q_num, q.q_den)
+    SELECT q.event_type, q.q_num, q.q_den, q.n, q.target, q.q_value,
+           COALESCE(x.exact_below, 0)::BIGINT AS exact_below
+    FROM qout q LEFT JOIN exact x
+      ON x.event_type = q.event_type AND x.q_num = q.q_num
+     AND x.q_den = q.q_den
+    ORDER BY q.event_type, q.q_den, q.q_num
+    """
+
+
+oracle("events_dcm_quantiles", _sql_events_dcm_quantiles())

@@ -1642,91 +1642,6 @@ def _sql_part_entity_snm() -> str:
     """
 
 
-def _events_dcm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Never-gated (r13): dyadic count-min QUANTILE sketch
-    (operators/sketches.dcm_sketch/dcm_quantiles, the r12 addition) —
-    per-event-type value quantiles (p25/p50/p75/p95) answered from the
-    ≤ d·w·b-row register state alone via the b-round integer bit
-    descent; registers AND every descent round replay bit-for-bit in
-    DuckDB (dcm_quantiles_sql CTE chain). ``exact_below`` contrasts
-    each answer with the true strictly-below count — certifying the
-    quantile against the DATA, not just the twin engine.
-
-    Values are cents: ``floor(value*100)`` — floor-then-cast because
-    DuckDB's double→BIGINT cast ROUNDS while Spark's truncates; floor
-    is an exactly-rounded IEEE op so both engines see the same
-    integer. Domain [1, 49003) fits the default b=16 bits.
-
-    Scale: the sketch is one explode+counting groupBy (shuffle ≤
-    groups·d·w·b rows regardless of input); the descent probes a
-    groups×quantiles frame b times against the pinned tiny register
-    frame; the contrast join broadcasts the 20-row quantile frame over
-    one events scan. Reference analogue: the rates time-series
-    percentile surface (eldolar.js:17-36 → SURVEY §2.9)."""
-    from etl_instagram_spark.operators.sketches import (
-        dcm_quantiles,
-        dcm_sketch,
-    )
-
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
-    )
-    sk = dcm_sketch(ev, "v", ["event_type"])
-    qs = dcm_quantiles(
-        sk, [(1, 4), (1, 2), (3, 4), (19, 20)], ["event_type"]
-    ).localCheckpoint(eager=True)  # reused: output + contrast probe
-    exact = (
-        F.broadcast(qs.select("event_type", "q_num", "q_den", "q_value"))
-        .join(ev, "event_type")
-        .filter(F.col("v") < F.col("q_value"))
-        .groupBy("event_type", "q_num", "q_den")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_below"))
-    )
-    return (
-        qs.join(exact, ["event_type", "q_num", "q_den"], "left")
-        .withColumn(
-            "exact_below",
-            F.coalesce("exact_below", F.lit(0)).cast("long"),
-        )
-        .select(
-            "event_type",
-            "q_num",
-            "q_den",
-            "n",
-            "target",
-            "q_value",
-            "exact_below",
-        )
-        .orderBy("event_type", "q_den", "q_num")
-    )
-
-
-def _sql_events_dcm_quantiles() -> str:
-    from etl_instagram_spark.operators.sketches import (
-        dcm_quantiles_sql,
-        dcm_sketch_sql,
-    )
-
-    sk = dcm_sketch_sql("CAST(floor(value * 100) AS BIGINT)", "events", ["event_type"])
-    ctes = dcm_quantiles_sql(sk, [(1, 4), (1, 2), (3, 4), (19, 20)], ["event_type"])
-    return f"""
-    WITH {ctes},
-    ev AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
-           FROM events WHERE value IS NOT NULL),
-    exact AS (SELECT q.event_type, q.q_num, q.q_den,
-                     (count(*) FILTER (WHERE e.v < q.q_value))::BIGINT AS exact_below
-              FROM qout q JOIN ev e ON e.event_type = q.event_type
-              GROUP BY q.event_type, q.q_num, q.q_den)
-    SELECT q.event_type, q.q_num, q.q_den, q.n, q.target, q.q_value,
-           COALESCE(x.exact_below, 0)::BIGINT AS exact_below
-    FROM qout q LEFT JOIN exact x
-      ON x.event_type = q.event_type AND x.q_num = q.q_num
-     AND x.q_den = q.q_den
-    ORDER BY q.event_type, q.q_den, q.q_num
-    """
-
-
 def _docs_token_weighted_length_quantiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2261,7 +2176,8 @@ def _register_rotated() -> None:
     # r13 rotation: SimHash per-row expression (seat given to
     # events_cm_frequency — the driver gate now certifies the sketch
     # family directly; the near-dup family stays gated via
-    # docs_near_dedup_summary / docs_ngram_jaccard / emb_near_dedup)
+    # docs_near_dedup_summary and emb_near_dedup, plus
+    # docs_ngram_jaccard until its own r14 rotation)
     EXTRAS["docs_simhash"] = (
         llm_queries.docs_simhash,
         llm_queries.SQL_DOCS_SIMHASH,
@@ -2274,11 +2190,13 @@ def _register_rotated() -> None:
         llm_queries.emb_ann_recall,
         llm_queries.SQL_EMB_ANN_RECALL,
     )
-    # never-gated (r13): dyadic-CM quantile sketch (the r12 operator,
-    # ledgered per r12 VERDICT task #1)
-    EXTRAS["events_dcm_quantiles"] = (
-        _events_dcm_quantiles,
-        _sql_events_dcm_quantiles(),
+    # r14 rotation: prefix-filtered exact n-gram Jaccard join (seat
+    # given to events_dcm_quantiles — the driver gate now certifies the
+    # quantile face of the sketch family directly; the near-dup family
+    # stays gated via docs_near_dedup_summary and emb_near_dedup)
+    EXTRAS["docs_ngram_jaccard"] = (
+        llm_queries.docs_ngram_jaccard,
+        llm_queries.SQL_DOCS_NGRAM_JACCARD,
     )
     # never-gated (r13): WEIGHTED dcm quantiles (token-mass-weighted
     # doc-length percentiles on the shared token kernel)
