@@ -732,6 +732,7 @@ def apply_hh_delta(
     batch_df: DataFrame,
     epoch_id: int,
     term_col: str = "term",
+    weight_col: str | None = None,
 ) -> None:
     """Fold one micro-batch into the heavy-hitters summary store.
 
@@ -745,23 +746,42 @@ def apply_hh_delta(
     apply_rollup_delta); an exact count is also a valid zero-error MG
     summary, so read-time merging stays inside the mergeability bound.
 
+    ``weight_col`` switches the delta to WEIGHTED counts: each row
+    contributes its positive-int64 weight instead of 1 (NULL/zero/
+    negative raise inside the scan — the cm_sketch convention), so
+    heavy_hitters_read answers "which terms hold ≥ num/den of the total
+    WEIGHT" (tokens per domain, spend per account) incrementally. An
+    integer-weighted sum is still exact and deterministic, and MG's
+    averaging argument is weight-agnostic, so every read/compact
+    guarantee carries over with n = total weight.
+
     Per-epoch rows are O(distinct terms in the batch) — bounded by batch
     size, not corpus size; compact_hh_summaries keeps total history
     O(capacity)."""
+    if weight_col is None:
+        measure = F.count(F.lit(1))
+    else:
+        wv = F.col(weight_col).cast("long")
+        checked = F.when(
+            wv.isNull() | (wv <= 0),
+            F.raise_error(
+                F.concat(
+                    F.lit("apply_hh_delta: weight must be a positive int64, got "),
+                    F.coalesce(wv.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(wv)
+        measure = F.sum(checked)
+    named = batch_df.filter(F.col(term_col).isNotNull())
     delta = (
-        batch_df.filter(F.col(term_col).isNotNull())
-        .groupBy(F.col(term_col).alias("term_key"))
-        .agg(F.count(F.lit(1)).alias("weight"))
+        named.groupBy(F.col(term_col).alias("term_key"))
+        .agg(measure.cast("long").alias("weight"))
         .withColumn("n_part", F.lit(None).cast("long"))
     )
-    total = (
-        batch_df.filter(F.col(term_col).isNotNull())
-        .agg(F.count(F.lit(1)).alias("n_part"))
-        .select(
-            F.lit(HH_TOTAL_KEY).alias("term_key"),
-            F.lit(None).cast("long").alias("weight"),
-            "n_part",
-        )
+    total = named.agg(measure.cast("long").alias("n_part")).select(
+        F.lit(HH_TOTAL_KEY).alias("term_key"),
+        F.lit(None).cast("long").alias("weight"),
+        "n_part",
     )
     store.upsert(
         delta.unionByName(total).withColumn("epoch_id", F.lit(int(epoch_id)))
@@ -787,15 +807,17 @@ def stream_heavy_hitters(
     store: MergeTable,
     checkpoint_dir: str,
     term_col: str = "term",
+    weight_col: str | None = None,
 ) -> bool:
     """One AvailableNow tick of the continuous frequent-terms loop:
     drain newly landed term rows (e.g. the exploded token stream of an
     ingest tick) and fold each micro-batch's exact counts into the
     epoch-keyed summary store. Crash replays upsert identical rows; the
-    store + checkpoint_dir are a unit, like the rollup partials."""
+    store + checkpoint_dir are a unit, like the rollup partials.
+    ``weight_col`` maintains the WEIGHTED summary (see apply_hh_delta)."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        apply_hh_delta(store, batch_df, epoch_id, term_col)
+        apply_hh_delta(store, batch_df, epoch_id, term_col, weight_col)
 
     _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
     return True
