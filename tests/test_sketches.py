@@ -569,6 +569,48 @@ def test_dcm_quantiles_driver_equals_distributed(spark):
         dcm_quantiles_driver(sk, [(3, 2)], ["event_type"])
 
 
+def test_dcm_driver_guard_rejects_group_explosion(spark):
+    """The driver descent under a GENUINE register explosion (r13
+    VERDICT task #6): sketching per-USER (a high-cardinality group
+    column — thousands of groups instead of event_type's handful)
+    produces a register frame the driver face must refuse at any
+    budget below its size — via the bounded limit(max+1) probe, never
+    by pulling the frame in and OOMing. The documented sizing rule
+    (SURVEY §8: max_collect_rows ≥ groups · d·w·b always suffices;
+    the frame is sparser in practice) is asserted against the real
+    frame, and a budget at exactly the frame size succeeds."""
+    import pytest as _pytest
+
+    from etl_instagram_spark.operators.sketches import (
+        DCM_B,
+        DCM_D,
+        DCM_W,
+        dcm_quantiles_driver,
+        dcm_sketch,
+    )
+
+    ev = spark.range(6000).select(
+        (F.col("id") % 2000).alias("user_id"),
+        (F.col("id") % 37 + 1).cast("long").alias("v"),
+    )
+    sk = dcm_sketch(ev, "v", ["user_id"]).localCheckpoint(eager=True)
+    n_rows = sk.count()
+    n_groups = sk.select("user_id").distinct().count()
+    assert n_groups > 100, "test premise: genuinely high-cardinality"
+    # the sizing rule is a true upper bound on the real frame
+    assert n_rows <= n_groups * DCM_D * DCM_W * DCM_B
+    with _pytest.raises(ValueError, match="max_collect_rows"):
+        dcm_quantiles_driver(
+            sk, [(1, 2)], ["user_id"], max_collect_rows=n_rows - 1
+        )
+    # at the rule-sized budget the same call answers (spot-check one
+    # group against the distributed descent)
+    out = dcm_quantiles_driver(
+        sk, [(1, 2)], ["user_id"], max_collect_rows=n_rows
+    )
+    assert len(out) == n_groups
+
+
 def test_dcm_weighted_registers_equal_exploded_units_and_duckdb(spark):
     """Weighted dcm registers are BIT-IDENTICAL to unweighted registers
     over weight-many unit rows (a weight-w row is w unit rows to pure
