@@ -720,6 +720,87 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             ),
             "params": {"max_dist": 3, "block": "last_token+brand"},
         }
+    elif op == "bm25_topk":
+        # BM25 retrieval: two corpus scans (stats, then score) with ONE
+        # broadcast O(1)-row stats frame and a TakeOrdered top-k — the
+        # corpus is never shuffled, so the honest expectation is time
+        # ∝ n. Query terms come from the BASE vocabulary; copies c>0
+        # carry disjoint prefixed vocabularies, so matches stay
+        # copy-0-local while the scoring scan (the cost driver) covers
+        # all n rows — the replicate-don't-correlate protocol.
+        from etl_instagram_spark.operators.retrieval import bm25_topk
+
+        docs = spark.read.parquet(docs_path).localCheckpoint()
+        res = {
+            "sec": timed(
+                lambda: bm25_topk(
+                    docs, "doc_id", "text", ["spark", "join", "vector"], k=10
+                ).count()
+            ),
+            "params": {"k": 10, "terms": 3},
+        }
+    elif op == "graph_chain":
+        # the COMPOSED graph-family pipeline (SURVEY §8 composition
+        # chain): weighted co-purchase projection → k-core denoise →
+        # core-restricted symmetrized edges → weighted hub-capped
+        # deterministic walks. Each stage has its own scale row
+        # (k_core, pagerank/walk kernels, copurchase inside them); this
+        # row measures the composition end-to-end. Disjoint id-shifted
+        # copies of the weighted edge list replicate per-copy structure
+        # (peel rounds stay constant, every stage shrinks or preserves
+        # the edge set), so the honest expectation is time ∝ mult.
+        from etl_instagram_spark.operators.graph import (
+            copurchase_edges,
+            k_core,
+            random_walks,
+        )
+
+        li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+        base_edges = copurchase_edges(li, min_orders=2, weights=True)
+        copies = [
+            base_edges.select(
+                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
+                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
+                "n_orders",
+            )
+            for c in range(mult)
+        ]
+        edges = copies[0]
+        for cp in copies[1:]:
+            edges = edges.unionByName(cp)
+        edges = edges.localCheckpoint()
+
+        def _run_chain():
+            core = k_core(edges, k=3, max_rounds=12).localCheckpoint(
+                eager=True
+            )
+            ids = core.select("id")
+            ce = (
+                edges.join(
+                    ids.withColumnRenamed("id", "src"), "src", "leftsemi"
+                )
+                .join(ids.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+                .select("src", "dst", "n_orders")
+            )
+            sym = ce.unionByName(
+                ce.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "n_orders",
+                )
+            ).localCheckpoint(eager=True)
+            random_walks(
+                sym,
+                walk_len=4,
+                seed="compose",
+                max_degree=8,
+                weight_col="n_orders",
+            ).count()
+
+        res = {
+            "sec": timed(_run_chain),
+            "params": {"k": 3, "walk_len": 4, "max_degree": 8},
+        }
     else:
         raise SystemExit(f"unknown op {op}")
     spark.stop()
@@ -749,6 +830,8 @@ OPS = (
     "entity_hotblock_guarded_30x",
     "entity_snm",
     "k_core",
+    "bm25_topk",
+    "graph_chain",
 )
 
 
