@@ -485,6 +485,15 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r14 run-order change: llm_queries.py split into "
+                        "per-family modules (q_docs/q_emb/q_relational/"
+                        "q_docs_pipeline/q_graph/q_events), so queries() "
+                        "registration — and therefore bench run order — "
+                        "is now grouped by family instead of the "
+                        "historical interleaving. Zero plan/code change "
+                        "per query; per-entry warm-up neighbors shifted, "
+                        "so compare r14 floors to r13 knowing adjacency "
+                        "moved (samples_raw still diagnoses contention).",
                         "r14 structural delta: gate rotation promoted "
                         "events_dcm_quantiles (~1.6s warm at sf0.1: "
                         "register build + 16-round descent + exact_below "

@@ -1,0 +1,124 @@
+"""Graph/entity-family gate queries (split from llm_queries.py in r14, zero
+behavior change): int64-exact PageRank over the supplier graph and
+blocking+levenshtein+CC entity resolution, each with its DuckDB oracle
+(fixed-round MATERIALIZED CTE replays with loud convergence asserts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.plans.oracle import oracle
+from etl_instagram_spark.plans.queries import _t, query
+from etl_instagram_spark.plans.q_shared import (
+    _sql_cc_rounds,
+)
+
+
+# ---------------------------------------------------------------------------
+# graph centrality (operators/graph.py) — promoted to the gate in r10
+# (nation_customer_listagg rotated to plans/parity_extras.py)
+# ---------------------------------------------------------------------------
+
+
+@query("graph_pagerank_suppliers")
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (operators/graph.py) over the
+    customer↔supplier interaction graph: top-20 suppliers by stationary
+    mass after 3 power iterations. Ranks are integer micro-units and
+    every update is pure int64 arithmetic, so the result is
+    partition-order-independent and the oracle — a fixed-iteration CTE
+    chain doing the SAME integer math — replays every round INSIDE
+    DuckDB and lands on bit-identical BIGINTs. Second certified
+    iterative algorithm after emb_kmeans_cells, and the first whose
+    oracle is one standalone SQL statement (no Python-side replay
+    loop). Scale: the edge list shuffles once at setup (pinned layout);
+    each iteration moves only the node-sized rank frame and the
+    groupBy(dst) sum collapses map-side to ≤ |nodes| rows/partition."""
+    from etl_instagram_spark.operators.graph import (
+        bipartite_order_edges,
+        pagerank,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ranks = pagerank(bipartite_order_edges(od, li), n_iter=3)
+    return (
+        ranks.filter(F.col("id") % 2 == 1)
+        .select(F.expr("(id - 1) div 2").alias("s_suppkey"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    from etl_instagram_spark.operators.graph import (
+        BIPARTITE_ORDER_EDGES_SQL,
+        pagerank_oracle_sql,
+    )
+
+    return f"""
+    WITH {pagerank_oracle_sql(BIPARTITE_ORDER_EDGES_SQL, n_iter=3)}
+    SELECT (id - 1) // 2 AS s_suppkey, rank_micro
+    FROM r3 WHERE id % 2 = 1
+    ORDER BY rank_micro DESC, s_suppkey
+    LIMIT 20
+    """
+
+
+oracle("graph_pagerank_suppliers", _pagerank_oracle_sql())
+
+
+@query("part_entity_resolution")
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names (operators/entity.py) — block
+    on the name's last token, verify with levenshtein ≤ 3, cluster with
+    connected components, emit the per-entity merge audit. Promoted
+    from EXTRAS to the gate in r11 so the driver certifies the ER
+    family directly; the oracle replays blocking, the edit-distance
+    verify (levenshtein is a built-in with identical integer semantics
+    in both engines), AND the convergence-asserted CC rounds in one
+    DuckDB statement."""
+    from etl_instagram_spark.operators.entity import canonical_entities
+
+    pa = _t(spark, sf_dir, "part")
+    # composite (last token, brand) block: the block key IS the scale
+    # lever (candidate_pairs docstring) — last-token alone leaves ~2k-row
+    # blocks at sf0.1 (~2·10^8 levenshtein pairs); the brand facet cuts
+    # pair volume ~25× while still exercising cross-block non-matches
+    # concat, not concat_ws: a NULL brand must propagate to a NULL
+    # block (row leaves resolution) exactly like the oracle's ``||``
+    # (the sampling._bucket convention)
+    block = F.concat(
+        F.element_at(F.split(F.trim(F.lower(F.col("p_name"))), " "), -1),
+        F.lit("\x1f"),
+        F.col("p_brand"),
+    )
+    return canonical_entities(pa, "p_partkey", "p_name", block, max_dist=3)
+
+
+def _sql_part_entity_resolution() -> str:
+    return f"""
+    WITH n AS (SELECT p_partkey AS id, trim(lower(p_name)) AS norm,
+                      p_brand FROM part),
+    b AS (SELECT id, norm,
+                 string_split(norm, ' ')[-1] || chr(31) || p_brand AS blk
+          FROM n WHERE norm IS NOT NULL AND p_brand IS NOT NULL),
+    verified AS (SELECT a.id AS ia, b2.id AS ib
+                 FROM b a JOIN b b2
+                   ON a.blk = b2.blk AND a.id < b2.id
+                 WHERE levenshtein(a.norm, b2.norm) <= 3),
+    {_sql_cc_rounds(16)},
+    named AS (SELECT l.id, l.component AS entity, n.norm
+              FROM lcc l JOIN n ON n.id = l.id),
+    agg AS (SELECT entity, count(*) AS n_members,
+                   count(DISTINCT norm) AS n_name_variants
+            FROM named GROUP BY entity)
+    SELECT a.entity, a.n_members, a.n_name_variants,
+           c.norm AS canonical_name
+    FROM agg a JOIN n c ON c.id = a.entity
+    ORDER BY a.n_members DESC, a.entity
+    """
+
+
+oracle("part_entity_resolution", _sql_part_entity_resolution())
