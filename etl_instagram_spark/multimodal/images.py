@@ -9,12 +9,14 @@ training-data-pipeline shape: a blobs table
     id STRING, content BINARY, media_type STRING,
     meta STRUCT<width: INT, height: INT, format: STRING>
 
-Decode/resize need an imaging library that is NOT in this environment,
-so the pixel work is stubbed: ``decoder='pil'`` raises
-NotImplementedError unless Pillow is importable; ``decoder='fake'``
-produces deterministic metadata from the bytes. The Spark-side contract —
-schema, Arrow batch shape, partitioning advice — is real and tested, so
-swapping in a real decoder touches one function.
+PNG and baseline JPEG have REAL pure-stdlib decoders (png.py r12,
+jpeg.py r14) — ``decoder='png'`` / ``decoder='jpeg'`` read dimensions
+from the pixels. Formats the environment can't decode stay honestly
+gated: ``decoder='pil'`` raises NotImplementedError unless Pillow is
+importable; ``decoder='fake'`` produces deterministic metadata from the
+bytes. The Spark-side contract — schema, Arrow batch shape,
+partitioning advice — is identical across all four, so swapping in a
+library decoder touches one function.
 
 Scale notes: binary columns ride normal parquet (PLAIN-encoded byte
 arrays); keep blobs in their own table keyed by content hash so the fact
@@ -80,16 +82,21 @@ def decode_images(blobs: DataFrame, decoder: str = "fake") -> DataFrame:
     """Fill ``meta`` by decoding ``content``. Arrow-batched; the only
     Python boundary in the multimodal path.
 
-    ``decoder='png'`` is a REAL decode (multimodal/png.py, pure stdlib:
-    chunk walk → zlib → unfilter) — width/height come from the pixels,
-    not a hash. 'fake' stays the deterministic stub for formats the
-    environment can't decode; 'pil' keeps its honest guard."""
-    if decoder not in ("fake", "pil", "png"):
-        raise ValueError(f"unknown decoder {decoder!r}; expected 'fake', 'png', or 'pil'")
+    ``decoder='png'`` and ``decoder='jpeg'`` are REAL decodes
+    (multimodal/png.py: chunk walk → zlib → unfilter; multimodal/
+    jpeg.py: marker walk → Huffman → IDCT → upsample, baseline SOF0) —
+    width/height come from the pixels, not a hash. 'fake' stays the
+    deterministic stub for formats the environment can't decode (WebP);
+    'pil' keeps its honest guard."""
+    if decoder not in ("fake", "pil", "png", "jpeg"):
+        raise ValueError(
+            f"unknown decoder {decoder!r}; expected 'fake', 'png', "
+            "'jpeg', or 'pil'"
+        )
     if decoder == "pil" and not _pil_available():
         raise NotImplementedError(
             "decoder='pil' requires Pillow, which is not installed in this "
-            "environment; use decoder='png' (stdlib, PNG-only) or "
+            "environment; use decoder='png' / decoder='jpeg' (stdlib) or "
             "decoder='fake' (deterministic stub), or install PIL"
         )
 
@@ -117,6 +124,20 @@ def decode_images(blobs: DataFrame, decoder: str = "fake") -> DataFrame:
                     }
 
                 pdf["meta"] = pdf["content"].map(png_meta)
+            elif decoder == "jpeg":
+                from etl_instagram_spark.multimodal.jpeg import decode_jpeg
+
+                def jpeg_meta(b):
+                    if b is None:
+                        return None
+                    d = decode_jpeg(bytes(b))
+                    return {
+                        "width": d["width"],
+                        "height": d["height"],
+                        "format": "jpeg",
+                    }
+
+                pdf["meta"] = pdf["content"].map(jpeg_meta)
             else:  # decoder == 'pil'
                 from io import BytesIO
 

@@ -1,0 +1,459 @@
+"""Pure-stdlib baseline JPEG decoder — the second REAL decoder for the
+multimodal path (PNG got one in r12; this closes the r13 VERDICT
+stretch item: "JPEG baseline decoder or documented permanent gate").
+
+The container has no imaging library (no Pillow), but baseline JPEG
+(SOF0: sequential DCT, Huffman entropy coding) needs only pure
+arithmetic: marker walk → DQT/DHT tables → per-MCU Huffman decode →
+dequantize → zigzag → 8×8 IDCT → level shift → chroma upsample →
+YCbCr→RGB. That turns ``decode_images``'s honest NotImplementedError
+guard into a working ``decoder='jpeg'`` for the most common LOSSY
+training-data format; WebP keeps the guard (VP8 is not a stdlib job).
+
+Reference behavior parity: the reference only ever moves image BYTES
+(fetch → S3 put → Rekognition, labels.js:12-48) and never decodes
+locally — this decoder is part of the engine's training-data extension
+surface, not a port. The format itself is public knowledge (ITU-T T.81;
+the Huffman/zigzag/IDCT structure below follows the spec's Annex F
+decoding procedures).
+
+Scope (asserted loudly, never silently wrong): baseline sequential DCT
+(SOF0), 8-bit precision, 1 (grayscale) or 3 (YCbCr/JFIF) components,
+one interleaved scan, restart intervals supported. Progressive (SOF2),
+extended/arithmetic/lossless SOFs, 12-bit, and CMYK raise
+NotImplementedError/ValueError with the offending marker or parameter
+named — the png.py contract.
+
+Scale notes: decode runs inside ``mapInPandas`` (one Arrow batch of
+blobs in memory at a time). The MCU loop is pure Python — correct and
+dependency-free; swap the body for numpy/libjpeg per-executor when
+throughput matters, the Spark plumbing does not change.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# zigzag index -> (row, col) raster position inside the 8x8 block
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# IDCT basis: COS[x][u] = cos((2x+1)·u·π/16), C[u] = 1/√2 for u=0 else 1
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+_SOF_UNSUPPORTED = {
+    0xC1: "extended sequential DCT (SOF1)",
+    0xC2: "progressive DCT (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+class _HuffTable:
+    """Canonical Huffman table from a DHT segment's BITS/HUFFVAL lists
+    (T.81 Annex C): codes of each length are assigned in increasing
+    order; decode walks bit-by-bit through a (length, code) -> symbol
+    map. Max code length is 16 so the walk is bounded."""
+
+    def __init__(self, bits: list[int], huffval: list[int]) -> None:
+        if len(bits) < 16 or len(huffval) < sum(bits):
+            raise ValueError("jpeg: truncated Huffman (DHT) segment")
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = huffval[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, reader: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code in entropy stream")
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; stops at any real marker (the caller handles RSTn
+    at restart boundaries)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _next_byte(self) -> int:
+        if self.marker is not None:
+            raise ValueError(
+                f"jpeg: entropy stream ended at marker 0x{self.marker:02X} "
+                "before the scan was complete (truncated data?)"
+            )
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: truncated entropy-coded data")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: truncated after 0xFF in scan")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte: literal 0xFF
+            else:
+                self.marker = nxt
+                self.pos += 1
+                raise ValueError(
+                    f"jpeg: unexpected marker 0x{nxt:02X} inside "
+                    "entropy-coded data"
+                )
+        return b
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.cur = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive_extend(self, s: int) -> int:
+        """Read ``s`` magnitude bits and sign-extend (T.81 F.2.2.1)."""
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+    def restart(self) -> None:
+        """Byte-align, consume the expected RSTn marker, resume."""
+        self.nbits = 0
+        # the marker may already have been recorded by _next_byte, or
+        # sit directly at self.pos as FF Dn
+        if self.marker is None:
+            while (
+                self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF
+            ):
+                m = self.data[self.pos + 1]
+                if m == 0x00:
+                    break  # stuffed data byte, not a marker
+                self.marker = m
+                self.pos += 2
+                break
+        if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
+            raise ValueError(
+                "jpeg: expected restart marker at restart interval, got "
+                + (
+                    f"0x{self.marker:02X}"
+                    if self.marker is not None
+                    else "entropy data"
+                )
+            )
+        self.marker = None
+
+
+def _idct_block(coeffs: list[int]) -> list[int]:
+    """8×8 inverse DCT (T.81 A.3.3) + level shift, clamped to [0, 255].
+    ``coeffs`` are dequantized values in RASTER order; returns 64
+    samples in raster order."""
+    # rows of the coefficient block transform over u for each output x
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        base = v * 8
+        row = coeffs[base : base + 8]
+        if not any(row):
+            continue
+        for x in range(8):
+            acc = 0.0
+            cosx = _COS[x]
+            for u in range(8):
+                cu = row[u]
+                if cu:
+                    acc += _C[u] * cu * cosx[u]
+            tmp[v][x] = acc
+    out = [0] * 64
+    for y in range(8):
+        cosy = _COS[y]
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                t = tmp[v][x]
+                if t:
+                    acc += _C[v] * t * cosy[v]
+            s = int(round(acc / 4.0)) + 128
+            out[y * 8 + x] = 0 if s < 0 else (255 if s > 255 else s)
+    return out
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Decode baseline JPEG bytes → ``{width, height, channels,
+    pixels}`` with ``pixels`` row-major samples (gray: 1 byte/px;
+    color: RGB, 3 bytes/px) — the decode_png output contract."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise TypeError(f"expected bytes, got {type(data).__name__}")
+    data = bytes(data)
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG (missing SOI marker)")
+
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, _HuffTable] = {}
+    ac_tables: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None  # (width, height, components)
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8:
+            raise ValueError("jpeg: unexpected second SOI")
+        if marker == 0xD9:  # EOI before any scan
+            raise ValueError("jpeg: reached EOI without a scan")
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"jpeg: {_SOF_UNSUPPORTED[marker]} is not supported; "
+                "only baseline sequential DCT (SOF0) is"
+            )
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0x0F
+                o += 1
+                if pq == 0:
+                    tab = list(seg[o : o + 64])
+                    o += 64
+                else:  # 16-bit table
+                    if o + 128 > len(seg):
+                        raise ValueError("jpeg: truncated DQT segment")
+                    tab = [
+                        struct.unpack(">H", seg[o + 2 * i : o + 2 * i + 2])[0]
+                        for i in range(64)
+                    ]
+                    o += 128
+                if len(tab) != 64:
+                    raise ValueError("jpeg: truncated DQT segment")
+                qtables[tq] = tab  # zigzag order, as stored in DQT
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0x0F
+                bits = list(seg[o + 1 : o + 17])
+                n = sum(bits)
+                huffval = list(seg[o + 17 : o + 17 + n])
+                table = _HuffTable(bits, huffval)
+                if tc == 0:
+                    dc_tables[th] = table
+                else:
+                    ac_tables[th] = table
+                o += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xC0:  # SOF0 — baseline
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(
+                    f"jpeg: {precision}-bit precision not supported (8 only)"
+                )
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"jpeg: {ncomp}-component images not supported "
+                    "(1=gray, 3=YCbCr only)"
+                )
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = (width, height, comps)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF0")
+            width, height, comps = frame
+            ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "jpeg: non-interleaved multi-scan files not supported "
+                    f"(scan has {ns} of {len(comps)} components)"
+                )
+            sel = {}
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                sel[cs] = (tdta >> 4, tdta & 0x0F)
+            return _decode_scan(
+                data,
+                pos + 2 + seglen,
+                width,
+                height,
+                comps,
+                sel,
+                qtables,
+                dc_tables,
+                ac_tables,
+                restart_interval,
+            )
+        # APPn / COM / unknown: skip
+        pos += 2 + seglen
+    raise ValueError("jpeg: no scan found (truncated file?)")
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    comps: list[dict],
+    sel: dict[int, tuple[int, int]],
+    qtables: dict[int, list[int]],
+    dc_tables: dict[int, _HuffTable],
+    ac_tables: dict[int, _HuffTable],
+    restart_interval: int,
+) -> dict:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    planes = []
+    for c in comps:
+        pw, ph = mcux * c["h"] * 8, mcuy * c["v"] * 8
+        planes.append(bytearray(pw * ph))
+        if c["tq"] not in qtables:
+            raise ValueError(f"jpeg: missing quantization table {c['tq']}")
+        dc_id, ac_id = sel[c["id"]]
+        if dc_id not in dc_tables or ac_id not in ac_tables:
+            raise ValueError("jpeg: scan references a missing Huffman table")
+        c["qt_zz"] = qtables[c["tq"]]
+        c["dc"] = dc_tables[dc_id]
+        c["ac"] = ac_tables[ac_id]
+
+    reader = _BitReader(data, pos)
+    dc_pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                reader.restart()
+                dc_pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                pw = mcux * c["h"] * 8
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs, dc_pred[ci] = _decode_block_zz(
+                            reader, c["dc"], c["ac"], c["qt_zz"], dc_pred[ci]
+                        )
+                        samples = _idct_block(coeffs)
+                        ox = (mx * c["h"] + bx) * 8
+                        oy = (my * c["v"] + by) * 8
+                        plane = planes[ci]
+                        for y in range(8):
+                            row = (oy + y) * pw + ox
+                            plane[row : row + 8] = bytes(
+                                samples[y * 8 : y * 8 + 8]
+                            )
+            mcu_count += 1
+
+    if len(comps) == 1:
+        pw = mcux * comps[0]["h"] * 8
+        plane = planes[0]
+        pixels = bytearray(width * height)
+        for y in range(height):
+            pixels[y * width : (y + 1) * width] = plane[
+                y * pw : y * pw + width
+            ]
+        return {
+            "width": width,
+            "height": height,
+            "channels": 1,
+            "pixels": bytes(pixels),
+        }
+
+    # upsample chroma (pixel replication) + YCbCr -> RGB (JFIF/CCIR 601)
+    pixels = bytearray(width * height * 3)
+    pws = [mcux * c["h"] * 8 for c in comps]
+    for y in range(height):
+        for x in range(width):
+            yy = planes[0][y * pws[0] + x]
+            cyx = (y * comps[1]["v"]) // vmax, (x * comps[1]["h"]) // hmax
+            cb = planes[1][cyx[0] * pws[1] + cyx[1]]
+            ryx = (y * comps[2]["v"]) // vmax, (x * comps[2]["h"]) // hmax
+            cr = planes[2][ryx[0] * pws[2] + ryx[1]]
+            r = yy + 1.402 * (cr - 128)
+            g = yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+            b = yy + 1.772 * (cb - 128)
+            o = (y * width + x) * 3
+            pixels[o] = 0 if r < 0 else (255 if r > 255 else int(r + 0.5))
+            pixels[o + 1] = 0 if g < 0 else (255 if g > 255 else int(g + 0.5))
+            pixels[o + 2] = 0 if b < 0 else (255 if b > 255 else int(b + 0.5))
+    return {
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "pixels": bytes(pixels),
+    }
+
+
+def _decode_block_zz(
+    reader: _BitReader,
+    dc_table: _HuffTable,
+    ac_table: _HuffTable,
+    qt_zz: list[int],
+    dc_pred: int,
+) -> tuple[list[int], int]:
+    """One 8×8 block with the quant table in ZIGZAG order (as stored in
+    DQT): Huffman DC diff + AC run/size pairs (T.81 F.2.2), dequantized
+    and de-zigzagged into raster order."""
+    coeffs = [0] * 64
+    s = dc_table.decode(reader)
+    diff = reader.receive_extend(s)
+    dc = dc_pred + diff
+    coeffs[0] = dc * qt_zz[0]
+    k = 1
+    while k < 64:
+        rs = ac_table.decode(reader)
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:
+                k += 16
+                continue
+            break
+        k += r
+        if k > 63:
+            raise ValueError("jpeg: AC run past end of block")
+        val = reader.receive_extend(size)
+        coeffs[ZIGZAG[k]] = val * qt_zz[k]
+        k += 1
+    return coeffs, dc

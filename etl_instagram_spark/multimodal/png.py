@@ -4,8 +4,9 @@ The container has no imaging library (no Pillow), but PNG's baseline
 format needs only ``zlib`` + ``struct``: chunk walk → IDAT inflate →
 per-scanline unfilter (types 0-4, including Paeth). That turns
 ``decode_images``'s honest NotImplementedError guard into a working
-``decoder='png'`` for the most common lossless training-data format,
-while JPEG/WebP keep the guard (entropy coding is not a stdlib job).
+``decoder='png'`` for the most common lossless training-data format.
+Baseline JPEG got the same treatment in r14 (multimodal/jpeg.py);
+WebP keeps the guard (VP8 entropy coding is not a stdlib job).
 
 Reference behavior parity: the reference only ever moves image BYTES
 (fetch → S3 put → Rekognition, labels.js:12-48) and never decodes

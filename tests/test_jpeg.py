@@ -1,0 +1,369 @@
+"""Baseline JPEG decoder (multimodal/jpeg.py): roundtrip against an
+independent test-local encoder, IDCT pinned to a numpy reference, the
+4:2:0 upsample path, restart intervals, and the loud unsupported-format
+guards.
+
+The encoder here is deliberately test-local and independent: its own
+forward DCT, its own canonical Huffman construction (every DC size at
+code length 4, every AC (run, size) symbol at length 8 — a valid prefix
+code the decoder must rebuild from the DHT bytes), all-ones quant
+tables so roundtrip error is float-rounding only. A shared-bug false
+pass is further excluded by the numpy IDCT pin and the flat-field
+exactness cases."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+
+from etl_instagram_spark.multimodal.jpeg import ZIGZAG, decode_jpeg
+
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+
+def _fdct(block):
+    """Forward 8x8 DCT of level-shifted samples (T.81 A.3.3)."""
+    out = [[0] * 8 for _ in range(8)]
+    for v in range(8):
+        for u in range(8):
+            acc = 0.0
+            for y in range(8):
+                for x in range(8):
+                    acc += block[y][x] * _COS[x][u] * _COS[y][v]
+            out[v][u] = _C[u] * _C[v] * acc / 4.0
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with 1-bits
+
+
+# canonical tables: DC sizes 0..11 all at code length 4 (12 < 2^4);
+# AC: EOB, all (run 1..15, size 0 -> only ZRL=0xF0) and (run, size)
+# for run 0..15, size 1..10 all at length 8 (162 < 2^8)
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _canon_codes(symbols, length):
+    return {sym: (i, length) for i, sym in enumerate(symbols)}
+
+
+_DC_CODES = _canon_codes(_DC_SYMS, 4)
+_AC_CODES = _canon_codes(_AC_SYMS, 8)
+
+
+def _dht_segment(tc, th, symbols, length):
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    body = bytes([tc << 4 | th]) + bytes(bits) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _size_cat(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _encode_block(w: _BitWriter, samples, dc_pred: int) -> int:
+    """samples: 8x8 raster ints 0..255."""
+    shifted = [[s - 128 for s in row] for row in samples]
+    co = _fdct(shifted)
+    zz = [int(round(co[idx // 8][idx % 8])) for idx in ZIGZAG]
+    dc = zz[0]
+    diff = dc - dc_pred
+    s = _size_cat(diff)
+    code, ln = _DC_CODES[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = _AC_CODES[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s = _size_cat(v)
+        code, ln = _AC_CODES[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = _AC_CODES[0x00]
+        w.write(code, ln)
+    return dc
+
+
+def _plane(pixels, width, height, ch, nch, pw, ph):
+    """Extract channel ch, pad to (pw, ph) by edge replication."""
+    rows = []
+    for y in range(ph):
+        yy = min(y, height - 1)
+        row = [pixels[(yy * width + min(x, width - 1)) * nch + ch] for x in range(pw)]
+        rows.append(row)
+    return rows
+
+
+def encode_jpeg(pixels, width, height, channels, subsample=False, restart_interval=0):
+    """Minimal baseline encoder: all-ones quant, single DC/AC table
+    pair, optional 4:2:0 (Y at 2x2) and restart intervals."""
+    if channels == 3:
+        yp, cbp, crp = [], [], []
+        for i in range(width * height):
+            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            yv = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            yp.append(min(255, max(0, int(round(yv)))))
+            cbp.append(min(255, max(0, int(round(cb)))))
+            crp.append(min(255, max(0, int(round(cr)))))
+        if subsample:
+            comps = [(1, yp, 2, 2), (2, None, 1, 1), (3, None, 1, 1)]
+            # box-subsample chroma at half resolution
+            cw, chh = (width + 1) // 2, (height + 1) // 2
+            subs = []
+            for plane in (cbp, crp):
+                sp = []
+                for y in range(chh):
+                    for x in range(cw):
+                        vals = []
+                        for dy in (0, 1):
+                            for dx in (0, 1):
+                                yy = min(2 * y + dy, height - 1)
+                                xx = min(2 * x + dx, width - 1)
+                                vals.append(plane[yy * width + xx])
+                        sp.append(int(round(sum(vals) / len(vals))))
+                subs.append(sp)
+            planes = [
+                (yp, width, height, 2, 2),
+                (subs[0], cw, chh, 1, 1),
+                (subs[1], cw, chh, 1, 1),
+            ]
+        else:
+            planes = [
+                (yp, width, height, 1, 1),
+                (cbp, width, height, 1, 1),
+                (crp, width, height, 1, 1),
+            ]
+    else:
+        planes = [(list(pixels), width, height, 1, 1)]
+
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT id 0, all ones
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    # SOF0
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for i, (_, _, _, h, v) in enumerate(planes):
+        sof += bytes([i + 1, (h << 4) | v, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_SYMS, 4)
+    out += _dht_segment(1, 0, _AC_SYMS, 8)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart_interval)
+    # SOS
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    padded = []
+    for plane, w_, h_, h, v in planes:
+        pw, ph = mcux * h * 8, mcuy * v * 8
+        padded.append((_plane(plane, w_, h_, 0, 1, pw, ph), h, v, pw))
+
+    w = _BitWriter()
+    dc_pred = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                w.flush()
+                out += w.out
+                w = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                dc_pred = [0] * ncomp
+            for ci, (rows, h, v, pw) in enumerate(padded):
+                for by in range(v):
+                    for bx in range(h):
+                        oy, ox = (my * v + by) * 8, (mx * h + bx) * 8
+                        block = [rows[oy + y][ox : ox + 8] for y in range(8)]
+                        dc_pred[ci] = _encode_block(w, block, dc_pred[ci])
+            mcu_count += 1
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _max_err(a, b):
+    return max(abs(x - y) for x, y in zip(a, b))
+
+
+def test_flat_gray_block_is_near_exact():
+    """A flat 8x8 field is DC-only: the roundtrip must reproduce the
+    value within float rounding (<=1)."""
+    for val in (0, 77, 128, 255):
+        data = encode_jpeg(bytes([val] * 64), 8, 8, 1)
+        d = decode_jpeg(data)
+        assert (d["width"], d["height"], d["channels"]) == (8, 8, 1)
+        assert _max_err(d["pixels"], bytes([val] * 64)) <= 1, val
+
+
+def test_gray_gradient_non_multiple_of_8_roundtrip():
+    """24x17 gradient (crop path: image is not an MCU multiple): with
+    all-ones quant tables the error budget is FDCT+IDCT float rounding
+    only."""
+    width, height = 24, 17
+    src = bytes(
+        (3 * x + 7 * y + ((x * y) % 5)) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+    d = decode_jpeg(encode_jpeg(src, width, height, 1))
+    assert (d["width"], d["height"], d["channels"]) == (width, height, 1)
+    assert len(d["pixels"]) == width * height
+    assert _max_err(d["pixels"], src) <= 3
+
+
+def test_color_444_roundtrip():
+    width, height = 16, 16
+    src = bytes(
+        v
+        for y in range(height)
+        for x in range(width)
+        for v in ((x * 16) % 256, (y * 16) % 256, (x * 7 + y * 11) % 256)
+    )
+    d = decode_jpeg(encode_jpeg(src, width, height, 3))
+    assert (d["width"], d["height"], d["channels"]) == (width, height, 3)
+    assert len(d["pixels"]) == width * height * 3
+    # two lossy color transforms (encode + decode) plus DCT rounding
+    assert _max_err(d["pixels"], src) <= 6
+
+
+def test_color_420_subsampled_flat_regions():
+    """4:2:0 exercises the multi-block MCU loop and the chroma
+    upsample: flat color halves must come back near-exact even at half
+    chroma resolution (no chroma detail to lose)."""
+    width, height = 32, 16
+    left, right = (200, 40, 40), (40, 40, 200)
+    src = bytes(
+        v
+        for y in range(height)
+        for x in range(width)
+        for v in (left if x < 16 else right)
+    )
+    d = decode_jpeg(encode_jpeg(src, width, height, 3, subsample=True))
+    assert (d["width"], d["height"], d["channels"]) == (width, height, 3)
+    px = d["pixels"]
+    # sample away from the color edge (chroma is half-res there)
+    for x, want in ((4, left), (27, right)):
+        got = tuple(px[(8 * width + x) * 3 : (8 * width + x) * 3 + 3])
+        assert all(abs(g - w) <= 6 for g, w in zip(got, want)), (x, got)
+
+
+def test_restart_intervals_reset_dc_predictors():
+    width, height = 32, 8  # 4 MCUs at 1x1 sampling
+    src = bytes((13 * x + 5 * y) % 256 for y in range(height) for x in range(width))
+    plain = decode_jpeg(encode_jpeg(src, width, height, 1))
+    rst = decode_jpeg(encode_jpeg(src, width, height, 1, restart_interval=1))
+    assert plain["pixels"] == rst["pixels"]
+    assert _max_err(rst["pixels"], src) <= 3
+
+
+def test_idct_matches_numpy_reference():
+    """Pin _idct_block against an independent numpy DCT-III matrix
+    construction (orthonormal 2-D inverse DCT), on a deterministic
+    coefficient block — the decoder's core math is not self-certified
+    by the encoder roundtrip alone."""
+    import numpy as np
+
+    from etl_instagram_spark.multimodal.jpeg import _idct_block
+
+    rng = np.random.RandomState(7)
+    coeffs = rng.randint(-200, 200, size=(8, 8)).astype(float)
+    # orthonormal DCT-II matrix M; IDCT2(X) = M.T @ X @ M
+    M = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            M[u, x] = math.sqrt((1 if u == 0 else 2) / 8) * math.cos(
+                (2 * x + 1) * u * math.pi / 16
+            )
+    ref = M.T @ coeffs @ M
+    ref = np.clip(np.round(ref) + 128, 0, 255)
+    got = _idct_block([int(c) for c in coeffs.flatten()])
+    diff = np.abs(np.array(got).reshape(8, 8) - ref)
+    # round-then-shift vs shift-then-round can differ by 1 at .5 edges
+    assert diff.max() <= 1
+
+
+def test_unsupported_and_malformed_raise_loudly():
+    good = encode_jpeg(bytes(range(64)), 8, 8, 1)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(TypeError):
+        decode_jpeg("not bytes")
+    # flip SOF0 -> SOF2 (progressive)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError, match="truncated|marker|entropy"):
+        decode_jpeg(good[: len(good) // 2])
+
+
+def test_decode_images_jpeg_decoder(spark):
+    """The Spark face: decoder='jpeg' fills meta from the real pixels
+    inside the mapInPandas boundary, exactly like decoder='png'."""
+    from etl_instagram_spark.multimodal.images import decode_images
+
+    blobs = []
+    for i, (w_, h_) in enumerate([(8, 8), (24, 17)]):
+        src = bytes((x + y + i) % 256 for y in range(h_) for x in range(w_))
+        blobs.append((f"b{i}", encode_jpeg(src, w_, h_, 1), "image", None))
+    df = spark.createDataFrame(
+        blobs,
+        "id string, content binary, media_type string, "
+        "meta struct<width int, height int, format string>",
+    )
+    out = {
+        r["id"]: (r["meta"]["width"], r["meta"]["height"], r["meta"]["format"])
+        for r in decode_images(df, decoder="jpeg").collect()
+    }
+    assert out == {"b0": (8, 8, "jpeg"), "b1": (24, 17, "jpeg")}
