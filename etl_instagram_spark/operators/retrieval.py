@@ -213,3 +213,137 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def build_bm25_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The MANY-QUERIES face of BM25: one inverted-postings build that
+    amortizes across an arbitrary query stream — the design the module
+    docstring reserves for exactly this case (the single-query scan
+    path :func:`bm25_topk` stays strictly better for one-off queries).
+
+    Returns ``(postings, corpus)``:
+
+    - ``postings``: one row per (term, doc) — ``term, <id_col>, tf,
+      dl`` with ``tf`` the in-doc term frequency and ``dl`` the doc's
+      token count (denormalized onto every posting so query-time
+      scoring never joins a doclen table);
+    - ``corpus``: ONE row — ``n_docs, avgdl`` over ALL docs including
+      blank ones (same convention as :func:`bm25_corpus_stats`, so the
+      two faces score identically).
+
+    Scale shape: the build is one tokenize scan + explode + counting
+    groupBy — Σ tokens rows into an O(corpus vocabulary × docs-per-
+    term) table, the classic inverted-index shuffle, linear in corpus
+    size. Persist ``postings`` partitioned/bucketed BY TERM (e.g.
+    ``partitionBy(hash-bucket-of-term)``) and a query touches only its
+    terms' postings — partition pruning does the rest; the 100 TB
+    query path reads megabytes. Blank/empty docs produce no postings
+    (they can never match) but still count in ``n_docs``/``avgdl``."""
+    blank = F.length(F.trim(F.col(text_col))) == 0
+    staged = df.select(
+        F.col(id_col),
+        _toks(F.col(text_col)).alias("__btoks"),
+        F.when(blank, F.lit(True)).otherwise(F.lit(False)).alias("__bblank"),
+    )
+    dl = F.when(F.col("__bblank"), F.lit(0)).otherwise(F.size(F.col("__btoks")))
+    docs = staged.select(F.col(id_col), dl.alias("dl"), F.col("__btoks"))
+    postings = (
+        docs.select(
+            F.col(id_col), "dl", F.explode(F.col("__btoks")).alias("term")
+        )
+        # blank text tokenizes to [''] (the split convention); an empty
+        # term can never be queried (_validate rejects it), so it must
+        # not fabricate postings rows
+        .filter(F.col("term") != "")
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.avg(F.col("dl").cast("double")), F.lit(0.0)).alias(
+            "avgdl"
+        ),
+    )
+    return postings, corpus
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` BM25 answered from a :func:`build_bm25_index` index —
+    row-identical to :func:`bm25_topk` on the same corpus (pinned by
+    test): the same idf/tf/denominator float expressions and the same
+    FIXED-ORDER per-term score sum, so even 6-dp rounding ties break
+    the same way.
+
+    Query shape: filter postings to the query terms (a pushdown-able
+    predicate — with term-partitioned storage this is partition
+    pruning, never a corpus scan), count per-term document frequency
+    over the pruned rows (≤ |terms| groups), broadcast df + the 1-row
+    corpus stats back on, score each posting, and fold per-doc
+    contributions in query order. Cost is O(postings of the query
+    terms) regardless of corpus size — the amortized many-queries
+    complement of the scan path."""
+    terms = _validate(query_terms, k1, b)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pruned = postings.filter(F.col("term").isin(list(terms)))
+    dfreq = pruned.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    corpus = corpus.select(
+        F.col("n_docs").alias("__bm_n_docs"), F.col("avgdl").alias("__bm_avgdl")
+    )
+    scored = pruned.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(corpus)
+    )
+    dfd = F.col("__df").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (F.col("__bm_n_docs") - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    )
+    avgdl = F.col("__bm_avgdl")
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    scored = scored.withColumn(
+        "__contrib",
+        F.when((F.col("tf") > 0) & (avgdl > 0), contrib).otherwise(F.lit(0.0)),
+    )
+    # per-term pivot, then the SAME fixed-order sum as bm25_topk — a
+    # plain SUM over an unordered row set would re-associate the float
+    # adds and could flip a 6-dp tie against the scan path
+    aggs = []
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("__contrib"))),
+                F.lit(0.0),
+            ).alias(f"__c_{i}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("tf"))), F.lit(0.0)
+            ).alias(f"tf_{i}")
+        )
+    per_doc = scored.groupBy(id_col).agg(*aggs)
+    score: Column = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + F.col(f"__c_{i}")
+    return (
+        per_doc.withColumn("score", F.round(score, 6))
+        .filter(F.col("score") > 0)
+        .select(
+            id_col, "score", *[f"tf_{i}" for i in range(len(terms))]
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -188,3 +188,90 @@ def test_bm25_survives_adversarial_input_column_names(spark):
     assert out.columns == ["doc_id", "score", "tf_0"]
     row = out.first()
     assert row["doc_id"] == 1 and row["tf_0"] == 2.0 and row["score"] > 0
+
+
+def test_bm25_indexed_equals_scan_path(spark, docs):
+    """The inverted-index face answers EXACTLY what the scan face
+    answers — ids, 6-dp scores, and per-term tf columns — on the
+    blank-containing fixture corpus AND on real documents, across
+    several query shapes (rare terms, all-miss term included, k
+    variation). The fixed-order score fold is what makes this an
+    equality, not an approximation."""
+    from etl_instagram_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    corpora = [
+        (docs, "doc_id"),
+        (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+            "doc_id",
+        ),
+    ]
+    queries = [
+        (["spark", "join"], 5),
+        (["spark", "zzz_missing", "window"], 10),
+        (["merge"], 3),
+    ]
+    for corpus_df, id_col in corpora:
+        postings, corpus = build_bm25_index(corpus_df, id_col, "text")
+        postings = postings.localCheckpoint(eager=True)
+        for terms, k in queries:
+            scan = [
+                tuple(r)
+                for r in bm25_topk(
+                    corpus_df, id_col, "text", terms, k=k
+                ).collect()
+            ]
+            idx = [
+                tuple(r)
+                for r in bm25_topk_indexed(
+                    postings, corpus, id_col, terms, k=k
+                ).collect()
+            ]
+            assert idx == scan, (terms, k)
+
+
+def test_bm25_indexed_prunes_postings_scan(spark, tmp_path):
+    """The query-time design claim: the term filter reaches the
+    postings parquet scan as a pushed filter (with term-partitioned
+    storage this is partition pruning) — the corpus itself is never
+    scanned at query time."""
+    from etl_instagram_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    postings, corpus = build_bm25_index(src, "doc_id", "text")
+    path = str(tmp_path / "postings")
+    postings.write.parquet(path)
+    stored = spark.read.parquet(path)
+    out = bm25_topk_indexed(stored, corpus, "doc_id", ["spark", "join"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "term IN" in plan, plan[:2000]
+    assert out.count() > 0
+
+
+def test_bm25_indexed_degenerates_and_validation(spark):
+    from etl_instagram_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    postings, corpus = build_bm25_index(empty, "doc_id", "text")
+    assert bm25_topk_indexed(postings, corpus, "doc_id", ["x"]).count() == 0
+    # blank-only corpus: n_docs counted, avgdl 0, no postings
+    blanks = spark.createDataFrame([(1, ""), (2, "  ")], "doc_id long, text string")
+    p2, c2 = build_bm25_index(blanks, "doc_id", "text")
+    assert p2.count() == 0
+    row = c2.collect()[0]
+    assert (row["n_docs"], row["avgdl"]) == (2, 0.0)
+    with pytest.raises(ValueError, match="distinct"):
+        bm25_topk_indexed(p2, c2, "doc_id", ["a", "a"])
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk_indexed(p2, c2, "doc_id", ["a"], k=0)

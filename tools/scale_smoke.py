@@ -739,6 +739,25 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             ),
             "params": {"k": 10, "terms": 3},
         }
+    elif op == "bm25_index_build":
+        # the heavy half of the r14 inverted-index face: one tokenize
+        # scan + explode + counting groupBy (Σ tokens shuffle rows into
+        # an O(vocab × docs-per-term) postings table) + a 1-row corpus
+        # agg — honest expectation is time ∝ n. (The query half is
+        # O(query-term postings) by construction — measured implicitly
+        # by the pushdown plan pin, not worth a smoke row.)
+        from etl_instagram_spark.operators.retrieval import build_bm25_index
+
+        docs = spark.read.parquet(docs_path).localCheckpoint()
+        def _run_build():
+            postings, corpus = build_bm25_index(docs, "doc_id", "text")
+            postings.count()
+            corpus.count()
+
+        res = {
+            "sec": timed(_run_build),
+            "params": {},
+        }
     elif op == "graph_chain":
         # the COMPOSED graph-family pipeline (SURVEY §8 composition
         # chain): weighted co-purchase projection → k-core denoise →
@@ -831,6 +850,7 @@ OPS = (
     "entity_snm",
     "k_core",
     "bm25_topk",
+    "bm25_index_build",
     "graph_chain",
 )
 
