@@ -856,6 +856,13 @@ def heavy_hitters_read(
     merged = mg_merge(_store_to_summary(store.read()), capacity)
     merged = merged.localCheckpoint(eager=True)
     n = merged.filter(F.col("term").isNull()).agg(F.sum("n_part")).collect()[0][0] or 0
+    if n * max(support_num, support_den) >= 2**63:
+        raise ValueError(
+            "heavy_hitters_read: total weight W * max(num, den) overflows "
+            f"int64 (W={n}, num={support_num}, den={support_den}); the "
+            "integer threshold must fit in BIGINT (the batch-face "
+            "heavy_hitters bound, which weighted streams can reach)"
+        )
     slack = n // (capacity + 1)
     return (
         merged.filter(F.col("term").isNotNull())

@@ -302,6 +302,23 @@ def test_incremental_hh_weighted_matches_unit_explosion(spark, tmp_path):
     with pytest.raises(Exception, match="positive int64"):
         apply_hh_delta(wstore, bad, 99, weight_col="wt")
 
+    # the read face shares the batch face's int64 threshold bound: a
+    # token-mass store past W*max(num,den) < 2^63 must raise, not wrap
+    big = MergeTable(
+        spark,
+        str(tmp_path / "bighh"),
+        key=["epoch_id", "term_key"],
+        order_by="epoch_id",
+    )
+    apply_hh_delta(
+        big,
+        spark.createDataFrame([("x", 2**62)], "term string, wt long"),
+        0,
+        weight_col="wt",
+    )
+    with pytest.raises(ValueError, match="overflows"):
+        heavy_hitters_read(big, capacity, 1, 4)
+
 
 def test_stream_heavy_hitters_weighted_tick(spark, tmp_path):
     """End-to-end weighted AvailableNow drain: landed (term, wt) rows →
