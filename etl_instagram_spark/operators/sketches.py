@@ -576,24 +576,27 @@ def dcm_sketch(
                 )
             ).cast("long"),
         ).otherwise(wv)
-    pairs = F.array(
-        *[
-            F.struct(F.lit(lv).alias("lvl"), F.lit(j).alias("j"))
-            for lv in range(b)
-            for j in range(d)
-        ]
-    )
+    levels = F.array(*[F.lit(lv) for lv in range(b)])
+    rows = F.array(*[F.lit(j) for j in range(d)])
     return (
         df.filter(v.isNotNull())
         .select(*g, guarded.alias("__v"), wt.alias("__wt"))
-        .select(*g, "__v", "__wt", F.explode(pairs).alias("__p"))
+        # two domain-bounded collapses BEFORE any md5 is computed (r14):
+        # (1) distinct (group, value) with summed weights, then
+        # (2) distinct (group, lvl, value>>lvl) dyadic prefixes — the
+        # prefix domain HALVES per level, so hash work drops from
+        # rows·d·b evaluations to ~2·distinct(value)·d regardless of
+        # input size. Counting is additive, so the registers are
+        # bit-identical to the naive explode.
+        .groupBy(*g, "__v")
+        .agg(F.sum("__wt").cast("long").alias("__wt"))
+        .select(*g, "__v", "__wt", F.explode(levels).alias("lvl"))
         .select(
-            *g,
-            "__wt",
-            F.col("__p.lvl").alias("lvl"),
-            F.col("__p.j").alias("j"),
-            F.expr("shiftright(__v, __p.lvl)").alias("__pref"),
+            *g, "__wt", "lvl", F.expr("shiftright(__v, lvl)").alias("__pref")
         )
+        .groupBy(*g, "lvl", "__pref")
+        .agg(F.sum("__wt").cast("long").alias("__wt"))
+        .select(*g, "__wt", "lvl", "__pref", F.explode(rows).alias("j"))
         .select(
             *g,
             "__wt",
@@ -690,7 +693,12 @@ def dcm_rank(
     of CM estimates over the ≤ b dyadic nodes decomposing [0, value),
     each the min over d counters. Always ≥ the true rank (counters only
     over-count). One explode + one key-equi LEFT join against the tiny
-    register frame + two groupBys."""
+    register frame + two groupBys. The register side is construction-
+    bounded at groups·d·w·b rows — a model-sized frame by design — so
+    the join is an explicit BROADCAST: the probe side never shuffles
+    for the join (r14; the auto threshold had been picking sort-merge,
+    which priced each of the descent's 16 sequential probes at a full
+    shuffle round-trip)."""
     g = list(group_cols or [])
     x = F.col(value_col).cast("long")
     base = probes.filter(x.isNotNull()).select(*g, x.alias("__x")).distinct()
@@ -720,7 +728,7 @@ def dcm_rank(
         )
     )
     per_node = (
-        ex.join(sketch, [*g, "lvl", "j", "col"], "left")
+        ex.join(F.broadcast(sketch), [*g, "lvl", "j", "col"], "left")
         .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
         .groupBy(*g, "__x", "lvl")
         .agg(F.min("cnt").alias("__est"))
@@ -752,15 +760,24 @@ def dcm_quantiles(
     touches the probed nodes. Output (group…, q_num, q_den, n, target,
     q_value).
 
-    The descent fixes one bit per round, high to low: b fixed rounds
-    over a groups×quantiles-sized frame, each one rank probe against
-    the pinned register frame — all integer comparisons, so a DuckDB
-    CTE chain (:func:`dcm_quantiles_sql`) replays the identical walk."""
+    The descent fixes one bit per round, high to low — and because
+    every round is pure integer arithmetic against the construction-
+    bounded register frame, the whole b-round walk runs as ONE plan
+    (r14): registers fold to a per-group map column (≤ d·w·b entries —
+    the same model-sized object :func:`dcm_quantiles_driver` collects),
+    and a nested higher-order ``aggregate`` expression replays all b
+    fix-one-bit rounds per output row in a single job. The prior
+    implementation scheduled b sequential probe jobs — ~20 s of pure
+    job-launch overhead at ANY scale factor for 20 output rows; this
+    shape is two small shuffles + one expression, and the walk stays
+    bit-identical (pinned by the DuckDB replay tests and the
+    driver-twin equality test). DuckDB CTE chain:
+    :func:`dcm_quantiles_sql` replays the identical walk."""
     for nu, de in quantiles:
         if not (0 < nu <= de):
             raise ValueError(f"quantile must satisfy 0 < num <= den: {nu}/{de}")
     g = list(group_cols or [])
-    sk = sketch.localCheckpoint(eager=True)  # probed b times
+    sk = sketch.localCheckpoint(eager=True)  # read twice: total + map
     qlist = F.array(
         *[
             F.struct(
@@ -769,35 +786,72 @@ def dcm_quantiles(
             for nu, de in quantiles
         ]
     )
-    cur = (
-        dcm_total(sk, g)
-        .select(*g, "n", F.explode(qlist).alias("__q"))
-        .select(*g, "n", F.col("__q.q_num").alias("q_num"), F.col("__q.q_den").alias("q_den"))
-        .withColumn("target", F.expr("(q_num * n + q_den - 1) div q_den"))
-        .withColumn("x", F.lit(0).cast("long"))
+    # per-group register map, keyed "lvl:j:col". min() mirrors the join
+    # path's min-over-matches on (illegal) duplicate counter rows; on
+    # the unique rows dcm_sketch produces it is the identity.
+    regs = (
+        sk.groupBy(*g, "lvl", "j", "col")
+        .agg(F.min("cnt").alias("cnt"))
+        .groupBy(*g)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.concat_ws(":", "lvl", "j", "col").alias("k"),
+                        F.col("cnt").alias("v"),
+                    )
+                )
+            ).alias("__regs")
+        )
     )
-    for i, k in enumerate(range(b - 1, -1, -1)):
-        cand = cur.withColumn("__cand", F.col("x") + F.lit(1 << k))
-        rk = dcm_rank(
-            sk, cand.select(*g, "__cand"), "__cand", g, w=w, d=d, b=b
+    base = dcm_total(sk, g)
+    joined = base.join(regs, g) if g else base.crossJoin(regs)
+    return (
+        joined.select(*g, "n", "__regs", F.explode(qlist).alias("__q"))
+        .select(
+            *g,
+            "n",
+            "__regs",
+            F.col("__q.q_num").alias("q_num"),
+            F.col("__q.q_den").alias("q_den"),
         )
-        cur = (
-            cand.join(rk, [*g, "__cand"], "left")
-            .withColumn(
-                "x",
-                F.when(
-                    F.coalesce("rank_est", F.lit(0)) < F.col("target"),
-                    F.col("__cand"),
-                ).otherwise(F.col("x")),
-            )
-            .drop("__cand", "rank_est")
+        .withColumn("target", F.expr("(q_num * n + q_den - 1) div q_den"))
+        .withColumn("q_value", F.expr(_descent_expr(b=b, d=d, w=w)))
+        .select(*g, "q_num", "q_den", "n", "target", "q_value")
+    )
+
+
+def _descent_expr(b: int, d: int, w: int) -> str:
+    """The b-round bit descent as one nested-HOF SQL expression over
+    the ``__regs`` map and ``target`` columns: fold k = b−1 … 0 with
+    x ← x + 2^k iff rank_est(x + 2^k) < target, where rank_est is the
+    sum over set bits of the min over the d counter rows — the exact
+    integer walk :func:`dcm_rank` + the old per-round join loop
+    computed, inlined so Catalyst schedules ONE job for all rounds."""
+    cand = "(x + shiftleft(cast(1 as bigint), k))"
+    pref = f"cast(shiftleft(shiftright({cand}, lv + 1), 1) as string)"
+
+    def counter(j: int) -> str:
+        salt = (
+            f"concat('dq', cast(lv as string), '.', '{j}', '\x1f', {pref})"
         )
-        # truncate the per-round join lineage a few times across the
-        # descent — frames are tiny, plans are what grow
-        if i % 4 == 3 and k > 0:
-            cur = cur.localCheckpoint(eager=True)
-    return cur.select(
-        *g, "q_num", "q_den", "n", "target", F.col("x").alias("q_value")
+        colh = (
+            f"(cast(conv(substring(md5({salt}), 1, 8), 16, 10) as bigint)"
+            f" % {w})"
+        )
+        key = f"concat(cast(lv as string), ':', '{j}', ':', cast({colh} as string))"
+        return f"coalesce(element_at(__regs, {key}), cast(0 as bigint))"
+
+    rank = (
+        f"aggregate("
+        f"filter(sequence(0, {b - 1}), lv -> (shiftright({cand}, lv) & 1) = 1), "
+        f"cast(0 as bigint), "
+        f"(racc, lv) -> racc + least({', '.join(counter(j) for j in range(d))})"
+        f")"
+    )
+    return (
+        f"aggregate(sequence({b - 1}, 0, -1), cast(0 as bigint), "
+        f"(x, k) -> if({rank} < target, {cand}, x))"
     )
 
 

@@ -512,11 +512,15 @@ def test_duplicate_span_discovery_is_equi_join_free_scan(spark):
 
 
 def test_dcm_sketch_aggregation_combines_map_side(spark):
-    """The dyadic-CM register build must partial-aggregate below its
-    ONE exchange: every partition collapses to <= groups*d*w*b counter
-    rows before the shuffle, so shuffle volume is bounded by the
-    register size at any input scale — the property that makes the
-    sketch a 100 TB operator."""
+    """The dyadic-CM register build must partial-aggregate below EVERY
+    exchange: each partition collapses before it shuffles, so shuffle
+    volume is bounded at any input scale — the property that makes the
+    sketch a 100 TB operator. Since r14 the build has exactly THREE
+    counting stages, each domain-bounded: (1) distinct (group, value),
+    (2) distinct (group, lvl, value>>lvl) dyadic prefixes, (3) the
+    final (group, lvl, j, col) registers — the two pre-collapses exist
+    so the md5 hash work runs on the halving prefix domain instead of
+    on every input row, and each one is itself map-side combined."""
     from pyspark.sql import functions as F
 
     from etl_instagram_spark.operators.sketches import dcm_sketch
@@ -534,6 +538,9 @@ def test_dcm_sketch_aggregation_combines_map_side(spark):
     # registers count via sum(1) so weighted/unweighted share one
     # aggregate shape: the partial marker is partial_sum
     assert re.search(r"partial_sum", plan)
-    assert len(re.findall(r"HashAggregate", plan)) >= 2  # partial + final
-    assert len(re.findall(r"Exchange", plan)) == 1
+    # three aggregation stages, each split partial+final around its
+    # exchange — a 4th exchange would mean a collapse lost its
+    # map-side combine
+    assert len(re.findall(r"HashAggregate", plan)) >= 6
+    assert len(re.findall(r"Exchange", plan)) == 3
     assert "CartesianProduct" not in plan
