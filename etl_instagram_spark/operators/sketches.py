@@ -318,15 +318,24 @@ def cm_sketch(
                 )
             ).cast("long"),
         ).otherwise(wv)
+    vv = F.col("__v")
     pairs = F.array(
         *[
-            F.struct(F.lit(j).alias("j"), cm_hash(v, j, w).alias("col"))
+            F.struct(F.lit(j).alias("j"), cm_hash(vv, j, w).alias("col"))
             for j in range(d)
         ]
     )
     return (
         df.filter(v.isNotNull())
-        .select(*g, wt.alias("__wt"), F.explode(pairs).alias("__p"))
+        .select(*g, v.alias("__v"), wt.alias("__wt"))
+        # pre-collapse to distinct (group, value) with summed weights
+        # BEFORE hashing (the r14 dcm_sketch convention): the d md5
+        # evaluations run once per DISTINCT value instead of once per
+        # row — counting is additive, so the registers are
+        # bit-identical, and both collapses are map-side combined
+        .groupBy(*g, "__v")
+        .agg(F.sum("__wt").cast("long").alias("__wt"))
+        .select(*g, "__wt", F.explode(pairs).alias("__p"))
         .select(
             *g,
             "__wt",
