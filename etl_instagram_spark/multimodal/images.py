@@ -175,3 +175,77 @@ def image_features(blobs: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame({"id": pdf["id"], "embedding": pdf["content"].map(feats)})
 
     return blobs.mapInPandas(run, schema="id string, embedding array<float>")
+
+
+def _sniff_format(b: bytes) -> str | None:
+    if b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if len(b) >= 2 and b[0] == 0xFF and b[1] == 0xD8:
+        return "jpeg"
+    return None
+
+
+def pixel_features(blobs: DataFrame) -> DataFrame:
+    """REAL content-based features from DECODED pixels (r14) — the
+    non-stub sibling of :func:`image_features`, now that PNG and
+    baseline JPEG have stdlib decoders: a fixed 16-dim vector of
+    [aspect ratio, log-area, per-channel mean×3, per-channel std×3,
+    8-bin luma histogram] per blob, format auto-sniffed from the magic
+    bytes. Unknown/undecodable formats yield a NULL embedding (callers
+    filter), never a fabricated vector.
+
+    The output plugs straight into operators/similarity.py — because
+    the features are statistics of the PIXELS, visually-identical
+    images land near cosine 1 across lossless/lossy re-encodes (PNG vs
+    baseline JPEG of the same frame), which makes this the real
+    multimodal near-dup path: decode → pixel_features →
+    embedding-cosine dedup. Arrow-batched mapInPandas, numpy per
+    image; one batch of blobs in memory at a time."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from etl_instagram_spark.multimodal.jpeg import decode_jpeg
+        from etl_instagram_spark.multimodal.png import decode_png
+
+        def feats(b):
+            if b is None:
+                return None
+            raw = bytes(b)
+            fmt = _sniff_format(raw)
+            if fmt is None:
+                return None
+            d = decode_png(raw) if fmt == "png" else decode_jpeg(raw)
+            w, h, c = d["width"], d["height"], d["channels"]
+            if w == 0 or h == 0:
+                return None
+            px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, c)
+            if c == 1:
+                rgb = np.repeat(px, 3, axis=2)
+            elif c == 2:  # gray+alpha: stats over the gray plane
+                rgb = np.repeat(px[:, :, :1], 3, axis=2)
+            else:
+                rgb = px[:, :, :3]
+            rgbf = rgb.astype(np.float64)
+            luma = (
+                0.299 * rgbf[:, :, 0]
+                + 0.587 * rgbf[:, :, 1]
+                + 0.114 * rgbf[:, :, 2]
+            )
+            hist, _ = np.histogram(luma, bins=8, range=(0.0, 256.0))
+            hist = hist / luma.size
+            out = [
+                min(w, h) / max(w, h),
+                min(1.0, np.log1p(float(w) * h) / np.log(2.0**24)),
+                *(rgbf[:, :, i].mean() / 255.0 for i in range(3)),
+                *(rgbf[:, :, i].std() / 128.0 for i in range(3)),
+                *hist.tolist(),
+            ]
+            return [float(x) for x in out]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf["id"], "embedding": pdf["content"].map(feats)}
+            )
+
+    return blobs.mapInPandas(run, schema="id string, embedding array<float>")

@@ -367,3 +367,51 @@ def test_decode_images_jpeg_decoder(spark):
         for r in decode_images(df, decoder="jpeg").collect()
     }
     assert out == {"b0": (8, 8, "jpeg"), "b1": (24, 17, "jpeg")}
+
+
+def test_pixel_features_real_multimodal_near_dup(spark):
+    """The real multimodal near-dup path (decode → pixel statistics →
+    embedding cosine): the SAME frame encoded losslessly (PNG) and
+    lossily (baseline JPEG) lands at cosine ~1, a different frame
+    (inverted) lands clearly lower, and non-decodable bytes yield a
+    NULL embedding rather than a fabricated vector."""
+    import math
+
+    from etl_instagram_spark.multimodal.images import pixel_features
+    from etl_instagram_spark.multimodal.png import encode_png
+
+    width, height = 32, 24
+    src = bytes(
+        v
+        for y in range(height)
+        for x in range(width)
+        for v in ((x * 8) % 256, (y * 10) % 256, (x * 3 + y * 5) % 256)
+    )
+    # the contrast frame is structurally different (flat dark color:
+    # zero variance, one-bin histogram), not a global-stats twin like
+    # an inversion would be
+    flat = bytes([20, 20, 20] * (width * height))
+    blobs = spark.createDataFrame(
+        [
+            ("png", encode_png(width, height, src, channels=3), "image", None),
+            ("jpg", encode_jpeg(src, width, height, 3), "image", None),
+            ("oth", encode_png(width, height, flat, channels=3), "image", None),
+            ("bad", b"RIFF....WEBP", "image", None),
+        ],
+        "id string, content binary, media_type string, "
+        "meta struct<width int, height int, format string>",
+    )
+    out = {r["id"]: r["embedding"] for r in pixel_features(blobs).collect()}
+    assert out["bad"] is None
+    assert len(out["png"]) == 16
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    same = cos(out["png"], out["jpg"])
+    diff = cos(out["png"], out["oth"])
+    assert same > 0.999, same
+    assert diff < 0.9, (same, diff)
