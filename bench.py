@@ -485,6 +485,13 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r14 second structural delta (late-round "
+                        "rotation): gate promoted events_hll_distinct "
+                        "(same-session warm floor ~0.93s at sf0.1 under "
+                        "suite contention, 5 reps 7.9/1.3/1.2/0.93/0.94) "
+                        "for orders_nested_lineitems (r14 floor 0.47s) — "
+                        "net ~ +0.5s of total; the nested row keeps full "
+                        "value parity in plans/extras_relational.py.",
                         "r14 end-of-round stream_dedup_tick floor check: "
                         "the committed run shows 15.3/11.1/7.9s — "
                         "monotonically descending, still warming at rep "

@@ -170,38 +170,6 @@ def _events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Never-gated (r10): HyperLogLog distinct event_ids per event_type
-    (operators/sketches.py) with the exact count as contrast — register
-    state (buckets_hit), the EXACT integer harmonic sum, and the raw
-    estimate all replay bit-for-bit in DuckDB; the sketch uses the
-    engine-neutral md5 hash and an integer-comparison rho chain, so
-    unlike approx_count_distinct it is second-system-checkable."""
-    from etl_instagram_spark.operators.sketches import hll_summary
-
-    ev = _t(spark, sf_dir, "events")
-    sk = hll_summary(ev, "event_id", ["event_type"])
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("event_id").alias("exact_distinct")
-    )
-    return sk.join(exact, "event_type").orderBy("event_type")
-
-
-def _sql_events_hll_distinct() -> str:
-    from etl_instagram_spark.operators.sketches import hll_summary_sql
-
-    inner = hll_summary_sql("event_id", "events", ["event_type"])
-    return f"""
-    WITH sk AS ({inner}),
-    ex AS (SELECT event_type, count(DISTINCT event_id) AS exact_distinct
-           FROM events GROUP BY event_type)
-    SELECT sk.event_type, buckets_hit, sum_scaled, hll_estimate,
-           exact_distinct
-    FROM sk JOIN ex ON sk.event_type = ex.event_type
-    ORDER BY sk.event_type
-    """
-
-
 def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r10): bounded-window exponential smoothing
     (operators/temporal.ewma_smooth) over each event-type series —
@@ -318,11 +286,9 @@ _SQL_COHORT_RETENTION = """
 def _register() -> None:
     EXTRAS["events_gapfill"] = (_events_gapfill, _SQL_EVENTS_GAPFILL)
     EXTRAS["events_anomalies"] = (_events_anomalies, _SQL_EVENTS_ANOMALIES)
-    # never-gated (r10): cross-engine-exact HyperLogLog registers
-    EXTRAS["events_hll_distinct"] = (
-        _events_hll_distinct,
-        _sql_events_hll_distinct(),
-    )
+    # events_hll_distinct lived here r10–r13; PROMOTED to the gate in
+    # r14 (plans/q_events.py) — the seat that completes direct driver
+    # certification of all four sketch faces
     # never-gated (r10): bounded-window exponential smoothing
     EXTRAS["events_ewma"] = (_events_ewma, _sql_events_ewma())
     # never-gated (r10): behavioral analytics — funnel + cohort retention

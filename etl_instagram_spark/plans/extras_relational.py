@@ -369,6 +369,49 @@ def _customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return customer_revenue_quartiles(spark, sf_dir)
+def _orders_nested_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 rotation (gate seat given to events_hll_distinct — the seat
+    that completes direct driver certification of all four sketch
+    faces): nested-document round trip — collect lineitems into a
+    sorted array<struct>, then read it back with element_at / aggregate
+    / transform, the engine's nested data model (SURVEY §1.1). One
+    shuffle (the groupBy); every array op is a per-row expression. The
+    nested/HOF surface stays gated via events_json_extract and
+    docs_chunking."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("l_linenumber").alias("ln"), F.col("l_quantity").alias("qty"))
+            )
+        ).alias("items")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.element_at("items", 1)["qty"].alias("first_qty"),
+        F.round(
+            F.aggregate("items", F.lit(0.0), lambda acc, x: acc + x["qty"]), 2
+        ).alias("total_qty"),
+        F.concat_ws(",", F.transform("items", lambda x: x["ln"].cast("string"))).alias(
+            "line_numbers"
+        ),
+    ).orderBy("l_orderkey")
+
+
+_SQL_ORDERS_NESTED_LINEITEMS = """
+    WITH nested AS (
+      SELECT l_orderkey,
+             list(struct_pack(ln := l_linenumber, qty := l_quantity)
+                  ORDER BY l_linenumber, l_quantity) AS items
+      FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           len(items) AS n_items,
+           items[1].qty AS first_qty,
+           round(list_sum(list_transform(items, x -> x.qty)), 2) AS total_qty,
+           array_to_string(list_transform(items, x -> x.ln::VARCHAR), ',') AS line_numbers
+    FROM nested ORDER BY l_orderkey
+    """
 
 
 def _register() -> None:
@@ -419,6 +462,12 @@ def _register() -> None:
     EXTRAS["customer_revenue_quartiles"] = (
         _customer_revenue_quartiles,
         llm_queries.SQL_CUSTOMER_REVENUE_QUARTILES,
+    )
+    # r14 rotation: nested array-of-struct round trip (seat given to
+    # events_hll_distinct)
+    EXTRAS["orders_nested_lineitems"] = (
+        _orders_nested_lineitems,
+        _SQL_ORDERS_NESTED_LINEITEMS,
     )
 
 

@@ -326,3 +326,47 @@ def _sql_events_dcm_quantiles() -> str:
 
 
 oracle("events_dcm_quantiles", _sql_events_dcm_quantiles())
+
+
+# ---------------------------------------------------------------------------
+# events: HyperLogLog distinct-count sketch (gated r14)
+# ---------------------------------------------------------------------------
+
+
+@query("events_hll_distinct")
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated r14 (EXTRAS since r10): HyperLogLog distinct event_ids per
+    event_type (operators/sketches.py) with the exact count as contrast
+    — register state (buckets_hit), the EXACT integer harmonic sum, and
+    the raw estimate all replay bit-for-bit in DuckDB; the sketch uses
+    the engine-neutral md5 hash and an integer-comparison rho chain, so
+    unlike approx_count_distinct it is second-system-checkable. With CM
+    (r13), MG (docs_heavy_hitters), and dyadic-CM (r14) already gated,
+    this seat completes DIRECT driver certification of all four sketch
+    faces (distincts / point frequency / heavy hitters / quantiles)."""
+    from etl_instagram_spark.operators.sketches import hll_summary
+
+    ev = _t(spark, sf_dir, "events")
+    sk = hll_summary(ev, "event_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").orderBy("event_type")
+
+
+def _sql_events_hll_distinct() -> str:
+    from etl_instagram_spark.operators.sketches import hll_summary_sql
+
+    inner = hll_summary_sql("event_id", "events", ["event_type"])
+    return f"""
+    WITH sk AS ({inner}),
+    ex AS (SELECT event_type, count(DISTINCT event_id) AS exact_distinct
+           FROM events GROUP BY event_type)
+    SELECT sk.event_type, buckets_hit, sum_scaled, hll_estimate,
+           exact_distinct
+    FROM sk JOIN ex ON sk.event_type = ex.event_type
+    ORDER BY sk.event_type
+    """
+
+
+oracle("events_hll_distinct", _sql_events_hll_distinct())

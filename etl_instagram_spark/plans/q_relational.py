@@ -12,55 +12,11 @@ from etl_instagram_spark.plans.oracle import oracle, sql_revenue_dec
 from etl_instagram_spark.plans.queries import _t, query
 
 
-# ---------------------------------------------------------------------------
-# lineitem: nested array-of-struct build + higher-order functions (F14/F15)
-# ---------------------------------------------------------------------------
-
-
-@query("orders_nested_lineitems")
-def orders_nested_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested-document round trip: collect lineitems into a sorted
-    array<struct>, then read it back with element_at / aggregate /
-    transform — the engine's nested data model (SURVEY §1.1) exercised
-    against the oracle. One shuffle (the groupBy); every array op is a
-    per-row expression."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
-    nested = li.groupBy("l_orderkey").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(F.col("l_linenumber").alias("ln"), F.col("l_quantity").alias("qty"))
-            )
-        ).alias("items")
-    )
-    return nested.select(
-        "l_orderkey",
-        F.size("items").alias("n_items"),
-        F.element_at("items", 1)["qty"].alias("first_qty"),
-        F.round(
-            F.aggregate("items", F.lit(0.0), lambda acc, x: acc + x["qty"]), 2
-        ).alias("total_qty"),
-        F.concat_ws(",", F.transform("items", lambda x: x["ln"].cast("string"))).alias(
-            "line_numbers"
-        ),
-    ).orderBy("l_orderkey")
-
-
-oracle(
-    "orders_nested_lineitems",
-    """
-    WITH nested AS (
-      SELECT l_orderkey,
-             list(struct_pack(ln := l_linenumber, qty := l_quantity)
-                  ORDER BY l_linenumber, l_quantity) AS items
-      FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
-    SELECT l_orderkey,
-           len(items) AS n_items,
-           items[1].qty AS first_qty,
-           round(list_sum(list_transform(items, x -> x.qty)), 2) AS total_qty,
-           array_to_string(list_transform(items, x -> x.ln::VARCHAR), ',') AS line_numbers
-    FROM nested ORDER BY l_orderkey
-    """,
-)
+# orders_nested_lineitems (nested array-of-struct round trip, F14/F15)
+# lived here since r6; its gate seat went to events_hll_distinct in r14
+# — full value parity continues in plans/extras_relational.py, and the
+# nested/HOF surface stays gated via events_json_extract (from_json /
+# element_at) and docs_chunking (explode of computed arrays).
 
 
 # ---------------------------------------------------------------------------

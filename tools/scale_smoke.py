@@ -820,6 +820,46 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             "sec": timed(_run_chain),
             "params": {"k": 3, "walk_len": 4, "max_degree": 8},
         }
+    elif op == "pixel_features":
+        # the REAL multimodal decode path (r14): stdlib PNG/JPEG decode
+        # → numpy pixel statistics inside ONE Arrow-batched mapInPandas
+        # — pure per-row Python work with no shuffle, so the honest
+        # expectation is time ∝ n (embarrassingly parallel; at cluster
+        # scale this is the map stage that dominates any image-corpus
+        # ingest). Base = 48 distinct 64×64 RGB PNGs (deterministic
+        # gradient family, encoded driver-side once); copies replicate
+        # rows via a range cross-join so decode COST scales while the
+        # driver-side fixture build stays O(base).
+        import pandas as pd
+
+        from etl_instagram_spark.multimodal.images import pixel_features
+        from etl_instagram_spark.multimodal.png import encode_png
+
+        side = 64
+        base = []
+        for i in range(48):
+            px = bytearray()
+            for y in range(side):
+                for x in range(side):
+                    px.append((x * 4 + i * 5) & 0xFF)
+                    px.append((y * 4 + i * 11) & 0xFF)
+                    px.append((x + y + i * 23) & 0xFF)
+            base.append((f"img{i:02d}", encode_png(side, side, bytes(px))))
+        pdf = pd.DataFrame(base, columns=["id", "content"])
+        blobs = (
+            spark.createDataFrame(pdf)
+            .crossJoin(spark.range(16 * mult).withColumnRenamed("id", "rep"))
+            .select(
+                F.concat_ws("_", "id", F.col("rep").cast("string")).alias("id"),
+                "content",
+            )
+            .repartition(32)
+            .localCheckpoint()
+        )
+        res = {
+            "sec": timed(lambda: pixel_features(blobs).count()),
+            "params": {"side": side, "base_images": 48, "reps_per_image": 16 * mult},
+        }
     else:
         raise SystemExit(f"unknown op {op}")
     spark.stop()
@@ -852,6 +892,7 @@ OPS = (
     "bm25_topk",
     "bm25_index_build",
     "graph_chain",
+    "pixel_features",
 )
 
 
