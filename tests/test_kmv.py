@@ -1,0 +1,205 @@
+"""operators/kmv.py — cross-engine-exact k-minimum-values sketches.
+
+Certification layers, mirroring test_sketches.py's HLL suite: DuckDB
+replay of the k-set / summary / pairwise-overlap faces (bit-for-bit;
+also the EXTRAS row docs_kmv_shingle_overlap), merge algebra (halves ==
+whole, idempotent re-merge), accuracy envelopes (distinct estimate
+within 3σ ≈ 3/√(k−2); planted-overlap Jaccard within a Binomial
+envelope), the exact-below-k branch (k-set == value set ⇒ every column
+exact), NULL semantics, and partitioning invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_instagram_spark.operators.kmv import (
+    kmv_merge,
+    kmv_overlap,
+    kmv_overlap_sql,
+    kmv_sketch,
+    kmv_sketch_sql,
+    kmv_summary,
+    kmv_summary_sql,
+)
+
+
+def _values_df(spark, n, tag="v", group="g"):
+    """n distinct string values in one group."""
+    return spark.range(n).select(
+        F.lit(group).alias("g"),
+        F.concat(F.lit(tag), F.col("id").cast("string")).alias("v"),
+    )
+
+
+def _duck(df_pandas, name="t"):
+    con = duckdb.connect()
+    con.register(name, df_pandas)
+    return con
+
+
+def test_sketch_bit_for_bit_vs_duckdb(spark):
+    df = _values_df(spark, 5000)
+    pdf = df.toPandas()
+    sk = (
+        kmv_sketch(df, "v", ["g"], k=64)
+        .toPandas()
+        .sort_values(["g", "h"])
+        .reset_index(drop=True)
+    )
+    con = _duck(pdf)
+    mirror = (
+        con.sql(kmv_sketch_sql("v", "t", ["g"], k=64))
+        .df()
+        .sort_values(["g", "h"])
+        .reset_index(drop=True)
+    )
+    assert len(sk) == 64
+    assert sk[mirror.columns].equals(mirror)
+
+
+def test_summary_bit_for_bit_and_live_estimate_within_3_sigma(spark):
+    n, k = 20000, 256
+    df = _values_df(spark, n)
+    summ = kmv_summary(df, "v", ["g"], k=k).toPandas()
+    con = _duck(df.toPandas())
+    mirror = con.sql(kmv_summary_sql("v", "t", ["g"], k=k)).df()
+    s = summ.sort_values("g").reset_index(drop=True)
+    m = mirror.sort_values("g").reset_index(drop=True)
+    assert s[m.columns].equals(m)
+    est = float(s.kmv_estimate[0])
+    assert s.k_used[0] == k
+    sigma = n / (k - 2) ** 0.5
+    assert abs(est - n) <= 3 * sigma
+
+
+def test_exact_below_k_branch(spark):
+    df = _values_df(spark, 40)
+    s = kmv_summary(df, "v", ["g"], k=256).toPandas()
+    assert s.k_used[0] == 40
+    assert float(s.kmv_estimate[0]) == 40.0
+
+
+def test_merge_halves_equals_whole_and_idempotent(spark):
+    df = _values_df(spark, 3000)
+    whole = (
+        kmv_sketch(df, "v", ["g"], k=64)
+        .toPandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    lo = kmv_sketch(df.filter(F.col("id") < 1500), "v", ["g"], k=64)
+    hi = kmv_sketch(df.filter(F.col("id") >= 1500), "v", ["g"], k=64)
+    merged = (
+        kmv_merge(lo.unionByName(hi), ["g"], k=64)
+        .toPandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    assert merged.equals(whole[merged.columns])
+    # idempotent: re-merging the whole with itself is a no-op
+    again = (
+        kmv_merge(
+            kmv_sketch(df, "v", ["g"], k=64).unionByName(
+                kmv_sketch(df, "v", ["g"], k=64)
+            ),
+            ["g"],
+            k=64,
+        )
+        .toPandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    assert again.equals(whole[again.columns])
+
+
+def _two_group_df(spark, n_a, n_b, n_shared):
+    """Group a = [0, n_a), group b = [n_a - n_shared, n_a - n_shared +
+    n_b) — |a ∩ b| = n_shared over a shared integer id space."""
+    a = spark.range(n_a).select(
+        F.lit("a").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    b = spark.range(n_a - n_shared, n_a - n_shared + n_b).select(
+        F.lit("b").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    return a.unionByName(b)
+
+
+def test_overlap_exact_when_ksets_complete(spark):
+    df = _two_group_df(spark, 300, 300, 100)
+    sk = kmv_sketch(df, "v", ["g"], k=1024)
+    o = kmv_overlap(sk, "g", k=1024).toPandas()
+    assert len(o) == 1
+    row = o.iloc[0]
+    assert row.k_used == 500  # complete union
+    assert row.matches == 100
+    assert float(row.union_est) == 500.0
+    assert float(row.intersection_est) == pytest.approx(100.0, abs=0.05)
+    assert float(row.jaccard_est) == pytest.approx(0.2, abs=1e-6)
+
+
+def test_overlap_live_estimates_within_envelope(spark):
+    n_a = n_b = 6000
+    n_shared = 3000  # true union 9000, jaccard 1/3
+    k = 256
+    df = _two_group_df(spark, n_a, n_b, n_shared)
+    sk = kmv_sketch(df, "v", ["g"], k=k)
+    o = kmv_overlap(sk, "g", k=k).toPandas().iloc[0]
+    true_j = n_shared / (n_a + n_b - n_shared)
+    # matches ~ Binomial(k, J): 4σ envelope on the proportion
+    sigma_j = (true_j * (1 - true_j) / k) ** 0.5
+    assert abs(float(o.jaccard_est) - true_j) <= 4 * sigma_j
+    union = n_a + n_b - n_shared
+    sigma_u = union / (k - 2) ** 0.5
+    assert abs(float(o.union_est) - union) <= 4 * sigma_u
+
+
+def test_overlap_bit_for_bit_vs_duckdb(spark):
+    df = _two_group_df(spark, 2000, 1500, 400)
+    sk = kmv_sketch(df, "v", ["g"], k=128)
+    o = (
+        kmv_overlap(sk, "g", k=128)
+        .toPandas()
+        .sort_values(["g_a", "g_b"])
+        .reset_index(drop=True)
+    )
+    con = _duck(df.toPandas())
+    m = (
+        con.sql(kmv_overlap_sql("v", "t", "g", k=128))
+        .df()
+        .sort_values(["g_a", "g_b"])
+        .reset_index(drop=True)
+    )
+    assert o[m.columns].equals(m)
+
+
+def test_null_values_drop(spark):
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", None), ("g", "y")], "g string, v string"
+    )
+    s = kmv_summary(df, "v", ["g"], k=64).toPandas()
+    assert s.k_used[0] == 2
+
+
+def test_partitioning_invariance(spark):
+    df = _values_df(spark, 4000)
+    one = (
+        kmv_sketch(df.repartition(1), "v", ["g"], k=64)
+        .toPandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    many = (
+        kmv_sketch(df.repartition(16), "v", ["g"], k=64)
+        .toPandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    assert one.equals(many[one.columns])
+
+
+def test_k_validation_raises(spark):
+    df = _values_df(spark, 10)
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(df, "v", ["g"], k=4)

@@ -820,6 +820,42 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             "sec": timed(_run_chain),
             "params": {"k": 3, "walk_len": 4, "max_degree": 8},
         }
+    elif op == "kmv_overlap":
+        # KMV set-overlap sketches (r14): sketch build = one distinct-
+        # shuffle of (source, shingle-hash) + the salted two-stage
+        # top-k (state ≤ k rows/group); the pairwise overlap then works
+        # on k-sets only, so its cost is data-size-INDEPENDENT — the
+        # honest expectation is time ∝ n for the build with the pair
+        # stage flat. Scaled docs carry disjoint prefixed vocabularies
+        # per copy (the replicate-don't-correlate protocol), so distinct
+        # shingles grow ~linearly while per-source k stays saturated.
+        from etl_instagram_spark.functions import text as T
+        from etl_instagram_spark.operators.kmv import kmv_overlap, kmv_sketch
+
+        docs = spark.read.parquet(docs_path).localCheckpoint()
+        ts = T.tokens(F.col("text"))
+        grams = F.when(
+            F.size(ts) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(ts, i),
+                    F.element_at(ts, i + 1),
+                    F.element_at(ts, i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sh = docs.select("source", F.explode(grams).alias("shingle"))
+
+        def _run_kmv():
+            sk = kmv_sketch(sh, "shingle", ["source"], k=256)
+            kmv_overlap(sk, "source", k=256).count()
+
+        res = {
+            "sec": timed(_run_kmv),
+            "params": {"k": 256},
+        }
     elif op == "pixel_features":
         # the REAL multimodal decode path (r14): stdlib PNG/JPEG decode
         # → numpy pixel statistics inside ONE Arrow-batched mapInPandas
@@ -893,6 +929,7 @@ OPS = (
     "bm25_index_build",
     "graph_chain",
     "pixel_features",
+    "kmv_overlap",
 )
 
 
