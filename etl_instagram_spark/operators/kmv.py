@@ -129,7 +129,7 @@ def kmv_merge(
     )
 
 
-def _est_cols(k: int) -> tuple:
+def kmv_estimate_expr(k: int = KMV_K) -> tuple:
     """(k_used, kth_min, kmv_estimate) aggregate columns over a k-set —
     the certified summary. kth_min is max(h) over the kept rows (they
     ARE the k smallest); the estimate is the (k−1)-th order-statistic
@@ -159,7 +159,7 @@ def kmv_summary(
     estimate at all — whenever k_used < k)."""
     g = list(group_cols or [])
     sk = kmv_sketch(df, value_col, g, k)
-    k_used, kth_min, est = _est_cols(k)
+    k_used, kth_min, est = kmv_estimate_expr(k)
     return sk.groupBy(*g).agg(k_used, kth_min, est)
 
 

@@ -1276,6 +1276,81 @@ def hll_read_summary(
     return merged.groupBy(*g).agg(hit, sum_scaled, est)
 
 
+def apply_kmv_delta(
+    store: MergeTable,
+    batch_df: DataFrame,
+    epoch_id: int,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> None:
+    """Fold one micro-batch into an epoch-keyed KMV k-set store: rows
+    keyed (epoch_id, group…, h) carrying the batch's k smallest
+    distinct hashes (operators/kmv.kmv_sketch). Like the HLL register
+    store — and unlike the count-valued CM/dcm stores — the sketch
+    algebra does the exactly-once work: k-smallest-of-union is
+    idempotent/commutative/associative, so any batch split merges to
+    the same k-set and a replayed epoch upserts identical rows over
+    themselves. State is O(epochs · groups · k)."""
+    from etl_instagram_spark.operators.kmv import kmv_sketch
+
+    delta = kmv_sketch(batch_df, value_col, group_cols, k).withColumn(
+        "epoch_id", F.lit(int(epoch_id))
+    )
+    store.upsert(delta)
+
+
+def stream_kmv_sketch(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    store: MergeTable,
+    checkpoint_dir: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> bool:
+    """One AvailableNow tick maintaining continuous KMV set synopses:
+    drain newly landed rows and fold each micro-batch's k-set into
+    ``store`` (the stream_hll_registers contract). At 100 TB this is
+    what keeps segment-overlap questions (train-shard vs eval-set
+    contamination, source-vs-source vocabulary overlap) answerable
+    continuously from O(groups · k) state instead of a history rescan
+    — and the k-set store stays second-system-checkable."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_kmv_delta(store, batch_df, epoch_id, value_col, group_cols, k)
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
+def kmv_read_sketch(
+    store: MergeTable, group_cols: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """Collapse the epoch-keyed KMV store to ONE k-set per group — the
+    frame operators/kmv.kmv_overlap (and the summary face below)
+    expect: k smallest of the deduped union across epochs."""
+    from etl_instagram_spark.operators.kmv import kmv_merge
+
+    g = list(group_cols or [])
+    return kmv_merge(store.read().select(*g, "h"), g, k)
+
+
+def kmv_read_summary(
+    store: MergeTable, group_cols: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """The distinct-count summary implied by EVERYTHING the store has
+    absorbed — equal row-for-row to one batch kmv_summary over the
+    concatenation of every batch (pinned by test)."""
+    from etl_instagram_spark.operators.kmv import kmv_estimate_expr
+
+    g = list(group_cols or [])
+    merged = kmv_read_sketch(store, g, k)
+    k_used, kth_min, est = kmv_estimate_expr(k)
+    return merged.groupBy(*g).agg(k_used, kth_min, est)
+
+
 def stream_resolve_entities(
     spark: SparkSession,
     landing_dir: str,

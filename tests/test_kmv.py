@@ -203,3 +203,77 @@ def test_k_validation_raises(spark):
     df = _values_df(spark, 10)
     with pytest.raises(ValueError, match="k must be"):
         kmv_sketch(df, "v", ["g"], k=4)
+
+
+# ---------------------------------------------------------------------------
+# continuous face (streaming/incremental.py): epoch-keyed k-set store,
+# exactly-once BY ALGEBRA — the HLL register-store argument
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_store_stream_equals_batch_and_replay_noop(spark, tmp_path):
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.streaming.incremental import (
+        apply_kmv_delta,
+        kmv_read_sketch,
+        kmv_read_summary,
+    )
+
+    df = _values_df(spark, 4000)
+    wave1 = df.filter(F.col("v").substr(-1, 1).isin("0", "1", "2", "3", "4"))
+    wave2 = df.subtract(wave1)
+    store = MergeTable(spark, str(tmp_path / "kmv"), ["epoch_id", "g", "h"])
+    apply_kmv_delta(store, wave1, 0, "v", ["g"], k=64)
+    apply_kmv_delta(store, wave2, 1, "v", ["g"], k=64)
+
+    batch = (
+        kmv_sketch(df, "v", ["g"], k=64)
+        .toPandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    streamed = (
+        kmv_read_sketch(store, ["g"], k=64)
+        .toPandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    assert streamed.equals(batch[streamed.columns])
+
+    s_batch = kmv_summary(df, "v", ["g"], k=64).toPandas()
+    s_stream = kmv_read_summary(store, ["g"], k=64).toPandas()
+    cols = list(s_batch.columns)
+    assert s_stream[cols].equals(s_batch)
+
+    # replay epoch 1: identical rows upsert over themselves — no-op
+    before = store.read().toPandas().sort_values(["epoch_id", "h"]).reset_index(drop=True)
+    apply_kmv_delta(store, wave2, 1, "v", ["g"], k=64)
+    after = store.read().toPandas().sort_values(["epoch_id", "h"]).reset_index(drop=True)
+    assert after.equals(before)
+
+
+def test_kmv_store_overlap_face_matches_batch(spark, tmp_path):
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.streaming.incremental import (
+        apply_kmv_delta,
+        kmv_read_sketch,
+    )
+
+    df = _two_group_df(spark, 2000, 1500, 400)
+    waves = [
+        df.filter(F.pmod(F.crc32(F.col("v")), F.lit(2)) == i) for i in (0, 1)
+    ]
+    store = MergeTable(spark, str(tmp_path / "kmv2"), ["epoch_id", "g", "h"])
+    for i, w in enumerate(waves):
+        apply_kmv_delta(store, w, i, "v", ["g"], k=128)
+    o_batch = (
+        kmv_overlap(kmv_sketch(df, "v", ["g"], k=128), "g", k=128)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    o_stream = (
+        kmv_overlap(kmv_read_sketch(store, ["g"], k=128), "g", k=128)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert o_stream[o_batch.columns].equals(o_batch)
