@@ -1276,6 +1276,45 @@ def hll_read_summary(
     return merged.groupBy(*g).agg(hit, sum_scaled, est)
 
 
+def compact_hll_store(
+    store: MergeTable,
+    through_epoch: int,
+    group_cols: list[str] | None = None,
+) -> int:
+    """Collapse every HLL register row with ``epoch_id <=
+    through_epoch`` into one register set re-keyed at ``through_epoch``
+    — the :func:`compact_dcm_store` contract on the max-algebra store:
+    without compaction the epoch-keyed state grows O(epochs · groups ·
+    2^b) and every read max-merges all of it. The idempotent algebra
+    makes this compaction STRICTLY safer than the sum-store ones —
+    even a re-fired compacted epoch would merge harmlessly — but the
+    same strictly-below-the-newest-epoch guard is enforced for
+    uniformity of the store contract. Every read
+    (:func:`hll_read_summary`) is invariant because registers merge by
+    max. Returns rows eliminated."""
+    from etl_instagram_spark.operators.sketches import hll_merge
+
+    g = list(group_cols or [])
+    stored = store.read()
+    mx = stored.agg(F.max("epoch_id").alias("m")).first()["m"]
+    if mx is None or through_epoch >= mx:
+        raise ValueError(
+            f"through_epoch must be < the newest epoch present ({mx}); "
+            f"got {through_epoch} — the latest epoch may still re-fire"
+        )
+    old = stored.filter(F.col("epoch_id") <= through_epoch)
+    n_old = old.count()
+    if n_old == 0:
+        return 0
+    merged = hll_merge(old.select(*g, "bucket", "r"), g).withColumn(
+        "epoch_id", F.lit(int(through_epoch))
+    )
+    keep = stored.filter(F.col("epoch_id") > through_epoch)
+    n_merged = merged.count()
+    store.overwrite(keep.unionByName(merged.select(*keep.columns)))
+    return n_old - n_merged
+
+
 def apply_kmv_delta(
     store: MergeTable,
     batch_df: DataFrame,
@@ -1323,6 +1362,43 @@ def stream_kmv_sketch(
 
     _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
     return True
+
+
+def compact_kmv_store(
+    store: MergeTable,
+    through_epoch: int,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> int:
+    """Collapse every KMV k-set row with ``epoch_id <= through_epoch``
+    into one k-set re-keyed at ``through_epoch`` — the
+    :func:`compact_hll_store` twin on the k-smallest-of-union algebra:
+    idempotent merge makes every read (:func:`kmv_read_sketch`,
+    :func:`kmv_read_summary`, and any overlap built on them) invariant
+    under compaction, and even a re-fired compacted epoch merges
+    harmlessly; the strictly-below-the-newest-epoch guard is kept for
+    uniformity of the store contract. Returns rows eliminated."""
+    from etl_instagram_spark.operators.kmv import kmv_merge
+
+    g = list(group_cols or [])
+    stored = store.read()
+    mx = stored.agg(F.max("epoch_id").alias("m")).first()["m"]
+    if mx is None or through_epoch >= mx:
+        raise ValueError(
+            f"through_epoch must be < the newest epoch present ({mx}); "
+            f"got {through_epoch} — the latest epoch may still re-fire"
+        )
+    old = stored.filter(F.col("epoch_id") <= through_epoch)
+    n_old = old.count()
+    if n_old == 0:
+        return 0
+    merged = kmv_merge(old.select(*g, "h"), g, k).withColumn(
+        "epoch_id", F.lit(int(through_epoch))
+    )
+    keep = stored.filter(F.col("epoch_id") > through_epoch)
+    n_merged = merged.count()
+    store.overwrite(keep.unionByName(merged.select(*keep.columns)))
+    return n_old - n_merged
 
 
 def kmv_read_sketch(

@@ -277,3 +277,47 @@ def test_kmv_store_overlap_face_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert o_stream[o_batch.columns].equals(o_batch)
+
+
+def test_kmv_store_compaction_preserves_reads(spark, tmp_path):
+    """compact_kmv_store folds epochs <= watermark into one k-set: the
+    read faces are invariant (idempotent k-smallest-of-union), rows
+    shrink, and the newest epoch may not be compacted."""
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.streaming.incremental import (
+        apply_kmv_delta,
+        compact_kmv_store,
+        kmv_read_sketch,
+        kmv_read_summary,
+    )
+
+    df = _values_df(spark, 3000)
+    waves = [
+        df.filter(F.pmod(F.crc32(F.col("v")), F.lit(3)) == i)
+        for i in (0, 1, 2)
+    ]
+    store = MergeTable(spark, str(tmp_path / "kmv_c"), ["epoch_id", "g", "h"])
+    for i, w in enumerate(waves):
+        apply_kmv_delta(store, w, i, "v", ["g"], k=64)
+
+    want_sketch = (
+        kmv_read_sketch(store, ["g"], k=64)
+        .toPandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    want_summary = kmv_read_summary(store, ["g"], k=64).toPandas()
+    n_before = store.read().count()
+    eliminated = compact_kmv_store(store, 1, ["g"], k=64)
+    assert eliminated > 0
+    assert store.read().count() == n_before - eliminated
+    got_sketch = (
+        kmv_read_sketch(store, ["g"], k=64)
+        .toPandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    assert got_sketch.equals(want_sketch[got_sketch.columns])
+    assert kmv_read_summary(store, ["g"], k=64).toPandas().equals(want_summary)
+    with pytest.raises(ValueError, match="newest epoch"):
+        compact_kmv_store(store, 2, ["g"], k=64)

@@ -730,3 +730,39 @@ def test_cm_weighted_registers_equal_exploded_units_and_duckdb(spark):
     with _pytest.raises(Exception, match="positive int64"):
         con.sql(bad_sql).fetchall()
     con.close()
+
+
+def test_hll_store_compaction_preserves_reads(spark, tmp_path):
+    """compact_hll_store folds epochs <= watermark into one register
+    set: the read face is invariant (max-merge algebra), rows shrink,
+    and the newest epoch may not be compacted (guard raises)."""
+    import pytest
+
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.streaming.incremental import (
+        apply_hll_delta,
+        compact_hll_store,
+        hll_read_summary,
+    )
+
+    store = MergeTable(
+        spark, str(tmp_path / "hll_c"), ["epoch_id", "k", "bucket"]
+    )
+    for e in range(3):
+        batch = spark.createDataFrame(
+            [("a", e * 200 + i) for i in range(300)], "k string, v long"
+        )
+        apply_hll_delta(store, batch, e, "v", ["k"])
+
+    want = sorted(tuple(r) for r in hll_read_summary(store, ["k"]).collect())
+    n_before = store.read().count()
+    eliminated = compact_hll_store(store, 1, ["k"])
+    assert eliminated > 0
+    assert store.read().count() == n_before - eliminated
+    got = sorted(tuple(r) for r in hll_read_summary(store, ["k"]).collect())
+    assert got == want
+    assert set(
+        r["epoch_id"] for r in store.read().select("epoch_id").distinct().collect()
+    ) == {1, 2}
+    with pytest.raises(ValueError, match="newest epoch"):
+        compact_hll_store(store, 2, ["k"])
