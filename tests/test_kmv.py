@@ -321,3 +321,60 @@ def test_kmv_store_compaction_preserves_reads(spark, tmp_path):
     assert kmv_read_summary(store, ["g"], k=64).toPandas().equals(want_summary)
     with pytest.raises(ValueError, match="newest epoch"):
         compact_kmv_store(store, 2, ["g"], k=64)
+
+
+def test_stream_kmv_sketch_tick_drains_landing_dir(spark, tmp_path):
+    """The AvailableNow tick face: two drained waves land in the store
+    epoch-keyed, and the read summary equals one batch kmv_summary over
+    everything landed (the stream_hll_registers contract)."""
+    import json
+
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.streaming.incremental import (
+        kmv_read_summary,
+        stream_kmv_sketch,
+    )
+
+    def write_json(path, rows):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    wave1 = [{"g": "a", "v": f"x{i}"} for i in range(500)]
+    wave2 = [{"g": "a", "v": f"x{250 + i}"} for i in range(500)] + [
+        {"g": "b", "v": f"y{i}"} for i in range(60)
+    ]
+    landing = tmp_path / "rows"
+    store = MergeTable(spark, str(tmp_path / "kmv_s"), ["epoch_id", "g", "h"])
+    ckpt = str(tmp_path / "ckpt_kmv")
+    DDL = "g string, v string"
+
+    write_json(landing / "w1.json", wave1)
+    assert stream_kmv_sketch(
+        spark, str(landing), DDL, store, ckpt, "v", ["g"], k=64
+    )
+    write_json(landing / "w2.json", wave2)
+    assert stream_kmv_sketch(
+        spark, str(landing), DDL, store, ckpt, "v", ["g"], k=64
+    )
+
+    all_rows = spark.createDataFrame(
+        [(r["g"], r["v"]) for r in wave1 + wave2], DDL
+    )
+    got = (
+        kmv_read_summary(store, ["g"], k=64)
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = (
+        kmv_summary(all_rows, "v", ["g"], k=64)
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got[want.columns].equals(want)
+    assert (
+        store.read().select("epoch_id").distinct().count() == 2
+    )  # one epoch per drained wave
