@@ -378,3 +378,15 @@ def test_stream_kmv_sketch_tick_drains_landing_dir(spark, tmp_path):
     assert (
         store.read().select("epoch_id").distinct().count() == 2
     )  # one epoch per drained wave
+
+
+def test_kmv_global_ungrouped_path_matches_duckdb(spark):
+    """group_cols=None: stage B's window is partition-free but its
+    frame is bounded at SALTS·k rows by stage A — the documented safe
+    shape. Summary matches DuckDB and the estimate stays in envelope."""
+    df = _values_df(spark, 9000).drop("g")
+    s = kmv_summary(df, "v", None, k=128).toPandas()
+    con = _duck(df.toPandas())
+    m = con.sql(kmv_summary_sql("v", "t", None, k=128)).df()
+    assert s[m.columns].equals(m)
+    assert abs(float(s.kmv_estimate[0]) - 9000) <= 4 * 9000 / (128 - 2) ** 0.5
