@@ -345,3 +345,63 @@ def kmv_overlap_sql(
            round(jaccard_est * union_est, 4) AS intersection_est
     FROM est
     """
+
+
+# ---------------------------------------------------------------------------
+# bottom-k sampling: the k-set AS a deterministic uniform sample
+# ---------------------------------------------------------------------------
+
+
+def kmv_sample(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Deterministic uniform sample of (up to) ``k`` DISTINCT ids per
+    group via bottom-k hashing: a row is sampled iff hash(id) is among
+    the group's k smallest — conditionally a simple random sample
+    without replacement of the distinct ids (bottom-k sketches, Cohen &
+    Kaplan, PODC 2007), because the md5 hash orders ids uniformly and
+    independently of any data attribute. Where sampling.py's hash_split
+    fixes a RATE, this fixes a SIZE: the fixed-k eval/holdout snapshot
+    a training pipeline wants regardless of corpus growth.
+
+    Properties the float-free construction buys: replayable
+    (engine-neutral hash, no RNG state), the same sample from any
+    partitioning or batch split, and CONTINUOUSLY MAINTAINABLE — feed
+    ``streaming.incremental.kmv_read_sketch`` output as a k-set into
+    the same semijoin and the sample follows the stream with
+    O(groups · k) state (membership only ever shrinks toward smaller
+    hashes as new ids arrive). All rows of a sampled id are kept
+    (documented: it samples IDS, not rows).
+
+    Scale: the k-set is ≤ groups·k rows and joins back BROADCAST
+    LeftSemi — the corpus is scanned once and never shuffled."""
+    g = list(group_cols or [])
+    sk = kmv_sketch(df, id_col, g, k).withColumnRenamed("h", "_h")
+    withh = df.withColumn("_h", hll_hash60(F.col(id_col)))
+    return withh.join(F.broadcast(sk), [*g, "_h"], "leftsemi").drop("_h")
+
+
+def kmv_sample_sql(
+    select_cols: str,
+    id_expr: str,
+    from_clause: str,
+    group_exprs: list[str] | None = None,
+    k: int = KMV_K,
+) -> str:
+    """DuckDB mirror of :func:`kmv_sample` — the same k-set CTE
+    semijoined back by (group…, hash)."""
+    g = list(group_exprs or [])
+    kset = kmv_sketch_sql(id_expr, from_clause, g, k)
+    on = " AND ".join(
+        [f"t.{e} = ks.{e}" for e in g]
+        + [f"{hll_hash60_sql('t.' + id_expr)} = ks.h"]
+    )
+    return f"""
+    WITH ks AS ({kset})
+    SELECT {select_cols}
+    FROM {from_clause} t
+    WHERE EXISTS (SELECT 1 FROM ks WHERE {on})
+    """

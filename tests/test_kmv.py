@@ -390,3 +390,78 @@ def test_kmv_global_ungrouped_path_matches_duckdb(spark):
     m = con.sql(kmv_summary_sql("v", "t", None, k=128)).df()
     assert s[m.columns].equals(m)
     assert abs(float(s.kmv_estimate[0]) - 9000) <= 4 * 9000 / (128 - 2) ** 0.5
+
+
+# ---------------------------------------------------------------------------
+# bottom-k sampling face
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sample_fixed_size_deterministic_and_matches_duckdb(spark):
+    from etl_instagram_spark.operators.kmv import kmv_sample, kmv_sample_sql
+
+    df = _values_df(spark, 5000)
+    s = kmv_sample(df, "v", ["g"], k=64).toPandas()
+    assert len(s) == 64
+    assert s.v.nunique() == 64
+    # deterministic under partitioning
+    s2 = kmv_sample(df.repartition(16), "v", ["g"], k=64).toPandas()
+    assert sorted(s.v) == sorted(s2.v)
+    # DuckDB mirror row-for-row
+    con = _duck(df.toPandas())
+    m = con.sql(kmv_sample_sql("t.g, t.v", "v", "t", ["g"], k=64)).df()
+    assert sorted(m.v) == sorted(s.v)
+
+
+def test_kmv_sample_keeps_all_rows_of_sampled_ids(spark):
+    from etl_instagram_spark.operators.kmv import kmv_sample
+
+    base = _values_df(spark, 400)
+    dup = base.unionByName(base)  # every id appears twice
+    s = kmv_sample(dup, "v", ["g"], k=32).toPandas()
+    assert s.v.nunique() == 32
+    assert len(s) == 64  # both rows of each sampled id
+
+
+def test_kmv_sample_continuous_from_store_equals_batch(spark, tmp_path):
+    """The documented composition: kmv_read_sketch output semijoined
+    back IS the continuously-maintained sample — identical ids to one
+    batch kmv_sample over everything the store absorbed."""
+    from etl_instagram_spark.operators.kmv import kmv_sample
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.operators.sketches import hll_hash60
+    from etl_instagram_spark.streaming.incremental import (
+        apply_kmv_delta,
+        kmv_read_sketch,
+    )
+
+    df = _values_df(spark, 3000)
+    waves = [
+        df.filter(F.pmod(F.crc32(F.col("v")), F.lit(2)) == i) for i in (0, 1)
+    ]
+    store = MergeTable(spark, str(tmp_path / "kmv_smp"), ["epoch_id", "g", "h"])
+    for i, w in enumerate(waves):
+        apply_kmv_delta(store, w, i, "v", ["g"], k=64)
+    kset = kmv_read_sketch(store, ["g"], k=64).withColumnRenamed("h", "_h")
+    cont = (
+        df.withColumn("_h", hll_hash60(F.col("v")))
+        .join(F.broadcast(kset), ["g", "_h"], "leftsemi")
+        .drop("_h")
+        .toPandas()
+    )
+    batch = kmv_sample(df, "v", ["g"], k=64).toPandas()
+    assert sorted(cont.v) == sorted(batch.v)
+
+
+def test_kmv_sample_semijoin_is_broadcast(spark):
+    from etl_instagram_spark.operators.kmv import kmv_sample
+
+    df = _values_df(spark, 2000)
+    plan = (
+        kmv_sample(df, "v", ["g"], k=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan
