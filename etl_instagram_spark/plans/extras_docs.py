@@ -1083,6 +1083,32 @@ def _sql_docs_kmv_shingle_overlap() -> str:
     """
 
 
+def _docs_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r14): bottom-k sampling (operators/kmv.kmv_sample)
+    — a deterministic fixed-SIZE uniform sample of 48 doc_ids per lang
+    (every sf0.01 lang holds 64–218 docs, so the fixed-k branch is live
+    for all five). No RNG state anywhere: membership is 'hash(doc_id)
+    among the lang's 48 smallest', so the identical sample replays in
+    DuckDB row-for-row — the replayable eval/holdout snapshot."""
+    from etl_instagram_spark.operators.kmv import kmv_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        kmv_sample(docs, "doc_id", ["lang"], k=48)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def _sql_docs_kmv_sample() -> str:
+    from etl_instagram_spark.operators.kmv import kmv_sample_sql
+
+    inner = kmv_sample_sql(
+        "t.lang, t.doc_id, t.n_chars", "doc_id", "documents", ["lang"], k=48
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY lang, doc_id"
+
+
 def _register() -> None:
     from etl_instagram_spark.plans import llm_queries
     from etl_instagram_spark.plans.llm_queries import _sql_minhash_bands
@@ -1158,6 +1184,8 @@ def _register() -> None:
         _docs_kmv_shingle_overlap,
         _sql_docs_kmv_shingle_overlap,
     )
+    # never-gated (r14): bottom-k deterministic fixed-size sampling
+    EXTRAS["docs_kmv_sample"] = (_docs_kmv_sample, _sql_docs_kmv_sample)
 
 
 _register()
