@@ -856,6 +856,21 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             "sec": timed(_run_kmv),
             "params": {"k": 256},
         }
+    elif op == "kmv_sample":
+        # bottom-k sampling (r14): one distinct-shuffle to build the
+        # per-lang k-set, then ONE corpus scan through a broadcast
+        # LeftSemi — the honest expectation is time ∝ n with the k-set
+        # side flat (fixed-SIZE sample regardless of corpus growth,
+        # which is the operator's point).
+        from etl_instagram_spark.operators.kmv import kmv_sample
+
+        docs = spark.read.parquet(docs_path).localCheckpoint()
+        res = {
+            "sec": timed(
+                lambda: kmv_sample(docs, "doc_id", ["lang"], k=256).count()
+            ),
+            "params": {"k": 256},
+        }
     elif op == "pixel_features":
         # the REAL multimodal decode path (r14): stdlib PNG/JPEG decode
         # → numpy pixel statistics inside ONE Arrow-batched mapInPandas
@@ -930,6 +945,7 @@ OPS = (
     "graph_chain",
     "pixel_features",
     "kmv_overlap",
+    "kmv_sample",
 )
 
 
