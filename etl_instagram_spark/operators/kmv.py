@@ -306,7 +306,9 @@ def kmv_overlap_sql(
 ) -> str:
     """DuckDB mirror of :func:`kmv_overlap` over a sketch built from
     the same (value, group) pair — the same pair expansion, merged
-    k-set, integer counts, and pinned float sequence."""
+    k-set, integer counts, and pinned float sequence. ``group_expr``
+    must be a BARE column name (it is re-referenced as ``s.<name>``
+    inside the pair-membership join)."""
     _check_k(k)
     const = repr(float((k - 1) * (1 << HLL_HASH_BITS)))
     sketch = kmv_sketch_sql(value_expr, from_clause, [group_expr], k)
@@ -392,7 +394,9 @@ def kmv_sample_sql(
     k: int = KMV_K,
 ) -> str:
     """DuckDB mirror of :func:`kmv_sample` — the same k-set CTE
-    semijoined back by (group…, hash)."""
+    semijoined back by (group…, hash). ``from_clause`` must be a table
+    or view NAME (it appears twice, once aliased ``t``) and ``id_expr``
+    / ``group_exprs`` bare column names."""
     g = list(group_exprs or [])
     kset = kmv_sketch_sql(id_expr, from_clause, g, k)
     on = " AND ".join(
