@@ -443,6 +443,16 @@ def main() -> int:
         samples = []
         rep_starts = []
         try:
+            # one UNTIMED warm rep before the timed reps (r14 verdict):
+            # the official r14 artifact read stream_dedup_tick at a flat
+            # ~11.5 s x 3 (2.19x the r13 floor) while same-code runs in
+            # the builder's session warmed to 4.97 s — the first tick
+            # invocation of a session pays JVM/stream-state/codegen
+            # warm-up that the per-rep fresh MergeTable state does NOT
+            # reset. Discarding one full tick makes every timed rep a
+            # warm-state measurement, so the recorded floor is the
+            # operator's floor, not the session's cold-start debt.
+            tick_fn(spark)
             for _ in range(REPS):
                 rep_starts.append(round(time.perf_counter() - bench_t0, 2))
                 samples.append(tick_fn(spark))

@@ -125,17 +125,19 @@ def decode_images(blobs: DataFrame, decoder: str = "fake") -> DataFrame:
 
                 pdf["meta"] = pdf["content"].map(png_meta)
             elif decoder == "jpeg":
-                from etl_instagram_spark.multimodal.jpeg import decode_jpeg
+                # header-only dims (SOF0 parse): this path returns only
+                # width/height, which the full Huffman+IDCT decode would
+                # recompute at orders-of-magnitude higher cost per blob;
+                # pixel_features is the face that consumes real pixels
+                # via decode_jpeg. jpeg_dims rejects non-baseline files
+                # with the same errors as the full decoder.
+                from etl_instagram_spark.multimodal.jpeg import jpeg_dims
 
                 def jpeg_meta(b):
                     if b is None:
                         return None
-                    d = decode_jpeg(bytes(b))
-                    return {
-                        "width": d["width"],
-                        "height": d["height"],
-                        "format": "jpeg",
-                    }
+                    w, h = jpeg_dims(bytes(b))
+                    return {"width": w, "height": h, "format": "jpeg"}
 
                 pdf["meta"] = pdf["content"].map(jpeg_meta)
             else:  # decoder == 'pil'

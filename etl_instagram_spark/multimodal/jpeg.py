@@ -229,6 +229,12 @@ def decode_jpeg(data: bytes) -> dict:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at byte {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so the first non-FF byte is the marker
+        # (without this, a fill byte reads as marker 0xFF and the next
+        # real marker byte as a garbage segment length)
+        while data[pos + 1] == 0xFF and pos + 4 < len(data):
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD8:
             raise ValueError("jpeg: unexpected second SOI")
@@ -309,6 +315,13 @@ def decode_jpeg(data: bytes) -> dict:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
                 sel[cs] = (tdta >> 4, tdta & 0x0F)
+            if len(comps) == 1:
+                # T.81 A.2.2: a single-component scan is non-interleaved
+                # and its MCU is ONE data unit — the SOF sampling
+                # factors only shape multi-component interleave
+                # geometry, so a gray frame declaring h/v > 1 must
+                # still be walked one 8x8 block per MCU
+                comps = [dict(comps[0], h=1, v=1)]
             return _decode_scan(
                 data,
                 pos + 2 + seglen,
@@ -324,6 +337,51 @@ def decode_jpeg(data: bytes) -> dict:
         # APPn / COM / unknown: skip
         pos += 2 + seglen
     raise ValueError("jpeg: no scan found (truncated file?)")
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """Header-only ``(width, height)`` from the SOF0 segment — the
+    metadata path for :func:`decode_images(decoder='jpeg')`, which only
+    needs dims: walking markers to SOF0 is O(header bytes) where a full
+    :func:`decode_jpeg` pays the whole Huffman+IDCT scan per image.
+    Raises the same ``NotImplementedError`` as the decoder for
+    non-baseline SOF markers and the same precision/component guards,
+    so the two paths reject identical inputs at the header level."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise TypeError(f"expected bytes, got {type(data).__name__}")
+    data = bytes(data)
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG (missing SOI marker)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at byte {pos}")
+        while data[pos + 1] == 0xFF and pos + 4 < len(data):  # fill bytes
+            pos += 1
+        marker = data[pos + 1]
+        if marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"jpeg: {_SOF_UNSUPPORTED[marker]} is not supported; "
+                "only baseline sequential DCT (SOF0) is"
+            )
+        if marker == 0xDA:  # SOS before any SOF
+            raise ValueError("jpeg: SOS before SOF0")
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xC0:  # SOF0
+            seg = data[pos + 4 : pos + 2 + seglen]
+            if seg[0] != 8:
+                raise NotImplementedError(
+                    f"jpeg: {seg[0]}-bit precision not supported (8 only)"
+                )
+            height, width = struct.unpack(">HH", seg[1:5])
+            if seg[5] not in (1, 3):
+                raise NotImplementedError(
+                    f"jpeg: {seg[5]}-component images not supported "
+                    "(1=gray, 3=YCbCr only)"
+                )
+            return width, height
+        pos += 2 + seglen
+    raise ValueError("jpeg: no SOF0 found (truncated file?)")
 
 
 def _decode_scan(

@@ -851,11 +851,18 @@ def _descent_expr(b: int, d: int, w: int) -> str:
         key = f"concat(cast(lv as string), ':', '{j}', ':', cast({colh} as string))"
         return f"coalesce(element_at(__regs, {key}), cast(0 as bigint))"
 
+    # Spark's least() needs >= 2 args — with d=1 (legal config) the
+    # single counter IS the row minimum
+    row_min = (
+        f"least({', '.join(counter(j) for j in range(d))})"
+        if d > 1
+        else counter(0)
+    )
     rank = (
         f"aggregate("
         f"filter(sequence(0, {b - 1}), lv -> (shiftright({cand}, lv) & 1) = 1), "
         f"cast(0 as bigint), "
-        f"(racc, lv) -> racc + least({', '.join(counter(j) for j in range(d))})"
+        f"(racc, lv) -> racc + {row_min}"
         f")"
     )
     return (

@@ -415,3 +415,61 @@ def test_pixel_features_real_multimodal_near_dup(spark):
     diff = cos(out["png"], out["oth"])
     assert same > 0.999, same
     assert diff < 0.9, (same, diff)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker — insert runs of 0xFF before SOF0 and SOS and the walk must
+    still land on the real markers instead of reading a garbage segment
+    length (r14 advice)."""
+    from etl_instagram_spark.multimodal.jpeg import jpeg_dims
+
+    width, height = 16, 16
+    src = bytes((x * 3 + y * 5) % 256 for y in range(height) for x in range(width))
+    good = encode_jpeg(src, width, height, 1)
+    plain = decode_jpeg(good)
+    i = good.index(b"\xff\xc0")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    j = padded.index(b"\xff\xda")
+    padded = padded[:j] + b"\xff" + padded[j:]
+    assert decode_jpeg(padded) == plain
+    assert jpeg_dims(padded) == (width, height)
+
+
+def test_gray_scan_forces_one_data_unit_mcu():
+    """A single-component scan is non-interleaved with MCU = one data
+    unit (T.81 A.2.2) — the SOF sampling factors only shape
+    multi-component interleaving. Patch a plain gray file's hv byte
+    from 1x1 to 2x2 and the pixels must be unchanged (r14 advice:
+    previously decoded with h×v-block MCU geometry → block-scrambled
+    or erroring)."""
+    width, height = 24, 16
+    src = bytes((x * 7 + y * 11) % 256 for y in range(height) for x in range(width))
+    good = encode_jpeg(src, width, height, 1)
+    i = good.index(b"\xff\xc0")
+    assert good[i + 11] == 0x11  # component 0's hv byte in the SOF
+    patched = good[: i + 11] + bytes([0x22]) + good[i + 12 :]
+    assert decode_jpeg(patched) == decode_jpeg(good)
+
+
+def test_jpeg_dims_header_only_matches_decoder():
+    """jpeg_dims reads width/height from the SOF0 header alone (the
+    decode_images metadata path — r14 advice: full Huffman+IDCT per
+    blob for dims already in the header) and rejects the same
+    non-baseline inputs as the full decoder."""
+    import pytest
+
+    from etl_instagram_spark.multimodal.jpeg import jpeg_dims
+
+    for w_, h_ in [(8, 8), (24, 17), (16, 16)]:
+        src = bytes((x + y) % 256 for y in range(h_) for x in range(w_))
+        data = encode_jpeg(src, w_, h_, 1)
+        d = decode_jpeg(data)
+        assert jpeg_dims(data) == (d["width"], d["height"]) == (w_, h_)
+    good = encode_jpeg(bytes(64), 8, 8, 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_dims(good.replace(b"\xff\xc0", b"\xff\xc2"))
+    with pytest.raises(ValueError):
+        jpeg_dims(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(TypeError):
+        jpeg_dims("not bytes")

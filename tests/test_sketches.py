@@ -766,3 +766,28 @@ def test_hll_store_compaction_preserves_reads(spark, tmp_path):
     ) == {1, 2}
     with pytest.raises(ValueError, match="newest epoch"):
         compact_hll_store(store, 2, ["k"])
+
+
+def test_dcm_quantiles_d1_single_counter(spark):
+    """d=1 is a legal config (one counter row per node) — the one-plan
+    descent must not emit a 1-arg least(), which Spark rejects at
+    analysis (r14 advice; the old per-round join loop handled d=1)."""
+    from etl_instagram_spark.operators.sketches import dcm_quantiles, dcm_sketch
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(100)], "grp string, v long"
+    )
+    w, d, b = 4096, 1, 8
+    sk = dcm_sketch(df, "v", ["grp"], w=w, d=d, b=b)
+    got = {
+        (r["q_num"], r["q_den"]): (r["q_value"], r["target"], r["n"])
+        for r in dcm_quantiles(
+            sk, [(1, 4), (1, 2), (3, 4)], ["grp"], w=w, d=d, b=b
+        ).collect()
+    }
+    xs = list(range(100))
+    for nu, de in [(1, 4), (1, 2), (3, 4)]:
+        q_value, target, n = got[(nu, de)]
+        assert n == 100 and target == (nu * 100 + de - 1) // de
+        # rank error at w=4096 over 100 items: exact or a whisker off
+        assert abs(q_value - xs[target - 1]) <= 2
