@@ -967,122 +967,6 @@ def _sql_docs_pps_sample() -> str:
     """
 
 
-_KMV_OVERLAP_K = 256
-
-
-def _docs_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(source, shingle) rows: word 3-grams on the shared token kernel
-    (functions/text.tokens == q_shared.SQL_TOKS)."""
-    from etl_instagram_spark.functions import text as T
-
-    docs = _t(spark, sf_dir, "documents")
-    ts = T.tokens(F.col("text"))
-    grams = F.when(
-        F.size(ts) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ts) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(ts, i),
-                F.element_at(ts, i + 1),
-                F.element_at(ts, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select("source", F.explode(grams).alias("shingle"))
-
-
-def _docs_kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Never-gated (r14): KMV set-overlap sketches (operators/kmv.py) —
-    for every unordered pair of sources, the estimated distinct-shingle
-    union / Jaccard / intersection from the two k-minimum-value
-    synopses, with the EXACT intersection and union as data contrast.
-    At sf0.01 every source holds ~1.2–1.5k distinct shingles, so the
-    k=256 estimator branch is LIVE (k_used == k, kth_min drives the
-    estimate) while pair overlaps (52–143 shingles) keep the contrast
-    columns meaningful. The k-sets, integer counts, and every derived
-    float replay bit-for-bit in DuckDB (Beyer et al., SIGMOD 2007 —
-    the contamination/segment-overlap question HLL registers cannot
-    answer)."""
-    from etl_instagram_spark.operators.kmv import kmv_overlap, kmv_sketch
-
-    sh = _docs_shingles(spark, sf_dir)
-    sk = kmv_sketch(sh, "shingle", ["source"], k=_KMV_OVERLAP_K)
-    est = kmv_overlap(sk, "source", k=_KMV_OVERLAP_K)
-    d = sh.distinct()
-    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
-    inter = (
-        d.alias("x")
-        .join(
-            d.alias("y"),
-            (F.col("x.shingle") == F.col("y.shingle"))
-            & (F.col("x.source") < F.col("y.source")),
-        )
-        .groupBy(
-            F.col("x.source").alias("g_a"), F.col("y.source").alias("g_b")
-        )
-        .agg(F.count(F.lit(1)).alias("exact_intersection"))
-    )
-    pa = per.select(F.col("source").alias("g_a"), F.col("nd").alias("nd_a"))
-    pb = per.select(F.col("source").alias("g_b"), F.col("nd").alias("nd_b"))
-    return (
-        est.join(inter, ["g_a", "g_b"], "left")
-        .join(pa, "g_a")
-        .join(pb, "g_b")
-        .select(
-            "g_a",
-            "g_b",
-            "k_used",
-            "kth_min",
-            "matches",
-            "union_est",
-            "jaccard_est",
-            "intersection_est",
-            F.coalesce(F.col("exact_intersection"), F.lit(0))
-            .cast("long")
-            .alias("exact_intersection"),
-            (F.col("nd_a") + F.col("nd_b") - F.coalesce(
-                F.col("exact_intersection"), F.lit(0)
-            ))
-            .cast("long")
-            .alias("exact_union"),
-        )
-        .orderBy("g_a", "g_b")
-    )
-
-
-def _sql_docs_kmv_shingle_overlap() -> str:
-    from etl_instagram_spark.operators.kmv import kmv_overlap_sql
-    from etl_instagram_spark.plans.q_shared import SQL_TOKS
-
-    shingles = f"""(
-      SELECT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-      FROM (SELECT source, {SQL_TOKS} AS ts FROM documents) tt,
-           unnest(range(1, len(ts) - 1)) AS u(i)) sh"""
-    est = kmv_overlap_sql("shingle", shingles, "source", k=_KMV_OVERLAP_K)
-    return f"""
-    WITH est AS ({est}),
-    d AS (SELECT DISTINCT source, shingle FROM {shingles}),
-    per AS (SELECT source, count(*)::BIGINT AS nd FROM d GROUP BY source),
-    inter AS (
-      SELECT x.source AS g_a, y.source AS g_b,
-             count(*)::BIGINT AS exact_intersection
-      FROM d x JOIN d y
-        ON x.shingle = y.shingle AND x.source < y.source
-      GROUP BY x.source, y.source)
-    SELECT est.g_a, est.g_b, est.k_used, est.kth_min, est.matches,
-           est.union_est, est.jaccard_est, est.intersection_est,
-           coalesce(i.exact_intersection, 0)::BIGINT AS exact_intersection,
-           (pa.nd + pb.nd - coalesce(i.exact_intersection, 0))::BIGINT
-             AS exact_union
-    FROM est
-    LEFT JOIN inter i ON i.g_a = est.g_a AND i.g_b = est.g_b
-    JOIN per pa ON pa.source = est.g_a
-    JOIN per pb ON pb.source = est.g_b
-    ORDER BY est.g_a, est.g_b
-    """
-
-
 def _docs_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r14): bottom-k sampling (operators/kmv.kmv_sample)
     — a deterministic fixed-SIZE uniform sample of 48 doc_ids per lang
@@ -1177,13 +1061,8 @@ def _register() -> None:
     )
     # never-gated (r11): systematic PPS weighted sampling
     EXTRAS["docs_pps_sample"] = (_docs_pps_sample, _sql_docs_pps_sample())
-    # never-gated (r14): KMV set-overlap sketches — pairwise distinct-
-    # shingle union/Jaccard/intersection estimates with exact contrast
-    # (stored as a CALLABLE only to keep import-time SQL assembly lazy)
-    EXTRAS["docs_kmv_shingle_overlap"] = (
-        _docs_kmv_shingle_overlap,
-        _sql_docs_kmv_shingle_overlap,
-    )
+    # docs_kmv_shingle_overlap PROMOTED to the gate at the r15 rotation
+    # (plans/q_docs.py) — the seat given by sql_brand_revenue
     # never-gated (r14): bottom-k deterministic fixed-size sampling
     EXTRAS["docs_kmv_sample"] = (_docs_kmv_sample, _sql_docs_kmv_sample)
 

@@ -469,6 +469,14 @@ def _register() -> None:
         _orders_nested_lineitems,
         _SQL_ORDERS_NESTED_LINEITEMS,
     )
+    # r15 rotation: the spark.sql() front-door face (seat given to
+    # docs_kmv_shingle_overlap) — same shared ANSI text on both engines
+    from etl_instagram_spark.plans.q_relational import (
+        _SHARED_SQL_BRAND_REVENUE,
+        sql_brand_revenue,
+    )
+
+    EXTRAS["sql_brand_revenue"] = (sql_brand_revenue, _SHARED_SQL_BRAND_REVENUE)
 
 
 _register()

@@ -70,6 +70,19 @@ stays gated via docs_bm25_topk),
 (``docs_dup_cluster_reps``, the first cross-engine-certified
 connected-components row), and the content-keyed leakage-safe split
 (``docs_leakage_safe_split``).
+
+r15 rotation: ``sql_brand_revenue`` (the spark.sql() front-door face —
+the SAME shared ANSI string still runs on both engines here, and its
+broadcast plan pin stays in test_plan_invariants.py) — seat given to
+the KMV set-overlap sketch face (``docs_kmv_shingle_overlap``, the
+last of the five sketch families to graduate; its sibling
+``docs_kmv_sample`` stays an EXTRAS row). Next promotion runway
+(charter note): ``docs_bm25_indexed`` — the inverted-index face whose
+pushed-term-filter plan shape deserves driver certification; seat
+candidate at r16 is another sub-second relational row
+(``cube_returnflag_status`` or ``nation_customers_suppliers_full``,
+whichever the round's gate diversity can spare — CUBE and FULL OUTER
+would keep parity + plan pins here like every prior seat).
 """
 
 from __future__ import annotations

@@ -259,19 +259,18 @@ _SHARED_SQL_BRAND_REVENUE = f"""
 """
 
 
-@query("sql_brand_revenue")
 def sql_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's SQL front door: register the test tables as temp
     views and run the EXACT same ANSI text the oracle runs — one string,
     two engines. Catalyst's planning (broadcast part-side, partial agg)
-    is identical to the DataFrame version of this query."""
+    is identical to the DataFrame version of this query. Rotated to
+    EXTRAS at the r15 rotation (seat given to docs_kmv_shingle_overlap);
+    value parity and the broadcast plan pin continue every round via
+    tests/test_rotated_parity.py and test_plan_invariants.py."""
     from etl_instagram_spark.sources.tables import register_views
 
     register_views(spark, sf_dir, names=("part", "lineitem"))
     return spark.sql(_SHARED_SQL_BRAND_REVENUE)
-
-
-oracle("sql_brand_revenue", _SHARED_SQL_BRAND_REVENUE)
 
 
 # ---------------------------------------------------------------------------
