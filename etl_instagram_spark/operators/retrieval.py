@@ -269,6 +269,27 @@ def build_bm25_index(
     return postings, corpus
 
 
+def bm25_corpus_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """ONE row ``(n_docs, sum_dl)`` — the SUM-MERGEABLE decomposition of
+    :func:`build_bm25_index`'s corpus stats, what the continuous index
+    face (streaming/incremental.apply_bm25_delta) stores per epoch.
+    Same blank-doc convention as the batch build (blank docs count with
+    length 0). ``avgdl = sum_dl / n_docs`` reproduces the batch
+    ``avg(dl)`` BIT-FOR-BIT as long as ``sum_dl < 2^53``: dl values are
+    integers, and IEEE-double addition over integers below 2^53 is
+    exact in any order, so Spark's Average (double sum / double count)
+    and the decomposed division compute the same two exact operands —
+    the read face enforces the 2^53 bound loudly."""
+    blank = F.length(F.trim(F.col(text_col))) == 0
+    dl = F.when(blank, F.lit(0)).otherwise(F.size(_toks(F.col(text_col))))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(dl.cast("long")), F.lit(0)).cast("long").alias(
+            "sum_dl"
+        ),
+    )
+
+
 def bm25_topk_indexed(
     postings: DataFrame,
     corpus: DataFrame,

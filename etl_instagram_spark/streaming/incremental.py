@@ -1427,6 +1427,175 @@ def kmv_read_summary(
     return merged.groupBy(*g).agg(k_used, kth_min, est)
 
 
+def apply_bm25_delta(
+    postings_store: MergeTable,
+    corpus_store: MergeTable,
+    batch_df: DataFrame,
+    epoch_id: int,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Fold one micro-batch of NEW documents into an epoch-keyed BM25
+    inverted-index store pair (the batch build: operators/retrieval.
+    build_bm25_index — this face removes its full-rebuild requirement
+    for a growing corpus):
+
+    - ``postings_store``: rows keyed (epoch_id, term, ``id_col``)
+      carrying (tf, dl) — the batch's own postings;
+    - ``corpus_store``: ONE row per epoch keyed (epoch_id,) carrying
+      (n_docs, sum_dl) — retrieval.bm25_corpus_counts, the
+      sum-mergeable decomposition of (n_docs, avgdl).
+
+    Everything stored is a pure count, so epochs sum-merge (the
+    apply_cm_delta rollup-delta pattern) and exactly-once rides the
+    epoch key: a replayed epoch recomputes identical rows and upserts
+    them over themselves. Contract: the landing stream is APPEND-ONLY
+    in ``id_col`` — each document lands exactly once (the batch build
+    has the same contract: a re-landed doc would double its tf there
+    too); :func:`compact_bm25_store` re-verifies it loudly."""
+    from etl_instagram_spark.operators.retrieval import (
+        bm25_corpus_counts,
+        build_bm25_index,
+    )
+
+    postings, _ = build_bm25_index(batch_df, id_col, text_col)
+    postings_store.upsert(
+        postings.withColumn("epoch_id", F.lit(int(epoch_id)))
+    )
+    corpus_store.upsert(
+        bm25_corpus_counts(batch_df, text_col).withColumn(
+            "epoch_id", F.lit(int(epoch_id))
+        )
+    )
+
+
+def stream_bm25_index(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    postings_store: MergeTable,
+    corpus_store: MergeTable,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+) -> bool:
+    """One AvailableNow tick maintaining the continuous BM25 inverted
+    index: drain newly landed documents and fold each micro-batch's
+    postings + corpus counts into the epoch-keyed store pair. At 100 TB
+    this is what keeps many-queries retrieval answerable over a growing
+    corpus at O(new docs) per tick instead of an O(corpus) index
+    rebuild — the index read (:func:`bm25_read_index` →
+    retrieval.bm25_topk_indexed) stays row-identical to the scan path
+    over everything landed (pinned by test)."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_bm25_delta(
+            postings_store, corpus_store, batch_df, epoch_id, id_col, text_col
+        )
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
+def bm25_read_index(
+    postings_store: MergeTable, corpus_store: MergeTable
+) -> tuple[DataFrame, DataFrame]:
+    """The maintained index as the ``(postings, corpus)`` pair
+    retrieval.bm25_topk_indexed expects — equal row-for-row to one
+    build_bm25_index over the concatenation of every landed batch
+    (pinned by test): postings rows are epoch-disjoint under the
+    append-once contract (drop the key), and the corpus row re-derives
+    ``avgdl = sum_dl / n_docs`` from the summed counts — bit-equal to
+    the batch ``avg(dl)`` below the 2^53 exactness bound, which is
+    checked LOUDLY here (2^53 tokens ≈ 9e15; a corpus that large must
+    move to a decimal-sum corpus store before this read silently
+    drifts)."""
+    row = (
+        corpus_store.read()
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("long").alias("s"),
+        )
+        .first()
+    )
+    n, s = int(row["n"]), int(row["s"])
+    if s >= 1 << 53:
+        raise ValueError(
+            f"bm25_read_index: total token count {s} >= 2^53 — double "
+            "addition is no longer exact, so avgdl would drift from the "
+            "batch build; shard the corpus store or move sum_dl to "
+            "DECIMAL before reading"
+        )
+    avgdl = float(s) / n if n else 0.0
+    spark = corpus_store.spark
+    corpus = spark.createDataFrame(
+        [(n, avgdl)], "n_docs long, avgdl double"
+    )
+    return postings_store.read().drop("epoch_id"), corpus
+
+
+def compact_bm25_store(
+    postings_store: MergeTable,
+    corpus_store: MergeTable,
+    through_epoch: int,
+    id_col: str,
+) -> int:
+    """Fold every row with ``epoch_id <= through_epoch`` into
+    ``through_epoch``: corpus rows sum to one row (pure counts —
+    reads invariant by algebra); postings rows only re-key, since a
+    document's postings live in exactly one epoch under the
+    append-once contract — which is VERIFIED here (one grouped probe
+    over the compacted region): a duplicate (term, ``id_col``) across
+    epochs means the landing stream re-landed a document, and silently
+    merging it would corrupt tf, so compaction refuses loudly instead.
+    The strictly-below-the-newest-epoch guard matches every other
+    store compactor (the latest epoch may still re-fire). Returns rows
+    eliminated (corpus rows; postings row count is invariant)."""
+    stored_c = corpus_store.read()
+    mx = stored_c.agg(F.max("epoch_id").alias("m")).first()["m"]
+    if mx is None or through_epoch >= mx:
+        raise ValueError(
+            f"through_epoch must be < the newest epoch present ({mx}); "
+            f"got {through_epoch} — the latest epoch may still re-fire"
+        )
+    old_c = stored_c.filter(F.col("epoch_id") <= through_epoch)
+    n_old = old_c.count()
+    if n_old == 0:
+        return 0
+    merged_c = old_c.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    ).withColumn("epoch_id", F.lit(int(through_epoch)))
+    keep_c = stored_c.filter(F.col("epoch_id") > through_epoch)
+
+    stored_p = postings_store.read()
+    old_p = stored_p.filter(F.col("epoch_id") <= through_epoch)
+    dup = (
+        old_p.groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "compact_bm25_store: duplicate posting "
+            f"(term={dup[0]['term']!r}, {id_col}={dup[0][id_col]!r}) "
+            "across epochs — the landing stream re-landed a document, "
+            "violating the append-once contract; repair the store "
+            "before compacting"
+        )
+    keep_p = stored_p.filter(F.col("epoch_id") > through_epoch)
+    merged_p = old_p.withColumn("epoch_id", F.lit(int(through_epoch)))
+    postings_store.overwrite(
+        keep_p.unionByName(merged_p.select(*keep_p.columns))
+    )
+    corpus_store.overwrite(
+        keep_c.unionByName(merged_c.select(*keep_c.columns))
+    )
+    return n_old - 1
+
+
 def stream_resolve_entities(
     spark: SparkSession,
     landing_dir: str,
