@@ -3,13 +3,18 @@ over opaque ``binary`` columns — the one-row-in / many-rows-out decode
 shape that ``explode`` cannot express (the expansion happens INSIDE the
 decode step), so both are ``mapInPandas`` UDTFs.
 
-Same contract as images.py: the codec work needs libraries absent from
-this environment (PyAV / soundfile), so EVERY decoder except ``'fake'``
-raises — NotImplementedError for the known real decoder (even when the
+Same contract as images.py: COMPRESSED codec work needs libraries
+absent from this environment (PyAV / soundfile), so those decoders
+raise — NotImplementedError for the known real decoder (even when the
 library is importable: no real decode exists yet, and falling through to
 the stub would hand fabricated frames to downstream consumers),
 ValueError for unknown strings. ``decoder='fake'``
-synthesizes deterministic output from the content hash. The Spark-side
+synthesizes deterministic output from the content hash. Audio gained a
+REAL uncompressed path in r15 — ``chunk_audio(decoder='wav')`` slices
+actual PCM frames via the pure-stdlib multimodal/wav.py parser (the
+PNG/JPEG precedent applied to the one audio container stdlib can fully
+handle), and wav.wav_features extracts real sample statistics for the
+embedding-cosine near-dup path. The Spark-side
 plumbing — schemas, Arrow batch shape, per-row fan-out, partitioning —
 is real and tested; swapping in a real codec touches one inner function.
 
@@ -153,7 +158,50 @@ def chunk_audio(
 ) -> DataFrame:
     """Fixed-width audio windows per blob — the shape ASR/embedding
     models consume; (start_ms, end_ms) make transcript alignment a range
-    join downstream."""
+    join downstream.
+
+    ``decoder='wav'`` (r15) is a REAL path: multimodal/wav.py's
+    pure-stdlib RIFF/PCM parser slices the actual interleaved PCM
+    frames per window (``samples`` = the window's raw frame bytes;
+    concatenating every un-capped chunk reproduces the whole data
+    chunk byte-for-byte — pinned by test) and fills meta from the real
+    header. Undecodable/non-PCM content raises LOUDLY (pre-filter with
+    a RIFF sniff if the column is mixed); compressed codecs keep the
+    honest ``decoder='soundfile'`` gate below."""
+    if decoder == "wav":
+        from etl_instagram_spark.multimodal.wav import wav_info
+
+        def run_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out: dict[str, list] = {k: [] for k in
+                                        ("id", "chunk_idx", "start_ms", "end_ms", "samples", "meta")}
+                for bid, content in zip(pdf[id_col], pdf[content_col]):
+                    if content is None:
+                        continue
+                    info = wav_info(bytes(content))
+                    meta = {
+                        "duration_ms": info["duration_ms"],
+                        "sample_rate": info["sample_rate"],
+                        "channels": info["channels"],
+                    }
+                    rate, block = info["sample_rate"], info["block_align"]
+                    nf, pcm = info["n_frames"], info["pcm"]
+                    n = min(max_chunks, -(-info["duration_ms"] // chunk_ms))
+                    for i in range(n):
+                        start = i * chunk_ms
+                        end = min(start + chunk_ms, info["duration_ms"])
+                        f0 = start * rate // 1000
+                        f1 = min(end * rate // 1000, nf)
+                        out["id"].append(bid)
+                        out["chunk_idx"].append(i)
+                        out["start_ms"].append(start)
+                        out["end_ms"].append(end)
+                        out["samples"].append(pcm[f0 * block : f1 * block])
+                        out["meta"].append(meta)
+                if out["id"]:  # an empty frame mis-infers dtypes for Arrow
+                    yield pd.DataFrame(out)
+
+        return blobs.mapInPandas(run_wav, schema=CHUNK_SCHEMA)
     _require_decoder(decoder, "soundfile", "the soundfile library")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

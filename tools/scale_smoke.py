@@ -911,6 +911,56 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             "sec": timed(lambda: pixel_features(blobs).count()),
             "params": {"side": side, "base_images": 48, "reps_per_image": 16 * mult},
         }
+    elif op == "wav_features":
+        # the REAL audio decode path (r15): stdlib RIFF/PCM parse →
+        # numpy sample statistics inside ONE Arrow-batched mapInPandas
+        # — the pixel_features shape for the second modality; honest
+        # expectation is time ∝ n (no shuffle). Base = 48 distinct
+        # half-second 16-bit mono clips (deterministic sine family,
+        # encoded driver-side once); copies replicate rows so decode
+        # COST scales while the fixture build stays O(base).
+        import io
+        import math as _math
+        import wave as _wave
+
+        import pandas as pd
+
+        from etl_instagram_spark.multimodal.wav import wav_features
+
+        rate, n_samp = 8000, 4000  # 0.5 s per clip
+        base = []
+        for i in range(48):
+            freq = 200 + 37 * i
+            buf = io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(
+                    b"".join(
+                        int(
+                            12000 * _math.sin(2 * _math.pi * freq * t / rate)
+                        ).to_bytes(2, "little", signed=True)
+                        for t in range(n_samp)
+                    )
+                )
+            base.append((f"clip{i:02d}", buf.getvalue()))
+        pdf = pd.DataFrame(base, columns=["id", "content"])
+        blobs = (
+            spark.createDataFrame(pdf)
+            .crossJoin(spark.range(16 * mult).withColumnRenamed("id", "rep"))
+            .select(
+                F.concat_ws("_", "id", F.col("rep").cast("string")).alias("id"),
+                "content",
+            )
+            .repartition(32)
+            .localCheckpoint()
+        )
+        res = {
+            "sec": timed(lambda: wav_features(blobs).count()),
+            "params": {"rate": rate, "n_samples": n_samp, "base_clips": 48,
+                       "reps_per_clip": 16 * mult},
+        }
     else:
         raise SystemExit(f"unknown op {op}")
     spark.stop()
@@ -944,6 +994,7 @@ OPS = (
     "bm25_index_build",
     "graph_chain",
     "pixel_features",
+    "wav_features",
     "kmv_overlap",
     "kmv_sample",
 )
