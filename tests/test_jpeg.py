@@ -473,3 +473,33 @@ def test_jpeg_dims_header_only_matches_decoder():
         jpeg_dims(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(TypeError):
         jpeg_dims("not bytes")
+
+
+def test_numpy_engine_byte_identical_to_stdlib():
+    """The batched numpy IDCT/upsample/color path must reproduce the
+    stdlib reference loops BYTE-FOR-BYTE across every decode shape:
+    gray, 4:4:4 color, 4:2:0 subsampled, non-multiple-of-8 crops,
+    restart intervals, and adversarial flat/noise content — the
+    same-order-accumulation argument in _render_np's docstring, made
+    empirical (r15)."""
+    import random
+
+    rng = random.Random(4242)
+    cases = []
+    for w_, h_ in [(8, 8), (24, 17), (64, 64), (31, 9)]:
+        gray = bytes(rng.randrange(256) for _ in range(w_ * h_))
+        cases.append(encode_jpeg(gray, w_, h_, 1))
+        rgb = bytes(rng.randrange(256) for _ in range(w_ * h_ * 3))
+        cases.append(encode_jpeg(rgb, w_, h_, 3))
+    cases.append(encode_jpeg(bytes([128] * 16 * 16 * 3), 16, 16, 3, subsample=True))
+    noisy = bytes(rng.randrange(256) for _ in range(32 * 32 * 3))
+    cases.append(encode_jpeg(noisy, 32, 32, 3, subsample=True))
+    cases.append(encode_jpeg(bytes(range(64)), 8, 8, 1, restart_interval=1))
+    for i, data in enumerate(cases):
+        ref = decode_jpeg(data, engine="stdlib")
+        fast = decode_jpeg(data, engine="numpy")
+        assert fast == ref, f"case {i}: numpy path diverged from stdlib"
+    import pytest
+
+    with pytest.raises(ValueError, match="engine"):
+        decode_jpeg(cases[0], engine="turbo")

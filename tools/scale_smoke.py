@@ -877,14 +877,28 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
         # — pure per-row Python work with no shuffle, so the honest
         # expectation is time ∝ n (embarrassingly parallel; at cluster
         # scale this is the map stage that dominates any image-corpus
-        # ingest). Base = 48 distinct 64×64 RGB PNGs (deterministic
-        # gradient family, encoded driver-side once); copies replicate
-        # rows via a range cross-join so decode COST scales while the
-        # driver-side fixture build stays O(base).
+        # ingest). Base = 48 distinct 64×64 RGB images, HALF PNG and
+        # HALF baseline JPEG since r15 (re-based per the r14 verdict:
+        # the JPEG side now exercises the batched-numpy IDCT/upsample
+        # fast path at a real image size, where the r14 smoke measured
+        # PNG only); deterministic gradient family, encoded driver-side
+        # once — copies replicate rows via a range cross-join so decode
+        # COST scales while the driver-side fixture build stays O(base).
         import pandas as pd
 
         from etl_instagram_spark.multimodal.images import pixel_features
         from etl_instagram_spark.multimodal.png import encode_png
+
+        # the test-local independent JPEG encoder (the package ships a
+        # decoder only, by design)
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tests",
+            ),
+        )
+        from test_jpeg import encode_jpeg
 
         side = 64
         base = []
@@ -895,7 +909,12 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
                     px.append((x * 4 + i * 5) & 0xFF)
                     px.append((y * 4 + i * 11) & 0xFF)
                     px.append((x + y + i * 23) & 0xFF)
-            base.append((f"img{i:02d}", encode_png(side, side, bytes(px))))
+            enc = (
+                encode_png(side, side, bytes(px))
+                if i % 2 == 0
+                else encode_jpeg(bytes(px), side, side, 3, subsample=True)
+            )
+            base.append((f"img{i:02d}", enc))
         pdf = pd.DataFrame(base, columns=["id", "content"])
         blobs = (
             spark.createDataFrame(pdf)
