@@ -1123,6 +1123,14 @@ def main() -> int:
         prior["ops"].update(report["ops"])
         prior["rows"] = report["rows"]
         report = prior
+    elif os.path.exists(args.out):
+        # full run: the measured ops are all replaced, but the ab_notes
+        # ledger (round-over-round measurement adjudications) must
+        # survive — it documents WHY past ratios read the way they do
+        with open(args.out) as fh:
+            prior = json.load(fh)
+        if "ab_notes" in prior:
+            report["ab_notes"] = prior["ab_notes"]
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
         fh.write("\n")
