@@ -409,3 +409,193 @@ def kmv_sample_sql(
     FROM {from_clause} t
     WHERE EXISTS (SELECT 1 FROM ks WHERE {on})
     """
+
+
+_2_60 = float(1 << HLL_HASH_BITS)  # folded constant, same literal both engines
+
+
+def kmv_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Deterministic fixed-size WEIGHTED sample of (up to) ``k``
+    distinct ids per group — priority sampling (Duffield, Lund, Thorup,
+    JACM 2007) on the bottom-k rank order of Cohen & Kaplan (PODC
+    2007): item i gets priority q_i = w_i / u_i with u_i = (h_i+1)/2^60
+    from the SAME engine-neutral md5 hash kernel as every other sketch
+    here, and the k largest priorities are the sample — equivalently
+    the k smallest ranks (h_i+1)/w_i, which is how both engines order
+    it. Where :func:`kmv_sample` draws ids uniformly, this draws them
+    with probability increasing in weight (token count, byte size,
+    click mass), and the ``est_weight`` column makes the sample
+    SUBSET-SUM CAPABLE: with τ the (k+1)-th largest priority,
+    ŵ_i = max(w_i, τ) satisfies E[Σ_{i∈S∩A} ŵ_i] = Σ_{i∈A} w_i for
+    every item subset A (unbiased over the u ensemble; with the fixed
+    hash it is a replayable deterministic snapshot, the same framing
+    as kmv_sample's uniformity). A group with ≤ k distinct ids is
+    sampled COMPLETELY and est_weight = weight exactly (no threshold
+    exists).
+
+    Exactness (the module discipline): the rank key is ONE IEEE
+    division of exact integers per id — CAST(h+1 AS DOUBLE)/CAST(w AS
+    DOUBLE), identical text in the DuckDB mirror; int64→double casts
+    and division are correctly rounded (round-to-nearest) in both
+    engines, and the unique hash h breaks any rank tie, so the
+    selection replays bit-for-bit (no libm anywhere). τ's reciprocal
+    is the same pinned shape: (2^60·w_T)/(h_T+1) with the 2^60 folded
+    to one float literal.
+
+    Validation is LOUD: weights must be positive and finite, and an id
+    carrying two different weights in one group raises (an ambiguous
+    weighted universe would silently change inclusion probabilities).
+
+    Scale: one distinct-shuffle of (group, id, weight) + the same
+    salted two-stage top-k as kmv_sketch (no single task sorts a
+    group), carrying k+1 rows per group so the threshold never needs a
+    second pass. Output is ≤ groups·k rows — broadcastable back for a
+    row-level semijoin exactly like kmv_sample.
+
+    Returns (group…, ``id_col``, ``weight_col``, h, est_weight)."""
+    _check_k(k)
+    g = list(group_cols or [])
+    pairs = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(*g, id_col, weight_col)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bad = (
+        pairs.filter(
+            F.col(weight_col).isNull()
+            | (F.col(weight_col).cast("double") <= 0)
+            | F.isnan(F.col(weight_col).cast("double"))
+            | (F.col(weight_col).cast("double") == float("inf"))
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"kmv_weighted_sample: weight {bad[0][weight_col]!r} for "
+            f"{id_col}={bad[0][id_col]!r} — weights must be positive "
+            "finite numbers"
+        )
+    dup = (
+        pairs.groupBy(*g, id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"kmv_weighted_sample: {id_col}={dup[0][id_col]!r} carries "
+            "more than one weight in a group — aggregate to one weight "
+            "per id first (ambiguous weights change inclusion "
+            "probabilities silently)"
+        )
+    ranked0 = pairs.withColumn("h", hll_hash60(F.col(id_col))).withColumn(
+        "_rank",
+        (F.col("h") + F.lit(1)).cast("double")
+        / F.col(weight_col).cast("double"),
+    )
+    # salted two-stage bottom-(k+1): the +1 row IS the threshold
+    salted = ranked0.withColumn("_salt", F.pmod(F.col("h"), F.lit(KMV_SALTS)))
+    w_a = W.partitionBy(*g, "_salt").orderBy("_rank", "h")
+    stage_a = (
+        salted.withColumn("_rn", F.row_number().over(w_a))
+        .filter(F.col("_rn") <= k + 1)
+        .drop("_salt", "_rn")
+    )
+    w_b = W.partitionBy(*g).orderBy("_rank", "h")
+    topk1 = stage_a.withColumn("_rn", F.row_number().over(w_b)).filter(
+        F.col("_rn") <= k + 1
+    )
+    tau = topk1.filter(F.col("_rn") == k + 1).select(
+        *g,
+        (
+            F.lit(_2_60) * F.col(weight_col).cast("double")
+            / (F.col("h") + F.lit(1)).cast("double")
+        ).alias("_inv_tau"),
+    )
+    sample = topk1.filter(F.col("_rn") <= k).drop("_rn", "_rank")
+    # tau is ≤ 1 row per group (0 when the group is complete)
+    joined = (
+        sample.join(tau, g, "left")
+        if g
+        else sample.join(tau, F.lit(True), "left")
+    )
+    return joined.select(
+        *g,
+        id_col,
+        weight_col,
+        "h",
+        F.when(
+            F.col("_inv_tau").isNull(), F.col(weight_col).cast("double")
+        )
+        .otherwise(
+            F.greatest(F.col(weight_col).cast("double"), F.col("_inv_tau"))
+        )
+        .alias("est_weight"),
+    )
+
+
+def kmv_weighted_sample_sql(
+    id_expr: str,
+    weight_expr: str,
+    from_clause: str,
+    group_exprs: list[str] | None = None,
+    k: int = KMV_K,
+) -> str:
+    """DuckDB mirror of :func:`kmv_weighted_sample` — the same distinct
+    pairs → hash → one-division rank → row_number bottom-(k+1) →
+    threshold-or-exact est_weight, with identical float expression
+    text. ``from_clause`` must be a table/view name and ``id_expr`` /
+    ``weight_expr`` / ``group_exprs`` bare column names. Returns rows
+    (group…, id, weight, h, est_weight)."""
+    g = list(group_exprs or [])
+    gsel = "".join(f"{e}, " for e in g)
+    part = f"PARTITION BY {', '.join(g)} " if g else ""
+    on = " AND ".join(f"t.{e} = x.{e}" for e in g) if g else "TRUE"
+    return f"""
+    SELECT {gsel}{id_expr}, {weight_expr}, h, est_weight FROM (
+      SELECT t.*, CASE WHEN x._inv_tau IS NULL
+                       THEN CAST(t.{weight_expr} AS DOUBLE)
+                       ELSE greatest(CAST(t.{weight_expr} AS DOUBLE),
+                                     x._inv_tau) END AS est_weight
+      FROM (
+        SELECT *, row_number() OVER ({part}ORDER BY _rank, h) AS _rn
+        FROM (
+          SELECT {gsel}{id_expr}, {weight_expr},
+                 {hll_hash60_sql(id_expr)} AS h,
+                 CAST({hll_hash60_sql(id_expr)} + 1 AS DOUBLE)
+                   / CAST({weight_expr} AS DOUBLE) AS _rank
+          FROM (SELECT DISTINCT {gsel}{id_expr}, {weight_expr}
+                FROM {from_clause}
+                WHERE {id_expr} IS NOT NULL) p
+        ) r
+      ) t
+      LEFT JOIN (
+        SELECT {gsel}({_2_60!r} * CAST({weight_expr} AS DOUBLE))
+                 / CAST(h + 1 AS DOUBLE) AS _inv_tau
+        FROM (
+          SELECT *, row_number() OVER ({part}ORDER BY _rank, h) AS _rn
+          FROM (
+            SELECT {gsel}{weight_expr},
+                   {hll_hash60_sql(id_expr)} AS h,
+                   CAST({hll_hash60_sql(id_expr)} + 1 AS DOUBLE)
+                     / CAST({weight_expr} AS DOUBLE) AS _rank
+            FROM (SELECT DISTINCT {gsel}{id_expr}, {weight_expr}
+                  FROM {from_clause}
+                  WHERE {id_expr} IS NOT NULL) p2
+          ) r2
+        ) t2
+        WHERE _rn = {k + 1}
+      ) x ON {on}
+      WHERE t._rn <= {k}
+    ) out
+    ORDER BY {gsel}h
+    """

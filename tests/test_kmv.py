@@ -465,3 +465,137 @@ def test_kmv_sample_semijoin_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def _weighted_df(spark, n, groups=("a", "b")):
+    """n ids per group with deterministic positive integer weights
+    spanning three orders of magnitude."""
+    rows = []
+    for g in groups:
+        for i in range(n):
+            rows.append((g, f"{g}_id{i}", 1 + (i * 37) % 997))
+    return spark.createDataFrame(rows, "g string, id string, w long")
+
+
+def test_weighted_sample_bit_for_bit_vs_duckdb(spark):
+    from etl_instagram_spark.operators.kmv import (
+        kmv_weighted_sample,
+        kmv_weighted_sample_sql,
+    )
+
+    df = _weighted_df(spark, 1200)
+    got = (
+        kmv_weighted_sample(df, "id", "w", ["g"], k=64)
+        .toPandas()
+        .sort_values(["g", "h"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 128  # 64 per group
+    con = _duck(df.toPandas())
+    want = (
+        con.sql(kmv_weighted_sample_sql("id", "w", "t", ["g"], k=64))
+        .df()
+        .sort_values(["g", "h"])
+        .reset_index(drop=True)
+    )
+    assert got[want.columns].equals(want)  # ids, weights, h, est floats
+
+    # ungrouped path
+    one = df.filter(F.col("g") == "a").drop("g")
+    got1 = (
+        kmv_weighted_sample(one, "id", "w", k=64)
+        .toPandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    want1 = (
+        con.sql(
+            kmv_weighted_sample_sql(
+                "id", "w", "(SELECT * FROM t WHERE g = 'a') u", None, k=64
+            )
+        )
+        .df()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    assert got1[want1.columns].equals(want1)
+
+
+def test_weighted_sample_subset_sum_estimator(spark):
+    """Σ est_weight over the sample tracks the group's TRUE total
+    weight (the priority-sampling estimator property) — realized
+    relative error within a generous 4/√(k−1) envelope on this fixed
+    hash draw; and the estimator never undershoots any single weight."""
+    from etl_instagram_spark.operators.kmv import kmv_weighted_sample
+
+    df = _weighted_df(spark, 2000)
+    k = 256
+    s = kmv_weighted_sample(df, "id", "w", ["g"], k=k).toPandas()
+    truth = df.groupBy("g").agg(F.sum("w").alias("tw")).toPandas().set_index("g")
+    for g in ("a", "b"):
+        est = s[s.g == g].est_weight.sum()
+        tw = float(truth.loc[g, "tw"])
+        rel = abs(est - tw) / tw
+        assert rel < 4 / (k - 1) ** 0.5, (g, est, tw, rel)
+    assert (s.est_weight >= s.w - 1e-9).all()
+
+
+def test_weighted_sample_complete_group_exact_and_scale_invariant(spark):
+    from etl_instagram_spark.operators.kmv import kmv_weighted_sample
+
+    small = _weighted_df(spark, 40, groups=("a",))
+    s = kmv_weighted_sample(small, "id", "w", ["g"], k=64).toPandas()
+    # ≤ k distinct ids → complete sample, est EXACTLY the weight
+    assert len(s) == 40
+    assert (s.est_weight == s.w.astype(float)).all()
+
+    # scale invariance: doubling every weight keeps the SAME sample ids
+    # (ranks scale uniformly) and doubles every est_weight exactly
+    big = _weighted_df(spark, 2000)
+    s1 = (
+        kmv_weighted_sample(big, "id", "w", ["g"], k=64)
+        .toPandas()
+        .sort_values(["g", "h"])
+        .reset_index(drop=True)
+    )
+    doubled = big.withColumn("w", F.col("w") * 2)
+    s2 = (
+        kmv_weighted_sample(doubled, "id", "w", ["g"], k=64)
+        .toPandas()
+        .sort_values(["g", "h"])
+        .reset_index(drop=True)
+    )
+    assert list(s1.id) == list(s2.id)
+    assert (s2.est_weight == 2 * s1.est_weight).all()
+
+    # partitioning invariance
+    s3 = (
+        kmv_weighted_sample(big.repartition(16), "id", "w", ["g"], k=64)
+        .toPandas()
+        .sort_values(["g", "h"])
+        .reset_index(drop=True)
+    )
+    assert s3.equals(s1)
+
+
+def test_weighted_sample_loud_guards(spark):
+    from etl_instagram_spark.operators.kmv import kmv_weighted_sample
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_weighted_sample(_weighted_df(spark, 10), "id", "w", ["g"], k=4)
+    zero = spark.createDataFrame(
+        [("a", "x", 0), ("a", "y", 5)], "g string, id string, w long"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        kmv_weighted_sample(zero, "id", "w", ["g"], k=16)
+    nan = spark.createDataFrame(
+        [("a", "x", float("nan")), ("a", "y", 5.0)],
+        "g string, id string, w double",
+    )
+    with pytest.raises(ValueError, match="positive"):
+        kmv_weighted_sample(nan, "id", "w", ["g"], k=16)
+    ambiguous = spark.createDataFrame(
+        [("a", "x", 3), ("a", "x", 4)], "g string, id string, w long"
+    )
+    with pytest.raises(ValueError, match="more than one weight"):
+        kmv_weighted_sample(ambiguous, "id", "w", ["g"], k=16)
