@@ -111,17 +111,16 @@ def decode_images(blobs: DataFrame, decoder: str = "fake") -> DataFrame:
             if decoder == "fake":
                 pdf["meta"] = pdf["content"].map(_fake_meta)
             elif decoder == "png":
-                from etl_instagram_spark.multimodal.png import decode_png
+                # header-only dims (IHDR parse) — the jpeg_dims twin:
+                # this path returns only width/height; pixel_features
+                # is the face that pays the zlib+unfilter decode
+                from etl_instagram_spark.multimodal.png import png_dims
 
                 def png_meta(b):
                     if b is None:
                         return None
-                    d = decode_png(bytes(b))
-                    return {
-                        "width": d["width"],
-                        "height": d["height"],
-                        "format": "png",
-                    }
+                    w, h = png_dims(bytes(b))
+                    return {"width": w, "height": h, "format": "png"}
 
                 pdf["meta"] = pdf["content"].map(png_meta)
             elif decoder == "jpeg":

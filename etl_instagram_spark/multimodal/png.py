@@ -185,3 +185,37 @@ def encode_png(
         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
+
+
+def png_dims(data: bytes) -> tuple[int, int]:
+    """Header-only ``(width, height)`` from IHDR — the metadata path
+    for ``decode_images(decoder='png')`` (the jpeg_dims twin, r15):
+    IHDR is the mandatory FIRST chunk, so this is O(33 bytes) where a
+    full :func:`decode_png` pays zlib + unfilter over every pixel.
+    Applies the same depth/color-type/interlace guards as the decoder,
+    so the two paths reject identical inputs at the header level."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise TypeError(f"expected bytes, got {type(data).__name__}")
+    data = bytes(data)
+    if not data.startswith(_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_SIG)
+    if pos + 8 > len(data):
+        raise ValueError("truncated PNG (no IHDR)")
+    (length,) = struct.unpack(">I", data[pos : pos + 4])
+    tag = data[pos + 4 : pos + 8]
+    body = data[pos + 8 : pos + 8 + length]
+    if tag != b"IHDR" or len(body) != 13:
+        raise ValueError("missing IHDR")
+    width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", body
+    )
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth} (only 8)")
+    if ctype not in _CHANNELS:
+        raise ValueError(f"unsupported color type {ctype}")
+    if comp != 0 or filt != 0:
+        raise ValueError("non-standard compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    return width, height
