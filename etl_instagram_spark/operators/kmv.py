@@ -459,6 +459,28 @@ def kmv_weighted_sample(
     row-level semijoin exactly like kmv_sample.
 
     Returns (group…, ``id_col``, ``weight_col``, h, est_weight)."""
+    state = kmv_weighted_state(df, id_col, weight_col, group_cols, k)
+    return kmv_weighted_sample_from_state(
+        state, id_col, weight_col, group_cols, k
+    )
+
+
+def kmv_weighted_state(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    k: int = KMV_K,
+) -> DataFrame:
+    """The bottom-(k+1)-by-priority-rank STATE rows behind
+    :func:`kmv_weighted_sample`: (group…, ``id_col``, ``weight_col``,
+    h) for the k+1 smallest ranks per group (the +1 row is the
+    threshold). Selection by a total order commutes with partitioning,
+    so merging per-batch states (:func:`kmv_weighted_state_merge`) ==
+    the state of the concatenated input — idempotent/commutative/
+    associative BY ALGEBRA like the k-set sketch, which is what the
+    continuous face stores per epoch. Validation (positive finite
+    weights, one weight per id) is loud here, once, for every caller."""
     _check_k(k)
     g = list(group_cols or [])
     pairs = (
@@ -511,7 +533,79 @@ def kmv_weighted_sample(
         .drop("_salt", "_rn")
     )
     w_b = W.partitionBy(*g).orderBy("_rank", "h")
-    topk1 = stage_a.withColumn("_rn", F.row_number().over(w_b)).filter(
+    return (
+        stage_a.withColumn("_rn", F.row_number().over(w_b))
+        .filter(F.col("_rn") <= k + 1)
+        .drop("_rn", "_rank")
+    )
+
+
+def kmv_weighted_state_merge(
+    states: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Merge state rows (per-shard / per-epoch bottom-(k+1) frames)
+    into one: the k+1 smallest ranks of the deduped union — replay-safe
+    and split-independent by algebra (re-seeing an id is HARMLESS here,
+    unlike count-valued stores: identical rows dedup away). An id whose
+    weight CHANGED between shards is detected loudly (two rows share a
+    hash) — a mutated weight would silently change every inclusion
+    probability. The frame is ≤ shards·groups·(k+1) rows, so one plain
+    per-group window is fine (the kmv_merge shape)."""
+    _check_k(k)
+    g = list(group_cols or [])
+    uniq = states.select(*g, id_col, weight_col, "h").distinct()
+    amb = (
+        uniq.groupBy(*g, "h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if amb:
+        raise ValueError(
+            "kmv_weighted_state_merge: an id carries different weights "
+            f"across state shards (hash {amb[0]['h']}) — weighted "
+            "priorities are defined for a FIXED weight per id; repair "
+            "the stream before merging"
+        )
+    ranked = uniq.withColumn(
+        "_rank",
+        (F.col("h") + F.lit(1)).cast("double")
+        / F.col(weight_col).cast("double"),
+    )
+    w_b = W.partitionBy(*g).orderBy("_rank", "h")
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w_b))
+        .filter(F.col("_rn") <= k + 1)
+        .drop("_rn", "_rank")
+    )
+
+
+def kmv_weighted_sample_from_state(
+    state: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Sample + subset-sum estimator from a (merged) bottom-(k+1)
+    state frame — the read face both the batch operator and the
+    continuous store share, so the two are row-identical by
+    construction. Re-ranks the ≤ groups·(k+1) rows (model-sized) and
+    derives est_weight with the pinned float shapes."""
+    _check_k(k)
+    g = list(group_cols or [])
+    ranked = state.withColumn(
+        "_rank",
+        (F.col("h") + F.lit(1)).cast("double")
+        / F.col(weight_col).cast("double"),
+    )
+    w_b = W.partitionBy(*g).orderBy("_rank", "h")
+    topk1 = ranked.withColumn("_rn", F.row_number().over(w_b)).filter(
         F.col("_rn") <= k + 1
     )
     tau = topk1.filter(F.col("_rn") == k + 1).select(

@@ -1427,6 +1427,124 @@ def kmv_read_summary(
     return merged.groupBy(*g).agg(k_used, kth_min, est)
 
 
+def apply_wkmv_delta(
+    store: MergeTable,
+    batch_df: DataFrame,
+    epoch_id: int,
+    id_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> None:
+    """Fold one micro-batch into an epoch-keyed WEIGHTED-sample state
+    store: rows keyed (epoch_id, group…, h) carrying (id, weight) —
+    the batch's bottom-(k+1) priority-rank rows
+    (operators/kmv.kmv_weighted_state). Like the k-set and HLL stores
+    — and unlike the count-valued CM/rollup stores — the algebra does
+    the exactly-once work: bottom-(k+1) selection by a total order is
+    idempotent/commutative/associative, so any batch split merges to
+    the same state, re-seeing an id dedups harmlessly, and a replayed
+    epoch upserts identical rows over themselves. State is
+    O(epochs · groups · (k+1))."""
+    from etl_instagram_spark.operators.kmv import kmv_weighted_state
+
+    delta = kmv_weighted_state(
+        batch_df, id_col, weight_col, group_cols, k
+    ).withColumn("epoch_id", F.lit(int(epoch_id)))
+    store.upsert(delta)
+
+
+def stream_kmv_weighted_sample(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    store: MergeTable,
+    checkpoint_dir: str,
+    id_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> bool:
+    """One AvailableNow tick maintaining the continuous weighted
+    sample: drain newly landed (id, weight) rows and fold each
+    micro-batch's bottom-(k+1) state into ``store``. At 100 TB this
+    keeps a fixed-size weighted holdout (and its subset-sum estimator)
+    following the stream from O(groups · k) state — the weighted
+    complement of the kmv_sample/kmv_read_sketch composition."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_wkmv_delta(
+            store, batch_df, epoch_id, id_col, weight_col, group_cols, k
+        )
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
+def kmv_weighted_read_sample(
+    store: MergeTable,
+    id_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """The weighted sample + est_weight implied by EVERYTHING the
+    store has absorbed — row-identical to one batch
+    kmv_weighted_sample over the concatenation of every batch (pinned
+    by test): merge the epoch states (loud on a cross-epoch weight
+    mutation), then the shared read face."""
+    from etl_instagram_spark.operators.kmv import (
+        kmv_weighted_sample_from_state,
+        kmv_weighted_state_merge,
+    )
+
+    g = list(group_cols or [])
+    merged = kmv_weighted_state_merge(
+        store.read().select(*g, id_col, weight_col, "h"),
+        id_col,
+        weight_col,
+        g,
+        k,
+    )
+    return kmv_weighted_sample_from_state(merged, id_col, weight_col, g, k)
+
+
+def compact_wkmv_store(
+    store: MergeTable,
+    through_epoch: int,
+    id_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> int:
+    """Collapse every state row with ``epoch_id <= through_epoch``
+    into one merged bottom-(k+1) re-keyed at ``through_epoch`` — the
+    compact_kmv_store twin on the selection algebra: idempotent merge
+    makes every read invariant, and even a re-fired compacted epoch
+    merges harmlessly. Returns rows eliminated."""
+    from etl_instagram_spark.operators.kmv import kmv_weighted_state_merge
+
+    g = list(group_cols or [])
+    stored = store.read()
+    mx = stored.agg(F.max("epoch_id").alias("m")).first()["m"]
+    if mx is None or through_epoch >= mx:
+        raise ValueError(
+            f"through_epoch must be < the newest epoch present ({mx}); "
+            f"got {through_epoch} — the latest epoch may still re-fire"
+        )
+    old = stored.filter(F.col("epoch_id") <= through_epoch)
+    n_old = old.count()
+    if n_old == 0:
+        return 0
+    merged = kmv_weighted_state_merge(
+        old.select(*g, id_col, weight_col, "h"), id_col, weight_col, g, k
+    ).withColumn("epoch_id", F.lit(int(through_epoch)))
+    keep = stored.filter(F.col("epoch_id") > through_epoch)
+    n_merged = merged.count()
+    store.overwrite(keep.unionByName(merged.select(*keep.columns)))
+    return n_old - n_merged
+
+
 def apply_bm25_delta(
     postings_store: MergeTable,
     corpus_store: MergeTable,

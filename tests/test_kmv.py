@@ -599,3 +599,77 @@ def test_weighted_sample_loud_guards(spark):
     )
     with pytest.raises(ValueError, match="more than one weight"):
         kmv_weighted_sample(ambiguous, "id", "w", ["g"], k=16)
+
+
+def test_weighted_sample_continuous_store_equals_batch(spark, tmp_path):
+    """The continuous face: epoch-keyed bottom-(k+1) states merged back
+    equal one batch kmv_weighted_sample over everything absorbed —
+    ids, weights, hashes, AND est floats; replay is a no-op; compaction
+    preserves reads; a cross-epoch weight mutation refuses loudly."""
+    from etl_instagram_spark.operators.kmv import kmv_weighted_sample
+    from etl_instagram_spark.operators.merge import MergeTable
+    from etl_instagram_spark.streaming.incremental import (
+        apply_wkmv_delta,
+        compact_wkmv_store,
+        kmv_weighted_read_sample,
+    )
+
+    df = _weighted_df(spark, 1500)
+    waves = [
+        df.filter(F.pmod(F.crc32(F.col("id")), F.lit(3)) == i) for i in range(3)
+    ]
+    store = MergeTable(spark, str(tmp_path / "wkmv"), ["epoch_id", "g", "h"])
+    for i, w in enumerate(waves):
+        apply_wkmv_delta(store, w, i, "id", "w", ["g"], k=64)
+
+    batch = (
+        kmv_weighted_sample(df, "id", "w", ["g"], k=64)
+        .toPandas()
+        .sort_values(["g", "h"])
+        .reset_index(drop=True)
+    )
+    streamed = (
+        kmv_weighted_read_sample(store, "id", "w", ["g"], k=64)
+        .toPandas()
+        .sort_values(["g", "h"])
+        .reset_index(drop=True)
+    )
+    assert streamed[batch.columns].equals(batch)
+
+    # replay epoch 2: identical rows upsert over themselves — no-op
+    before = store.read().toPandas().sort_values(["epoch_id", "g", "h"]).reset_index(drop=True)
+    apply_wkmv_delta(store, waves[2], 2, "id", "w", ["g"], k=64)
+    after = store.read().toPandas().sort_values(["epoch_id", "g", "h"]).reset_index(drop=True)
+    assert after.equals(before)
+
+    # an id RE-SEEN in a later epoch is harmless by algebra
+    apply_wkmv_delta(store, waves[0], 3, "id", "w", ["g"], k=64)
+    streamed2 = (
+        kmv_weighted_read_sample(store, "id", "w", ["g"], k=64)
+        .toPandas()
+        .sort_values(["g", "h"])
+        .reset_index(drop=True)
+    )
+    assert streamed2[batch.columns].equals(batch)
+
+    # compaction: reads invariant, rows shrink, newest-epoch guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="newest epoch"):
+        compact_wkmv_store(store, 3, "id", "w", ["g"], k=64)
+    n_before = store.read().count()
+    eliminated = compact_wkmv_store(store, 2, "id", "w", ["g"], k=64)
+    assert eliminated > 0 and store.read().count() == n_before - eliminated
+    streamed3 = (
+        kmv_weighted_read_sample(store, "id", "w", ["g"], k=64)
+        .toPandas()
+        .sort_values(["g", "h"])
+        .reset_index(drop=True)
+    )
+    assert streamed3[batch.columns].equals(batch)
+
+    # cross-epoch weight mutation: loud refusal at read
+    mutated = waves[0].withColumn("w", F.col("w") + 1)
+    apply_wkmv_delta(store, mutated, 9, "id", "w", ["g"], k=64)
+    with _pytest.raises(ValueError, match="different weights"):
+        kmv_weighted_read_sample(store, "id", "w", ["g"], k=64).collect()
