@@ -836,9 +836,14 @@ _KMV_OVERLAP_K = 256
 
 def _docs_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, shingle) rows: word 3-grams on the shared token kernel
-    (functions/text.tokens == q_shared.SQL_TOKS)."""
+    (functions/text.tokens == q_shared.SQL_TOKS). The tokens are staged
+    into a COLUMN before the 3-gram transform: inlining the split
+    expression into the HOF lambda makes Catalyst re-evaluate the whole
+    tokenization per ``element_at`` reference — 3 splits per shingle,
+    ~19× slower measured at sf0.1 (values identical either way)."""
     docs = _t(spark, sf_dir, "documents")
-    ts = T.tokens(F.col("text"))
+    staged = docs.select("source", T.tokens(F.col("text")).alias("__ts"))
+    ts = F.col("__ts")
     grams = F.when(
         F.size(ts) >= 3,
         F.transform(
@@ -851,7 +856,7 @@ def _docs_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("source", F.explode(grams).alias("shingle"))
+    return staged.select("source", F.explode(grams).alias("shingle"))
 
 
 @query("docs_kmv_shingle_overlap")
@@ -871,10 +876,15 @@ def docs_kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     face of the dedup surface (SURVEY §2.12)."""
     from etl_instagram_spark.operators.kmv import kmv_overlap, kmv_sketch
 
-    sh = _docs_shingles(spark, sf_dir)
+    # pin the shingle frame: it feeds the sketch AND the exact-contrast
+    # branches (the jaccard_join multi-consumer discipline) — without
+    # this, every downstream action re-runs the tokenize + 3-gram HOF
+    # scan, the dominant cost at sf0.1 (one pass ≈ the whole rest of
+    # the query)
+    sh = _docs_shingles(spark, sf_dir).localCheckpoint(eager=False)
     sk = kmv_sketch(sh, "shingle", ["source"], k=_KMV_OVERLAP_K)
     est = kmv_overlap(sk, "source", k=_KMV_OVERLAP_K)
-    d = sh.distinct()
+    d = sh.distinct().localCheckpoint(eager=False)
     per = d.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
     inter = (
         d.alias("x")
