@@ -495,6 +495,24 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r15 structural delta: gate promoted "
+                        "docs_kmv_shingle_overlap (warm floor ~3.2s at "
+                        "sf0.1 on 16 cpus after the r15 token-staging "
+                        "fix — it measured 10.1s before: the inline "
+                        "tokens() expression inside the 3-gram HOF "
+                        "lambda re-evaluated the split per element_at; "
+                        "staged into a column it is ~19x faster on the "
+                        "shingle scan, oracle hash unchanged) and "
+                        "rotated OUT sql_brand_revenue (~0.77s r14 "
+                        "median), so expect ~+2.5s of structural floor "
+                        "vs BENCH_r14. Also r15: every tick entry now "
+                        "runs one UNTIMED warm rep before its timed "
+                        "reps (the r14 stream_dedup_tick cold-state "
+                        "reading: driver artifact 11.48s flat x3 vs "
+                        "4.97s same-code warm — the first tick of a "
+                        "session pays JVM/stream warm-up that fresh "
+                        "per-rep state does not reset), so tick floors "
+                        "are warm-state by construction from r15 on.",
                         "r14 second structural delta (late-round "
                         "rotation): gate promoted events_hll_distinct "
                         "(same-session warm floor ~0.93s at sf0.1 under "
