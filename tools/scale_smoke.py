@@ -930,6 +930,37 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             "sec": timed(lambda: pixel_features(blobs).count()),
             "params": {"side": side, "base_images": 48, "reps_per_image": 16 * mult},
         }
+    elif op == "bm25_maintain":
+        # the continuous BM25 index face (r15): ONE apply_bm25_delta
+        # tick folding the whole docs table as a new epoch into empty
+        # stores — the per-tick cost of incremental maintenance, whose
+        # claim is O(new docs): one tokenize scan + the postings
+        # counting groupBy + two upserts, so the honest expectation is
+        # time ∝ batch size (the stores start empty both times; the
+        # steady-state store-probe cost is bench.py's tick territory).
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from etl_instagram_spark.operators.merge import MergeTable
+        from etl_instagram_spark.streaming.incremental import apply_bm25_delta
+
+        docs = spark.read.parquet(docs_path).localCheckpoint()
+        work = _tempfile.mkdtemp(prefix="smoke_bm25m_")
+        try:
+            ps = MergeTable(
+                spark,
+                os.path.join(work, "p"),
+                ["epoch_id", "term", "doc_id"],
+            )
+            cs = MergeTable(spark, os.path.join(work, "c"), ["epoch_id"])
+            res = {
+                "sec": timed(
+                    lambda: apply_bm25_delta(ps, cs, docs, 0, "doc_id", "text")
+                ),
+                "params": {"epochs": 1},
+            }
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
     elif op == "wav_features":
         # the REAL audio decode path (r15): stdlib RIFF/PCM parse →
         # numpy sample statistics inside ONE Arrow-batched mapInPandas
@@ -1011,6 +1042,7 @@ OPS = (
     "k_core",
     "bm25_topk",
     "bm25_index_build",
+    "bm25_maintain",
     "graph_chain",
     "pixel_features",
     "wav_features",
