@@ -123,7 +123,49 @@ def sample_frames(
 ) -> DataFrame:
     """One row per sampled frame of each video blob: every ``every_ms``
     of media time, capped at ``max_frames`` (the fan-out bound that keeps
-    output partitions proportional to input partitions)."""
+    output partitions proportional to input partitions).
+
+    ``decoder='mjpeg'`` (r15) is a REAL path: multimodal/avi.py's
+    pure-stdlib RIFF/AVI walk reads the true timing/dims header and
+    emits the ACTUAL stored frame under each sample tick — ``frame`` is
+    that frame's raw baseline-JPEG bytes, which multimodal/jpeg.py
+    decodes wherever a consumer wants pixels (images.pixel_features
+    composes directly for video near-dup). Undecodable/multi-stream
+    containers raise LOUDLY; every other codec keeps the honest
+    ``decoder='av'`` gate below."""
+    if decoder == "mjpeg":
+        from etl_instagram_spark.multimodal.avi import (
+            parse_avi,
+            sample_frame_indices,
+        )
+
+        def run_mjpeg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out: dict[str, list] = {k: [] for k in
+                                        ("id", "frame_idx", "ts_ms", "frame", "meta")}
+                for bid, content in zip(pdf[id_col], pdf[content_col]):
+                    if content is None:
+                        continue
+                    v = parse_avi(bytes(content))
+                    mspf = v["microsec_per_frame"]
+                    meta = {
+                        "duration_ms": v["duration_ms"],
+                        "fps": int(round(1_000_000 / mspf)),
+                        "width": v["width"],
+                        "height": v["height"],
+                    }
+                    for idx, ts in sample_frame_indices(
+                        v["n_frames"], mspf, every_ms, max_frames
+                    ):
+                        out["id"].append(bid)
+                        out["frame_idx"].append(idx)
+                        out["ts_ms"].append(ts)
+                        out["frame"].append(v["frames"][idx])
+                        out["meta"].append(meta)
+                if out["id"]:  # an empty frame mis-infers dtypes for Arrow
+                    yield pd.DataFrame(out)
+
+        return blobs.mapInPandas(run_mjpeg, schema=FRAME_SCHEMA)
     _require_decoder(decoder, "av", "PyAV")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -961,6 +961,64 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             }
         finally:
             _shutil.rmtree(work, ignore_errors=True)
+    elif op == "mjpeg_sample":
+        # the REAL video path (r15): RIFF/AVI container walk + stored-
+        # frame pick inside ONE Arrow-batched mapInPandas — no JPEG
+        # decode in the sampling stage (pixels are downstream,
+        # pixel_features territory), so the honest expectation is
+        # time ∝ n clips. Base = 12 distinct 10-frame 32×32 MJPEG
+        # clips; copies replicate rows so container-walk COST scales.
+        import pandas as pd
+
+        from etl_instagram_spark.multimodal.media import sample_frames
+
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tests",
+            ),
+        )
+        from test_avi import encode_avi
+        from test_jpeg import encode_jpeg
+
+        side = 32
+        base = []
+        for i in range(12):
+            frames = [
+                encode_jpeg(
+                    bytes(
+                        ((x * 3 + y * 5 + 17 * i + 40 * j) % 256)
+                        for y in range(side)
+                        for x in range(side)
+                    ),
+                    side,
+                    side,
+                    1,
+                )
+                for j in range(10)
+            ]
+            base.append((f"clip{i:02d}", encode_avi(frames, side, side, 40_000)))
+        pdf = pd.DataFrame(base, columns=["id", "content"])
+        blobs = (
+            spark.createDataFrame(pdf)
+            .crossJoin(spark.range(16 * mult).withColumnRenamed("id", "rep"))
+            .select(
+                F.concat_ws("_", "id", F.col("rep").cast("string")).alias("id"),
+                "content",
+            )
+            .repartition(32)
+            .localCheckpoint()
+        )
+        res = {
+            "sec": timed(
+                lambda: sample_frames(
+                    blobs, every_ms=100, max_frames=8, decoder="mjpeg"
+                ).count()
+            ),
+            "params": {"side": side, "frames_per_clip": 10,
+                       "base_clips": 12, "reps_per_clip": 16 * mult},
+        }
     elif op == "wav_features":
         # the REAL audio decode path (r15): stdlib RIFF/PCM parse →
         # numpy sample statistics inside ONE Arrow-batched mapInPandas
@@ -1046,6 +1104,7 @@ OPS = (
     "graph_chain",
     "pixel_features",
     "wav_features",
+    "mjpeg_sample",
     "kmv_overlap",
     "kmv_sample",
 )
