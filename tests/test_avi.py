@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import struct
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from etl_instagram_spark.multimodal.avi import parse_avi, sample_frame_indices
@@ -122,3 +124,56 @@ def test_sample_frames_mjpeg_real_pixels(spark):
     d = decode_jpeg(bytes(rows[0]["frame"]))
     assert (d["width"], d["height"]) == (w, h)
     assert set(d["pixels"]) == {128}  # flat field decodes exactly
+
+
+def test_video_near_dup_composition(spark):
+    """The full claimed path: sample_frames(decoder='mjpeg') →
+    pixel_features over the frame bytes → embedding cosine. Two clips
+    that share visual content land near cosine 1 on their sampled
+    frames; a different clip does not."""
+    import math
+
+    from etl_instagram_spark.multimodal.images import pixel_features
+    from etl_instagram_spark.multimodal.media import sample_frames
+
+    w, h, mspf = 32, 32, 40_000
+
+    def grad(i, bias=0):
+        return encode_jpeg(
+            bytes(((x * 3 + y * 5 + 40 * i + bias) % 256)
+                  for y in range(h) for x in range(w)),
+            w, h, 1,
+        )
+
+    clip_a = encode_avi([grad(0), grad(1)], w, h, mspf)
+    # near-dup of clip_a: same content re-encoded with a 1-level bias
+    clip_b = encode_avi([grad(0, 1), grad(1, 1)], w, h, mspf)
+    clip_c = encode_avi(
+        [encode_jpeg(bytes([(x * 91 + y * 53) % 256
+                            for y in range(h) for x in range(w)]), w, h, 1)
+         for _ in range(2)],
+        w, h, mspf,
+    )
+    df = spark.createDataFrame(
+        [("a", bytearray(clip_a)), ("b", bytearray(clip_b)),
+         ("c", bytearray(clip_c))],
+        "id string, content binary",
+    )
+    frames = sample_frames(
+        df, every_ms=40, max_frames=4, decoder="mjpeg"
+    ).select(
+        (F.concat_ws("#", "id", F.col("frame_idx").cast("string"))).alias("id"),
+        F.col("frame").alias("content"),
+    )
+    emb = {r["id"]: r["embedding"] for r in pixel_features(frames).collect()}
+    assert all(v is not None for v in emb.values())
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den
+
+    same = cos(emb["a#0"], emb["b#0"])
+    diff = cos(emb["a#0"], emb["c#0"])
+    assert same > 0.999, same
+    assert diff < same - 0.005, (same, diff)
