@@ -179,3 +179,20 @@ def test_bm25_read_index_empty_and_overflow_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="2\\^53"):
         bm25_read_index(ps, cs)
+
+
+def test_maintained_index_query_pushes_term_filter(spark, tmp_path):
+    """The scale claim carries over to the MAINTAINED index: a query
+    over bm25_read_index's postings (MergeTable-backed parquet) still
+    reaches the scan with the term filter pushed — query cost stays
+    O(postings of the query terms) for the continuously-maintained
+    store exactly as for the batch-written one."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ps, cs = _stores(spark, tmp_path)
+    apply_bm25_delta(ps, cs, docs, 0, "doc_id", "text")
+    got_p, got_c = bm25_read_index(ps, cs)
+    out = bm25_topk_indexed(got_p, got_c, "doc_id", ["spark", "join"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "term IN" in plan, plan[:2000]
+    assert out.count() > 0
