@@ -143,35 +143,6 @@ def _sql_hybrid_rrf() -> str:
     """
 
 
-def _docs_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Never-gated (r14): the MANY-QUERIES inverted-index BM25 face
-    (operators/retrieval.build_bm25_index + bm25_topk_indexed) — the
-    amortized complement of the gate's scan-path docs_bm25_topk. Same
-    terms, same k, and by the fixed-order score fold the EXACT same
-    rows and 6-dp scores, so the oracle IS the scan path's SQL replay:
-    one cross-engine statement certifies both faces agree with each
-    other and with DuckDB. Scale: query cost is O(postings of the
-    query terms) — with term-partitioned storage, partition pruning —
-    never a corpus scan (pushdown pinned by test)."""
-    from etl_instagram_spark.operators.retrieval import (
-        bm25_topk_indexed,
-        build_bm25_index,
-    )
-    from etl_instagram_spark.plans import llm_queries
-
-    docs = _t(spark, sf_dir, "documents")
-    postings, corpus = build_bm25_index(docs, "doc_id", "text")
-    return bm25_topk_indexed(
-        postings, corpus, "doc_id", llm_queries._BM25_TERMS, k=10
-    )
-
-
-def _sql_docs_bm25_indexed() -> str:
-    from etl_instagram_spark.plans import llm_queries
-
-    return llm_queries._sql_bm25_topk()
-
-
 def _docs_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality-score bands (r6 rotation for docs_bpe_tokens;
     quality scoring stays gated via docs_gopher_filter's nine rules)."""
@@ -1007,12 +978,8 @@ def _register() -> None:
         llm_queries.SQL_DOCS_QUALITY_BANDS,
     )
     EXTRAS["docs_hybrid_rrf"] = (_docs_hybrid_rrf, _sql_hybrid_rrf())
-    # never-gated (r14): inverted-index BM25 — pinned to the scan
-    # path's own oracle (identical rows by the fixed-order fold)
-    EXTRAS["docs_bm25_indexed"] = (
-        _docs_bm25_indexed,
-        _sql_docs_bm25_indexed(),
-    )
+    # docs_bm25_indexed PROMOTED to the gate at the second r15 rotation
+    # (plans/q_docs.py) — the seat given by cube_returnflag_status
     # stored as a CALLABLE: the mirror's model literals are FIT from the
     # gate data, and building them at import time would read parquet on
     # every `import etl_instagram_spark` (the plans.oracle lazy pattern)

@@ -477,6 +477,18 @@ def _register() -> None:
     )
 
     EXTRAS["sql_brand_revenue"] = (sql_brand_revenue, _SHARED_SQL_BRAND_REVENUE)
+    # second r15 rotation: CUBE grouping sets (seat given to
+    # docs_bm25_indexed) — grouping-set machinery stays gated via
+    # events_hypertable_rollup
+    from etl_instagram_spark.plans.q_relational import (
+        _SQL_CUBE_RETURNFLAG_STATUS,
+        cube_returnflag_status,
+    )
+
+    EXTRAS["cube_returnflag_status"] = (
+        cube_returnflag_status,
+        _SQL_CUBE_RETURNFLAG_STATUS,
+    )
 
 
 _register()

@@ -10,7 +10,8 @@ regression surface does not.
 
 Current entries:
 - ``pivot_returnflag_status`` (r6 rotation; conditional-agg pivot —
-  CUBE stays gated via cube_returnflag_status)
+  grouping sets stay gated via events_hypertable_rollup since the
+  second r15 rotation moved cube_returnflag_status here too)
 - ``top10_customers_by_revenue`` (r6; join+agg+global top-k — the same
   TakeOrderedAndProject shape stays gated via q3_unshipped_revenue)
 - ``orders_date_functions`` (r6; date-part extraction — date arithmetic
@@ -38,8 +39,7 @@ Current entries:
 - ``part_url_parse`` (r6, for docs_bm25_topk; the parse_url surface
   keeps projection pytest coverage)
 - ``conditional_agg_promo_share`` (r6, for emb_pq_recall;
-  CASE-WHEN-in-aggregate stays gated via docs_gopher_filter /
-  cube_returnflag_status)
+  CASE-WHEN-in-aggregate stays gated via docs_gopher_filter)
 - ``docs_quality_bands`` (r6, for docs_bpe_tokens; quality scoring
   stays gated via docs_gopher_filter's nine-rule profile)
 - ``docs_unigram_ppl`` (never gated — the CCNet perplexity signal,
@@ -76,13 +76,15 @@ the SAME shared ANSI string still runs on both engines here, and its
 broadcast plan pin stays in test_plan_invariants.py) — seat given to
 the KMV set-overlap sketch face (``docs_kmv_shingle_overlap``, the
 last of the five sketch families to graduate; its sibling
-``docs_kmv_sample`` stays an EXTRAS row). Next promotion runway
-(charter note): ``docs_bm25_indexed`` — the inverted-index face whose
-pushed-term-filter plan shape deserves driver certification; seat
-candidate at r16 is another sub-second relational row
-(``cube_returnflag_status`` or ``nation_customers_suppliers_full``,
-whichever the round's gate diversity can spare — CUBE and FULL OUTER
-would keep parity + plan pins here like every prior seat).
+``docs_kmv_sample`` stays an EXTRAS row). Second r15 rotation (the runway executed same-round):
+``cube_returnflag_status`` (CUBE grouping sets — the machinery stays
+gated via events_hypertable_rollup, and the exact query keeps value
+parity here) — seat given to ``docs_bm25_indexed``, the inverted-index
+BM25 face whose pushed-term-filter plan shape now has driver
+certification; its oracle is the scan path's own SQL replay, so one
+cross-engine statement certifies both faces agree. Next runway
+candidate: a streaming/incremental face has never held a gate seat
+directly (epoch-sim parity covers them in tests) — revisit at r16.
 """
 
 from __future__ import annotations

@@ -532,6 +532,36 @@ def _sql_bm25_topk() -> str:
 oracle("docs_bm25_topk", _sql_bm25_topk())
 
 
+@query("docs_bm25_indexed")
+def docs_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANY-QUERIES inverted-index BM25 face (operators/retrieval.
+    build_bm25_index + bm25_topk_indexed; promoted from EXTRAS at the
+    second r15 rotation — the seat given by cube_returnflag_status,
+    whose CUBE/grouping-set machinery stays gated via
+    events_hypertable_rollup and parity-checked in EXTRAS). Same terms,
+    same k as the scan-path docs_bm25_topk, and by the fixed-order
+    score fold the EXACT same rows and 6-dp scores — so the oracle IS
+    the scan path's SQL replay: one cross-engine statement certifies
+    both faces agree with each other and with DuckDB. Scale: query
+    cost is O(postings of the query terms) — with term-partitioned
+    storage, partition pruning — never a corpus scan (pushdown pinned
+    by test for both the batch-written and the continuously-maintained
+    postings)."""
+    from etl_instagram_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    postings, corpus = build_bm25_index(docs, "doc_id", "text")
+    return bm25_topk_indexed(
+        postings, corpus, "doc_id", _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+oracle("docs_bm25_indexed", _sql_bm25_topk)
+
+
 # ---------------------------------------------------------------------------
 # documents: the FULL near-dedup operator, end-to-end against the oracle
 # ---------------------------------------------------------------------------

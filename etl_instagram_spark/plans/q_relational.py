@@ -211,11 +211,13 @@ SQL_SUPPLIER_GEO_BANDS = """
 # per-operator checksums — by orders_set_ops in plans/queries.py)
 
 
-@query("cube_returnflag_status")
 def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all grouping-set combinations
     in one pass (Catalyst Expand — one shuffle regardless of the number
-    of grouping sets)."""
+    of grouping sets). Rotated to EXTRAS at the second r15 rotation
+    (seat given to docs_bm25_indexed); grouping-set machinery stays
+    gated via events_hypertable_rollup, and this exact query keeps
+    value parity every round via tests/test_rotated_parity.py."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -230,17 +232,14 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-oracle(
-    "cube_returnflag_status",
-    """
+_SQL_CUBE_RETURNFLAG_STATUS = """
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_items,
            round(sum(l_quantity), 2) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
-    """,
-)
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -217,7 +217,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (pivot_returnflag_status rotated out of the 50-row gate in r6 — the
-# conditional-agg surface stays gated via cube_returnflag_status, and the
+# conditional-agg surface stays gated via docs_gopher_filter, and the
 # pivot plan itself keeps DuckDB parity in plans/parity_extras.py)
 
 
@@ -477,7 +477,8 @@ def part_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (conditional_agg_promo_share rotated out of the gate in r6 to make room
 # for emb_pq_recall — CASE-WHEN-in-aggregate stays gated via
-# docs_gopher_filter's nine conditional sums and cube_returnflag_status;
+# docs_gopher_filter's nine conditional sums (cube_returnflag_status
+# moved to EXTRAS at the second r15 rotation);
 # parity in plans/parity_extras.py)
 def conditional_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: CASE WHEN inside an aggregate (conditional agg).
