@@ -495,6 +495,15 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r15 SECOND structural delta (late-round "
+                        "rotation, the r14 pattern): gate promoted "
+                        "docs_bm25_indexed (~1.4s warm at sf0.1 — it "
+                        "builds the inverted index then answers the "
+                        "same terms as docs_bm25_topk; hashes "
+                        "identical to the scan face) and rotated OUT "
+                        "cube_returnflag_status (~0.52s r14 median) — "
+                        "expect ~+0.9s of structural floor on top of "
+                        "the first r15 delta below.",
                         "r15 structural delta: gate promoted "
                         "docs_kmv_shingle_overlap (warm floor ~3.2s at "
                         "sf0.1 on 16 cpus after the r15 token-staging "
