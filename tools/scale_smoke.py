@@ -820,6 +820,51 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             "sec": timed(_run_chain),
             "params": {"k": 3, "walk_len": 4, "max_degree": 8},
         }
+    elif op == "walk_embed":
+        # walk co-occurrence → PPMI → random-projection embeddings
+        # (r15, operators/graph_embed.py) over the deterministic walk
+        # corpus. Disjoint id-shifted copies of the co-purchase edge
+        # list replicate per-copy structure, so walks, window pairs,
+        # PPMI cells, and the cells×dim projection rows all grow
+        # ∝ mult — the honest expectation is time ∝ mult (the marginal
+        # joins and the (node, d) hash agg are all key-partitioned,
+        # nothing quadratic).
+        from etl_instagram_spark.operators.graph import (
+            copurchase_edges,
+            random_walks,
+        )
+        from etl_instagram_spark.operators.graph_embed import (
+            ppmi_scores,
+            walk_cooccurrence,
+            walk_embeddings,
+        )
+
+        li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+        base_edges = copurchase_edges(li, min_orders=2)
+        copies = [
+            base_edges.select(
+                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
+                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
+            )
+            for c in range(mult)
+        ]
+        edges = copies[0]
+        for cp in copies[1:]:
+            edges = edges.unionByName(cp)
+        edges = edges.localCheckpoint()
+
+        def _run_embed():
+            walks = random_walks(edges, walk_len=4, seed="sm", max_degree=16)
+            walk_embeddings(
+                ppmi_scores(walk_cooccurrence(walks, window=2)),
+                dim=16,
+                seed="sm",
+            ).count()
+
+        res = {
+            "sec": timed(_run_embed),
+            "params": {"walk_len": 4, "window": 2, "dim": 16},
+        }
     elif op == "kmv_overlap":
         # KMV set-overlap sketches (r14): sketch build = one distinct-
         # shuffle of (source, shingle-hash) + the salted two-stage
@@ -1107,6 +1152,7 @@ OPS = (
     "mjpeg_sample",
     "kmv_overlap",
     "kmv_sample",
+    "walk_embed",
 )
 
 
