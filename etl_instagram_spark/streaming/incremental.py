@@ -1714,6 +1714,108 @@ def compact_bm25_store(
     return n_old - 1
 
 
+def apply_cooc_delta(
+    store: MergeTable,
+    walks_batch: DataFrame,
+    epoch_id: int,
+    window: int = 2,
+) -> None:
+    """Fold one micro-batch of WALK rows (walk_id, step, node) into an
+    epoch-keyed co-occurrence count store: rows keyed (epoch_id, src,
+    ctx) carrying the batch's skip-gram window counts
+    (operators/graph_embed.walk_cooccurrence). Counts merge by SUM —
+    not idempotent, so exactly-once rides the epoch key (the
+    :func:`apply_cm_delta` rollup-delta pattern: a replayed epoch
+    recomputes identical counts and upserts them over themselves).
+
+    CONTRACT (documented, like the bm25 append-once contract): each
+    landed batch must carry COMPLETE walks — window pairs are generated
+    within a batch, so a walk whose rows are split across two landings
+    silently under-counts its cross-boundary pairs. Walk corpora land
+    per graph snapshot/shard, which satisfies this naturally.
+
+    At 100 TB this is what keeps the structural-embedding signal
+    maintainable: the O(new walks) per-tick fold replaces re-pairing
+    the whole walk corpus, and the read face
+    (:func:`cooc_read` → graph_embed.ppmi_scores →
+    graph_embed.walk_embeddings) re-derives PPMI and the projection
+    from the collapsed counts — O(pairs), never O(history)."""
+    from etl_instagram_spark.operators.graph_embed import walk_cooccurrence
+
+    delta = walk_cooccurrence(walks_batch, window).withColumn(
+        "epoch_id", F.lit(int(epoch_id))
+    )
+    store.upsert(delta)
+
+
+def stream_walk_cooccurrence(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    store: MergeTable,
+    checkpoint_dir: str,
+    window: int = 2,
+) -> bool:
+    """One AvailableNow tick maintaining continuous walk co-occurrence
+    counts: drain newly landed walk rows and fold each micro-batch's
+    window pairs into ``store`` (the stream_kmv_sketch scaffold shape;
+    the complete-walks-per-batch contract of
+    :func:`apply_cooc_delta` applies per micro-batch, so size
+    maxFilesPerTrigger-style knobs to keep each walk's file in one
+    batch)."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_cooc_delta(store, batch_df, epoch_id, window)
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
+def cooc_read(store: MergeTable) -> DataFrame:
+    """Collapse the epoch-keyed co-occurrence store to ONE (src, ctx,
+    cnt) frame — sum over epochs per pair. Pure counting algebra: the
+    collapsed frame equals walk_cooccurrence over the union of every
+    landed walk (for any batch split that respects the complete-walks
+    contract), so graph_embed.ppmi_scores → walk_embeddings over this
+    read is row-identical — every float — to the batch chain over the
+    full corpus (pinned by test)."""
+    return (
+        store.read()
+        .groupBy("src", "ctx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def compact_cooc_store(store: MergeTable, through_epoch: int) -> int:
+    """Collapse every co-occurrence row with ``epoch_id <=
+    through_epoch`` into one count set re-keyed at ``through_epoch`` —
+    the :func:`compact_dcm_store` contract verbatim: sum-merge makes
+    every read invariant under it, ``through_epoch`` must sit strictly
+    below the newest epoch present (the latest epoch may still
+    re-fire), one atomic overwrite, re-runnable at a higher watermark.
+    Returns rows eliminated."""
+    stored = store.read()
+    mx = stored.agg(F.max("epoch_id").alias("m")).first()["m"]
+    if mx is None or through_epoch >= mx:
+        raise ValueError(
+            f"through_epoch must be < the newest epoch present ({mx}); "
+            f"got {through_epoch} — the latest epoch may still re-fire"
+        )
+    old = stored.filter(F.col("epoch_id") <= through_epoch)
+    n_old = old.count()
+    if n_old == 0:
+        return 0
+    merged = (
+        old.groupBy("src", "ctx")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("epoch_id", F.lit(int(through_epoch)))
+    )
+    keep = stored.filter(F.col("epoch_id") > through_epoch)
+    n_merged = merged.count()
+    store.overwrite(keep.unionByName(merged.select(*keep.columns)))
+    return n_old - n_merged
+
+
 def stream_resolve_entities(
     spark: SparkSession,
     landing_dir: str,
