@@ -83,8 +83,11 @@ parity here) — seat given to ``docs_bm25_indexed``, the inverted-index
 BM25 face whose pushed-term-filter plan shape now has driver
 certification; its oracle is the scan path's own SQL replay, so one
 cross-engine statement certifies both faces agree. Next runway
-candidate: a streaming/incremental face has never held a gate seat
-directly (epoch-sim parity covers them in tests) — revisit at r16.
+candidates (r16): ``graph_walk_embeddings`` — the walk→PPMI→projection
+chain added late in r15 replays every embedding FLOAT cross-engine (a
+stronger value contract than the walk profile rows currently gated
+nearby), or a streaming/incremental face, which has never held a gate
+seat directly (epoch-sim parity covers them in tests).
 """
 
 from __future__ import annotations
