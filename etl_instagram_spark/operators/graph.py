@@ -1071,3 +1071,124 @@ def k_core_sql(edges_sql: str, k: int, rounds: int = 16) -> str:
         f" FROM e{rounds})"
     )
     return ",\n".join(parts)
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    include_self: bool = True,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.,
+    Phys. Rev. E 2007) — community detection over the undirected graph,
+    the curation use being source/domain clustering BEFORE mixture
+    balancing and per-domain caps (group the structurally-entangled
+    sources, then cap the cluster, not the URL).
+
+    Spark-first and REPLAYABLE-BY-CONSTRUCTION, the random_walks
+    discipline: no RNG and no nondeterministic visit order anywhere —
+    every node starts labeled with its own id; each SYNCHRONOUS round
+    every node adopts the argmax neighbor label with the PINNED
+    tiebreak (max vote count, then min label), which both engines
+    resolve identically on exact integers. ``include_self`` (default)
+    adds one vote for the node's own current label — this damps the
+    classic synchronous two-coloring oscillation on bipartite-ish
+    structure and keeps isolated nodes labeled without a repair join.
+    ``n_rounds`` is part of the operator spec (both engines run the
+    same fixed budget — no convergence assert needed, unlike the
+    k_core peel where Spark iterates to fixpoint).
+
+    Output: (id, label) — the community assignment after ``n_rounds``;
+    labels are node ids, so they are stable, comparable BIGINTs.
+
+    Scale: per round = one key-equi join of the O(nodes) label frame
+    against the pinned symmetric edge list + one (id, label) counting
+    groupBy (map-side combine) + one per-id struct-min argmax (also
+    map-side combinable) — the PageRank shuffle shape; label frames are
+    localCheckpoint-pinned per round to truncate lineage. DuckDB
+    mirror: :func:`label_propagation_sql`."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        msgs = sym.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        if include_self:
+            msgs = msgs.unionByName(labels)
+        labels = (
+            msgs.groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label")
+                    )
+                )["label"].alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation_sql(
+    edges_sql: str,
+    n_rounds: int = 5,
+    include_self: bool = True,
+) -> str:
+    """Standalone SQL mirror of :func:`label_propagation` (DuckDB):
+    the same symmetric edge set, the same per-round tally and (max
+    count, min label) argmax as fixed-round MATERIALIZED CTEs, ending
+    in a ``labels`` CTE with (id, label)."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    parts = [
+        f"eraw AS ({edges_sql})",
+        "esym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        " SELECT src::BIGINT AS src, dst::BIGINT AS dst FROM eraw"
+        " WHERE src <> dst"
+        " UNION ALL"
+        " SELECT dst::BIGINT, src::BIGINT FROM eraw WHERE src <> dst))",
+        "l0 AS MATERIALIZED (SELECT src AS id, src AS label"
+        " FROM (SELECT DISTINCT src FROM esym))",
+    ]
+    for i in range(1, n_rounds + 1):
+        self_union = (
+            f" UNION ALL SELECT id, label FROM l{i - 1}"
+            if include_self
+            else ""
+        )
+        parts.append(
+            f"m{i} AS (SELECT e.dst AS id, l.label"
+            f" FROM esym e JOIN l{i - 1} l ON l.id = e.src{self_union})"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT id, label FROM ("
+            f" SELECT id, label, row_number() OVER ("
+            f"  PARTITION BY id ORDER BY count(*) DESC, label) AS rn"
+            f" FROM m{i} GROUP BY id, label) WHERE rn = 1)"
+        )
+    parts.append(f"labels AS (SELECT id, label FROM l{n_rounds})")
+    return ",\n".join(parts)

@@ -413,6 +413,51 @@ def _sql_graph_walk_embeddings() -> str:
     """
 
 
+def _part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r15): label-propagation communities over the
+    co-purchase projection — the source/domain-clustering shape (group
+    structurally-entangled sources, then apply mixture caps to the
+    CLUSTER). Synchronous fixed-round LPA with the pinned (max votes,
+    min label) argmax and the self-vote damping oscillation; every
+    count is exact int64, so the per-community size/membership-checksum
+    profile replays bit-for-bit in DuckDB."""
+    from etl_instagram_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    labels = label_propagation(copurchase_edges(li, min_orders=2), n_rounds=4)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("id").alias("member_checksum"),
+        )
+        .orderBy(F.desc("n_members"), "label")
+        .limit(50)
+    )
+
+
+def _sql_part_communities() -> str:
+    from etl_instagram_spark.operators.graph import (
+        COPURCHASE_EDGES_SQL,
+        label_propagation_sql,
+    )
+
+    ctes = label_propagation_sql(
+        COPURCHASE_EDGES_SQL.format(min_orders=2), n_rounds=4
+    )
+    return f"""
+    WITH {ctes}
+    SELECT label, count(*)::BIGINT AS n_members,
+           (sum(id))::BIGINT AS member_checksum
+    FROM labels GROUP BY label
+    ORDER BY n_members DESC, label
+    LIMIT 50
+    """
+
+
 def _register() -> None:
     # never-gated (r10): personalized PageRank — seeded teleport variant
     # of the gate's graph_pagerank_suppliers
@@ -458,6 +503,12 @@ def _register() -> None:
     EXTRAS["graph_walk_embeddings"] = (
         _graph_walk_embeddings,
         _sql_graph_walk_embeddings(),
+    )
+    # never-gated (r15): label-propagation communities over the
+    # co-purchase projection
+    EXTRAS["part_communities"] = (
+        _part_communities,
+        _sql_part_communities(),
     )
 
 

@@ -945,3 +945,164 @@ def test_graph_family_composition_copurchase_core_walks(spark, sf_smoke):
         sym, walk_len=4, seed="compose", max_degree=8, weight_col="n_orders"
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, replay))
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+
+
+def _lpa_edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_lpa_hand_case_communities_and_cross_engine(spark):
+    """Two triangles joined by one bridge plus an isolated pair: three
+    communities, and the assignment replays bit-for-bit in DuckDB."""
+    from etl_instagram_spark.operators.graph import (
+        label_propagation,
+        label_propagation_sql,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10), (20, 21)]
+    got = sorted(
+        tuple(r)
+        for r in label_propagation(_lpa_edges_df(spark, edges), n_rounds=5).collect()
+    )
+    es = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in edges)
+        + ") t(src, dst)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            "WITH "
+            + label_propagation_sql(es, n_rounds=5)
+            + " SELECT id, label FROM labels"
+        ).fetchall()
+    )
+    assert got == want
+    lbl = dict(got)
+    assert lbl[1] == lbl[2] == lbl[3]
+    assert lbl[10] == lbl[11] == lbl[12]
+    assert lbl[20] == lbl[21]
+    # the bridge does NOT merge the two triangles (each side's internal
+    # majority out-votes the single bridge neighbor)
+    assert lbl[1] != lbl[10]
+    assert lbl[1] != lbl[20]
+
+
+def test_lpa_self_vote_converges_on_bipartite_cycle(spark):
+    """The classic synchronous-LPA failure: a 4-cycle is bipartite, so
+    neighbors-only updates oscillate 2-colorings forever. The default
+    include_self vote damps it — all four nodes agree within 3 rounds
+    (hand-traced: labels collapse to min id 1)."""
+    from etl_instagram_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(_lpa_edges_df(spark, edges), n_rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    # neighbors-only stays deterministic (and cross-engine identical)
+    # even where it oscillates
+    from etl_instagram_spark.operators.graph import label_propagation_sql
+
+    osc = sorted(
+        tuple(r)
+        for r in label_propagation(
+            _lpa_edges_df(spark, edges), n_rounds=4, include_self=False
+        ).collect()
+    )
+    es = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in edges)
+        + ") t(src, dst)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            "WITH "
+            + label_propagation_sql(es, n_rounds=4, include_self=False)
+            + " SELECT id, label FROM labels"
+        ).fetchall()
+    )
+    assert osc == want
+
+
+def test_lpa_partitioning_invariant_and_deterministic(spark):
+    from etl_instagram_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 7) % 40) for i in range(120) if i != (i * 7) % 40]
+    base = _lpa_edges_df(spark, edges)
+    a = sorted(
+        tuple(r)
+        for r in label_propagation(base.repartition(1), n_rounds=4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in label_propagation(base.repartition(11, "dst"), n_rounds=4).collect()
+    )
+    assert a == b
+    # rerun equality (no hidden state)
+    c = sorted(
+        tuple(r)
+        for r in label_propagation(base, n_rounds=4).collect()
+    )
+    assert a == c
+
+
+def test_lpa_drops_self_loops_and_validates_rounds(spark):
+    from etl_instagram_spark.operators.graph import (
+        label_propagation,
+        label_propagation_sql,
+    )
+
+    # a node with ONLY a self-loop has no undirected neighbors — it is
+    # not part of the graph's node set (same contract both engines)
+    edges = [(5, 5), (1, 2)]
+    got = {
+        r["id"] for r in label_propagation(_lpa_edges_df(spark, edges), 2).collect()
+    }
+    assert got == {1, 2}
+    with pytest.raises(ValueError, match="n_rounds"):
+        label_propagation(_lpa_edges_df(spark, edges), n_rounds=0)
+    with pytest.raises(ValueError, match="n_rounds"):
+        label_propagation_sql("SELECT 1, 2", n_rounds=0)
+
+
+def test_lpa_on_real_copurchase_graph_cross_engine(spark, sf_smoke):
+    """The full assignment over the real sf0.001 co-purchase projection
+    replays in DuckDB — every (id, label) row, not just a summary."""
+    from etl_instagram_spark.operators.graph import (
+        COPURCHASE_EDGES_SQL,
+        copurchase_edges,
+        label_propagation,
+        label_propagation_sql,
+    )
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    got = sorted(
+        tuple(r)
+        for r in label_propagation(
+            copurchase_edges(li, min_orders=2), n_rounds=4
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_smoke}/lineitem.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            "WITH "
+            + label_propagation_sql(
+                COPURCHASE_EDGES_SQL.format(min_orders=2), n_rounds=4
+            )
+            + " SELECT id, label FROM labels"
+        ).fetchall()
+    )
+    assert len(got) > 0
+    assert got == want

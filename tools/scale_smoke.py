@@ -820,6 +820,38 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             "sec": timed(_run_chain),
             "params": {"k": 3, "walk_len": 4, "max_degree": 8},
         }
+    elif op == "label_propagation":
+        # synchronous LPA communities (r15, operators/graph.py): per
+        # round one key-equi join of the label frame against the pinned
+        # symmetric edge list + two map-side-combinable aggs — the
+        # PageRank shuffle shape. Disjoint id-shifted copies replicate
+        # per-copy structure (votes never cross copies), so the honest
+        # expectation is time ∝ mult.
+        from etl_instagram_spark.operators.graph import (
+            copurchase_edges,
+            label_propagation,
+        )
+
+        li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+        base_edges = copurchase_edges(li, min_orders=2)
+        copies = [
+            base_edges.select(
+                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
+                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
+            )
+            for c in range(mult)
+        ]
+        edges = copies[0]
+        for cp in copies[1:]:
+            edges = edges.unionByName(cp)
+        edges = edges.localCheckpoint()
+
+        res = {
+            "sec": timed(
+                lambda: label_propagation(edges, n_rounds=4).count()
+            ),
+            "params": {"n_rounds": 4},
+        }
     elif op == "walk_embed":
         # walk co-occurrence → PPMI → random-projection embeddings
         # (r15, operators/graph_embed.py) over the deterministic walk
@@ -1153,6 +1185,7 @@ OPS = (
     "kmv_overlap",
     "kmv_sample",
     "walk_embed",
+    "label_propagation",
 )
 
 
