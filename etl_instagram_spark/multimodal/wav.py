@@ -1,11 +1,12 @@
 """WAV/PCM decoding in pure stdlib — the audio sibling of the PNG
 (multimodal/png.py) and baseline-JPEG (multimodal/jpeg.py) decoders:
 RIFF container walk → ``fmt `` parse → ``data`` PCM frames, supporting
-integer PCM at 8/16/24/32 bits, mono or multi-channel, including the
-WAVE_FORMAT_EXTENSIBLE wrapper around integer PCM. Everything else
-(IEEE float, ADPCM, mu-law/A-law, and every compressed codec) raises
-``NotImplementedError`` LOUDLY — the honest-gate contract
-multimodal/media.py documents; nothing is silently wrong.
+integer PCM at 8/16/24/32 bits and IEEE float PCM at 32/64 bits (tag
+3, r15), mono or multi-channel, including the WAVE_FORMAT_EXTENSIBLE
+wrapper around either. Everything else (ADPCM, mu-law/A-law, and every
+compressed codec) raises ``NotImplementedError`` LOUDLY — the
+honest-gate contract multimodal/media.py documents; nothing is
+silently wrong.
 
 Scope matches what a training-data pipeline actually needs from the
 one audio container stdlib can fully handle: real sample access for
@@ -69,15 +70,22 @@ def wav_info(data: bytes) -> dict:
                     raise ValueError("wav: truncated extensible fmt chunk")
                 # the real format tag is the GUID's leading 2 bytes
                 (tag,) = struct.unpack("<H", body[24:26])
-            if tag != 1:
+            if tag not in (1, 3):
                 raise NotImplementedError(
                     f"wav: format tag {tag} is not supported; integer PCM "
-                    "(tag 1) only — IEEE float, ADPCM, and mu-law/A-law "
-                    "stay loud gates like the compressed codecs"
+                    "(tag 1) and IEEE float PCM (tag 3) only — ADPCM and "
+                    "mu-law/A-law stay loud gates like the compressed "
+                    "codecs"
                 )
-            if bits not in _PCM_BITS:
+            if tag == 1 and bits not in _PCM_BITS:
                 raise NotImplementedError(
-                    f"wav: {bits}-bit PCM not supported ({_PCM_BITS} only)"
+                    f"wav: {bits}-bit integer PCM not supported "
+                    f"({_PCM_BITS} only)"
+                )
+            if tag == 3 and bits not in (32, 64):
+                raise NotImplementedError(
+                    f"wav: {bits}-bit IEEE float PCM not supported "
+                    "(32 or 64 only)"
                 )
             if channels < 1 or rate < 1:
                 raise ValueError(
@@ -88,7 +96,7 @@ def wav_info(data: bytes) -> dict:
                     f"wav: block_align {block} != channels×width "
                     f"{channels * (bits // 8)}"
                 )
-            fmt = (channels, rate, bits, block)
+            fmt = (channels, rate, bits, block, tag)
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("wav: data chunk before fmt chunk")
@@ -96,13 +104,14 @@ def wav_info(data: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("wav: missing fmt or data chunk (truncated file?)")
-    channels, rate, bits, block = fmt
+    channels, rate, bits, block, tag = fmt
     n_frames = len(pcm) // block
     return {
         "sample_rate": rate,
         "channels": channels,
         "bits": bits,
         "block_align": block,
+        "fmt": "float" if tag == 3 else "int",
         "n_frames": n_frames,
         "duration_ms": -(-n_frames * 1000 // rate),
         "pcm": pcm[: n_frames * block],
@@ -110,14 +119,33 @@ def wav_info(data: bytes) -> dict:
 
 
 def decode_wav(data: bytes) -> dict:
-    """:func:`wav_info` plus ``samples``: the interleaved PCM samples
-    as CENTERED ints (8-bit unsigned rebased by −128; wider widths are
-    already signed little-endian two's-complement), so full scale is
-    ±2^(bits−1) for every width and feature math never branches on the
-    storage convention."""
+    """:func:`wav_info` plus ``samples``: for integer PCM the
+    interleaved samples as CENTERED ints (8-bit unsigned rebased by
+    −128; wider widths are already signed little-endian
+    two's-complement), full scale ±2^(bits−1); for IEEE float PCM
+    (``fmt == 'float'``) the raw float32/float64 samples, full scale
+    ±1.0 by the WAVE float convention. Feature math reads the scale
+    from ``fmt`` (:func:`wav_feature_vector`) and never branches on the
+    storage width. Non-finite float samples (NaN/inf — spec-legal bytes
+    but poison for every downstream statistic) raise loudly instead of
+    propagating silently."""
+    import math
+
     info = wav_info(data)
     pcm, bits = info["pcm"], info["bits"]
-    if bits == 8:
+    if info["fmt"] == "float":
+        code = "<f" if bits == 32 else "<d"
+        width = bits // 8
+        samples = [
+            struct.unpack_from(code, pcm, o)[0]
+            for o in range(0, len(pcm), width)
+        ]
+        if any(not math.isfinite(s) for s in samples):
+            raise ValueError(
+                "wav: non-finite IEEE float sample (NaN/inf) — refusing "
+                "to feed it into feature statistics"
+            )
+    elif bits == 8:
         samples = [b - 128 for b in pcm]
     else:
         width = bits // 8
@@ -133,16 +161,17 @@ def wav_feature_vector(d: dict, n_segments: int = 8) -> list[float] | None:
     """Fixed 16-dim feature vector from a :func:`decode_wav` dict:
     [channels/8, rate/48k, log-length, DC mean, mean |x|, RMS, peak,
     zero-crossing rate, 8 segment RMS values] — sample statistics are
-    over the CHANNEL-MEAN signal normalized by full scale (2^(bits−1)),
-    so the same recording re-encoded at a different bit depth lands
-    near cosine 1 (the near-dup property, quantization noise aside).
-    None for an empty data chunk (callers filter)."""
+    over the CHANNEL-MEAN signal normalized by full scale (2^(bits−1)
+    for integer PCM, 1.0 for IEEE float), so the same recording
+    re-encoded at a different bit depth OR across the int/float
+    boundary lands near cosine 1 (the near-dup property, quantization
+    noise aside). None for an empty data chunk (callers filter)."""
     import numpy as np
 
     n, ch = d["n_frames"], d["channels"]
     if n == 0:
         return None
-    full = float(1 << (d["bits"] - 1))
+    full = 1.0 if d.get("fmt") == "float" else float(1 << (d["bits"] - 1))
     x = np.asarray(d["samples"], dtype=np.float64).reshape(n, ch)
     mono = x.mean(axis=1) / full
     crossings = int(np.sum(np.signbit(mono[1:]) != np.signbit(mono[:-1])))

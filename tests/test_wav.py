@@ -97,11 +97,16 @@ def test_extensible_format_and_chunk_padding():
 
 def test_unsupported_and_malformed_raise_loudly():
     good = _encode(_sine(64, 500))
-    # IEEE float (tag 3)
+    # ADPCM (tag 2) — still a loud gate
     i = good.index(b"fmt ")
-    floaty = good[: i + 8] + struct.pack("<H", 3) + good[i + 10 :]
-    with pytest.raises(NotImplementedError, match="format tag 3"):
-        decode_wav(floaty)
+    adpcm = good[: i + 8] + struct.pack("<H", 2) + good[i + 10 :]
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav(adpcm)
+    # IEEE float (tag 3) is supported ONLY at 32/64 bits: tag 3 over a
+    # 16-bit body trips the float-width gate, not a silent mis-decode
+    floaty16 = good[: i + 8] + struct.pack("<H", 3) + good[i + 10 :]
+    with pytest.raises(NotImplementedError, match="float"):
+        decode_wav(floaty16)
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"\xff\xd8\xff\xe0 not a wav")
     with pytest.raises(ValueError, match="truncated|missing"):
@@ -174,3 +179,89 @@ def test_feature_vector_empty_and_determinism():
     assert wav_feature_vector(d) == wav_feature_vector(d)
     v = wav_feature_vector(d)
     assert v[0] == 1 / 8 and v[1] == 8000 / 48000  # channels, rate slots
+
+
+# ---------------------------------------------------------------------------
+# IEEE float PCM (tag 3, r15)
+# ---------------------------------------------------------------------------
+
+
+def _encode_float(samples, channels=1, rate=8000, width=4, tag_override=None):
+    """Test-local float-WAV writer (stdlib wave cannot write tag 3):
+    plain fmt chunk with tag 3, IEEE float32/float64 LE samples."""
+    code = "<f" if width == 4 else "<d"
+    pcm = b"".join(struct.pack(code, s) for s in samples)
+    tag = 3 if tag_override is None else tag_override
+    fmt = struct.pack(
+        "<HHIIHH",
+        tag,
+        channels,
+        rate,
+        rate * channels * width,
+        channels * width,
+        width * 8,
+    )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_float32_and_float64_roundtrip():
+    src = [math.sin(2 * math.pi * 440 * i / 8000) * 0.75 for i in range(256)]
+    d32 = decode_wav(_encode_float(src, width=4))
+    assert (d32["fmt"], d32["bits"], d32["n_frames"]) == ("float", 32, 256)
+    # float32 quantizes the python doubles; compare against the packed
+    # values themselves (exact roundtrip of what is stored)
+    want32 = [struct.unpack("<f", struct.pack("<f", s))[0] for s in src]
+    assert d32["samples"] == want32
+    d64 = decode_wav(_encode_float(src, width=8))
+    assert (d64["fmt"], d64["bits"]) == ("float", 64)
+    assert d64["samples"] == src  # float64 stores the doubles exactly
+
+
+def test_float_int_cross_format_near_dup():
+    """The near-dup property across the int/float boundary: the same
+    sine at int16 full-scale and float32 [-1, 1] land near cosine 1."""
+    n = 512
+    ints = _sine(n, 330, amp=24000)
+    floats = [s / 32768.0 for s in ints]
+    vi = wav_feature_vector(decode_wav(_encode(ints, sampwidth=2)))
+    vf = wav_feature_vector(decode_wav(_encode_float(floats, width=4)))
+    num = sum(a * b for a, b in zip(vi, vf))
+    den = math.sqrt(sum(a * a for a in vi)) * math.sqrt(
+        sum(b * b for b in vf)
+    )
+    assert num / den > 0.9999
+
+
+def test_float_nonfinite_raises_loudly():
+    src = [0.1, float("nan"), 0.2]
+    with pytest.raises(ValueError, match="non-finite"):
+        decode_wav(_encode_float(src, width=4))
+    with pytest.raises(ValueError, match="non-finite"):
+        decode_wav(_encode_float([float("inf")], width=8))
+
+
+def test_float_extensible_wrapper():
+    """WAVE_FORMAT_EXTENSIBLE wrapping IEEE float decodes identically
+    to the plain tag-3 fmt chunk."""
+    src = [math.sin(i / 7.0) * 0.5 for i in range(64)]
+    pcm = b"".join(struct.pack("<f", s) for s in src)
+    guid = struct.pack("<H", 3) + bytes(14)
+    fmt_ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, 32)
+        + struct.pack("<HHI", 22, 32, 0x4)
+        + guid
+    )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt_ext)) + fmt_ext
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    d = decode_wav(data)
+    assert d["fmt"] == "float"
+    assert d["samples"] == [
+        struct.unpack("<f", struct.pack("<f", s))[0] for s in src
+    ]
