@@ -322,3 +322,105 @@ def test_embeddings_compose_with_cosine_similarity(spark):
     }
     assert sims[(1, 2)] == pytest.approx(1.0, abs=1e-12)
     assert sims[(1, 3)] < 0.9
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): structural identities on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_walk_corpus = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),   # walk_id
+        st.integers(min_value=0, max_value=30),  # node
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _to_walk_rows(raw):
+    """Assign contiguous steps per walk_id in list order — every corpus
+    hypothesis generates is a VALID walk frame by construction."""
+    counters: dict[int, int] = {}
+    rows = []
+    for wid, node in raw:
+        step = counters.get(wid, 0)
+        counters[wid] = step + 1
+        rows.append((wid, step, node))
+    return rows
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=_walk_corpus, window=st.integers(min_value=1, max_value=3))
+def test_cooccurrence_symmetric_and_mass_conserving(spark, raw, window):
+    """Two invariants that hold for EVERY walk corpus: (a) the pair set
+    is positionally symmetric — cnt(a,b) == cnt(b,a) always; (b) total
+    pair mass equals Σ_walks Σ_i |{j : 0 < |i−j| ≤ window}| computed
+    from walk lengths alone."""
+    rows = _to_walk_rows(raw)
+    got = {
+        (r["src"], r["ctx"]): r["cnt"]
+        for r in walk_cooccurrence(
+            _walks_df(spark, rows), window=window
+        ).collect()
+    }
+    for (a, b), c in got.items():
+        assert got.get((b, a)) == c, (a, b)
+    lengths: dict[int, int] = {}
+    for wid, _, _ in rows:
+        lengths[wid] = lengths.get(wid, 0) + 1
+    expect_mass = sum(
+        sum(
+            min(i + window, ln - 1) - max(i - window, 0)
+            for i in range(ln)
+        )
+        for ln in lengths.values()
+    )
+    assert sum(got.values()) == expect_mass
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=_walk_corpus)
+def test_ppmi_marginal_identity(spark, raw):
+    """For every corpus: Σ ppmi-weighted... no — the exact identity is
+    on the inputs: each pair's reconstructed ratio r satisfies
+    cnt·total == r·src_cnt·ctx_cnt up to float rounding; verify by
+    recomputing from the emitted cnt column and the frame's own
+    marginals (catches any marginal-join mis-key)."""
+    import math as m
+
+    rows = _to_walk_rows(raw)
+    cooc = walk_cooccurrence(_walks_df(spark, rows), window=2)
+    pairs = {
+        (r["src"], r["ctx"]): r["cnt"] for r in cooc.collect()
+    }
+    if not pairs:
+        return
+    total = sum(pairs.values())
+    srcm: dict[int, int] = {}
+    ctxm: dict[int, int] = {}
+    for (a, b), c in pairs.items():
+        srcm[a] = srcm.get(a, 0) + c
+        ctxm[b] = ctxm.get(b, 0) + c
+    got = {
+        (r["src"], r["ctx"]): r["ppmi"]
+        for r in ppmi_scores(cooc).collect()
+    }
+    for (a, b), c in pairs.items():
+        expect = max(
+            m.log((float(c) * float(total)) / (float(srcm[a]) * float(ctxm[b]))),
+            0.0,
+        )
+        assert got[(a, b)] == pytest.approx(expect, abs=1e-12), (a, b)
