@@ -568,3 +568,69 @@ def test_kmv_overlap_pair_stage_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_walk_embedding_projection_combines_map_side(spark):
+    """graph_embed.walk_embeddings' (node, d) projection sum — the
+    rows = cells × dim stage — must plan partial aggregation below its
+    exchange, and the only nested-loop join in the whole chain is the
+    documented broadcast 1-row PPMI total."""
+    from etl_instagram_spark.operators.graph_embed import (
+        ppmi_scores,
+        walk_embeddings,
+    )
+
+    cooc = spark.createDataFrame(
+        [(i % 9, (i * 5) % 11 + 100, 1 + i % 3) for i in range(60)],
+        "src long, ctx long, cnt long",
+    )
+    emb = walk_embeddings(ppmi_scores(cooc), dim=8, seed="pp")
+    plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total
+    assert re.search(r"partial_sum", plan), plan
+    assert plan.index("partial_sum") > plan.index("Exchange")
+
+
+def test_lpa_round_aggregations_combine_map_side(spark):
+    """label_propagation's per-round tally (id, label) count and the
+    struct-min argmax must both plan partial aggregation below their
+    exchanges (the final frame sits on a post-checkpoint LogicalRDD, so
+    the round shape is asserted by planning one raw round — the
+    pagerank-iteration pin discipline)."""
+    from pyspark.sql import functions as FF
+
+    from etl_instagram_spark.operators.graph import label_propagation
+
+    edges = [(i, (i + 1) % 40) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = label_propagation(df, n_rounds=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+
+    sym = df.unionByName(
+        df.select(FF.col("dst").alias("src"), FF.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(FF.col("src").alias("id"))
+        .distinct()
+        .select("id", FF.col("id").alias("label"))
+    )
+    msgs = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
+        FF.col("dst").alias("id"), "label"
+    )
+    step = (
+        msgs.groupBy("id", "label")
+        .agg(FF.count(FF.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(
+            FF.min(
+                FF.struct((-FF.col("cnt")).alias("nc"), FF.col("label"))
+            )["label"].alias("label")
+        )
+    )
+    splan = step._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in splan, splan
+    assert "partial_min" in splan, splan
+    # the round's label join is a key-equi join, never nested-loop
+    assert "BroadcastNestedLoopJoin" not in splan, splan
