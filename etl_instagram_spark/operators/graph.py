@@ -1192,3 +1192,245 @@ def label_propagation_sql(
         )
     parts.append(f"labels AS (SELECT id, label FROM l{n_rounds})")
     return ",\n".join(parts)
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    seed: str = "n2v",
+    src: str = "src",
+    dst: str = "dst",
+    return_w: int = 1,
+    common_w: int = 1,
+    far_w: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Deterministic SECOND-ORDER biased walks (node2vec, Grover &
+    Leskovec KDD'16): step i from ``cur`` with previous node ``prev``
+    weights each neighbor x of cur by
+
+        return_w  if x == prev            (node2vec α = 1/p)
+        common_w  if x ∈ out-nbrs(prev)   (α = 1, the triangle step)
+        far_w     otherwise               (α = 1/q)
+
+    expressed as NON-NEGATIVE INTEGERS (express 1/p : 1 : 1/q as an
+    integer ratio — e.g. p=1, q=0.5 → (1, 1, 2); p=4, q=1 →
+    (1, 4, 4)), so the cumulative-weight interval pick stays exact
+    int64 arithmetic and the walk corpus is a pure function of
+    (graph, seed) — replayable under any partitioning or engine (the
+    random_walks discipline; DuckDB mirror :func:`node2vec_walks_sql`).
+    Step 1 has no ``prev`` and picks uniformly (``pick mod outdeg``,
+    the exact first-order formula). A step whose total weight is 0
+    (e.g. return_w = 0 with prev the only neighbor — the
+    non-backtracking configuration) STOPS the walk, like a dangling
+    node. The classic node2vec semantics assume a symmetrized edge
+    list; pass one (union the reverse) when the input is directed.
+
+    Output: (walk_id, step, node) — the random_walks schema, so the
+    co-occurrence → PPMI → embedding chain (operators/graph_embed.py)
+    composes unchanged.
+
+    Scale: adjacency is the same one-groupBy sorted-neighbor table as
+    random_walks (``max_degree`` sorted-prefix cap included); each
+    step joins the O(nodes) frontier against it TWICE (cur's neighbor
+    array + prev's array for the distance-1 membership test) — both
+    key-equi — and the per-row weight/prefix-sum work is in-array
+    O(cap²). The frontier never grows."""
+    if walk_len < 1:
+        raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    if max_degree is not None and max_degree < 1:
+        raise ValueError(f"max_degree must be >= 1, got {max_degree}")
+    ws = (return_w, common_w, far_w)
+    if any((not isinstance(w, int)) or w < 0 for w in ws):
+        raise ValueError(
+            f"node2vec weights must be non-negative ints, got {ws}"
+        )
+    if max(ws) < 1:
+        raise ValueError("node2vec weights must not all be zero")
+    from etl_instagram_spark.functions.text import hash32
+
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    ecap = e
+    if max_degree is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("src").orderBy("dst")
+        ecap = (
+            e.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_degree)
+            .drop("__rn")
+        )
+    adj = (
+        ecap.groupBy(F.col("src").alias("node"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    # loud int64 bound for the per-step weight sum, the random_walks
+    # convention: max capped degree × max weight in exact Python ints
+    deg = adj.agg(F.max(F.size("nbrs")).alias("d")).collect()[0]["d"]
+    if deg is not None and int(deg) * max(ws) > 2**63 - 1:
+        raise ValueError(
+            f"node2vec_walks: per-step weight sum could overflow int64 "
+            f"(max degree {deg} × max weight {max(ws)}) — cap "
+            "max_degree or rescale weights"
+        )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out = nodes.select(
+        F.col("node").alias("walk_id"), F.lit(0).alias("step"), "node"
+    )
+    # step 1: uniform first-order pick (no prev yet)
+    pick1 = hash32(
+        F.concat_ws(
+            "\x1f", F.lit(seed), F.col("walk_id").cast("string"), F.lit("1")
+        )
+    )
+    frontier = (
+        out.join(adj, "node")
+        .select(
+            "walk_id",
+            F.col("node").alias("prev"),
+            F.element_at(
+                "nbrs", (pick1 % F.size("nbrs") + 1).cast("int")
+            ).alias("node"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = out.unionByName(
+        frontier.select("walk_id", F.lit(1).alias("step"), "node")
+    )
+    adj_prev = adj.select(
+        F.col("node").alias("prev"), F.col("nbrs").alias("nbrs_prev")
+    )
+    for i in range(2, walk_len + 1):
+        pick = hash32(
+            F.concat_ws(
+                "\x1f",
+                F.lit(seed),
+                F.col("walk_id").cast("string"),
+                F.lit(str(i)),
+            )
+        )
+        # per-neighbor α weights, dst-sorted like nbrs; inclusive
+        # prefix sums via the bounded O(cap²) in-array aggregate
+        wts = F.expr(
+            f"transform(nbrs, x -> cast(CASE WHEN x = prev THEN"
+            f" {int(return_w)} WHEN array_contains(nbrs_prev, x) THEN"
+            f" {int(common_w)} ELSE {int(far_w)} END AS bigint))"
+        )
+        step_df = (
+            frontier.join(adj, "node")
+            .join(adj_prev, "prev")
+            .withColumn("__wts", wts)
+            .withColumn(
+                "__cumw",
+                F.expr(
+                    "transform(__wts, (x, i) -> aggregate("
+                    " slice(__wts, 1, i + 1), cast(0 as bigint),"
+                    " (acc, y) -> acc + y))"
+                ),
+            )
+            .filter(F.element_at("__cumw", -1) > 0)
+        )
+        r = pick % F.element_at("__cumw", -1)
+        nxt = F.element_at(
+            "nbrs",
+            (F.size(F.filter("__cumw", lambda c: c <= r)) + 1).cast("int"),
+        )
+        frontier = step_df.select(
+            "walk_id", F.col("node").alias("prev"), nxt.alias("node")
+        ).localCheckpoint(eager=True)
+        out = out.unionByName(
+            frontier.select("walk_id", F.lit(i).alias("step"), "node")
+        )
+    return out
+
+
+def node2vec_walks_sql(
+    edges_sql: str,
+    walk_len: int = 4,
+    seed: str = "n2v",
+    return_w: int = 1,
+    common_w: int = 1,
+    far_w: int = 1,
+    max_degree: int | None = None,
+) -> str:
+    """Standalone SQL mirror of :func:`node2vec_walks` (DuckDB) — same
+    md5 step hash, same sorted adjacency and sorted-prefix cap, same
+    integer α weights, cumulative-interval pick, and W = 0 stop; one
+    CTE per step, ending in a ``walks`` CTE."""
+    if walk_len < 1:
+        raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    ws = (return_w, common_w, far_w)
+    if any((not isinstance(w, int)) or w < 0 for w in ws):
+        raise ValueError(
+            f"node2vec weights must be non-negative ints, got {ws}"
+        )
+    if max(ws) < 1:
+        raise ValueError("node2vec weights must not all be zero")
+    from etl_instagram_spark.functions.text import hash32_sql
+
+    if max_degree is not None:
+        cap_cte = (
+            "ecap AS (SELECT src, dst FROM"
+            " (SELECT *, row_number() OVER"
+            "  (PARTITION BY src ORDER BY dst) AS rn FROM e)"
+            f" WHERE rn <= {int(max_degree)})"
+        )
+    else:
+        cap_cte = "ecap AS (SELECT src, dst FROM e)"
+    parts = [
+        f"eraw AS ({edges_sql})",
+        "e AS MATERIALIZED"
+        " (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM eraw)",
+        cap_cte,
+        "adj AS MATERIALIZED (SELECT src AS node,"
+        " list_sort(list(dst)) AS nbrs FROM ecap GROUP BY src)",
+        "w0 AS (SELECT node AS walk_id, 0 AS step, node FROM"
+        " (SELECT src AS node FROM e UNION SELECT dst FROM e))",
+    ]
+    pick1 = hash32_sql(
+        f"'{seed}' || chr(31) || w.walk_id::VARCHAR || chr(31) || '1'"
+    )
+    parts.append(
+        "w1 AS MATERIALIZED (SELECT w.walk_id, 1 AS step,"
+        " w.node AS prev,"
+        f" a.nbrs[(({pick1}) % len(a.nbrs) + 1)::INT] AS node"
+        " FROM w0 w JOIN adj a ON a.node = w.node)"
+    )
+    for i in range(2, walk_len + 1):
+        pick = hash32_sql(
+            f"'{seed}' || chr(31) || walk_id::VARCHAR || chr(31) || '{i}'"
+        )
+        wts = (
+            f"list_transform(a.nbrs, x -> (CASE WHEN x = w.prev THEN"
+            f" {int(return_w)} WHEN list_contains(ap.nbrs, x) THEN"
+            f" {int(common_w)} ELSE {int(far_w)} END)::BIGINT)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT w.walk_id, w.node AS prev, a.nbrs,"
+            f" list_transform(range(1, len({wts}) + 1),"
+            f"  i -> (list_sum(({wts})[1:i]))::BIGINT) AS cumw"
+            f" FROM w{i - 1} w JOIN adj a ON a.node = w.node"
+            f" JOIN adj ap ON ap.node = w.prev)"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT walk_id, {i} AS step, prev,"
+            f" nbrs[(len(list_filter(cumw,"
+            f"  c -> c <= ({pick}) % cumw[-1])) + 1)::INT] AS node"
+            f" FROM s{i} WHERE cumw[-1] > 0)"
+        )
+    union = " UNION ALL ".join(
+        ["SELECT walk_id, step, node FROM w0"]
+        + [f"SELECT walk_id, step, node FROM w{i}" for i in range(1, walk_len + 1)]
+    )
+    return ",\n".join(parts) + f", walks AS ({union})"

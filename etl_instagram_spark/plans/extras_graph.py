@@ -413,6 +413,60 @@ def _sql_graph_walk_embeddings() -> str:
     """
 
 
+def _graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r15): SECOND-ORDER biased walks (node2vec, Grover &
+    Leskovec KDD'16) over the customer↔supplier graph at the homophily
+    configuration (1, 1, 2) with the hub cap engaged — the distance-2
+    membership bias + integer interval pick certify together. Per-step
+    visit/distinct/checksum profile replayed in DuckDB (the
+    graph_random_walks convention)."""
+    from etl_instagram_spark.operators.graph import (
+        bipartite_order_edges,
+        node2vec_walks,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    walks = node2vec_walks(
+        bipartite_order_edges(od, li),
+        walk_len=4,
+        seed="n2v",
+        far_w=2,
+        max_degree=32,
+    )
+    return (
+        walks.groupBy("step")
+        .agg(
+            F.count(F.lit(1)).alias("n_visits"),
+            F.countDistinct("node").alias("n_distinct_nodes"),
+            F.sum("node").alias("node_checksum"),
+        )
+        .orderBy("step")
+    )
+
+
+def _sql_graph_node2vec_walks() -> str:
+    from etl_instagram_spark.operators.graph import (
+        BIPARTITE_ORDER_EDGES_SQL,
+        node2vec_walks_sql,
+    )
+
+    ctes = node2vec_walks_sql(
+        BIPARTITE_ORDER_EDGES_SQL,
+        walk_len=4,
+        seed="n2v",
+        far_w=2,
+        max_degree=32,
+    )
+    return f"""
+    WITH {ctes}
+    SELECT step, count(*) AS n_visits,
+           count(DISTINCT node) AS n_distinct_nodes,
+           (sum(node))::BIGINT AS node_checksum
+    FROM walks GROUP BY step ORDER BY step
+    """
+
+
 def _part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r15): label-propagation communities over the
     co-purchase projection — the source/domain-clustering shape (group
@@ -509,6 +563,12 @@ def _register() -> None:
     EXTRAS["part_communities"] = (
         _part_communities,
         _sql_part_communities(),
+    )
+    # never-gated (r15): node2vec second-order biased walks with the
+    # hub cap engaged
+    EXTRAS["graph_node2vec_walks"] = (
+        _graph_node2vec_walks,
+        _sql_graph_node2vec_walks(),
     )
 
 

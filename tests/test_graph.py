@@ -1106,3 +1106,164 @@ def test_lpa_on_real_copurchase_graph_cross_engine(spark, sf_smoke):
     )
     assert len(got) > 0
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order biased walks
+# ---------------------------------------------------------------------------
+
+N2V_EDGES = [
+    (1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (3, 4), (4, 3),
+    (4, 5), (5, 4), (5, 3), (3, 5), (1, 4), (4, 1), (6, 1), (1, 6),
+]
+
+
+def _n2v_df(spark, edges=None):
+    return spark.createDataFrame(edges or N2V_EDGES, "src long, dst long")
+
+
+@pytest.mark.parametrize(
+    "weights", [(1, 1, 1), (1, 1, 2), (0, 1, 4), (2, 3, 1)]
+)
+def test_node2vec_cross_engine_across_weight_configs(spark, weights):
+    from etl_instagram_spark.operators.graph import (
+        node2vec_walks,
+        node2vec_walks_sql,
+    )
+
+    rw, cw, fw = weights
+    got = sorted(
+        tuple(r)
+        for r in node2vec_walks(
+            _n2v_df(spark), walk_len=5, seed="nv",
+            return_w=rw, common_w=cw, far_w=fw,
+        ).collect()
+    )
+    es = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in N2V_EDGES)
+        + ") t(src, dst)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            "WITH "
+            + node2vec_walks_sql(
+                es, walk_len=5, seed="nv",
+                return_w=rw, common_w=cw, far_w=fw,
+            )
+            + " SELECT walk_id, step, node FROM walks"
+        ).fetchall()
+    )
+    assert len(got) > 0
+    assert got == want
+
+
+def test_node2vec_pure_return_oscillates_exactly(spark):
+    """(return_w, common_w, far_w) = (1, 0, 0): from step 2 on, the
+    ONLY positive-weight neighbor is prev, so every walk oscillates
+    start ↔ first-hop deterministically — even steps revisit the step-0
+    node, odd steps the step-1 node. An exact semantic pin of the
+    second-order bias (no probability tolerance needed)."""
+    from etl_instagram_spark.operators.graph import node2vec_walks
+
+    walks = node2vec_walks(
+        _n2v_df(spark), walk_len=6, seed="osc",
+        return_w=1, common_w=0, far_w=0,
+    )
+    byw = {}
+    for r in walks.collect():
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert len(byw) == 6
+    for wid, steps in byw.items():
+        assert len(steps) == 7  # the oscillation never strands a walk
+        for s, node in steps.items():
+            assert node == steps[0] if s % 2 == 0 else steps[1]
+
+
+def test_node2vec_nonbacktracking_stops_on_path(spark):
+    """return_w = 0 on a two-node path: after the forced first hop the
+    only neighbor is prev with weight 0 → total weight 0 → the walk
+    STOPS (the documented dangling-like stop), both engines."""
+    from etl_instagram_spark.operators.graph import (
+        node2vec_walks,
+        node2vec_walks_sql,
+    )
+
+    e = _n2v_df(spark, [(7, 8), (8, 7)])
+    got = sorted(
+        tuple(r)
+        for r in node2vec_walks(e, walk_len=4, seed="nv", return_w=0).collect()
+    )
+    assert got == [(7, 0, 7), (7, 1, 8), (8, 0, 8), (8, 1, 7)]
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            "WITH "
+            + node2vec_walks_sql(
+                "SELECT * FROM (VALUES (7, 8), (8, 7)) t(src, dst)",
+                walk_len=4,
+                seed="nv",
+                return_w=0,
+            )
+            + " SELECT walk_id, step, node FROM walks"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_node2vec_capped_parity_and_validation(spark):
+    from etl_instagram_spark.operators.graph import (
+        node2vec_walks,
+        node2vec_walks_sql,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in node2vec_walks(
+            _n2v_df(spark), walk_len=4, seed="cap", far_w=3, max_degree=2
+        ).collect()
+    )
+    es = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in N2V_EDGES)
+        + ") t(src, dst)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            "WITH "
+            + node2vec_walks_sql(
+                es, walk_len=4, seed="cap", far_w=3, max_degree=2
+            )
+            + " SELECT walk_id, step, node FROM walks"
+        ).fetchall()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="non-negative"):
+        node2vec_walks(_n2v_df(spark), return_w=-1)
+    with pytest.raises(ValueError, match="all be zero"):
+        node2vec_walks(_n2v_df(spark), return_w=0, common_w=0, far_w=0)
+    with pytest.raises(ValueError, match="walk_len"):
+        node2vec_walks(_n2v_df(spark), walk_len=0)
+    with pytest.raises(ValueError, match="non-negative"):
+        node2vec_walks_sql("SELECT 1, 2", far_w=-2)
+
+
+def test_node2vec_composes_with_embedding_chain(spark):
+    """The (walk_id, step, node) schema is random_walks-compatible, so
+    the co-occurrence → PPMI → projection chain runs unchanged on a
+    biased corpus."""
+    from etl_instagram_spark.operators.graph import node2vec_walks
+    from etl_instagram_spark.operators.graph_embed import (
+        ppmi_scores,
+        walk_cooccurrence,
+        walk_embeddings,
+    )
+
+    walks = node2vec_walks(_n2v_df(spark), walk_len=4, seed="cmp", far_w=2)
+    emb = walk_embeddings(
+        ppmi_scores(walk_cooccurrence(walks, window=2)), dim=8, seed="e"
+    ).collect()
+    assert len(emb) > 0
+    assert all(len(r["emb"]) == 8 for r in emb)

@@ -852,6 +852,39 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             ),
             "params": {"n_rounds": 4},
         }
+    elif op == "node2vec":
+        # second-order biased walks (r15, operators/graph.py): per step
+        # TWO key-equi joins of the O(nodes) frontier (cur + prev
+        # adjacency) with in-array O(cap²) weight/prefix work. Disjoint
+        # id-shifted copies replicate per-copy structure — the honest
+        # expectation is time ∝ mult.
+        from etl_instagram_spark.operators.graph import (
+            copurchase_edges,
+            node2vec_walks,
+        )
+
+        li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+        base_edges = copurchase_edges(li, min_orders=2)
+        copies = [
+            base_edges.select(
+                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
+                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
+            )
+            for c in range(mult)
+        ]
+        edges = copies[0]
+        for cp in copies[1:]:
+            edges = edges.unionByName(cp)
+        edges = edges.localCheckpoint()
+
+        res = {
+            "sec": timed(
+                lambda: node2vec_walks(
+                    edges, walk_len=4, seed="sm", far_w=2, max_degree=16
+                ).count()
+            ),
+            "params": {"walk_len": 4, "far_w": 2, "max_degree": 16},
+        }
     elif op == "walk_embed":
         # walk co-occurrence → PPMI → random-projection embeddings
         # (r15, operators/graph_embed.py) over the deterministic walk
@@ -1186,6 +1219,7 @@ OPS = (
     "kmv_sample",
     "walk_embed",
     "label_propagation",
+    "node2vec",
 )
 
 
