@@ -134,13 +134,14 @@ def decode_wav(data: bytes) -> dict:
     info = wav_info(data)
     pcm, bits = info["pcm"], info["bits"]
     if info["fmt"] == "float":
-        code = "<f" if bits == 32 else "<d"
         width = bits // 8
-        samples = [
-            struct.unpack_from(code, pcm, o)[0]
-            for o in range(0, len(pcm), width)
-        ]
-        if any(not math.isfinite(s) for s in samples):
+        n = len(pcm) // width
+        # one C-level unpack for the whole buffer — this sits in the
+        # wav_features mapInPandas hot loop
+        samples = list(
+            struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", pcm)
+        )
+        if not all(map(math.isfinite, samples)):
             raise ValueError(
                 "wav: non-finite IEEE float sample (NaN/inf) — refusing "
                 "to feed it into feature statistics"

@@ -1272,8 +1272,14 @@ def node2vec_walks(
         .localCheckpoint(eager=True)
     )
     # loud int64 bound for the per-step weight sum, the random_walks
-    # convention: max capped degree × max weight in exact Python ints
-    deg = adj.agg(F.max(F.size("nbrs")).alias("d")).collect()[0]["d"]
+    # convention: max capped degree × max weight in exact Python ints.
+    # With a max_degree cap the bound is static — no data touched; only
+    # the uncapped path pays one bounded aggregation for the real max
+    # degree.
+    if max_degree is not None:
+        deg = max_degree
+    else:
+        deg = adj.agg(F.max(F.size("nbrs")).alias("d")).collect()[0]["d"]
     if deg is not None and int(deg) * max(ws) > 2**63 - 1:
         raise ValueError(
             f"node2vec_walks: per-step weight sum could overflow int64 "

@@ -1178,7 +1178,7 @@ def test_node2vec_pure_return_oscillates_exactly(spark):
     for wid, steps in byw.items():
         assert len(steps) == 7  # the oscillation never strands a walk
         for s, node in steps.items():
-            assert node == steps[0] if s % 2 == 0 else steps[1]
+            assert node == (steps[0] if s % 2 == 0 else steps[1]), (s, node)
 
 
 def test_node2vec_nonbacktracking_stops_on_path(spark):

@@ -394,11 +394,10 @@ def test_cooccurrence_symmetric_and_mass_conserving(spark, raw, window):
 )
 @given(raw=_walk_corpus)
 def test_ppmi_marginal_identity(spark, raw):
-    """For every corpus: Σ ppmi-weighted... no — the exact identity is
-    on the inputs: each pair's reconstructed ratio r satisfies
-    cnt·total == r·src_cnt·ctx_cnt up to float rounding; verify by
-    recomputing from the emitted cnt column and the frame's own
-    marginals (catches any marginal-join mis-key)."""
+    """For every corpus, each emitted ppmi reconstructs from the cnt
+    column and the frame's OWN marginals via the pinned operation chain
+    — catches any marginal-join mis-key (a ppmi computed against the
+    wrong src_cnt/ctx_cnt row would diverge on skewed corpora)."""
     import math as m
 
     rows = _to_walk_rows(raw)

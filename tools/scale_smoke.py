@@ -95,6 +95,26 @@ def timed(fn) -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def _disjoint_edge_copies(base_edges, mult, extra_cols=()):
+    """Disjoint id-shifted copies of an edge list (the
+    replicate-don't-correlate protocol): per-copy structure is exactly
+    the original's and no edge crosses copies, so the honest
+    expectation for a linear operator is time ∝ mult. Shared by the
+    graph-family smokes."""
+    copies = [
+        base_edges.select(
+            (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
+            (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
+            *extra_cols,
+        )
+        for c in range(mult)
+    ]
+    out = copies[0]
+    for cp in copies[1:]:
+        out = out.unionByName(cp)
+    return out.localCheckpoint()
+
+
 def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
     """Measure ONE operator in this process (invoked as a subprocess per
     measurement so each op gets a fresh JVM: no cached-checkpoint debt,
@@ -247,18 +267,7 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
 
         od = spark.read.parquet(f"{BASE_SF}/orders.parquet")
         li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
-        base_edges = bipartite_order_edges(od, li)
-        copies = [
-            base_edges.select(
-                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
-                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
-            )
-            for c in range(mult)
-        ]
-        edges = copies[0]
-        for cp in copies[1:]:
-            edges = edges.unionByName(cp)
-        edges = edges.localCheckpoint()
+        edges = _disjoint_edge_copies(bipartite_order_edges(od, li), mult)
         res = {
             "sec": timed(
                 lambda: pagerank(edges, n_iter=3)
@@ -279,18 +288,7 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
         )
 
         li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
-        base_edges = copurchase_edges(li, min_orders=2)
-        copies = [
-            base_edges.select(
-                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
-                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
-            )
-            for c in range(mult)
-        ]
-        edges = copies[0]
-        for cp in copies[1:]:
-            edges = edges.unionByName(cp)
-        edges = edges.localCheckpoint()
+        edges = _disjoint_edge_copies(copurchase_edges(li, min_orders=2), mult)
         res = {
             "sec": timed(
                 lambda: triangle_counts(edges)
@@ -660,18 +658,7 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
         )
 
         li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
-        base_edges = copurchase_edges(li, min_orders=2)
-        copies = [
-            base_edges.select(
-                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
-                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
-            )
-            for c in range(mult)
-        ]
-        edges = copies[0]
-        for cp in copies[1:]:
-            edges = edges.unionByName(cp)
-        edges = edges.localCheckpoint()
+        edges = _disjoint_edge_copies(copurchase_edges(li, min_orders=2), mult)
         res = {
             "sec": timed(
                 lambda: k_core(edges, k=3)
@@ -775,19 +762,11 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
         )
 
         li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
-        base_edges = copurchase_edges(li, min_orders=2, weights=True)
-        copies = [
-            base_edges.select(
-                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
-                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
-                "n_orders",
-            )
-            for c in range(mult)
-        ]
-        edges = copies[0]
-        for cp in copies[1:]:
-            edges = edges.unionByName(cp)
-        edges = edges.localCheckpoint()
+        edges = _disjoint_edge_copies(
+            copurchase_edges(li, min_orders=2, weights=True),
+            mult,
+            extra_cols=("n_orders",),
+        )
 
         def _run_chain():
             core = k_core(edges, k=3, max_rounds=12).localCheckpoint(
@@ -833,18 +812,7 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
         )
 
         li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
-        base_edges = copurchase_edges(li, min_orders=2)
-        copies = [
-            base_edges.select(
-                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
-                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
-            )
-            for c in range(mult)
-        ]
-        edges = copies[0]
-        for cp in copies[1:]:
-            edges = edges.unionByName(cp)
-        edges = edges.localCheckpoint()
+        edges = _disjoint_edge_copies(copurchase_edges(li, min_orders=2), mult)
 
         res = {
             "sec": timed(
@@ -864,18 +832,7 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
         )
 
         li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
-        base_edges = copurchase_edges(li, min_orders=2)
-        copies = [
-            base_edges.select(
-                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
-                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
-            )
-            for c in range(mult)
-        ]
-        edges = copies[0]
-        for cp in copies[1:]:
-            edges = edges.unionByName(cp)
-        edges = edges.localCheckpoint()
+        edges = _disjoint_edge_copies(copurchase_edges(li, min_orders=2), mult)
 
         res = {
             "sec": timed(
@@ -905,18 +862,7 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
         )
 
         li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
-        base_edges = copurchase_edges(li, min_orders=2)
-        copies = [
-            base_edges.select(
-                (F.col("src") + F.lit(c * 100_000_000)).alias("src"),
-                (F.col("dst") + F.lit(c * 100_000_000)).alias("dst"),
-            )
-            for c in range(mult)
-        ]
-        edges = copies[0]
-        for cp in copies[1:]:
-            edges = edges.unionByName(cp)
-        edges = edges.localCheckpoint()
+        edges = _disjoint_edge_copies(copurchase_edges(li, min_orders=2), mult)
 
         def _run_embed():
             walks = random_walks(edges, walk_len=4, seed="sm", max_degree=16)
