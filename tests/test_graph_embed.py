@@ -423,3 +423,30 @@ def test_ppmi_marginal_identity(spark, raw):
             0.0,
         )
         assert got[(a, b)] == pytest.approx(expect, abs=1e-12), (a, b)
+
+
+def test_embeddings_compose_with_knn_self_join(spark):
+    """The chain's output is directly consumable by the ANN operators:
+    walk embeddings from the real graph feed knn_self_join, and a pair
+    of identically-wired twin nodes find each other at cos_sim ~1 as
+    mutual rank-1 neighbors."""
+    from etl_instagram_spark.operators.similarity import knn_self_join
+
+    # two twins (1,2) + structured others
+    rows = (
+        [(1, c, w) for c, w in [(100, 2.0), (101, 1.5), (102, 0.4)]]
+        + [(2, c, w) for c, w in [(100, 2.0), (101, 1.5), (102, 0.4)]]
+        + [(n, (n * 13) % 7 + 200, 0.3 + (n % 5) * 0.5) for n in range(3, 40)]
+    )
+    emb = walk_embeddings(_ppmi_df(spark, rows), dim=16, seed="knn")
+    knn = knn_self_join(
+        emb.select(F.col("node").alias("vec_id"), F.col("emb").alias("embedding")),
+        k=3,
+        bits=2,
+    )
+    top = {
+        r["vec_id"]: (r["neighbor_id"], r["cos_sim"])
+        for r in knn.filter(F.col("knn_rank") == 1).collect()
+    }
+    assert top[1][0] == 2 and top[2][0] == 1
+    assert top[1][1] == pytest.approx(1.0, abs=1e-9)
