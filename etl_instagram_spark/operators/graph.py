@@ -1204,6 +1204,7 @@ def node2vec_walks(
     common_w: int = 1,
     far_w: int = 1,
     max_degree: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministic SECOND-ORDER biased walks (node2vec, Grover &
     Leskovec KDD'16): step i from ``cur`` with previous node ``prev``
@@ -1212,6 +1213,15 @@ def node2vec_walks(
         return_w  if x == prev            (node2vec α = 1/p)
         common_w  if x ∈ out-nbrs(prev)   (α = 1, the triangle step)
         far_w     otherwise               (α = 1/q)
+
+    ``weight_col`` switches to the WEIGHTED node2vec of the paper:
+    each neighbor's transition weight is α(x) · w(cur→x) with w
+    positive ints (duplicate (src, dst) rows sum, NULL/non-positive
+    rejected — the random_walks weighted contract), still pure int64;
+    step 1 follows raw edge weights (the exact first-order weighted
+    formula), so α = (1, 1, 1) on a weighted graph reduces
+    BIT-IDENTICALLY to ``random_walks(weight_col=...)`` at the same
+    seed (pinned by test).
 
     expressed as NON-NEGATIVE INTEGERS (express 1/p : 1 : 1/q as an
     integer ratio — e.g. p=1, q=0.5 → (1, 1, 2); p=4, q=1 →
@@ -1249,13 +1259,51 @@ def node2vec_walks(
         raise ValueError("node2vec weights must not all be zero")
     from etl_instagram_spark.functions.text import hash32
 
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"),
-            F.col(dst).cast("long").alias("dst"),
+    max_ew = 1  # max edge weight for the int64 bound (1 when unweighted)
+    if weight_col is None:
+        e = (
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        e = (
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(
+                F.sum("w").alias("w"),
+                F.sum(
+                    F.when(F.col("w").isNull(), F.lit(1)).otherwise(F.lit(0))
+                ).alias("__nulls"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        bounds = (
+            e.agg(
+                F.min("w").alias("lo"),
+                F.max("w").alias("hi"),
+                F.sum("__nulls").alias("nulls"),
+            )
+        ).collect()[0]
+        if bounds["nulls"] is not None and bounds["nulls"] > 0:
+            raise ValueError(
+                f"node2vec_walks: {bounds['nulls']} edge row(s) have NULL "
+                f"{weight_col!r} — filter or fill them explicitly"
+            )
+        if bounds["lo"] is not None and bounds["lo"] <= 0:
+            raise ValueError(
+                f"node2vec_walks: weights must be positive ints, got min "
+                f"{bounds['lo']}"
+            )
+        if bounds["hi"] is not None:
+            max_ew = int(bounds["hi"])
+        e = e.drop("__nulls")
     ecap = e
     if max_degree is not None:
         from pyspark.sql import Window
@@ -1266,25 +1314,49 @@ def node2vec_walks(
             .filter(F.col("__rn") <= max_degree)
             .drop("__rn")
         )
-    adj = (
-        ecap.groupBy(F.col("src").alias("node"))
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .localCheckpoint(eager=True)
-    )
+    if weight_col is None:
+        adj = (
+            ecap.groupBy(F.col("src").alias("node"))
+            .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        # dst-ordered parallel arrays + inclusive raw-weight prefix
+        # sums (cumw0 drives the first-order step-1 pick) — the
+        # random_walks weighted adjacency shape
+        adj = (
+            ecap.groupBy(F.col("src").alias("node"))
+            .agg(
+                F.sort_array(F.collect_list(F.struct("dst", "w"))).alias(
+                    "__a"
+                )
+            )
+            .select(
+                "node",
+                F.expr("transform(__a, x -> x.dst)").alias("nbrs"),
+                F.expr("transform(__a, x -> x.w)").alias("ews"),
+                F.expr(
+                    "transform(__a, (x, i) -> aggregate("
+                    " slice(__a, 1, i + 1), cast(0 as bigint),"
+                    " (acc, y) -> acc + y.w))"
+                ).alias("cumw0"),
+            )
+            .localCheckpoint(eager=True)
+        )
     # loud int64 bound for the per-step weight sum, the random_walks
-    # convention: max capped degree × max weight in exact Python ints.
-    # With a max_degree cap the bound is static — no data touched; only
-    # the uncapped path pays one bounded aggregation for the real max
-    # degree.
+    # convention: max capped degree × max edge weight × max α in exact
+    # Python ints. With a max_degree cap the degree bound is static —
+    # no data touched; only the uncapped path pays one bounded
+    # aggregation for the real max degree.
     if max_degree is not None:
         deg = max_degree
     else:
         deg = adj.agg(F.max(F.size("nbrs")).alias("d")).collect()[0]["d"]
-    if deg is not None and int(deg) * max(ws) > 2**63 - 1:
+    if deg is not None and int(deg) * max(ws) * max_ew > 2**63 - 1:
         raise ValueError(
             f"node2vec_walks: per-step weight sum could overflow int64 "
-            f"(max degree {deg} × max weight {max(ws)}) — cap "
-            "max_degree or rescale weights"
+            f"(max degree {deg} × max α {max(ws)} × max edge weight "
+            f"{max_ew}) — cap max_degree or rescale weights"
         )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -1294,20 +1366,29 @@ def node2vec_walks(
     out = nodes.select(
         F.col("node").alias("walk_id"), F.lit(0).alias("step"), "node"
     )
-    # step 1: uniform first-order pick (no prev yet)
+    # step 1: first-order pick (no prev yet) — uniform, or the exact
+    # weighted interval formula when weight_col is set
     pick1 = hash32(
         F.concat_ws(
             "\x1f", F.lit(seed), F.col("walk_id").cast("string"), F.lit("1")
         )
     )
+    if weight_col is None:
+        nxt1 = F.element_at(
+            "nbrs", (pick1 % F.size("nbrs") + 1).cast("int")
+        )
+    else:
+        r1 = pick1 % F.element_at("cumw0", -1)
+        nxt1 = F.element_at(
+            "nbrs",
+            (F.size(F.filter("cumw0", lambda c: c <= r1)) + 1).cast("int"),
+        )
     frontier = (
         out.join(adj, "node")
         .select(
             "walk_id",
             F.col("node").alias("prev"),
-            F.element_at(
-                "nbrs", (pick1 % F.size("nbrs") + 1).cast("int")
-            ).alias("node"),
+            nxt1.alias("node"),
         )
         .localCheckpoint(eager=True)
     )
@@ -1326,13 +1407,23 @@ def node2vec_walks(
                 F.lit(str(i)),
             )
         )
-        # per-neighbor α weights, dst-sorted like nbrs; inclusive
-        # prefix sums via the bounded O(cap²) in-array aggregate
-        wts = F.expr(
-            f"transform(nbrs, x -> cast(CASE WHEN x = prev THEN"
-            f" {int(return_w)} WHEN array_contains(nbrs_prev, x) THEN"
-            f" {int(common_w)} ELSE {int(far_w)} END AS bigint))"
+        # per-neighbor α (× edge weight) transition weights, dst-sorted
+        # like nbrs; inclusive prefix sums via the bounded O(cap²)
+        # in-array aggregate
+        alpha = (
+            f"CASE WHEN x = prev THEN {int(return_w)}"
+            f" WHEN array_contains(nbrs_prev, x) THEN {int(common_w)}"
+            f" ELSE {int(far_w)} END"
         )
+        if weight_col is None:
+            wts = F.expr(
+                f"transform(nbrs, x -> cast({alpha} AS bigint))"
+            )
+        else:
+            wts = F.expr(
+                f"transform(nbrs, (x, i) -> cast({alpha} AS bigint)"
+                f" * element_at(ews, i + 1))"
+            )
         step_df = (
             frontier.join(adj, "node")
             .join(adj_prev, "prev")
@@ -1369,11 +1460,14 @@ def node2vec_walks_sql(
     common_w: int = 1,
     far_w: int = 1,
     max_degree: int | None = None,
+    weighted: bool = False,
 ) -> str:
     """Standalone SQL mirror of :func:`node2vec_walks` (DuckDB) — same
     md5 step hash, same sorted adjacency and sorted-prefix cap, same
     integer α weights, cumulative-interval pick, and W = 0 stop; one
-    CTE per step, ending in a ``walks`` CTE."""
+    CTE per step, ending in a ``walks`` CTE. ``weighted=True`` expects
+    ``edges_sql`` to produce (src, dst, w) and replays the α·w
+    transition weights with the raw-weight interval at step 1."""
     if walk_len < 1:
         raise ValueError(f"walk_len must be >= 1, got {walk_len}")
     ws = (return_w, common_w, far_w)
@@ -1385,43 +1479,83 @@ def node2vec_walks_sql(
         raise ValueError("node2vec weights must not all be zero")
     from etl_instagram_spark.functions.text import hash32_sql
 
+    wsel = ", w" if weighted else ""
     if max_degree is not None:
         cap_cte = (
-            "ecap AS (SELECT src, dst FROM"
+            f"ecap AS (SELECT src, dst{wsel} FROM"
             " (SELECT *, row_number() OVER"
             "  (PARTITION BY src ORDER BY dst) AS rn FROM e)"
             f" WHERE rn <= {int(max_degree)})"
         )
     else:
-        cap_cte = "ecap AS (SELECT src, dst FROM e)"
+        cap_cte = f"ecap AS (SELECT src, dst{wsel} FROM e)"
+    if weighted:
+        e_cte = (
+            "e AS MATERIALIZED (SELECT src::BIGINT AS src,"
+            " dst::BIGINT AS dst, (sum(w))::BIGINT AS w"
+            " FROM eraw GROUP BY 1, 2)"
+        )
+        adj_cte = (
+            "adjraw AS (SELECT src AS node,"
+            " list(dst ORDER BY dst) AS nbrs,"
+            " list(w ORDER BY dst) AS ews FROM ecap GROUP BY src),"
+            " adj AS MATERIALIZED (SELECT node, nbrs, ews,"
+            " list_transform(range(1, len(ews) + 1),"
+            " i -> (list_sum(ews[1:i]))::BIGINT) AS cumw0 FROM adjraw)"
+        )
+    else:
+        e_cte = (
+            "e AS MATERIALIZED"
+            " (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM eraw)"
+        )
+        adj_cte = (
+            "adj AS MATERIALIZED (SELECT src AS node,"
+            " list_sort(list(dst)) AS nbrs FROM ecap GROUP BY src)"
+        )
     parts = [
         f"eraw AS ({edges_sql})",
-        "e AS MATERIALIZED"
-        " (SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM eraw)",
+        e_cte,
         cap_cte,
-        "adj AS MATERIALIZED (SELECT src AS node,"
-        " list_sort(list(dst)) AS nbrs FROM ecap GROUP BY src)",
+        adj_cte,
         "w0 AS (SELECT node AS walk_id, 0 AS step, node FROM"
         " (SELECT src AS node FROM e UNION SELECT dst FROM e))",
     ]
     pick1 = hash32_sql(
         f"'{seed}' || chr(31) || w.walk_id::VARCHAR || chr(31) || '1'"
     )
+    if weighted:
+        nxt1 = (
+            f"a.nbrs[(len(list_filter(a.cumw0,"
+            f" c -> c <= ({pick1}) % a.cumw0[-1])) + 1)::INT]"
+        )
+    else:
+        nxt1 = f"a.nbrs[(({pick1}) % len(a.nbrs) + 1)::INT]"
     parts.append(
         "w1 AS MATERIALIZED (SELECT w.walk_id, 1 AS step,"
         " w.node AS prev,"
-        f" a.nbrs[(({pick1}) % len(a.nbrs) + 1)::INT] AS node"
+        f" {nxt1} AS node"
         " FROM w0 w JOIN adj a ON a.node = w.node)"
     )
     for i in range(2, walk_len + 1):
         pick = hash32_sql(
             f"'{seed}' || chr(31) || walk_id::VARCHAR || chr(31) || '{i}'"
         )
-        wts = (
-            f"list_transform(a.nbrs, x -> (CASE WHEN x = w.prev THEN"
-            f" {int(return_w)} WHEN list_contains(ap.nbrs, x) THEN"
-            f" {int(common_w)} ELSE {int(far_w)} END)::BIGINT)"
-        )
+        if weighted:
+            alpha = (
+                f"(CASE WHEN a.nbrs[j] = w.prev THEN {int(return_w)}"
+                f" WHEN list_contains(ap.nbrs, a.nbrs[j]) THEN"
+                f" {int(common_w)} ELSE {int(far_w)} END)::BIGINT"
+            )
+            wts = (
+                f"list_transform(range(1, len(a.nbrs) + 1),"
+                f" j -> {alpha} * a.ews[j])"
+            )
+        else:
+            wts = (
+                f"list_transform(a.nbrs, x -> (CASE WHEN x = w.prev THEN"
+                f" {int(return_w)} WHEN list_contains(ap.nbrs, x) THEN"
+                f" {int(common_w)} ELSE {int(far_w)} END)::BIGINT)"
+            )
         parts.append(
             f"s{i} AS (SELECT w.walk_id, w.node AS prev, a.nbrs,"
             f" list_transform(range(1, len({wts}) + 1),"

@@ -1267,3 +1267,85 @@ def test_node2vec_composes_with_embedding_chain(spark):
     ).collect()
     assert len(emb) > 0
     assert all(len(r["emb"]) == 8 for r in emb)
+
+
+N2V_WEDGES = [
+    (1, 2, 5), (2, 1, 5), (2, 3, 1), (3, 2, 1), (3, 1, 9), (1, 3, 9),
+    (3, 4, 2), (4, 3, 2), (4, 5, 7), (5, 4, 7), (5, 3, 1), (3, 5, 1),
+    (1, 4, 3), (4, 1, 3),
+]
+
+
+def test_node2vec_weighted_cross_engine(spark):
+    """Weighted node2vec (α · edge weight transition intervals, the
+    paper's full formulation) replays bit-for-bit in DuckDB, hub cap
+    engaged."""
+    from etl_instagram_spark.operators.graph import (
+        node2vec_walks,
+        node2vec_walks_sql,
+    )
+
+    e = spark.createDataFrame(N2V_WEDGES, "src long, dst long, w long")
+    got = sorted(
+        tuple(r)
+        for r in node2vec_walks(
+            e, walk_len=5, seed="wv", far_w=3, weight_col="w", max_degree=8
+        ).collect()
+    )
+    es = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b},{w})" for a, b, w in N2V_WEDGES)
+        + ") t(src, dst, w)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            "WITH "
+            + node2vec_walks_sql(
+                es, walk_len=5, seed="wv", far_w=3, max_degree=8,
+                weighted=True,
+            )
+            + " SELECT walk_id, step, node FROM walks"
+        ).fetchall()
+    )
+    assert len(got) > 0
+    assert got == want
+
+
+def test_node2vec_uniform_alpha_reduces_to_weighted_random_walks(spark):
+    """α = (1, 1, 1) on a weighted graph: every transition weight is
+    exactly the edge weight, the step hash domain is shared, so
+    node2vec_walks reduces BIT-IDENTICALLY to
+    random_walks(weight_col=...) at the same seed — the weighted twin
+    of random_walks' own w=1 ≡ unweighted reduction."""
+    from etl_instagram_spark.operators.graph import (
+        node2vec_walks,
+        random_walks,
+    )
+
+    e = spark.createDataFrame(N2V_WEDGES, "src long, dst long, w long")
+    a = sorted(
+        tuple(r)
+        for r in node2vec_walks(e, walk_len=5, seed="rr", weight_col="w").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in random_walks(e, walk_len=5, seed="rr", weight_col="w").collect()
+    )
+    assert a == b
+    assert len(a) > 0
+
+
+def test_node2vec_weighted_validation(spark):
+    from etl_instagram_spark.operators.graph import node2vec_walks
+
+    bad_null = spark.createDataFrame(
+        [(1, 2, 5), (2, 1, None)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        node2vec_walks(bad_null, weight_col="w")
+    bad_neg = spark.createDataFrame(
+        [(1, 2, 5), (2, 1, -1)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        node2vec_walks(bad_neg, weight_col="w")
