@@ -41,17 +41,29 @@ def parse_avi(data: bytes) -> dict:
         raise ValueError("not an AVI (missing RIFF/AVI header)")
 
     avih: dict | None = None
-    n_streams_seen = 0
     frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal avih, n_streams_seen
+        nonlocal avih
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
             body_start = pos + 8
             if body_start + size > end:
                 raise ValueError(f"avi: truncated {cid!r} chunk")
+            if cid == b"RIFF":
+                # an OpenDML/AVIX continuation segment ('RIFF…AVIX'
+                # after the first RIFF, standard for >~1 GB files):
+                # its frames are NOT in the legacy segment and avih's
+                # dwTotalFrames conventionally counts only the first
+                # segment, so skipping it would return a silently
+                # truncated frame set — the one outcome the honest-gate
+                # contract forbids
+                raise NotImplementedError(
+                    "avi: OpenDML/AVIX multi-segment files not supported "
+                    "(the continuation RIFF segment's frames would be "
+                    "silently dropped) — single-RIFF MJPEG AVIs only"
+                )
             if cid == b"LIST":
                 # list type then sub-chunks
                 walk(body_start + 4, body_start + size)

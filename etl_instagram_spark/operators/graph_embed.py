@@ -141,7 +141,11 @@ def ppmi_scores(cooc: DataFrame) -> DataFrame:
 
     Scale: two marginal groupBys (map-side combine, O(nodes) results)
     joined back by key, one 1-row total broadcast — the pair frame
-    streams through, nothing quadratic."""
+    streams through, nothing quadratic. The input is lazily
+    localCheckpoint-pinned: four consumers read it (total, two
+    marginals, the main select), and without the pin each would re-run
+    the whole upstream walk+pair lineage."""
+    cooc = cooc.localCheckpoint(eager=False)
     total = cooc.agg(F.sum("cnt").alias("total"))
     srcm = cooc.groupBy("src").agg(F.sum("cnt").alias("src_cnt"))
     ctxm = cooc.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
@@ -232,10 +236,17 @@ def walk_embeddings(
         raise ValueError(f"dim must be >= 1, got {dim}")
     if quant < 1:
         raise ValueError(f"quant must be >= 1, got {quant}")
-    posd = ppmi.filter(F.col("ppmi") > 0).select(
-        "src",
-        "ctx",
-        F.round(F.col("ppmi") * F.lit(float(quant)), 0).alias("qd"),
+    # lazily pinned: the overflow-guard collect below materializes it
+    # once and the projection job reuses the cached rows instead of
+    # re-running the PPMI chain
+    posd = (
+        ppmi.filter(F.col("ppmi") > 0)
+        .select(
+            "src",
+            "ctx",
+            F.round(F.col("ppmi") * F.lit(float(quant)), 0).alias("qd"),
+        )
+        .localCheckpoint(eager=False)
     )
     # guard BEFORE the double→long cast (a single q past int64 would
     # saturate the cast silently): the per-node mass bounds every

@@ -489,12 +489,20 @@ def kmv_weighted_state(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # try_cast, not cast: under ANSI (the Spark 4 default) a plain cast
+    # of a non-numeric weight would blow up this validation job with a
+    # raw NumberFormatException instead of the documented loud
+    # ValueError; under non-ANSI it would return NULL and make every
+    # other predicate NULL, slipping the filter entirely — and the NULL
+    # rank would then sort nulls-first straight into the sample
+    wd = F.expr(f"try_cast({weight_col} AS DOUBLE)")
     bad = (
         pairs.filter(
             F.col(weight_col).isNull()
-            | (F.col(weight_col).cast("double") <= 0)
-            | F.isnan(F.col(weight_col).cast("double"))
-            | (F.col(weight_col).cast("double") == float("inf"))
+            | wd.isNull()
+            | (wd <= 0)
+            | F.isnan(wd)
+            | (wd == float("inf"))
         )
         .limit(1)
         .collect()
@@ -654,39 +662,35 @@ def kmv_weighted_sample_sql(
     gsel = "".join(f"{e}, " for e in g)
     part = f"PARTITION BY {', '.join(g)} " if g else ""
     on = " AND ".join(f"t.{e} = x.{e}" for e in g) if g else "TRUE"
+    # ONE shared ranked CTE (hash computed once per row, aliased for the
+    # rank division) serves both the _rn <= k sample branch and the
+    # _rn = k+1 threshold branch — the kmv_weighted_sample_from_state
+    # shape; duplicating the distinct+hash pipeline per branch made the
+    # oracle pay ~4x the md5 work
     return f"""
+    WITH wk_ranked AS MATERIALIZED (
+      SELECT *, row_number() OVER ({part}ORDER BY _rank, h) AS _rn
+      FROM (
+        SELECT {gsel}{id_expr}, {weight_expr}, h,
+               CAST(h + 1 AS DOUBLE)
+                 / CAST({weight_expr} AS DOUBLE) AS _rank
+        FROM (SELECT {gsel}{id_expr}, {weight_expr},
+                     {hll_hash60_sql(id_expr)} AS h
+              FROM (SELECT DISTINCT {gsel}{id_expr}, {weight_expr}
+                    FROM {from_clause}
+                    WHERE {id_expr} IS NOT NULL) p) ph
+      ) r
+    )
     SELECT {gsel}{id_expr}, {weight_expr}, h, est_weight FROM (
       SELECT t.*, CASE WHEN x._inv_tau IS NULL
                        THEN CAST(t.{weight_expr} AS DOUBLE)
                        ELSE greatest(CAST(t.{weight_expr} AS DOUBLE),
                                      x._inv_tau) END AS est_weight
-      FROM (
-        SELECT *, row_number() OVER ({part}ORDER BY _rank, h) AS _rn
-        FROM (
-          SELECT {gsel}{id_expr}, {weight_expr},
-                 {hll_hash60_sql(id_expr)} AS h,
-                 CAST({hll_hash60_sql(id_expr)} + 1 AS DOUBLE)
-                   / CAST({weight_expr} AS DOUBLE) AS _rank
-          FROM (SELECT DISTINCT {gsel}{id_expr}, {weight_expr}
-                FROM {from_clause}
-                WHERE {id_expr} IS NOT NULL) p
-        ) r
-      ) t
+      FROM wk_ranked t
       LEFT JOIN (
         SELECT {gsel}({_2_60!r} * CAST({weight_expr} AS DOUBLE))
                  / CAST(h + 1 AS DOUBLE) AS _inv_tau
-        FROM (
-          SELECT *, row_number() OVER ({part}ORDER BY _rank, h) AS _rn
-          FROM (
-            SELECT {gsel}{weight_expr},
-                   {hll_hash60_sql(id_expr)} AS h,
-                   CAST({hll_hash60_sql(id_expr)} + 1 AS DOUBLE)
-                     / CAST({weight_expr} AS DOUBLE) AS _rank
-            FROM (SELECT DISTINCT {gsel}{id_expr}, {weight_expr}
-                  FROM {from_clause}
-                  WHERE {id_expr} IS NOT NULL) p2
-          ) r2
-        ) t2
+        FROM wk_ranked
         WHERE _rn = {k + 1}
       ) x ON {on}
       WHERE t._rn <= {k}

@@ -93,6 +93,16 @@ def test_loud_gates():
         parse_avi(encode_avi(frames, 0, 8, 40_000))
     with pytest.raises(TypeError):
         parse_avi("not bytes")
+    # OpenDML/AVIX continuation segment: a second RIFF after the legacy
+    # one holds frames the legacy walk would silently drop — the honest
+    # gate refuses instead (avih counts only the first segment, so the
+    # total_frames cross-check would NOT fire)
+    avix_body = b"AVIX" + _list(
+        b"movi", b"".join(_chunk(b"00dc", f) for f in frames)
+    )
+    two_riff = good + b"RIFF" + struct.pack("<I", len(avix_body)) + avix_body
+    with pytest.raises(NotImplementedError, match="OpenDML|AVIX"):
+        parse_avi(two_riff)
 
 
 def test_sample_frames_mjpeg_real_pixels(spark):

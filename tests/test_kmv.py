@@ -673,3 +673,17 @@ def test_weighted_sample_continuous_store_equals_batch(spark, tmp_path):
     apply_wkmv_delta(store, mutated, 9, "id", "w", ["g"], k=64)
     with _pytest.raises(ValueError, match="different weights"):
         kmv_weighted_read_sample(store, "id", "w", ["g"], k=64).collect()
+
+
+def test_weighted_sample_rejects_non_numeric_weights(spark):
+    """A weight whose double-cast is NULL (non-numeric string) must
+    trip the loud validation, not slip the filter and seat a NULL rank
+    nulls-first into the sample."""
+    from etl_instagram_spark.operators.kmv import kmv_weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", "good", "2.0"), ("a", "bad", "abc"), ("a", "x", "1.0")],
+        "g string, id string, w string",
+    )
+    with pytest.raises(ValueError, match="positive"):
+        kmv_weighted_sample(df, "id", "w", ["g"], k=16)
