@@ -521,6 +521,17 @@ COPURCHASE_EDGES_SQL = """
     WHERE n_orders >= {min_orders}
 """
 
+# the weights=True face: (src, dst, w) with w = co-occurrence order count
+COPURCHASE_EDGES_WEIGHTED_SQL = """
+    SELECT pa AS src, pb AS dst, n_orders AS w
+    FROM (SELECT a.pa, b.pb, count(*) AS n_orders
+          FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pa FROM lineitem) a
+          JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pb FROM lineitem) b
+            ON a.ok = b.ok AND a.pa < b.pb
+          GROUP BY a.pa, b.pb)
+    WHERE n_orders >= {min_orders}
+"""
+
 
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle participation over an undirected edge list:
@@ -1079,6 +1090,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     include_self: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan et al.,
     Phys. Rev. E 2007) — community detection over the undirected graph,
@@ -1099,6 +1111,17 @@ def label_propagation(
     same fixed budget — no convergence assert needed, unlike the
     k_core peel where Spark iterates to fixpoint).
 
+    ``weight_col`` switches to WEIGHTED voting: each neighbor's vote
+    counts its edge weight (positive ints; duplicate rows sum, and the
+    symmetrized undirected weight is the SUM of both directions'
+    weights). The argmax becomes (max weight-sum, min label) — still
+    exact int64, still pinned. The self-vote stays weight 1
+    (documented: against heavy edges its damping effect shrinks, by
+    design — the self-vote models inertia, not an edge). w = 1
+    everywhere reduces BIT-IDENTICALLY to the unweighted path (sum of
+    ones IS the count; pinned by test). Per-node incident weight is
+    guarded loudly against int64 overflow.
+
     Output: (id, label) — the community assignment after ``n_rounds``;
     labels are node ids, so they are stable, comparable BIGINTs.
 
@@ -1110,21 +1133,82 @@ def label_propagation(
     mirror: :func:`label_propagation_sql`."""
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"),
-            F.col(dst).cast("long").alias("dst"),
+    if weight_col is None:
+        e = (
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
         )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    sym = (
-        e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        sym = (
+            e.unionByName(
+                e.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .select("src", "dst", F.lit(1).cast("long").alias("w"))
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    else:
+        e = (
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        # undirected weight = sum over duplicates AND both directions
+        sym = (
+            e.unionByName(
+                e.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "w",
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(
+                F.sum("w").alias("w"),
+                F.sum(
+                    F.when(F.col("w").isNull(), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("__nulls"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        bounds = sym.agg(
+            F.min("w").alias("lo"),
+            F.sum("__nulls").alias("nulls"),
+        ).collect()[0]
+        if bounds["nulls"] is not None and bounds["nulls"] > 0:
+            raise ValueError(
+                f"label_propagation: {bounds['nulls']} edge row(s) have "
+                f"NULL {weight_col!r} — filter or fill them explicitly"
+            )
+        if bounds["lo"] is not None and bounds["lo"] <= 0:
+            raise ValueError(
+                f"label_propagation: weights must be positive ints, got "
+                f"min {bounds['lo']}"
+            )
+        # the per-node vote sum is bounded by total incident weight —
+        # checked loudly in exact ints (the random_walks convention)
+        inc = (
+            sym.groupBy("src")
+            .agg(F.sum("w").alias("iw"))
+            .agg(F.max("iw").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if inc is not None and int(inc) > 2**62:
+            raise ValueError(
+                f"label_propagation: per-node incident weight {inc} "
+                "could overflow the int64 vote sum — rescale weights"
+            )
+        sym = sym.drop("__nulls")
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -1134,12 +1218,14 @@ def label_propagation(
     for _ in range(n_rounds):
         msgs = sym.join(
             labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "label")
+        ).select(F.col("dst").alias("id"), "label", "w")
         if include_self:
-            msgs = msgs.unionByName(labels)
+            msgs = msgs.unionByName(
+                labels.select("id", "label", F.lit(1).cast("long").alias("w"))
+            )
         labels = (
             msgs.groupBy("id", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("w").alias("cnt"))
             .groupBy("id")
             .agg(
                 F.min(
@@ -1157,37 +1243,55 @@ def label_propagation_sql(
     edges_sql: str,
     n_rounds: int = 5,
     include_self: bool = True,
+    weighted: bool = False,
 ) -> str:
     """Standalone SQL mirror of :func:`label_propagation` (DuckDB):
     the same symmetric edge set, the same per-round tally and (max
-    count, min label) argmax as fixed-round MATERIALIZED CTEs, ending
-    in a ``labels`` CTE with (id, label)."""
+    vote, min label) argmax as fixed-round MATERIALIZED CTEs, ending
+    in a ``labels`` CTE with (id, label). ``weighted=True`` expects
+    ``edges_sql`` to produce (src, dst, w) and replays weighted votes
+    (undirected weight = sum over duplicates and both directions,
+    self-vote weight 1)."""
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if weighted:
+        esym_cte = (
+            "esym AS MATERIALIZED (SELECT src, dst, (sum(w))::BIGINT AS w"
+            " FROM ("
+            " SELECT src::BIGINT AS src, dst::BIGINT AS dst, w FROM eraw"
+            " WHERE src <> dst"
+            " UNION ALL"
+            " SELECT dst::BIGINT, src::BIGINT, w FROM eraw"
+            " WHERE src <> dst) GROUP BY src, dst)"
+        )
+    else:
+        esym_cte = (
+            "esym AS MATERIALIZED (SELECT src, dst, 1::BIGINT AS w FROM ("
+            " SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst"
+            " FROM (SELECT src, dst FROM eraw WHERE src <> dst"
+            " UNION ALL"
+            " SELECT dst, src FROM eraw WHERE src <> dst)))"
+        )
     parts = [
         f"eraw AS ({edges_sql})",
-        "esym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
-        " SELECT src::BIGINT AS src, dst::BIGINT AS dst FROM eraw"
-        " WHERE src <> dst"
-        " UNION ALL"
-        " SELECT dst::BIGINT, src::BIGINT FROM eraw WHERE src <> dst))",
+        esym_cte,
         "l0 AS MATERIALIZED (SELECT src AS id, src AS label"
         " FROM (SELECT DISTINCT src FROM esym))",
     ]
     for i in range(1, n_rounds + 1):
         self_union = (
-            f" UNION ALL SELECT id, label FROM l{i - 1}"
+            f" UNION ALL SELECT id, label, 1::BIGINT AS w FROM l{i - 1}"
             if include_self
             else ""
         )
         parts.append(
-            f"m{i} AS (SELECT e.dst AS id, l.label"
+            f"m{i} AS (SELECT e.dst AS id, l.label, e.w"
             f" FROM esym e JOIN l{i - 1} l ON l.id = e.src{self_union})"
         )
         parts.append(
             f"l{i} AS MATERIALIZED (SELECT id, label FROM ("
             f" SELECT id, label, row_number() OVER ("
-            f"  PARTITION BY id ORDER BY count(*) DESC, label) AS rn"
+            f"  PARTITION BY id ORDER BY sum(w) DESC, label) AS rn"
             f" FROM m{i} GROUP BY id, label) WHERE rn = 1)"
         )
     parts.append(f"labels AS (SELECT id, label FROM l{n_rounds})")

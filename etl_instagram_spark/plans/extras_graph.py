@@ -413,6 +413,55 @@ def _sql_graph_walk_embeddings() -> str:
     """
 
 
+def _part_communities_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r15): WEIGHTED label propagation — votes carry the
+    co-purchase intensity (n_orders), so communities form around
+    strongly-co-bought part clusters rather than mere adjacency. Same
+    pinned (max vote, min label) argmax on exact int64 sums; same
+    per-community size/checksum profile replayed in DuckDB."""
+    from etl_instagram_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    labels = label_propagation(
+        copurchase_edges(li, min_orders=2, weights=True),
+        n_rounds=4,
+        weight_col="n_orders",
+    )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("id").alias("member_checksum"),
+        )
+        .orderBy(F.desc("n_members"), "label")
+        .limit(50)
+    )
+
+
+def _sql_part_communities_weighted() -> str:
+    from etl_instagram_spark.operators.graph import (
+        COPURCHASE_EDGES_WEIGHTED_SQL,
+        label_propagation_sql,
+    )
+
+    ctes = label_propagation_sql(
+        COPURCHASE_EDGES_WEIGHTED_SQL.format(min_orders=2),
+        n_rounds=4,
+        weighted=True,
+    )
+    return f"""
+    WITH {ctes}
+    SELECT label, count(*)::BIGINT AS n_members,
+           (sum(id))::BIGINT AS member_checksum
+    FROM labels GROUP BY label
+    ORDER BY n_members DESC, label
+    LIMIT 50
+    """
+
+
 def _graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r15): SECOND-ORDER biased walks (node2vec, Grover &
     Leskovec KDD'16) over the customer↔supplier graph at the homophily
@@ -569,6 +618,12 @@ def _register() -> None:
     EXTRAS["graph_node2vec_walks"] = (
         _graph_node2vec_walks,
         _sql_graph_node2vec_walks(),
+    )
+    # never-gated (r15): weighted label propagation — co-purchase
+    # intensity votes
+    EXTRAS["part_communities_weighted"] = (
+        _part_communities_weighted,
+        _sql_part_communities_weighted(),
     )
 
 

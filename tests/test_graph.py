@@ -1349,3 +1349,82 @@ def test_node2vec_weighted_validation(spark):
     )
     with pytest.raises(ValueError, match="positive"):
         node2vec_walks(bad_neg, weight_col="w")
+
+
+def test_lpa_weighted_votes_and_cross_engine(spark):
+    """Weighted voting bites at round 1: a star where the heavy edge
+    (w=10) outvotes the light edges AND the self-vote, while the
+    unweighted tally would tie everything and fall to the min-label
+    tiebreak — plus full DuckDB parity of the weighted rounds."""
+    from etl_instagram_spark.operators.graph import (
+        label_propagation,
+        label_propagation_sql,
+    )
+
+    star = [(0, 1, 10), (0, 2, 1), (0, 3, 1)]
+    e = spark.createDataFrame(star, "src long, dst long, w long")
+    got1 = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, n_rounds=1, weight_col="w").collect()
+    }
+    assert got1[0] == 1  # the heavy neighbor wins
+    e0 = spark.createDataFrame([(a, b) for a, b, _ in star], "src long, dst long")
+    un1 = {
+        r["id"]: r["label"]
+        for r in label_propagation(e0, n_rounds=1).collect()
+    }
+    assert un1[0] == 0  # all-tie falls to min label (the self label)
+
+    wedges = [(1, 9, 10), (1, 2, 1), (1, 3, 1), (2, 3, 1), (9, 8, 10), (8, 9, 2)]
+    ew = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = sorted(
+        tuple(r)
+        for r in label_propagation(ew, n_rounds=4, weight_col="w").collect()
+    )
+    es = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b},{w})" for a, b, w in wedges)
+        + ") t(src, dst, w)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            "WITH "
+            + label_propagation_sql(es, n_rounds=4, weighted=True)
+            + " SELECT id, label FROM labels"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_lpa_unit_weights_reduce_to_unweighted(spark):
+    """w = 1 everywhere: the weighted vote sum IS the count, so the
+    assignment is bit-identical to the unweighted path."""
+    from etl_instagram_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10), (20, 21)]
+    ew = spark.createDataFrame(
+        [(a, b, 1) for a, b in edges], "src long, dst long, w long"
+    )
+    e0 = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(
+        tuple(r)
+        for r in label_propagation(ew, n_rounds=5, weight_col="w").collect()
+    )
+    b = sorted(tuple(r) for r in label_propagation(e0, n_rounds=5).collect())
+    assert a == b
+
+
+def test_lpa_weighted_validation(spark):
+    from etl_instagram_spark.operators.graph import label_propagation
+
+    bad_null = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, None)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        label_propagation(bad_null, weight_col="w")
+    bad_neg = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 0)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        label_propagation(bad_neg, weight_col="w")
