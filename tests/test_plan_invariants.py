@@ -617,11 +617,11 @@ def test_lpa_round_aggregations_combine_map_side(spark):
         .select("id", FF.col("id").alias("label"))
     )
     msgs = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
-        FF.col("dst").alias("id"), "label"
+        FF.col("dst").alias("id"), "label", FF.lit(1).cast("long").alias("w")
     )
     step = (
         msgs.groupBy("id", "label")
-        .agg(FF.count(FF.lit(1)).alias("cnt"))
+        .agg(FF.sum("w").alias("cnt"))
         .groupBy("id")
         .agg(
             FF.min(
@@ -630,7 +630,7 @@ def test_lpa_round_aggregations_combine_map_side(spark):
         )
     )
     splan = step._jdf.queryExecution().executedPlan().toString()
-    assert "partial_count" in splan, splan
+    assert "partial_sum" in splan, splan
     assert "partial_min" in splan, splan
     # the round's label join is a key-equi join, never nested-loop
     assert "BroadcastNestedLoopJoin" not in splan, splan
