@@ -684,12 +684,18 @@ def random_walks(
     from etl_instagram_spark.functions.text import hash32
 
     if weight_col is None:
+        # pinned like the weighted branch below: adj, the step-1
+        # frontier checkpoint, and the walk-start node set all read the
+        # distinct edge list, and without the pin each re-runs the
+        # caller's full upstream edge lineage (for bipartite_order_edges
+        # that is the orders⋈lineitem join, three times over)
         e = (
             edges.select(
                 F.col(src).cast("long").alias("src"),
                 F.col(dst).cast("long").alias("dst"),
             )
             .distinct()
+            .localCheckpoint(eager=True)
         )
     else:
         e = (
@@ -1365,12 +1371,16 @@ def node2vec_walks(
 
     max_ew = 1  # max edge weight for the int64 bound (1 when unweighted)
     if weight_col is None:
+        # pinned for the same reason as random_walks: adj, the step-1
+        # checkpoint, and the node set would each re-run the caller's
+        # edge lineage otherwise
         e = (
             edges.select(
                 F.col(src).cast("long").alias("src"),
                 F.col(dst).cast("long").alias("dst"),
             )
             .distinct()
+            .localCheckpoint(eager=True)
         )
     else:
         e = (

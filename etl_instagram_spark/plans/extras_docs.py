@@ -1073,3 +1073,25 @@ EXTRAS["docs_weighted_sample"] = (
     _docs_weighted_sample,
     _sql_docs_weighted_sample,
 )
+
+
+def _docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 rotation: the per-source frequency-cap audit
+    (plans/q_docs_pipeline.docs_domain_cap) — seat given to
+    graph_walk_embeddings. The hashed-rank cap machinery stays gated
+    via docs_hash_split_sample (same bucket_sql hash kernel) and
+    docs_corpus_mixture; the exact query keeps driver-grade value+type
+    parity here."""
+    from etl_instagram_spark.plans.q_docs_pipeline import docs_domain_cap
+
+    return docs_domain_cap(spark, sf_dir)
+
+
+def _sql_docs_domain_cap() -> str:
+    from etl_instagram_spark.plans.q_docs_pipeline import _sql_domain_cap
+
+    return _sql_domain_cap()
+
+
+# r16 rotation: per-source frequency cap (C4/RefinedWeb domain capping)
+EXTRAS["docs_domain_cap"] = (_docs_domain_cap, _sql_docs_domain_cap)

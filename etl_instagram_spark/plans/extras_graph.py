@@ -357,60 +357,12 @@ def _sql_part_triangle_stats() -> str:
     """
 
 
-def _graph_walk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Never-gated (r15): the full graph-representation chain —
-    deterministic walks over the customer↔supplier graph → skip-gram
-    co-occurrence (window 2) → PPMI → ±1 random-projection embeddings
-    (dim 8, L2-normalized). Every count is int64, the one ln boundary
-    is quantized at 10^-6 (the BM25 discipline), and everything after
-    is exact — so the 50 highest-magnitude nodes' embedding VECTORS
-    (every float) replay bit-for-bit in DuckDB."""
-    from etl_instagram_spark.operators.graph import (
-        bipartite_order_edges,
-        random_walks,
-    )
-    from etl_instagram_spark.operators.graph_embed import (
-        ppmi_scores,
-        walk_cooccurrence,
-        walk_embeddings,
-    )
-
-    od = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    walks = random_walks(bipartite_order_edges(od, li), walk_len=4, seed="gw")
-    emb = walk_embeddings(
-        ppmi_scores(walk_cooccurrence(walks, window=2)), dim=8, seed="emb"
-    )
-    return emb.orderBy(F.desc("norm"), "node").limit(50).select(
-        "node", "norm", "emb"
-    )
-
-
-def _sql_graph_walk_embeddings() -> str:
-    from etl_instagram_spark.operators.graph import (
-        BIPARTITE_ORDER_EDGES_SQL,
-        random_walks_sql,
-    )
-    from etl_instagram_spark.operators.graph_embed import (
-        ppmi_sql,
-        walk_cooccurrence_sql,
-        walk_embeddings_sql,
-    )
-
-    ctes = ", ".join(
-        [
-            random_walks_sql(BIPARTITE_ORDER_EDGES_SQL, walk_len=4, seed="gw"),
-            walk_cooccurrence_sql(window=2),
-            ppmi_sql(),
-            walk_embeddings_sql(dim=8, seed="emb"),
-        ]
-    )
-    return f"""
-    WITH {ctes}
-    SELECT node, norm, emb FROM embs
-    ORDER BY norm DESC, node
-    LIMIT 50
-    """
+# (graph_walk_embeddings PROMOTED to the gate at the r16 rotation —
+# plans/q_graph.py now certifies the walks→cooc→PPMI→projection chain
+# through the driver on the 1997Q1 subgraph, every embedding float
+# replayed; seat given by docs_domain_cap, kept in plans/extras_docs.py
+# with full parity. The full-graph chain stays bit-checked against
+# DuckDB in tests/test_graph_embed.py.)
 
 
 def _part_communities_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,12 +552,6 @@ def _register() -> None:
     EXTRAS["part_triangle_stats"] = (
         _part_triangle_stats,
         _sql_part_triangle_stats(),
-    )
-    # never-gated (r15): walk co-occurrence → PPMI → random-projection
-    # node embeddings, vectors bit-replayed
-    EXTRAS["graph_walk_embeddings"] = (
-        _graph_walk_embeddings,
-        _sql_graph_walk_embeddings(),
     )
     # never-gated (r15): label-propagation communities over the
     # co-purchase projection

@@ -82,12 +82,30 @@ gated via events_hypertable_rollup, and the exact query keeps value
 parity here) — seat given to ``docs_bm25_indexed``, the inverted-index
 BM25 face whose pushed-term-filter plan shape now has driver
 certification; its oracle is the scan path's own SQL replay, so one
-cross-engine statement certifies both faces agree. Next runway
-candidates (r16): ``graph_walk_embeddings`` — the walk→PPMI→projection
-chain added late in r15 replays every embedding FLOAT cross-engine (a
-stronger value contract than the walk profile rows currently gated
-nearby), or a streaming/incremental face, which has never held a gate
-seat directly (epoch-sim parity covers them in tests).
+cross-engine statement certifies both faces agree.
+
+r16 rotation: ``docs_domain_cap`` (per-source frequency cap — the
+hashed-rank cap machinery stays gated via docs_hash_split_sample's
+shared bucket_sql kernel and docs_corpus_mixture, and the exact query
+keeps value parity in plans/extras_docs.py) — seat given to
+``graph_walk_embeddings`` (plans/q_graph.py): the graph family's
+composed product — walks → skip-gram co-occurrence → PPMI → ±1
+random-projection embeddings over the 1997Q1 customer↔supplier
+subgraph, every emitted embedding FLOAT replayed in one DuckDB
+statement. The subgraph bound is the part_entity_resolution precedent
+(bound the work, keep every operator live); pre-measured at sf0.1
+(~3.8 s warm after pinning random_walks' distinct edge list, which cut
+the chain ~35% for every walk consumer). Next runway candidate (r17):
+``docs_weighted_sample`` — Duffield-Lund-Thorup priority sampling with
+a live threshold branch in all five langs, ids/hashes/est floats
+bit-for-bit (plans/extras_docs.py); its estimator semantics are the
+strongest not-yet-certified value contract in the sampling family.
+Seat template: a sub-second relational row whose machinery stays gated
+elsewhere (orders_set_ops' four legs make orders_shipments_in_window's
+interval-join the likely candidate only if a dedicated range-join row
+replaces it — otherwise pick from the window family, where
+customer_rolling_30d_revenue's range frame duplicates
+events_hypertable_rollup's time-bucket machinery least).
 """
 
 from __future__ import annotations

@@ -246,7 +246,12 @@ oracle(
 # ---------------------------------------------------------------------------
 
 
-@query("docs_domain_cap")
+# (docs_domain_cap rotated out of the gate at the r16 rotation — seat
+# given to graph_walk_embeddings in plans/q_graph.py. The hashed-rank
+# cap machinery stays gated via docs_hash_split_sample (same bucket_sql
+# hash kernel) and docs_corpus_mixture (the cap/mixture family); the
+# exact query keeps driver-grade value+type parity in
+# plans/extras_docs.py.)
 def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/sampling.cap_per_group: keep at most 15 docs per source
     (uniform deterministic preference — hashed-id rank), then audit the
@@ -281,7 +286,8 @@ def _sql_domain_cap() -> str:
     """
 
 
-oracle("docs_domain_cap", _sql_domain_cap())
+# (oracle registration moved to plans/extras_docs.py with the r16
+# rotation — _sql_domain_cap stays here beside the query it mirrors)
 
 
 # ---------------------------------------------------------------------------

@@ -122,3 +122,98 @@ def _sql_part_entity_resolution() -> str:
 
 
 oracle("part_entity_resolution", _sql_part_entity_resolution())
+
+
+# ---------------------------------------------------------------------------
+# graph representation learning (operators/graph_embed.py) — promoted to
+# the gate in r16 (docs_domain_cap rotated to plans/extras_docs.py)
+# ---------------------------------------------------------------------------
+
+
+# one quarter of order activity: the gate certifies the operator chain,
+# not the full-graph corpus (the part_entity_resolution composite-block
+# precedent — bound the work, keep every operator live); the full
+# customer↔supplier graph stays chain-tested in tests/test_graph_embed.py
+_WALK_EDGES_97Q1 = (
+    "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"
+    " AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'"
+)
+
+_WALK_EDGES_97Q1_SQL = f"""
+    SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE {_WALK_EDGES_97Q1}
+    UNION
+    SELECT 2 * l_suppkey + 1 AS src, 2 * o_custkey AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE {_WALK_EDGES_97Q1}
+"""
+
+
+@query("graph_walk_embeddings")
+def graph_walk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full graph-representation chain, driver-certified (promoted
+    from EXTRAS at the r16 rotation): deterministic walks over the
+    1997Q1 customer↔supplier interaction graph → skip-gram
+    co-occurrence (window 2) → PPMI → ±1 random-projection embeddings
+    (dim 8, L2-normalized) — walks + co-occurrence + PPMI + projection
+    certified in ONE cross-engine statement. Every count is int64, the
+    one ln boundary is quantized at 10^-6 (the BM25 discipline), and
+    everything after is exact, so the 50 highest-magnitude nodes'
+    embedding VECTORS (every float) replay bit-for-bit in DuckDB.
+
+    Scale: the date filter pushes into the orders scan; the walk
+    frontier is O(nodes) per step against a pinned adjacency table; the
+    co-occurrence pairs generate in-array (one groupBy(walk_id), never
+    a self-join); PPMI is two marginal aggs + one 1-row broadcast; the
+    projection is one (node, d) hash agg. See operators/graph_embed.py
+    for the 100 TB notes."""
+    from etl_instagram_spark.operators.graph import (
+        bipartite_order_edges,
+        random_walks,
+    )
+    from etl_instagram_spark.operators.graph_embed import (
+        ppmi_scores,
+        walk_cooccurrence,
+        walk_embeddings,
+    )
+
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    walks = random_walks(bipartite_order_edges(od, li), walk_len=4, seed="gw")
+    emb = walk_embeddings(
+        ppmi_scores(walk_cooccurrence(walks, window=2)), dim=8, seed="emb"
+    )
+    return emb.orderBy(F.desc("norm"), "node").limit(50).select(
+        "node", "norm", "emb"
+    )
+
+
+def _sql_graph_walk_embeddings() -> str:
+    from etl_instagram_spark.operators.graph import random_walks_sql
+    from etl_instagram_spark.operators.graph_embed import (
+        ppmi_sql,
+        walk_cooccurrence_sql,
+        walk_embeddings_sql,
+    )
+
+    ctes = ", ".join(
+        [
+            random_walks_sql(_WALK_EDGES_97Q1_SQL, walk_len=4, seed="gw"),
+            walk_cooccurrence_sql(window=2),
+            ppmi_sql(),
+            walk_embeddings_sql(dim=8, seed="emb"),
+        ]
+    )
+    return f"""
+    WITH {ctes}
+    SELECT node, norm, emb FROM embs
+    ORDER BY norm DESC, node
+    LIMIT 50
+    """
+
+
+oracle("graph_walk_embeddings", _sql_graph_walk_embeddings())
