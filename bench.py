@@ -376,6 +376,54 @@ def stream_hh_tick_seconds(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _exec_metrics_snapshot(spark) -> dict[str, int] | None:
+    """Cumulative executor-aggregate counters from Spark's AppStatusStore
+    (populated even with the UI disabled) plus whole-JVM GC time from the
+    management beans. Snapshotting before/after a tick rep and diffing
+    says WHAT a slow rep spent its time on — shuffle volume, task time,
+    GC — instead of leaving a divergent artifact to ab_note adjudication
+    (r15 verdict: the driver-vs-builder tick residual has been argued
+    from totals four rounds running; this records the components)."""
+    try:
+        tot = {
+            "gc_ms": 0,
+            "shuffle_read_b": 0,
+            "shuffle_write_b": 0,
+            "input_b": 0,
+            "task_time_ms": 0,
+            "tasks": 0,
+        }
+        store = spark.sparkContext._jsc.sc().statusStore()
+        execs = store.executorList(True)
+        for i in range(execs.size()):
+            e = execs.apply(i)
+            tot["gc_ms"] += e.totalGCTime()
+            tot["shuffle_read_b"] += e.totalShuffleRead()
+            tot["shuffle_write_b"] += e.totalShuffleWrite()
+            tot["input_b"] += e.totalInputBytes()
+            tot["task_time_ms"] += e.totalDuration()
+            tot["tasks"] += e.totalTasks()
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        jvm_gc = 0
+        for i in range(beans.size()):
+            jvm_gc += beans.get(i).getCollectionTime()
+        tot["jvm_gc_ms"] = jvm_gc
+        return tot
+    except Exception:  # noqa: BLE001 — diagnostics must never fail the bench
+        return None
+
+
+def _metrics_delta(
+    before: dict[str, int] | None, after: dict[str, int] | None
+) -> dict[str, int] | None:
+    if before is None or after is None:
+        return None
+    return {k: after[k] - before[k] for k in after if k in before}
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from etl_instagram_spark.session import get_spark
@@ -432,6 +480,7 @@ def main() -> int:
         spark.sparkContext._jvm.System.gc()
     except Exception:  # noqa: BLE001 — a hint, not a requirement
         pass
+    tick_metrics: dict[str, list[dict[str, int] | None]] = {}
     for tick_name, tick_fn in (
         ("etl_hashtag_tick", etl_tick_seconds),
         ("stream_dedup_tick", stream_dedup_tick_seconds),
@@ -442,6 +491,7 @@ def main() -> int:
         run_order.append(tick_name)
         samples = []
         rep_starts = []
+        rep_metrics: list[dict[str, int] | None] = []
         try:
             # one UNTIMED warm rep before the timed reps (r14 verdict):
             # the official r14 artifact read stream_dedup_tick at a flat
@@ -452,10 +502,30 @@ def main() -> int:
             # reset. Discarding one full tick makes every timed rep a
             # warm-state measurement, so the recorded floor is the
             # operator's floor, not the session's cold-start debt.
+            # The warm rep's metric deltas ARE recorded (index 0 of
+            # tick_rep_metrics, flagged "warm") — the warm-vs-timed
+            # component diff is exactly what the driver-vs-builder
+            # residual question needs.
+            snap = _exec_metrics_snapshot(spark)
+            wt0 = time.perf_counter()
             tick_fn(spark)
+            wsec = round(time.perf_counter() - wt0, 4)
+            after = _exec_metrics_snapshot(spark)
+            d = _metrics_delta(snap, after)
+            if d is not None:
+                d["warm"] = 1
+                d["wall_sec"] = wsec
+            rep_metrics.append(d)
             for _ in range(REPS):
                 rep_starts.append(round(time.perf_counter() - bench_t0, 2))
+                snap = after
+                t0 = time.perf_counter()
                 samples.append(tick_fn(spark))
+                after = _exec_metrics_snapshot(spark)
+                d = _metrics_delta(snap, after)
+                if d is not None:
+                    d["wall_sec"] = round(time.perf_counter() - t0, 4)
+                rep_metrics.append(d)
             timings[tick_name] = round(statistics.median(samples), 4)
             minima[tick_name] = round(min(samples), 4)
         except Exception as exc:  # noqa: BLE001 — record, don't abort the bench
@@ -464,6 +534,7 @@ def main() -> int:
             print(f"# bench error {tick_name}: {exc}", file=sys.stderr)
         raw[tick_name] = [round(s, 4) for s in samples]
         starts[tick_name] = rep_starts
+        tick_metrics[tick_name] = rep_metrics
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     # min-sum: the container-noise-resistant total — in a degraded
@@ -495,6 +566,23 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r16 structural delta: gate promoted "
+                        "graph_walk_embeddings (walks -> cooc -> PPMI "
+                        "-> projection over the 1997Q1 subgraph; "
+                        "pre-measured ~3.8s warm at sf0.1 after pinning "
+                        "random_walks' distinct edge list, which cut "
+                        "the chain ~35% by running the upstream "
+                        "orders x lineitem join once instead of 3x) "
+                        "and rotated OUT docs_domain_cap (0.27s r15 "
+                        "median) — expect ~+3.5s of structural floor "
+                        "vs BENCH_r15. Also r16: every tick rep "
+                        "(including the untimed warm rep, flagged "
+                        "warm=1) now records executor-aggregate metric "
+                        "DELTAS (GC ms, JVM GC ms, shuffle read/write "
+                        "bytes, input bytes, task time, task count) in "
+                        "tick_rep_metrics, so a divergent driver "
+                        "artifact names the slow component instead of "
+                        "needing a same-code builder re-run.",
                         "r15 SECOND structural delta (late-round "
                         "rotation, the r14 pattern): gate promoted "
                         "docs_bm25_indexed (~1.4s warm at sf0.1 — it "
@@ -658,6 +746,7 @@ def main() -> int:
                     "queries_median": timings,
                     "queries_min": minima,
                     "samples_raw": raw,
+                    "tick_rep_metrics": tick_metrics,
                     "rep_started_at_sec": starts,
                     "run_order": run_order,
                     "noise_ratio": noise,
