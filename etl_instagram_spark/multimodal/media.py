@@ -207,9 +207,16 @@ def chunk_audio(
     frames per window (``samples`` = the window's raw frame bytes;
     concatenating every un-capped chunk reproduces the whole data
     chunk byte-for-byte — pinned by test) and fills meta from the real
-    header. Undecodable/non-PCM content raises LOUDLY (pre-filter with
-    a RIFF sniff if the column is mixed); compressed codecs keep the
-    honest ``decoder='soundfile'`` gate below."""
+    header. G.711 mu-law/A-law (r16) ride the same frame grid (one
+    companded byte per channel per frame). IMA ADPCM (r16) slices at
+    BLOCK granularity — every block decodes independently per the IMA
+    spec, so a chunk's ``samples`` bytes are themselves a decodable
+    block run; each block is assigned to the chunk its FIRST sample's
+    millisecond falls in, so the un-capped concatenation contract
+    still holds byte-for-byte. Undecodable/unknown-codec content
+    raises LOUDLY (pre-filter with a RIFF sniff if the column is
+    mixed); compressed codecs keep the honest ``decoder='soundfile'``
+    gate below."""
     if decoder == "wav":
         from etl_instagram_spark.multimodal.wav import wav_info
 
@@ -229,6 +236,26 @@ def chunk_audio(
                     rate, block = info["sample_rate"], info["block_align"]
                     nf, pcm = info["n_frames"], info["pcm"]
                     n = min(max_chunks, -(-info["duration_ms"] // chunk_ms))
+                    if info["fmt"] == "ima_adpcm":
+                        spb = info["samples_per_block"]
+                        parts: list[list[bytes]] = [[] for _ in range(n)]
+                        for b in range(-(-len(pcm) // block)):
+                            ms = b * spb * 1000 // rate
+                            ci = ms // chunk_ms
+                            if ci < n:
+                                parts[ci].append(
+                                    pcm[b * block : (b + 1) * block]
+                                )
+                        for i in range(n):
+                            start = i * chunk_ms
+                            end = min(start + chunk_ms, info["duration_ms"])
+                            out["id"].append(bid)
+                            out["chunk_idx"].append(i)
+                            out["start_ms"].append(start)
+                            out["end_ms"].append(end)
+                            out["samples"].append(b"".join(parts[i]))
+                            out["meta"].append(meta)
+                        continue
                     for i in range(n):
                         start = i * chunk_ms
                         end = min(start + chunk_ms, info["duration_ms"])

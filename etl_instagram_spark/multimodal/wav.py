@@ -1,12 +1,13 @@
 """WAV/PCM decoding in pure stdlib — the audio sibling of the PNG
 (multimodal/png.py) and baseline-JPEG (multimodal/jpeg.py) decoders:
 RIFF container walk → ``fmt `` parse → ``data`` PCM frames, supporting
-integer PCM at 8/16/24/32 bits and IEEE float PCM at 32/64 bits (tag
-3, r15), mono or multi-channel, including the WAVE_FORMAT_EXTENSIBLE
-wrapper around either. Everything else (ADPCM, mu-law/A-law, and every
-compressed codec) raises ``NotImplementedError`` LOUDLY — the
-honest-gate contract multimodal/media.py documents; nothing is
-silently wrong.
+integer PCM at 8/16/24/32 bits, IEEE float PCM at 32/64 bits (tag 3,
+r15), G.711 mu-law/A-law telephony PCM (tags 7/6, r16), and IMA/DVI
+ADPCM (tag 0x11, r16), mono or multi-channel, including the
+WAVE_FORMAT_EXTENSIBLE wrapper. Everything else (MS ADPCM tag 2, and
+every genuinely-compressed codec — MP3/AAC/...) raises
+``NotImplementedError`` LOUDLY — the honest-gate contract
+multimodal/media.py documents; nothing is silently wrong.
 
 Scope matches what a training-data pipeline actually needs from the
 one audio container stdlib can fully handle: real sample access for
@@ -21,7 +22,17 @@ IBM 1991 multimedia programming interface, the canonical WAVE chunk
 layout): little-endian throughout, chunks word-aligned (odd-sized
 chunk bodies are followed by one pad byte), 8-bit samples unsigned
 biased at 128, wider samples signed two's-complement, channels
-interleaved within a frame of ``block_align`` bytes.
+interleaved within a frame of ``block_align`` bytes. The G.711
+mu-law/A-law segmented-companding expansion is the public ITU-T G.711
+algorithm (the classic published integer formulation: invert/XOR the
+byte, rebuild mantissa+bias, shift by the segment — max magnitudes
+32124/32256 into the 16-bit linear domain); IMA ADPCM is the public
+IMA/DVI 4-bit algorithm (per-block per-channel 4-byte state header
+whose predictor IS sample 0, interleaved 4-byte nibble words low
+nibble first, the 89-entry step table with shift-approximated
+``diff = step>>3 (+step>>2)(+step>>1)(+step)`` and the 8-entry index
+table) — every block decodes independently, which is exactly what
+makes the format chunk-sliceable at scale.
 """
 
 from __future__ import annotations
@@ -37,22 +48,81 @@ from pyspark.sql import DataFrame
 _PCM_BITS = (8, 16, 24, 32)
 
 
+def _ulaw_expand_one(b: int) -> int:
+    """ITU-T G.711 mu-law byte → 16-bit linear (classic published
+    integer form; max magnitude 32124)."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_expand_one(b: int) -> int:
+    """ITU-T G.711 A-law byte → 16-bit linear (even-bit XOR 0x55
+    convention; max magnitude 32256)."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+_ULAW_TABLE = tuple(_ulaw_expand_one(b) for b in range(256))
+_ALAW_TABLE = tuple(_alaw_expand_one(b) for b in range(256))
+
+# IMA/DVI ADPCM tables (public IMA spec)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+
+# formats whose decoded samples live in the 16-bit linear domain
+# regardless of the stored width (companded/compressed storage)
+_EXPANDED_FMTS = ("ulaw", "alaw", "ima_adpcm")
+
+
+_FMT_NAMES = {1: "int", 3: "float", 6: "alaw", 7: "ulaw", 0x11: "ima_adpcm"}
+
+
 def wav_info(data: bytes) -> dict:
     """Header walk + raw PCM access (no per-sample parse): ``{sample_
-    rate, channels, bits, block_align, n_frames, duration_ms, pcm}``
-    with ``pcm`` the data chunk truncated to whole frames and
+    rate, channels, bits, block_align, fmt, n_frames, duration_ms,
+    pcm}`` with ``pcm`` the data chunk truncated to whole frames and
     ``duration_ms = ceil(n_frames·1000 / sample_rate)`` (ceil so a
     chunk grid over [0, duration_ms) always covers the final partial
     millisecond of frames). This is the cheap path chunking needs;
-    :func:`decode_wav` adds parsed samples."""
+    :func:`decode_wav` adds parsed samples.
+
+    ``fmt`` ∈ int/float/ulaw/alaw/ima_adpcm. For G.711 (ulaw/alaw) a
+    frame is one companded byte per channel, so the frame grid works
+    exactly like integer PCM. For IMA ADPCM ``block_align`` is the raw
+    COMPRESSED block size, ``samples_per_block`` is added (from the
+    fmt extension's wSamplesPerBlock — the same offset carries it
+    under the EXTENSIBLE wrapper, per spec), ``n_frames`` counts
+    DECODED sample frames (the ``fact`` chunk's dwSampleLength when
+    present and smaller — the spec's authoritative count for non-PCM —
+    else computed from whole nibble-word groups), and ``pcm`` is the
+    raw block stream (every block decodes independently)."""
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise TypeError(f"expected bytes, got {type(data).__name__}")
     data = bytes(data)
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV (missing RIFF/WAVE header)")
     pos = 12
-    fmt: tuple[int, int, int, int] | None = None
+    fmt: tuple[int, int, int, int, int, int | None] | None = None
     pcm: bytes | None = None
+    fact_frames: int | None = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -70,12 +140,12 @@ def wav_info(data: bytes) -> dict:
                     raise ValueError("wav: truncated extensible fmt chunk")
                 # the real format tag is the GUID's leading 2 bytes
                 (tag,) = struct.unpack("<H", body[24:26])
-            if tag not in (1, 3):
+            if tag not in _FMT_NAMES:
                 raise NotImplementedError(
                     f"wav: format tag {tag} is not supported; integer PCM "
-                    "(tag 1) and IEEE float PCM (tag 3) only — ADPCM and "
-                    "mu-law/A-law stay loud gates like the compressed "
-                    "codecs"
+                    "(tag 1), IEEE float PCM (tag 3), G.711 mu-law/A-law "
+                    "(tags 7/6), and IMA ADPCM (tag 0x11) only — MS ADPCM "
+                    "and the compressed codecs stay loud gates"
                 )
             if tag == 1 and bits not in _PCM_BITS:
                 raise NotImplementedError(
@@ -87,16 +157,48 @@ def wav_info(data: bytes) -> dict:
                     f"wav: {bits}-bit IEEE float PCM not supported "
                     "(32 or 64 only)"
                 )
+            if tag in (6, 7) and bits != 8:
+                raise ValueError(
+                    f"wav: G.711 requires 8-bit storage, got {bits}"
+                )
+            if tag == 0x11 and bits != 4:
+                raise NotImplementedError(
+                    f"wav: {bits}-bit IMA ADPCM not supported (4 only)"
+                )
             if channels < 1 or rate < 1:
                 raise ValueError(
                     f"wav: implausible fmt (channels={channels}, rate={rate})"
                 )
-            if block != channels * (bits // 8):
+            spb: int | None = None
+            if tag == 0x11:
+                # block layout: 4-byte state header per channel, then
+                # interleaved 4-byte nibble words per channel
+                if size < 20:
+                    raise ValueError(
+                        "wav: IMA ADPCM fmt chunk missing wSamplesPerBlock"
+                    )
+                (spb,) = struct.unpack("<H", body[18:20])
+                if block <= 4 * channels or (block - 4 * channels) % (
+                    4 * channels
+                ):
+                    raise ValueError(
+                        f"wav: IMA ADPCM block_align {block} is not "
+                        f"4·ch header + k·4·ch data (channels={channels})"
+                    )
+                expect = (block - 4 * channels) * 2 // channels + 1
+                if spb != expect:
+                    raise ValueError(
+                        f"wav: IMA ADPCM samples_per_block {spb} != "
+                        f"{expect} implied by block_align {block}"
+                    )
+            elif block != channels * (bits // 8):
                 raise ValueError(
                     f"wav: block_align {block} != channels×width "
                     f"{channels * (bits // 8)}"
                 )
-            fmt = (channels, rate, bits, block, tag)
+            fmt = (channels, rate, bits, block, tag, spb)
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("wav: data chunk before fmt chunk")
@@ -104,18 +206,87 @@ def wav_info(data: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("wav: missing fmt or data chunk (truncated file?)")
-    channels, rate, bits, block, tag = fmt
-    n_frames = len(pcm) // block
-    return {
+    channels, rate, bits, block, tag, spb = fmt
+    if tag == 0x11:
+        assert spb is not None
+        full_blocks, rem = divmod(len(pcm), block)
+        n_frames = full_blocks * spb
+        if rem >= 4 * channels:
+            # decodable tail: header sample + 8 per whole nibble-word group
+            n_frames += 1 + (rem - 4 * channels) // (4 * channels) * 8
+        if fact_frames is not None:
+            n_frames = min(n_frames, fact_frames)
+        keep = pcm  # raw block stream; decode bounds by n_frames
+    else:
+        n_frames = len(pcm) // block
+        if fact_frames is not None and tag != 1:
+            n_frames = min(n_frames, fact_frames)
+        keep = pcm[: n_frames * block]
+    out = {
         "sample_rate": rate,
         "channels": channels,
         "bits": bits,
         "block_align": block,
-        "fmt": "float" if tag == 3 else "int",
+        "fmt": _FMT_NAMES[tag],
         "n_frames": n_frames,
         "duration_ms": -(-n_frames * 1000 // rate),
-        "pcm": pcm[: n_frames * block],
+        "pcm": keep,
     }
+    if spb is not None:
+        out["samples_per_block"] = spb
+    return out
+
+
+def _ima_decode_block(
+    block: bytes, channels: int, spb: int
+) -> list[list[int]]:
+    """Decode one IMA ADPCM block → per-channel 16-bit linear sample
+    lists (≤ ``spb`` each; a truncated tail block yields fewer). The
+    4-byte per-channel header carries (predictor int16, step index,
+    reserved); the header predictor IS sample 0 per the IMA spec. Data
+    is interleaved 4-byte words per channel, 8 nibbles each, low
+    nibble first."""
+    out: list[list[int]] = []
+    idxs: list[int] = []
+    for c in range(channels):
+        hdr = block[c * 4 : c * 4 + 4]
+        if len(hdr) < 4:
+            return [[] for _ in range(channels)]
+        pred = int.from_bytes(hdr[:2], "little", signed=True)
+        idx = hdr[2]
+        if idx > 88:
+            raise ValueError(f"wav: IMA ADPCM step index {idx} > 88")
+        out.append([pred])
+        idxs.append(idx)
+    data = block[4 * channels :]
+    group = 4 * channels
+    pos = 0
+    while pos + group <= len(data) and len(out[0]) < spb:
+        for c in range(channels):
+            word = data[pos + c * 4 : pos + c * 4 + 4]
+            pred, idx, samples = out[c][-1], idxs[c], out[c]
+            for byte in word:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = _IMA_STEPS[idx]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    if nib & 8:
+                        pred -= diff
+                    else:
+                        pred += diff
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+                    samples.append(pred)
+            idxs[c] = idx
+        pos += group
+    # per-channel trim to spb (the 8-nibble words can overshoot the
+    # final sample of a spec-legal even spb)
+    return [ch[:spb] for ch in out]
 
 
 def decode_wav(data: bytes) -> dict:
@@ -124,16 +295,19 @@ def decode_wav(data: bytes) -> dict:
     −128; wider widths are already signed little-endian
     two's-complement), full scale ±2^(bits−1); for IEEE float PCM
     (``fmt == 'float'``) the raw float32/float64 samples, full scale
-    ±1.0 by the WAVE float convention. Feature math reads the scale
-    from ``fmt`` (:func:`wav_feature_vector`) and never branches on the
-    storage width. Non-finite float samples (NaN/inf — spec-legal bytes
-    but poison for every downstream statistic) raise loudly instead of
-    propagating silently."""
+    ±1.0 by the WAVE float convention; for G.711 mu-law/A-law and IMA
+    ADPCM (``fmt`` ∈ ulaw/alaw/ima_adpcm) the EXPANDED 16-bit linear
+    samples, full scale ±2^15 regardless of the stored width. Feature
+    math reads the scale from ``fmt`` (:func:`wav_feature_vector`) and
+    never branches on the storage width. Non-finite float samples
+    (NaN/inf — spec-legal bytes but poison for every downstream
+    statistic) raise loudly instead of propagating silently."""
     import math
 
     info = wav_info(data)
     pcm, bits = info["pcm"], info["bits"]
-    if info["fmt"] == "float":
+    fmt = info["fmt"]
+    if fmt == "float":
         width = bits // 8
         n = len(pcm) // width
         # one C-level unpack for the whole buffer — this sits in the
@@ -146,6 +320,28 @@ def decode_wav(data: bytes) -> dict:
                 "wav: non-finite IEEE float sample (NaN/inf) — refusing "
                 "to feed it into feature statistics"
             )
+    elif fmt == "ulaw":
+        samples = [_ULAW_TABLE[b] for b in pcm]
+    elif fmt == "alaw":
+        samples = [_ALAW_TABLE[b] for b in pcm]
+    elif fmt == "ima_adpcm":
+        ch, block, spb = (
+            info["channels"],
+            info["block_align"],
+            info["samples_per_block"],
+        )
+        n_frames = info["n_frames"]
+        samples = []
+        done = 0
+        for off in range(0, len(pcm), block):
+            chans = _ima_decode_block(pcm[off : off + block], ch, spb)
+            take = min(len(chans[0]), n_frames - done)
+            for i in range(take):  # interleave back to frame order
+                for c in range(ch):
+                    samples.append(chans[c][i])
+            done += take
+            if done >= n_frames:
+                break
     elif bits == 8:
         samples = [b - 128 for b in pcm]
     else:
@@ -163,16 +359,24 @@ def wav_feature_vector(d: dict, n_segments: int = 8) -> list[float] | None:
     [channels/8, rate/48k, log-length, DC mean, mean |x|, RMS, peak,
     zero-crossing rate, 8 segment RMS values] — sample statistics are
     over the CHANNEL-MEAN signal normalized by full scale (2^(bits−1)
-    for integer PCM, 1.0 for IEEE float), so the same recording
-    re-encoded at a different bit depth OR across the int/float
-    boundary lands near cosine 1 (the near-dup property, quantization
-    noise aside). None for an empty data chunk (callers filter)."""
+    for integer PCM, 1.0 for IEEE float, 2^15 for the expanded
+    G.711/ADPCM formats whose decoded samples are 16-bit linear), so
+    the same recording re-encoded at a different bit depth OR across
+    the int/float/companded boundary lands near cosine 1 (the near-dup
+    property, quantization noise aside). None for an empty data chunk
+    (callers filter)."""
     import numpy as np
 
     n, ch = d["n_frames"], d["channels"]
     if n == 0:
         return None
-    full = 1.0 if d.get("fmt") == "float" else float(1 << (d["bits"] - 1))
+    fmt = d.get("fmt")
+    if fmt == "float":
+        full = 1.0
+    elif fmt in _EXPANDED_FMTS:
+        full = float(1 << 15)
+    else:
+        full = float(1 << (d["bits"] - 1))
     x = np.asarray(d["samples"], dtype=np.float64).reshape(n, ch)
     mono = x.mean(axis=1) / full
     crossings = int(np.sum(np.signbit(mono[1:]) != np.signbit(mono[:-1])))

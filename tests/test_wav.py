@@ -265,3 +265,341 @@ def test_float_extensible_wrapper():
     assert d["samples"] == [
         struct.unpack("<f", struct.pack("<f", s))[0] for s in src
     ]
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (tags 7/6, r16) — differential against audioop,
+# an INDEPENDENT stdlib implementation of the same public ITU-T spec
+# ---------------------------------------------------------------------------
+
+audioop = pytest.importorskip("audioop")
+
+
+def _wav_bytes(tag, channels, rate, bits, block, body, extra=b"", fact=None):
+    """Test-local container writer (the parser never sees its own
+    output): plain fmt chunk + optional fact chunk + data chunk."""
+    fmt = (
+        struct.pack("<HHIIHH", tag, channels, rate, rate * block, block, bits)
+        + extra
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if fact is not None:
+        chunks += b"fact" + struct.pack("<II", 4, fact)
+    chunks += (
+        b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_g711_tables_match_independent_stdlib_codec():
+    """Every one of the 256 mu-law and A-law code points expands to the
+    same 16-bit linear value audioop produces — two independent
+    implementations of the published G.711 integer expansion."""
+    import array
+
+    from etl_instagram_spark.multimodal.wav import _ALAW_TABLE, _ULAW_TABLE
+
+    ul = array.array("h")
+    ul.frombytes(audioop.ulaw2lin(bytes(range(256)), 2))
+    al = array.array("h")
+    al.frombytes(audioop.alaw2lin(bytes(range(256)), 2))
+    assert list(ul) == list(_ULAW_TABLE)
+    assert list(al) == list(_ALAW_TABLE)
+
+
+def test_g711_container_decode_and_cross_format_near_dup():
+    """A mu-law/A-law WAV (audioop as the independent ENCODER) decodes
+    to exactly audioop's expansion, and the feature vector of the
+    companded encoding sits near cosine 1 of the same signal's 16-bit
+    PCM features (the cross-format near-dup property: G.711 is ~13/14
+    bits of effective precision, so quantization noise is small)."""
+    import array
+
+    src = _sine(1600, 440, amp=14000)
+    pcm16 = b"".join(int(s).to_bytes(2, "little", signed=True) for s in src)
+    d_pcm = decode_wav(_encode(src))
+    for tag, enc, dec in (
+        (7, audioop.lin2ulaw, audioop.ulaw2lin),
+        (6, audioop.lin2alaw, audioop.alaw2lin),
+    ):
+        comp = enc(pcm16, 2)
+        w = _wav_bytes(tag, 1, 8000, 8, 1, comp)
+        d = decode_wav(w)
+        assert d["fmt"] == ("ulaw" if tag == 7 else "alaw")
+        assert d["n_frames"] == len(src)
+        ref = array.array("h")
+        ref.frombytes(dec(comp, 2))
+        assert d["samples"] == list(ref)
+        fa = wav_feature_vector(d)
+        fb = wav_feature_vector(d_pcm)
+        num = sum(x * y for x, y in zip(fa, fb))
+        den = math.sqrt(sum(x * x for x in fa)) * math.sqrt(
+            sum(y * y for y in fb)
+        )
+        assert num / den > 0.999
+
+
+def test_g711_requires_8bit_storage():
+    src = _sine(64, 500)
+    comp = audioop.lin2ulaw(
+        b"".join(int(s).to_bytes(2, "little", signed=True) for s in src), 2
+    )
+    bad = _wav_bytes(7, 1, 8000, 16, 2, comp)
+    with pytest.raises(ValueError, match="G.711"):
+        decode_wav(bad)
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (tag 0x11, r16)
+# ---------------------------------------------------------------------------
+
+
+def _ima_encode(samples_per_chan, spb):
+    """Test-local INDEPENDENT block encoder per the public IMA spec.
+    Returns (block bytes, per-channel reconstruction): ADPCM is lossy,
+    but the decoder must reproduce the encoder's own predictor
+    reconstruction EXACTLY — that sequence is the differential."""
+    from etl_instagram_spark.multimodal.wav import _IMA_INDEX, _IMA_STEPS
+
+    ch = len(samples_per_chan)
+    n = len(samples_per_chan[0])
+    blocks = b""
+    recon = [[] for _ in range(ch)]
+    preds = [0] * ch
+    idxs = [0] * ch
+    for b0 in range(0, n, spb):
+        for c in range(ch):
+            preds[c] = samples_per_chan[c][b0]
+            blocks += struct.pack("<hBB", preds[c], idxs[c], 0)
+            recon[c].append(preds[c])
+        nibbles = [[] for _ in range(ch)]
+        for i in range(b0 + 1, min(b0 + spb, n)):
+            for c in range(ch):
+                x = samples_per_chan[c][i]
+                step = _IMA_STEPS[idxs[c]]
+                diff = x - preds[c]
+                nib = 0
+                if diff < 0:
+                    nib = 8
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                vp = step >> 3
+                if nib & 1:
+                    vp += step >> 2
+                if nib & 2:
+                    vp += step >> 1
+                if nib & 4:
+                    vp += step
+                preds[c] = max(
+                    -32768,
+                    min(32767, preds[c] - vp if nib & 8 else preds[c] + vp),
+                )
+                idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX[nib & 7]))
+                nibbles[c].append(nib)
+                recon[c].append(preds[c])
+        for c in range(ch):
+            while len(nibbles[c]) % 8:
+                nibbles[c].append(0)
+        for wg in range(len(nibbles[0]) // 8):
+            for c in range(ch):
+                chunk = nibbles[c][wg * 8 : (wg + 1) * 8]
+                blocks += bytes(
+                    chunk[k] | (chunk[k + 1] << 4) for k in range(0, 8, 2)
+                )
+    return blocks, recon
+
+
+def _ima_extra(spb):
+    return struct.pack("<HH", 2, spb)  # cbSize=2, wSamplesPerBlock
+
+
+def test_ima_adpcm_mono_matches_spec_encoder():
+    spb, block = 505, 256  # (256-4)*2+1
+    n = spb * 3
+    src = [_sine(n, 300, amp=9000)]
+    body, recon = _ima_encode(src, spb)
+    w = _wav_bytes(0x11, 1, 8000, 4, block, body, extra=_ima_extra(spb), fact=n)
+    d = decode_wav(w)
+    assert (d["fmt"], d["n_frames"], d["samples_per_block"]) == (
+        "ima_adpcm",
+        n,
+        spb,
+    )
+    assert d["samples"] == recon[0]
+    fv = wav_feature_vector(d)
+    assert fv is not None and len(fv) == 16
+
+
+def test_ima_adpcm_stereo_partial_tail_block():
+    spb, block, ch = 505, 512, 2  # (512-8)*2/2+1
+    n = spb * 2 + 100  # final block holds 100 of 505 samples
+    src = [
+        _sine(n, 220, amp=8000),
+        [int(6000 * math.sin(2 * math.pi * 330 * i / 8000 + 1)) for i in range(n)],
+    ]
+    body, recon = _ima_encode(src, spb)
+    w = _wav_bytes(
+        0x11, ch, 8000, 4, block, body, extra=_ima_extra(spb), fact=n
+    )
+    d = decode_wav(w)
+    assert d["n_frames"] == n
+    inter = []
+    for i in range(n):
+        inter += [recon[0][i], recon[1][i]]
+    assert d["samples"] == inter
+
+
+def test_ima_adpcm_core_matches_audioop():
+    """Core nibble arithmetic against audioop's INDEPENDENT IMA
+    implementation: audioop streams nibbles high-first with no block
+    headers, so its encoded bytes are nibble-swapped into one big block
+    whose header carries audioop's initial state (0, 0); our decode of
+    that block (minus the header sample) must equal audioop's own
+    decode of its stream."""
+    import array
+    import random
+
+    from etl_instagram_spark.multimodal.wav import _ima_decode_block
+
+    rng = random.Random(42)
+    src = [rng.randint(-20000, 20000) for _ in range(1024)]
+    pcm = b"".join(int(s).to_bytes(2, "little", signed=True) for s in src)
+    adp, _state = audioop.lin2adpcm(pcm, 2, None)
+    ref = array.array("h")
+    ref.frombytes(audioop.adpcm2lin(adp, 2, None)[0])
+    swapped = bytes(((b & 0x0F) << 4) | (b >> 4) for b in adp)
+    block = struct.pack("<hBB", 0, 0, 0) + swapped
+    out = _ima_decode_block(block, 1, 1 + len(adp) * 2)
+    assert out[0][1:] == list(ref)
+
+
+def test_ima_adpcm_validation_gates():
+    spb, block = 505, 256
+    src = [_sine(spb, 300, amp=9000)]
+    body, _ = _ima_encode(src, spb)
+    # missing wSamplesPerBlock
+    with pytest.raises(ValueError, match="wSamplesPerBlock"):
+        decode_wav(_wav_bytes(0x11, 1, 8000, 4, block, body))
+    # samples_per_block inconsistent with block_align
+    with pytest.raises(ValueError, match="samples_per_block"):
+        decode_wav(
+            _wav_bytes(0x11, 1, 8000, 4, block, body, extra=_ima_extra(99))
+        )
+    # block_align not header + whole nibble words
+    with pytest.raises(ValueError, match="block_align"):
+        decode_wav(
+            _wav_bytes(0x11, 1, 8000, 4, 255, body, extra=_ima_extra(spb))
+        )
+    # step index out of range in a block header
+    bad = bytearray(body)
+    bad[2] = 90
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(
+            _wav_bytes(
+                0x11, 1, 8000, 4, block, bytes(bad), extra=_ima_extra(spb)
+            )
+        )
+    # widths other than 4 stay loud
+    with pytest.raises(NotImplementedError, match="IMA ADPCM"):
+        decode_wav(
+            _wav_bytes(0x11, 1, 8000, 8, block, body, extra=_ima_extra(spb))
+        )
+
+
+def test_ima_adpcm_fact_chunk_truncates():
+    """The fact chunk's dwSampleLength is authoritative when smaller
+    than the computed frame count (the spec's non-PCM contract)."""
+    spb, block = 505, 256
+    n = spb * 2
+    src = [_sine(n, 300, amp=9000)]
+    body, recon = _ima_encode(src, spb)
+    w = _wav_bytes(
+        0x11, 1, 8000, 4, block, body, extra=_ima_extra(spb), fact=700
+    )
+    d = decode_wav(w)
+    assert d["n_frames"] == 700
+    assert d["samples"] == recon[0][:700]
+
+
+def test_chunk_audio_adpcm_block_concat_roundtrip(spark):
+    """chunk_audio(decoder='wav') on IMA ADPCM slices whole blocks:
+    un-capped chunk bytes concatenate back to the data chunk
+    byte-for-byte, and each chunk's bytes are themselves decodable."""
+    from etl_instagram_spark.multimodal.media import chunk_audio
+    from etl_instagram_spark.multimodal.wav import _ima_decode_block
+
+    spb, block = 505, 256
+    n = spb * 20 + 77  # ~10k samples at 8 kHz -> ~1.3 s
+    src = [_sine(n, 260, amp=9000)]
+    body, _ = _ima_encode(src, spb)
+    w = _wav_bytes(0x11, 1, 8000, 4, block, body, extra=_ima_extra(spb), fact=n)
+    df = spark.createDataFrame([("a", bytearray(w))], "id string, content binary")
+    rows = (
+        chunk_audio(df, chunk_ms=200, max_chunks=32, decoder="wav")
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert b"".join(bytes(r["samples"]) for r in rows) == body
+    assert rows[0]["meta"]["sample_rate"] == 8000
+    # every chunk decodes standalone (blocks are independent)
+    for r in rows:
+        raw = bytes(r["samples"])
+        for off in range(0, len(raw), block):
+            _ima_decode_block(raw[off : off + block], 1, spb)
+
+
+def test_chunk_audio_g711_frame_grid(spark):
+    """G.711 rides the PCM frame grid: chunk bytes concatenate back to
+    the companded data chunk."""
+    from etl_instagram_spark.multimodal.media import chunk_audio
+
+    src = _sine(8000 * 2 + 50, 440, amp=14000)
+    comp = audioop.lin2ulaw(
+        b"".join(int(s).to_bytes(2, "little", signed=True) for s in src), 2
+    )
+    w = _wav_bytes(7, 1, 8000, 8, 1, comp)
+    df = spark.createDataFrame([("u", bytearray(w))], "id string, content binary")
+    rows = (
+        chunk_audio(df, chunk_ms=500, max_chunks=32, decoder="wav")
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert b"".join(bytes(r["samples"]) for r in rows) == comp
+
+
+def test_wav_features_g711_and_adpcm_near_dup(spark):
+    """The Spark feature face: the same recording as 16-bit PCM, mu-law,
+    and IMA ADPCM lands near cosine 1 across all three encodings."""
+    src = _sine(4000, 440, amp=14000)
+    pcm16 = b"".join(int(s).to_bytes(2, "little", signed=True) for s in src)
+    w_pcm = _encode(src)
+    w_ulaw = _wav_bytes(7, 1, 8000, 8, 1, audioop.lin2ulaw(pcm16, 2))
+    spb, block = 505, 256
+    body, _ = _ima_encode([src], spb)
+    w_adpcm = _wav_bytes(
+        0x11, 1, 8000, 4, block, body, extra=_ima_extra(spb), fact=len(src)
+    )
+    df = spark.createDataFrame(
+        [("pcm", bytearray(w_pcm)), ("ulaw", bytearray(w_ulaw)),
+         ("adpcm", bytearray(w_adpcm))],
+        "id string, content binary",
+    )
+    out = {r["id"]: r["embedding"] for r in wav_features(df).collect()}
+    assert all(v is not None for v in out.values())
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    assert cos(out["pcm"], out["ulaw"]) > 0.999
+    assert cos(out["pcm"], out["adpcm"]) > 0.99
