@@ -1816,6 +1816,147 @@ def compact_cooc_store(store: MergeTable, through_epoch: int) -> int:
     return n_old - n_merged
 
 
+def apply_edge_delta(
+    store: MergeTable,
+    edges_batch: DataFrame,
+    epoch_id: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+) -> None:
+    """Fold one micro-batch of graph EDGES into an epoch-keyed edge
+    store: rows keyed (epoch_id, src, dst) carrying the batch's edge
+    multiplicity as ``w`` (``weight_col=None`` counts occurrences;
+    otherwise the batch's weights sum — NULL weights are rejected
+    loudly, the random_walks weighted contract). Weights merge by SUM
+    across epochs, so exactly-once rides the epoch key (the
+    :func:`apply_cooc_delta` rollup-delta pattern: a replayed epoch
+    recomputes identical counts and upserts them over themselves).
+
+    This is the growing-graph state behind continuous communities
+    (:func:`communities_read`): at 100 TB the per-tick cost is the
+    O(new edges) fold; the edge set — the only state label propagation
+    needs — accumulates without ever rescanning history."""
+    if weight_col is None:
+        delta = (
+            edges_batch.groupBy(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+    else:
+        n_null = edges_batch.filter(F.col(weight_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"apply_edge_delta: {n_null} edge row(s) have NULL "
+                f"{weight_col!r} — filter or fill them explicitly"
+            )
+        delta = (
+            edges_batch.groupBy(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            )
+            .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+        )
+    store.upsert(delta.withColumn("epoch_id", F.lit(int(epoch_id))))
+
+
+def stream_graph_edges(
+    spark: SparkSession,
+    landing_dir: str,
+    schema_ddl: str,
+    store: MergeTable,
+    checkpoint_dir: str,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+) -> bool:
+    """One AvailableNow tick maintaining the continuous edge store:
+    drain newly landed edge rows and fold each micro-batch into
+    ``store`` via :func:`apply_edge_delta` (the stream_walk_cooccurrence
+    scaffold shape). Unlike walks, edges carry no cross-row structure —
+    ANY batch split is sound, so there is no per-batch completeness
+    contract here."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_edge_delta(store, batch_df, epoch_id, src, dst, weight_col)
+
+    _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
+    return True
+
+
+def edges_read(store: MergeTable) -> DataFrame:
+    """Collapse the epoch-keyed edge store to ONE (src, dst, w) frame —
+    sum over epochs per edge. Pure counting algebra: the collapsed
+    frame equals the per-edge multiplicity over the union of every
+    landed batch under any batch split."""
+    return store.read().groupBy("src", "dst").agg(F.sum("w").alias("w"))
+
+
+def communities_read(
+    store: MergeTable, n_rounds: int = 4, weighted: bool = False
+) -> DataFrame:
+    """Label-propagation communities over the growing graph: collapse
+    the edge store and RECOMPUTE operators/graph.label_propagation over
+    the merged edge set.
+
+    Recompute-per-tick is the documented design, not a shortcut: LPA
+    labels are a global synchronous iteration — one new edge can flip
+    the argmax at its endpoints, whose new labels re-vote on every
+    neighbor next round, so a single landed edge can legally relabel
+    nodes arbitrarily far away. There is no sound LOCAL incremental
+    label update; the maintainable state is the O(edges) store (the
+    per-tick fold is O(new edges)), and the recompute's cost profile is
+    exactly the batch operator's — per round one key-equi join of the
+    O(nodes) label frame against the edges plus two map-side-combinable
+    aggregations, independent of how many ticks landed the graph. By
+    construction the labels are row-identical to
+    ``label_propagation(edges over the full history)`` — pinned by
+    test, the cooc-read precedent.
+
+    ``weighted=True`` votes with the summed edge multiplicities
+    (landing the same edge twice doubles its vote weight — the honest
+    multiset semantics of an edge STREAM); ``weighted=False`` votes 1
+    per distinct edge regardless of multiplicity."""
+    from etl_instagram_spark.operators.graph import label_propagation
+
+    edges = edges_read(store)
+    if weighted:
+        return label_propagation(edges, n_rounds=n_rounds, weight_col="w")
+    return label_propagation(edges.select("src", "dst"), n_rounds=n_rounds)
+
+
+def compact_edge_store(store: MergeTable, through_epoch: int) -> int:
+    """Collapse every edge row with ``epoch_id <= through_epoch`` into
+    one summed edge set re-keyed at ``through_epoch`` — the
+    :func:`compact_cooc_store` contract verbatim: sum-merge makes every
+    read invariant under it, ``through_epoch`` must sit strictly below
+    the newest epoch present (the latest epoch may still re-fire), one
+    atomic overwrite, re-runnable at a higher watermark. Returns rows
+    eliminated."""
+    stored = store.read()
+    mx = stored.agg(F.max("epoch_id").alias("m")).first()["m"]
+    if mx is None or through_epoch >= mx:
+        raise ValueError(
+            f"through_epoch must be < the newest epoch present ({mx}); "
+            f"got {through_epoch} — the latest epoch may still re-fire"
+        )
+    old = stored.filter(F.col("epoch_id") <= through_epoch)
+    n_old = old.count()
+    if n_old == 0:
+        return 0
+    merged = (
+        old.groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .withColumn("epoch_id", F.lit(int(through_epoch)))
+    )
+    keep = stored.filter(F.col("epoch_id") > through_epoch)
+    n_merged = merged.count()
+    store.overwrite(keep.unionByName(merged.select(*keep.columns)))
+    return n_old - n_merged
+
+
 def stream_resolve_entities(
     spark: SparkSession,
     landing_dir: str,
