@@ -77,28 +77,44 @@ _SOF_UNSUPPORTED = {
 class _HuffTable:
     """Canonical Huffman table from a DHT segment's BITS/HUFFVAL lists
     (T.81 Annex C): codes of each length are assigned in increasing
-    order; decode walks bit-by-bit through a (length, code) -> symbol
-    map. Max code length is 16 so the walk is bounded."""
+    order. Decode peeks 8 bits and resolves codes of length ≤ 8 with
+    ONE 256-entry table hit (the libjpeg two-level strategy — by
+    canonical-Huffman construction the overwhelming majority of
+    symbols are short), falling back to a bounded prefix walk over the
+    (length, code) → symbol map for 9..16-bit codes. Codes are
+    prefix-free, so the first-match fill is unambiguous; the fast path
+    decodes the IDENTICAL symbol the bit-walk would (r16 — the
+    entropy-stage speedup after the r15 numpy IDCT removed the render
+    floor), pinned by the roundtrip equality suite."""
 
     def __init__(self, bits: list[int], huffval: list[int]) -> None:
         if len(bits) < 16 or len(huffval) < sum(bits):
             raise ValueError("jpeg: truncated Huffman (DHT) segment")
         self.lookup: dict[tuple[int, int], int] = {}
+        self.fast: list[tuple[int, int] | None] = [None] * 256
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 self.lookup[(length, code)] = huffval[k]
+                if length <= 8:
+                    lo = code << (8 - length)
+                    for i in range(lo, lo + (1 << (8 - length))):
+                        self.fast[i] = (huffval[k], length)
                 code += 1
                 k += 1
             code <<= 1
 
     def decode(self, reader: "_BitReader") -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | reader.read_bit()
-            sym = self.lookup.get((length, code))
+        hit = self.fast[reader.peek(8)]
+        if hit is not None:
+            reader.consume(hit[1])
+            return hit[0]
+        code16 = reader.peek(16)
+        for length in range(9, 17):
+            sym = self.lookup.get((length, code16 >> (16 - length)))
             if sym is not None:
+                reader.consume(length)
                 return sym
         raise ValueError("jpeg: invalid Huffman code in entropy stream")
 
@@ -106,63 +122,118 @@ class _HuffTable:
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment with 0xFF00
     byte-unstuffing; stops at any real marker (the caller handles RSTn
-    at restart boundaries)."""
+    at restart boundaries). r16: prefetch-buffer model — ``peek(n)``
+    returns up to 16 bits without consuming (zero-padded past the end
+    of the entropy stream; padding can only ever extend a symbol whose
+    REAL bits already ran out, and ``consume`` then raises the same
+    truncation/marker errors the byte-at-a-time reader did), so the
+    Huffman fast path costs one peek + one consume per symbol instead
+    of a dict probe per bit."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "starts", "marker", "end_reason")
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
-        self.cur = 0
+        self.acc = 0  # int accumulator, low nbits bits are valid
         self.nbits = 0
+        # data offset each still-buffered byte began at (head may be
+        # partially consumed); len == ceil(nbits / 8). Only restart()
+        # reads this — the hot path just appends/pops.
+        self.starts: list[int] = []
         self.marker: int | None = None
+        self.end_reason: str | None = None
 
-    def _next_byte(self) -> int:
-        if self.marker is not None:
-            raise ValueError(
-                f"jpeg: entropy stream ended at marker 0x{self.marker:02X} "
-                "before the scan was complete (truncated data?)"
-            )
-        if self.pos >= len(self.data):
-            raise ValueError("jpeg: truncated entropy-coded data")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("jpeg: truncated after 0xFF in scan")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1  # stuffed byte: literal 0xFF
+    def _fill(self, need_bits: int) -> None:
+        """Absorb whole bytes until ``need_bits`` are buffered or the
+        stream ends (marker / EOF) — never raises; the error surfaces
+        from :meth:`consume` when REAL bits run short."""
+        data, n = self.data, len(self.data)
+        while self.nbits < need_bits and self.end_reason is None:
+            pos = self.pos
+            if pos >= n:
+                self.end_reason = "jpeg: truncated entropy-coded data"
+                return
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 >= n:
+                    self.end_reason = "jpeg: truncated after 0xFF in scan"
+                    return
+                nxt = data[pos + 1]
+                if nxt == 0x00:
+                    self.pos = pos + 2  # stuffed byte: literal 0xFF
+                else:
+                    self.marker = nxt
+                    self.pos = pos + 2
+                    self.end_reason = (
+                        f"jpeg: unexpected marker 0x{nxt:02X} inside "
+                        "entropy-coded data"
+                    )
+                    return
             else:
-                self.marker = nxt
-                self.pos += 1
+                self.pos = pos + 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+            self.starts.append(pos)
+
+    def peek(self, n: int) -> int:
+        """The next ``n`` ≤ 16 bits MSB-first without consuming,
+        zero-padded past the end of the stream."""
+        if self.nbits < n:
+            self._fill(n)
+            if self.nbits < n:
+                # mask BEFORE the pad shift: acc keeps consumed stale
+                # bits above the valid low nbits
+                valid = self.acc & ((1 << self.nbits) - 1)
+                return (valid << (n - self.nbits)) & ((1 << n) - 1)
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        if self.nbits < n:
+            self._fill(n)
+            if self.nbits < n:
                 raise ValueError(
-                    f"jpeg: unexpected marker 0x{nxt:02X} inside "
-                    "entropy-coded data"
+                    self.end_reason or "jpeg: truncated entropy-coded data"
                 )
-        return b
+        self.nbits -= n
+        keep = (self.nbits + 7) >> 3
+        if len(self.starts) > keep:
+            del self.starts[: len(self.starts) - keep]
 
     def read_bit(self) -> int:
-        if self.nbits == 0:
-            self.cur = self._next_byte()
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
+        v = self.peek(1)
+        self.consume(1)
+        return v
 
     def receive_extend(self, s: int) -> int:
         """Read ``s`` magnitude bits and sign-extend (T.81 F.2.2.1)."""
         if s == 0:
             return 0
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.read_bit()
+        v = self.peek(s)
+        self.consume(s)
         if v < (1 << (s - 1)):
             v -= (1 << s) - 1
         return v
 
     def restart(self) -> None:
         """Byte-align, consume the expected RSTn marker, resume."""
+        # drop the partially-consumed head byte and UN-read any fully
+        # prefetched bytes, so the marker scan below sees the same
+        # stream position the byte-at-a-time reader would
+        drop = 1 if self.nbits % 8 else 0
+        if len(self.starts) > drop:
+            self.pos = self.starts[drop]
+            if self.marker is not None:
+                # the prefetched marker now sits ahead of pos again
+                self.marker = None
+                self.end_reason = None
+        self.acc = 0
         self.nbits = 0
-        # the marker may already have been recorded by _next_byte, or
-        # sit directly at self.pos as FF Dn
+        self.starts = []
+        if self.end_reason is not None and self.marker is None:
+            self.end_reason = None  # realign clears a soft EOF prefetch
+        # the marker may already have been recorded by _fill, or sit
+        # directly at self.pos as FF Dn
         if self.marker is None:
             while (
                 self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF
@@ -183,6 +254,7 @@ class _BitReader:
                 )
             )
         self.marker = None
+        self.end_reason = None
 
 
 def _idct_block(coeffs: list[int]) -> list[int]:

@@ -503,3 +503,60 @@ def test_numpy_engine_byte_identical_to_stdlib():
 
     with pytest.raises(ValueError, match="engine"):
         decode_jpeg(cases[0], engine="turbo")
+
+
+def test_huffman_fast_path_matches_bitwalk_reference():
+    """The r16 two-level Huffman fast path (8-bit peek table + 9..16
+    prefix walk) decodes the identical symbol stream a per-bit
+    reference walk does — exercised on a table that FORCES both levels
+    (code lengths 1..11), over byte-stuffed data containing 0xFF00."""
+    import random
+
+    from etl_instagram_spark.multimodal.jpeg import _BitReader, _HuffTable
+
+    # canonical table: 1 code at each length 1..11 -> long codes are
+    # all-ones prefixes, so random payloads hit the slow path too
+    bits = [1] * 11 + [0] * 5
+    huffval = list(range(11))
+    table = _HuffTable(bits, huffval)
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+
+    rng = random.Random(99)
+    syms = [rng.randrange(11) for _ in range(5000)]
+    bitstr = "".join(
+        format(codes[s][0], f"0{codes[s][1]}b") for s in syms
+    )
+    bitstr += "1" * ((8 - len(bitstr) % 8) % 8)
+    raw = bytes(
+        int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8)
+    )
+    stuffed = raw.replace(b"\xff", b"\xff\x00")
+
+    got = []
+    reader = _BitReader(stuffed, 0)
+    for _ in syms:
+        got.append(table.decode(reader))
+    assert got == syms
+
+    # per-bit reference walk over the same (length, code) -> symbol map
+    ref = []
+    pos = 0
+    unstuffed = stuffed.replace(b"\xff\x00", b"\xff")
+    allbits = "".join(format(b, "08b") for b in unstuffed)
+    for _ in syms:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | int(allbits[pos])
+            pos += 1
+            if (length, code) in table.lookup:
+                ref.append(table.lookup[(length, code)])
+                break
+    assert ref == syms
