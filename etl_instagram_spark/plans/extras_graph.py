@@ -513,6 +513,75 @@ def _sql_part_communities() -> str:
     """
 
 
+def _graph_node2vec_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r16): the node2vec-FED embedding chain — the
+    composition the graph_embed docstrings promise: second-order biased
+    walks (homophily config (1, 1, 2), hub cap 32) emit the same
+    (walk_id, step, node) schema first-order walks do, so the
+    co-occurrence → PPMI → random-projection chain composes unchanged
+    and the top-50 nodes' embedding VECTORS (every float) replay
+    bit-for-bit in one DuckDB statement (the graph_walk_embeddings
+    contract, now certified for the second-order corpus)."""
+    from etl_instagram_spark.operators.graph import (
+        bipartite_order_edges,
+        node2vec_walks,
+    )
+    from etl_instagram_spark.operators.graph_embed import (
+        ppmi_scores,
+        walk_cooccurrence,
+        walk_embeddings,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    walks = node2vec_walks(
+        bipartite_order_edges(od, li),
+        walk_len=4,
+        seed="n2e",
+        far_w=2,
+        max_degree=32,
+    )
+    emb = walk_embeddings(
+        ppmi_scores(walk_cooccurrence(walks, window=2)), dim=8, seed="n2emb"
+    )
+    return emb.orderBy(F.desc("norm"), "node").limit(50).select(
+        "node", "norm", "emb"
+    )
+
+
+def _sql_graph_node2vec_embeddings() -> str:
+    from etl_instagram_spark.operators.graph import (
+        BIPARTITE_ORDER_EDGES_SQL,
+        node2vec_walks_sql,
+    )
+    from etl_instagram_spark.operators.graph_embed import (
+        ppmi_sql,
+        walk_cooccurrence_sql,
+        walk_embeddings_sql,
+    )
+
+    ctes = ", ".join(
+        [
+            node2vec_walks_sql(
+                BIPARTITE_ORDER_EDGES_SQL,
+                walk_len=4,
+                seed="n2e",
+                far_w=2,
+                max_degree=32,
+            ),
+            walk_cooccurrence_sql(window=2),
+            ppmi_sql(),
+            walk_embeddings_sql(dim=8, seed="n2emb"),
+        ]
+    )
+    return f"""
+    WITH {ctes}
+    SELECT node, norm, emb FROM embs
+    ORDER BY norm DESC, node
+    LIMIT 50
+    """
+
+
 def _register() -> None:
     # never-gated (r10): personalized PageRank — seeded teleport variant
     # of the gate's graph_pagerank_suppliers
@@ -570,6 +639,13 @@ def _register() -> None:
     EXTRAS["part_communities_weighted"] = (
         _part_communities_weighted,
         _sql_part_communities_weighted(),
+    )
+    # never-gated (r16): node2vec-fed embedding chain — second-order
+    # walks through cooc -> PPMI -> projection, floats bit-replayed
+    # (lazy callable: node2vec SQL assembly is the heaviest mirror)
+    EXTRAS["graph_node2vec_embeddings"] = (
+        _graph_node2vec_embeddings,
+        _sql_graph_node2vec_embeddings,
     )
 
 
