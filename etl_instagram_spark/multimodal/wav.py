@@ -354,6 +354,50 @@ def decode_wav(data: bytes) -> dict:
     return info
 
 
+def decode_wav_np(data: bytes) -> dict:
+    """:func:`decode_wav` with ``samples`` as a numpy array instead of
+    a Python list — the :func:`wav_features` hot path (r16): integer
+    PCM via ``np.frombuffer`` views, G.711 via one vectorized table
+    take, float PCM via a dtype view with a vectorized finiteness
+    check. Values are IDENTICAL to :func:`decode_wav`'s (pinned by
+    test); IMA ADPCM keeps the sequential block decode (true data
+    dependence through the predictor) and converts once."""
+    import numpy as np
+
+    info = wav_info(data)
+    pcm, bits, fmt = info["pcm"], info["bits"], info["fmt"]
+    if fmt == "float":
+        arr = np.frombuffer(pcm, dtype="<f4" if bits == 32 else "<f8")
+        if not np.isfinite(arr).all():
+            raise ValueError(
+                "wav: non-finite IEEE float sample (NaN/inf) — refusing "
+                "to feed it into feature statistics"
+            )
+    elif fmt == "ulaw":
+        arr = np.asarray(_ULAW_TABLE, dtype=np.int32)[
+            np.frombuffer(pcm, dtype=np.uint8)
+        ]
+    elif fmt == "alaw":
+        arr = np.asarray(_ALAW_TABLE, dtype=np.int32)[
+            np.frombuffer(pcm, dtype=np.uint8)
+        ]
+    elif fmt == "ima_adpcm":
+        d = decode_wav(data)
+        d["samples"] = np.asarray(d["samples"], dtype=np.int32)
+        return d
+    elif bits == 8:
+        arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128
+    elif bits == 16:
+        arr = np.frombuffer(pcm, dtype="<i2")
+    elif bits == 32:
+        arr = np.frombuffer(pcm, dtype="<i4")
+    else:  # 24-bit: sign-extend three little-endian bytes
+        b = np.frombuffer(pcm, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        arr = b[:, 0] | (b[:, 1] << 8) | ((b[:, 2].astype(np.int8).astype(np.int32)) << 16)
+    info["samples"] = arr
+    return info
+
+
 def wav_feature_vector(d: dict, n_segments: int = 8) -> list[float] | None:
     """Fixed 16-dim feature vector from a :func:`decode_wav` dict:
     [channels/8, rate/48k, log-length, DC mean, mean |x|, RMS, peak,
@@ -420,7 +464,9 @@ def wav_features(
             if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
                 return None
             try:
-                return wav_feature_vector(decode_wav(raw))
+                # numpy sample decode (value-identical, pinned by test)
+                # — the per-sample Python loop was this stage's floor
+                return wav_feature_vector(decode_wav_np(raw))
             except (ValueError, NotImplementedError):
                 return None
 

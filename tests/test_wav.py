@@ -603,3 +603,49 @@ def test_wav_features_g711_and_adpcm_near_dup(spark):
 
     assert cos(out["pcm"], out["ulaw"]) > 0.999
     assert cos(out["pcm"], out["adpcm"]) > 0.99
+
+
+def test_decode_wav_np_matches_list_decode_every_format():
+    """The r16 numpy sample decode is value-identical to decode_wav
+    across every supported format: int PCM at all four widths, float32/
+    float64, mu-law, A-law, and IMA ADPCM."""
+    import numpy as np
+
+    from etl_instagram_spark.multimodal.wav import decode_wav_np
+
+    src = _sine(1200, 440, amp=14000)
+    pcm16 = b"".join(int(s).to_bytes(2, "little", signed=True) for s in src)
+    cases = [
+        _encode([s >> 8 for s in src], sampwidth=1),
+        _encode(src, sampwidth=2),
+        _encode([s << 8 for s in src], sampwidth=3),
+        _encode([s << 16 for s in src], sampwidth=4),
+        _encode_float([s / 32768.0 for s in src], width=4),
+        _encode_float([s / 32768.0 for s in src], width=8),
+        _wav_bytes(7, 1, 8000, 8, 1, audioop.lin2ulaw(pcm16, 2)),
+        _wav_bytes(6, 1, 8000, 8, 1, audioop.lin2alaw(pcm16, 2)),
+    ]
+    body, _ = _ima_encode([src[:505]], 505)
+    cases.append(
+        _wav_bytes(0x11, 1, 8000, 4, 256, body, extra=_ima_extra(505), fact=505)
+    )
+    for w in cases:
+        a = decode_wav(w)
+        b = decode_wav_np(w)
+        assert isinstance(b["samples"], np.ndarray)
+        assert a["samples"] == list(
+            float(x) if a["fmt"] == "float" else int(x) for x in b["samples"]
+        )
+        fa = wav_feature_vector(a)
+        fb = wav_feature_vector(b)
+        assert fa == fb
+
+
+def test_decode_wav_np_nonfinite_raises():
+    import struct as _s
+
+    from etl_instagram_spark.multimodal.wav import decode_wav_np
+
+    bad = _encode_float([0.5, float("nan"), -0.5], width=4)
+    with pytest.raises(ValueError, match="non-finite"):
+        decode_wav_np(bad)
