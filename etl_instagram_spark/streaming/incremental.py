@@ -1927,6 +1927,30 @@ def communities_read(
     return label_propagation(edges.select("src", "dst"), n_rounds=n_rounds)
 
 
+def pagerank_read(
+    store: MergeTable,
+    n_iter: int = 3,
+    weighted: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """PageRank over the growing graph: collapse the edge store and
+    RECOMPUTE operators/graph.pagerank over the merged edge set — the
+    :func:`communities_read` recompute-per-tick contract for the
+    family's driver-certified operator. Rank is a global stationary
+    property (one landed edge shifts mass everywhere through the power
+    iteration), so like LPA there is no sound local update; the
+    maintainable state is the O(edges) store and the read costs exactly
+    the batch operator. ``weighted=True`` walks edges in proportion to
+    their summed multiplicities; extra kwargs (seeds,
+    redistribute_dangling, ...) pass through to pagerank."""
+    from etl_instagram_spark.operators.graph import pagerank
+
+    edges = edges_read(store)
+    if weighted:
+        return pagerank(edges, n_iter=n_iter, weight_col="w", **kwargs)
+    return pagerank(edges.select("src", "dst"), n_iter=n_iter, **kwargs)
+
+
 def compact_edge_store(store: MergeTable, through_epoch: int) -> int:
     """Collapse every edge row with ``epoch_id <= through_epoch`` into
     one summed edge set re-keyed at ``through_epoch`` — the

@@ -159,6 +159,41 @@ def test_compaction_read_invariant_and_guarded(spark, tmp_path):
     assert compact_edge_store(store, through_epoch=1) >= 0
 
 
+def test_pagerank_read_identical_to_batch(spark, tmp_path):
+    """pagerank_read over the store equals batch pagerank over the
+    union — unweighted on the distinct edge set, weighted on the
+    summed multiplicities (a twice-landed edge carries double walk
+    probability)."""
+    from etl_instagram_spark.operators.graph import pagerank
+    from etl_instagram_spark.streaming.incremental import pagerank_read
+
+    waves = [
+        _clique([0, 1, 2, 3]),
+        _clique([10, 11, 12]) + [(3, 10), (10, 3)] + [(0, 1), (1, 0)],
+    ]
+    store = MergeTable(
+        spark, str(tmp_path / "edges_pr"), ["epoch_id", "src", "dst"]
+    )
+    for i, w in enumerate(waves):
+        apply_edge_delta(store, spark.createDataFrame(w, EDGE_DDL), i)
+    all_edges = sorted(set(e for w in waves for e in w))
+    got = _rows_sorted(pagerank_read(store, n_iter=3))
+    want = _rows_sorted(
+        pagerank(spark.createDataFrame(all_edges, EDGE_DDL), n_iter=3)
+    )
+    assert got == want
+    mult: dict[tuple[int, int], int] = {}
+    for w in waves:
+        for e in w:
+            mult[e] = mult.get(e, 0) + 1
+    wedges = spark.createDataFrame(
+        [(s, d, m) for (s, d), m in sorted(mult.items())], WEDGE_DDL
+    )
+    got_w = _rows_sorted(pagerank_read(store, n_iter=3, weighted=True))
+    want_w = _rows_sorted(pagerank(wedges, n_iter=3, weight_col="w"))
+    assert got_w == want_w
+
+
 def test_stream_tick_drains_landing_dir(spark, tmp_path):
     """The AvailableNow tick face: two drained edge waves land
     epoch-keyed and communities_read equals batch LPA over everything
