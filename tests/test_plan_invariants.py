@@ -634,3 +634,34 @@ def test_lpa_round_aggregations_combine_map_side(spark):
     assert "partial_min" in splan, splan
     # the round's label join is a key-equi join, never nested-loop
     assert "BroadcastNestedLoopJoin" not in splan, splan
+
+
+def test_walk_embedding_gate_edges_push_the_date_filter(spark):
+    """The r16 gate row graph_walk_embeddings bounds its subgraph with
+    a quarter filter on orders — that filter must reach the orders
+    parquet scan (the subgraph bound is the row's scale lever; a
+    post-scan filter would read the whole fact table at 100 TB). The
+    walk itself checkpoints eagerly, so the pin is on the lazy edges
+    frame the chain consumes."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.operators.graph import bipartite_order_edges
+    from etl_instagram_spark.plans.queries import _t
+
+    od = _t(spark, SF, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _t(spark, SF, "lineitem")
+    plan = (
+        bipartite_order_edges(od, li)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "o_orderdate" in ln
+    ]
+    assert scan_lines, "orders scan does not carry the o_orderdate filter"
