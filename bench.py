@@ -505,7 +505,17 @@ def main() -> int:
             # The warm rep's metric deltas ARE recorded (index 0 of
             # tick_rep_metrics, flagged "warm") — the warm-vs-timed
             # component diff is exactly what the driver-vs-builder
-            # residual question needs.
+            # residual question needs. NOTE: each entry's wall_sec (and
+            # therefore its metric deltas) spans the ENTIRE tick_fn
+            # call — setup, seed tick, verification — while samples_raw
+            # carries only the function's internally-timed steady-state
+            # portion; compare deltas ACROSS reps, not against the
+            # sample times. First diagnostic yield (this round's
+            # degraded container): identical per-rep work (bytes,
+            # tasks, GC) with task_time_ms ≈ wall_sec·1000 at 3-5x
+            # spread = host CPU starvation, and average parallelism ~1
+            # on the etl/dedup ticks = they are stage-latency-bound,
+            # not compute-bound.
             snap = _exec_metrics_snapshot(spark)
             wt0 = time.perf_counter()
             tick_fn(spark)
