@@ -106,6 +106,10 @@ interval-join the likely candidate only if a dedicated range-join row
 replaces it — otherwise pick from the window family, where
 customer_rolling_30d_revenue's range frame duplicates
 events_hypertable_rollup's time-bucket machinery least).
+docs_weighted_sample pre-measured at sf0.1 per the rotation charter:
+1.4-2.2 s warm on a degraded r16 container (240 rows, threshold branch
+live in all five langs) — no KMV-style staging fix needed before the
+seat lands.
 """
 
 from __future__ import annotations
