@@ -897,3 +897,72 @@ def ann_ivfpq_topk(
         .orderBy(F.col("l2_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar int8 quantization (r16) — the vector-store compression step
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard
+    vector-store compression step (4× over float32, 8× over float64)
+    between raw embeddings and the PQ/IVFADC index faces:
+
+        scale = max_i |x_i|          (order-independent max)
+        q_i   = round(x_i · 127 / scale)   ∈ [−127, 127]
+
+    with the all-zero vector keeping scale 0.0 and all-zero codes.
+    Output: (id_col, scale double, q array<int>). Exact across engines
+    BY CONSTRUCTION: abs/max/multiply/divide are correctly-rounded
+    IEEE ops on identical parquet doubles and both engines round ties
+    away from zero (the PPMI micro-unit discipline, minus the ln — no
+    transcendental means no 1-ulp window at all), so codes and scales
+    replay bit-for-bit in DuckDB (:func:`quantize_sql`).
+
+    |x_i| ≤ scale gives |q_i| ≤ 127 with NO clamp: x = ±scale lands on
+    exactly ±127 (127.0 is exact). Reconstruction error is bounded by
+    scale/254 per component (:func:`dequantize_col`).
+
+    Scale: one narrow projection — embarrassingly parallel, no
+    shuffle; at 100 TB this is a scan-stage rewrite whose output is
+    the column you actually store."""
+    v = as_double(F.col(vec_col))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v, lambda x: F.round(x * F.lit(127.0) / scale, 0).cast("int")
+        )
+    )
+    return df.select(
+        F.col(id_col), scale.alias("scale"), q.alias("q")
+    )
+
+
+def dequantize_col(q_col: Column, scale_col: Column) -> Column:
+    """Reconstruct ``array<double>`` from int8 codes: x̂_i = q_i·scale/127
+    (pinned operation order, mirrored by :func:`dequantize_sql`);
+    per-component error ≤ scale/254. The zero-scale branch falls out
+    naturally (all terms 0)."""
+    return F.transform(
+        q_col, lambda qi: qi.cast("double") * scale_col / F.lit(127.0)
+    )
+
+
+def quantize_sql(vec: str) -> tuple[str, str]:
+    """DuckDB mirror of :func:`quantize_embeddings`: returns
+    ``(scale_expr, q_expr)`` over a double-list expression ``vec`` —
+    same max, same pinned multiply/divide, same ties-away round."""
+    scale = f"list_max(list_transform({vec}, x -> abs(x)))"
+    q = (
+        f"CASE WHEN {scale} = 0.0 THEN list_transform({vec}, x -> 0) "
+        f"ELSE list_transform({vec}, x -> "
+        f"(round((x * 127.0) / {scale}))::INT) END"
+    )
+    return scale, q
+
+
+def dequantize_sql(q: str, scale: str) -> str:
+    return f"list_transform({q}, qi -> (qi::DOUBLE * {scale}) / 127.0)"

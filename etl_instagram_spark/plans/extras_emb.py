@@ -60,6 +60,70 @@ def _emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _llm("emb_knn_cosine")(spark, sf_dir)
 
 
+def _emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r16): symmetric per-vector int8 scalar quantization
+    (operators/similarity.quantize_embeddings) — the vector-store
+    compression step between raw embeddings and the PQ/IVFADC index
+    faces. Codes and scales are exact across engines by construction
+    (correctly-rounded IEEE ops on identical parquet doubles, both
+    engines round ties away from zero — no transcendental anywhere),
+    so the per-vector profile (scale, code checksum/extrema, and the
+    6-place reconstruction cosine via the pinned left-fold dot)
+    replays bit-for-bit in DuckDB."""
+    from etl_instagram_spark.operators.similarity import (
+        dequantize_col,
+        quantize_embeddings,
+    )
+    from etl_instagram_spark.plans.q_shared import _as_double, _dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(emb, "embedding", "vec_id")
+    joined = qz.join(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v")),
+        "vec_id",
+    )
+    d = dequantize_col(F.col("q"), F.col("scale"))
+    cos = _dot(d, F.col("v")) / (
+        F.sqrt(_dot(d, d)) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    return joined.select(
+        "vec_id",
+        "scale",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.round(cos, 6).alias("recon_cos"),
+    ).orderBy("vec_id")
+
+
+def _sql_emb_int8_quantization() -> str:
+    from etl_instagram_spark.operators.similarity import (
+        dequantize_sql,
+        quantize_sql,
+    )
+
+    scale, q = quantize_sql("vd")
+    deq = dequantize_sql("q", "scale")
+    return f"""
+    WITH vv AS (SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS vd
+                FROM embeddings),
+    qz AS (SELECT vec_id, vd, {scale} AS scale, {q} AS q FROM vv),
+    dq AS (SELECT vec_id, vd, scale, q, {deq} AS d FROM qz)
+    SELECT vec_id, scale,
+           (list_sum(q))::BIGINT AS q_sum,
+           list_min(q) AS q_min,
+           list_max(q) AS q_max,
+           round(list_dot_product(d, vd)
+                 / (sqrt(list_dot_product(d, d))
+                    * sqrt(list_dot_product(vd, vd))), 6) AS recon_cos
+    FROM dq
+    ORDER BY vec_id
+    """
+
+
 def _register() -> None:
     from etl_instagram_spark.plans import llm_queries
 
@@ -78,6 +142,12 @@ def _register() -> None:
     EXTRAS["emb_ann_recall"] = (
         llm_queries.emb_ann_recall,
         llm_queries.SQL_EMB_ANN_RECALL,
+    )
+    # never-gated (r16): int8 scalar quantization — codes/scales exact
+    # across engines, reconstruction cosine at 6 places
+    EXTRAS["emb_int8_quantization"] = (
+        _emb_int8_quantization,
+        _sql_emb_int8_quantization,
     )
 
 

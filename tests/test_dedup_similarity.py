@@ -1510,3 +1510,73 @@ def test_pq_topk_rejects_rerank_below_k(spark, sf_oracle):
         S.ann_ivfpq_topk(
             S.ann_index_rows(emb, cents, cbs), emb, qv, cents, cbs, k=10, rerank=5
         )
+
+
+def test_int8_quantization_bounds_and_zero_vector(spark):
+    """r16 scalar quantization: codes live in [-127, 127] with the max
+    component landing on exactly ±127 (no clamp needed), per-component
+    reconstruction error is bounded by scale/254, and the all-zero
+    vector keeps scale 0.0 with all-zero codes."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.operators.similarity import (
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.125]),
+        (1, [3.0, 2.0, -3.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [1e-8, -2e-8, 1.5e-8, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qz = quantize_embeddings(df).withColumn(
+        "d", dequantize_col(F.col("q"), F.col("scale"))
+    )
+    got = {r["vec_id"]: r for r in qz.collect()}
+    for vid, vec in rows:
+        r = got[vid]
+        scale = max(abs(x) for x in vec)
+        assert r["scale"] == scale
+        assert all(-127 <= q <= 127 for q in r["q"])
+        if scale > 0:
+            # the max-magnitude component hits exactly +/-127
+            assert 127 in [abs(q) for q in r["q"]]
+            for x, xd in zip(vec, r["d"]):
+                assert abs(x - xd) <= scale / 254 + 1e-15
+        else:
+            assert list(r["q"]) == [0, 0, 0, 0]
+            assert list(r["d"]) == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_int8_quantization_preserves_cosine_on_real_embeddings(spark):
+    """Reconstruction cosine > 0.999 on every real sf0.001 embedding —
+    the property the compression step is for."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.operators.similarity import (
+        as_double,
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qz = quantize_embeddings(emb).join(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v")),
+        "vec_id",
+    )
+    d = dequantize_col(F.col("q"), F.col("scale"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(d, F.col("v")) / (
+        F.sqrt(dot(d, d)) * F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    worst = qz.select(F.min(cos).alias("m")).first()["m"]
+    assert worst > 0.999
