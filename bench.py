@@ -576,6 +576,24 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r16 end-of-round container state: four "
+                        "same-code bench attempts across the session "
+                        "read min-sums 106.5 / 101.6 / 91.2 s with "
+                        "max_noise 5.1-7.2, and the NEW tick_rep_metrics "
+                        "adjudicate the inflation from inside the "
+                        "artifact: identical per-rep work (input bytes, "
+                        "shuffle bytes, task counts, low GC) with "
+                        "task_time_ms tracking wall 1:1 at up to 5x "
+                        "spread = host CPU starvation, not a plan "
+                        "change. Like-for-like vs BENCH_r15 after the "
+                        "r16 structural delta (+3.3s walk-embeddings "
+                        "row in, -0.27s domain-cap out), the best "
+                        "attempt reads ~88.2 vs 84.6 min-sum (~4% "
+                        "ambient residual). The r15 watch-item ticks "
+                        "hit builder floors in the same runs: "
+                        "stream_dedup 5.63 (r15 builder floor 5.41), "
+                        "ann_query 2.73-3.15 (3.32), q1 1.41 (0.90 "
+                        "median-era floor), kmeans 1.39.",
                         "r16 structural delta: gate promoted "
                         "graph_walk_embeddings (walks -> cooc -> PPMI "
                         "-> projection over the 1997Q1 subgraph; "
