@@ -348,3 +348,4 @@ def with_word_shingles(
     if distinct:
         sh = F.array_distinct(sh)
     return df.withColumn(out_col, sh).drop("__ws_norm", "__ws_toks")
+

@@ -1095,3 +1095,52 @@ def _sql_docs_domain_cap() -> str:
 
 # r16 rotation: per-source frequency cap (C4/RefinedWeb domain capping)
 EXTRAS["docs_domain_cap"] = (_docs_domain_cap, _sql_docs_domain_cap)
+
+
+def _docs_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-gated (r16): Unicode NFC normalization
+    (functions/text.unicode_normalize, the multilingual-dedup
+    prerequisite) certified cross-engine: both engines append the SAME
+    decomposed suffix (e + combining acute, A + combining ring) to each
+    document's text, normalize to NFC — composing the pairs into é / Å
+    and shortening the string by exactly 2 — and the per-doc normalized
+    content hash + both lengths replay bit-for-bit (DuckDB
+    nfc_normalize implements the same UAX #15 composition the pandas
+    UDF applies)."""
+    from etl_instagram_spark.functions.text import hash32
+    from etl_instagram_spark.functions.unicodenorm import unicode_normalize
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    raw = F.concat(F.col("text"), F.lit("é Å"))
+    out = docs.select(
+        "doc_id",
+        F.length(raw).alias("len_raw"),
+        unicode_normalize(raw, "NFC").alias("norm"),
+    )
+    return out.select(
+        "doc_id",
+        "len_raw",
+        F.length("norm").alias("len_norm"),
+        hash32(F.col("norm")).alias("norm_hash"),
+    ).orderBy("doc_id")
+
+
+def _sql_docs_nfc_normalize() -> str:
+    from etl_instagram_spark.functions.text import hash32_sql
+    from etl_instagram_spark.functions.unicodenorm import (
+        unicode_normalize_sql,
+    )
+
+    raw = "text || 'e' || chr(769) || ' A' || chr(778)"
+    norm = unicode_normalize_sql(raw)
+    return f"""
+    SELECT doc_id,
+           length({raw}) AS len_raw,
+           length({norm}) AS len_norm,
+           {hash32_sql(norm)} AS norm_hash
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """
+
+
+# never-gated (r16): UAX #15 NFC normalization, cross-engine
+EXTRAS["docs_nfc_normalize"] = (_docs_nfc_normalize, _sql_docs_nfc_normalize)

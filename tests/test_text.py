@@ -266,3 +266,73 @@ def test_canonicalize_url_sql_mirror_agrees(spark):
         ).fetchall()
     ]
     assert spark_out == duck_out
+
+
+def test_unicode_normalize_forms(spark):
+    """UAX #15 semantics: NFC composes combining pairs, NFD decomposes,
+    NFKC folds compatibility forms (ligature fi, the Angstrom sign),
+    NULLs pass through, idempotence, loud unknown-form guard."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.functions.unicodenorm import unicode_normalize
+
+    rows = [
+        (0, "café"),   # cafe + combining acute -> café
+        (1, "Å"),            # Angstrom sign
+        (2, "ﬁle"),          # ligature fi + "le"
+        (3, None),
+        (4, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "i long, s string")
+    out = {
+        r["i"]: (r["nfc"], r["nfkc"], r["nfd"])
+        for r in df.select(
+            "i",
+            unicode_normalize(F.col("s"), "NFC").alias("nfc"),
+            unicode_normalize(F.col("s"), "NFKC").alias("nfkc"),
+            unicode_normalize(F.col("s"), "NFD").alias("nfd"),
+        ).collect()
+    }
+    assert out[0][0] == "café"            # composed
+    assert out[0][2] == "café"           # decomposed
+    assert out[1][0] == "Å"               # NFC: Angstrom -> Å (canonical)
+    assert out[1][1] == "Å"               # NFKC agrees here
+    assert out[2][0] == "ﬁle"             # NFC keeps the ligature
+    assert out[2][1] == "file"                 # NFKC folds it
+    assert out[3] == (None, None, None)
+    assert out[4] == ("plain ascii",) * 3
+    # idempotence: normalizing twice is a no-op
+    twice = df.select(
+        unicode_normalize(
+            unicode_normalize(F.col("s"), "NFC"), "NFC"
+        ).alias("a"),
+        unicode_normalize(F.col("s"), "NFC").alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in twice)
+    with pytest.raises(ValueError, match="unknown normalization form"):
+        unicode_normalize(F.col("s"), "NFX")
+
+
+def test_unicode_normalize_makes_dedup_keys_agree(spark):
+    """The operational property: two composition variants of the same
+    text hash identically AFTER NFC and differently before."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.functions.text import hash32
+    from etl_instagram_spark.functions.unicodenorm import unicode_normalize
+
+    df = spark.createDataFrame(
+        [("a", "résumé"), ("b", "résumé")],
+        "k string, s string",
+    )
+    raw = {r["k"]: r["h"] for r in df.select("k", hash32(F.col("s")).alias("h")).collect()}
+    norm = {
+        r["k"]: r["h"]
+        for r in df.select(
+            "k", hash32(unicode_normalize(F.col("s"), "NFC")).alias("h")
+        ).collect()
+    }
+    assert raw["a"] != raw["b"]
+    assert norm["a"] == norm["b"]
