@@ -69,6 +69,7 @@ def curate_corpus(
     split_weights: dict[str, float] | None = None,
     split_salt: str = "split",
     split_on: str = "id",
+    nfc: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain; returns ``(kept, rejected)``.
 
@@ -102,10 +103,25 @@ def curate_corpus(
     hash32(normalized text) instead of the doc id — the leakage-safe
     split (gate row docs_leakage_safe_split): any residual byte-equal
     duplicates co-assign by construction, so eval contamination through
-    the split is impossible even if dedup was skipped upstream."""
+    the split is impossible even if dedup was skipped upstream.
+
+    ``nfc=True`` prepends UAX #15 NFC normalization of ``text_col``
+    (functions/unicodenorm) — a text EDIT applied BEFORE every
+    content-keyed stage, so composition variants of the same text
+    dedup/decontaminate/split as the identical bytes they are. Off by
+    default: it inserts the pipeline's only pandas-UDF stage, and
+    ASCII-clean corpora don't need it."""
     base_cols = docs.columns
     if id_col not in base_cols or text_col not in base_cols:
         raise ValueError(f"docs must carry {id_col!r} and {text_col!r}")
+    if nfc:
+        from etl_instagram_spark.functions.unicodenorm import (
+            unicode_normalize,
+        )
+
+        docs = docs.withColumn(
+            text_col, unicode_normalize(F.col(text_col), "NFC")
+        )
 
     def rejected_from(current: DataFrame, survivors: DataFrame, stage: str):
         return (

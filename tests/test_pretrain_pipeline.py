@@ -193,3 +193,37 @@ def test_curation_dsir_params_must_pair(spark):
         curate_corpus(docs, dsir_target=docs)
     with pytest.raises(ValueError):
         curate_corpus(docs, dsir_k=5)
+
+
+def test_curate_corpus_nfc_unifies_composition_variants(spark):
+    """nfc=True: two composition variants of the same text exact-dedup
+    into one kept row (the reject audits as exact_dup); without it both
+    survive as distinct content."""
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.pipelines.pretrain import curate_corpus
+
+    base = (
+        "this is a perfectly reasonable document about nothing with "
+        "enough words to pass every quality threshold easily and it "
+        "keeps going for a while so the gopher rules are satisfied "
+        "because short documents are rejected by the word count rule "
+        "which would defeat the purpose of this particular test case"
+    )
+    composed = base + " caf\u00e9"
+    decomposed = base + " cafe\u0301"
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed)], "doc_id long, text string"
+    )
+    kept, rejected = curate_corpus(df, nfc=True)
+    k = kept.collect()
+    assert len(k) == 1 and k[0]["doc_id"] == 1
+    r = rejected.collect()
+    assert len(r) == 1 and r[0]["reject_stage"] == "exact_dup"
+    # kept text is the NORMALIZED form (composed NFC bytes)
+    assert k[0]["text"].endswith(" caf\u00e9")
+    # without nfc the bytes differ, so the EXACT stage misses the pair
+    # — it only dies later at the (shingle-tolerant) near-dup stage
+    _, rejected2 = curate_corpus(df)
+    r2 = rejected2.collect()
+    assert len(r2) == 1 and r2[0]["reject_stage"] == "near_dup"
