@@ -448,17 +448,31 @@ def main() -> int:
     raw: dict[str, list[float]] = {}
     starts: dict[str, list[float]] = {}
     run_order: list[str] = []
+    # r17: per-rep executor metric deltas for EVERY gate query, not just
+    # ticks — r16's single unadjudicable divergence was a non-tick entry
+    # (emb_knn_join_recall, 4.9x driver-vs-builder floor with zero
+    # in-artifact evidence). The snapshot is a driver-side status-store
+    # read (~ms), so it cannot perturb the timings it annotates.
+    query_metrics: dict[str, list[dict[str, int] | None]] = {}
     for name, fn in queries.items():
         run_order.append(name)
         samples: list[float] = []
         rep_starts: list[float] = []
+        rep_metrics: list[dict[str, int] | None] = []
         try:
+            after = _exec_metrics_snapshot(spark)
             for _ in range(REPS):
                 rep_starts.append(round(time.perf_counter() - bench_t0, 2))
+                snap = after
                 t0 = time.perf_counter()
                 rows = fn(spark, SF_DIR).collect()
                 _ = len(rows)
                 samples.append(time.perf_counter() - t0)
+                after = _exec_metrics_snapshot(spark)
+                d = _metrics_delta(snap, after)
+                if d is not None:
+                    d["wall_sec"] = round(samples[-1], 4)
+                rep_metrics.append(d)
             timings[name] = round(statistics.median(samples), 4)
             minima[name] = round(min(samples), 4)
         except Exception as exc:  # noqa: BLE001 — record, don't abort the bench
@@ -467,6 +481,7 @@ def main() -> int:
             print(f"# bench error {name}: {exc}", file=sys.stderr)
         raw[name] = [round(s, 4) for s in samples]
         starts[name] = rep_starts
+        query_metrics[name] = rep_metrics
 
     # pipeline ticks (fresh MergeTable state per rep, median kept): the
     # batch-ETL ingest and the incremental streaming near-dedup.
@@ -576,6 +591,18 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r17: graph_walk_embeddings output posexploded "
+                        "into (node, norm, d, value) scalar rows (the "
+                        "sole red r16 gate row — the driver's pandas "
+                        "canonicalization cannot hash array columns); "
+                        "same chain, same 50 nodes, 400 output rows, "
+                        "timing delta expected nil. Also r17: per-rep "
+                        "executor metric deltas now recorded for EVERY "
+                        "gate query (query_rep_metrics), not just ticks "
+                        "— the r16 emb_knn_join_recall 4.9x "
+                        "driver-vs-builder residual was unadjudicable "
+                        "because non-tick entries had no in-artifact "
+                        "work evidence.",
                         "r16 end-of-round container state: four "
                         "same-code bench attempts across the session "
                         "read min-sums 106.5 / 101.6 / 91.2 s with "
@@ -775,6 +802,7 @@ def main() -> int:
                     "queries_min": minima,
                     "samples_raw": raw,
                     "tick_rep_metrics": tick_metrics,
+                    "query_rep_metrics": query_metrics,
                     "rep_started_at_sec": starts,
                     "run_order": run_order,
                     "noise_ratio": noise,

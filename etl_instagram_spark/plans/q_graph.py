@@ -162,6 +162,12 @@ def graph_walk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after is exact, so the 50 highest-magnitude nodes'
     embedding VECTORS (every float) replay bit-for-bit in DuckDB.
 
+    Output shape: the vectors are posexploded into SCALAR rows
+    (node, norm, d, value) — 50 nodes × 8 dims = 400 rows — because
+    the driver's pandas canonicalization cannot hash array-typed
+    columns (the sole red row of CORRECTNESS_r16; fixed r17). Same
+    floats certified, one row per dimension.
+
     Scale: the date filter pushes into the orders scan; the walk
     frontier is O(nodes) per step against a pinned adjacency table; the
     co-occurrence pairs generate in-array (one groupBy(walk_id), never
@@ -187,8 +193,9 @@ def graph_walk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = walk_embeddings(
         ppmi_scores(walk_cooccurrence(walks, window=2)), dim=8, seed="emb"
     )
-    return emb.orderBy(F.desc("norm"), "node").limit(50).select(
-        "node", "norm", "emb"
+    top = emb.orderBy(F.desc("norm"), "node").limit(50)
+    return top.select(
+        "node", "norm", F.posexplode("emb").alias("d", "value")
     )
 
 
@@ -209,10 +216,12 @@ def _sql_graph_walk_embeddings() -> str:
         ]
     )
     return f"""
-    WITH {ctes}
-    SELECT node, norm, emb FROM embs
-    ORDER BY norm DESC, node
-    LIMIT 50
+    WITH {ctes},
+    gtop AS (SELECT node, norm, emb FROM embs
+             ORDER BY norm DESC, node
+             LIMIT 50)
+    SELECT t.node, t.norm, dd.d, t.emb[dd.d + 1] AS value
+    FROM gtop t CROSS JOIN (SELECT unnest(range(8)) AS d) dd
     """
 
 

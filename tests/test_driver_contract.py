@@ -148,6 +148,48 @@ def test_gate_hash_stable_across_partitioning(spark, sf_smoke):
     assert not mismatches, mismatches
 
 
+def test_gate_outputs_are_scalar_only(spark, sf_smoke):
+    """The driver's pandas canonicalization sorts result frames with
+    ``sort_values`` over all columns; an array/map/struct-typed output
+    column crashes it (``TypeError: unhashable type: 'list'``) before
+    any comparison runs — the sole red row of CORRECTNESS_r16
+    (``graph_walk_embeddings`` returned ``emb array<float>``). Pin the
+    class at the SCHEMA level, no execution needed: every registered
+    gate query must emit only atomic top-level column types.
+    Vector-valued results posexplode into (…, d, value) scalar rows."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        for field in fn(spark, sf_smoke).schema.fields:
+            if isinstance(
+                field.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                offenders.append((name, field.name, str(field.dataType)))
+    assert not offenders, offenders
+
+
+def test_replica_rejects_nonscalar_outputs():
+    """tools/oracle_check.py must be at least as strict as the driver:
+    its r16 ``canon()`` stringified list cells and so PASSED the exact
+    row the driver errored on. Regression-pin with the pre-fix r16
+    output shape — a frame carrying an array<float> ``emb`` column."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_check import nonscalar_columns
+
+    prefix_r16_shape = [
+        (2, 1.25, [0.1, 0.2]),
+        (4, 0.75, [0.3, 0.4]),
+    ]
+    assert nonscalar_columns(["node", "norm", "emb"], prefix_r16_shape) == [
+        "emb"
+    ]
+    scalar_rows = [(2, 1.25, 0, 0.1), (2, 1.25, 1, 0.2)]
+    assert nonscalar_columns(["node", "norm", "d", "value"], scalar_rows) == []
+
+
 def test_entry_smokes(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0

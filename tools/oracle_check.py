@@ -25,6 +25,22 @@ TABLES = (
 ).split()
 
 
+def nonscalar_columns(columns: list[str], rows: list[tuple]) -> list[str]:
+    """Columns holding list/tuple/dict/set values — the driver's pandas
+    ``sort_values`` canonicalization cannot factorize these
+    (``TypeError: unhashable type: 'list'``), so a gate query emitting
+    one ships a red row no matter how correct the floats are
+    (CORRECTNESS_r16 ``graph_walk_embeddings``). The replica must be at
+    least as strict as the driver: any non-scalar output value is a
+    loud FAIL here, never a silent stringification."""
+    bad: set[str] = set()
+    for r in rows:
+        for c, v in zip(columns, r):
+            if isinstance(v, (list, tuple, dict, set)):
+                bad.add(c)
+    return sorted(bad)
+
+
 def canon(v) -> str:
     if v is None:
         return "<NULL>"
@@ -88,6 +104,15 @@ def main() -> int:
             scols = list(sdf.columns)
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        bad_shape = nonscalar_columns(scols, srows)
+        if bad_shape:
+            print(
+                f"FAIL  {name}: non-scalar output columns {bad_shape} — "
+                "the driver's pandas canonicalization cannot hash these "
+                "(posexplode/UNNEST them into scalar rows)"
+            )
             failures += 1
             continue
         if name not in oracles:
