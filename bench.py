@@ -591,6 +591,14 @@ def main() -> int:
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
                     "ab_notes": [
+                        "r17 structural delta: gate rotation promoted "
+                        "docs_weighted_sample (priority sampling; "
+                        "re-measured 0.13s warm at sf0.1 on a quiet "
+                        "container pre-promotion) and rotated OUT "
+                        "customer_rolling_30d_revenue (0.34s r16 "
+                        "median) — expect ~-0.2s structural, i.e. nil; "
+                        "any visible movement is noise, not the "
+                        "rotation.",
                         "r17: graph_walk_embeddings output posexploded "
                         "into (node, norm, d, value) scalar rows (the "
                         "sole red r16 gate row — the driver's pandas "

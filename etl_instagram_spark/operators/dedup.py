@@ -31,14 +31,46 @@ from etl_instagram_spark.functions import text as T
 from etl_instagram_spark.operators.merge import MergeTable
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """One row per distinct content (md5 of text), keeping the smallest id
-    — deterministic regardless of partitioning."""
+def _staged_dedup_text(
+    df: DataFrame, text_col: str, normalize: str | None
+) -> tuple[DataFrame, str, tuple[str, ...]]:
+    """Stage the column dedup keys derive from. With ``normalize`` set
+    (``"nfc"``/``"nfkc"``/``"nfd"``/``"nfkd"``), keys are computed over
+    the UAX #15-normalized text so composition variants ("é" precomposed
+    vs "e"+combining-acute) collide — the multilingual-dedup
+    prerequisite (functions/unicodenorm.py) — while OUTPUT rows keep the
+    original text untouched. Default ``None`` is byte-exact on the raw
+    text (parity-preserving: every oracle-gated row uses the default)."""
+    if normalize is None:
+        return df, text_col, ()
+    from etl_instagram_spark.functions.unicodenorm import unicode_normalize
+
+    staged = "__dedup_norm_text"
     return (
-        df.withColumn("__h", F.md5(F.col(text_col)))
+        df.withColumn(
+            staged, unicode_normalize(F.col(text_col), normalize.upper())
+        ),
+        staged,
+        (staged,),
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    normalize: str | None = None,
+) -> DataFrame:
+    """One row per distinct content (md5 of text), keeping the smallest id
+    — deterministic regardless of partitioning. ``normalize`` computes
+    the content hash over UAX #15-normalized text (default off — see
+    :func:`_staged_dedup_text`)."""
+    src, key_col, staged = _staged_dedup_text(df, text_col, normalize)
+    return (
+        src.withColumn("__h", F.md5(F.col(key_col)))
         .withColumn("__keep", F.min(id_col).over(Window.partitionBy("__h")))
         .filter(F.col(id_col) == F.col("__keep"))
-        .drop("__h", "__keep")
+        .drop("__h", "__keep", *staged)
     )
 
 
@@ -328,13 +360,17 @@ def near_dedup_losers(
     k: int = 16,
     bands: int = 4,
     shingle_words: int = 3,
+    normalize: str | None = None,
 ) -> DataFrame:
     """The ids ``near_dedup_minhash`` drops (docs with a verified
     near-duplicate of smaller id) — exposed separately so callers that
     only need drop STATS can aggregate in a single action instead of
-    re-running the whole pipeline per count."""
+    re-running the whole pipeline per count. ``normalize`` runs
+    signatures AND the exact-Jaccard verify over UAX #15-normalized
+    text (default off — see :func:`_staged_dedup_text`)."""
+    src, sig_col, _ = _staged_dedup_text(df, text_col, normalize)
     verified = verified_duplicate_pairs(
-        df, id_col, text_col, threshold, k, bands, shingle_words
+        src, id_col, sig_col, threshold, k, bands, shingle_words
     )
     return verified.select(F.col("id_b").alias(id_col)).distinct()
 
@@ -347,14 +383,19 @@ def near_dedup_minhash(
     k: int = 16,
     bands: int = 4,
     shingle_words: int = 3,
+    normalize: str | None = None,
 ) -> DataFrame:
     """Drop docs that have a verified near-duplicate with a smaller id.
 
     candidates (LSH) → exact Jaccard ≥ threshold verify → left-anti drop.
     Only candidate pairs pay the verify cost; the final anti-join is on the
-    id key.
+    id key. ``normalize`` matches composition variants as duplicates
+    (default off — see :func:`_staged_dedup_text`); survivors keep
+    their original text either way.
     """
-    losers = near_dedup_losers(df, id_col, text_col, threshold, k, bands, shingle_words)
+    losers = near_dedup_losers(
+        df, id_col, text_col, threshold, k, bands, shingle_words, normalize
+    )
     return df.join(losers, on=id_col, how="left_anti")
 
 

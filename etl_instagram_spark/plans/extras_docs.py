@@ -1037,42 +1037,8 @@ def _register() -> None:
 _register()
 
 
-def _docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Never-gated (r15): priority sampling (operators/kmv.
-    kmv_weighted_sample) — a deterministic fixed-SIZE sample of 48
-    doc_ids per lang drawn with probability increasing in n_chars, plus
-    the subset-sum estimator column (est_weight = max(w, τ-reciprocal)).
-    Every sf0.01 lang holds 64–218 docs > k=48, so the THRESHOLD branch
-    is live for all five groups (the k+1-th priority exists and the
-    greatest() estimator is exercised, not the complete-group identity).
-    No RNG state: the priority is one IEEE division of exact integers on
-    the shared md5 kernel, so ids, hashes, and est floats replay
-    bit-for-bit in DuckDB — the weighted complement of docs_kmv_sample
-    (uniform) and docs_pps_sample (rate-based)."""
-    from etl_instagram_spark.operators.kmv import kmv_weighted_sample
-
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        kmv_weighted_sample(docs, "doc_id", "n_chars", ["lang"], k=48)
-        .orderBy("lang", "doc_id")
-    )
-
-
-def _sql_docs_weighted_sample() -> str:
-    from etl_instagram_spark.operators.kmv import kmv_weighted_sample_sql
-
-    inner = kmv_weighted_sample_sql(
-        "doc_id", "n_chars", "documents", ["lang"], k=48
-    )
-    return f"SELECT * FROM ({inner}) ORDER BY lang, doc_id"
-
-
-# never-gated (r15): weighted bottom-k priority sampling (stored as a
-# CALLABLE to keep import-time SQL assembly lazy)
-EXTRAS["docs_weighted_sample"] = (
-    _docs_weighted_sample,
-    _sql_docs_weighted_sample,
-)
+# docs_weighted_sample PROMOTED to the gate at the r17 rotation
+# (plans/q_docs.py) — the seat given by customer_rolling_30d_revenue
 
 
 def _docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -369,6 +369,20 @@ def _customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return customer_revenue_quartiles(spark, sf_dir)
+def _customer_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 rotation (gate seat given to docs_weighted_sample — the
+    priority-sampling estimator semantics were the strongest
+    not-yet-certified value contract in the sampling family): RANGE-frame
+    rolling window. The value-based frame machinery stays gated via
+    events_hypertable_rollup's time buckets and events_asof_join's
+    ordered merge; this exact query keeps driver-grade parity here."""
+    from etl_instagram_spark.plans.q_relational import (
+        customer_rolling_30d_revenue,
+    )
+
+    return customer_rolling_30d_revenue(spark, sf_dir)
+
+
 def _orders_nested_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14 rotation (gate seat given to events_hll_distinct — the seat
     that completes direct driver certification of all four sketch
@@ -488,6 +502,17 @@ def _register() -> None:
     EXTRAS["cube_returnflag_status"] = (
         cube_returnflag_status,
         _SQL_CUBE_RETURNFLAG_STATUS,
+    )
+    # r17 rotation: RANGE-frame rolling window (seat given to
+    # docs_weighted_sample) — value-based frame machinery stays gated
+    # via events_hypertable_rollup / events_asof_join
+    from etl_instagram_spark.plans.q_relational import (
+        SQL_CUSTOMER_ROLLING_30D_REVENUE,
+    )
+
+    EXTRAS["customer_rolling_30d_revenue"] = (
+        _customer_rolling_30d_revenue,
+        SQL_CUSTOMER_ROLLING_30D_REVENUE,
     )
 
 

@@ -110,6 +110,30 @@ docs_weighted_sample pre-measured at sf0.1 per the rotation charter:
 1.4-2.2 s warm on a degraded r16 container (240 rows, threshold branch
 live in all five langs) — no KMV-style staging fix needed before the
 seat lands.
+
+r17 rotation: ``customer_rolling_30d_revenue`` (RANGE-frame rolling
+window — the value-based-frame machinery stays gated via
+events_hypertable_rollup's time buckets and events_asof_join's ordered
+merge, and the exact query keeps value parity in
+plans/extras_relational.py) — seat given to ``docs_weighted_sample``
+(plans/q_docs.py), the Duffield-Lund-Thorup priority-sampling estimator
+whose subset-sum semantics were the sampling family's strongest
+not-yet-certified value contract. Pre-promotion checks per the r16
+verdict: re-measured 0.13 s warm at sf0.1 on a quiet container (vs the
+1.4-2.2 s degraded-container charter numbers), and the new
+scalar-output audit (tests/test_driver_contract.py
+test_gate_outputs_are_scalar_only) passes — all five output columns
+are atomic. Next runway candidate (r18): ``graph_node2vec_embeddings``
+(plans/extras_graph.py) — the node2vec-fed embedding chain is the
+graph family's last uncertified composition, and its former
+array-output blocker is resolved by the r17 posexplode discipline
+(apply the same (node, norm, d, value) shape BEFORE registering; the
+scalar-output contract test makes forgetting impossible). Seat
+template unchanged: orders_shipments_in_window's interval join is the
+candidate only if a dedicated range-join row replaces it; otherwise
+nation_customers_suppliers_full's full-outer join (its
+coalesce-both-sides machinery also lives in q5's join tree and the
+merge family's anti-joins).
 """
 
 from __future__ import annotations

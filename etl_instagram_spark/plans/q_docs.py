@@ -989,3 +989,50 @@ def _sql_docs_kmv_shingle_overlap() -> str:
 
 # lazy: kmv_overlap_sql assembly stays off the import path
 oracle("docs_kmv_shingle_overlap", _sql_docs_kmv_shingle_overlap)
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling (operators/kmv.py) — promoted to the gate in
+# r17 (customer_rolling_30d_revenue rotated to plans/extras_relational.py)
+# ---------------------------------------------------------------------------
+
+
+@query("docs_weighted_sample")
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duffield–Lund–Thorup priority sampling (operators/kmv.
+    kmv_weighted_sample), driver-certified at the r17 rotation: a
+    deterministic fixed-SIZE sample of 48 doc_ids per lang drawn with
+    probability increasing in n_chars, plus the subset-sum estimator
+    column (est_weight = max(w, τ-reciprocal)). Every sf0.01 lang holds
+    64–218 docs > k=48, so the THRESHOLD branch is live for all five
+    groups (the k+1-th priority exists and the greatest() estimator is
+    exercised, not the complete-group identity). No RNG state: the
+    priority is one IEEE division of exact integers on the shared md5
+    kernel, so ids, hashes, and est floats replay bit-for-bit in DuckDB
+    — the weighted complement of docs_kmv_sample (uniform) and
+    docs_pps_sample (rate-based), and the estimator semantics the
+    sampling family's strongest value contract.
+
+    Scale: one hash + one division per row, a per-group top-(k+1)
+    ranked selection (never a global sort), and a 1-row-per-group
+    threshold broadcast — the same shape at any corpus size."""
+    from etl_instagram_spark.operators.kmv import kmv_weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        kmv_weighted_sample(docs, "doc_id", "n_chars", ["lang"], k=48)
+        .orderBy("lang", "doc_id")
+    )
+
+
+def _sql_docs_weighted_sample() -> str:
+    from etl_instagram_spark.operators.kmv import kmv_weighted_sample_sql
+
+    inner = kmv_weighted_sample_sql(
+        "doc_id", "n_chars", "documents", ["lang"], k=48
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY lang, doc_id"
+
+
+# lazy: kmv_weighted_sample_sql assembly stays off the import path
+oracle("docs_weighted_sample", _sql_docs_weighted_sample)

@@ -374,7 +374,11 @@ oracle(
 # ---------------------------------------------------------------------------
 
 
-@query("customer_rolling_30d_revenue")
+# (customer_rolling_30d_revenue rotated out of the gate in r17 to make
+# room for docs_weighted_sample — the RANGE-frame window machinery stays
+# gated via events_hypertable_rollup's time buckets and the offset-window
+# family via events_asof_join, and the exact query keeps driver-grade
+# value parity in plans/extras_relational.py)
 def customer_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame rolling window: per customer, revenue in the 30 days
     up to each order (value-based frame, not row-based — late/sparse
@@ -397,9 +401,7 @@ def customer_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "day_num", "o_orderkey")
 
 
-oracle(
-    "customer_rolling_30d_revenue",
-    """
+SQL_CUSTOMER_ROLLING_30D_REVENUE = """
     SELECT o_custkey, o_orderkey,
            datediff('day', DATE '1992-01-01', o_orderdate::DATE) AS day_num,
            round(sum(o_totalprice) OVER (
@@ -408,8 +410,7 @@ oracle(
              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rolling_30d_revenue
     FROM orders WHERE o_custkey <= 100
     ORDER BY o_custkey, day_num, o_orderkey
-    """,
-)
+    """
 
 
 # (customer_revenue_quartiles rotated out of the gate in r11 to make room

@@ -39,6 +39,46 @@ def test_exact_dedup_keeps_smallest_id(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5]
 
 
+def test_exact_dedup_nfc_normalize_folds_composition_variants(spark):
+    # "caf\u00e9 menu" precomposed (U+00E9) vs decomposed ("e" + U+0301):
+    # different byte strings, same canonical text. Default stays
+    # byte-exact (parity with every oracle-gated row); normalize="nfc"
+    # folds the variants so the smaller id survives. Survivors keep
+    # their ORIGINAL text.
+    pre = "caf\u00e9 menu"
+    dec = "cafe\u0301 menu"
+    assert pre != dec
+    rows = [(1, pre), (2, dec), (3, "unrelated")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = D.exact_dedup(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in raw.collect()) == [1, 2, 3]
+    out = D.exact_dedup(df, "text", "doc_id", normalize="nfc").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+    assert {r["text"] for r in out} == {pre, "unrelated"}
+    assert {c for r in out for c in r.asDict()} == {"doc_id", "text"}
+
+
+def test_near_dedup_nfc_normalize_matches_variant_near_dup(spark):
+    # doc 2 is doc 1 with one word changed AND every "\u00e9" decomposed:
+    # raw shingles never match (each 3-gram containing the accent
+    # differs byte-wise), so only the normalized run may verify the pair
+    base = (
+        "the caf\u00e9 serves caf\u00e9 style crepes with caf\u00e9 cream "
+        "all day long " * 3
+    )
+    variant = base.replace("\u00e9", "e\u0301").replace("day", "night", 1)
+    rows = [(1, base), (2, variant), (3, "completely different text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = D.near_dedup_minhash(df, "doc_id", "text", threshold=0.5, bands=8)
+    assert sorted(r["doc_id"] for r in raw.collect()) == [1, 2, 3]
+    out = D.near_dedup_minhash(
+        df, "doc_id", "text", threshold=0.5, bands=8, normalize="nfc"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    # staged column never leaks into the survivor frame
+    assert out.columns == ["doc_id", "text"]
+
+
 def test_minhash_candidates_find_planted_pair(spark):
     cands = D.minhash_lsh_candidates(corpus(spark), "doc_id", "text", k=16, bands=8)
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
