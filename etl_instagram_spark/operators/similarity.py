@@ -914,7 +914,10 @@ def quantize_embeddings(
         scale = max_i |x_i|          (order-independent max)
         q_i   = round(x_i · 127 / scale)   ∈ [−127, 127]
 
-    with the all-zero vector keeping scale 0.0 and all-zero codes.
+    with the all-zero vector keeping scale 0.0 and all-zero codes, and
+    the EMPTY vector scale 0.0 with empty codes (list_max/array_max of
+    an empty list is NULL in both engines — coalesced explicitly so q
+    can never go silently NULL through a NULL scale predicate).
     Output: (id_col, scale double, q array<int>). Exact across engines
     BY CONSTRUCTION: abs/max/multiply/divide are correctly-rounded
     IEEE ops on identical parquet doubles and both engines round ties
@@ -930,7 +933,9 @@ def quantize_embeddings(
     shuffle; at 100 TB this is a scan-stage rewrite whose output is
     the column you actually store."""
     v = as_double(F.col(vec_col))
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.coalesce(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(0.0)
+    )
     q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
         F.transform(
             v, lambda x: F.round(x * F.lit(127.0) / scale, 0).cast("int")
@@ -955,7 +960,7 @@ def quantize_sql(vec: str) -> tuple[str, str]:
     """DuckDB mirror of :func:`quantize_embeddings`: returns
     ``(scale_expr, q_expr)`` over a double-list expression ``vec`` —
     same max, same pinned multiply/divide, same ties-away round."""
-    scale = f"list_max(list_transform({vec}, x -> abs(x)))"
+    scale = f"coalesce(list_max(list_transform({vec}, x -> abs(x))), 0.0)"
     q = (
         f"CASE WHEN {scale} = 0.0 THEN list_transform({vec}, x -> 0) "
         f"ELSE list_transform({vec}, x -> "

@@ -1590,6 +1590,60 @@ def test_int8_quantization_bounds_and_zero_vector(spark):
             assert list(r["d"]) == [0.0, 0.0, 0.0, 0.0]
 
 
+def test_int8_quantization_empty_vector_guard(spark):
+    """r17 (ADVICE): array_max of an EMPTY array is NULL, and before the
+    coalesce guard the scale==0.0 predicate went NULL so q silently
+    became NULL. Pinned: empty vector -> scale 0.0, empty (not NULL)
+    codes, empty reconstruction — in the Column API and the SQL mirror."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from etl_instagram_spark.operators.similarity import (
+        dequantize_col,
+        quantize_embeddings,
+        quantize_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(0, []), (1, [2.0, -4.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r
+        for r in quantize_embeddings(df)
+        .withColumn("d", dequantize_col(F.col("q"), F.col("scale")))
+        .collect()
+    }
+    assert got[0]["scale"] == 0.0
+    assert got[0]["q"] == [] and got[0]["q"] is not None
+    assert got[0]["d"] == []
+    assert got[1]["scale"] == 4.0 and got[1]["q"] == [64, -127]
+    scale, q = quantize_sql("v")
+    drow = duckdb.sql(
+        f"SELECT {scale} AS scale, {q} AS q FROM (SELECT []::DOUBLE[] AS v)"
+    ).fetchone()
+    assert drow[0] == 0.0 and drow[1] == []
+
+
+def test_quantized_ann_rerank_recall_bound(spark):
+    """r17 composed serving path (quantize -> IVF probe on dequantized
+    codes -> exact float re-rank): per query, the quantized path's
+    recall@10 must sit within 0.1 of the float-IVF path on the same
+    probe sets (the compression step may only lose a whisker — measured
+    ZERO loss at sf0.001: probe loss dominates entirely), and the probe
+    must actually prune (candidates < corpus)."""
+    from etl_instagram_spark.plans.extras_emb import _emb_quantized_ann_rerank
+
+    sf = "/root/testdata/sf0.001"
+    n_corpus = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    rows = _emb_quantized_ann_rerank(spark, sf).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["recall_quant"] >= r["recall_float"] - 0.1, r
+        assert 0 < r["n_cand_quant"] < n_corpus, r
+    assert sum(r["recall_quant"] for r in rows) / 5 >= 0.3
+
+
 def test_int8_quantization_preserves_cosine_on_real_embeddings(spark):
     """Reconstruction cosine > 0.999 on every real sf0.001 embedding —
     the property the compression step is for."""
