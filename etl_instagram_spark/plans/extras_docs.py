@@ -1065,7 +1065,7 @@ EXTRAS["docs_domain_cap"] = (_docs_domain_cap, _sql_docs_domain_cap)
 
 def _docs_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-gated (r16): Unicode NFC normalization
-    (functions/text.unicode_normalize, the multilingual-dedup
+    (functions/unicodenorm.unicode_normalize, the multilingual-dedup
     prerequisite) certified cross-engine: both engines append the SAME
     decomposed suffix (e + combining acute, A + combining ring) to each
     document's text, normalize to NFC — composing the pairs into é / Å

@@ -521,7 +521,12 @@ def _graph_node2vec_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence → PPMI → random-projection chain composes unchanged
     and the top-50 nodes' embedding VECTORS (every float) replay
     bit-for-bit in one DuckDB statement (the graph_walk_embeddings
-    contract, now certified for the second-order corpus)."""
+    contract, now certified for the second-order corpus).
+
+    r17: output posexploded into (node, norm, d, value) scalar rows —
+    the same shape fix the gate row took (the driver's pandas
+    canonicalization cannot hash array columns), applied here ahead of
+    the r18 promotion runway so the registration move is mechanical."""
     from etl_instagram_spark.operators.graph import (
         bipartite_order_edges,
         node2vec_walks,
@@ -544,8 +549,9 @@ def _graph_node2vec_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = walk_embeddings(
         ppmi_scores(walk_cooccurrence(walks, window=2)), dim=8, seed="n2emb"
     )
-    return emb.orderBy(F.desc("norm"), "node").limit(50).select(
-        "node", "norm", "emb"
+    top = emb.orderBy(F.desc("norm"), "node").limit(50)
+    return top.select(
+        "node", "norm", F.posexplode("emb").alias("d", "value")
     )
 
 
@@ -575,10 +581,12 @@ def _sql_graph_node2vec_embeddings() -> str:
         ]
     )
     return f"""
-    WITH {ctes}
-    SELECT node, norm, emb FROM embs
-    ORDER BY norm DESC, node
-    LIMIT 50
+    WITH {ctes},
+    gtop AS (SELECT node, norm, emb FROM embs
+             ORDER BY norm DESC, node
+             LIMIT 50)
+    SELECT t.node, t.norm, dd.d, t.emb[dd.d + 1] AS value
+    FROM gtop t CROSS JOIN (SELECT unnest(range(8)) AS d) dd
     """
 
 

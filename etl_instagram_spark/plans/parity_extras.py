@@ -134,6 +134,15 @@ candidate only if a dedicated range-join row replaces it; otherwise
 nation_customers_suppliers_full's full-outer join (its
 coalesce-both-sides machinery also lives in q5's join tree and the
 merge family's anti-joins).
+
+r17 scalar-output audit (the CORRECTNESS_r16 class): every one of the
+50 gate rows AND all 65 EXTRAS rows were schema-audited for
+array/map/struct output columns — zero found after posexploding
+graph_walk_embeddings (gate) and graph_node2vec_embeddings (the r18
+runway candidate, reshaped ahead of promotion). The audit is now
+standing machinery, not a one-off: tests/test_driver_contract.py
+test_gate_outputs_are_scalar_only pins the gate at the schema level,
+and tools/oracle_check.py rejects non-scalar values at run time.
 """
 
 from __future__ import annotations
