@@ -212,8 +212,10 @@ def chunk_audio(
     BLOCK granularity — every block decodes independently per the IMA
     spec, so a chunk's ``samples`` bytes are themselves a decodable
     block run; each block is assigned to the chunk its FIRST sample's
-    millisecond falls in, so the un-capped concatenation contract
-    still holds byte-for-byte. Undecodable/unknown-codec content
+    millisecond falls in (blocks a truncating ``fact`` chunk pushes
+    past the duration grid clamp into the last chunk when max_chunks
+    does not bind — r17), so the un-capped concatenation contract
+    holds byte-for-byte for fact-truncated files too. Undecodable/unknown-codec content
     raises LOUDLY (pre-filter with a RIFF sniff if the column is
     mixed); compressed codecs keep the honest ``decoder='soundfile'``
     gate below."""
@@ -238,10 +240,21 @@ def chunk_audio(
                     n = min(max_chunks, -(-info["duration_ms"] // chunk_ms))
                     if info["fmt"] == "ima_adpcm":
                         spb = info["samples_per_block"]
+                        n_uncapped = -(-info["duration_ms"] // chunk_ms)
                         parts: list[list[bytes]] = [[] for _ in range(n)]
                         for b in range(-(-len(pcm) // block)):
                             ms = b * spb * 1000 // rate
                             ci = ms // chunk_ms
+                            if ci >= n == n_uncapped > 0:
+                                # max_chunks does NOT bind, so every raw
+                                # block belongs somewhere: a fact chunk
+                                # that caps n_frames below the raw block
+                                # stream pushes trailing blocks past the
+                                # duration grid — clamp them into the
+                                # last chunk so the un-capped
+                                # concatenation contract stays
+                                # byte-for-byte (r17, ADVICE)
+                                ci = n - 1
                             if ci < n:
                                 parts[ci].append(
                                     pcm[b * block : (b + 1) * block]

@@ -185,11 +185,18 @@ def wav_info(data: bytes) -> dict:
                         f"wav: IMA ADPCM block_align {block} is not "
                         f"4·ch header + k·4·ch data (channels={channels})"
                     )
+                # a full block decodes 1 header sample + 8 per nibble-word
+                # group = an ODD count; some real-world encoders write
+                # wSamplesPerBlock without the +1 (even spb) — accept
+                # {expect, expect-1} (r17, ADVICE): the even form simply
+                # trims the final nibble of every block
+                # (_ima_decode_block's ch[:spb])
                 expect = (block - 4 * channels) * 2 // channels + 1
-                if spb != expect:
+                if spb not in (expect, expect - 1):
                     raise ValueError(
-                        f"wav: IMA ADPCM samples_per_block {spb} != "
-                        f"{expect} implied by block_align {block}"
+                        f"wav: IMA ADPCM samples_per_block {spb} not in "
+                        f"{{{expect}, {expect - 1}}} implied by "
+                        f"block_align {block}"
                     )
             elif block != channels * (bits // 8):
                 raise ValueError(
@@ -284,8 +291,9 @@ def _ima_decode_block(
                     samples.append(pred)
             idxs[c] = idx
         pos += group
-    # per-channel trim to spb (the 8-nibble words can overshoot the
-    # final sample of a spec-legal even spb)
+    # per-channel trim to spb: with the even-spb header form (r17 —
+    # wSamplesPerBlock written without the +1) a full block's 8-nibble
+    # words decode one sample past spb and the trim drops it
     return [ch[:spb] for ch in out]
 
 

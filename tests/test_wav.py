@@ -514,6 +514,27 @@ def test_ima_adpcm_validation_gates():
         )
 
 
+def test_ima_adpcm_even_spb_header_form():
+    """r17 (ADVICE): some real-world encoders write wSamplesPerBlock
+    WITHOUT the +1 header sample (even spb). Accepted as expect-1: each
+    full block decodes its 8-nibble words one sample past spb and the
+    per-channel trim drops exactly that final padding-nibble sample, so
+    the decode matches the encoder's reconstruction bit-for-bit."""
+    spb, block = 504, 256  # expect = (256-4)*2+1 = 505; header says 504
+    n = spb * 2
+    src = [_sine(n, 300, amp=9000)]
+    body, recon = _ima_encode(src, spb)
+    w = _wav_bytes(0x11, 1, 8000, 4, block, body, extra=_ima_extra(spb), fact=n)
+    d = decode_wav(w)
+    assert (d["n_frames"], d["samples_per_block"]) == (n, spb)
+    assert d["samples"] == recon[0]
+    # spb outside {expect, expect-1} still refuses loudly
+    with pytest.raises(ValueError, match="samples_per_block"):
+        decode_wav(
+            _wav_bytes(0x11, 1, 8000, 4, block, body, extra=_ima_extra(503))
+        )
+
+
 def test_ima_adpcm_fact_chunk_truncates():
     """The fact chunk's dwSampleLength is authoritative when smaller
     than the computed frame count (the spec's non-PCM contract)."""
@@ -554,6 +575,43 @@ def test_chunk_audio_adpcm_block_concat_roundtrip(spark):
         raw = bytes(r["samples"])
         for off in range(0, len(raw), block):
             _ima_decode_block(raw[off : off + block], 1, spb)
+
+
+def test_chunk_audio_adpcm_fact_truncated_concat_roundtrip(spark):
+    """r17 (ADVICE): a fact chunk that caps n_frames below the raw
+    block stream pushes trailing blocks past the duration grid — when
+    max_chunks does not bind they are clamped into the LAST chunk, so
+    the un-capped concatenation contract stays byte-for-byte for
+    fact-truncated files too."""
+    from etl_instagram_spark.multimodal.media import chunk_audio
+
+    spb, block = 505, 256
+    n = spb * 20 + 77
+    src = [_sine(n, 260, amp=9000)]
+    body, _ = _ima_encode(src, spb)
+    # fact caps to ~60% of the raw stream: duration_ms shrinks, and the
+    # final ~8 blocks' first-sample ms land past the duration grid
+    w = _wav_bytes(
+        0x11, 1, 8000, 4, block, body, extra=_ima_extra(spb),
+        fact=spb * 12 + 3,
+    )
+    df = spark.createDataFrame([("f", bytearray(w))], "id string, content binary")
+    rows = (
+        chunk_audio(df, chunk_ms=200, max_chunks=32, decoder="wav")
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert b"".join(bytes(r["samples"]) for r in rows) == body
+    # a BINDING max_chunks still drops the tail (capped output is a
+    # prefix by design, never a clamp)
+    capped = (
+        chunk_audio(df, chunk_ms=200, max_chunks=2, decoder="wav")
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert len(capped) == 2
+    joined = b"".join(bytes(r["samples"]) for r in capped)
+    assert body.startswith(joined) and len(joined) < len(body)
 
 
 def test_chunk_audio_g711_frame_grid(spark):
