@@ -208,10 +208,10 @@ def chunk_audio(
     concatenating every un-capped chunk reproduces the whole data
     chunk byte-for-byte — pinned by test) and fills meta from the real
     header. G.711 mu-law/A-law (r16) ride the same frame grid (one
-    companded byte per channel per frame). IMA ADPCM (r16) slices at
-    BLOCK granularity — every block decodes independently per the IMA
-    spec, so a chunk's ``samples`` bytes are themselves a decodable
-    block run; each block is assigned to the chunk its FIRST sample's
+    companded byte per channel per frame). IMA ADPCM (r16) and MS
+    ADPCM (r17) slice at BLOCK granularity — every block decodes
+    independently per both specs, so a chunk's ``samples`` bytes are
+    themselves a decodable block run; each block is assigned to the chunk its FIRST sample's
     millisecond falls in (blocks a truncating ``fact`` chunk pushes
     past the duration grid clamp into the last chunk when max_chunks
     does not bind — r17), so the un-capped concatenation contract
@@ -238,7 +238,7 @@ def chunk_audio(
                     rate, block = info["sample_rate"], info["block_align"]
                     nf, pcm = info["n_frames"], info["pcm"]
                     n = min(max_chunks, -(-info["duration_ms"] // chunk_ms))
-                    if info["fmt"] == "ima_adpcm":
+                    if info["fmt"] in ("ima_adpcm", "ms_adpcm"):
                         spb = info["samples_per_block"]
                         n_uncapped = -(-info["duration_ms"] // chunk_ms)
                         parts: list[list[bytes]] = [[] for _ in range(n)]

@@ -2,12 +2,14 @@
 (multimodal/png.py) and baseline-JPEG (multimodal/jpeg.py) decoders:
 RIFF container walk → ``fmt `` parse → ``data`` PCM frames, supporting
 integer PCM at 8/16/24/32 bits, IEEE float PCM at 32/64 bits (tag 3,
-r15), G.711 mu-law/A-law telephony PCM (tags 7/6, r16), and IMA/DVI
-ADPCM (tag 0x11, r16), mono or multi-channel, including the
-WAVE_FORMAT_EXTENSIBLE wrapper. Everything else (MS ADPCM tag 2, and
-every genuinely-compressed codec — MP3/AAC/...) raises
-``NotImplementedError`` LOUDLY — the honest-gate contract
-multimodal/media.py documents; nothing is silently wrong.
+r15), G.711 mu-law/A-law telephony PCM (tags 7/6, r16), IMA/DVI
+ADPCM (tag 0x11, r16), and MS ADPCM (tag 2, r17), mono or
+multi-channel, including the WAVE_FORMAT_EXTENSIBLE wrapper (except
+MS-ADPCM-under-EXTENSIBLE, whose coefficient-table offset the plain
+layout does not define). Everything else (every genuinely-compressed
+codec — MP3/AAC/...) raises ``NotImplementedError`` LOUDLY — the
+honest-gate contract multimodal/media.py documents; nothing is
+silently wrong.
 
 Scope matches what a training-data pipeline actually needs from the
 one audio container stdlib can fully handle: real sample access for
@@ -32,7 +34,14 @@ whose predictor IS sample 0, interleaved 4-byte nibble words low
 nibble first, the 89-entry step table with shift-approximated
 ``diff = step>>3 (+step>>2)(+step>>1)(+step)`` and the 8-entry index
 table) — every block decodes independently, which is exactly what
-makes the format chunk-sliceable at scale.
+makes the format chunk-sliceable at scale. MS ADPCM (r17) is the
+public Microsoft multimedia spec's linear predictor: per-block
+per-channel 7-byte header (predictor-index byte into the mandated
+7-standard-pair coefficient table, int16 idelta/sample1/sample2 —
+sample2 emitted first), nibbles high-first interleaved per sample,
+pred = trunc((s1·c1 + s2·c2)/256), step adaptation via the 16-entry
+table with a floor of 16 — all C truncate-toward-zero integer
+arithmetic; blocks likewise decode independently.
 """
 
 from __future__ import annotations
@@ -87,12 +96,41 @@ _IMA_STEPS = (
     27086, 29794, 32767,
 )
 
+# MS ADPCM (WAVE_FORMAT_ADPCM, tag 2) tables — public Microsoft
+# multimedia spec (the canonical MSADPCM reference): the 16-entry delta
+# adaptation table indexed by the UNSIGNED nibble, and the 7 standard
+# predictor coefficient pairs every encoder must carry first (files may
+# append custom pairs; the per-block predictor byte indexes this table)
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+_MS_STD_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+
+
+def _trunc_div_256(x: int) -> int:
+    """C integer division by 256 (truncate toward zero) — the MS ADPCM
+    reference arithmetic (``/ PSCALE`` on C ints); Python ``//`` floors,
+    which diverges on negative non-multiples."""
+    return -((-x) >> 8) if x < 0 else x >> 8
+
+
 # formats whose decoded samples live in the 16-bit linear domain
 # regardless of the stored width (companded/compressed storage)
-_EXPANDED_FMTS = ("ulaw", "alaw", "ima_adpcm")
+_EXPANDED_FMTS = ("ulaw", "alaw", "ima_adpcm", "ms_adpcm")
 
 
-_FMT_NAMES = {1: "int", 3: "float", 6: "alaw", 7: "ulaw", 0x11: "ima_adpcm"}
+_FMT_NAMES = {
+    1: "int",
+    2: "ms_adpcm",
+    3: "float",
+    6: "alaw",
+    7: "ulaw",
+    0x11: "ima_adpcm",
+}
 
 
 def wav_info(data: bytes) -> dict:
@@ -135,7 +173,8 @@ def wav_info(data: bytes) -> dict:
             tag, channels, rate, _byte_rate, block, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+            was_extensible = tag == 0xFFFE
+            if was_extensible:  # WAVE_FORMAT_EXTENSIBLE
                 if size < 40:
                     raise ValueError("wav: truncated extensible fmt chunk")
                 # the real format tag is the GUID's leading 2 bytes
@@ -143,9 +182,16 @@ def wav_info(data: bytes) -> dict:
             if tag not in _FMT_NAMES:
                 raise NotImplementedError(
                     f"wav: format tag {tag} is not supported; integer PCM "
-                    "(tag 1), IEEE float PCM (tag 3), G.711 mu-law/A-law "
-                    "(tags 7/6), and IMA ADPCM (tag 0x11) only — MS ADPCM "
-                    "and the compressed codecs stay loud gates"
+                    "(tag 1), MS ADPCM (tag 2), IEEE float PCM (tag 3), "
+                    "G.711 mu-law/A-law (tags 7/6), and IMA ADPCM "
+                    "(tag 0x11) only — the compressed codecs stay loud "
+                    "gates"
+                )
+            if tag == 2 and was_extensible:
+                raise NotImplementedError(
+                    "wav: MS ADPCM under the EXTENSIBLE wrapper is not "
+                    "supported — the coefficient table's offset is not "
+                    "defined by the plain-fmt layout this parser reads"
                 )
             if tag == 1 and bits not in _PCM_BITS:
                 raise NotImplementedError(
@@ -165,12 +211,54 @@ def wav_info(data: bytes) -> dict:
                 raise NotImplementedError(
                     f"wav: {bits}-bit IMA ADPCM not supported (4 only)"
                 )
+            if tag == 2 and bits != 4:
+                raise NotImplementedError(
+                    f"wav: {bits}-bit MS ADPCM not supported (4 only)"
+                )
             if channels < 1 or rate < 1:
                 raise ValueError(
                     f"wav: implausible fmt (channels={channels}, rate={rate})"
                 )
             spb: int | None = None
-            if tag == 0x11:
+            coefs: tuple[tuple[int, int], ...] | None = None
+            if tag == 2:
+                # block layout: 1-byte predictor index per channel, then
+                # int16 idelta/sample1/sample2 per channel (7 bytes/ch of
+                # header), then 4-bit nibbles high-first, channels
+                # interleaved per sample
+                if size < 22:
+                    raise ValueError(
+                        "wav: MS ADPCM fmt chunk missing "
+                        "wSamplesPerBlock/wNumCoef"
+                    )
+                spb, ncoef = struct.unpack("<HH", body[18:22])
+                if ncoef < 1 or size < 22 + 4 * ncoef:
+                    raise ValueError(
+                        f"wav: MS ADPCM fmt chunk truncated before its "
+                        f"{ncoef} coefficient pairs"
+                    )
+                coefs = tuple(
+                    struct.unpack("<hh", body[22 + 4 * i : 26 + 4 * i])
+                    for i in range(ncoef)
+                )
+                if coefs[: len(_MS_STD_COEFS)] != _MS_STD_COEFS[: len(coefs)]:
+                    raise ValueError(
+                        "wav: MS ADPCM coefficient table does not begin "
+                        "with the 7 standard pairs the spec mandates"
+                    )
+                if block <= 7 * channels or (block - 7 * channels) * 2 % channels:
+                    raise ValueError(
+                        f"wav: MS ADPCM block_align {block} is not "
+                        f"7·ch header + whole nibbles per channel "
+                        f"(channels={channels})"
+                    )
+                expect = (block - 7 * channels) * 2 // channels + 2
+                if spb != expect:
+                    raise ValueError(
+                        f"wav: MS ADPCM samples_per_block {spb} != "
+                        f"{expect} implied by block_align {block}"
+                    )
+            elif tag == 0x11:
                 # block layout: 4-byte state header per channel, then
                 # interleaved 4-byte nibble words per channel
                 if size < 20:
@@ -203,7 +291,7 @@ def wav_info(data: bytes) -> dict:
                     f"wav: block_align {block} != channels×width "
                     f"{channels * (bits // 8)}"
                 )
-            fmt = (channels, rate, bits, block, tag, spb)
+            fmt = (channels, rate, bits, block, tag, spb, coefs)
         elif cid == b"fact" and size >= 4:
             (fact_frames,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
@@ -213,7 +301,7 @@ def wav_info(data: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("wav: missing fmt or data chunk (truncated file?)")
-    channels, rate, bits, block, tag, spb = fmt
+    channels, rate, bits, block, tag, spb, coefs = fmt
     if tag == 0x11:
         assert spb is not None
         full_blocks, rem = divmod(len(pcm), block)
@@ -221,6 +309,17 @@ def wav_info(data: bytes) -> dict:
         if rem >= 4 * channels:
             # decodable tail: header sample + 8 per whole nibble-word group
             n_frames += 1 + (rem - 4 * channels) // (4 * channels) * 8
+        if fact_frames is not None:
+            n_frames = min(n_frames, fact_frames)
+        keep = pcm  # raw block stream; decode bounds by n_frames
+    elif tag == 2:
+        assert spb is not None
+        full_blocks, rem = divmod(len(pcm), block)
+        n_frames = full_blocks * spb
+        if rem >= 7 * channels:
+            # decodable tail: the 2 header samples + 2 nibbles per data
+            # byte spread across the channels
+            n_frames += min(spb, 2 + (rem - 7 * channels) * 2 // channels)
         if fact_frames is not None:
             n_frames = min(n_frames, fact_frames)
         keep = pcm  # raw block stream; decode bounds by n_frames
@@ -241,6 +340,8 @@ def wav_info(data: bytes) -> dict:
     }
     if spb is not None:
         out["samples_per_block"] = spb
+    if coefs is not None:
+        out["ms_coefs"] = coefs
     return out
 
 
@@ -297,15 +398,80 @@ def _ima_decode_block(
     return [ch[:spb] for ch in out]
 
 
+def _ms_decode_block(
+    block: bytes,
+    channels: int,
+    spb: int,
+    coefs: tuple[tuple[int, int], ...],
+) -> list[list[int]]:
+    """Decode one MS ADPCM block → per-channel 16-bit linear sample
+    lists (≤ ``spb`` each; a truncated tail block yields fewer). Header
+    per the public spec: one predictor-index byte per channel, then
+    int16 idelta / sample1 / sample2 per channel; sample2 (the older)
+    is emitted first, then sample1, then one sample per nibble —
+    nibbles high-first within a byte, channels interleaved per sample.
+    Per sample: pred = trunc((s1·c1 + s2·c2)/256), new = clamp16(pred +
+    delta·signed_nibble), delta = max(16, trunc(adapt[nibble]·delta/
+    256)) — all C truncate-toward-zero arithmetic
+    (:func:`_trunc_div_256`)."""
+    hdr_len = 7 * channels
+    if len(block) < hdr_len:
+        return [[] for _ in range(channels)]
+    c1 = [0] * channels
+    c2 = [0] * channels
+    for c in range(channels):
+        p = block[c]
+        if p >= len(coefs):
+            raise ValueError(
+                f"wav: MS ADPCM predictor index {p} >= "
+                f"{len(coefs)} coefficient pairs"
+            )
+        c1[c], c2[c] = coefs[p]
+    deltas = [
+        int.from_bytes(
+            block[channels + 2 * c : channels + 2 * c + 2],
+            "little",
+            signed=True,
+        )
+        for c in range(channels)
+    ]
+    o1 = 3 * channels
+    s1 = [
+        int.from_bytes(block[o1 + 2 * c : o1 + 2 * c + 2], "little", signed=True)
+        for c in range(channels)
+    ]
+    o2 = 5 * channels
+    s2 = [
+        int.from_bytes(block[o2 + 2 * c : o2 + 2 * c + 2], "little", signed=True)
+        for c in range(channels)
+    ]
+    out = [[s2[c], s1[c]] for c in range(channels)]
+    ci = 0
+    for byte in block[hdr_len:]:
+        for nib in (byte >> 4, byte & 0x0F):
+            c = ci % channels
+            ci += 1
+            if len(out[c]) >= spb:
+                continue  # trailing pad nibbles past the block's count
+            pred = _trunc_div_256(s1[c] * c1[c] + s2[c] * c2[c])
+            snib = nib - 16 if nib & 8 else nib
+            samp = max(-32768, min(32767, pred + deltas[c] * snib))
+            s2[c], s1[c] = s1[c], samp
+            deltas[c] = max(16, _trunc_div_256(_MS_ADAPT[nib] * deltas[c]))
+            out[c].append(samp)
+    return out
+
+
 def decode_wav(data: bytes) -> dict:
     """:func:`wav_info` plus ``samples``: for integer PCM the
     interleaved samples as CENTERED ints (8-bit unsigned rebased by
     −128; wider widths are already signed little-endian
     two's-complement), full scale ±2^(bits−1); for IEEE float PCM
     (``fmt == 'float'``) the raw float32/float64 samples, full scale
-    ±1.0 by the WAVE float convention; for G.711 mu-law/A-law and IMA
-    ADPCM (``fmt`` ∈ ulaw/alaw/ima_adpcm) the EXPANDED 16-bit linear
-    samples, full scale ±2^15 regardless of the stored width. Feature
+    ±1.0 by the WAVE float convention; for G.711 mu-law/A-law and the
+    ADPCM families (``fmt`` ∈ ulaw/alaw/ima_adpcm/ms_adpcm) the
+    EXPANDED 16-bit linear samples, full scale ±2^15 regardless of the
+    stored width. Feature
     math reads the scale from ``fmt`` (:func:`wav_feature_vector`) and
     never branches on the storage width. Non-finite float samples
     (NaN/inf — spec-legal bytes but poison for every downstream
@@ -332,7 +498,7 @@ def decode_wav(data: bytes) -> dict:
         samples = [_ULAW_TABLE[b] for b in pcm]
     elif fmt == "alaw":
         samples = [_ALAW_TABLE[b] for b in pcm]
-    elif fmt == "ima_adpcm":
+    elif fmt in ("ima_adpcm", "ms_adpcm"):
         ch, block, spb = (
             info["channels"],
             info["block_align"],
@@ -342,7 +508,12 @@ def decode_wav(data: bytes) -> dict:
         samples = []
         done = 0
         for off in range(0, len(pcm), block):
-            chans = _ima_decode_block(pcm[off : off + block], ch, spb)
+            if fmt == "ms_adpcm":
+                chans = _ms_decode_block(
+                    pcm[off : off + block], ch, spb, info["ms_coefs"]
+                )
+            else:
+                chans = _ima_decode_block(pcm[off : off + block], ch, spb)
             take = min(len(chans[0]), n_frames - done)
             for i in range(take):  # interleave back to frame order
                 for c in range(ch):
@@ -389,7 +560,7 @@ def decode_wav_np(data: bytes) -> dict:
         arr = np.asarray(_ALAW_TABLE, dtype=np.int32)[
             np.frombuffer(pcm, dtype=np.uint8)
         ]
-    elif fmt == "ima_adpcm":
+    elif fmt in ("ima_adpcm", "ms_adpcm"):
         d = decode_wav(data)
         d["samples"] = np.asarray(d["samples"], dtype=np.int32)
         return d

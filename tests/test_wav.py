@@ -97,10 +97,12 @@ def test_extensible_format_and_chunk_padding():
 
 def test_unsupported_and_malformed_raise_loudly():
     good = _encode(_sine(64, 500))
-    # ADPCM (tag 2) — still a loud gate
+    # MS ADPCM (tag 2) decodes since r17 — but only at 4-bit storage, so
+    # a 16-bit body re-tagged to 2 trips the width gate, never a silent
+    # mis-decode
     i = good.index(b"fmt ")
     adpcm = good[: i + 8] + struct.pack("<H", 2) + good[i + 10 :]
-    with pytest.raises(NotImplementedError, match="format tag 2"):
+    with pytest.raises(NotImplementedError, match="MS ADPCM"):
         decode_wav(adpcm)
     # IEEE float (tag 3) is supported ONLY at 32/64 bits: tag 3 over a
     # 16-bit body trips the float-width gate, not a silent mis-decode
@@ -548,6 +550,189 @@ def test_ima_adpcm_fact_chunk_truncates():
     d = decode_wav(w)
     assert d["n_frames"] == 700
     assert d["samples"] == recon[0][:700]
+
+
+def _ms_encode(samples_per_chan, spb, pred_for_block=lambda bi: 0):
+    """Test-local INDEPENDENT MS ADPCM block encoder per the public
+    Microsoft spec. Returns (body bytes, per-channel reconstruction):
+    the codec is lossy, but the decoder must reproduce the encoder's
+    own predictor reconstruction EXACTLY — that sequence is the
+    differential. Full blocks need no nibble padding by construction
+    ((spb-2)·ch is even); a tail block pads to a whole byte, and the
+    pad sample is dropped by the fact cap."""
+    from etl_instagram_spark.multimodal.wav import (
+        _MS_ADAPT,
+        _MS_STD_COEFS,
+        _trunc_div_256,
+    )
+
+    ch = len(samples_per_chan)
+    n = len(samples_per_chan[0])
+    body = b""
+    recon = [[] for _ in range(ch)]
+    for bi in range(-(-n // spb)):
+        b0 = bi * spb
+        m = min(spb, n - b0)
+        pidx = pred_for_block(bi)
+        c1, c2 = _MS_STD_COEFS[pidx]
+        deltas = [16] * ch
+        s2 = [samples_per_chan[c][b0] for c in range(ch)]
+        s1 = [
+            samples_per_chan[c][b0 + 1] if m >= 2 else 0 for c in range(ch)
+        ]
+        blk = bytes([pidx] * ch)
+        blk += b"".join(struct.pack("<h", deltas[c]) for c in range(ch))
+        blk += b"".join(struct.pack("<h", s1[c]) for c in range(ch))
+        blk += b"".join(struct.pack("<h", s2[c]) for c in range(ch))
+        for c in range(ch):
+            recon[c].append(s2[c])
+            if m >= 2:
+                recon[c].append(s1[c])
+        nibbles = []
+        for i in range(b0 + 2, b0 + m):
+            for c in range(ch):
+                x = samples_per_chan[c][i]
+                pred = _trunc_div_256(s1[c] * c1 + s2[c] * c2)
+                err = x - pred
+                q = abs(err) // deltas[c]
+                snib = max(-8, min(7, -q if err < 0 else q))
+                samp = max(-32768, min(32767, pred + deltas[c] * snib))
+                nib = snib & 0xF
+                s2[c], s1[c] = s1[c], samp
+                deltas[c] = max(16, _trunc_div_256(_MS_ADAPT[nib] * deltas[c]))
+                recon[c].append(samp)
+                nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        blk += bytes(
+            (nibbles[k] << 4) | nibbles[k + 1]
+            for k in range(0, len(nibbles), 2)
+        )
+        body += blk
+    return body, recon
+
+
+def _ms_extra(spb, coefs=None):
+    from etl_instagram_spark.multimodal.wav import _MS_STD_COEFS
+
+    coefs = coefs if coefs is not None else _MS_STD_COEFS
+    return (
+        struct.pack("<HHH", 4 + 4 * len(coefs), spb, len(coefs))
+        + b"".join(struct.pack("<hh", *p) for p in coefs)
+    )
+
+
+def test_ms_adpcm_mono_matches_spec_encoder():
+    spb, block = 500, 256  # (256-7)*2 + 2
+    n = spb * 3
+    src = [_sine(n, 300, amp=9000)]
+    # vary the predictor per block so coef2 != 0 pairs are exercised
+    body, recon = _ms_encode(src, spb, pred_for_block=lambda bi: (0, 1, 3)[bi])
+    w = _wav_bytes(2, 1, 8000, 4, block, body, extra=_ms_extra(spb), fact=n)
+    d = decode_wav(w)
+    assert (d["fmt"], d["n_frames"], d["samples_per_block"]) == (
+        "ms_adpcm",
+        n,
+        spb,
+    )
+    assert d["samples"] == recon[0]
+    fv = wav_feature_vector(d)
+    assert fv is not None and len(fv) == 16
+
+
+def test_ms_adpcm_stereo_partial_tail_block():
+    spb, block, ch = 500, 512, 2  # 2 + (512-14)*2/2
+    n = spb + 105  # final block holds 105 of 500 samples per channel
+    src = [
+        _sine(n, 250, amp=8000),
+        _sine(n, 390, amp=6000),
+    ]
+    body, recon = _ms_encode(src, spb, pred_for_block=lambda bi: (4, 6)[bi])
+    w = _wav_bytes(2, ch, 8000, 4, block, body, extra=_ms_extra(spb), fact=n)
+    d = decode_wav(w)
+    assert d["n_frames"] == n
+    want = [recon[c][i] for i in range(n) for c in range(ch)]
+    assert d["samples"] == want
+    # numpy fast path routes through the same sequential decode
+    import numpy as np
+
+    from etl_instagram_spark.multimodal.wav import decode_wav_np
+
+    dn = decode_wav_np(w)
+    assert np.array_equal(dn["samples"], np.asarray(want, dtype=np.int32))
+
+
+def test_ms_adpcm_validation_gates():
+    spb, block = 500, 256
+    src = [_sine(spb, 300, amp=9000)]
+    body, _ = _ms_encode(src, spb)
+    # missing extension fields
+    with pytest.raises(ValueError, match="wSamplesPerBlock"):
+        decode_wav(_wav_bytes(2, 1, 8000, 4, block, body))
+    # samples_per_block inconsistent with block_align
+    with pytest.raises(ValueError, match="samples_per_block"):
+        decode_wav(_wav_bytes(2, 1, 8000, 4, block, body, extra=_ms_extra(99)))
+    # block_align smaller than the 7-byte/channel header
+    with pytest.raises(ValueError, match="block_align"):
+        decode_wav(_wav_bytes(2, 1, 8000, 4, 7, body, extra=_ms_extra(spb)))
+    # coefficient table not led by the standard pairs
+    bad_coefs = ((1, 1),)
+    with pytest.raises(ValueError, match="standard pairs"):
+        decode_wav(
+            _wav_bytes(
+                2, 1, 8000, 4, block, body, extra=_ms_extra(spb, bad_coefs)
+            )
+        )
+    # predictor index past the coefficient table
+    bad = bytearray(body)
+    bad[0] = 7
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_wav(
+            _wav_bytes(2, 1, 8000, 4, block, bytes(bad), extra=_ms_extra(spb))
+        )
+    # widths other than 4 stay loud
+    with pytest.raises(NotImplementedError, match="MS ADPCM"):
+        decode_wav(_wav_bytes(2, 1, 8000, 8, block, body, extra=_ms_extra(spb)))
+
+
+def test_ms_adpcm_fact_chunk_truncates():
+    spb, block = 500, 256
+    n = spb * 2
+    src = [_sine(n, 300, amp=9000)]
+    body, recon = _ms_encode(src, spb)
+    d = decode_wav(
+        _wav_bytes(2, 1, 8000, 4, block, body, extra=_ms_extra(spb), fact=700)
+    )
+    assert d["n_frames"] == 700
+    assert d["samples"] == recon[0][:700]
+
+
+def test_chunk_audio_ms_adpcm_block_concat_roundtrip(spark):
+    """chunk_audio(decoder='wav') slices MS ADPCM at block granularity
+    like IMA: un-capped chunk bytes concatenate back to the data chunk
+    byte-for-byte, and each chunk's bytes decode standalone."""
+    from etl_instagram_spark.multimodal.media import chunk_audio
+    from etl_instagram_spark.multimodal.wav import (
+        _MS_STD_COEFS,
+        _ms_decode_block,
+    )
+
+    spb, block = 500, 256
+    n = spb * 20 + 91
+    src = [_sine(n, 260, amp=9000)]
+    body, _ = _ms_encode(src, spb)
+    w = _wav_bytes(2, 1, 8000, 4, block, body, extra=_ms_extra(spb), fact=n)
+    df = spark.createDataFrame([("m", bytearray(w))], "id string, content binary")
+    rows = (
+        chunk_audio(df, chunk_ms=200, max_chunks=32, decoder="wav")
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert b"".join(bytes(r["samples"]) for r in rows) == body
+    for r in rows:
+        raw = bytes(r["samples"])
+        for off in range(0, len(raw), block):
+            _ms_decode_block(raw[off : off + block], 1, spb, _MS_STD_COEFS)
 
 
 def test_chunk_audio_adpcm_block_concat_roundtrip(spark):
