@@ -128,7 +128,17 @@ are atomic. Next runway candidate (r18): ``graph_node2vec_embeddings``
 graph family's last uncertified composition, and its former
 array-output blocker is resolved by the r17 posexplode discipline
 (apply the same (node, norm, d, value) shape BEFORE registering; the
-scalar-output contract test makes forgetting impossible). Seat
+scalar-output contract test makes forgetting impossible). r17
+pre-measures at sf0.1 (warm floors, quiet container, the charter's
+pre-measure discipline): the EXTRAS row as written (FULL graph) runs
+43-61 s — unpromotable; with the gate precedent's 1997Q1 subgraph
+bound it reads 7.4 s, and a single-month (1997-01) bound 5.3 s — the
+chain's fixed stage count dominates, not edge volume, so shrinking
+the window further buys little. A promotion must register a BOUNDED
+gate variant (the graph_walk_embeddings pattern: new q_graph row, the
+full-graph chain stays in EXTRAS + tests) and should budget ~5 s of
+structural floor — on par with part_entity_resolution — or first cut
+the chain's stage count (e.g. fold the per-step bias join). Seat
 template unchanged: orders_shipments_in_window's interval join is the
 candidate only if a dedicated range-join row replaces it; otherwise
 nation_customers_suppliers_full's full-outer join (its
