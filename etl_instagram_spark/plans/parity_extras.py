@@ -136,9 +136,12 @@ bound it reads 7.4 s, and a single-month (1997-01) bound 5.3 s — the
 chain's fixed stage count dominates, not edge volume, so shrinking
 the window further buys little. A promotion must register a BOUNDED
 gate variant (the graph_walk_embeddings pattern: new q_graph row, the
-full-graph chain stays in EXTRAS + tests) and should budget ~5 s of
+full-graph chain stays in EXTRAS + tests) and should budget ~5-7 s of
 structural floor — on par with part_entity_resolution — or first cut
-the chain's stage count (e.g. fold the per-step bias join). Seat
+the chain's stage count (e.g. fold the per-step bias join). The
+bounded variant is PRE-BUILT and parity-proven as
+``graph_node2vec_embeddings_97q1`` (extras_graph.py, r17): the r18
+rotation is a pure registration move of that row into q_graph.py. Seat
 template unchanged: orders_shipments_in_window's interval join is the
 candidate only if a dedicated range-join row replaces it; otherwise
 nation_customers_suppliers_full's full-outer join (its
