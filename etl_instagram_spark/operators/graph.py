@@ -1352,10 +1352,12 @@ def node2vec_walks(
 
     Scale: adjacency is the same one-groupBy sorted-neighbor table as
     random_walks (``max_degree`` sorted-prefix cap included); each
-    step joins the O(nodes) frontier against it TWICE (cur's neighbor
-    array + prev's array for the distance-1 membership test) — both
-    key-equi — and the per-row weight/prefix-sum work is in-array
-    O(cap²). The frontier never grows."""
+    step joins the O(nodes) frontier against it ONCE — the frontier
+    carries prev's neighbor array forward from the previous step's
+    join (r17; the distance-1 membership test reads that carried
+    array, halving the per-step join count at the price of ≤ cap
+    longs per frontier row) — and the per-row weight/prefix-sum work
+    is in-array O(cap²). The frontier never grows in row count."""
     if walk_len < 1:
         raise ValueError(f"walk_len must be >= 1, got {walk_len}")
     if max_degree is not None and max_degree < 1:
@@ -1497,20 +1499,24 @@ def node2vec_walks(
             "nbrs",
             (F.size(F.filter("cumw0", lambda c: c <= r1)) + 1).cast("int"),
         )
+    # the frontier CARRIES prev's neighbor array forward (r17): at step
+    # i the picked node's own ``nbrs`` (already joined) IS the next
+    # step's distance-1 membership array, so each step pays ONE
+    # key-equi join against adj instead of two — same rows, same
+    # arrays, bit-identical walks (pinned by the DuckDB parity tests);
+    # frontier rows grow by ≤ max_degree longs, checkpoint-bounded
     frontier = (
         out.join(adj, "node")
         .select(
             "walk_id",
             F.col("node").alias("prev"),
             nxt1.alias("node"),
+            F.col("nbrs").alias("nbrs_prev"),
         )
         .localCheckpoint(eager=True)
     )
     out = out.unionByName(
         frontier.select("walk_id", F.lit(1).alias("step"), "node")
-    )
-    adj_prev = adj.select(
-        F.col("node").alias("prev"), F.col("nbrs").alias("nbrs_prev")
     )
     for i in range(2, walk_len + 1):
         pick = hash32(
@@ -1540,7 +1546,6 @@ def node2vec_walks(
             )
         step_df = (
             frontier.join(adj, "node")
-            .join(adj_prev, "prev")
             .withColumn("__wts", wts)
             .withColumn(
                 "__cumw",
@@ -1558,7 +1563,10 @@ def node2vec_walks(
             (F.size(F.filter("__cumw", lambda c: c <= r)) + 1).cast("int"),
         )
         frontier = step_df.select(
-            "walk_id", F.col("node").alias("prev"), nxt.alias("node")
+            "walk_id",
+            F.col("node").alias("prev"),
+            nxt.alias("node"),
+            F.col("nbrs").alias("nbrs_prev"),
         ).localCheckpoint(eager=True)
         out = out.unionByName(
             frontier.select("walk_id", F.lit(i).alias("step"), "node")
