@@ -1315,6 +1315,7 @@ def node2vec_walks(
     far_w: int = 1,
     max_degree: int | None = None,
     weight_col: str | None = None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Deterministic SECOND-ORDER biased walks (node2vec, Grover &
     Leskovec KDD'16): step i from ``cur`` with previous node ``prev``
@@ -1357,9 +1358,18 @@ def node2vec_walks(
     join (r17; the distance-1 membership test reads that carried
     array, halving the per-step join count at the price of ≤ cap
     longs per frontier row) — and the per-row weight/prefix-sum work
-    is in-array O(cap²). The frontier never grows in row count."""
+    is in-array O(cap²). The frontier never grows in row count, and
+    it accumulates the walk path in-row (r18), so the whole walk is
+    ONE pipelined DAG of left joins against the checkpointed adj with
+    a single posexplode at the end — no per-step materialization
+    barrier; ``checkpoint_every`` truncates lineage for long walks
+    (every k steps, never needed at typical walk_len ≤ 8)."""
     if walk_len < 1:
         raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     if max_degree is not None and max_degree < 1:
         raise ValueError(f"max_degree must be >= 1, got {max_degree}")
     ws = (return_w, common_w, far_w)
@@ -1479,46 +1489,45 @@ def node2vec_walks(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    out = nodes.select(
-        F.col("node").alias("walk_id"), F.lit(0).alias("step"), "node"
+    # the frontier carries the WHOLE walk so far as an in-row array
+    # (r18): one posexplode at the end replaces the per-step union of
+    # (walk_id, step, node) slices, and — because each step's only
+    # consumer is the next step — the per-step eager localCheckpoint
+    # barrier goes away entirely: the whole walk is ONE pipelined DAG
+    # of key-equi joins against the checkpointed adj (broadcast under
+    # AQE when small). Step 1 is fused into the loop via the
+    # ``prev IS NULL → α = 1`` branch, which reduces EXACTLY to the
+    # first-order formula (uniform pick unweighted; the raw-edge-weight
+    # interval pick weighted) — walks stay bit-identical (pinned by the
+    # cross-engine parity tests and the random_walks-reduction test).
+    # A finished walk (dangling node, or total weight 0 — the
+    # non-backtracking stop) sets node to NULL: the next left join
+    # misses, α/cumw stay NULL, and the row rides through with its
+    # path intact. ``checkpoint_every`` bounds lineage for long walks.
+    frontier = nodes.select(
+        F.col("node").alias("walk_id"),
+        F.lit(None).cast("long").alias("prev"),
+        "node",
+        F.lit(None).cast("array<long>").alias("nbrs_prev"),
+        F.array("node").alias("path"),
     )
-    # step 1: first-order pick (no prev yet) — uniform, or the exact
-    # weighted interval formula when weight_col is set
-    pick1 = hash32(
-        F.concat_ws(
-            "\x1f", F.lit(seed), F.col("walk_id").cast("string"), F.lit("1")
-        )
+    # per-neighbor α (× edge weight) transition weights, dst-sorted
+    # like nbrs; inclusive prefix sums via the bounded O(cap²)
+    # in-array aggregate. prev IS NULL (step 1 / first-order) → α = 1.
+    alpha = (
+        f"CASE WHEN prev IS NULL THEN 1"
+        f" WHEN x = prev THEN {int(return_w)}"
+        f" WHEN array_contains(nbrs_prev, x) THEN {int(common_w)}"
+        f" ELSE {int(far_w)} END"
     )
     if weight_col is None:
-        nxt1 = F.element_at(
-            "nbrs", (pick1 % F.size("nbrs") + 1).cast("int")
-        )
+        wts = F.expr(f"transform(nbrs, x -> cast({alpha} AS bigint))")
     else:
-        r1 = pick1 % F.element_at("cumw0", -1)
-        nxt1 = F.element_at(
-            "nbrs",
-            (F.size(F.filter("cumw0", lambda c: c <= r1)) + 1).cast("int"),
+        wts = F.expr(
+            f"transform(nbrs, (x, i) -> cast({alpha} AS bigint)"
+            f" * element_at(ews, i + 1))"
         )
-    # the frontier CARRIES prev's neighbor array forward (r17): at step
-    # i the picked node's own ``nbrs`` (already joined) IS the next
-    # step's distance-1 membership array, so each step pays ONE
-    # key-equi join against adj instead of two — same rows, same
-    # arrays, bit-identical walks (pinned by the DuckDB parity tests);
-    # frontier rows grow by ≤ max_degree longs, checkpoint-bounded
-    frontier = (
-        out.join(adj, "node")
-        .select(
-            "walk_id",
-            F.col("node").alias("prev"),
-            nxt1.alias("node"),
-            F.col("nbrs").alias("nbrs_prev"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    out = out.unionByName(
-        frontier.select("walk_id", F.lit(1).alias("step"), "node")
-    )
-    for i in range(2, walk_len + 1):
+    for i in range(1, walk_len + 1):
         pick = hash32(
             F.concat_ws(
                 "\x1f",
@@ -1527,25 +1536,8 @@ def node2vec_walks(
                 F.lit(str(i)),
             )
         )
-        # per-neighbor α (× edge weight) transition weights, dst-sorted
-        # like nbrs; inclusive prefix sums via the bounded O(cap²)
-        # in-array aggregate
-        alpha = (
-            f"CASE WHEN x = prev THEN {int(return_w)}"
-            f" WHEN array_contains(nbrs_prev, x) THEN {int(common_w)}"
-            f" ELSE {int(far_w)} END"
-        )
-        if weight_col is None:
-            wts = F.expr(
-                f"transform(nbrs, x -> cast({alpha} AS bigint))"
-            )
-        else:
-            wts = F.expr(
-                f"transform(nbrs, (x, i) -> cast({alpha} AS bigint)"
-                f" * element_at(ews, i + 1))"
-            )
         step_df = (
-            frontier.join(adj, "node")
+            frontier.join(adj, "node", "left")
             .withColumn("__wts", wts)
             .withColumn(
                 "__cumw",
@@ -1555,23 +1547,39 @@ def node2vec_walks(
                     " (acc, y) -> acc + y))"
                 ),
             )
-            .filter(F.element_at("__cumw", -1) > 0)
         )
+        # NULL cumw (finished / dangling) and 0 total (weight-0 stop)
+        # both fall to the otherwise-NULL branch; CASE short-circuits,
+        # so the ANSI-mode ``% 0`` path is never evaluated
+        alive = F.element_at("__cumw", -1) > 0
         r = pick % F.element_at("__cumw", -1)
-        nxt = F.element_at(
-            "nbrs",
-            (F.size(F.filter("__cumw", lambda c: c <= r)) + 1).cast("int"),
+        nxt = F.when(
+            alive,
+            F.element_at(
+                "nbrs",
+                (F.size(F.filter("__cumw", lambda c: c <= r)) + 1).cast(
+                    "int"
+                ),
+            ),
         )
         frontier = step_df.select(
             "walk_id",
-            F.col("node").alias("prev"),
+            F.when(alive, F.col("node")).alias("prev"),
             nxt.alias("node"),
-            F.col("nbrs").alias("nbrs_prev"),
-        ).localCheckpoint(eager=True)
-        out = out.unionByName(
-            frontier.select("walk_id", F.lit(i).alias("step"), "node")
+            F.when(alive, F.col("nbrs")).alias("nbrs_prev"),
+            F.when(alive, F.concat("path", F.array(nxt)))
+            .otherwise(F.col("path"))
+            .alias("path"),
         )
-    return out
+        if i % checkpoint_every == 0 and i < walk_len:
+            frontier = frontier.localCheckpoint(eager=True)
+    # ONE materialization barrier for the whole walk (the per-step
+    # checkpoints of r15-r17 are gone): downstream consumers (cooc →
+    # PPMI → embedding re-scans the corpus several times) read the
+    # pinned frontier instead of re-running the join chain
+    return frontier.localCheckpoint(eager=True).select(
+        "walk_id", F.posexplode("path").alias("step", "node")
+    )
 
 
 def node2vec_walks_sql(
