@@ -590,81 +590,11 @@ def _sql_graph_node2vec_embeddings() -> str:
     """
 
 
-def _graph_node2vec_embeddings_97q1(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Never-gated (r17): the BOUNDED node2vec embedding chain — the
-    exact row the r18 promotion charter calls for, built ahead of the
-    rotation so the seat move is a pure registration change. Same
-    chain as ``graph_node2vec_embeddings`` (second-order biased walks →
-    co-occurrence → PPMI → ±1 projection, scalar posexploded output)
-    over the gate's 1997Q1 customer↔supplier subgraph (the
-    graph_walk_embeddings precedent: bound the work, keep every
-    operator live — the FULL-graph chain stays in the sibling row and
-    tests). Pre-measured 7.4 s warm at sf0.1 (vs 43-61 s unbounded);
-    every float replays bit-for-bit in one DuckDB statement."""
-    from etl_instagram_spark.operators.graph import (
-        bipartite_order_edges,
-        node2vec_walks,
-    )
-    from etl_instagram_spark.operators.graph_embed import (
-        ppmi_scores,
-        walk_cooccurrence,
-        walk_embeddings,
-    )
-
-    od = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    walks = node2vec_walks(
-        bipartite_order_edges(od, li),
-        walk_len=4,
-        seed="n2q",
-        far_w=2,
-        max_degree=32,
-    )
-    emb = walk_embeddings(
-        ppmi_scores(walk_cooccurrence(walks, window=2)), dim=8, seed="n2qemb"
-    )
-    top = emb.orderBy(F.desc("norm"), "node").limit(50)
-    return top.select(
-        "node", "norm", F.posexplode("emb").alias("d", "value")
-    )
-
-
-def _sql_graph_node2vec_embeddings_97q1() -> str:
-    from etl_instagram_spark.operators.graph import node2vec_walks_sql
-    from etl_instagram_spark.operators.graph_embed import (
-        ppmi_sql,
-        walk_cooccurrence_sql,
-        walk_embeddings_sql,
-    )
-    from etl_instagram_spark.plans.q_graph import _WALK_EDGES_97Q1_SQL
-
-    ctes = ", ".join(
-        [
-            node2vec_walks_sql(
-                _WALK_EDGES_97Q1_SQL,
-                walk_len=4,
-                seed="n2q",
-                far_w=2,
-                max_degree=32,
-            ),
-            walk_cooccurrence_sql(window=2),
-            ppmi_sql(),
-            walk_embeddings_sql(dim=8, seed="n2qemb"),
-        ]
-    )
-    return f"""
-    WITH {ctes},
-    gtop AS (SELECT node, norm, emb FROM embs
-             ORDER BY norm DESC, node
-             LIMIT 50)
-    SELECT t.node, t.norm, dd.d, t.emb[dd.d + 1] AS value
-    FROM gtop t CROSS JOIN (SELECT unnest(range(8)) AS d) dd
-    """
+# (graph_node2vec_embeddings_97q1 — the r17-built BOUNDED node2vec
+# embedding chain — was PROMOTED to the gate at the r18 rotation, per
+# the charter: the row now lives in plans/q_graph.py verbatim; the
+# FULL-graph chain below and the walk corpus stay value-parity-kept
+# here)
 
 
 def _register() -> None:
@@ -731,12 +661,6 @@ def _register() -> None:
     EXTRAS["graph_node2vec_embeddings"] = (
         _graph_node2vec_embeddings,
         _sql_graph_node2vec_embeddings,
-    )
-    # never-gated (r17): the BOUNDED (1997Q1) node2vec chain — the r18
-    # promotion candidate, parity-proven ahead of the rotation
-    EXTRAS["graph_node2vec_embeddings_97q1"] = (
-        _graph_node2vec_embeddings_97q1,
-        _sql_graph_node2vec_embeddings_97q1,
     )
 
 

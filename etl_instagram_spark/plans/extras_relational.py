@@ -383,6 +383,22 @@ def _customer_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return customer_rolling_30d_revenue(spark, sf_dir)
 
 
+def _nation_customers_suppliers_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r18 rotation (gate seat given to graph_node2vec_embeddings_97q1 —
+    the node2vec-fed embedding chain was the graph family's last
+    uncertified composition): FULL OUTER between two aggregates. The
+    coalesce-both-sides machinery stays gated via q5's join tree and
+    the merge family's anti-joins; this exact query keeps driver-grade
+    parity here."""
+    from etl_instagram_spark.plans.q_relational import (
+        nation_customers_suppliers_full,
+    )
+
+    return nation_customers_suppliers_full(spark, sf_dir)
+
+
 def _orders_nested_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14 rotation (gate seat given to events_hll_distinct — the seat
     that completes direct driver certification of all four sketch
@@ -513,6 +529,15 @@ def _register() -> None:
     EXTRAS["customer_rolling_30d_revenue"] = (
         _customer_rolling_30d_revenue,
         SQL_CUSTOMER_ROLLING_30D_REVENUE,
+    )
+    # r18 rotation: seat given to graph_node2vec_embeddings_97q1
+    from etl_instagram_spark.plans.q_relational import (
+        SQL_NATION_CUSTOMERS_SUPPLIERS_FULL,
+    )
+
+    EXTRAS["nation_customers_suppliers_full"] = (
+        _nation_customers_suppliers_full,
+        SQL_NATION_CUSTOMERS_SUPPLIERS_FULL,
     )
 
 

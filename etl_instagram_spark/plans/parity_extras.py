@@ -148,6 +148,21 @@ nation_customers_suppliers_full's full-outer join (its
 coalesce-both-sides machinery also lives in q5's join tree and the
 merge family's anti-joins).
 
+r18 rotation: ``nation_customers_suppliers_full`` (FULL OUTER between
+two aggregates — the coalesce-both-sides machinery stays gated via
+q5's join tree and the merge family's anti-joins, and the exact query
+keeps value parity in plans/extras_relational.py) — seat given to
+``graph_node2vec_embeddings_97q1`` (plans/q_graph.py), the bounded
+second-order (node2vec) embedding chain, the graph family's last
+uncertified composition. Pre-promotion checks per the charter: the
+chain's fixed stage count was cut FIRST (operators/graph.py r18:
+in-row walk-path accumulation + step-1 fusion replaced the per-step
+eager checkpoints with one barrier — bounded-chain warm floor
+7.23 → 5.50 s at sf0.1, same-load A/B, walks bit-identical under the
+cross-engine parity tests), the row was already scalar-shaped
+(posexploded r17), and the full 50-row sf0.01 replica read ALL MATCH
+before the rotation commit.
+
 r17 scalar-output audit (the CORRECTNESS_r16 class): every one of the
 50 gate rows AND all 65 EXTRAS rows were schema-audited for
 array/map/struct output columns — zero found after posexploding

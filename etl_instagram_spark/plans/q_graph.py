@@ -226,3 +226,103 @@ def _sql_graph_walk_embeddings() -> str:
 
 
 oracle("graph_walk_embeddings", _sql_graph_walk_embeddings())
+
+
+# ---------------------------------------------------------------------------
+# second-order (node2vec) representation learning — promoted to the gate
+# in r18 (nation_customers_suppliers_full rotated to
+# plans/extras_relational.py); built and parity-proven ahead of the
+# rotation as an EXTRAS row in r17 (plans/extras_graph.py history)
+# ---------------------------------------------------------------------------
+
+
+@query("graph_node2vec_embeddings_97q1")
+def graph_node2vec_embeddings_97q1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BOUNDED node2vec embedding chain, driver-certified (promoted
+    from EXTRAS at the r18 rotation): second-order biased walks
+    (Grover & Leskovec KDD'16; α ratio 1:1:2, hub cap 32) over the
+    1997Q1 customer↔supplier subgraph → skip-gram co-occurrence
+    (window 2) → PPMI → ±1 random-projection embeddings (dim 8,
+    L2-normalized). Same bounding precedent as graph_walk_embeddings:
+    the gate certifies the operator chain, not the full-graph corpus —
+    the FULL-graph chain stays in EXTRAS (graph_node2vec_embeddings)
+    and the walk corpus itself in graph_node2vec_walks, both
+    value-parity-kept. Every count is int64 and the one ln boundary is
+    quantized at 10^-6, so the top-50 nodes' embedding floats replay
+    bit-for-bit in one DuckDB statement.
+
+    Output shape: posexploded SCALAR rows (node, norm, d, value) —
+    50 nodes × 8 dims = 400 rows (the r17 gate-output discipline).
+
+    Scale: the date filter pushes into the orders scan; the biased
+    frontier is O(nodes) per step against a pinned adjacency table and
+    accumulates the walk path in-row (one pipelined DAG, a single
+    materialization barrier — operators/graph.py r18); the
+    co-occurrence pairs generate in-array; PPMI is two marginal aggs +
+    one 1-row broadcast; the projection is one (node, d) hash agg."""
+    from etl_instagram_spark.operators.graph import (
+        bipartite_order_edges,
+        node2vec_walks,
+    )
+    from etl_instagram_spark.operators.graph_embed import (
+        ppmi_scores,
+        walk_cooccurrence,
+        walk_embeddings,
+    )
+
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    walks = node2vec_walks(
+        bipartite_order_edges(od, li),
+        walk_len=4,
+        seed="n2q",
+        far_w=2,
+        max_degree=32,
+    )
+    emb = walk_embeddings(
+        ppmi_scores(walk_cooccurrence(walks, window=2)), dim=8, seed="n2qemb"
+    )
+    top = emb.orderBy(F.desc("norm"), "node").limit(50)
+    return top.select(
+        "node", "norm", F.posexplode("emb").alias("d", "value")
+    )
+
+
+def _sql_graph_node2vec_embeddings_97q1() -> str:
+    from etl_instagram_spark.operators.graph import node2vec_walks_sql
+    from etl_instagram_spark.operators.graph_embed import (
+        ppmi_sql,
+        walk_cooccurrence_sql,
+        walk_embeddings_sql,
+    )
+
+    ctes = ", ".join(
+        [
+            node2vec_walks_sql(
+                _WALK_EDGES_97Q1_SQL,
+                walk_len=4,
+                seed="n2q",
+                far_w=2,
+                max_degree=32,
+            ),
+            walk_cooccurrence_sql(window=2),
+            ppmi_sql(),
+            walk_embeddings_sql(dim=8, seed="n2qemb"),
+        ]
+    )
+    return f"""
+    WITH {ctes},
+    gtop AS (SELECT node, norm, emb FROM embs
+             ORDER BY norm DESC, node
+             LIMIT 50)
+    SELECT t.node, t.norm, dd.d, t.emb[dd.d + 1] AS value
+    FROM gtop t CROSS JOIN (SELECT unnest(range(8)) AS d) dd
+    """
+
+
+oracle("graph_node2vec_embeddings_97q1", _sql_graph_node2vec_embeddings_97q1())

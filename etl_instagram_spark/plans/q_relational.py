@@ -332,7 +332,11 @@ SQL_PART_METRICS_UNPIVOT = """
     """
 
 
-@query("nation_customers_suppliers_full")
+# (nation_customers_suppliers_full rotated out of the gate in r18 to
+# make room for graph_node2vec_embeddings_97q1 — the full-outer
+# coalesce-both-sides machinery stays gated via q5's join tree and the
+# merge family's anti-joins, and the exact query keeps driver-grade
+# value parity in plans/extras_relational.py)
 def nation_customers_suppliers_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER between two aggregates: nations ranked by customer and
     supplier counts, keeping nations present on either side only."""
@@ -353,9 +357,7 @@ def nation_customers_suppliers_full(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-oracle(
-    "nation_customers_suppliers_full",
-    """
+SQL_NATION_CUSTOMERS_SUPPLIERS_FULL = """
     WITH cu AS (SELECT c_nationkey AS nk, count(*) AS n_customers
                 FROM customer GROUP BY c_nationkey),
          su AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
@@ -365,8 +367,7 @@ oracle(
            coalesce(n_suppliers, 0) AS n_suppliers
     FROM cu FULL OUTER JOIN su ON cu.nk = su.nk
     ORDER BY nationkey
-    """,
-)
+    """
 
 
 # ---------------------------------------------------------------------------
