@@ -37,6 +37,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+# r18: entries whose floor lands under FAST_FLOOR_SEC after the normal
+# REPS get topped up to FAST_ENTRY_REPS total — at 3 reps, sub-1.5 s
+# floors were noise-dominated on this container (ratios up to 6.3x)
+FAST_FLOOR_SEC = 1.5
+FAST_ENTRY_REPS = max(REPS, int(os.environ.get("SPARK_GRAFT_BENCH_FAST_REPS", "5")))
 
 
 def sf_from_dir(d: str) -> float:
@@ -461,7 +466,15 @@ def main() -> int:
         rep_metrics: list[dict[str, int] | None] = []
         try:
             after = _exec_metrics_snapshot(spark)
-            for _ in range(REPS):
+            # r18: sub-1.5 s entries carried noise ratios up to 6.3x at
+            # 3 reps on this container (part_scalar_functions 6.27,
+            # docs_gopher_filter 5.67 in the r17 artifact) — exactly the
+            # entries whose phantom regressions consumed two rounds of
+            # adjudication. Cheap entries get extra reps (min-of-5+) so
+            # their floors are real; costs < 20 s of bench wall total.
+            n_reps = REPS
+            rep = 0
+            while rep < n_reps:
                 rep_starts.append(round(time.perf_counter() - bench_t0, 2))
                 snap = after
                 t0 = time.perf_counter()
@@ -473,6 +486,9 @@ def main() -> int:
                 if d is not None:
                     d["wall_sec"] = round(samples[-1], 4)
                 rep_metrics.append(d)
+                rep += 1
+                if rep == n_reps and min(samples) < FAST_FLOOR_SEC:
+                    n_reps = max(n_reps, FAST_ENTRY_REPS)
             timings[name] = round(statistics.median(samples), 4)
             minima[name] = round(min(samples), 4)
         except Exception as exc:  # noqa: BLE001 — record, don't abort the bench
@@ -540,6 +556,7 @@ def main() -> int:
             if d is not None:
                 d["warm"] = 1
                 d["wall_sec"] = wsec
+                d["wall_scope"] = "tick_phase"
             rep_metrics.append(d)
             for _ in range(REPS):
                 rep_starts.append(round(time.perf_counter() - bench_t0, 2))
@@ -550,6 +567,13 @@ def main() -> int:
                 d = _metrics_delta(snap, after)
                 if d is not None:
                     d["wall_sec"] = round(time.perf_counter() - t0, 4)
+                    # r18 (self-describing artifacts): a tick rep's
+                    # wall_sec spans the ENTIRE tick_fn call — setup,
+                    # seed tick, verification — a WIDER phase than the
+                    # entry's queries_min/samples_raw, which carry only
+                    # the internally-timed steady-state portion. The
+                    # scope tag replaces the commit-8f74c6e lore.
+                    d["wall_scope"] = "tick_phase"
                 rep_metrics.append(d)
             timings[tick_name] = round(statistics.median(samples), 4)
             minima[tick_name] = round(min(samples), 4)
@@ -590,7 +614,25 @@ def main() -> int:
                 {
                     "sf": sf_from_dir(SF_DIR),
                     "reps": REPS,
+                    # entries whose floor < fast_floor_sec run
+                    # fast_entry_reps total (r18); per-entry actual rep
+                    # counts are len(samples_raw[name])
+                    "fast_floor_sec": FAST_FLOOR_SEC,
+                    "fast_entry_reps": FAST_ENTRY_REPS,
                     "ab_notes": [
+                        "r18 structural delta: gate rotation promoted "
+                        "graph_node2vec_embeddings_97q1 (the bounded "
+                        "second-order embedding chain; warm floor cut "
+                        "7.23 -> 5.50 s at sf0.1 pre-promotion by the "
+                        "in-row walk-path accumulation in "
+                        "operators/graph.py — one materialization "
+                        "barrier instead of one per step) and rotated "
+                        "OUT nation_customers_suppliers_full (~0.3 s "
+                        "r17 median) — expect ~+5 s structural on the "
+                        "min-sum, on par with part_entity_resolution. "
+                        "The same graph.py change also applies to any "
+                        "node2vec consumer; graph_walk_embeddings "
+                        "(first-order) is untouched.",
                         "r17 end-of-round container state: three "
                         "same-code bench attempts read min-sums "
                         "138.2 / 131.1 / 107.0 with the inflation "
