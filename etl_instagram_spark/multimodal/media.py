@@ -41,7 +41,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 VIDEO_META_DDL = "duration_ms int, fps int, width int, height int"
-AUDIO_META_DDL = "duration_ms int, sample_rate int, channels int"
+# clamped_blocks (r18, ADVICE): ADPCM blocks a truncating ``fact``
+# chunk pushed past the duration grid and into the LAST chunk — nonzero
+# only on that chunk, so consumers can detect fact-overflow chunks
+# whose size/duration metadata no longer reflects the clamped bytes
+AUDIO_META_DDL = (
+    "duration_ms int, sample_rate int, channels int, clamped_blocks int"
+)
 
 FRAME_SCHEMA = (
     "id string, frame_idx int, ts_ms int, frame binary, "
@@ -101,6 +107,7 @@ def _fake_audio_meta(content: bytes) -> dict:
         "duration_ms": 1_000 + int.from_bytes(d[0:2], "big") % 59_000,
         "sample_rate": (16_000, 22_050, 44_100)[d[2] % 3],
         "channels": 1 + d[3] % 2,
+        "clamped_blocks": 0,
     }
 
 
@@ -234,6 +241,7 @@ def chunk_audio(
                         "duration_ms": info["duration_ms"],
                         "sample_rate": info["sample_rate"],
                         "channels": info["channels"],
+                        "clamped_blocks": 0,
                     }
                     rate, block = info["sample_rate"], info["block_align"]
                     nf, pcm = info["n_frames"], info["pcm"]
@@ -242,6 +250,7 @@ def chunk_audio(
                         spb = info["samples_per_block"]
                         n_uncapped = -(-info["duration_ms"] // chunk_ms)
                         parts: list[list[bytes]] = [[] for _ in range(n)]
+                        n_clamped = 0
                         for b in range(-(-len(pcm) // block)):
                             ms = b * spb * 1000 // rate
                             ci = ms // chunk_ms
@@ -255,6 +264,7 @@ def chunk_audio(
                                 # concatenation contract stays
                                 # byte-for-byte (r17, ADVICE)
                                 ci = n - 1
+                                n_clamped += 1
                             if ci < n:
                                 parts[ci].append(
                                     pcm[b * block : (b + 1) * block]
@@ -267,7 +277,11 @@ def chunk_audio(
                             out["start_ms"].append(start)
                             out["end_ms"].append(end)
                             out["samples"].append(b"".join(parts[i]))
-                            out["meta"].append(meta)
+                            out["meta"].append(
+                                {**meta, "clamped_blocks": n_clamped}
+                                if i == n - 1
+                                else meta
+                            )
                         continue
                     for i in range(n):
                         start = i * chunk_ms

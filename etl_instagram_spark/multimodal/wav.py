@@ -427,11 +427,19 @@ def _ms_decode_block(
                 f"{len(coefs)} coefficient pairs"
             )
         c1[c], c2[c] = coefs[p]
+    # clamp the header idelta on read to the same >= 16 floor the
+    # adaptation step maintains: a crafted/malformed idelta <= 0 would
+    # otherwise invert the first error term per channel before the
+    # max(16, ...) kicks in (every spec-conformant encoder emits
+    # idelta >= 16, so valid streams are untouched)
     deltas = [
-        int.from_bytes(
-            block[channels + 2 * c : channels + 2 * c + 2],
-            "little",
-            signed=True,
+        max(
+            16,
+            int.from_bytes(
+                block[channels + 2 * c : channels + 2 * c + 2],
+                "little",
+                signed=True,
+            ),
         )
         for c in range(channels)
     ]

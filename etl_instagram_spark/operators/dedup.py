@@ -35,14 +35,27 @@ def _staged_dedup_text(
     df: DataFrame, text_col: str, normalize: str | None
 ) -> tuple[DataFrame, str, tuple[str, ...]]:
     """Stage the column dedup keys derive from. With ``normalize`` set
-    (``"nfc"``/``"nfkc"``/``"nfd"``/``"nfkd"``), keys are computed over
-    the UAX #15-normalized text so composition variants ("é" precomposed
-    vs "e"+combining-acute) collide — the multilingual-dedup
-    prerequisite (functions/unicodenorm.py) — while OUTPUT rows keep the
-    original text untouched. Default ``None`` is byte-exact on the raw
-    text (parity-preserving: every oracle-gated row uses the default)."""
+    (``"nfc"``/``"nfkc"`` — the COMPOSITION forms, the ones useful as
+    dedup keys), keys are computed over the UAX #15-normalized text so
+    composition variants ("é" precomposed vs "e"+combining-acute)
+    collide — the multilingual-dedup prerequisite
+    (functions/unicodenorm.py) — while OUTPUT rows keep the original
+    text untouched. Default ``None`` is byte-exact on the raw text
+    (parity-preserving: every oracle-gated row uses the default).
+    The decomposed forms (nfd/nfkd) are REJECTED here: they produce
+    keys no downstream consumer wants and the DuckDB mirror
+    (unicode_normalize_sql → nfc_normalize) could never replay them;
+    of the accepted forms, only ``nfc`` is cross-engine replayable —
+    an nfkc-keyed dedup is Spark-side only (fine for the curation
+    pipeline, not for an oracle-gated row)."""
     if normalize is None:
         return df, text_col, ()
+    if normalize.lower() not in ("nfc", "nfkc"):
+        raise ValueError(
+            f"dedup normalize must be 'nfc' or 'nfkc' (composition "
+            f"forms), got {normalize!r} — decomposed keys (nfd/nfkd) "
+            f"are not meaningful dedup keys and have no SQL mirror"
+        )
     from etl_instagram_spark.functions.unicodenorm import unicode_normalize
 
     staged = "__dedup_norm_text"

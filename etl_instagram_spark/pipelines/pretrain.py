@@ -110,7 +110,16 @@ def curate_corpus(
     content-keyed stage, so composition variants of the same text
     dedup/decontaminate/split as the identical bytes they are. Off by
     default: it inserts the pipeline's only pandas-UDF stage, and
-    ASCII-clean corpora don't need it."""
+    ASCII-clean corpora don't need it.
+
+    Single-normalization contract (r18): the edit above is the ONLY
+    normalization pass — the dedup stages below run byte-exact
+    (``normalize=None``) on the already-normalized text, never
+    re-normalizing through the operator-layer ``normalize=`` kwargs
+    (dedup.py r17). Those kwargs exist for DIRECT operator users who
+    want normalized KEYS while survivors keep original bytes; this
+    pipeline's contract is the edit (kept text IS the NFC form).
+    Pinned by test_curate_corpus_nfc_normalizes_exactly_once."""
     base_cols = docs.columns
     if id_col not in base_cols or text_col not in base_cols:
         raise ValueError(f"docs must carry {id_col!r} and {text_col!r}")

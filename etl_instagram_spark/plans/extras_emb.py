@@ -245,24 +245,37 @@ def _emb_quantized_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
         .localCheckpoint(eager=False)  # feeds both recall joins once
     )
+    # r18 (ADVICE): anchor on the query frame so a query whose probed
+    # cells yield ZERO candidates still reports a row (n_cand_quant 0,
+    # recalls 0.0) instead of vanishing, and divide by the ACTUAL
+    # per-query ground-truth count — on a corpus smaller than k the
+    # literal-10 denominator understated recall silently
+    gt_n = gt.groupBy("qid").agg(F.count("*").alias("n_gt"))
     hits_q = (
         gt.join(ann_q, ["qid", "vec_id"])
         .groupBy("qid")
-        .agg((F.count("*") / F.lit(10.0)).alias("recall_quant"))
+        .agg(F.count("*").alias("h_q"))
     )
     hits_f = (
         gt.join(ann_f, ["qid", "vec_id"])
         .groupBy("qid")
-        .agg((F.count("*") / F.lit(10.0)).alias("recall_float"))
+        .agg(F.count("*").alias("h_f"))
     )
     return (
-        n_cand.join(hits_q, "qid", "left")
+        q.select("qid")
+        .join(n_cand, "qid", "left")
+        .join(gt_n, "qid", "left")
+        .join(hits_q, "qid", "left")
         .join(hits_f, "qid", "left")
         .select(
             "qid",
-            "n_cand_quant",
-            F.coalesce("recall_quant", F.lit(0.0)).alias("recall_quant"),
-            F.coalesce("recall_float", F.lit(0.0)).alias("recall_float"),
+            F.coalesce("n_cand_quant", F.lit(0)).alias("n_cand_quant"),
+            F.coalesce(
+                F.col("h_q") / F.col("n_gt"), F.lit(0.0)
+            ).alias("recall_quant"),
+            F.coalesce(
+                F.col("h_f") / F.col("n_gt"), F.lit(0.0)
+            ).alias("recall_float"),
         )
         .orderBy("qid")
     )
@@ -349,18 +362,22 @@ def _sql_emb_quantized_ann_rerank() -> str:
                                            vv.vec_id) AS r
         FROM vv CROSS JOIN qs) WHERE r <= 10),
     n_cand AS (SELECT qid, count(*) AS n_cand_quant FROM cand_q GROUP BY qid),
-    hq AS (SELECT g.qid, count(*)::DOUBLE / 10.0 AS recall_quant
+    gtn AS (SELECT qid, count(*) AS n_gt FROM gt GROUP BY qid),
+    hq AS (SELECT g.qid, count(*) AS h_q
            FROM gt g JOIN ann_q a ON a.qid = g.qid AND a.vec_id = g.vec_id
            GROUP BY g.qid),
-    hf AS (SELECT g.qid, count(*)::DOUBLE / 10.0 AS recall_float
+    hf AS (SELECT g.qid, count(*) AS h_f
            FROM gt g JOIN ann_f a ON a.qid = g.qid AND a.vec_id = g.vec_id
            GROUP BY g.qid)
-    SELECT n.qid, n.n_cand_quant,
-           coalesce(hq.recall_quant, 0.0::DOUBLE) AS recall_quant,
-           coalesce(hf.recall_float, 0.0::DOUBLE) AS recall_float
-    FROM n_cand n LEFT JOIN hq ON hq.qid = n.qid
-                  LEFT JOIN hf ON hf.qid = n.qid
-    ORDER BY n.qid
+    SELECT qs.qid,
+           coalesce(n.n_cand_quant, 0) AS n_cand_quant,
+           coalesce(hq.h_q::DOUBLE / gtn.n_gt, 0.0::DOUBLE) AS recall_quant,
+           coalesce(hf.h_f::DOUBLE / gtn.n_gt, 0.0::DOUBLE) AS recall_float
+    FROM qs LEFT JOIN n_cand n ON n.qid = qs.qid
+            LEFT JOIN gtn ON gtn.qid = qs.qid
+            LEFT JOIN hq ON hq.qid = qs.qid
+            LEFT JOIN hf ON hf.qid = qs.qid
+    ORDER BY qs.qid
     """
 
 

@@ -58,6 +58,17 @@ def test_exact_dedup_nfc_normalize_folds_composition_variants(spark):
     assert {c for r in out for c in r.asDict()} == {"doc_id", "text"}
 
 
+def test_dedup_normalize_rejects_decomposed_forms(spark):
+    # r18 (ADVICE): only the composition forms are meaningful dedup
+    # keys, and only nfc has a DuckDB mirror — nfd/nfkd refuse loudly
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    for bad in ("nfd", "nfkd", "NFD", "latin1"):
+        with pytest.raises(ValueError, match="nfc"):
+            D.exact_dedup(df, "text", "doc_id", normalize=bad)
+    # nfkc stays accepted (Spark-side composition form)
+    assert D.exact_dedup(df, "text", "doc_id", normalize="nfkc").count() == 1
+
+
 def test_near_dedup_nfc_normalize_matches_variant_near_dup(spark):
     # doc 2 is doc 1 with one word changed AND every "\u00e9" decomposed:
     # raw shingles never match (each 3-gram containing the accent

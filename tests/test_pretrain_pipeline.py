@@ -227,3 +227,43 @@ def test_curate_corpus_nfc_unifies_composition_variants(spark):
     _, rejected2 = curate_corpus(df)
     r2 = rejected2.collect()
     assert len(r2) == 1 and r2[0]["reject_stage"] == "near_dup"
+
+
+def test_curate_corpus_nfc_normalizes_exactly_once(spark, monkeypatch):
+    """r18 (single-normalization contract): nfc=True normalizes the
+    text ONE time, up front, as a text EDIT — the dedup stages then run
+    byte-exact on the already-normalized text, never re-normalizing via
+    their own r17 ``normalize=`` entry-point kwargs (the kwarg exists
+    for DIRECT operator users who want keys normalized while output
+    keeps original bytes; the pipeline's contract is the edit)."""
+    from etl_instagram_spark.pipelines import pretrain as P
+
+    seen: list[object] = []
+    real_exact, real_near = P.exact_dedup, P.near_dedup_minhash
+
+    def spy_exact(df, text_col, id_col, normalize=None):
+        seen.append(("exact", normalize))
+        return real_exact(df, text_col, id_col, normalize=normalize)
+
+    def spy_near(df, id_col, text_col, normalize=None, **kw):
+        seen.append(("near", normalize))
+        return real_near(df, id_col, text_col, normalize=normalize, **kw)
+
+    monkeypatch.setattr(P, "exact_dedup", spy_exact)
+    monkeypatch.setattr(P, "near_dedup_minhash", spy_near)
+    base = (
+        "this is a perfectly reasonable document about nothing with "
+        "enough words to pass every quality threshold easily and it "
+        "keeps going for a while so the gopher rules are satisfied "
+        "because short documents are rejected by the word count rule "
+        "which would defeat the purpose of this particular test case"
+    )
+    df = spark.createDataFrame(
+        [(1, base + " café"), (2, base + " café")],
+        "doc_id long, text string",
+    )
+    kept, _ = P.curate_corpus(df, nfc=True)
+    assert kept.count() == 1
+    # both dedup stages ran, and NEITHER got a second normalization pass
+    assert ("exact", None) in seen and ("near", None) in seen
+    assert all(norm is None for _, norm in seen)

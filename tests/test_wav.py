@@ -695,6 +695,28 @@ def test_ms_adpcm_validation_gates():
         decode_wav(_wav_bytes(2, 1, 8000, 8, block, body, extra=_ms_extra(spb)))
 
 
+def test_ms_adpcm_header_idelta_clamped_on_read():
+    """r18 (ADVICE): a crafted/malformed header idelta <= 0 is floored
+    to 16 on read — the same invariant the adaptation loop maintains —
+    instead of inverting the first error term per channel. A stream
+    with idelta rewritten to -500 decodes IDENTICALLY to the same
+    stream with idelta 16."""
+    spb, block = 500, 256
+    src = [_sine(spb, 300, amp=9000)]
+    body, _ = _ms_encode(src, spb)
+    evil = bytearray(body)
+    evil[1:3] = (-500).to_bytes(2, "little", signed=True)  # mono: idelta at [1:3]
+    floored = bytearray(body)
+    floored[1:3] = (16).to_bytes(2, "little", signed=True)
+    d_evil = decode_wav(
+        _wav_bytes(2, 1, 8000, 4, block, bytes(evil), extra=_ms_extra(spb))
+    )
+    d_floor = decode_wav(
+        _wav_bytes(2, 1, 8000, 4, block, bytes(floored), extra=_ms_extra(spb))
+    )
+    assert d_evil["samples"] == d_floor["samples"]
+
+
 def test_ms_adpcm_fact_chunk_truncates():
     spb, block = 500, 256
     n = spb * 2
@@ -787,6 +809,12 @@ def test_chunk_audio_adpcm_fact_truncated_concat_roundtrip(spark):
         .collect()
     )
     assert b"".join(bytes(r["samples"]) for r in rows) == body
+    # r18 (ADVICE): the fact-overflow blocks are detectable — the LAST
+    # chunk's meta carries the clamped-block count (raw stream has 21
+    # blocks; fact=spb*12+3 caps the duration grid at 4 chunks, and
+    # blocks 13..20 start past it, so 8 clamp), every other chunk 0
+    assert rows[-1]["meta"]["clamped_blocks"] == 8
+    assert all(r["meta"]["clamped_blocks"] == 0 for r in rows[:-1])
     # a BINDING max_chunks still drops the tail (capped output is a
     # prefix by design, never a clamp)
     capped = (
