@@ -18,11 +18,17 @@ the Huffman/zigzag/IDCT structure below follows the spec's Annex F
 decoding procedures).
 
 Scope (asserted loudly, never silently wrong): baseline sequential DCT
-(SOF0), 8-bit precision, 1 (grayscale) or 3 (YCbCr/JFIF) components,
-one interleaved scan, restart intervals supported. Progressive (SOF2),
-extended/arithmetic/lossless SOFs, 12-bit, and CMYK raise
-NotImplementedError/ValueError with the offending marker or parameter
-named — the png.py contract.
+(SOF0) and — since r18 — progressive DCT (SOF2, T.81 Annex G: spectral
+selection + successive approximation, DC/AC first and refinement
+scans, EOB runs, restart intervals), 8-bit precision, 1 (grayscale) or
+3 (YCbCr/JFIF) components. Extended/arithmetic/lossless SOFs, 12-bit,
+and CMYK raise NotImplementedError/ValueError with the offending
+marker or parameter named — the png.py contract. Progressive scans
+accumulate per-component coefficient arrays and render once at EOI
+through the SAME IDCT/upsample/color stages as baseline, so a
+progressive re-encode of identical quantized coefficients decodes
+byte-identical to its baseline sibling (pinned by the differential
+tests against the independent test-local progressive encoder).
 
 Scale notes: decode runs inside ``mapInPandas`` (one Arrow batch of
 blobs in memory at a time). The Huffman entropy walk is pure Python
@@ -60,7 +66,6 @@ _C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
 
 _SOF_UNSUPPORTED = {
     0xC1: "extended sequential DCT (SOF1)",
-    0xC2: "progressive DCT (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -323,8 +328,10 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> dict:
     ac_tables: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (width, height, components)
+    progressive = False
+    prog: dict | None = None  # per-component coefficient store (SOF2)
     pos = 2
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at byte {pos}")
         # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
@@ -336,14 +343,23 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> dict:
         marker = data[pos + 1]
         if marker == 0xD8:
             raise ValueError("jpeg: unexpected second SOI")
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI (length-less — may be the last 2 bytes)
+            if prog is not None and prog["any_scan"]:
+                # progressive files render ONCE here, after every scan
+                # has refined the coefficient store
+                width, height, comps = frame
+                return _render_progressive(
+                    prog, comps, qtables, width, height, engine
+                )
             raise ValueError("jpeg: reached EOI without a scan")
+        if pos + 4 > len(data):
+            break  # truncated segment header → the loud error below
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         seg = data[pos + 4 : pos + 2 + seglen]
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"jpeg: {_SOF_UNSUPPORTED[marker]} is not supported; "
-                "only baseline sequential DCT (SOF0) is"
+                "only baseline (SOF0) and progressive (SOF2) DCT are"
             )
         if marker == 0xDB:  # DQT
             o = 0
@@ -399,10 +415,78 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> dict:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = (width, height, comps)
+        elif marker == 0xC2:  # SOF2 — progressive DCT
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(
+                    f"jpeg: {precision}-bit precision not supported (8 only)"
+                )
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"jpeg: {ncomp}-component images not supported "
+                    "(1=gray, 3=YCbCr only)"
+                )
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            if ncomp == 1:
+                # T.81 A.2.2: single-component frames are walked one
+                # data unit per MCU regardless of declared h/v — same
+                # normalization the baseline path applies at SOS
+                comps = [dict(comps[0], h=1, v=1)]
+            frame = (width, height, comps)
+            progressive = True
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            prog = {
+                # per component: zigzag-order coefficient ints per block
+                # over the FULL padded interleave grid, refined in place
+                # scan by scan
+                "coefs": [
+                    [[0] * 64 for _ in range(mcux * c["h"] * mcuy * c["v"])]
+                    for c in comps
+                ],
+                "bw": [mcux * c["h"] for c in comps],
+                "bh": [mcuy * c["v"] for c in comps],
+                # non-interleaved (single-component-scan) block grid:
+                # ceil(ceil(dim·f/fmax) / 8) per T.81 A.2.2
+                "nb": [
+                    (
+                        (-(-(width * c["h"]) // hmax) + 7) // 8,
+                        (-(-(height * c["v"]) // vmax) + 7) // 8,
+                    )
+                    for c in comps
+                ],
+                "mcux": mcux,
+                "mcuy": mcuy,
+                "hmax": hmax,
+                "vmax": vmax,
+                "dc_done": set(),
+                "any_scan": False,
+            }
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF0")
             width, height, comps = frame
+            if progressive:
+                pos = _progressive_scan(
+                    data,
+                    pos + 2 + seglen,
+                    seg,
+                    comps,
+                    prog,
+                    dc_tables,
+                    ac_tables,
+                    restart_interval,
+                )
+                continue  # pos already sits at the next marker
             ns = seg[0]
             if ns != len(comps):
                 raise NotImplementedError(
@@ -461,12 +545,12 @@ def jpeg_dims(data: bytes) -> tuple[int, int]:
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"jpeg: {_SOF_UNSUPPORTED[marker]} is not supported; "
-                "only baseline sequential DCT (SOF0) is"
+                "only baseline (SOF0) and progressive (SOF2) DCT are"
             )
         if marker == 0xDA:  # SOS before any SOF
             raise ValueError("jpeg: SOS before SOF0")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        if marker == 0xC0:  # SOF0
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             seg = data[pos + 4 : pos + 2 + seglen]
             if seg[0] != 8:
                 raise NotImplementedError(
@@ -480,7 +564,7 @@ def jpeg_dims(data: bytes) -> tuple[int, int]:
                 )
             return width, height
         pos += 2 + seglen
-    raise ValueError("jpeg: no SOF0 found (truncated file?)")
+    raise ValueError("jpeg: no SOF segment found (truncated file?)")
 
 
 def _decode_scan(
@@ -742,3 +826,310 @@ def _decode_block_zz(
         coeffs[ZIGZAG[k]] = val * qt_zz[k]
         k += 1
     return coeffs, dc
+
+
+def _progressive_scan(
+    data: bytes,
+    pos: int,
+    seg: bytes,
+    comps: list[dict],
+    prog: dict,
+    dc_tables: dict[int, _HuffTable],
+    ac_tables: dict[int, _HuffTable],
+    restart_interval: int,
+) -> int:
+    """Apply ONE progressive scan (T.81 Annex G) to the coefficient
+    store and return the byte offset of the next marker. DC scans
+    (Ss=Se=0) may interleave any subset of components over the frame
+    MCU grid; AC scans are single-component by spec (B.2.3) and walk
+    the component's own non-interleaved block grid. First scans (Ah=0)
+    Huffman-decode values at precision Al; refinement scans (Ah=Al+1)
+    add one correction bit per coefficient — the store holds plain
+    ints, so Python's two's-complement ``|``/``&`` on negatives gives
+    exactly the T.81 bit semantics."""
+    ns = seg[0]
+    scomps: list[tuple[int, dict, int, int]] = []
+    for i in range(ns):
+        cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+        hit = [(ci, c) for ci, c in enumerate(comps) if c["id"] == cs]
+        if not hit:
+            raise ValueError(f"jpeg: scan selects unknown component {cs}")
+        scomps.append((hit[0][0], hit[0][1], tdta >> 4, tdta & 0x0F))
+    o = 1 + 2 * ns
+    ss, se, ahal = seg[o], seg[o + 1], seg[o + 2]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: progressive DC scan must have Se=0")
+    else:
+        if ns != 1:
+            raise ValueError(
+                "jpeg: progressive AC scans must be single-component"
+            )
+        if se < ss or se > 63:
+            raise ValueError(f"jpeg: bad spectral band {ss}..{se}")
+    if ah and ah != al + 1:
+        raise ValueError(
+            f"jpeg: successive approximation Ah={ah} must be Al+1={al + 1}"
+        )
+    reader = _BitReader(data, pos)
+    if ss == 0:
+        first = ah == 0
+        if first:
+            for _, _, td, _ in scomps:
+                if td not in dc_tables:
+                    raise ValueError(
+                        "jpeg: scan references a missing Huffman table"
+                    )
+        dc_pred = {ci: 0 for ci, *_ in scomps}
+
+        def dc_unit(ci: int, td: int, blk: list[int]) -> None:
+            if first:
+                s = dc_tables[td].decode(reader)
+                dc_pred[ci] += reader.receive_extend(s)
+                blk[0] = dc_pred[ci] << al
+            else:  # refinement: one raw bit at position Al
+                blk[0] |= reader.read_bit() << al
+
+        if ns == 1:
+            ci, c, td, _ = scomps[0]
+            nbw, nbh = prog["nb"][ci]
+            bw = prog["bw"][ci]
+            coefs = prog["coefs"][ci]
+            count = 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        reader.restart()
+                        dc_pred[ci] = 0
+                    dc_unit(ci, td, coefs[by * bw + bx])
+                    count += 1
+        else:
+            count = 0
+            for my in range(prog["mcuy"]):
+                for mx in range(prog["mcux"]):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        reader.restart()
+                        for k in dc_pred:
+                            dc_pred[k] = 0
+                    for ci, c, td, _ in scomps:
+                        bw = prog["bw"][ci]
+                        coefs = prog["coefs"][ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_unit(
+                                    ci,
+                                    td,
+                                    coefs[
+                                        (my * c["v"] + by) * bw
+                                        + mx * c["h"]
+                                        + bx
+                                    ],
+                                )
+                    count += 1
+        if first:
+            for ci, *_ in scomps:
+                prog["dc_done"].add(ci)
+    else:
+        ci, c, _, ta = scomps[0]
+        if ci not in prog["dc_done"]:
+            raise ValueError(
+                "jpeg: AC scan before the component's first DC scan"
+            )
+        if ta not in ac_tables:
+            raise ValueError("jpeg: scan references a missing Huffman table")
+        ac = ac_tables[ta]
+        band = _ac_first_band if ah == 0 else _ac_refine_band
+        nbw, nbh = prog["nb"][ci]
+        bw = prog["bw"][ci]
+        coefs = prog["coefs"][ci]
+        eobrun = 0
+        count = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and count and count % restart_interval == 0:
+                    reader.restart()
+                    eobrun = 0
+                eobrun = band(reader, ac, coefs[by * bw + bx], ss, se, al, eobrun)
+                count += 1
+    prog["any_scan"] = True
+    # find the next marker: resume from the first still-buffered byte
+    # (unconsumed pad bits) or the reader position, then walk over pad
+    # bytes / stuffed FF00 / fill FFs / stray RSTn to the real marker
+    if reader.starts:
+        i = reader.starts[0]
+    elif reader.marker is not None:
+        i = reader.pos - 2
+    else:
+        i = reader.pos
+    n = len(data)
+    while i + 1 < n:
+        if data[i] != 0xFF:
+            i += 1
+        elif data[i + 1] == 0x00:
+            i += 2
+        elif data[i + 1] == 0xFF:
+            i += 1
+        elif 0xD0 <= data[i + 1] <= 0xD7:
+            i += 2
+        else:
+            return i
+    raise ValueError("jpeg: truncated after progressive scan")
+
+
+def _ac_first_band(
+    reader: _BitReader,
+    ac: _HuffTable,
+    blk: list[int],
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """One block's spectral band in an AC FIRST scan (G.1.2.2): values
+    Huffman-decoded at precision Al (stored ``<< al``), EOBn symbols
+    start a run of ``(1 << r) + bits`` band-empty blocks (this one
+    included). ``blk`` is zigzag-order; returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC run past spectral band")
+            blk[k] = reader.receive_extend(s) << al
+            k += 1
+        else:
+            if r != 15:  # EOBn
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.peek(r)
+                    reader.consume(r)
+                return eobrun - 1
+            k += 16  # ZRL
+    return 0
+
+
+def _ac_refine_band(
+    reader: _BitReader,
+    ac: _HuffTable,
+    blk: list[int],
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """One block's spectral band in an AC REFINEMENT scan (G.1.2.3):
+    every coefficient made nonzero by an EARLIER scan receives one
+    correction bit when the walk passes it (bit set and bit Al still
+    clear → move magnitude one step away from zero); run lengths count
+    only zero-history positions, where a (r, 1) symbol plants a fresh
+    ``±1 << al``. An EOB run corrects the remaining nonzero history of
+    each covered band. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k: int) -> None:
+        if reader.read_bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac.decode(reader)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "jpeg: refinement AC magnitude must be 1"
+                    )
+                val = p1 if reader.read_bit() else m1
+            elif r != 15:  # EOBn
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.peek(r)
+                    reader.consume(r)
+                break
+            # advance past r zero-history coefficients (ZRL: 16),
+            # correcting every nonzero-history coefficient on the way
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError(
+                        "jpeg: refinement run past spectral band"
+                    )
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _render_progressive(
+    prog: dict,
+    comps: list[dict],
+    qtables: dict[int, list[int]],
+    width: int,
+    height: int,
+    engine: str,
+) -> dict:
+    """Dequantize + de-zigzag the accumulated coefficient store and
+    render through the SAME batched/stdlib stages as baseline — a
+    progressive file with the same quantized coefficients as a baseline
+    sibling therefore decodes byte-identical (the differential-test
+    contract)."""
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError(f"jpeg: missing quantization table {c['tq']}")
+    coll: list[dict] = [{"by": [], "bx": [], "blk": []} for _ in comps]
+    for ci, c in enumerate(comps):
+        qt = qtables[c["tq"]]
+        bw, bh = prog["bw"][ci], prog["bh"][ci]
+        coefs = prog["coefs"][ci]
+        for by in range(bh):
+            base = by * bw
+            for bx in range(bw):
+                zz = coefs[base + bx]
+                raster = [0] * 64
+                for k in range(64):
+                    v = zz[k]
+                    if v:
+                        raster[ZIGZAG[k]] = v * qt[k]
+                coll[ci]["by"].append(by)
+                coll[ci]["bx"].append(bx)
+                coll[ci]["blk"].append(raster)
+    use_np = engine == "numpy" or (engine == "auto" and _np is not None)
+    render = _render_np if use_np else _render_py
+    return render(
+        coll,
+        comps,
+        prog["mcux"],
+        prog["mcuy"],
+        width,
+        height,
+        prog["hmax"],
+        prog["vmax"],
+    )

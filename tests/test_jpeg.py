@@ -64,11 +64,16 @@ class _BitWriter:
 
 # canonical tables: DC sizes 0..11 all at code length 4 (12 < 2^4);
 # AC: EOB, all (run 1..15, size 0 -> only ZRL=0xF0) and (run, size)
-# for run 0..15, size 1..10 all at length 8 (162 < 2^8)
+# for run 0..15, size 1..10 all at length 8 (162 < 2^8). r18: EOBn
+# symbols (r<<4, r=1..14) APPENDED for the progressive encoder's EOB
+# runs — appending keeps every earlier symbol's canonical code, so the
+# baseline streams are byte-identical to pre-r18
 _DC_SYMS = list(range(12))
-_AC_SYMS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
-]
+_AC_SYMS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(1, 15)]
+)
 
 
 def _canon_codes(symbols, length):
@@ -233,6 +238,326 @@ def encode_jpeg(pixels, width, height, channels, subsample=False, restart_interv
     return bytes(out)
 
 
+def _zz_block(rows, oy, ox):
+    """Quantized (all-ones) zigzag coefficients of one 8x8 block —
+    bit-identical to what _encode_block feeds the baseline stream, so
+    the progressive re-encode below carries the SAME coefficients."""
+    block = [[rows[oy + y][ox + x] - 128 for x in range(8)] for y in range(8)]
+    co = _fdct(block)
+    return [int(round(co[idx // 8][idx % 8])) for idx in ZIGZAG]
+
+
+def encode_jpeg_progressive(
+    pixels,
+    width,
+    height,
+    channels,
+    subsample=False,
+    restart_interval=0,
+    band_split=6,
+):
+    """Independent progressive (SOF2) encoder — T.81 Annex G with
+    spectral selection (bands [1, band_split-1] and [band_split, 63])
+    and one successive-approximation level (Al=1 first scans, Ah=1/Al=0
+    refinement scans), EOB runs, ZRL-in-refinement, and optional
+    restart intervals. Same color convert / subsample / padding / DCT /
+    all-ones quantization as encode_jpeg, so both files carry identical
+    coefficients and must decode to identical pixels."""
+    # identical plane prep to encode_jpeg
+    if channels == 3:
+        yp, cbp, crp = [], [], []
+        for i in range(width * height):
+            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            yv = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            yp.append(min(255, max(0, int(round(yv)))))
+            cbp.append(min(255, max(0, int(round(cb)))))
+            crp.append(min(255, max(0, int(round(cr)))))
+        if subsample:
+            cw, chh = (width + 1) // 2, (height + 1) // 2
+            subs = []
+            for plane in (cbp, crp):
+                sp = []
+                for y in range(chh):
+                    for x in range(cw):
+                        vals = []
+                        for dy in (0, 1):
+                            for dx in (0, 1):
+                                yy = min(2 * y + dy, height - 1)
+                                xx = min(2 * x + dx, width - 1)
+                                vals.append(plane[yy * width + xx])
+                        sp.append(int(round(sum(vals) / len(vals))))
+                subs.append(sp)
+            planes = [
+                (yp, width, height, 2, 2),
+                (subs[0], cw, chh, 1, 1),
+                (subs[1], cw, chh, 1, 1),
+            ]
+        else:
+            planes = [
+                (yp, width, height, 1, 1),
+                (cbp, width, height, 1, 1),
+                (crp, width, height, 1, 1),
+            ]
+    else:
+        planes = [(list(pixels), width, height, 1, 1)]
+
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component coefficient grids over the FULL padded interleave
+    # grid (DC scans cover it) plus the non-interleaved AC grid bound
+    blocks = []  # [comp] -> {(by, bx): zz}
+    grids = []  # [comp] -> (bw, bh, nbw, nbh, h, v)
+    for plane, w_, h_, h, v in planes:
+        pw, ph = mcux * h * 8, mcuy * v * 8
+        rows = _plane(plane, w_, h_, 0, 1, pw, ph)
+        bw, bh = mcux * h, mcuy * v
+        nbw = (-(-(width * h) // hmax) + 7) // 8
+        nbh = (-(-(height * v) // vmax) + 7) // 8
+        blocks.append(
+            {
+                (by, bx): _zz_block(rows, by * 8, bx * 8)
+                for by in range(bh)
+                for bx in range(bw)
+            }
+        )
+        grids.append((bw, bh, nbw, nbh, h, v))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for i, (_, _, _, h, v) in enumerate(planes):
+        sof += bytes([i + 1, (h << 4) | v, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _dht_segment(0, 0, _DC_SYMS, 4)
+    out += _dht_segment(1, 0, _AC_SYMS, 8)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(
+            ">H", restart_interval
+        )
+
+    rst_state = [0]
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    def emit_restart(w):
+        w.flush()
+        out.extend(w.out)
+        w.out = bytearray()
+        out.extend(bytes([0xFF, 0xD0 + rst_state[0]]))
+        rst_state[0] = (rst_state[0] + 1) % 8
+
+    def dc_scan(al, first):
+        out.extend(sos_header(list(range(1, ncomp + 1)), 0, 0, 0 if first else al + 1, al))
+        rst_state[0] = 0
+        w = _BitWriter()
+        preds = [0] * ncomp
+        count = 0
+        if ncomp == 1:
+            # single-component frame: non-interleaved one-block MCUs
+            bw, bh, nbw, nbh, h, v = grids[0]
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and count and count % restart_interval == 0:
+                        emit_restart(w)
+                        preds = [0]
+                    dc = blocks[0][(by, bx)][0]
+                    if first:
+                        pt = dc >> al  # arithmetic shift: the DC point transform
+                        diff = pt - preds[0]
+                        preds[0] = pt
+                        s = _size_cat(diff)
+                        code, ln = _DC_CODES[s]
+                        w.write(code, ln)
+                        if s:
+                            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                    else:
+                        w.write((dc >> al) & 1, 1)
+                    count += 1
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and count and count % restart_interval == 0:
+                        emit_restart(w)
+                        preds = [0] * ncomp
+                    for ci in range(ncomp):
+                        bw, bh, nbw, nbh, h, v = grids[ci]
+                        for by in range(v):
+                            for bx in range(h):
+                                dc = blocks[ci][(my * v + by, mx * h + bx)][0]
+                                if first:
+                                    pt = dc >> al
+                                    diff = pt - preds[ci]
+                                    preds[ci] = pt
+                                    s = _size_cat(diff)
+                                    code, ln = _DC_CODES[s]
+                                    w.write(code, ln)
+                                    if s:
+                                        w.write(
+                                            diff if diff > 0 else diff + (1 << s) - 1, s
+                                        )
+                                else:
+                                    w.write((dc >> al) & 1, 1)
+                    count += 1
+        w.flush()
+        out.extend(w.out)
+
+    def ac_first_scan(ci, ss, se, al):
+        out.extend(sos_header([ci + 1], ss, se, 0, al))
+        rst_state[0] = 0
+        w = _BitWriter()
+        eob = [0]
+
+        def flush_eob():
+            if eob[0]:
+                r = eob[0].bit_length() - 1
+                code, ln = _AC_CODES[r << 4]
+                w.write(code, ln)
+                if r:
+                    w.write(eob[0] - (1 << r), r)
+                eob[0] = 0
+
+        bw, bh, nbw, nbh, h, v = grids[ci]
+        count = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and count and count % restart_interval == 0:
+                    flush_eob()
+                    emit_restart(w)
+                count += 1
+                zz = blocks[ci][(by, bx)]
+                vals = []
+                for k in range(ss, se + 1):
+                    vv = zz[k]
+                    # AC point transform: truncate toward zero
+                    vals.append(-((-vv) >> al) if vv < 0 else vv >> al)
+                last = -1
+                for i, vv in enumerate(vals):
+                    if vv:
+                        last = i
+                if last < 0:
+                    eob[0] += 1
+                    if eob[0] == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for i in range(last + 1):
+                    vv = vals[i]
+                    if vv == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = _AC_CODES[0xF0]
+                        w.write(code, ln)
+                        r -= 16
+                    s = _size_cat(vv)
+                    code, ln = _AC_CODES[(r << 4) | s]
+                    w.write(code, ln)
+                    w.write(vv if vv > 0 else vv + (1 << s) - 1, s)
+                    r = 0
+                if last < se - ss:
+                    eob[0] += 1
+        flush_eob()
+        w.flush()
+        out.extend(w.out)
+
+    def ac_refine_scan(ci, ss, se, al):
+        out.extend(sos_header([ci + 1], ss, se, al + 1, al))
+        rst_state[0] = 0
+        w = _BitWriter()
+        eob = [0]
+        pend: list[int] = []  # correction bits riding an EOB run
+
+        def flush_eob():
+            if eob[0]:
+                r = eob[0].bit_length() - 1
+                code, ln = _AC_CODES[r << 4]
+                w.write(code, ln)
+                if r:
+                    w.write(eob[0] - (1 << r), r)
+                for b in pend:
+                    w.write(b, 1)
+                pend.clear()
+                eob[0] = 0
+
+        bw, bh, nbw, nbh, h, v = grids[ci]
+        count = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and count and count % restart_interval == 0:
+                    flush_eob()
+                    emit_restart(w)
+                count += 1
+                zz = blocks[ci][(by, bx)]
+                absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+                pos = [zz[k] >= 0 for k in range(ss, se + 1)]
+                last1 = -1  # index of the last NEWLY significant coef
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        last1 = i
+                r = 0
+                br: list[int] = []  # this block's buffered corrections
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    # ZRLs that cannot fold into the EOB run (libjpeg's
+                    # k <= EOB guard — zeros past the last new coef ride
+                    # the EOB run instead)
+                    while r > 15 and i <= last1:
+                        flush_eob()
+                        code, ln = _AC_CODES[0xF0]
+                        w.write(code, ln)
+                        r -= 16
+                        for b in br:
+                            w.write(b, 1)
+                        br = []
+                    if t > 1:  # history-nonzero: one correction bit
+                        br.append(t & 1)
+                        continue
+                    flush_eob()
+                    code, ln = _AC_CODES[(r << 4) | 1]
+                    w.write(code, ln)
+                    w.write(1 if pos[i] else 0, 1)
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eob[0] += 1
+                    pend.extend(br)
+                    if eob[0] == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        w.flush()
+        out.extend(w.out)
+
+    split = max(2, min(band_split, 63))
+    dc_scan(1, first=True)
+    for ci in range(ncomp):
+        ac_first_scan(ci, 1, split - 1, 1)
+    for ci in range(ncomp):
+        ac_first_scan(ci, split, 63, 1)
+    dc_scan(0, first=False)  # DC refinement (Ah=1, Al=0)
+    for ci in range(ncomp):
+        ac_refine_scan(ci, 1, split - 1, 0)
+    for ci in range(ncomp):
+        ac_refine_scan(ci, split, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _max_err(a, b):
     return max(abs(x - y) for x, y in zip(a, b))
 
@@ -340,9 +665,15 @@ def test_unsupported_and_malformed_raise_loudly():
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(TypeError):
         decode_jpeg("not bytes")
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF9 (arithmetic sequential — still unsupported)
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9")
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
+    # flip SOF0 -> SOF2 (r18: progressive is SUPPORTED now, but a
+    # baseline full-band scan under a SOF2 header is a malformed
+    # progressive scan header, not a decodable file)
     prog = good.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="DC scan|spectral"):
         decode_jpeg(prog)
     with pytest.raises(ValueError, match="truncated|marker|entropy"):
         decode_jpeg(good[: len(good) // 2])
@@ -467,8 +798,10 @@ def test_jpeg_dims_header_only_matches_decoder():
         d = decode_jpeg(data)
         assert jpeg_dims(data) == (d["width"], d["height"]) == (w_, h_)
     good = encode_jpeg(bytes(64), 8, 8, 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jpeg_dims(good.replace(b"\xff\xc0", b"\xff\xc2"))
+    # r18: SOF2 headers are readable now; arithmetic SOFs still gate
+    assert jpeg_dims(good.replace(b"\xff\xc0", b"\xff\xc2")) == (8, 8)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        jpeg_dims(good.replace(b"\xff\xc0", b"\xff\xc9"))
     with pytest.raises(ValueError):
         jpeg_dims(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(TypeError):
@@ -560,3 +893,116 @@ def test_huffman_fast_path_matches_bitwalk_reference():
                 ref.append(table.lookup[(length, code)])
                 break
     assert ref == syms
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """r18 differential: progressive (SOF2) re-encode of the SAME
+    quantized coefficients — spectral selection, successive
+    approximation (Al=1 firsts + refinements), EOB runs — must decode
+    BYTE-IDENTICAL to the baseline sibling, across gray / 4:4:4 /
+    4:2:0 / non-multiple-of-8 / restart-interval shapes."""
+    shapes = [
+        (8, 8, 1, False, 0),
+        (24, 17, 1, False, 0),
+        (16, 16, 3, False, 0),
+        (20, 13, 3, True, 0),
+        (24, 17, 1, False, 2),
+        (20, 13, 3, True, 2),
+    ]
+    for w, h, ch, sub, ri in shapes:
+        n = w * h * ch
+        px = bytes(((x * 7 + i * 13) % 256) for i, x in enumerate(range(n)))
+        base = encode_jpeg(px, w, h, ch, subsample=sub, restart_interval=ri)
+        prog = encode_jpeg_progressive(
+            px, w, h, ch, subsample=sub, restart_interval=ri
+        )
+        db = decode_jpeg(base)
+        dp = decode_jpeg(prog)
+        assert (dp["width"], dp["height"], dp["channels"]) == (
+            db["width"],
+            db["height"],
+            db["channels"],
+        ), (w, h, ch, sub, ri)
+        assert dp["pixels"] == db["pixels"], (w, h, ch, sub, ri)
+        from etl_instagram_spark.multimodal.jpeg import jpeg_dims
+
+        assert jpeg_dims(prog) == (w, h)
+
+
+def test_progressive_eob_runs_and_sparse_blocks():
+    """Mostly-flat images make the AC first scans one long EOB run
+    (with the run-length extension bits live) and give the refinement
+    scans entire bands of correction-free blocks; a lone bright pixel
+    plants high-frequency coefficients that must survive the band
+    split. Both engines must agree with baseline byte-for-byte."""
+    w = h = 40  # 25 blocks, almost all AC-empty -> EOBn with r > 0
+    px = bytearray([128] * (w * h))
+    px[0] = 255  # one hot corner block
+    px[33 * w + 33] = 0  # one dark block far into the grid
+    base = encode_jpeg(bytes(px), w, h, 1)
+    prog = encode_jpeg_progressive(bytes(px), w, h, 1)
+    db = decode_jpeg(base)
+    dp = decode_jpeg(prog)
+    assert dp["pixels"] == db["pixels"]
+    # stdlib engine renders the same store identically
+    dp2 = decode_jpeg(prog, engine="stdlib")
+    assert dp2["pixels"] == db["pixels"]
+
+
+def test_progressive_dc_only_preview_renders():
+    """A progressive file truncated after the DC scans (plus EOI) is a
+    VALID partial file — the decoder renders the accumulated store (the
+    low-frequency preview progressive was designed for) instead of
+    refusing: every 8x8 tile is flat at its DC level."""
+    w, h = 16, 16
+    px = bytes([40] * 64 + [200] * 64 + [90] * 64 + [160] * 64)
+    # build with only the DC first + DC refinement scans by slicing the
+    # full progressive stream at the first AC SOS
+    full = encode_jpeg_progressive(px, w, h, 1)
+    # find the second SOS (first AC scan) and cut there
+    first_sos = full.index(b"\xff\xda")
+    second_sos = full.index(b"\xff\xda", first_sos + 2)
+    partial = full[:second_sos] + b"\xff\xd9"
+    d = decode_jpeg(partial)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+    # DC-only render: each tile is flat (all 64 samples equal)
+    pix = d["pixels"]
+    for ty in (0, 8):
+        for tx in (0, 8):
+            tile = {pix[(ty + y) * w + tx + x] for y in range(8) for x in range(8)}
+            assert len(tile) == 1, (ty, tx, tile)
+
+
+def test_progressive_scan_header_validation():
+    """Malformed progressive scan scripts refuse loudly: AC before the
+    component's DC scan, multi-component AC scans, bad spectral bands,
+    and inconsistent successive-approximation bits."""
+    px = bytes(range(64))
+    full = encode_jpeg_progressive(px, 8, 8, 1)
+
+    def patch_sos(data, which, new_fields):
+        """Rewrite scan header #which's (Ss, Se, AhAl)."""
+        i = -2
+        for _ in range(which + 1):
+            i = data.index(b"\xff\xda", i + 2)
+        (ln,) = struct.unpack(">H", data[i + 2 : i + 4])
+        body = bytearray(data[i + 4 : i + 2 + ln])
+        body[-3:] = bytes(new_fields)
+        return data[: i + 4] + bytes(body) + data[i + 2 + ln :]
+
+    # first scan (DC) rewritten to claim an AC band -> AC-before-DC
+    bad = patch_sos(full, 0, (1, 5, 0x10))
+    with pytest.raises(ValueError, match="before the component's first DC"):
+        decode_jpeg(bad)
+    # DC scan with Se != 0
+    bad = patch_sos(full, 0, (0, 5, 0x01))
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(bad)
+    # AC refinement with Ah != Al + 1
+    bad = patch_sos(full, 1, (1, 5, 0x31))
+    with pytest.raises(ValueError, match="Ah"):
+        decode_jpeg(bad)
+    # spectral band upside down
+    bad = patch_sos(full, 1, (9, 5, 0x01))
+    with pytest.raises(ValueError, match="spectral band"):
+        decode_jpeg(bad)
