@@ -620,6 +620,27 @@ def main() -> int:
                     "fast_floor_sec": FAST_FLOOR_SEC,
                     "fast_entry_reps": FAST_ENTRY_REPS,
                     "ab_notes": [
+                        "r18 watch-item adjudication (the r17 verdict's "
+                        "task #4), measured this round with per-rep "
+                        "work metrics on the quietest container state "
+                        "available: docs_decontamination floor read "
+                        "2.353 s / task_time 2358 ms / 139 tasks — the "
+                        "r16 2.34 floor reproduces EXACTLY, so the r17 "
+                        "builder 3.61 and driver 7.18 reads were "
+                        "ambient, not a regression; docs_pii_audit "
+                        "0.978 s (5 tasks) and docs_pack_first_fit "
+                        "0.89 s (7 tasks) likewise reproduce their r16 "
+                        "floors. etl_hashtag_tick could NOT be read "
+                        "quiet this session: isolated fresh-session "
+                        "reps gave 31.0/13.2/15.7/9.9 s at the same "
+                        "248 tasks with task_time tracking wall 1:1 "
+                        "while /proc/loadavg showed 4-7 ambient with "
+                        "nothing running in this container — the same "
+                        "latency-bound starvation signature as the r17 "
+                        "78-80 s reads (the tick chains ~50 tiny 1-task "
+                        "stages, the shape most sensitive to per-stage "
+                        "scheduling latency); code untouched since r11, "
+                        "work byte-identical.",
                         "r18 structural delta: gate rotation promoted "
                         "graph_node2vec_embeddings_97q1 (the bounded "
                         "second-order embedding chain; warm floor cut "

@@ -634,6 +634,7 @@ def random_walks(
     dst: str = "dst",
     max_degree: int | None = None,
     weight_col: str | None = None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Deterministic uniform random walks — one walk started at EVERY
     node, ``walk_len`` steps, the corpus-generation shape under
@@ -676,11 +677,21 @@ def random_walks(
     with an O(k²) in-array aggregate — bounded by ``max_degree``, which
     matters more here (set it). Unweighted walks (w = 1 everywhere)
     are the special case where the interval walk reduces to
-    ``pick mod outdeg`` — the exact unweighted formula."""
+    ``pick mod outdeg`` — the exact unweighted formula.
+
+    The walk accumulates in-row (r18): each step is one left join of
+    the O(nodes) frontier against adj inside a single pipelined DAG —
+    no per-step materialization barrier — with ``checkpoint_every``
+    truncating lineage for long walks and one final eager checkpoint
+    pinning the corpus for multi-scan downstream consumers."""
     if walk_len < 1:
         raise ValueError(f"walk_len must be >= 1, got {walk_len}")
     if max_degree is not None and max_degree < 1:
         raise ValueError(f"max_degree must be >= 1, got {max_degree}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     from etl_instagram_spark.functions.text import hash32
 
     if weight_col is None:
@@ -808,12 +819,22 @@ def random_walks(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # the frontier carries the whole walk as an in-row array (r18, the
+    # node2vec_walks discipline): one posexplode at the end replaces
+    # the per-step union of (walk_id, step, node) slices, and because
+    # each step's only consumer is the next step the per-step eager
+    # localCheckpoint barrier goes away — the whole walk is ONE
+    # pipelined DAG of left joins against the checkpointed adj. A walk
+    # that reaches a dangling node sets node to NULL and rides through
+    # with its path intact (same emitted rows as the old inner-join
+    # drop). ``checkpoint_every`` bounds lineage for long walks; one
+    # final eager checkpoint pins the corpus for multi-scan consumers
+    # (cooc → PPMI → embeddings re-reads it several times).
     frontier = nodes.select(
         F.col("node").alias("walk_id"),
-        F.lit(0).alias("step"),
-        F.col("node"),
+        "node",
+        F.array("node").alias("path"),
     )
-    out = frontier
     for i in range(1, walk_len + 1):
         pick = hash32(
             F.concat_ws(
@@ -824,24 +845,37 @@ def random_walks(
             )
         )
         if weight_col is None:
-            nxt = F.element_at(
-                "nbrs", (pick % F.size("nbrs") + 1).cast("int")
+            alive = F.col("nbrs").isNotNull()
+            nxt = F.when(
+                alive,
+                F.element_at(
+                    "nbrs", (pick % F.size("nbrs") + 1).cast("int")
+                ),
             )
         else:
+            alive = F.col("cumw").isNotNull()
             r = pick % F.element_at("cumw", -1)
-            nxt = F.element_at(
-                "nbrs",
-                (
-                    F.size(F.filter("cumw", lambda c: c <= r)) + 1
-                ).cast("int"),
+            nxt = F.when(
+                alive,
+                F.element_at(
+                    "nbrs",
+                    (
+                        F.size(F.filter("cumw", lambda c: c <= r)) + 1
+                    ).cast("int"),
+                ),
             )
-        frontier = (
-            frontier.join(adj, "node")
-            .select("walk_id", F.lit(i).alias("step"), nxt.alias("node"))
-            .localCheckpoint(eager=True)
+        frontier = frontier.join(adj, "node", "left").select(
+            "walk_id",
+            nxt.alias("node"),
+            F.when(alive, F.concat("path", F.array(nxt)))
+            .otherwise(F.col("path"))
+            .alias("path"),
         )
-        out = out.unionByName(frontier)
-    return out
+        if i % checkpoint_every == 0 and i < walk_len:
+            frontier = frontier.localCheckpoint(eager=True)
+    return frontier.localCheckpoint(eager=True).select(
+        "walk_id", F.posexplode("path").alias("step", "node")
+    )
 
 
 def random_walks_sql(

@@ -195,12 +195,21 @@ def _emb_quantized_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     # the quantized store: codes + scale only; cells assigned on the
-    # dequantized approximation (what a codes-only index can see)
+    # dequantized approximation (what a codes-only index can see).
+    # PINNED (r18): without the checkpoint, Catalyst's projection
+    # collapse inlines dq's transform (which inlines the quantize
+    # expression, which inlines the scale aggregate) into every one of
+    # ivf_cell's 8 × dim unrolled element_at terms AND both cosine
+    # legs — an exponentially-inlined chain recomputed per downstream
+    # stage (measured minutes at sf0.01; the r18 scale smoke surfaced
+    # it). Materializing once is also the honest production shape: a
+    # vector store PERSISTS its codes + cells.
     store = (
         quantize_embeddings(emb, "embedding", "vec_id")
         .withColumn("dq", dequantize_col(F.col("q"), F.col("scale")))
         .withColumn("cell", ivf_cell("dq", centroids))
         .select("vec_id", "dq", "cell")
+        .localCheckpoint(eager=False)
     )
     cand_q = store.join(q, F.array_contains(F.col("qcells"), F.col("cell")))
     w_apx = Window.partitionBy("qid").orderBy(

@@ -173,6 +173,103 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
             ),
             "params": {"n_clusters": n_clusters, "threshold": 0.95},
         }
+    elif op == "quantized_ann":
+        # r18 (verdict task #6): the composed quantized-ANN SERVING path
+        # (extras_emb._emb_quantized_ann_rerank minus the
+        # measurement-only ground-truth crossJoin): int8-quantize the
+        # corpus -> assign IVF cells on the DEQUANTIZED approximations
+        # -> probe 2 cells per query -> top-30 approximate shortlist ->
+        # exact float re-rank. FIXED k=8 (the kmeans_refine constant-k
+        # rationale): quantize + assign are O(n·k·dim) scans, the probe
+        # touches n_probe/k of the corpus, the re-rank a constant 30
+        # rows/query — honest expectation time ∝ mult. Production grows
+        # k with n to hold cell size constant; that regime's smoke is
+        # the semantic_dedup/knn constant-cell rows.
+        from pyspark.sql import Window
+
+        from etl_instagram_spark.operators.similarity import (
+            _nearest_centroids,
+            dequantize_col,
+            ivf_cell,
+            quantize_embeddings,
+        )
+        from etl_instagram_spark.plans.q_shared import _as_double, _dot
+
+        emb = spark.read.parquet(emb_path).localCheckpoint()
+        cents = fit_ivf_centroids(emb, n_clusters=8, seed=42, order_col="vec_id")
+        qrows = sorted(
+            emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
+            key=lambda r: r["vec_id"],
+        )  # 5 fixed query vectors — O(1) driver bytes
+        q = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (
+                        int(r["vec_id"]),
+                        [float(x) for x in r["embedding"]],
+                        _nearest_centroids(
+                            [float(x) for x in r["embedding"]], cents, 2
+                        ),
+                    )
+                    for r in qrows
+                ],
+                "qid long, qv array<double>, qcells array<int>",
+            )
+        )
+
+        def _qcos(a, b):
+            return F.round(
+                _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6
+            )
+
+        def _run_qann():
+            # pinned like the EXTRAS row (r18): projection collapse
+            # would inline the quantize -> dequantize chain into every
+            # unrolled ivf_cell term and both cosine legs otherwise —
+            # and a real vector store PERSISTS its codes + cells
+            store = (
+                quantize_embeddings(emb, "embedding", "vec_id")
+                .withColumn("dq", dequantize_col(F.col("q"), F.col("scale")))
+                .withColumn("cell", ivf_cell("dq", cents))
+                .select("vec_id", "dq", "cell")
+                .localCheckpoint(eager=True)
+            )
+            cand = store.join(
+                q, F.array_contains(F.col("qcells"), F.col("cell"))
+            )
+            w_apx = Window.partitionBy("qid").orderBy(
+                F.col("acos").desc(), F.col("vec_id")
+            )
+            shortlist = (
+                cand.withColumn("acos", _qcos(F.col("dq"), F.col("qv")))
+                .withColumn("r", F.row_number().over(w_apx))
+                .filter(F.col("r") <= 30)
+                .select("qid", "vec_id", "qv")
+            )
+            floats = emb.select(
+                "vec_id", _as_double(F.col("embedding")).alias("v")
+            )
+            w_ex = Window.partitionBy("qid").orderBy(
+                F.col("ecos").desc(), F.col("vec_id")
+            )
+            return (
+                floats.join(F.broadcast(shortlist), "vec_id")
+                .withColumn("ecos", _qcos(F.col("v"), F.col("qv")))
+                .withColumn("r", F.row_number().over(w_ex))
+                .filter(F.col("r") <= 10)
+                .count()
+            )
+
+        res = {
+            "sec": timed(_run_qann),
+            "params": {
+                "k": 8,
+                "n_probe": 2,
+                "shortlist": 30,
+                "queries": 5,
+                "note": "serving path only; gt crossJoin excluded",
+            },
+        }
     elif op == "kmeans_refine":
         # constant k: one distributed Lloyd's iteration is O(n·k·dim),
         # so at fixed k the honest expectation is time ∝ n (clustering
@@ -1166,6 +1263,7 @@ OPS = (
     "walk_embed",
     "label_propagation",
     "node2vec",
+    "quantized_ann",
 )
 
 
