@@ -137,9 +137,13 @@ def sample_frames(
     emits the ACTUAL stored frame under each sample tick — ``frame`` is
     that frame's raw baseline-JPEG bytes, which multimodal/jpeg.py
     decodes wherever a consumer wants pixels (images.pixel_features
-    composes directly for video near-dup). Undecodable/multi-stream
-    containers raise LOUDLY; every other codec keeps the honest
-    ``decoder='av'`` gate below."""
+    composes directly for video near-dup). Audio-MUXED files demux
+    (r18): the video ticks are identical to a solo-video file's, and
+    the audio tracks are reachable via ``avi.avi_audio_wav`` →
+    ``chunk_audio(decoder='wav')``. Undecodable containers,
+    multi-VIDEO-stream files, and non-vids/auds stream types raise
+    LOUDLY; every other codec keeps the honest ``decoder='av'`` gate
+    below."""
     if decoder == "mjpeg":
         from etl_instagram_spark.multimodal.avi import (
             parse_avi,
