@@ -18,12 +18,14 @@ the Huffman/zigzag/IDCT structure below follows the spec's Annex F
 decoding procedures).
 
 Scope (asserted loudly, never silently wrong): baseline sequential DCT
-(SOF0) and — since r18 — progressive DCT (SOF2, T.81 Annex G: spectral
+(SOF0) and — since r18 — 8-bit extended sequential (SOF1: baseline
+syntax with more Huffman-table slots; the 12-bit form still gates on
+precision) and progressive DCT (SOF2, T.81 Annex G: spectral
 selection + successive approximation, DC/AC first and refinement
 scans, EOB runs, restart intervals), 8-bit precision, 1 (grayscale) or
-3 (YCbCr/JFIF) components. Extended/arithmetic/lossless SOFs, 12-bit,
-and CMYK raise NotImplementedError/ValueError with the offending
-marker or parameter named — the png.py contract. Progressive scans
+3 (YCbCr/JFIF) components. Arithmetic/lossless/differential SOFs,
+12-bit, and CMYK raise NotImplementedError/ValueError with the
+offending marker or parameter named — the png.py contract. Progressive scans
 accumulate per-component coefficient arrays and render once at EOI
 through the SAME IDCT/upsample/color stages as baseline, so a
 progressive re-encode of identical quantized coefficients decodes
@@ -65,7 +67,6 @@ _COS = [
 _C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
 
 _SOF_UNSUPPORTED = {
-    0xC1: "extended sequential DCT (SOF1)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -359,7 +360,8 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> dict:
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"jpeg: {_SOF_UNSUPPORTED[marker]} is not supported; "
-                "only baseline (SOF0) and progressive (SOF2) DCT are"
+                "only baseline (SOF0), 8-bit extended sequential (SOF1), "
+                "and progressive (SOF2) DCT are"
             )
         if marker == 0xDB:  # DQT
             o = 0
@@ -395,7 +397,7 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> dict:
                 o += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0:  # SOF0 — baseline
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / 8-bit SOF1
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(
@@ -545,12 +547,13 @@ def jpeg_dims(data: bytes) -> tuple[int, int]:
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"jpeg: {_SOF_UNSUPPORTED[marker]} is not supported; "
-                "only baseline (SOF0) and progressive (SOF2) DCT are"
+                "only baseline (SOF0), 8-bit extended sequential (SOF1), "
+                "and progressive (SOF2) DCT are"
             )
         if marker == 0xDA:  # SOS before any SOF
             raise ValueError("jpeg: SOS before SOF0")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2 headers
             seg = data[pos + 4 : pos + 2 + seglen]
             if seg[0] != 8:
                 raise NotImplementedError(

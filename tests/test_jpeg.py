@@ -1006,3 +1006,22 @@ def test_progressive_scan_header_validation():
     bad = patch_sos(full, 1, (9, 5, 0x01))
     with pytest.raises(ValueError, match="spectral band"):
         decode_jpeg(bad)
+
+
+def test_sof1_extended_sequential_8bit_decodes_as_baseline():
+    """r18: 8-bit SOF1 is baseline syntax with more Huffman-table
+    slots — a SOF0 stream relabeled SOF1 decodes byte-identical, and
+    jpeg_dims reads its header; the 12-bit form still gates on the
+    precision check."""
+    from etl_instagram_spark.multimodal.jpeg import jpeg_dims
+
+    px = bytes(((x * 5 + 11) % 256) for x in range(24 * 17))
+    base = encode_jpeg(px, 24, 17, 1)
+    ext = base.replace(b"\xff\xc0", b"\xff\xc1")
+    assert decode_jpeg(ext)["pixels"] == decode_jpeg(base)["pixels"]
+    assert jpeg_dims(ext) == (24, 17)
+    # 12-bit SOF1: precision byte is the first SOF payload byte
+    i = ext.index(b"\xff\xc1") + 4
+    twelve = ext[:i] + bytes([12]) + ext[i + 1 :]
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(twelve)
