@@ -85,13 +85,16 @@ def decode_images(blobs: DataFrame, decoder: str = "fake") -> DataFrame:
     ``decoder='png'`` and ``decoder='jpeg'`` are REAL decodes
     (multimodal/png.py: chunk walk → zlib → unfilter; multimodal/
     jpeg.py: marker walk → Huffman → IDCT → upsample, baseline SOF0) —
-    width/height come from the pixels, not a hash. 'fake' stays the
-    deterministic stub for formats the environment can't decode (WebP);
-    'pil' keeps its honest guard."""
-    if decoder not in ("fake", "pil", "png", "jpeg"):
+    width/height come from the pixels, not a hash. ``decoder='webp'``
+    (r18) is the REAL header parse (multimodal/webp.py: VP8L bit
+    header / VP8 keyframe header / VP8X canvas) — dims without pixel
+    decode, the only face WebP gets until someone writes a VP8 codec;
+    'fake' stays the deterministic stub and 'pil' keeps its honest
+    guard."""
+    if decoder not in ("fake", "pil", "png", "jpeg", "webp"):
         raise ValueError(
             f"unknown decoder {decoder!r}; expected 'fake', 'png', "
-            "'jpeg', or 'pil'"
+            "'jpeg', 'webp', or 'pil'"
         )
     if decoder == "pil" and not _pil_available():
         raise NotImplementedError(
@@ -139,6 +142,19 @@ def decode_images(blobs: DataFrame, decoder: str = "fake") -> DataFrame:
                     return {"width": w, "height": h, "format": "jpeg"}
 
                 pdf["meta"] = pdf["content"].map(jpeg_meta)
+            elif decoder == "webp":
+                # header-only dims — WebP's pixel decode stays a loud
+                # gate (VP8/VP8L are real codec work); the header is
+                # what the metadata path needs
+                from etl_instagram_spark.multimodal.webp import webp_dims
+
+                def webp_meta(b):
+                    if b is None:
+                        return None
+                    w, h = webp_dims(bytes(b))
+                    return {"width": w, "height": h, "format": "webp"}
+
+                pdf["meta"] = pdf["content"].map(webp_meta)
             else:  # decoder == 'pil'
                 from io import BytesIO
 
