@@ -292,6 +292,7 @@ def with_minhash_signature(
     out_col: str = "minhash_sig",
     k: int = 16,
     shingle_words: int = 3,
+    shingles_col: str | None = None,
 ):
     """DataFrame-level MinHash: same semantics as ``minhash_signature``
     but staged through materialized columns, so tokenization, shingling
@@ -303,6 +304,12 @@ def with_minhash_signature(
     Staged columns are attribute references; CollapseProject keeps
     non-cheap aliases un-inlined, so each stage materializes once.
     (70s → ~2s on 5k docs at sf0.1.)
+
+    ``shingles_col`` additionally emits the DISTINCT word-shingle set
+    (``with_word_shingles(distinct=True)`` values) from the same staged
+    tokenization — callers that need both the signature and the exact
+    shingle set (the incremental near-dedup verify) tokenize once per
+    row instead of twice.
     """
     norm = F.trim(F.lower(F.col(text_col)))
     df = df.withColumn("__mh_norm", norm)
@@ -314,6 +321,9 @@ def with_minhash_signature(
             lambda i: F.array_join(F.slice(t, i, shingle_words), " "),
         )
     )
+    if shingles_col is not None:
+        df = df.withColumn(shingles_col, shingles)
+        shingles = F.col(shingles_col)
     df = df.withColumn("__mh_base", F.transform(shingles, hash32))
     base = F.col("__mh_base")
 
@@ -323,7 +333,10 @@ def with_minhash_signature(
     sig = F.array(
         *[F.array_min(F.transform(base, perm(a, b))) for a, b in minhash_coefficients(k)]
     )
-    return df.withColumn(out_col, sig).drop("__mh_norm", "__mh_toks", "__mh_base")
+    df = df.withColumn(out_col, sig).drop("__mh_norm", "__mh_toks", "__mh_base")
+    if shingles_col is not None:
+        df = df.withColumn(shingles_col, F.array_distinct(F.col(shingles_col)))
+    return df
 
 
 def with_word_shingles(

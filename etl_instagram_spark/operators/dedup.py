@@ -934,16 +934,59 @@ def incremental_near_dedup(
     estimator AND corrupt the store for future ticks. shingle_words
     cannot be recovered from signatures; keep it constant per store.
     """
-    # pin the batch pipeline: survivors feed the sig computation, the
-    # anti-joins, the store write, AND the caller's materialization —
-    # without a checkpoint the LSH + exact-Jaccard verify lineage would
-    # re-execute for each of those actions
-    survivors = near_dedup_minhash(
-        incoming, id_col, text_col, threshold, k, bands, shingle_words
-    ).localCheckpoint(eager=True)
-    sigs = signature_rows(
-        survivors, id_col, text_col, k, bands, shingle_words
-    ).localCheckpoint(eager=True)
+    # Stage signature + band hashes + distinct shingle set ONCE over the
+    # batch and pin THAT (r19): the old shape computed MinHash twice
+    # (candidates, then signature_rows over survivors), re-shingled the
+    # raw batch for the verify, and paid three eager checkpoints
+    # (survivors, sigs, dup ids) plus the upserts' internal pins — at
+    # tick latency the job count, not the bytes, was the cost. Every
+    # downstream consumer (LSH candidates, exact-Jaccard verify, the
+    # cross-history band join, the store rows, the returned survivors)
+    # now reads ONE pinned frame; the store/clean upserts ride
+    # ``assume_pinned`` on deterministic derivations of it.
+    staged = (
+        T.with_minhash_signature(
+            incoming, text_col, "__sig", k, shingle_words, shingles_col="__sh"
+        )
+        .withColumn("__bh", _band_hashes(F.col("__sig"), k, bands))
+        .localCheckpoint(eager=True)
+    )
+    # within-batch near-dedup: the exact near_dedup_minhash semantics
+    # (LSH band collisions → exact shingle-Jaccard ≥ threshold → drop
+    # the larger id), evaluated over the staged columns
+    banded = staged.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode("__bh").alias("band_idx", "band_hash"),
+    )
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sh = staged.select(F.col(id_col).alias("__sid"), "__sh")
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    losers = (
+        cands.join(
+            sh.select(F.col("__sid").alias("id_a"), F.col("__sh").alias("__sha")), "id_a"
+        )
+        .join(
+            sh.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("__shb")), "id_b"
+        )
+        .filter(
+            F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    survivors = staged.join(losers, on=id_col, how="left_anti")
 
     if store.exists():
         hist = store.read()
@@ -960,10 +1003,10 @@ def incremental_near_dedup(
             F.col("sig").alias("__old_sig"),
             F.posexplode("band_hashes").alias("__bidx", "__bhash"),
         )
-        new_bands = sigs.select(
+        new_bands = survivors.select(
             F.col(id_col).alias("__new_id"),
-            F.col("sig").alias("__new_sig"),
-            F.posexplode("band_hashes").alias("__bidx", "__bhash"),
+            F.col("__sig").alias("__new_sig"),
+            F.posexplode("__bh").alias("__bidx", "__bhash"),
         )
         est = (
             F.size(
@@ -982,13 +1025,24 @@ def incremental_near_dedup(
             .filter(est >= F.lit(threshold))
             .select(F.col("__new_id").alias(id_col))
             .distinct()
-            .localCheckpoint(eager=True)  # feeds two anti-joins
         )
         survivors = survivors.join(dup_new_ids, id_col, "left_anti")
-        sigs = sigs.join(dup_new_ids, id_col, "left_anti")
 
-    store.upsert(sigs.withColumn("updated_at", F.current_timestamp()))
-    return survivors
+    # ONE pin of the final survivor set (it feeds the store upsert, the
+    # caller's clean-table upsert, and the caller's own actions); both
+    # store row projection and the returned frame are deterministic
+    # column-level derivations of it, so the upsert can assume_pinned
+    survivors = survivors.localCheckpoint(eager=True)
+    sigs = survivors.select(
+        F.col(id_col),
+        F.col("__sig").alias("sig"),
+        F.col("__bh").alias("band_hashes"),
+    )
+    store.upsert(
+        sigs.withColumn("updated_at", F.current_timestamp()),
+        assume_pinned=True,
+    )
+    return survivors.drop("__sig", "__bh", "__sh")
 
 
 def incremental_exact_dedup(

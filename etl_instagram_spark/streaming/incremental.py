@@ -376,7 +376,10 @@ def stream_near_dedup(
         survivors = incremental_near_dedup(
             batch_df, store, id_col, text_col, threshold, k, bands
         )
-        clean_table.upsert(survivors)
+        # incremental_near_dedup returns a deterministic projection of
+        # its own eagerly-pinned survivor frame — the upsert's internal
+        # re-evaluation pin would be a redundant full materialization
+        clean_table.upsert(survivors, assume_pinned=True)
 
     _drain(spark, landing_dir, schema_ddl, checkpoint_dir, handle)
     return True
