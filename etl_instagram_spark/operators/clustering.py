@@ -64,6 +64,28 @@ def _elem(vec_col: str, i: int) -> str:
     return f"CAST(try_element_at(`{vec_col}`, {i}) AS DOUBLE)"
 
 
+def _valid_vec(vec_col: str, dim: int):
+    """Cheap well-formedness predicate equivalent to ``ivf_cell(...)
+    IS NOT NULL``: the assignment is NULL iff the vector is NULL,
+    shorter than ``dim``, or has a NULL among its first ``dim`` elements
+    (try_element_at NULL-propagates through every score, array_min of an
+    all-NULL array is NULL, array_position against NULL is NULL; NaN
+    elements still assign, and this predicate keeps them too).
+
+    Filtering on the CHEAP predicate instead of on the computed cell
+    matters for plan shape (r19): a ``WHERE cell IS NOT NULL`` over the
+    k·dim score projection gets pushed below the Project by Catalyst,
+    duplicating the full interpreted score expression into the Filter —
+    every row paid the argmin twice (the guide §4.4 duplication, with an
+    expensive expression instead of a UDF)."""
+    v = F.col(vec_col)
+    return (
+        v.isNotNull()
+        & (F.size(v) >= dim)
+        & ~F.exists(F.slice(v, 1, dim), lambda x: x.isNull())
+    )
+
+
 def assign_cells(
     df: DataFrame,
     centroids: list[list[float]],
@@ -114,8 +136,8 @@ def refine_centroids(
     ]
     for _ in range(n_iter):
         rows = (
-            df.select(ivf_cell(vec_col, cur).alias("cell"), vec_col)
-            .where(F.col("cell").isNotNull())
+            df.where(_valid_vec(vec_col, dim))
+            .select(ivf_cell(vec_col, cur).alias("cell"), vec_col)
             .groupBy("cell")
             .agg(*aggs)
             .collect()
@@ -209,12 +231,12 @@ def kmeans_cost(
             f")), 1)"
         )
     return (
-        df.select(assigned.alias("__a"))
+        df.where(_valid_vec(vec_col, dim))
+        .select(assigned.alias("__a"))
         .select(
             F.col("__a.cell").alias("cell"),
             F.col("__a.sse").alias("__sse"),
         )
-        .where(F.col("cell").isNotNull())
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n"),

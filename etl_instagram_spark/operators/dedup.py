@@ -458,21 +458,36 @@ def dedup_components(
     for _ in range(max_iter):
         propagated = (
             edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "component")
+            .select(
+                F.col("dst").alias("id"),
+                "component",
+                F.lit(None)
+                .cast(labels.schema["component"].dataType)
+                .alias("__old"),
+            )
         )
+        # carry each id's PREVIOUS label through the union-agg (__old:
+        # non-null only on the labels row, so max() recovers it — every
+        # node has a labels row because the edge list is symmetric);
+        # convergence then reads off the just-checkpointed frame as one
+        # shuffle-free scan instead of a per-round labels⋈labels join
+        # (r19: the join + its exchanges was half of every CC round)
         new_labels = (
-            labels.union(propagated)
+            labels.select(
+                "id", "component", F.col("component").alias("__old")
+            )
+            .union(propagated)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("__old").alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("component") != F.col("__old")
+        ).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     else:

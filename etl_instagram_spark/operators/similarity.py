@@ -45,7 +45,11 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _query_lit(query_vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in query_vec])
+    # ONE array<double> literal (a single py4j round-trip) — the
+    # per-element F.array(*lits) form paid one py4j call per component,
+    # which dominated the Python-side build time of every serving-path
+    # query (~0.1 s per 64-dim query vector, r19 profile)
+    return F.lit([float(x) for x in query_vec])
 
 
 def cosine_topk(
@@ -791,7 +795,7 @@ def ann_pq_topk(
                          "could only ever return rerank rows")
     nk = len(codebooks[0])
     m = len(codebooks)
-    lut = F.array(*[F.lit(float(x)) for x in pq_lut(query_vec, codebooks)])
+    lut = F.lit([float(x) for x in pq_lut(query_vec, codebooks)])
     code = F.col(code_col) if code_col else pq_code(vec_col, codebooks)
     adc = pq_adc_dist(code, lut, m, nk)
     # pure-ADC path never projects the raw vector: with a stored code_col
@@ -875,7 +879,8 @@ def ann_ivfpq_topk(
                          "could only ever return rerank rows")
     probes = _nearest_centroids(query_vec, centroids, n_probe)
     m, nk = len(codebooks), len(codebooks[0])
-    lut = F.array(*[F.lit(float(x)) for x in pq_lut(query_vec, codebooks)])
+    # one array literal, not m·k py4j lit() round-trips (see _query_lit)
+    lut = F.lit([float(x) for x in pq_lut(query_vec, codebooks)])
     shortlist = (
         index.filter(F.col("cell").isin(probes))
         .select(id_col, F.round(pq_adc_dist(F.col("code"), lut, m, nk), 6).alias("adc_dist"))

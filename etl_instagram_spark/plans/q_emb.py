@@ -87,7 +87,8 @@ def _bucket_col() -> Column:
     v = _as_double(F.col("embedding"))
     bits = []
     for j, plane in enumerate(_PLANES):
-        w = F.array(*[F.lit(float(x)) for x in plane])
+        # one array literal per plane, not dim py4j lit() calls
+        w = F.lit([float(x) for x in plane])
         bits.append(F.when(_dot(v, w) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
     bucket = bits[0]
     for b in bits[1:]:
