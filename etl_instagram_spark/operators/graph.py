@@ -457,21 +457,45 @@ def bipartite_order_edges(
         (F.col("o_custkey") * 2).alias("cust"),
         (F.col("l_suppkey") * 2 + 1).alias("supp"),
     )
+    # both directions via ONE explode instead of a union of two selects
+    # over the same lineage (r19): a union's branches are separate plan
+    # subtrees, so the orders⋈lineitem join and the distinct/groupBy ran
+    # TWICE per action; the explode emits the identical row multiset
+    # (ids are parity-disjoint, so a reversed edge can never collide
+    # with a forward one) from a single evaluation
     if weighted:
         ol = pairs.groupBy("cust", "supp").agg(
             F.count(F.lit(1)).alias("w")
         )
         return ol.select(
-            F.col("cust").alias("src"), F.col("supp").alias("dst"), "w"
-        ).union(
-            ol.select(
-                F.col("supp").alias("src"), F.col("cust").alias("dst"), "w"
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("cust").alias("src"),
+                        F.col("supp").alias("dst"),
+                        F.col("w"),
+                    ),
+                    F.struct(
+                        F.col("supp").alias("src"),
+                        F.col("cust").alias("dst"),
+                        F.col("w"),
+                    ),
+                )
+            ).alias("__e")
+        ).select("__e.src", "__e.dst", "__e.w")
     ol = pairs.distinct()
-    return ol.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
-        ol.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-    )
+    return ol.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("cust").alias("src"), F.col("supp").alias("dst")
+                ),
+                F.struct(
+                    F.col("supp").alias("src"), F.col("cust").alias("dst")
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
 
 
 BIPARTITE_ORDER_EDGES_SQL = """
@@ -830,7 +854,16 @@ def random_walks(
     # drop). ``checkpoint_every`` bounds lineage for long walks; one
     # final eager checkpoint pins the corpus for multi-scan consumers
     # (cooc → PPMI → embeddings re-reads it several times).
-    frontier = nodes.select(
+    # The frontier is spread over defaultParallelism up front (r19):
+    # AQE rightly coalesces the tiny node-set exchange to one
+    # partition, but that serializes the walk pipeline's in-array
+    # per-row work (O(cap²) per step) onto a single task; one cheap
+    # round-robin shuffle of the O(nodes) frontier parallelizes every
+    # step. Row placement cannot change values — each walk is a pure
+    # per-row function of (walk_id, adj).
+    frontier = nodes.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col("node").alias("walk_id"),
         "node",
         F.array("node").alias("path"),
@@ -1538,7 +1571,12 @@ def node2vec_walks(
     # non-backtracking stop) sets node to NULL: the next left join
     # misses, α/cumw stay NULL, and the row rides through with its
     # path intact. ``checkpoint_every`` bounds lineage for long walks.
-    frontier = nodes.select(
+    # Spread over defaultParallelism up front (r19, the random_walks
+    # note): AQE coalesces the tiny node-set exchange to one partition,
+    # serializing the per-row O(cap²) biased-pick work onto one task.
+    frontier = nodes.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col("node").alias("walk_id"),
         F.lit(None).cast("long").alias("prev"),
         "node",

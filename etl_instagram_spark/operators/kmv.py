@@ -186,6 +186,12 @@ def kmv_overlap(
     (≤ k rows per group) joins it twice by group equality — data-sized
     frames are never crossed."""
     _check_k(k)
+    # pin the sketch: FOUR consumers read it (both pair-list distincts
+    # and both tagged join sides), and without the pin each re-runs the
+    # full sketch build — the distinct + two top-k window shuffles over
+    # the raw value scan (r19: 4× the dominant cost of the overlap
+    # query). Lazy: the first action materializes ≤ k rows per group.
+    sketch = sketch.localCheckpoint(eager=False)
     pairs = (
         sketch.select(F.col(group_col).alias("g_a"))
         .distinct()

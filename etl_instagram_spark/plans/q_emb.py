@@ -976,6 +976,12 @@ def emb_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread(spark, _t(spark, sf_dir, "embeddings"))
         .filter(F.col("vec_id") < _KNN_JOIN_CAP)
         .withColumn("bucket", _bucket_col())
+        # pin the bucketed subcorpus (O(cap) rows): THREE branches read
+        # it (the exact ground-truth self-join and both probe radii),
+        # and each otherwise re-evaluates the bits×dim hyperplane
+        # projection AND re-analyzes its expression tree per branch —
+        # at this row count the query is plan/overhead-bound (r19)
+        .localCheckpoint(eager=True)
     )
     gt = knn_self_join_exact(emb.select("vec_id", "embedding"), k=10).select(
         "vec_id", "neighbor_id"
