@@ -851,6 +851,22 @@ def _token_ngrams(col: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _ngrams_from_tokens(toks: Column, raw: Column, n: int) -> Column:
+    """:func:`_token_ngrams` over an already-STAGED token-array column.
+    The inline form's lambda body references the ``tokens(col)`` subtree,
+    and higher-order functions are CodegenFallback — interpreted
+    evaluation re-runs the whole split per array ELEMENT, O(tokens²)
+    per document (the r15 kmv shingle lesson). With ``toks`` a real
+    column attribute the per-element work is one slice + join."""
+    return F.when(
+        (F.length(F.trim(raw)) > 0) & (F.size(toks) >= n),
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def flag_contaminated(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -897,27 +913,33 @@ def flag_contaminated(
         raise ValueError(f"n must be >= 2, got {n}")
     bench_text_col = bench_text_col or text_col
     bt = F.col(bench_text_col)
+    # stage both sides' token arrays as real columns: ngram lambdas over
+    # a staged attribute do one slice per position; over the inline
+    # tokens() subtree they re-split the text per position (HOFs are
+    # CodegenFallback, no subexpression sharing) — O(tokens²) per doc
+    bench_t = benchmark.withColumn("__btoks", tokens(bt))
+    btoks = F.col("__btoks")
     # token count with a blank guard (split of "" yields [""], size 1)
     bench_m = F.when(F.length(F.trim(bt)) == 0, F.lit(0)).otherwise(
-        F.size(tokens(bt))
+        F.size(btoks)
     )
     # lengths of benchmark items shorter than n: bounded driver collect,
     # at most n-1 distinct values
     short_ms = sorted(
         r["m"]
-        for r in benchmark.select(bench_m.alias("m"))
+        for r in bench_t.select(bench_m.alias("m"))
         .filter((F.col("m") > 0) & (F.col("m") < n))
         .distinct()
         .collect()
     )
     # a benchmark item contributes its n-grams when long enough, else its
-    # one full-length m-gram (= _token_ngrams at its exact token count)
+    # one full-length m-gram (= the ngram kernel at its exact token count)
     bench_shingles = F.when(
-        bench_m >= n, _token_ngrams(bt, n)
+        bench_m >= n, _ngrams_from_tokens(btoks, bt, n)
     ).otherwise(
         F.coalesce(
             *[
-                F.when(bench_m == m, _token_ngrams(bt, m))
+                F.when(bench_m == m, _ngrams_from_tokens(btoks, bt, m))
                 for m in short_ms
             ],
             F.array().cast("array<string>"),
@@ -926,18 +948,24 @@ def flag_contaminated(
         else F.array().cast("array<string>")
     )
     bench_keys = (
-        benchmark.select(F.explode(bench_shingles).alias("__s"))
+        bench_t.select(F.explode(bench_shingles).alias("__s"))
         .select(F.md5("__s").alias("__k"))
         .distinct()
     )
     dt = F.col(text_col)
+    dtoks = F.col("__dtoks")
     doc_shingles = F.concat(
-        _token_ngrams(dt, n), *[_token_ngrams(dt, m) for m in short_ms]
+        _ngrams_from_tokens(dtoks, dt, n),
+        *[_ngrams_from_tokens(dtoks, dt, m) for m in short_ms],
     )
-    doc_keys = docs.select(
-        F.col(id_col).alias("__doc"),
-        F.explode(F.array_distinct(doc_shingles)).alias("__s"),
-    ).select("__doc", F.md5("__s").alias("__k"))
+    doc_keys = (
+        docs.withColumn("__dtoks", tokens(dt))
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.array_distinct(doc_shingles)).alias("__s"),
+        )
+        .select("__doc", F.md5("__s").alias("__k"))
+    )
     if bloom_fpp is not None:
         from etl_instagram_spark.functions.bloom import (
             bloom_frame,

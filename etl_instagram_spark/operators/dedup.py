@@ -746,12 +746,16 @@ def near_dedup_embeddings(
     # verify below is a single dot product instead of three — at O(Σ
     # bucket²) pairs that is the dominant cost of the operator
     v = as_double(F.col(vec_col))
+    # pinned: BOTH self-join branches (direct and multi-probe) read this
+    # frame, and without the pin each re-evaluates the bits×dim
+    # hyperplane projection and the norm — at small row counts the
+    # duplicated plan tree also doubles analysis time (r19)
     bucketed = df.select(
         F.col(id_col).alias("__id"),
         v.alias("__v"),
         F.sqrt(dot(v, v)).alias("__n"),
         lsh_bucket(vec_col, planes).alias("__b"),
-    )
+    ).localCheckpoint(eager=False)
     if multi_probe_hamming > 0:
         # probe adjacent buckets by replicating each row into every
         # bucket within the Hamming radius (dim side of the self-join)

@@ -31,6 +31,19 @@ def get_spark(app_name: str = "etl_instagram_spark", shuffle_partitions: int | N
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # prefer shuffled-hash over sort-merge when the planner's size
+        # conditions hold (guide §3.1): skips both sort passes on
+        # shuffle joins. Cluster-safe: the build side is still gated by
+        # the planner's per-partition size check, and AQE can likewise
+        # rewrite SMJ→SHJ at runtime when every post-shuffle partition
+        # is under the local-map threshold (64 MB local default;
+        # override per deployment via SPARK_GRAFT_SHJ_THRESHOLD —
+        # size it to executor memory / cores).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
