@@ -44,6 +44,20 @@ FAST_FLOOR_SEC = 1.5
 FAST_ENTRY_REPS = max(REPS, int(os.environ.get("SPARK_GRAFT_BENCH_FAST_REPS", "5")))
 
 
+def prev_committed_floors() -> dict[str, float]:
+    """Per-entry floors from the last COMMITTED BENCH_DETAIL.json —
+    the load-insensitive fast-entry signal (r19, ADVICE r18 #1): the
+    top-up below used to trigger on the MEASURED floor alone, so an
+    ambient load wave during an entry's first reps pushed a genuinely
+    sub-threshold entry past it and it never got the extra reps —
+    exactly the noise class the top-up exists to fix."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")) as fh:
+            return {k: float(v) for k, v in json.load(fh).get("queries_min", {}).items()}
+    except Exception:  # noqa: BLE001 — first run has no artifact
+        return {}
+
+
 def sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -448,6 +462,7 @@ def main() -> int:
             pass
 
     bench_t0 = time.perf_counter()
+    prev_floors = prev_committed_floors()
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
@@ -487,7 +502,14 @@ def main() -> int:
                     d["wall_sec"] = round(samples[-1], 4)
                 rep_metrics.append(d)
                 rep += 1
-                if rep == n_reps and min(samples) < FAST_FLOOR_SEC:
+                # r19 (ADVICE r18 #1): ALSO trigger on the previous
+                # committed artifact's floor — load-insensitive, so an
+                # ambient wave over the first reps can no longer rob a
+                # genuinely-fast entry of its extra reps
+                if rep == n_reps and (
+                    min(samples) < FAST_FLOOR_SEC
+                    or prev_floors.get(name, float("inf")) < FAST_FLOOR_SEC
+                ):
                     n_reps = max(n_reps, FAST_ENTRY_REPS)
             timings[name] = round(statistics.median(samples), 4)
             minima[name] = round(min(samples), 4)
@@ -620,6 +642,29 @@ def main() -> int:
                     "fast_floor_sec": FAST_FLOOR_SEC,
                     "fast_entry_reps": FAST_ENTRY_REPS,
                     "ab_notes": [
+                        "r19 (optimization round 1): no query semantics "
+                        "changed — every plan change re-verified ALL "
+                        "MATCH against the DuckDB oracle at sf0.01 "
+                        "(and sf0.001 with the fit-literal dir aligned) "
+                        "before commit. Structural deltas expected vs "
+                        "r18 floors: stream_dedup_tick one-pass staged "
+                        "signatures (5.71→4.3 builder A/B), "
+                        "emb_kmeans_cells cheap-predicate filter "
+                        "replacing the pushed-down isnotnull(cell) "
+                        "duplicate evaluation (5.36→~3.6), "
+                        "part_entity_resolution bounded levenshtein, "
+                        "docs_kmv_shingle_overlap sketch pinned once "
+                        "instead of 4 evaluations, dedup_components "
+                        "join-free convergence check "
+                        "(docs_dup_cluster_reps), bipartite edge build "
+                        "joined once (pagerank/walk chains), "
+                        "decontamination staged token arrays, "
+                        "preferSortMergeJoin=false + AQE SHJ threshold "
+                        "(session-wide, deployment-parameterized). "
+                        "Also r19: the fast-entry rep top-up now ALSO "
+                        "triggers on the previous committed artifact's "
+                        "floor (ADVICE r18 #1) — load-insensitive; adds "
+                        "reps only, methodology otherwise unchanged.",
                         "r18 end-of-round container state: two "
                         "same-code bench attempts read min-sums "
                         "107.1 / 104.4. Attempt A caught an ambient "

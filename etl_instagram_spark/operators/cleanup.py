@@ -341,13 +341,27 @@ def remove_boilerplate_lines(
     rebuild join can't address them; silently blanking their text
     would be data loss)."""
     out_col = out_col or text_col
-    bp = boilerplate_lines(df, id_col, text_col, min_docs).select(
-        "line_hash", F.lit(True).alias("__bp")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    # ONE explode+normalize pass, lazily pinned: the boilerplate count
+    # and the keep-join both read it (r19 — the separate
+    # boilerplate_lines call re-exploded and re-normalized every line)
+    exploded = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.posexplode(_lines(F.col(text_col))).alias("__pos", "__line"),
+        )
+        .withColumn("__norm", _norm_line(F.col("__line")))
+        .withColumn("__h", F.md5(F.col("__norm")))
+        .localCheckpoint(eager=False)
     )
-    exploded = df.select(
-        F.col(id_col).alias("__doc"),
-        F.posexplode(_lines(F.col(text_col))).alias("__pos", "__line"),
-    ).withColumn("__h", F.md5(_norm_line(F.col("__line"))))
+    bp = (
+        exploded.filter(F.col("__norm") != "")
+        .groupBy("__h")
+        .agg(F.countDistinct("__doc").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select(F.col("__h").alias("line_hash"), F.lit(True).alias("__bp"))
+    )
     kept = (
         exploded.join(
             bp,

@@ -776,12 +776,22 @@ def apply_hh_delta(
         ).otherwise(wv)
         measure = F.sum(checked)
     named = batch_df.filter(F.col(term_col).isNotNull())
+    # lazily pinned: the union branch AND the total row both read the
+    # per-term delta; deriving the total from the delta (Σ per-term
+    # weights ≡ the batch total, exactly — integer arithmetic over the
+    # same non-null rows) saves a SECOND full scan of the landed batch
+    # per tick (r19; the old shape aggregated the JSON batch twice)
     delta = (
         named.groupBy(F.col(term_col).alias("term_key"))
         .agg(measure.cast("long").alias("weight"))
         .withColumn("n_part", F.lit(None).cast("long"))
+        .localCheckpoint(eager=False)
     )
-    total = named.agg(measure.cast("long").alias("n_part")).select(
+    # coalesce(…, 0): an all-null/empty batch must still write n_part=0
+    # (the old direct count did), not NULL
+    total = delta.agg(
+        F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("n_part")
+    ).select(
         F.lit(HH_TOTAL_KEY).alias("term_key"),
         F.lit(None).cast("long").alias("weight"),
         "n_part",
