@@ -963,6 +963,15 @@ def incremental_near_dedup(
     # cross-history band join, the store rows, the returned survivors)
     # now reads ONE pinned frame; the store/clean upserts ride
     # ``assume_pinned`` on deterministic derivations of it.
+    # fan the batch out before the CPU-heavy staging when the source
+    # delivered it in few partitions (a landing dir's file count): the
+    # tokenize+minhash pass is the tick's dominant compute and would
+    # otherwise run on that few cores (r19; the gate queries' _spread
+    # rule applied to the streaming batch). Keyed work downstream is
+    # partition-independent, so placement cannot change survivors.
+    sc = incoming.sparkSession.sparkContext
+    if incoming.rdd.getNumPartitions() < max(2, sc.defaultParallelism // 2):
+        incoming = incoming.repartition(sc.defaultParallelism)
     staged = (
         T.with_minhash_signature(
             incoming, text_col, "__sig", k, shingle_words, shingles_col="__sh"
