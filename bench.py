@@ -45,7 +45,10 @@ FAST_ENTRY_REPS = max(REPS, int(os.environ.get("SPARK_GRAFT_BENCH_FAST_REPS", "5
 
 
 def prev_committed_floors() -> dict[str, float]:
-    """Per-entry floors from the last COMMITTED BENCH_DETAIL.json —
+    """Per-entry floors from the ON-DISK BENCH_DETAIL.json left by the
+    previous bench run (working-tree file — it may be dirty or from
+    another machine/SF; harmless either way, since a stale floor can
+    only ADD reps, never remove them; ADVICE r19 #3 wording fix) —
     the load-insensitive fast-entry signal (r19, ADVICE r18 #1): the
     top-up below used to trigger on the MEASURED floor alone, so an
     ambient load wave during an entry's first reps pushed a genuinely

@@ -64,13 +64,22 @@ def _elem(vec_col: str, i: int) -> str:
     return f"CAST(try_element_at(`{vec_col}`, {i}) AS DOUBLE)"
 
 
-def _valid_vec(vec_col: str, dim: int):
+def _valid_vec(vec_col: str, dim: int, reject_nan: bool = False):
     """Cheap well-formedness predicate equivalent to ``ivf_cell(...)
     IS NOT NULL``: the assignment is NULL iff the vector is NULL,
     shorter than ``dim``, or has a NULL among its first ``dim`` elements
     (try_element_at NULL-propagates through every score, array_min of an
     all-NULL array is NULL, array_position against NULL is NULL; NaN
-    elements still assign, and this predicate keeps them too).
+    elements still assign on the expression path, and this predicate
+    keeps them too).
+
+    ``reject_nan=True`` is for the VECTORIZED ``ivf_cell`` regime
+    (n_clusters·dim > similarity._UNROLL_MAX_TERMS): there the Arrow
+    boundary surfaces NaN ≡ NULL and the UDF masks NaN rows to a NULL
+    cell, so the equivalent predicate must reject them too — otherwise a
+    NULL-cell group row reaches the aggregate (and pre-r20,
+    ``refine_centroids``' driver loop crashed on ``cur[None]`` for NaN
+    embeddings under large quantizers — the r19 ADVICE regression).
 
     Filtering on the CHEAP predicate instead of on the computed cell
     matters for plan shape (r19): a ``WHERE cell IS NOT NULL`` over the
@@ -79,10 +88,15 @@ def _valid_vec(vec_col: str, dim: int):
     every row paid the argmin twice (the guide §4.4 duplication, with an
     expensive expression instead of a UDF)."""
     v = F.col(vec_col)
+    bad = (
+        (lambda x: x.isNull() | F.isnan(x))
+        if reject_nan
+        else (lambda x: x.isNull())
+    )
     return (
         v.isNotNull()
         & (F.size(v) >= dim)
-        & ~F.exists(F.slice(v, 1, dim), lambda x: x.isNull())
+        & ~F.exists(F.slice(v, 1, dim), bad)
     )
 
 
@@ -130,20 +144,27 @@ def refine_centroids(
     dim = len(centroids[0])
     scale = 10**quant_dp
     cur = [[float(x) for x in c] for c in centroids]
+    # the vectorized ivf_cell regime masks NaN rows to a NULL cell —
+    # reject them up front so no NULL-cell group reaches the aggregate
+    # (ADVICE r19 #1: cur[None] crashed the update loop)
+    vectorized = len(centroids) * dim > _UNROLL_MAX_TERMS
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(F.floor(F.expr(_elem(vec_col, d + 1)) * scale)).alias(f"s{d}")
         for d in range(dim)
     ]
     for _ in range(n_iter):
         rows = (
-            df.where(_valid_vec(vec_col, dim))
+            df.where(_valid_vec(vec_col, dim, reject_nan=vectorized))
             .select(ivf_cell(vec_col, cur).alias("cell"), vec_col)
             .groupBy("cell")
             .agg(*aggs)
             .collect()
         )
         for r in rows:
-            if r["n"]:
+            # r["cell"] is None guards the belt-and-braces case (a NaN
+            # row slipping the predicate can only yield a NULL cell,
+            # never a wrong one)
+            if r["n"] and r["cell"] is not None:
                 cur[r["cell"]] = [
                     (r[f"s{d}"] / scale) / r["n"] for d in range(dim)
                 ]
@@ -209,7 +230,8 @@ def kmeans_cost(
     the limit."""
     dim = len(centroids[0])
     scale = 10**quant_dp
-    if len(centroids) * dim > _UNROLL_MAX_TERMS:
+    vectorized = len(centroids) * dim > _UNROLL_MAX_TERMS
+    if vectorized:
         assigned = _cell_sse_vectorized(vec_col, centroids, quant_dp)
     else:
 
@@ -231,7 +253,11 @@ def kmeans_cost(
             f")), 1)"
         )
     return (
-        df.where(_valid_vec(vec_col, dim))
+        # reject_nan in the vectorized regime: the UDF masks NaN rows to
+        # a NULL cell, and a NULL-cell group row would otherwise appear
+        # in the output (the expression path assigns NaN rows a cell, so
+        # there the keep-NaN predicate is the exact equivalent)
+        df.where(_valid_vec(vec_col, dim, reject_nan=vectorized))
         .select(assigned.alias("__a"))
         .select(
             F.col("__a.cell").alias("cell"),

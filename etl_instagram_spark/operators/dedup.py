@@ -1059,8 +1059,11 @@ def incremental_near_dedup(
     # ONE pin of the final survivor set (it feeds the store upsert, the
     # caller's clean-table upsert, and the caller's own actions); both
     # store row projection and the returned frame are deterministic
-    # column-level derivations of it, so the upsert can assume_pinned
-    survivors = survivors.localCheckpoint(eager=True)
+    # column-level derivations of it, so the upsert can assume_pinned.
+    # Lazy (r20): the store upsert's overlap probe is the first
+    # consumer and materializes it — single scan, no race — saving the
+    # eager pin's dedicated job barrier on a job-count-bound tick
+    survivors = survivors.localCheckpoint(eager=False)
     sigs = survivors.select(
         F.col(id_col),
         F.col("__sig").alias("sig"),

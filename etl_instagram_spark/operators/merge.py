@@ -345,7 +345,22 @@ class MergeTable:
         out_dir = os.path.join(self.path, rel_dir)
         key = self.keys[0]
         if key in df.columns:
-            df = df.repartitionByRange(F.col(key))
+            # pin before the range write (r20, guide §1.2/§5):
+            # repartitionByRange's range-bounds SAMPLING pass is a
+            # separate job over the child, so an unpinned frame paid the
+            # whole merge/dedup lineage TWICE per commit (once for the
+            # sampler, once for the shuffle write) — and every commit
+            # action re-analyzed the full wide merge plan. The lazy
+            # local checkpoint truncates the plan at call time (one
+            # analysis) and the sampler's pass doubles as the one
+            # required materialization; the write then reads the pinned
+            # blocks. At scale this trades a recompute of a shuffle
+            # join for one local-disk round-trip of the same bytes the
+            # write shuffle spills anyway — the standard
+            # materialize-vs-recompute win for multi-consumer lineages.
+            df = df.localCheckpoint(eager=False).repartitionByRange(
+                F.col(key)
+            )
         df.write.mode("overwrite").parquet(out_dir)
 
         entries: list[dict] = []
@@ -496,15 +511,18 @@ class MergeTable:
         # Pin the batch before probing: the overlap probe and the merge
         # write must see IDENTICAL rows — a non-deterministic source
         # re-evaluated per action could emit keys outside the probed set
-        # and duplicate a key carried forward. localCheckpoint(eager)
+        # and duplicate a key carried forward. localCheckpoint
         # materializes once and truncates the lineage, so re-evaluation
         # is impossible (not merely unlikely, as with persist()).
+        # Lazy (r20): the first action — the overlap probe — triggers
+        # the one materialization; eager=True paid the same work plus a
+        # dedicated job barrier per commit (ticks are job-count-bound).
         # ``assume_pinned`` skips this when the CALLER already pinned
         # the batch (or a frame it deterministically derives from) —
         # a pipeline writing one materialized batch into several tables
         # would otherwise pay a full extra checkpoint per table.
         if not assume_pinned:
-            incoming = incoming.localCheckpoint(eager=True)
+            incoming = incoming.localCheckpoint(eager=False)
         overlapping, carried = self._split_overlap(incoming)
         if overlapping:
             old = self._read_files(overlapping)
@@ -558,7 +576,8 @@ class MergeTable:
     def delete(self, tombstones: DataFrame) -> None:
         if not self.exists():
             return
-        tombstones = tombstones.localCheckpoint(eager=True)  # same pinning as _merge_commit
+        # same pinning as _merge_commit (lazy: the probe materializes it)
+        tombstones = tombstones.localCheckpoint(eager=False)
         overlapping, carried = self._split_overlap(tombstones)
         if overlapping:
             remaining = delete_by_key(self._read_files(overlapping), tombstones, self.keys)

@@ -889,6 +889,23 @@ def ann_ivfpq_topk(
     )
     if not rerank:
         return shortlist.limit(k)
+    # r20 (guide §6): materialize the O(rerank) shortlist ids on the
+    # driver and push them into the raw-table scan as a plain In filter.
+    # The previous broadcast-join shape scanned the WHOLE raw table per
+    # query (a join cannot push its build-side keys into the probe
+    # side's parquet scan), so the "only contact with raw vectors is
+    # O(rerank) rows" contract held for rows PROCESSED but not rows
+    # READ; an In(id) predicate reaches PushedFilters and prunes row
+    # groups by id statistics — at 100 TB the raw scan drops from
+    # full-table to the shortlist's row groups. The shortlist is
+    # deterministic (rounded ADC + id tie-break), so results are
+    # unchanged; the collect moves O(rerank) longs, same as the
+    # broadcast did.
+    ids = [r[0] for r in shortlist.select(id_col).collect()]
+    if not ids:
+        return raw.limit(0).select(
+            F.col(id_col), F.lit(0.0).alias("l2_dist")
+        )
     v = as_double(F.col(vec_col))
     q = _query_lit(query_vec)
     exact = F.aggregate(
@@ -897,7 +914,7 @@ def ann_ivfpq_topk(
         lambda acc, x: acc + x,
     )
     return (
-        raw.join(F.broadcast(shortlist.select(id_col)), id_col)
+        raw.filter(F.col(id_col).isin(ids))
         .select(id_col, F.round(F.sqrt(exact), 6).alias("l2_dist"))
         .orderBy(F.col("l2_dist").asc(), F.col(id_col))
         .limit(k)

@@ -871,7 +871,11 @@ def _docs_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression into the HOF lambda makes Catalyst re-evaluate the whole
     tokenization per ``element_at`` reference — 3 splits per shingle,
     ~19× slower measured at sf0.1 (values identical either way)."""
-    docs = _t(spark, sf_dir, "documents")
+    # _spread (r20): the tokenize + 3-gram explode is the query's
+    # dominant compute and the local documents scan is ONE row group —
+    # without the fan-out the whole pinned shingle pass ran as a single
+    # 0.8 s task (profiled; at 100 TB file count provides this for free)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     staged = docs.select("source", T.tokens(F.col("text")).alias("__ts"))
     ts = F.col("__ts")
     grams = F.when(

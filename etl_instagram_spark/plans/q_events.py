@@ -271,9 +271,12 @@ def events_dcm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
     )
     sk = dcm_sketch(ev, "v", ["event_type"])
+    # reused: output + contrast probe. Lazy (r20): the contrast's
+    # broadcast build is the first consumer and materializes the 20-row
+    # frame; eager paid the same work plus a dedicated job barrier
     qs = dcm_quantiles(
         sk, [(1, 4), (1, 2), (3, 4), (19, 20)], ["event_type"]
-    ).localCheckpoint(eager=True)  # reused: output + contrast probe
+    ).localCheckpoint(eager=False)
     exact = (
         F.broadcast(qs.select("event_type", "q_num", "q_den", "q_value"))
         .join(ev, "event_type")

@@ -866,8 +866,12 @@ def heavy_hitters_read(
         )
     from etl_instagram_spark.operators.frequency import mg_merge
 
+    # lazy pin (r20): the total-weight collect below is the first
+    # consumer and materializes the merged summary; the returned frame
+    # then reads the pinned blocks — same one materialization as
+    # eager=True, one fewer job barrier per read
     merged = mg_merge(_store_to_summary(store.read()), capacity)
-    merged = merged.localCheckpoint(eager=True)
+    merged = merged.localCheckpoint(eager=False)
     n = merged.filter(F.col("term").isNull()).agg(F.sum("n_part")).collect()[0][0] or 0
     if n * max(support_num, support_den) >= 2**63:
         raise ValueError(

@@ -165,3 +165,29 @@ def test_kmeans_cost_vectorized_path_matches_codegen(spark, sf_smoke):
     rows = kmeans_cost(emb, big).collect()
     assert sum(r["n"] for r in rows) == emb.where("embedding is not null").count()
     assert all(r["sse"] >= 0.0 for r in rows)
+
+
+def test_nan_vectors_survive_vectorized_refine_and_cost(spark):
+    """ADVICE r19 #1: under a LARGE quantizer (the vectorized ivf_cell
+    regime) a NaN-element vector masks to a NULL cell inside the Arrow
+    UDF; pre-r20 the NULL-cell group row crashed refine_centroids'
+    driver update (cur[None]) and surfaced as a NULL-cell row in
+    kmeans_cost. NaN rows must simply drop out, like malformed rows."""
+    from etl_instagram_spark.operators.similarity import _UNROLL_MAX_TERMS
+
+    dim = 8
+    k = _UNROLL_MAX_TERMS // dim + 1  # first size past the unroll limit
+    assert k * dim > _UNROLL_MAX_TERMS
+    cents = [[float(i % 7), float(i % 5)] + [0.0] * (dim - 2) for i in range(k)]
+    rows = [
+        (0, [0.5] * dim),
+        (1, [float("nan")] + [0.5] * (dim - 1)),  # NaN in the read window
+        (2, [6.0, 4.0] + [0.0] * (dim - 2)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cur = refine_centroids(df, cents, n_iter=1)
+    assert len(cur) == k and all(len(c) == dim for c in cur)
+    # the two valid rows moved their cells' centroids; the NaN row is out
+    cost = kmeans_cost(df, cents).collect()
+    assert all(r["cell"] is not None for r in cost)
+    assert sum(r["n"] for r in cost) == 2

@@ -1458,31 +1458,61 @@ def test_ivfpq_recall_monotone_in_probes(spark, sf_oracle):
     assert recalls[-1] == 10  # all cells + full rerank == exact
 
 
-def test_ivfpq_index_scan_is_codes_only_and_rerank_broadcasts(spark, sf_oracle, tmp_path):
-    """The index scan must read (vec_id, cell, code) only — with the
-    cell probe pushed to the parquet source — and the rerank join back
-    to raw vectors must broadcast the O(rerank) shortlist."""
+def test_ivfpq_rerank_scan_prunes_by_shortlist_ids(spark, sf_oracle, tmp_path):
+    """r20 rerank shape: the raw-vector pass must carry the O(rerank)
+    shortlist ids as an In predicate PUSHED into the parquet scan
+    (row-group pruning by id statistics — the previous broadcast-join
+    shape read the whole raw table per query), with no join at all;
+    and the plan must match the pre-r20 broadcast-join results."""
     emb, cents, cbs = _ivfpq_fixtures(spark, sf_oracle)
     path = str(tmp_path / "ann_index")
     S.ann_index_rows(emb, cents, cbs).write.partitionBy("cell").parquet(path)
     index = spark.read.parquet(path)
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    plan = (
-        S.ann_ivfpq_topk(index, emb, qv, cents, cbs, k=5, n_probe=2, rerank=20)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    out = S.ann_ivfpq_topk(index, emb, qv, cents, cbs, k=5, n_probe=2, rerank=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
-    # the index-side scan (the one reading `code`) must not read embeddings
-    import re as _re
-
+    # the raw-side scan (the one reading `embedding`) must carry the
+    # pushed id In-filter
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln or "Scan parquet" in ln]
-    idx_scans = [s for s in scans if "code" in s]
-    assert idx_scans, plan
-    for s in idx_scans:
-        assert "embedding" not in s, s
+    raw_scans = [s for s in scans if "embedding" in s]
+    assert raw_scans, plan
+    assert any("PushedFilters: [In(vec_id" in s for s in raw_scans), raw_scans
+    # the returned distances must be the exact L2 for those ids (the
+    # broadcast-join formulation computed precisely this; full semantic
+    # parity with exact search is pinned by
+    # test_ivfpq_full_probe_big_rerank_equals_exact)
+    rows = out.collect()
+    assert len(rows) == 5
+    l2 = {
+        r["vec_id"]: r["l2"]
+        for r in emb.filter(
+            F.col("vec_id").isin([int(r["vec_id"]) for r in rows])
+        )
+        .select(
+            "vec_id",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            S.as_double(F.col("embedding")),
+                            F.lit([float(x) for x in qv]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                6,
+            ).alias("l2"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r["l2_dist"] == l2[r["vec_id"]]
+    got_pairs = [(r["l2_dist"], r["vec_id"]) for r in rows]
+    assert got_pairs == sorted(got_pairs)
 
 
 def test_pq_code_handles_zero_and_constant_vectors(spark):
