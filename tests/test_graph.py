@@ -1428,3 +1428,34 @@ def test_lpa_weighted_validation(spark):
     )
     with pytest.raises(ValueError, match="positive"):
         label_propagation(bad_neg, weight_col="w")
+
+
+def test_walk_pipeline_runs_at_default_parallelism(spark):
+    """r19/r20 (VERDICT r19 #4 task-count pin): the walk frontier is
+    round-robined over defaultParallelism before the step loop — without
+    it AQE coalesced the tiny node-set exchange to ONE partition and the
+    per-row O(cap²) in-array walk work ran single-task. The adjacency
+    side broadcasts, so the spread survives every step: the job that
+    materializes the walk corpus must run >= defaultParallelism tasks."""
+    from etl_instagram_spark.operators.graph import random_walks
+
+    par = spark.sparkContext.defaultParallelism
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + j) % 40) for i in range(40) for j in range(1, 4)],
+        "src long, dst long",
+    )
+    store = spark.sparkContext._jsc.sc().statusStore()
+
+    def _job_ids():
+        jl = store.jobsList(None)
+        return {jl.apply(i).jobId() for i in range(jl.size())}
+
+    before = _job_ids()
+    random_walks(edges, walk_len=3, seed="t")  # eager checkpoint runs here
+    jl = store.jobsList(None)
+    new_tasks = [
+        jl.apply(i).numTasks()
+        for i in range(jl.size())
+        if jl.apply(i).jobId() not in before
+    ]
+    assert new_tasks and max(new_tasks) >= par, new_tasks
