@@ -143,17 +143,29 @@ def curate_corpus(
 
     audits: list[DataFrame] = []
 
+    # Every stage output below is LAZILY PINNED (localCheckpoint,
+    # r20, guide §5): each feeds BOTH the next stage and its left-anti
+    # reject audit, and ``kept``/``rejected`` are returned as separate
+    # frames — unpinned, collecting the audit union re-evaluated stage
+    # k's whole upstream chain once per LATER stage (quadratic in
+    # stages; measured 40 s of re-evaluation on a 6-doc corpus). One
+    # materialization per stage is also the 100 TB shape: a curation
+    # pipeline persists stage boundaries rather than re-running LSH
+    # dedup per audit consumer.
+
     # 1. per-row quality rules (all codegen, cheapest rejects first)
     flagged = gopher_ngram_filter(
         gopher_filter(docs, text_col), text_col
     )
     quality = flagged.filter(
         F.col("gopher_pass") & F.col("gopher_ngram_pass")
-    ).select(*base_cols)
+    ).select(*base_cols).localCheckpoint(eager=False)
     audits.append(rejected_from(docs, quality, "quality"))
 
     # 2. exact dedup — one hash shuffle, keep-smallest-id
-    exact = exact_dedup(quality, text_col, id_col).select(*base_cols)
+    exact = exact_dedup(quality, text_col, id_col).select(
+        *base_cols
+    ).localCheckpoint(eager=False)
     audits.append(rejected_from(quality, exact, "exact_dup"))
 
     # 3. near dedup — LSH candidates, verified Jaccard; survivor policy
@@ -161,11 +173,11 @@ def curate_corpus(
     if near_dup_keep == "smallest_id":
         near = near_dedup_minhash(
             exact, id_col, text_col, threshold=near_dup_threshold
-        ).select(*base_cols)
+        ).select(*base_cols).localCheckpoint(eager=False)
     elif near_dup_keep == "best":
         near = near_dedup_keep_best(
             exact, id_col, text_col, threshold=near_dup_threshold
-        ).select(*base_cols)
+        ).select(*base_cols).localCheckpoint(eager=False)
     else:
         raise ValueError(
             f"near_dup_keep must be 'smallest_id' or 'best', got {near_dup_keep!r}"
@@ -182,7 +194,9 @@ def curate_corpus(
             n=decontamination_n,
             bloom_fpp=bloom_fpp,
         )
-        clean = deco.filter(~F.col("contaminated")).select(*base_cols)
+        clean = deco.filter(~F.col("contaminated")).select(
+            *base_cols
+        ).localCheckpoint(eager=False)
         audits.append(rejected_from(near, clean, "contaminated"))
     else:
         clean = near
@@ -200,7 +214,7 @@ def curate_corpus(
         model = fit_dsir(clean, dsir_target, text_col, n_buckets=dsir_buckets)
         selected = importance_sample(
             clean, model, dsir_k, text_col, id_col
-        ).select(*base_cols)
+        ).select(*base_cols).localCheckpoint(eager=False)
         audits.append(rejected_from(clean, selected, "not_selected"))
         clean = selected
 

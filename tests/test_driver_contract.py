@@ -29,23 +29,39 @@ def test_queries_and_oracles_pair_up():
     assert len(qs) == 50
 
 
-def test_column_aliases_match_oracle(spark, sf_smoke):
-    """Spark schema (no execution) vs DuckDB result columns, per query."""
+@pytest.fixture(scope="module")
+def gate_runs(spark, sf_smoke):
+    """ONE build + execution of every gate query at sf0.001, shared by
+    the contract tests below (r20 test-suite-runtime fix, VERDICT r19
+    #2): the alias, value-type, scalar-schema, and partitioning tests
+    each independently re-built (and mostly re-ran) all 50 queries —
+    ~4 full 50-query sweeps ≈ 4 minutes of the suite's budget for one
+    sweep's worth of evidence. Returns name → (columns, schema, rows),
+    executed under the session's default layout."""
+    out = {}
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, sf_smoke)
+        out[name] = (df.columns, df.schema, [tuple(r) for r in df.collect()])
+    return out
+
+
+def test_column_aliases_match_oracle(gate_runs, sf_smoke):
+    """Spark result columns vs DuckDB result columns, per query."""
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_smoke}/{t}.parquet'")
     mismatches = []
-    for name, fn in entry_mod.queries().items():
+    for name, (cols, _, _) in gate_runs.items():
         if name in ROWS_ONLY:
             continue
-        spark_cols = sorted(fn(spark, sf_smoke).columns)
+        spark_cols = sorted(cols)
         duck_cols = sorted(con.sql(entry_mod.oracle_sql()[name]).columns)
         if spark_cols != duck_cols:
             mismatches.append((name, spark_cols, duck_cols))
     assert not mismatches, mismatches
 
 
-def test_result_value_types_match_oracle(spark, sf_smoke):
+def test_result_value_types_match_oracle(gate_runs, sf_smoke):
     """The driver's value-hash distinguishes Python 16905 from 16905.0:
     DuckDB's sum(BIGINT) returns HUGEINT (read back as float), so an
     oracle that sums an integer column bare fails hash_match even when
@@ -58,14 +74,12 @@ def test_result_value_types_match_oracle(spark, sf_smoke):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_smoke}/{t}.parquet'")
     mismatches = []
     oq = entry_mod.oracle_sql()
-    for name, fn in entry_mod.queries().items():
+    for name, (cols, _, rows) in gate_runs.items():
         if name in ROWS_ONLY:
             continue
-        sdf = fn(spark, sf_smoke)
-        s_types = {c: set() for c in sdf.columns}
-        for row in sdf.collect():
-            for c in sdf.columns:
-                v = row[c]
+        s_types = {c: set() for c in cols}
+        for row in rows:
+            for c, v in zip(cols, row):
                 if v is not None:
                     s_types[c].add(type(v).__name__)
         ddf = con.sql(oq[name])
@@ -112,56 +126,58 @@ def _driver_fingerprint(columns, rows):
     )
 
 
-def test_gate_hash_stable_across_partitioning(spark, sf_smoke):
+def test_gate_hash_stable_across_partitioning(spark, sf_smoke, gate_runs):
     """Rounds 5 and 6 each shipped exactly one gate red, and both were the
     same bug class: a result that depends on partitioning (HUGEINT cast
     surfacing through a different plan; a summation-order rounding tie at
     0.98195). Pin the class: every registered query must produce the
     IDENTICAL driver-style value hash under two adversarially different
-    physical layouts — (shuffle=1, whole-file scan splits, AQE on) vs
+    physical layouts — the session default (shuffle=8, whole-file scan
+    splits, AQE on — the shared ``gate_runs`` execution) vs
     (shuffle=32, 32 KiB scan splits, AQE off). Any stat whose value
     drifts with float summation order fails here before the driver sees
-    it."""
-    layouts = [
-        {"spark.sql.shuffle.partitions": "1",
-         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-         "spark.sql.adaptive.enabled": "true"},
-        {"spark.sql.shuffle.partitions": "32",
-         "spark.sql.files.maxPartitionBytes": str(32 * 1024),
-         "spark.sql.adaptive.enabled": "false"},
-    ]
-    saved = {k: spark.conf.get(k) for k in layouts[0]}
+    it. (r20: the first layout rides the shared fixture run — one
+    50-query sweep instead of two; shuffle=1-vs-32 narrowed to 8-vs-32
+    with tiny scan splits, which still flips the summation tree.)"""
+    layout = {
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.files.maxPartitionBytes": str(32 * 1024),
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in layout}
     mismatches = []
     try:
+        for k, v in layout.items():
+            spark.conf.set(k, v)
         for name, fn in entry_mod.queries().items():
-            prints = []
-            for layout in layouts:
-                for k, v in layout.items():
-                    spark.conf.set(k, v)
-                df = fn(spark, sf_smoke)
-                prints.append(_driver_fingerprint(df.columns, [tuple(r) for r in df.collect()]))
-            if prints[0] != prints[1]:
-                mismatches.append((name, prints[0], prints[1]))
+            cols, _, rows = gate_runs[name]
+            base = _driver_fingerprint(cols, rows)
+            df = fn(spark, sf_smoke)
+            alt = _driver_fingerprint(
+                df.columns, [tuple(r) for r in df.collect()]
+            )
+            if base != alt:
+                mismatches.append((name, base, alt))
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert not mismatches, mismatches
 
 
-def test_gate_outputs_are_scalar_only(spark, sf_smoke):
+def test_gate_outputs_are_scalar_only(gate_runs):
     """The driver's pandas canonicalization sorts result frames with
     ``sort_values`` over all columns; an array/map/struct-typed output
     column crashes it (``TypeError: unhashable type: 'list'``) before
     any comparison runs — the sole red row of CORRECTNESS_r16
     (``graph_walk_embeddings`` returned ``emb array<float>``). Pin the
-    class at the SCHEMA level, no execution needed: every registered
-    gate query must emit only atomic top-level column types.
-    Vector-valued results posexplode into (…, d, value) scalar rows."""
+    class at the SCHEMA level: every registered gate query must emit
+    only atomic top-level column types. Vector-valued results
+    posexplode into (…, d, value) scalar rows."""
     from pyspark.sql import types as T
 
     offenders = []
-    for name, fn in entry_mod.queries().items():
-        for field in fn(spark, sf_smoke).schema.fields:
+    for name, (_, schema, _) in gate_runs.items():
+        for field in schema.fields:
             if isinstance(
                 field.dataType, (T.ArrayType, T.MapType, T.StructType)
             ):

@@ -95,6 +95,28 @@ def timed(fn) -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def max_job_tasks(spark, fn) -> tuple[float, int]:
+    """(seconds, max tasks of any job launched by fn) — the walk-family
+    parallelism evidence (VERDICT r19 #4): the r19 frontier round-robin
+    only matters if the walk jobs actually run ≥ core-count tasks at
+    scale, and task counts are load-independent where wall time is not."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+
+    def job_ids():
+        jl = store.jobsList(None)
+        return {jl.apply(i).jobId() for i in range(jl.size())}
+
+    before = job_ids()
+    sec = timed(fn)
+    jl = store.jobsList(None)
+    tasks = [
+        jl.apply(i).numTasks()
+        for i in range(jl.size())
+        if jl.apply(i).jobId() not in before
+    ]
+    return sec, (max(tasks) if tasks else 0)
+
+
 def _disjoint_edge_copies(base_edges, mult, extra_cols=()):
     """Disjoint id-shifted copies of an edge list (the
     replicate-don't-correlate protocol): per-copy structure is exactly
@@ -931,13 +953,20 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
         li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
         edges = _disjoint_edge_copies(copurchase_edges(li, min_orders=2), mult)
 
+        sec, mt = max_job_tasks(
+            spark,
+            lambda: node2vec_walks(
+                edges, walk_len=4, seed="sm", far_w=2, max_degree=16
+            ).count(),
+        )
         res = {
-            "sec": timed(
-                lambda: node2vec_walks(
-                    edges, walk_len=4, seed="sm", far_w=2, max_degree=16
-                ).count()
-            ),
-            "params": {"walk_len": 4, "far_w": 2, "max_degree": 16},
+            "sec": sec,
+            "params": {
+                "walk_len": 4,
+                "far_w": 2,
+                "max_degree": 16,
+                "max_job_tasks": mt,
+            },
         }
     elif op == "walk_embed":
         # walk co-occurrence → PPMI → random-projection embeddings
@@ -969,9 +998,15 @@ def run_one_op(op: str, docs_path: str, emb_path: str, mult: int) -> dict:
                 seed="sm",
             ).count()
 
+        sec, mt = max_job_tasks(spark, _run_embed)
         res = {
-            "sec": timed(_run_embed),
-            "params": {"walk_len": 4, "window": 2, "dim": 16},
+            "sec": sec,
+            "params": {
+                "walk_len": 4,
+                "window": 2,
+                "dim": 16,
+                "max_job_tasks": mt,
+            },
         }
     elif op == "kmv_overlap":
         # KMV set-overlap sketches (r14): sketch build = one distinct-
